@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + testdata helpers shared by SparkEntry / Verify / Bench / tests.
+  *
+  * The canonical timestamp of the engine is a `Long` of epoch **nanoseconds**
+  * (reference: sonnerie `Timestamp = u64` nanos, `src/lib.rs:29-30`). The
+  * driver's `events` table stores parquet TIMESTAMP(NANOS), which Spark only
+  * reads via `spark.sql.legacy.parquet.nanosAsLong` — giving us exactly the
+  * canonical Long-nanos column with zero precision loss.
+  */
+object Graft {
+
+  /** Apply engine-required runtime confs (all dynamic SQLConfs, safe to set
+    * on a session we did not create — Verify/Bench get their session from
+    * the driver).
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Local session for tests / standalone runs. */
+  def localSession(cores: Int = 4, shufflePartitions: Int = 32): SparkSession =
+    configure(
+      SparkSession
+        .builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
