@@ -1,0 +1,111 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.series.SeriesOps
+
+/** Compaction — folds transaction directories together, physically applying
+  * last-writer-wins dedup and delete markers (sonnerie `compact`,
+  * `src/main.rs:397-499`, purge logic `src/lib.rs:173-210`).
+  *
+  * - '''minor''': merges every data transaction *except the first* (the
+  *   reference merges all `tx.*` but not `main`,
+  *   `src/database_reader.rs:51-53`). Delete markers are retained — they
+  *   still apply to the untouched base.
+  * - '''major''': rewrites everything into a single transaction and drops
+  *   all delete markers (fully purged, `src/main.rs:412-414`).
+  *
+  * Correctness of txid re-numbering: the compacted output takes the txid of
+  * the *newest* compacted transaction (the reference replaces the
+  * lexically-last tx file, `src/main.rs:481-490`). Applied markers all have
+  * txid ≤ that maximum, so survivors (records that out-txid a marker — the
+  * "re-insert after delete" case, `src/tests.rs:1069-1155`) keep surviving,
+  * and later transactions keep shadowing compacted records.
+  *
+  * `transform` is the reference's `--gegnum` hook (`src/main.rs:429-477`)
+  * re-expressed functionally: an arbitrary `DataFrame => DataFrame` applied
+  * inside the rewrite — filter/rename/reshape the whole database in one
+  * distributed pass instead of piping text through a subprocess.
+  */
+object Compactor {
+
+  def minor(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =
+    compact(db, major = false, transform)
+
+  def major(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =
+    compact(db, major = true, transform)
+
+  private def compact(db: Db, major: Boolean,
+                      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val snap = db.snapshot()
+    val m = snap.manifest
+    val toCompact = if (major) m.dataTxids else m.dataTxids.drop(1)
+    if (toCompact.size < 2 && !(major && m.deleteTxids.nonEmpty)) return
+
+    val newTxid = if (toCompact.nonEmpty) toCompact.max else return
+    val dirs = toCompact.map(t => s"${db.dataDir}/txid=$t")
+    val records = db.spark.read
+      .option("basePath", db.dataDir).option("mergeSchema", "true")
+      .parquet(dirs: _*)
+
+    // Physically purge: delete anti-join (txid-aware) then last-wins dedup.
+    val purged = SeriesOps.applyDeletes(records, snap.deletes)
+    val merged = SeriesOps.lastWins(purged, Seq("key", "ts"), "txid").drop("txid")
+    val out = transform(merged)
+
+    val tmpDir = s"${db.dataDir}/.compact-tmp-$newTxid"
+    val parts = db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    out.repartitionByRange(parts, col("key"), col("ts"))
+      .sortWithinPartitions(col("key"), col("ts"))
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+
+    // Swap: move old dirs aside, move compacted output into place, then
+    // publish the new manifest. Readers holding older snapshots keep
+    // working until vacuum() removes the retired directories.
+    val finalDir = Paths.get(s"${db.dataDir}/txid=$newTxid")
+    val retired = Paths.get(s"${db.dataDir}/.retired-$newTxid-${System.nanoTime()}")
+    Files.createDirectories(retired)
+    toCompact.foreach { t =>
+      val p = Paths.get(s"${db.dataDir}/txid=$t")
+      if (Files.exists(p)) Files.move(p, retired.resolve(s"txid=$t"))
+    }
+    Files.move(Paths.get(tmpDir), finalDir)
+
+    Manifest.update(db.warehouse) { cur =>
+      cur.copy(
+        dataTxids = cur.dataTxids.filterNot(toCompact.contains) :+ newTxid,
+        deleteTxids = if (major) Vector.empty else cur.deleteTxids
+      )
+    }
+    if (major) m.deleteTxids.foreach { t =>
+      val p = Paths.get(s"${db.deleteDir}/txid=$t")
+      if (Files.exists(p)) Files.move(p, retired.resolve(s"del-txid=$t"))
+    }
+  }
+
+  /** Remove directories no longer referenced by the current manifest
+    * (retired compaction inputs, orphans from crashed writers).
+    */
+  def vacuum(db: Db): Unit = {
+    val m = Manifest.current(db.warehouse)
+    def sweep(root: String, live: Set[String]): Unit = {
+      val d = Paths.get(root)
+      if (!Files.isDirectory(d)) return
+      Files.list(d).iterator().asScala.toVector.foreach { p =>
+        val n = p.getFileName.toString
+        if (!live.contains(n)) deleteRecursively(p)
+      }
+    }
+    sweep(db.dataDir, m.dataTxids.map(t => s"txid=$t").toSet)
+    sweep(db.deleteDir, m.deleteTxids.map(t => s"txid=$t").toSet)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+}

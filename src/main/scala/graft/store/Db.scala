@@ -1,0 +1,105 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.series.SeriesOps
+
+/** A graft warehouse: the Spark-native re-expression of a sonnerie database
+  * directory (`file_format.md:92-99`).
+  *
+  * Layout:
+  * {{{
+  * warehouse/
+  *   data/txid=[n]/part-....parquet     // range-partitioned by key, sorted (key, ts)
+  *   deletes/txid=[n]/part-....parquet  // (firstKey, lastKey, t0, t1, wildcard)
+  *   _manifest/v<seq>.json       // committed txids (atomic snapshot root)
+  * }}}
+  *
+  * Required data columns: `key: String`, `ts: Long` (epoch nanos). All other
+  * columns are free-form payload; schemas may differ between transactions
+  * (the reference's per-key format strings, SURVEY §1.2) and are merged on
+  * read (`mergeSchema`).
+  *
+  * Scale: each transaction directory is written range-partitioned on `key`
+  * and sorted `(key, ts)` within files, so Parquet row-group min/max stats
+  * make key-range and wildcard-prefix reads prune to the few row groups that
+  * can match — the distributed equivalent of sonnerie's segment binary search
+  * (`src/segment_reader.rs:173-234`), with no driver-side index needed.
+  */
+final class Db(val spark: SparkSession, val warehouse: String) {
+
+  def dataDir = s"$warehouse/data"
+  def deleteDir = s"$warehouse/deletes"
+
+  /** Immutable view of the warehouse as of one manifest version. */
+  final case class Snapshot(manifest: ManifestState) {
+    def isEmpty: Boolean = manifest.dataTxids.isEmpty
+
+    /** Union of all committed data transactions, with `txid` column. */
+    def records: DataFrame = {
+      require(!isEmpty, "empty warehouse")
+      val dirs = manifest.dataTxids.map(t => s"$dataDir/txid=$t")
+      spark.read
+        .option("basePath", dataDir)
+        .option("mergeSchema", "true")
+        .parquet(dirs: _*)
+    }
+
+    def deletes: DataFrame =
+      if (manifest.deleteTxids.isEmpty) Db.emptyDeletes(spark)
+      else {
+        val dirs = manifest.deleteTxids.map(t => s"$deleteDir/txid=$t")
+        spark.read.option("basePath", deleteDir).parquet(dirs: _*)
+      }
+
+    /** The full sonnerie read pipeline: key wildcard (prefix-range
+      * rewritten), `[t0, t1)` time filter, last-writer-wins across txids,
+      * delete-marker anti-join, (key, ts) ordered output — all lazily
+      * composed so Catalyst pushes the filters into every per-tx scan.
+      */
+    def read(
+        pattern: String = "%",
+        after: Option[Long] = None,
+        before: Option[Long] = None
+    ): DataFrame = {
+      val filtered = SeriesOps.timeRange(
+        SeriesOps.keyFilter(records, pattern),
+        after,
+        before
+      )
+      val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
+      val visible = SeriesOps.applyDeletes(merged, deletes)
+      SeriesOps.ordered(visible.drop("txid"))
+    }
+
+    /** Exact-key point lookup (reference `DatabaseReader::get`). */
+    def get(key: String, after: Option[Long] = None, before: Option[Long] = None): DataFrame =
+      read(key.replace("%", "\\%"), after, before)
+  }
+
+  def snapshot(): Snapshot = Snapshot(Manifest.current(warehouse))
+
+  def read(pattern: String = "%", after: Option[Long] = None,
+           before: Option[Long] = None): DataFrame =
+    snapshot().read(pattern, after, before)
+}
+
+object Db {
+  def apply(spark: SparkSession, warehouse: String): Db = new Db(spark, warehouse)
+
+  val deleteSchema: StructType = StructType(Seq(
+    StructField("firstKey", StringType, nullable = false),
+    StructField("lastKey", StringType, nullable = false), // "" = unbounded
+    StructField("t0", LongType, nullable = false),        // inclusive
+    StructField("t1", LongType, nullable = false),        // exclusive
+    StructField("wildcard", StringType, nullable = false)
+  ))
+
+  def emptyDeletes(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      deleteSchema.add(StructField("txid", LongType, nullable = false))
+    )
+}

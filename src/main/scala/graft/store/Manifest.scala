@@ -1,0 +1,104 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Committed-transaction manifest: the engine's snapshot-isolation root.
+  *
+  * The reference gets atomic visibility from `fsync + rename(tx.<nanos>)`
+  * and commit order from sorted filenames (sonnerie `src/create_tx.rs:180-264`,
+  * `src/database_reader.rs:97-123`). A distributed Parquet warehouse can't
+  * rely on directory-listing order — listings race with writers — so we use
+  * an explicit manifest: versioned JSON files `_manifest/v<seq>.json`, each a
+  * complete snapshot of committed data/delete txids. Commit = write temp +
+  * atomic rename to the next version; rename fails if the version exists,
+  * which serializes writers (single-warehouse-writer model, same as the
+  * reference's flock'd compactor `src/main.rs:404-406`). Readers bind to the
+  * highest version at snapshot time and never see partial state.
+  *
+  * On an object store this rename becomes a conditional put ("if-none-match"),
+  * the standard commit primitive of table formats at 100 TB scale.
+  */
+final case class ManifestState(
+    version: Long,
+    nextTxid: Long,
+    dataTxids: Vector[Long],
+    deleteTxids: Vector[Long]
+) {
+  /** All txids in commit order (data and delete share one sequence). */
+  def json: String = {
+    def arr(v: Vector[Long]) = v.mkString("[", ",", "]")
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)}}"""
+  }
+}
+
+object Manifest {
+  private def dir(warehouse: String): Path = Paths.get(warehouse, "_manifest")
+
+  private def versionOf(p: Path): Long = {
+    val n = p.getFileName.toString
+    n.stripPrefix("v").stripSuffix(".json").toLong
+  }
+
+  def current(warehouse: String): ManifestState = {
+    val d = dir(warehouse)
+    if (!Files.isDirectory(d))
+      return ManifestState(0L, 0L, Vector.empty, Vector.empty)
+    val files = Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json")).toVector
+    if (files.isEmpty) ManifestState(0L, 0L, Vector.empty, Vector.empty)
+    else parse(Files.readString(files.maxBy(versionOf)))
+  }
+
+  /** Tiny hand-rolled parser for our own fixed-shape JSON (no deps). */
+  private[store] def parse(s: String): ManifestState = {
+    def longField(name: String): Long = {
+      val m = s""""$name":(-?\\d+)""".r.findFirstMatchIn(s)
+      m.map(_.group(1).toLong).getOrElse(0L)
+    }
+    def arrField(name: String): Vector[Long] = {
+      val m = s""""$name":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+      m.map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(',').map(_.trim.toLong).toVector)
+        .getOrElse(Vector.empty)
+    }
+    ManifestState(longField("version"), longField("nextTxid"),
+      arrField("dataTxids"), arrField("deleteTxids"))
+  }
+
+  /** Atomically publish `next` as the successor of `expected`. Returns false
+    * on a lost race (caller re-reads and retries).
+    */
+  def commit(warehouse: String, expected: ManifestState, next: ManifestState): Boolean = {
+    val d = dir(warehouse)
+    Files.createDirectories(d)
+    require(next.version == expected.version + 1, "manifest versions must be sequential")
+    val target = d.resolve(f"v${next.version}%012d.json")
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(d, ".tmp-manifest", ".json")
+    Files.write(tmp, next.json.getBytes(StandardCharsets.UTF_8))
+    try {
+      // ATOMIC_MOVE onto an existing target fails on POSIX → CAS semantics.
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  /** Run `mutate` under optimistic concurrency until the commit lands. */
+  def update(warehouse: String)(mutate: ManifestState => ManifestState): ManifestState = {
+    var attempts = 0
+    while (true) {
+      val cur = current(warehouse)
+      val next = mutate(cur).copy(version = cur.version + 1)
+      if (commit(warehouse, cur, next)) return next
+      attempts += 1
+      if (attempts > 100) throw new IllegalStateException("manifest commit contention")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

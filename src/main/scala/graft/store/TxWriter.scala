@@ -1,0 +1,107 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Transaction writer — the Spark-native `CreateTx` + `Writer`
+  * (sonnerie `src/create_tx.rs:29-264`, `src/write.rs:81-345`).
+  *
+  * One committed DataFrame = one transaction directory `data/txid=<n>`.
+  * The write is `repartitionByRange(key) → sortWithinPartitions(key, ts) →
+  * parquet` — the shuffle-sort replaces the reference's strict input-order
+  * requirement (`src/write.rs:172-197`) and sonnerie-serve's external sort
+  * (`src/bin/sonnerie-serve.rs:114-185`); Parquet's codecs and row-group
+  * stats replace the hand-built LZ4 segment pipeline (`src/write.rs:347-436`).
+  *
+  * Commit protocol (crash-safe, mirrors fsync+rename `src/create_tx.rs:180-264`):
+  *   1. claim a txid by bumping `nextTxid` in the manifest (atomic CAS);
+  *   2. write the parquet directory under the claimed txid;
+  *   3. publish the txid in a second manifest commit.
+  * A crash between 2 and 3 leaves an unreferenced directory — invisible to
+  * every reader, cleaned by [[Compactor.vacuum]]. Readers never see partial
+  * transactions.
+  *
+  * Scale: range partitioning on `key` keeps each key's records in one task
+  * (the reference's "keys never split across workers", `src/database_reader.rs:307-388`)
+  * and gives the warehouse a global key order across files, so row-group
+  * min/max pruning answers point/range/prefix reads without touching
+  * non-matching files.
+  */
+object TxWriter {
+
+  final class OrderingViolation(msg: String) extends RuntimeException(msg)
+
+  /** Append one data transaction; returns its txid.
+    *
+    * @param strict reject duplicate (key, ts) pairs within the transaction —
+    *               the reference's `TimeOrderingViolation` (`src/write.rs:57-79`),
+    *               which its ordering check implies.
+    */
+  def write(db: Db, df: DataFrame, strict: Boolean = false,
+            rangePartitions: Option[Int] = None): Long = {
+    val schema = df.schema
+    require(schema.fieldNames.contains("key") &&
+      schema("key").dataType == StringType, "data needs key: String")
+    require(schema.fieldNames.contains("ts") &&
+      schema("ts").dataType == LongType, "data needs ts: Long (epoch nanos)")
+
+    if (strict) {
+      val dup = df.groupBy("key", "ts").count().filter(col("count") > 1).limit(1)
+        .collect()
+      if (dup.nonEmpty) {
+        val r = dup.head
+        throw new OrderingViolation(
+          s"duplicate (key, ts) within transaction: (${r.get(0)}, ${r.get(1)})")
+      }
+    }
+
+    val txid = claimTxid(db)
+    val parts = rangePartitions.getOrElse(
+      db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    df.repartitionByRange(parts, col("key"), col("ts"))
+      .sortWithinPartitions(col("key"), col("ts"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${db.dataDir}/txid=$txid")
+    publishData(db, txid)
+    txid
+  }
+
+  /** Append a range-delete marker transaction (reference `CreateTx::delete`,
+    * `src/create_tx.rs:115-174`): suppresses records with `txid < this txid`,
+    * `key ∈ [firstKey, lastKey)` (empty lastKey = unbounded), `ts ∈ [t0, t1)`,
+    * `key LIKE wildcard`. Logical and instantaneous — physically purged at
+    * compaction, exactly like the reference's delete-marker files.
+    */
+  def delete(db: Db, firstKey: String = "", lastKey: String = "",
+             t0: Long = 0L, t1: Long = Long.MaxValue,
+             wildcard: String = "%"): Long = {
+    val txid = claimTxid(db)
+    val row = Row(firstKey, lastKey, t0, t1, wildcard)
+    db.spark.createDataFrame(
+        java.util.List.of(row), Db.deleteSchema)
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${db.deleteDir}/txid=$txid")
+    Manifest.update(db.warehouse)(m => m.copy(deleteTxids = m.deleteTxids :+ txid))
+    txid
+  }
+
+  /** Delete exactly one instant: `[t, t+1ns)` (reference `--time t`,
+    * `src/main.rs:173-176`).
+    */
+  def deleteAt(db: Db, wildcard: String, t: Long): Long =
+    delete(db, t0 = t, t1 = t + 1, wildcard = wildcard)
+
+  private def claimTxid(db: Db): Long = {
+    var claimed = -1L
+    Manifest.update(db.warehouse) { m =>
+      claimed = m.nextTxid
+      m.copy(nextTxid = m.nextTxid + 1)
+    }
+    claimed
+  }
+
+  private def publishData(db: Db, txid: Long): Unit =
+    Manifest.update(db.warehouse)(m => m.copy(dataTxids = m.dataTxids :+ txid))
+}
