@@ -38,6 +38,21 @@ object Demo {
     println("after major compaction + vacuum:")
     db.read("%").show(false)
     println("manifest: " + Manifest.current(wh).json)
+
+    // Text protocol roundtrip (reference `add` / `read` CLI, README.md:64-96)
+    val tdb = Db(spark, java.nio.file.Files.createTempDirectory("graft-demo-text").toString)
+    val lines = Seq(
+      "city/sf 2020-01-01T00:00:00 ff 37.77 -122.41",
+      "city/sf 2020-01-02T00:00:00 ff 37.78 -122.42",
+      "greeting 2020-01-01T00:00:00 s Hello\\ world"
+    ).toDS()
+    TxWriter.write(tdb, graft.text.TextIngest.parseWithFmt(spark, lines).toDF())
+    println("text-protocol dump (human timestamps, with formats):")
+    graft.text.TextIngest
+      .print(spark, graft.text.TextIngest.asRecords(tdb.read()),
+        tsAsNanos = false, showFmt = true)
+      .collect()
+      .foreach(println)
     spark.stop()
   }
 }

@@ -1,0 +1,155 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** Pure codec functions for the reference's text protocol (ingest lines
+  * `key ts v1 v2 …`, printed reads) — the behaviors of sonnerie's
+  * `escape_string` crate (`escape_string/src/lib.rs:1-233`), float printing
+  * (`src/row_format.rs:275-321`), base64 columns (`src/row_format.rs:353-381`)
+  * and timestamp layouts (`src/main.rs:520-543`, `src/formatted.rs:39-47`).
+  *
+  * Pure JVM functions so they unit-test without Spark; the Spark layer wraps
+  * them in typed Dataset maps (ingest path, not the analytical hot path).
+  */
+object TextProto {
+
+  // ── X1: backslash escape / unescape ────────────────────────────────
+
+  /** Escape whitespace and backslash so a token survives space-splitting
+    * (ref `escape_string::escape`): `\a \b \t \n \v \f \r \\ \ ` forms.
+    */
+  def escape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\u0007' => b.append("\\a")
+      case '\b'     => b.append("\\b")
+      case '\t'     => b.append("\\t")
+      case '\n'     => b.append("\\n")
+      case '\u000B' => b.append("\\v")
+      case '\f'     => b.append("\\f")
+      case '\r'     => b.append("\\r")
+      case '\\'     => b.append("\\\\")
+      case ' '      => b.append("\\ ")
+      case c        => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Split one whitespace-delimited, backslash-escaped token off the front;
+    * returns (token, rest-after-delimiters). Unknown escapes pass the
+    * escaped character through verbatim (ref `split_one`).
+    */
+  def splitOne(line: String): Option[(String, String)] = {
+    if (line.isEmpty) return None
+    val b = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < line.length && !done) {
+      line.charAt(i) match {
+        case '\\' if i + 1 < line.length =>
+          line.charAt(i + 1) match {
+            case 'a' => b.append('\u0007'); case 'b' => b.append('\b')
+            case 't' => b.append('\t');     case 'n' => b.append('\n')
+            case 'v' => b.append('\u000B'); case 'f' => b.append('\f')
+            case 'r' => b.append('\r')
+            case c   => b.append(c)
+          }
+          i += 2
+        case c if c == ' ' || c == '\t' => done = true
+        case c => b.append(c); i += 1
+      }
+    }
+    while (i < line.length && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+    Some((b.toString, line.substring(i)))
+  }
+
+  def unescape(token: String): String =
+    splitOne(token).map(_._1).getOrElse("")
+
+  // ── X5: float text with reference fidelity ─────────────────────────
+
+  /** Rust `{:.17}` fixed formatting with `nan` literal
+    * (ref `src/row_format.rs:291,321`): `32.5` → `"32.50000000000000000"`.
+    */
+  def formatF64(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isInfinite) { if (v > 0) "inf" else "-inf" }
+    else
+      // Exact binary expansion rounded at 17 decimals (Java's %.17f pads the
+      // *shortest* repr with zeros instead — not byte-identical to Rust {:.17}).
+      new java.math.BigDecimal(v)
+        .setScale(17, java.math.RoundingMode.HALF_EVEN)
+        .toPlainString
+
+  def formatF32(v: Float): String =
+    if (v.isNaN) "NaN" else formatF64(v.toDouble)
+
+  /** Parse accepting the `nan` literal (case-insensitive, ref
+    * `src/row_format.rs:275-281`).
+    */
+  def parseF64(s: String): Double =
+    if (s.equalsIgnoreCase("nan")) Double.NaN else s.toDouble
+
+  def parseF32(s: String): Float =
+    if (s.equalsIgnoreCase("nan")) Float.NaN else s.toFloat
+
+  // ── X4: base64 bytes columns ───────────────────────────────────────
+
+  /** Decode without padding requirement (ref: no-pad decode). */
+  def base64Decode(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(
+      if (s.length % 4 == 0) s else s + "=" * (4 - s.length % 4))
+
+  /** Encode with standard alphabet + padding (ref: std encode). */
+  def base64Encode(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+
+  // ── X2/X3: timestamp layouts ↔ epoch nanos ─────────────────────────
+
+  /** The six datetime layouts the reference CLI accepts
+    * (`src/main.rs:520-543`): ISO date, `T` or space separator, optional
+    * fractional seconds — plus raw nanos.
+    */
+  private val layouts = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS", "yyyy-MM-dd HH:mm:ss.SSSSSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"
+  ).map(DateTimeFormatter.ofPattern)
+
+  def parseTimestamp(s: String): Long = {
+    if (s.forall(_.isDigit)) return s.toLong // raw nanos
+    val norm = s.replace('_', ' ') // reference also accepts '_' separator
+    layouts.foreach { f =>
+      try {
+        val ldt =
+          if (norm.contains(":")) LocalDateTime.parse(norm, f)
+          else java.time.LocalDate.parse(norm, f).atStartOfDay()
+        return toNanos(ldt)
+      } catch { case _: java.time.format.DateTimeParseException => }
+    }
+    throw new IllegalArgumentException(s"unparseable timestamp: $s")
+  }
+
+  def toNanos(ldt: LocalDateTime): Long = {
+    val i = ldt.toInstant(ZoneOffset.UTC)
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
+  }
+
+  /** Format epoch nanos with a strftime-style layout; `%N`-equivalent nanos
+    * are appended exactly (Spark's `date_format` is µs-bound, so this stays
+    * a JVM function for CLI-parity output).
+    */
+  def formatTimestamp(nanos: Long, pattern: String = ""): String = {
+    val secs = Math.floorDiv(nanos, 1000000000L)
+    val rem = Math.floorMod(nanos, 1000000000L)
+    val ldt = LocalDateTime.ofInstant(Instant.ofEpochSecond(secs, rem), ZoneOffset.UTC)
+    if (pattern.nonEmpty) ldt.format(DateTimeFormatter.ofPattern(pattern))
+    else {
+      // default human layout: fractional seconds only when nonzero
+      // (reference CLI prints `%FT%T` for whole seconds, README.md:84-96)
+      val base = ldt.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      if (rem == 0) base else f"$base.$rem%09d"
+    }
+  }
+}

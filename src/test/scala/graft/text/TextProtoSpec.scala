@@ -1,0 +1,98 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-protocol golden roundtrips mirroring the reference fixtures
+  * (FIXTURES.md §1; sonnerie `src/tests.rs` line cites inline).
+  */
+class TextProtoSpec extends AnyFunSuite {
+
+  test("escape/unescape roundtrip (escape_string/src/lib.rs)") {
+    val cases = Seq("plain", "two words", "tab\there", "nl\nhere",
+      "back\\slash", "mix \t\n\\ all", "")
+    cases.foreach { s =>
+      assert(TextProto.unescape(TextProto.escape(s)) == s, s"case: $s")
+    }
+    assert(TextProto.escape("a b") == "a\\ b")
+    assert(TextProto.splitOne("a\\ b c").contains(("a b", "c")))
+    // unknown escapes pass through verbatim
+    assert(TextProto.unescape("a\\qb") == "aqb")
+  }
+
+  test("%.17 float formatting (row_format.rs:291,321)") {
+    assert(TextProto.formatF64(32.5) == "32.50000000000000000")
+    assert(TextProto.formatF32(32.5f) == "32.50000000000000000")
+    assert(TextProto.formatF64(Double.NaN) == "NaN")
+    assert(TextProto.parseF64("nan").isNaN)
+    assert(TextProto.parseF32("NaN").isNaN)
+    assert(TextProto.parseF64("-1.5") == -1.5)
+  }
+
+  test("base64: no-pad decode, std encode (row_format.rs:353-381)") {
+    assert(TextProto.base64Decode("SGVsbG8x").sameElements("Hello1".getBytes))
+    assert(TextProto.base64Decode("SGVsbG8").sameElements("Hello".getBytes)) // no pad
+    assert(TextProto.base64Encode("Hello".getBytes) == "SGVsbG8=")
+  }
+
+  test("timestamp layouts (main.rs:520-543)") {
+    val want = 1577836800000000000L // 2020-01-01T00:00:00Z
+    assert(TextProto.parseTimestamp("2020-01-01T00:00:00") == want)
+    assert(TextProto.parseTimestamp("2020-01-01 00:00:00") == want)
+    assert(TextProto.parseTimestamp("2020-01-01_00:00:00") == want)
+    assert(TextProto.parseTimestamp("2020-01-01") == want)
+    assert(TextProto.parseTimestamp(want.toString) == want)
+    assert(TextProto.parseTimestamp("2020-01-01T00:00:00.000000001") == want + 1)
+    assert(TextProto.formatTimestamp(want + 1) == "2020-01-01T00:00:00.000000001")
+  }
+
+  test("multicolumn roundtrip (tests.rs:285-335)") {
+    val line = "a\t2010-01-01_00:00:00\t10 20"
+    val r = RowCodec.parseLine("a 2010-01-01_00:00:00 10 20", "uu")
+    assert(r.key == "a" && r.vals.map(_.u32.get) == Seq(10L, 20L))
+    assert(RowCodec.printRecord(r, tsAsNanos = false,
+      columns = None).startsWith("a\t2010-01-01T00:00:00"))
+  }
+
+  test("escaped strings roundtrip (tests.rs:407-458)") {
+    val r = RowCodec.parseLine("a 0 Many\\ words Lotsa\\ stuff\\ here", "ss")
+    assert(r.vals.map(_.str.get) == Seq("Many words", "Lotsa stuff here"))
+    assert(RowCodec.printRecord(r) == "a\t0\tMany\\ words Lotsa\\ stuff\\ here")
+  }
+
+  test("heterogeneous formats per key (tests.rs:629-672)") {
+    val rs = Seq(
+      RowCodec.parseLineWithFmt("a 1 u 42"),
+      RowCodec.parseLineWithFmt("a 2 f 32.5"),
+      RowCodec.parseLineWithFmt("a 3 s Hello")
+    )
+    assert(rs.map(_.fmt) == Seq("u", "f", "s"))
+    assert(RowCodec.printRecord(rs(1), showFmt = true) ==
+      "a\t2\tf\t32.50000000000000000")
+  }
+
+  test("u64 range and roundtrip (records.rs: u64::MAX text)") {
+    val r = RowCodec.parseLine("k 0 18446744073709551615", "U")
+    assert(RowCodec.printRecord(r) == "k\t0\t18446744073709551615")
+    intercept[IllegalArgumentException](RowCodec.parseCell('u', "4294967296"))
+    intercept[IllegalArgumentException](RowCodec.parseCell('U', "-1"))
+  }
+
+  test("type widening same-class only (records.rs:74-114)") {
+    val c = RowCodec.parseCell('u', "7")
+    assert(c.asU64.contains(BigDecimal(7)))
+    assert(c.asI64.isEmpty && c.asF64.isEmpty) // no cross-class
+    assert(RowCodec.parseCell('i', "-3").asI64.contains(-3L))
+    assert(RowCodec.parseCell('f', "1.5").asF64.contains(1.5))
+  }
+
+  test("column subset selection (tests.rs:338-388)") {
+    val r = RowCodec.parseLine("a 0 10 20 30", "uuu")
+    assert(RowCodec.printRecord(r, columns = Some(Seq(1, 3))) == "a\t0\t10 30")
+  }
+
+  test("format validation") {
+    intercept[IllegalArgumentException](RowCodec.validate("ux"))
+    intercept[IllegalArgumentException](RowCodec.validate(""))
+    RowCodec.validate("iuIUfFsB")
+  }
+}
