@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+import graft.ops.{Dedup, PortableHash, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as driver-contract queries with exact
+  * DuckDB oracles (dedup family, similarity search, text analysis).
+  *
+  * The oracle SQL is *generated* from the same constants/fragments as the
+  * Spark plans ([[PortableHash]]/[[Dedup]]/[[Similarity]] `sql*` builders),
+  * so the two sides cannot drift.
+  */
+object PipelineQueries {
+  private val P = PortableHash.P
+
+  // int-ish outputs are cast to long on the Spark side: DuckDB counts are
+  // BIGINT and the driver's hash compare is dtype-sensitive.
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── text analysis ─────────────────────────────────────────────────
+    "text_profile" -> { (s, d) =>
+      TextAnalysis.profile(Graft.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").cast("long"), col("n_subwords").cast("long"),
+          col("avg_token_len"), col("stopword_ratio"), col("quality"),
+          col("lang_pred"), col("fingerprint"))
+        .orderBy("doc_id")
+    },
+    "text_rolling_hash" -> { (s, d) =>
+      Graft.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+    // ── dedup family ──────────────────────────────────────────────────
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+    "dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashCandidates(Graft.documents(s, d), "doc_id", "text")
+        .orderBy("id1", "id2")
+    },
+    "dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text")
+        .select(col("id1"), col("id2"), col("dist").cast("long"))
+        .orderBy("id1", "id2")
+    },
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val bucket = concat(col("lang"), lit("/"),
+        (col("n_chars") / 50).cast("long").cast("string"))
+      Dedup.jaccardPairs(docs, "doc_id", "text", bucket, 0.2)
+        .orderBy("id1", "id2")
+    },
+    // ── similarity search ─────────────────────────────────────────────
+    "knn_cosine" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("cos"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    "ann_lsh_bucket" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.lshBucketKnn(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("cos"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    "dedup_embedding" -> { (s, d) =>
+      Similarity.nearDupPairs(Graft.embeddings(s, d), "vec_id", "embedding",
+          col("label"), 0.35)
+        .orderBy("id1", "id2")
+    }
+  )
+
+  // ── generated DuckDB oracle SQL ─────────────────────────────────────
+
+  private def sqlTokens = "string_split(text, ' ')"
+  private def sqlNTokens = s"len($sqlTokens)"
+
+  private def sqlWordRatio(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"(CAST(len(list_filter($sqlTokens, t -> list_contains($arr, t))) AS DOUBLE) / $sqlNTokens)"
+  }
+
+  private def sqlAvgTokLen =
+    s"(CAST(length(text) - $sqlNTokens + 1 AS DOUBLE) / $sqlNTokens)"
+
+  private def sqlQuality: String = {
+    val lenScore = s"least(CAST($sqlNTokens AS DOUBLE) / 64.0, 1.0)"
+    val stopScore = s"least(${sqlWordRatio(TextAnalysis.englishStopwords)} * 5.0, 1.0)"
+    val penalty = s"(CASE WHEN $sqlAvgTokLen > 12.0 THEN 0.5 ELSE 1.0 END)"
+    s"round(($lenScore * 0.5 + $stopScore * 0.5) * $penalty, 6)"
+  }
+
+  private def sqlLangScore(lang: String) =
+    s"round(${sqlWordRatio(TextAnalysis.langMarkers(lang))}, 6)"
+
+  private def sqlLangPred: String = {
+    // same left-fold argmax as TextAnalysis.langPredict (ties keep first)
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    langs.tail.foldLeft(s"'${langs.head}'" -> sqlLangScore(langs.head)) {
+      case ((predSoFar, scoreSoFar), l) =>
+        val s = sqlLangScore(l)
+        (s"(CASE WHEN $s > $scoreSoFar THEN '$l' ELSE $predSoFar END)",
+          s"greatest($s, $scoreSoFar)")
+    }._1
+  }
+
+  private val minhashSigSql =
+    Dedup.sqlMinhashSignature("sh")
+
+  private def bandsUnion(src: String): String =
+    (0 until Dedup.MINHASH_K / Dedup.LSH_R).map { b =>
+      val i = b * Dedup.LSH_R
+      s"SELECT doc_id, sig, $b AS band, sig[${i + 1}] * $P + sig[${i + 2}] AS band_key FROM $src"
+    }.mkString("\nUNION ALL ")
+
+  private def simhashChunksUnion(src: String): String =
+    (0 until 4).map { c =>
+      s"SELECT doc_id, sh, $c AS chunk, (sh >> ${c * 8}) & 255 AS chunk_val FROM $src"
+    }.mkString("\nUNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "text_profile" ->
+      s"""SELECT doc_id, lang,
+         |  $sqlNTokens AS n_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]')) AS n_subwords,
+         |  round($sqlAvgTokLen, 6) AS avg_token_len,
+         |  round(${sqlWordRatio(TextAnalysis.englishStopwords)}, 6) AS stopword_ratio,
+         |  $sqlQuality AS quality,
+         |  $sqlLangPred AS lang_pred,
+         |  ${PortableHash.sqlH60("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_hash" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+         |    (h, c) -> (h * 31 + c) % $P) AS rhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH shing AS (
+         |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh FROM documents),
+         |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
+         |bands AS (${bandsUnion("sigs")}),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |         l.sig AS sig1, r.sig AS sig2
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.band_key = r.band_key
+         |   AND l.doc_id < r.doc_id)
+         |SELECT id1, id2,
+         |  CAST(len(list_filter(range(${Dedup.MINHASH_K}),
+         |       i -> sig1[i+1] = sig2[i+1])) AS DOUBLE) / ${Dedup.MINHASH_K}
+         |    AS est_jaccard
+         |FROM pairs ORDER BY id1, id2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, ${Dedup.sqlTokenHashes("text")} AS _hs FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${Dedup.sqlSimhashTerms("_hs")} AS sh FROM hs),
+         |chunked AS (${simhashChunksUnion("sh")}),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |         bit_count(xor(l.sh, r.sh)) AS dist
+         |  FROM chunked l JOIN chunked r
+         |    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+         |   AND l.doc_id < r.doc_id)
+         |SELECT id1, id2, CAST(dist AS BIGINT) AS dist FROM pairs
+         |WHERE dist <= 3 ORDER BY id1, id2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id AS id,
+         |         lang || '/' || CAST(n_chars // 50 AS VARCHAR) AS bucket,
+         |         ${Dedup.sqlShingleHashes("text")} AS sh
+         |  FROM documents)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT l.id AS id1, r.id AS id2,
+         |    round(CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
+         |          / (len(l.sh) + len(r.sh)
+         |             - len(list_filter(l.sh, x -> list_contains(r.sh, x)))), 6)
+         |      AS jaccard
+         |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
+         |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
+    "knn_cosine" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS nn_id,
+         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+         |  FROM q CROSS JOIN v c WHERE c.vec_id <> query_id)
+         |SELECT query_id, nn_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nn_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_bucket" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${Similarity.sqlLshBucket("v")} AS bucket FROM v),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS nn_id,
+         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
+         |SELECT query_id, nn_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nn_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH pre AS (
+         |  SELECT vec_id AS id, label AS bucket,
+         |         ${Similarity.sqlVeci("embedding")} AS v
+         |  FROM embeddings)
+         |SELECT id1, id2, cos FROM (
+         |  SELECT l.id AS id1, r.id AS id2,
+         |         round(${Similarity.sqlCosine("l.v", "r.v")}, 9) AS cos
+         |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
+         |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin
+  )
+}

@@ -88,7 +88,11 @@ object SparkEntry {
     SeriesOps.ordered(SeriesOps.applyDeletes(deduped, deletes))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ PipelineQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── §2.1 scans ────────────────────────────────────────────────────
     "s1_snapshot_scan" -> { (s, d) =>
       series(s, d)
@@ -207,7 +211,7 @@ object SparkEntry {
     }
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "s1_snapshot_scan" ->
       s"""WITH $seriesSql
          |SELECT key, ts, txid, event_id, value FROM series

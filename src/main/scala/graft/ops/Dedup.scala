@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime:
+  *
+  *  - '''exact''': one hash-aggregate on md5(text) — map-side partial agg,
+  *    shuffles one row per distinct hash.
+  *  - '''MinHash + LSH''': shingle → signature → band-bucket join. The only
+  *    shuffle is on (band index, band key); no O(n²) pair enumeration ever
+  *    materializes — candidates are generated per bucket, which is the
+  *    standard web-scale near-dup design (MMDS ch. 3 family of techniques).
+  *  - '''SimHash''': 32-bit fingerprint; candidate pairs via byte-chunk
+  *    pigeonhole buckets (hamming ≤ 3 ⟹ some chunk of 4 equal), verified
+  *    by `bit_count(xor)`.
+  *  - '''n-gram Jaccard''': exact verification on candidate buckets.
+  *
+  * All hashing goes through [[PortableHash]] (MD5-derived modular
+  * arithmetic), so every operator has an exact DuckDB oracle.
+  */
+object Dedup {
+
+  // ── exact ──────────────────────────────────────────────────────────
+
+  /** Exact duplicate groups: canonical (min id) member, group size. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one row per distinct content (the canonical member). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = exactGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(groups, idCol) // inner join on canonical ids keeps one per group
+  }
+
+  // ── shingling ──────────────────────────────────────────────────────
+
+  /** Word n-gram shingles as 30-bit portable hashes; documents shorter than
+    * n words fall back to one whole-text shingle.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
+    val grams = when(
+      size(w) >= n,
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))
+      )
+    ).otherwise(array(text))
+    array_distinct(transform(grams, g => PortableHash.h30(g)))
+  }
+
+  /** DuckDB fragment equal to [[shingleHashes]] (kept adjacent so the two
+    * can never drift).
+    */
+  def sqlShingleHashes(textExpr: String, n: Int = 3): String = {
+    val w = s"string_split($textExpr, ' ')"
+    val grams =
+      s"""CASE WHEN len($w) >= $n
+         | THEN list_transform(range(len($w) - ${n - 1}),
+         |        i -> array_to_string(($w)[i+1:i+$n], ' '))
+         | ELSE [$textExpr] END""".stripMargin
+    s"list_distinct(list_transform($grams, g -> ${PortableHash.sqlH30("g")}))"
+  }
+
+  // ── MinHash + LSH ──────────────────────────────────────────────────
+
+  val MINHASH_K = 8 // signature length
+  val LSH_R = 2     // rows per band → 4 bands
+
+  /** MinHash signature: k affine re-hashes, min over shingles each. */
+  def minhashSignature(shingles: Column, k: Int = MINHASH_K): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shingles, h => PortableHash.affine(h, j)))): _*)
+
+  def sqlMinhashSignature(shinglesExpr: String, k: Int = MINHASH_K): String =
+    (0 until k)
+      .map(j => s"list_min(list_transform($shinglesExpr, h -> ${PortableHash.sqlAffine("h", j)}))")
+      .mkString("[", ", ", "]")
+
+  /** Band keys: consecutive signature rows packed into one int64. */
+  def bandKeys(sig: Column, r: Int = LSH_R): Column = {
+    val bands = MINHASH_K / r
+    array((0 until bands).map { b =>
+      (0 until r).map(i => element_at(sig, b * r + i + 1))
+        .reduceLeft((acc, s) => acc * PortableHash.P + s)
+    }: _*)
+  }
+
+  /** LSH candidate pairs: ids sharing any band bucket, with the exact
+    * signature-agreement estimate of Jaccard similarity.
+    * Scale: the self-join is on (band index, band key) — a shuffle of
+    * (bands × docs) slim rows, never an all-pairs product.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingleHashes(col(textCol), n)).as("sig")
+    )
+    val bands = withSig.select(
+      col("id"), col("sig"),
+      posexplode(bandKeys(col("sig")))
+    ).withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+
+    val l = bands.alias("l")
+    val r = bands.alias("r")
+    val pairs = l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.sig").as("sig1"), col("r.sig").as("sig2"))
+      .distinct()
+
+    pairs.select(
+      col("id1"), col("id2"),
+      (size(filter(zip_with(col("sig1"), col("sig2"), (a, b) =>
+        when(a === b, 1).otherwise(0)), x => x === 1)).cast("double")
+        / MINHASH_K).as("est_jaccard")
+    )
+  }
+
+  // ── SimHash ────────────────────────────────────────────────────────
+
+  val SIMHASH_BITS = 32
+
+  /** 32-bit SimHash over word-token hashes: bit b set iff more token
+    * hashes have bit b set than clear.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(split(text, " "), t => PortableHash.h60(t))
+    val n = size(hs)
+    (0 until SIMHASH_BITS).map { b =>
+      val ones = size(filter(hs, h => shiftright(h, b).bitwiseAND(1) === 1))
+      when(ones * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+  }
+
+  /** Token-hash list fragment feeding [[sqlSimhashTerms]]. */
+  def sqlTokenHashes(textExpr: String): String =
+    s"list_transform(string_split($textExpr, ' '), t -> ${PortableHash.sqlH60("t")})"
+
+  /** Per-bit vote terms over a column holding [[sqlTokenHashes]]. */
+  def sqlSimhashTerms(hsVar: String): String =
+    (0 until SIMHASH_BITS).map { b =>
+      s"(CASE WHEN 2 * len(list_filter($hsVar, h -> (h >> $b) & 1 = 1)) >= len($hsVar) THEN ${1L << b}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Near-dup pairs with hamming distance ≤ maxDist, candidates via the
+    * pigeonhole chunk trick: split 32 bits into (maxDist+1) chunks; any
+    * pair within maxDist agrees on ≥1 chunk → join per chunk, then verify
+    * with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = SIMHASH_BITS / chunks
+    val mask = (1L << width) - 1
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sh"), c * width).bitwiseAND(mask)): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    l.join(r, col("l.chunk") === col("r.chunk") &&
+        col("l.chunk_val") === col("r.chunk_val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ── n-gram Jaccard ─────────────────────────────────────────────────
+
+  /** Exact Jaccard over distinct shingle-hash sets for candidate pairs
+    * restricted to equal (bucket) groups — bucketing keeps the pair space
+    * linear-ish; pass e.g. a (lang, length-bucket) column.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   bucket: Column, threshold: Double, n: Int = 3): DataFrame = {
+    val pre = df.select(col(idCol).as("id"), bucket.as("bucket"),
+      shingleHashes(col(textCol), n).as("sh"))
+    val l = pre.alias("l")
+    val r = pre.alias("r")
+    val inter = size(array_intersect(col("l.sh"), col("r.sh")))
+    val uni = size(col("l.sh")) + size(col("r.sh")) - inter
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(inter.cast("double") / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Exact-portability trick: embeddings are scaled to integers
+  * (`round(x * 1e6)`), so dot products are *exact* integer arithmetic —
+  * identical in Spark (int64 higher-order aggregate) and DuckDB
+  * (`list_dot_product` on BIGINT lists stays below 2^53, hence exact in
+  * doubles). Cosine is then one deterministic double division. This gives
+  * ANN/k-NN queries hash-exact oracles, which float math can never do.
+  *
+  * Scale paths:
+  *  - [[bruteForceKnn]]: broadcast the (small) query set, one scan of the
+  *    corpus, per-query top-k via window — the exact baseline.
+  *  - [[lshBucketKnn]]: random-hyperplane sign buckets (deterministic
+  *    hyperplanes from [[PortableHash]]) — each probe touches only its
+  *    bucket, the 100 TB path; recall measured against the brute force.
+  */
+object Similarity {
+
+  val SCALE = 1000000L // 1e6: float32 mantissa fits losslessly after round
+
+  /** Float vector → exact integer vector. */
+  def veci(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * SCALE).cast("long"))
+
+  def sqlVeci(embExpr: String): String =
+    s"list_transform($embExpr, x -> CAST(round(CAST(x AS DOUBLE) * $SCALE) AS BIGINT))"
+
+  /** Exact integer dot product via codegen'd higher-order aggregate. */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+
+  def sqlDotInt(aExpr: String, bExpr: String): String =
+    s"CAST(list_dot_product($aExpr, $bExpr) AS BIGINT)"
+
+  /** Deterministic cosine from exact integer dot/norms. */
+  def cosine(a: Column, b: Column): Column =
+    dotInt(a, b).cast("double") /
+      (sqrt(dotInt(a, a).cast("double")) * sqrt(dotInt(b, b).cast("double")))
+
+  def sqlCosine(aExpr: String, bExpr: String): String =
+    s"""(CAST(${sqlDotInt(aExpr, bExpr)} AS DOUBLE) /
+       | (sqrt(CAST(${sqlDotInt(aExpr, aExpr)} AS DOUBLE)) *
+       |  sqrt(CAST(${sqlDotInt(bExpr, bExpr)} AS DOUBLE))))""".stripMargin
+
+  /** Exact top-k neighbors for each query id. The query side is broadcast
+    * (small by construction); corpus is scanned once; ties broken by id.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"), veci(col(embCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  val LSH_PLANES = 8
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a value in [-500, 500] from the portable hash family.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val seed = concat(lit(s"plane:$plane:"), dim.cast("string"))
+    PortableHash.h60(seed) % 1001L - 500L
+  }
+
+  private def sqlPlaneComponent(plane: Int, dimExpr: String): String =
+    s"(${PortableHash.sqlH60(s"'plane:$plane:' || CAST($dimExpr AS VARCHAR)")} % 1001 - 500)"
+
+  /** Sign-bucket signature: bit p = sign of ⟨v, plane_p⟩. Buckets collapse
+    * the corpus so each query probes one bucket (plus optionally neighbor
+    * buckets for recall) instead of scanning everything.
+    */
+  def lshBucket(vi: Column): Column =
+    (0 until LSH_PLANES).map { p =>
+      val proj = aggregate(
+        zip_with(vi, sequence(lit(0), size(vi) - 1), (x, i) =>
+          x * planeComponent(p, i)),
+        lit(0L), (s, x) => s + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  def sqlLshBucket(viExpr: String): String = {
+    val terms = (0 until LSH_PLANES).map { p =>
+      val planes = s"list_transform(range(len(_v)), i -> ${sqlPlaneComponent(p, "i")})"
+      s"(CASE WHEN list_dot_product(_v, $planes) >= 0 THEN ${1L << p}::BIGINT ELSE 0 END)"
+    }
+    s"(SELECT ${terms.mkString(" + ")} FROM (SELECT $viExpr AS _v) _s)"
+  }
+
+  /** Bucketed ANN: join query buckets to corpus buckets, top-k per query
+    * within the bucket. Trades recall for touching only ~1/2^planes of the
+    * corpus per probe.
+    */
+  def lshBucketKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"), veci(col(embCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("qv"), col("cv")), 9).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs within a bucket column (e.g. label):
+    * cosine ≥ threshold, ids ordered.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   bucket: Column, threshold: Double): DataFrame = {
+    val pre = df.select(col(idCol).as("id"), bucket.as("bucket"),
+      veci(col(embCol)).as("v"))
+    val l = pre.alias("l")
+    val r = pre.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(cosine(col("l.v"), col("r.v")), 9).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

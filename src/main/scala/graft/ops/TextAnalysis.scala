@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, n-gram language-ID heuristic,
+  * document fingerprinting.
+  *
+  * All column-level: pure `org.apache.spark.sql.functions` compositions
+  * (codegen'd, shuffle-free, scale linearly with the scan). Each has an
+  * exact DuckDB oracle via [[PortableHash]] / plain arithmetic.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: alpha runs + digit runs + other chars
+    * (a cheap, deterministic proxy for tokenizer load estimation).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  def avgTokenLen(text: Column): Column =
+    (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text)
+
+  /** Fraction of tokens found in `words` (portable: filter + size). */
+  def wordListRatio(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("double") /
+      tokenCount(text)
+  }
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  def stopwordRatio(text: Column): Column = wordListRatio(text, englishStopwords)
+
+  /** Composite quality score in [0, ~1]: rewards mid-length docs, presence
+    * of stopwords (fluent prose), and moderate token lengths. Deterministic
+    * double arithmetic — portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(64.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val wordLen = avgTokenLen(text)
+    val lenPenalty = when(wordLen > 12.0, lit(0.5)).otherwise(lit(1.0))
+    round((lenScore * lit(0.5) + stopScore * lit(0.5)) * lenPenalty, 6)
+  }
+
+  /** Language-ID by characteristic-word scoring (n-gram heuristic class).
+    * Scores = per-language marker-word hit ratios; prediction = argmax with
+    * deterministic tie-break on language order.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "data", "table"),
+    "es" -> Seq("el", "la", "de", "que", "es", "por"),
+    "zh" -> Seq("spark", "vector", "stream", "batch", "query", "row")
+  )
+
+  def langScore(text: Column, lang: String): Column =
+    round(wordListRatio(text, langMarkers(lang)), 6)
+
+  def langPredict(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    // argmax: reduce over (score, lang); strictly-greater keeps first on ties
+    scored.reduceLeft((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a)
+    ).getField("l")
+  }
+
+  /** 60-bit whole-document fingerprint (portable MD5-derived). */
+  def fingerprint(text: Column): Column = PortableHash.h60(text)
+
+  /** Rolling polynomial content hash over characters — order-sensitive
+    * (detects shuffled content with equal char multiset), via codegen'd
+    * higher-order aggregate.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (h, ch) => (h * 31 + ascii(ch)) % PortableHash.P
+    )
+
+  /** One-pass document profile used by the pipeline queries. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("avg_token_len", round(avgTokenLen(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langPredict(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
