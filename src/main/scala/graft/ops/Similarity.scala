@@ -47,17 +47,28 @@ object Similarity {
        | (sqrt(CAST(${sqlDotInt(aExpr, aExpr)} AS DOUBLE)) *
        |  sqrt(CAST(${sqlDotInt(bExpr, bExpr)} AS DOUBLE))))""".stripMargin
 
+  /** Cosine from a pair dot product and per-side precomputed square norms
+    * (same double value as [[cosine]], but norms are computed once per
+    * vector instead of once per pair).
+    */
+  def cosineFromParts(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
   /** Exact top-k neighbors for each query id. The query side is broadcast
-    * (small by construction); corpus is scanned once; ties broken by id.
+    * (small by construction); corpus is scanned once; norms precomputed
+    * per row; ties broken by id.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     embCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("nn_id"), veci(col(embCol)).as("cv"))
+      .withColumn("cn", dotInt(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("dot", dotInt(col("qv"), col("cv")))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("qv"), col("cv")), 9).as("cos"))
+        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -67,11 +78,15 @@ object Similarity {
   val LSH_PLANES = 8
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a value in [-500, 500] from the portable hash family.
+    * a value in [-500, 500] from the portable hash family. Computed on the
+    * driver (plain JVM md5 — identical to `PortableHash.h60`) so the plane
+    * vectors become plan-time literals instead of per-row md5 work.
     */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val seed = concat(lit(s"plane:$plane:"), dim.cast("string"))
-    PortableHash.h60(seed) % 1001L - 500L
+  def planeComponent(plane: Int, dim: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$plane:$dim".getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1001L - 500L
   }
 
   private def sqlPlaneComponent(plane: Int, dimExpr: String): String =
@@ -81,11 +96,10 @@ object Similarity {
     * the corpus so each query probes one bucket (plus optionally neighbor
     * buckets for recall) instead of scanning everything.
     */
-  def lshBucket(vi: Column): Column =
+  def lshBucket(vi: Column, dim: Int): Column =
     (0 until LSH_PLANES).map { p =>
-      val proj = aggregate(
-        zip_with(vi, sequence(lit(0), size(vi) - 1), (x, i) =>
-          x * planeComponent(p, i)),
+      val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+      val proj = aggregate(zip_with(vi, plane, (x, w) => x * w),
         lit(0L), (s, x) => s + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
@@ -103,33 +117,39 @@ object Similarity {
     * corpus per probe.
     */
   def lshBucketKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-                   embCol: String, k: Int): DataFrame = {
+                   embCol: String, k: Int, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("nn_id"), veci(col(embCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv")))
+      .withColumn("bucket", lshBucket(col("cv"), dim))
+      .withColumn("cn", dotInt(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), dim))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("dot", dotInt(col("qv"), col("cv")))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("qv"), col("cv")), 9).as("cos"))
+        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding near-duplicate pairs within a bucket column (e.g. label):
-    * cosine ≥ threshold, ids ordered.
+    * cosine ≥ threshold, ids ordered. Norms precomputed per vector.
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    bucket: Column, threshold: Double): DataFrame = {
     val pre = df.select(col(idCol).as("id"), bucket.as("bucket"),
-      veci(col(embCol)).as("v"))
+        veci(col(embCol)).as("v"))
+      .withColumn("n2", dotInt(col("v"), col("v")))
+      .repartition(col("bucket")) // ReusedExchange on the self-join
     val l = pre.alias("l")
     val r = pre.alias("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("dot", dotInt(col("l.v"), col("r.v")))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        round(cosine(col("l.v"), col("r.v")), 9).as("cos"))
+        round(cosineFromParts(col("dot"), col("l.n2"), col("r.n2")), 9).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
