@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+import graft.functions.HistogramAgg
+import graft.ops.Multimodal
+import graft.series.SeriesAnalytics
+
+/** Remaining SURVEY §2 surface + value-add analytics as oracle-checked
+  * queries: typed Aggregator map-reduce (G2), subprocess pipe (P3),
+  * sessionization / resampling / as-of join (§2.5 value-add), set ops
+  * (§2.7), rollup (§2.4 value-add), multimodal feature plumbing.
+  */
+object AnalyticsQueries {
+
+  private val GAP = 1800000000000L // 30 min in nanos
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G2: client map-reduce → typed Aggregator (rayon.rs:12-93)
+    "g2_custom_agg" -> { (s, d) =>
+      import s.implicits._
+      val hist = udaf(new HistogramAgg(50.0, 10))
+      Graft.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hist(col("value")).as("bins"))
+        .select(col("event_type"), posexplode(col("bins")))
+        .select(col("event_type"), col("pos").cast("long").as("bin"),
+          col("col").as("n"))
+        .orderBy("event_type", "bin")
+    },
+    // P3: partitioned subprocess pipe (main.rs:234-279)
+    "p3_pipe" -> { (s, d) =>
+      import s.implicits._
+      val lines = SeriesAnalytics.pipe(
+        SparkEntry.series(s, d).select("key", "ts", "event_id"), "cat")
+      lines.map(l => l.split("\t")(0)).toDF("key")
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key")
+    },
+    // value-add: gap sessionization
+    "w2_sessionize" -> { (s, d) =>
+      SeriesAnalytics.sessionStats(
+          Graft.events(s, d)
+            .select(col("user_id"), (col("ts") - col("ts") % 1000).as("ts"),
+              col("event_id")), // µs-floor ts for the DuckDB oracle
+          "user_id", "ts", GAP, Seq("event_id"))
+        .orderBy("user_id", "session_id")
+    },
+    // value-add: tumbling-window resample (daily)
+    "w3_resample" -> { (s, d) =>
+      SeriesAnalytics.resample(SparkEntry.series(s, d),
+          "key", "ts", "value", 86400000000000L)
+        .orderBy("key", "bucket_ts")
+    },
+    // value-add: as-of join (absent in reference, SURVEY §2.3)
+    "j2_asof_join" -> { (s, d) =>
+      val ev = Graft.events(s, d)
+        .withColumn("ts", col("ts") - col("ts") % 1000) // µs-floor for oracle
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("value").as("signup_value"))
+      SeriesAnalytics.asOfJoin(purchases, signups, "user_id", "ts",
+          Seq("signup_value"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    // §2.7 set operations
+    "x1_setops" -> { (s, d) =>
+      val ev = Graft.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id").distinct()
+      users("click").intersect(users("purchase")).except(users("error"))
+        .orderBy("user_id")
+    },
+    // value-add: hierarchical rollup aggregation
+    "g3_rollup" -> { (s, d) =>
+      Graft.events(s, d)
+        .rollup(col("event_type"), (col("user_id") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy(col("event_type").asc_nulls_first, col("cohort").asc_nulls_first)
+    },
+    // multimodal: binary columns + batched partition-local decode (stub)
+    "mm_features" -> { (s, d) =>
+      Multimodal.featureQuery(s, Graft.documents(s, d))
+        .orderBy("media_id", "i")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "g2_custom_agg" ->
+      """WITH bins AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin
+        |  FROM events),
+        |counts AS (SELECT event_type, bin, count(*) AS n FROM bins GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT event_type, i AS bin
+        |  FROM events CROSS JOIN range(10) t(i))
+        |SELECT g.event_type, g.bin, coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN counts c
+        |  ON g.event_type = c.event_type AND g.bin = c.bin
+        |ORDER BY g.event_type, g.bin""".stripMargin,
+    "p3_pipe" ->
+      """SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |       count(*) AS n
+        |FROM events GROUP BY key ORDER BY key""".stripMargin,
+    "w2_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end,
+        |       max(ts) - min(ts) AS duration_ns
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "w3_resample" ->
+      """WITH series AS (
+        |  SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_ns(ts) AS ts, value FROM events)
+        |SELECT key, ts - (ts % 86400000000000) AS bucket_ts, count(*) AS n,
+        |       min(value) AS vmin, max(value) AS vmax,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM series GROUP BY key, bucket_ts ORDER BY key, bucket_ts""".stripMargin,
+    "j2_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |signups AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_ns(ts))
+        |SELECT p.user_id, p.ts, p.event_id, p.value,
+        |       s.signup_value AS asof_signup_value
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
+    "x1_setops" ->
+      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        | INTERSECT
+        | SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "g3_rollup" ->
+      """SELECT event_type, user_id % 5 AS cohort, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY ROLLUP (event_type, cohort)
+        |ORDER BY event_type ASC NULLS FIRST, cohort ASC NULLS FIRST""".stripMargin,
+    "mm_features" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id,
+         |         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |         text::BLOB AS bytes
+         |  FROM documents)
+         |SELECT media_id, kind, octet_length(bytes) AS byte_len, i,
+         |       round(${Multimodal.sqlFeature("bytes", "i")}, 9) AS f
+         |FROM media CROSS JOIN range(${Multimodal.FEATURE_DIM}) t(i)
+         |ORDER BY media_id, i""".stripMargin
+  )
+}

@@ -88,9 +88,11 @@ object SparkEntry {
     SeriesOps.ordered(SeriesOps.applyDeletes(deduped, deletes))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ PipelineQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ PipelineQueries.queries ++ AnalyticsQueries.queries
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ PipelineQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ PipelineQueries.oracleSql ++ AnalyticsQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── §2.1 scans ────────────────────────────────────────────────────

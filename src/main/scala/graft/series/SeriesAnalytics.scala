@@ -1,0 +1,98 @@
+package graft.series
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Value-add time-series analytics the reference delegates to client code
+  * ("load the data and process it through other means", sonnerie
+  * `README.md:23-25`) — expressed as native Spark plans.
+  */
+object SeriesAnalytics {
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` per key. Implemented with the union + running
+    * `last(ignoreNulls)` window — one shuffle on (key), no range
+    * cross-product, the scalable formulation of a point-in-time lookup.
+    * Right side should be unique per (key, ts) (dedupe upstream).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("_side", lit(1))
+      .withColumns(payloadCols.map(c => s"_r_$c" -> lit(null)).toMap)
+    val rTagged = right.select(
+      (Seq(col(keyCol), col(tsCol)) :+ lit(0).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumns(left.columns.filterNot(Seq(keyCol, tsCol).contains)
+        .map(c => c -> lit(null)).toMap)
+
+    val unioned = lTagged.unionByName(rTagged)
+    // right rows sort before left rows at equal ts → inclusive match
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapNanos`. One window pass;
+    * shuffles once on key.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapNanos: Long, orderTieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: orderTieBreak.map(col)): Seq[Column]
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          col(tsCol) - col("_prev_ts") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new_session")).over(cum))
+      .drop("_prev_ts", "_new_session")
+  }
+
+  /** Session-level rollup (count, bounds, duration). */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   gapNanos: Long, orderTieBreak: Seq[String] = Nil): DataFrame =
+    sessionize(df, keyCol, tsCol, gapNanos, orderTieBreak)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"),
+        max(col(tsCol)).as("t_end"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_ns")
+      )
+
+  /** Tumbling-window resample: per key, fixed `widthNanos` buckets with
+    * count/min/max/decimal-exact sum of a value column.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+               widthNanos: Long): DataFrame =
+    df.groupBy(col(keyCol),
+        (col(tsCol) - (col(tsCol) % widthNanos)).as("bucket_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valueCol)).as("vmin"),
+        max(col(valueCol)).as("vmax"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("vsum")
+      )
+
+  /** Pipe rows through an external command, one subprocess per partition —
+    * the reference's `read --parallel CMD` (sonnerie `src/main.rs:234-279`)
+    * re-expressed as `RDD.pipe`: partitioned external consumers with the
+    * process boundary per task.
+    */
+  def pipe(df: DataFrame, cmd: String): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.select(concat_ws("\t",
+      df.columns.map(c => col(c).cast("string")): _*))
+      .as[String]
+    spark.createDataset(lines.rdd.pipe(cmd))
+  }
+}

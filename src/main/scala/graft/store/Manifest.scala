@@ -24,12 +24,15 @@ final case class ManifestState(
     version: Long,
     nextTxid: Long,
     dataTxids: Vector[Long],
-    deleteTxids: Vector[Long]
+    deleteTxids: Vector[Long],
+    /** Highest committed streaming micro-batch id (exactly-once replay
+      * guard for [[graft.streaming.StreamIngest]]); -1 = none.
+      */
+    streamBatch: Long = -1L
 ) {
-  /** All txids in commit order (data and delete share one sequence). */
   def json: String = {
     def arr(v: Vector[Long]) = v.mkString("[", ",", "]")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)}}"""
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch}"""
   }
 }
 
@@ -64,7 +67,8 @@ object Manifest {
         .getOrElse(Vector.empty)
     }
     ManifestState(longField("version"), longField("nextTxid"),
-      arrField("dataTxids"), arrField("deleteTxids"))
+      arrField("dataTxids"), arrField("deleteTxids"),
+      if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L)
   }
 
   /** Atomically publish `next` as the successor of `expected`. Returns false

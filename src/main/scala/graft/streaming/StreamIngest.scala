@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.store.{Db, Manifest, TxWriter}
+
+/** Structured-Streaming ingest into a graft warehouse.
+  *
+  * The reference's realtime story is micro-batchy — each HTTP PUT commits
+  * one transaction (sonnerie-serve, `src/bin/sonnerie-serve.rs:98-204`) and
+  * any (key, ts) may arrive anytime with last-wins upsert semantics
+  * (unlimited lateness, SURVEY §2.11). The Spark-native equivalent is
+  * `foreachBatch`: one micro-batch = one committed transaction directory,
+  * with the same shuffle-sort the batch writer uses.
+  *
+  * Exactly-once: Spark replays a micro-batch after a crash between the data
+  * write and the checkpoint commit; the warehouse manifest records the
+  * highest committed batch id, and replayed ids are skipped — so a batch
+  * becomes exactly one transaction no matter how often it is retried
+  * (the reference gets the same from tempfile + atomic rename,
+  * `src/create_tx.rs:180-264`).
+  */
+object StreamIngest {
+
+  /** Wire a streaming DataFrame (must contain `key: String`, `ts: Long`
+    * nanos — e.g. the output of a text-protocol parse) into the warehouse.
+    * Caller starts/stops the returned writer (and sets a checkpoint dir).
+    */
+  def writer(db: Db, stream: DataFrame,
+             trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(db, batch, batchId)
+      }
+
+  /** Idempotent one-batch commit (public for tests and custom sinks). */
+  def commitBatch(db: Db, batch: DataFrame, batchId: Long): Unit = {
+    val m = Manifest.current(db.warehouse)
+    if (batchId <= m.streamBatch) return // replay of a committed batch
+    if (batch.isEmpty) return            // reference: empty tx never materializes
+    TxWriter.write(db, batch)
+    Manifest.update(db.warehouse)(cur =>
+      cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+  }
+
+  /** Convenience: run a stream to completion of available data (testing /
+    * file-drop ingestion), blocking until idle.
+    */
+  def runAvailable(db: Db, stream: DataFrame, checkpoint: String): StreamingQuery = {
+    val q = writer(db, stream, Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
