@@ -20,6 +20,11 @@ object Graft {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // LIKE-prefix → key-range rewrite (sargable wildcard scans); runtime
+    // injection so driver-created sessions get it without sql.extensions
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LikePrefixRangeRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LikePrefixRangeRule
     spark
   }
 

@@ -74,10 +74,12 @@ object SeriesOps {
   }
 
   /** Last-writer-wins across transactions: for each (key, ts) keep the row
-    * from the highest txid. One hash aggregation (`max_by` over a struct) —
-    * partial-aggregates map-side, shuffles only one row per (key, ts) group.
-    * Strictly better at scale than a `row_number` window (which needs a full
-    * sort of every partition).
+    * from the highest txid. One aggregation (`max_by` over a struct) with
+    * map-side partial aggregation, so duplicate (key, ts) groups collapse
+    * *before* the shuffle — the property that matters at scale, and what a
+    * `row_number` window (full shuffle + sort of every row) cannot do.
+    * Note: the struct-valued buffer makes Spark plan a SortAggregate rather
+    * than HashAggregate; the partial/final split and single exchange remain.
     *
     * `tieBreak` columns break txid ties deterministically (the reference
     * cannot tie: one row per (key, ts) per tx).
