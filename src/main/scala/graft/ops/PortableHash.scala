@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   * can never drift apart.
   */
 object PortableHash {
-  /** 2^60-space hash: first 15 hex chars of md5. Non-negative, < 2^60. */
-  def h60(c: Column): Column =
+  /** 2^60-space hash: first 15 hex chars of md5. Non-negative, < 2^60.
+    * Spark side uses the fused native expression
+    * ([[graft.functions.Md5Prefix60]] — codegen'd, no hex-string round
+    * trip); [[h60Composed]] keeps the built-in composition it is
+    * value-identical to (property-tested in PortableHashSpec).
+    */
+  def h60(c: Column): Column = graft.functions.Md5Prefix60.h60(c)
+
+  /** Built-in-only formulation (what the DuckDB oracle mirrors). */
+  def h60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   def sqlH60(expr: String): String =
