@@ -71,6 +71,14 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    "ann_ivf" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, 16)
+        .select(col("query_id"), col("nn_id"), col("cos"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     "dedup_embedding" -> { (s, d) =>
       Similarity.nearDupPairs(Graft.embeddings(s, d), "vec_id", "embedding",
           col("label"), 0.35)
@@ -219,6 +227,36 @@ object PipelineQueries {
          |            ORDER BY cos DESC, nn_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> {
+      val cosAssign = Similarity.sqlCosineParts(
+        Similarity.sqlDotInt("vn.v", "c.cv"), "vn.n2", "c.cn")
+      val cosScore = Similarity.sqlCosineParts(
+        Similarity.sqlDotInt("qv", "a.v"), "qn", "a.n2")
+      s"""WITH v AS (
+         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
+         |vn AS (SELECT vec_id, v,
+         |       ${Similarity.sqlDotInt("v", "v")} AS n2 FROM v),
+         |c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn FROM vn
+         |      WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, centroid_id FROM (
+         |    SELECT vn.vec_id, vn.v, vn.n2, c.centroid_id,
+         |           row_number() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY round($cosAssign, 9) DESC, c.centroid_id) AS rn
+         |    FROM vn CROSS JOIN c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, centroid_id
+         |      FROM assign WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, a.vec_id AS nn_id, round($cosScore, 9) AS cos
+         |  FROM q JOIN assign a USING (centroid_id)
+         |  WHERE a.vec_id <> query_id)
+         |SELECT query_id, nn_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nn_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     "dedup_embedding" ->
       s"""WITH pre AS (
          |  SELECT vec_id AS id, label AS bucket,

@@ -42,6 +42,9 @@ object Similarity {
     dotInt(a, b).cast("double") /
       (sqrt(dotInt(a, a).cast("double")) * sqrt(dotInt(b, b).cast("double")))
 
+  def sqlCosineParts(dotExpr: String, n1Expr: String, n2Expr: String): String =
+    s"(CAST($dotExpr AS DOUBLE) / (sqrt(CAST($n1Expr AS DOUBLE)) * sqrt(CAST($n2Expr AS DOUBLE))))"
+
   def sqlCosine(aExpr: String, bExpr: String): String =
     s"""(CAST(${sqlDotInt(aExpr, bExpr)} AS DOUBLE) /
        | (sqrt(CAST(${sqlDotInt(aExpr, aExpr)} AS DOUBLE)) *
@@ -126,6 +129,55 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qv"), dim))
       .withColumn("qn", dotInt(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("dot", dotInt(col("qv"), col("cv")))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the first
+    * `nCentroids` corpus vectors, by id, serve as centroids (reproducible
+    * across engines; a trained k-means would slot in identically) — assigns
+    * every vector to its nearest centroid by exact integer dot-product
+    * cosine. Queries probe only their own cell (`nProbe=1` semantics), so a
+    * probe touches ~1/nCentroids of the corpus: the scale path when the
+    * corpus outgrows brute force and hyperplane buckets are too coarse.
+    *
+    * Assignment tie-break: higher cosine wins, then lower centroid id —
+    * deterministic in both engines.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                idCol: String, viCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = centroids.select(col(idCol).as("centroid_id"), col(viCol).as("cv"))
+      .withColumn("cn", dotInt(col("cv"), col("cv")))
+    val v = vectors.withColumn("vn", dotInt(col(viCol), col(viCol)))
+    val scored = v.join(broadcast(c), lit(true))
+      .withColumn("cdot", dotInt(col(viCol), col("cv")))
+      .withColumn("ccos",
+        round(cosineFromParts(col("cdot"), col("vn"), col("cn")), 9))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "cv", "cn", "cdot", "ccos")
+  }
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, nCentroids: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = corpus.select(col(idCol), veci(col(embCol)).as("v"))
+    val cents = vecs.filter(col(idCol) < nCentroids)
+    val corpusCells = ivfAssign(vecs, cents, idCol, "v")
+      .select(col(idCol).as("nn_id"), col("v").as("cv"),
+        col("vn").as("cn"), col("centroid_id"))
+    val qCells = ivfAssign(
+        queries.select(col(idCol), veci(col(embCol)).as("v")), cents, idCol, "v")
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"), col("centroid_id"))
+    val scored = corpusCells.join(broadcast(qCells), Seq("centroid_id"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("dot", dotInt(col("qv"), col("cv")))
       .select(col("query_id"), col("nn_id"),

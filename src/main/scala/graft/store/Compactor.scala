@@ -37,6 +37,23 @@ object Compactor {
   def minor(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =
     compact(db, major = false, transform)
 
+  /** Literal `--gegnum` parity (reference `src/main.rs:429-477`): dump the
+    * whole database as text-protocol lines through an external shell
+    * command, re-ingest its stdout as the compacted contents. Requires the
+    * canonical union-struct schema (`key, ts, fmt, vals`). One subprocess
+    * per partition ([[graft.series.SeriesAnalytics.pipe]] semantics); the
+    * functional `transform` hook is the idiomatic fast path.
+    */
+  def gegnum(db: Db, cmd: String): Unit =
+    major(db, { df =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val lines = graft.text.TextIngest.print(spark,
+        graft.text.TextIngest.asRecords(df), tsAsNanos = true, showFmt = true)
+      val piped = spark.createDataset(lines.rdd.pipe(cmd))
+      graft.text.TextIngest.parseWithFmt(spark, piped).toDF()
+    })
+
   def major(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =
     compact(db, major = true, transform)
 
@@ -45,9 +62,11 @@ object Compactor {
     val snap = db.snapshot()
     val m = snap.manifest
     val toCompact = if (major) m.dataTxids else m.dataTxids.drop(1)
-    if (toCompact.size < 2 && !(major && m.deleteTxids.nonEmpty)) return
+    // minor needs ≥2 tx to fold; major runs whenever there is any data
+    // (it may be purging deletes or applying a transform to a single tx)
+    if (toCompact.isEmpty || (!major && toCompact.size < 2)) return
 
-    val newTxid = if (toCompact.nonEmpty) toCompact.max else return
+    val newTxid = toCompact.max
     val dirs = toCompact.map(t => s"${db.dataDir}/txid=$t")
     val records = db.spark.read
       .option("basePath", db.dataDir).option("mergeSchema", "true")

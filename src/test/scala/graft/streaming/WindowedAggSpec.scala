@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Graft
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermark over a stream — value-add
+  * beyond the reference (which has no streaming engine, SURVEY §2.11) but
+  * core to the ingest story: the streaming result must equal the batch
+  * computation over the same data.
+  */
+class WindowedAggSpec extends SparkSpec {
+
+  test("streamed tumbling-window counts == batch counts") {
+    Graft.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = Graft.events(spark, dir)
+    val schema = batchDf.schema
+
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ets", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withWatermark("ets", "10 minutes")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .count()
+
+    val q = windowed(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_agg")
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = windowed(batchDf)
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+}
