@@ -1,0 +1,115 @@
+package graft
+
+import scala.io.Source
+
+import graft.core.Graft
+import graft.series.SeriesOps
+import graft.store.{Compactor, Db, TxWriter}
+import graft.text.{RowCodec, TextIngest, TextProto}
+
+/** CLI verbs with the reference's surface (sonnerie `src/main.rs`):
+  *
+  * {{{
+  * graft.Cli -d DIR add --format FMT            # stdin lines → one tx
+  * graft.Cli -d DIR add                         # per-line formats
+  * graft.Cli -d DIR read PATTERN [--after-time T] [--before-time T]
+  *                   [--columns 1,3,5-7] [--human] [--with-format]
+  * graft.Cli -d DIR delete [--first-key K] [--last-key K] [--wildcard W]
+  *                   [--after-time T] [--before-time T] [--time T]
+  * graft.Cli -d DIR compact [--major] [--gegnum CMD]
+  * }}}
+  *
+  * Timestamps accept the reference layouts or raw nanos
+  * (`src/main.rs:520-543`); keys/strings are backslash-escaped.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.localSession(
+      Runtime.getRuntime.availableProcessors().min(32))
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, args.toList, Source.stdin.getLines(), println(_))
+    finally spark.stop()
+  }
+
+  /** Testable entry: injected stdin/stdout. */
+  def run(spark: org.apache.spark.sql.SparkSession, args: List[String],
+          stdin: Iterator[String], stdout: String => Unit): Unit = {
+    val (flags, positional) = parseArgs(args)
+    val dir = flags.getOrElse("-d",
+      sys.error("usage: graft.Cli -d <warehouse> <verb> …"))
+    val db = Db(spark, dir)
+    import spark.implicits._
+
+    positional match {
+      case "add" :: Nil =>
+        val lines = spark.createDataset(stdin.toSeq)
+        val recs = flags.get("--format") match {
+          case Some(fmt) => TextIngest.parse(spark, lines, fmt)
+          case None      => TextIngest.parseWithFmt(spark, lines)
+        }
+        TxWriter.write(db, recs.toDF())
+
+      case "read" :: pattern :: Nil =>
+        val df = SeriesOps.timeRange(
+          db.read(pattern),
+          flags.get("--after-time").map(TextProto.parseTimestamp),
+          flags.get("--before-time").map(TextProto.parseTimestamp))
+        val columns = flags.get("--columns").map(parseColumns)
+        TextIngest.print(spark, TextIngest.asRecords(df),
+            tsAsNanos = !flags.contains("--human"),
+            showFmt = flags.contains("--with-format"),
+            columns = columns)
+          .toLocalIterator().forEachRemaining(l => stdout(l))
+
+      case "delete" :: Nil =>
+        val t0 = flags.get("--after-time").map(TextProto.parseTimestamp)
+        val t1 = flags.get("--before-time").map(TextProto.parseTimestamp)
+        val at = flags.get("--time").map(TextProto.parseTimestamp)
+        TxWriter.delete(db,
+          firstKey = flags.getOrElse("--first-key", ""),
+          lastKey = flags.getOrElse("--last-key", ""),
+          t0 = at.orElse(t0).getOrElse(0L),
+          t1 = at.map(_ + 1).orElse(t1).getOrElse(Long.MaxValue),
+          wildcard = flags.getOrElse("--wildcard", "%"))
+
+      case "compact" :: Nil =>
+        flags.get("--gegnum") match {
+          case Some(cmd) => Compactor.gegnum(db, cmd)
+          case None =>
+            if (flags.contains("--major")) Compactor.major(db)
+            else Compactor.minor(db)
+        }
+        Compactor.vacuum(db)
+
+      case other =>
+        sys.error(s"unknown verb: ${other.mkString(" ")}")
+    }
+  }
+
+  private val valueFlags = Set("-d", "--format", "--after-time",
+    "--before-time", "--time", "--columns", "--first-key", "--last-key",
+    "--wildcard", "--gegnum")
+  private val boolFlags = Set("--human", "--with-format", "--major")
+
+  private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
+    args match {
+      case f :: v :: rest if valueFlags(f) =>
+        val (m, p) = parseArgs(rest); (m + (f -> v), p)
+      case f :: rest if boolFlags(f) =>
+        val (m, p) = parseArgs(rest); (m + (f -> "true"), p)
+      case x :: rest =>
+        val (m, p) = parseArgs(rest); (m, x :: p)
+      case Nil => (Map.empty, Nil)
+    }
+
+  /** `--columns 1,3,5-7` page-style selection (ref `src/main.rs:135-139`). */
+  def parseColumns(spec: String): Seq[Int] =
+    spec.split(',').toSeq.flatMap { part =>
+      part.split('-') match {
+        case Array(a, b) => a.trim.toInt to b.trim.toInt
+        case Array(a)    => Seq(a.trim.toInt)
+        case _           => sys.error(s"bad --columns: $spec")
+      }
+    }
+}

@@ -188,6 +188,28 @@ object SparkEntry {
         )
         .orderBy("l_returnflag", "l_linestatus")
     },
+    "q5_multi_join" -> { (s, d) =>
+      // TPC-H Q5 shape: fact table joined to a chain of small dimensions —
+      // every dimension side broadcast, zero shuffle joins
+      val r = Graft.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Graft.nation(s, d)
+      val c = Graft.customer(s, d)
+      val o = Graft.orders(s, d)
+      val l = Graft.lineitem(s, d)
+      val su = Graft.supplier(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
     "q3_join_topk" -> { (s, d) =>
       val c = Graft.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Graft.orders(s, d)
@@ -282,6 +304,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -62,6 +62,9 @@ object TxWriter {
     df.repartitionByRange(parts, col("key"), col("ts"))
       .sortWithinPartitions(col("key"), col("ts"))
       .write.mode(SaveMode.ErrorIfExists)
+      // zstd: the modern analog of the reference's LZ4-level-9 segments
+      // (src/write.rs:83) — better ratio at comparable scan speed
+      .option("compression", "zstd")
       .parquet(s"${db.dataDir}/txid=$txid")
     publishData(db, txid)
     txid

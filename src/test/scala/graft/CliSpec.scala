@@ -1,0 +1,58 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+/** CLI verb parity — the README quick-start flow (`README.md:64-96`)
+  * driven through the argument surface.
+  */
+class CliSpec extends SparkSpec {
+
+  private def cli(args: String*)(stdin: String*): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    Cli.run(spark, args.toList, stdin.iterator, out += _)
+    out.toSeq
+  }
+
+  test("add / read / delete / compact quick-start flow") {
+    val wh = tmpDir("graft-cli")
+    cli("-d", wh, "add", "--format", "u")(
+      "fibonacci 2020-01-01T00:00:00 1",
+      "fibonacci 2020-01-02T00:00:00 1",
+      "fibonacci 2020-01-03T00:00:00 2")
+    cli("-d", wh, "add", "--format", "u")(
+      "fibonacci 2020-01-04T00:00:00 3")
+
+    val read = cli("-d", wh, "read", "fib%", "--human")()
+    assert(read == Seq(
+      "fibonacci\t2020-01-01T00:00:00\t1",
+      "fibonacci\t2020-01-02T00:00:00\t1",
+      "fibonacci\t2020-01-03T00:00:00\t2",
+      "fibonacci\t2020-01-04T00:00:00\t3"))
+
+    val timed = cli("-d", wh, "read", "%", "--human",
+      "--after-time", "2020-01-02", "--before-time", "2020-01-04")()
+    assert(timed.size == 2)
+
+    cli("-d", wh, "delete", "--wildcard", "fib%", "--time", "2020-01-01T00:00:00")()
+    assert(cli("-d", wh, "read", "%")().size == 3)
+
+    cli("-d", wh, "compact", "--major")()
+    assert(cli("-d", wh, "read", "%", "--human")().head ==
+      "fibonacci\t2020-01-02T00:00:00\t1")
+  }
+
+  test("multicolumn --columns selection and per-line formats") {
+    val wh = tmpDir("graft-cli2")
+    cli("-d", wh, "add")(
+      "a 1 uuu 10 20 30",
+      "b 2 ss Hello\\ x World")
+    val sel = cli("-d", wh, "read", "a", "--columns", "1,3")()
+    assert(sel == Seq("a\t1\t10 30"))
+    val full = cli("-d", wh, "read", "%", "--with-format")()
+    assert(full == Seq("a\t1\tuuu\t10 20 30", "b\t2\tss\tHello\\ x World"))
+  }
+
+  test("parseColumns handles ranges") {
+    assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
+  }
+}
