@@ -135,6 +135,22 @@ object SeriesOps {
     df.select((fixed ++ picked).map(col): _*)
   }
 
+  /** Skew-resistant equi-join: salt the (skewed) left side into `factor`
+    * sub-keys and replicate the right side across every salt, so one hot
+    * key spreads over `factor` tasks instead of melting one executor. The
+    * salt is deterministic (hash of all left columns, not rand()) so plans
+    * stay reproducible. AQE's skew-join handles moderate skew; this is for
+    * the pathological hot-key case (one key = 10% of 100 TB).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 factor: Int): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col): _*), lit(factor)))
+    val exploded = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(exploded, keys :+ "_salt").drop("_salt")
+  }
+
   /** Per-key grouped iteration (reference `feature=by-key`, `src/bykey.rs`):
     * surfaces as groupBy(key) aggregation; callers needing ordered per-key
     * iteration use a Window.partitionBy(key).orderBy(ts).
