@@ -30,8 +30,14 @@ object Similarity {
   def sqlVeci(embExpr: String): String =
     s"list_transform($embExpr, x -> CAST(round(CAST(x AS DOUBLE) * $SCALE) AS BIGINT))"
 
-  /** Exact integer dot product via codegen'd higher-order aggregate. */
+  /** Exact integer dot product — native codegen'd kernel
+    * ([[graft.functions.LongVecDot]]); [[dotIntComposed]] keeps the
+    * built-in higher-order formulation it is value-identical to.
+    */
   def dotInt(a: Column, b: Column): Column =
+    graft.functions.LongVecDot(a, b)
+
+  def dotIntComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
 
   def sqlDotInt(aExpr: String, bExpr: String): String =

@@ -40,6 +40,19 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("native LongVecDot == higher-order composition") {
+    val vecs = (1 to 50).map { i =>
+      ((1 to 64).map(j => (i * j * 2654435761L) % 4000001L - 2000000L),
+        (1 to 64).map(j => (i + j * 40503L) % 4000001L - 2000000L))
+    }
+    vecs.toDF("a", "b")
+      .select(
+        Similarity.dotInt(col("a"), col("b")).as("native"),
+        Similarity.dotIntComposed(col("a"), col("b")).as("composed"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted evaluation via a non-codegen context: eval directly
     val e = graft.functions.Md5Prefix60(
