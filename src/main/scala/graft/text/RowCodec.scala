@@ -111,8 +111,13 @@ object RowCodec {
   private def parseValues(fmt: String, rest0: String, line: String): Seq[Cell] = {
     var rest = rest0
     fmt.map { code =>
-      val (tok, r) = TextProto.splitOne(rest).getOrElse(
-        throw new IllegalArgumentException(s"missing value for '$code': $line"))
+      val (tok, r) = TextProto.splitOne(rest).getOrElse {
+        // an empty string/bytes value in final position prints as an empty
+        // token (base64/escape of zero bytes is "") — accept it; numeric
+        // columns can never be legitimately empty
+        if (code == 's' || code == 'B') ("", "")
+        else throw new IllegalArgumentException(s"missing value for '$code': $line")
+      }
       rest = r
       parseCell(code, tok)
     }

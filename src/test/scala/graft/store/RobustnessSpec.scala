@@ -1,0 +1,97 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.text.{Cell, RowCodec, SeriesRecord}
+import org.scalacheck.Gen
+
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heterogeneous per-tx schemas survive compaction (mergeSchema)") {
+    val db = Db(spark, tmpDir("graft-hetero"))
+    TxWriter.write(db, Seq(("a", 1L, 10L)).toDF("key", "ts", "v"))
+    TxWriter.write(db, Seq(("b", 2L, "hello")).toDF("key", "ts", "s"))
+    TxWriter.write(db, Seq(("c", 3L, 3.5)).toDF("key", "ts", "f"))
+    val before = db.read().orderBy("key")
+      .select("key", "v", "s", "f").collect().map(_.toSeq).toSeq
+    Compactor.major(db)
+    val after = db.read().orderBy("key")
+      .select("key", "v", "s", "f").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(Manifest.current(db.warehouse).dataTxids.size == 1)
+  }
+
+  test("orphan directory from a crashed writer is invisible and vacuumable") {
+    val db = Db(spark, tmpDir("graft-orphan"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    // simulate a crash between data write and manifest publish: claimed
+    // txid, directory exists, never published
+    Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v")
+      .write.parquet(s"${db.dataDir}/txid=999")
+    assert(db.read().count() == 1) // invisible to readers
+    Compactor.vacuum(db)
+    assert(!Files.exists(Paths.get(s"${db.dataDir}/txid=999")))
+    assert(db.read().count() == 1)
+  }
+
+  test("manifest CAS: losing writer retries and both commits land") {
+    val wh = tmpDir("graft-cas")
+    val m0 = Manifest.current(wh)
+    val a = m0.copy(version = m0.version + 1, nextTxid = 1)
+    val b = m0.copy(version = m0.version + 1, nextTxid = 2)
+    assert(Manifest.commit(wh, m0, a))
+    assert(!Manifest.commit(wh, m0, b)) // stale expected state loses
+    val after = Manifest.update(wh)(m => m.copy(nextTxid = m.nextTxid + 1))
+    assert(after.nextTxid == 2 && after.version == a.version + 1)
+  }
+
+  test("text protocol roundtrips arbitrary records (property)") {
+    val tokenGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\\', 'é'))).map(_.mkString)
+    val cellGen: Gen[(Char, Cell)] = Gen.oneOf(
+      Gen.chooseNum(Int.MinValue, Int.MaxValue).map(v => ('i', Cell(i32 = Some(v)))),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(v => ('I', Cell(i64 = Some(v)))),
+      Gen.chooseNum(0L, 4294967295L).map(v => ('u', Cell(u32 = Some(v)))),
+      Gen.chooseNum(Double.MinValue, Double.MaxValue).map(v => ('F', Cell(f64 = Some(v)))),
+      tokenGen.map(s => ('s', Cell(str = Some(s)))),
+      // non-final empty byte arrays are ambiguous in the text protocol
+      // (empty base64 token) — same as the reference; generate non-empty
+      Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(bs => ('B', Cell(bytes = Some(bs.toArray))))
+    )
+    val recGen = for {
+      key <- tokenGen
+      ts <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      cells <- Gen.nonEmptyListOf(cellGen).map(_.take(6))
+    } yield SeriesRecord(key, ts, cells.map(_._1).mkString, cells.map(_._2))
+
+    (1 to 300).flatMap(_ => recGen.sample).foreach { rec =>
+      val line = RowCodec.printRecord(rec, tsAsNanos = true, showFmt = true)
+      val back = RowCodec.parseLineWithFmt(line.replace('\t', ' '))
+      assert(back.key == rec.key && back.ts == rec.ts && back.fmt == rec.fmt,
+        s"header roundtrip failed for: $line")
+      back.vals.zip(rec.vals).zipWithIndex.foreach { case ((b, a), i) =>
+        rec.fmt(i) match {
+          case 'B' => assert(b.bytes.get.sameElements(a.bytes.get), s"col $i of $line")
+          case 'F' =>
+            // %.17 text is lossy only beyond 17 significant decimals
+            assert(b.f64.get == a.f64.get ||
+              math.abs(b.f64.get - a.f64.get) <=
+                math.ulp(a.f64.get) * 4, s"col $i of $line")
+          case _ => assert(b == a, s"col $i of $line")
+        }
+      }
+    }
+  }
+
+  test("strict-order write rejection matches reference semantics") {
+    val db = Db(spark, tmpDir("graft-strict"))
+    // distinct (key, ts) pairs pass strict mode even when unsorted input
+    TxWriter.write(db,
+      Seq(("z", 5L, 1L), ("a", 1L, 2L), ("z", 4L, 3L)).toDF("key", "ts", "v"),
+      strict = true)
+    assert(db.read().count() == 3)
+  }
+}
