@@ -56,10 +56,17 @@ object Cli {
           flags.get("--after-time").map(TextProto.parseTimestamp),
           flags.get("--before-time").map(TextProto.parseTimestamp))
         val columns = flags.get("--columns").map(parseColumns)
+        val tsMode = flags.get("--timestamp-format") match {
+          case Some("nanos")   => TextIngest.TsNanos
+          case Some("seconds") => TextIngest.TsSeconds
+          case Some(pattern)   => TextIngest.TsPattern(pattern)
+          case None =>
+            if (flags.contains("--human")) TextIngest.TsHuman
+            else TextIngest.TsNanos
+        }
         TextIngest.print(spark, TextIngest.asRecords(df),
-            tsAsNanos = !flags.contains("--human"),
             showFmt = flags.contains("--with-format"),
-            columns = columns)
+            columns = columns, tsMode = tsMode)
           .toLocalIterator().forEachRemaining(l => stdout(l))
 
       case "delete" :: Nil =>
@@ -89,7 +96,7 @@ object Cli {
 
   private val valueFlags = Set("-d", "--format", "--after-time",
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
-    "--wildcard", "--gegnum")
+    "--wildcard", "--gegnum", "--timestamp-format")
   private val boolFlags = Set("--human", "--with-format", "--major")
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

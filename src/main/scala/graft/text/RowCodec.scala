@@ -133,8 +133,23 @@ object RowCodec {
       tsAsNanos: Boolean = true,
       showFmt: Boolean = false,
       columns: Option[Seq[Int]] = None
+  ): String =
+    printRecordMode(r,
+      if (tsAsNanos) TextIngest.TsNanos else TextIngest.TsHuman,
+      showFmt, columns)
+
+  def printRecordMode(
+      r: SeriesRecord,
+      tsMode: TextIngest.TsMode,
+      showFmt: Boolean = false,
+      columns: Option[Seq[Int]] = None
   ): String = {
-    val ts = if (tsAsNanos) r.ts.toString else TextProto.formatTimestamp(r.ts)
+    val ts = tsMode match {
+      case TextIngest.TsNanos      => r.ts.toString
+      case TextIngest.TsSeconds    => Math.floorDiv(r.ts, 1000000000L).toString
+      case TextIngest.TsHuman      => TextProto.formatTimestamp(r.ts)
+      case TextIngest.TsPattern(p) => TextProto.formatTimestamp(r.ts, p)
+    }
     val picked = columns match {
       case Some(idxs) => idxs.flatMap(i => r.fmt.lift(i - 1).map(c => (c, r.vals(i - 1))))
       case None       => r.fmt.toSeq.zip(r.vals)

@@ -36,11 +36,24 @@ object TextIngest {
       records: Dataset[SeriesRecord],
       tsAsNanos: Boolean = true,
       showFmt: Boolean = false,
-      columns: Option[Seq[Int]] = None
+      columns: Option[Seq[Int]] = None,
+      tsMode: TsMode = null
   ): Dataset[String] = {
     import spark.implicits._
-    records.map((r: SeriesRecord) => RowCodec.printRecord(r, tsAsNanos, showFmt, columns))
+    val mode = Option(tsMode).getOrElse(if (tsAsNanos) TsNanos else TsHuman)
+    records.map((r: SeriesRecord) =>
+      RowCodec.printRecordMode(r, mode, showFmt, columns))
   }
+
+  /** Timestamp output modes (reference `PrintTimestamp`,
+    * `src/formatted.rs:149-176`): raw nanos, epoch seconds, default human
+    * layout, or an explicit strftime-style pattern.
+    */
+  sealed trait TsMode extends Serializable
+  case object TsNanos extends TsMode
+  case object TsSeconds extends TsMode
+  case object TsHuman extends TsMode
+  final case class TsPattern(pattern: String) extends TsMode
 
   /** Read a canonical-schema DataFrame (e.g. a Db snapshot of union-struct
     * data) as typed records.

@@ -55,4 +55,14 @@ class CliSpec extends SparkSpec {
   test("parseColumns handles ranges") {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }
+
+  test("timestamp output modes: nanos, seconds, strftime pattern") {
+    val wh = tmpDir("graft-cli3")
+    cli("-d", wh, "add", "--format", "u")("k 2020-01-01T00:00:01 7")
+    assert(cli("-d", wh, "read", "k")() == Seq("k\t1577836801000000000\t7"))
+    assert(cli("-d", wh, "read", "k", "--timestamp-format", "seconds")() ==
+      Seq("k\t1577836801\t7"))
+    assert(cli("-d", wh, "read", "k", "--timestamp-format", "yyyy/MM/dd HH:mm:ss")() ==
+      Seq("k\t2020/01/01 00:00:01\t7"))
+  }
 }

@@ -40,6 +40,20 @@ class StreamIngestSpec extends SparkSpec {
     assert(db.read().count() == 2)
   }
 
+  test("text-protocol file-drop stream: the sonnerie-serve PUT path") {
+    // lines dropped as files → readStream.text → distributed parse →
+    // one transaction per micro-batch (S14 semantics end-to-end)
+    val inDir = tmpDir("graft-putin")
+    val db = Db(spark, tmpDir("graft-put"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "b1.txt"),
+      "fib 2020-01-01T00:00:00 u 1\nfib 2020-01-02T00:00:00 u 1\n")
+    val stream = graft.text.TextIngest.parseWithFmt(spark,
+      spark.readStream.text(inDir).as[String](org.apache.spark.sql.Encoders.STRING))
+    StreamIngest.runAvailable(db, stream.toDF(), tmpDir("graft-putcp"))
+    assert(db.read("fib").count() == 2)
+  }
+
   test("empty batches never materialize a transaction (create_tx.rs: empty tx)") {
     val db = Db(spark, tmpDir("graft-stream3"))
     StreamIngest.commitBatch(db, Seq.empty[(String, Long, Long)].toDF("key", "ts", "v"), 0L)
