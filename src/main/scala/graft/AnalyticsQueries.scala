@@ -86,10 +86,41 @@ object AnalyticsQueries {
     "mm_features" -> { (s, d) =>
       Multimodal.featureQuery(s, Graft.documents(s, d))
         .orderBy("media_id", "i")
+    },
+    // §2.4 value-add: exact distinct aggregation
+    "g4_distinct" -> { (s, d) =>
+      Graft.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+    // Storage-engine lifecycle as a driver-visible query (rows-only check:
+    // not ANSI-SQL-expressible — it exercises TxWriter/Db/delete against a
+    // real on-disk warehouse built from the events table)
+    "wh_roundtrip" -> { (s, d) =>
+      import graft.store.{Db, TxWriter}
+      val wh = java.nio.file.Files.createTempDirectory("graft-whq").toString
+      val db = Db(s, wh)
+      val series = SparkEntry.series(s, d)
+        .select(col("key"), col("ts"), col("value"), col("event_id"))
+      TxWriter.write(db, series.filter(col("event_id") % 2 === 0))
+      TxWriter.write(db, series.filter(col("event_id") % 2 === 1))
+      TxWriter.delete(db, wildcard = "error%")
+      db.read("%", after = Some(0L))
+        .select("key", "ts", "value")
+        .orderBy("key", "ts")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    // wh_roundtrip intentionally has no oracle (driver rows-only check);
+    // its semantics are covered by f7/j1 oracles and the warehouse specs
+    "g4_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "g2_custom_agg" ->
       """WITH bins AS (
         |  SELECT event_type,
