@@ -87,6 +87,15 @@ object AnalyticsQueries {
       Multimodal.featureQuery(s, Graft.documents(s, d))
         .orderBy("media_id", "i")
     },
+    // value-add: semi-structured JSON column extraction (events.props)
+    "x2_json_extract" -> { (s, d) =>
+      Graft.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
     // §2.4 value-add: exact distinct aggregation
     "g4_distinct" -> { (s, d) =>
       Graft.events(s, d)
@@ -117,6 +126,11 @@ object AnalyticsQueries {
   def oracleSql: Map[String, String] = Map(
     // wh_roundtrip intentionally has no oracle (driver rows-only check);
     // its semantics are covered by f7/j1 oracles and the warehouse specs
+    "x2_json_extract" ->
+      """SELECT event_type,
+        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "g4_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events

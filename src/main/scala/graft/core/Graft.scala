@@ -25,6 +25,13 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LikePrefixRangeRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LikePrefixRangeRule
+    // native expressions for SQL users (Column API uses them directly)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix60",
+      exprs => graft.functions.Md5Prefix60(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_vec_dot",
+      exprs => graft.functions.LongVecDot(exprs(0), exprs(1)), "scala_udf")
     spark
   }
 

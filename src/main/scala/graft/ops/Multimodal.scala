@@ -95,6 +95,50 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation decodes, resamples pixels and
+    * re-encodes; the stub deterministically truncates/extends the payload
+    * to the target byte budget (area-proportional), preserving metadata
+    * arithmetic. Plumbing (schema/metadata update) is real.
+    */
+  def resizeStub(m: MediaRecord, w: Int, h: Int): MediaRecord = {
+    val budget = math.max(1,
+      (m.bytes.length.toDouble * (w.toLong * h) /
+        math.max(1L, m.meta.width.toLong * m.meta.height)).toInt)
+    val out =
+      if (budget <= m.bytes.length) java.util.Arrays.copyOf(m.bytes, budget)
+      else Array.tabulate(budget)(i => m.bytes(i % m.bytes.length))
+    m.copy(bytes = out, meta = m.meta.copy(width = w, height = h))
+  }
+
+  /** STUB frame sampling for video/audio: yields `n` evenly-spaced
+    * "frames" as byte slices with per-frame timestamps — the row-explosion
+    * shape (one media row → n frame rows) a real decoder produces.
+    */
+  def sampleFramesStub(m: MediaRecord, n: Int): Seq[(Int, Long, Array[Byte])] = {
+    val stepMs = math.max(1, m.meta.durationMs / math.max(1, n))
+    (0 until n).map { i =>
+      val offMs = i * stepMs
+      val sliceLen = math.max(1, m.bytes.length / n)
+      val start = math.min(i * sliceLen, math.max(0, m.bytes.length - 1))
+      (i, offMs.toLong,
+        java.util.Arrays.copyOfRange(m.bytes, start,
+          math.min(start + sliceLen, m.bytes.length)))
+    }
+  }
+
+  /** Distributed frame sampling: one media row explodes to n frame rows —
+    * partition-local, no shuffle beyond the id spread.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      sampleFramesStub(m, n).map { case (i, offMs, bytes) =>
+        (m.media_id, m.kind, i, offMs, bytes.length.toLong)
+      }
+    }.toDF("media_id", "kind", "frame", "offset_ms", "frame_bytes")
+  }
+
   /** Full pipeline: documents → media table → features, exploded to one
     * row per (media_id, component) for stable comparison.
     */
