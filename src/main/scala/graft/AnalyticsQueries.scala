@@ -87,6 +87,20 @@ object AnalyticsQueries {
       Multimodal.featureQuery(s, Graft.documents(s, d))
         .orderBy("media_id", "i")
     },
+    // value-add: ranking window — top-3 spenders per event type
+    "w4_rank_topn" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = Graft.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("spend").desc, col("user_id"))
+      spend.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("user_id"), col("spend"),
+          col("rnk").cast("long"))
+        .orderBy("event_type", "rnk")
+    },
     // value-add: semi-structured JSON column extraction (events.props)
     "x2_json_extract" -> { (s, d) =>
       Graft.events(s, d)
@@ -126,6 +140,15 @@ object AnalyticsQueries {
   def oracleSql: Map[String, String] = Map(
     // wh_roundtrip intentionally has no oracle (driver rows-only check);
     // its semantics are covered by f7/j1 oracles and the warehouse specs
+    "w4_rank_topn" ->
+      """SELECT event_type, user_id, spend, rnk FROM (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) DESC,
+        |                    user_id) AS rnk
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "x2_json_extract" ->
       """SELECT event_type,
         |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

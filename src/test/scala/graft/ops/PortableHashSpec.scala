@@ -53,6 +53,15 @@ class PortableHashSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native expressions callable from SQL after configure") {
+    graft.core.Graft.configure(spark)
+    val r = spark.sql(
+      "SELECT md5_prefix60('hello world') AS h, " +
+        "long_vec_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head()
+    assert(r.getLong(1) == 32L)
+    assert(r.getLong(0) == graft.ops.Multimodal.h60jvm("hello world"))
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted evaluation via a non-codegen context: eval directly
     val e = graft.functions.Md5Prefix60(
