@@ -128,6 +128,15 @@ class WarehouseSpec extends SparkSpec {
     assert(db.read().count() == 2)     // fresh read: both
   }
 
+  test("non-ASCII keys sort in UTF-8 byte order (file_format.md:10, SURVEY §7.4.6)") {
+    val db = freshDb()
+    // UTF-8 byte order: 'z' (7A) < 'é' (C3 A9) < '日' (E6 97 A5) < '😀' (F0 9F 98 80)
+    // (UTF-16 code-unit order would put 😀 (surrogate D83D) before 日 (65E5))
+    tx(db, ("😀", 1L, 4L), ("z", 1L, 1L), ("日", 1L, 3L), ("é", 1L, 2L))
+    assert(rows(db).map(_._3) == Seq(1L, 2L, 3L, 4L))
+    assert(rows(db, "é").map(_._3) == Seq(2L)) // exact lookup on multibyte key
+  }
+
   test("heterogeneous schemas across txs merge on read (README.md:141-149)") {
     val db = freshDb()
     TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
