@@ -64,10 +64,16 @@ object Cli {
             if (flags.contains("--human")) TextIngest.TsHuman
             else TextIngest.TsNanos
         }
-        TextIngest.print(spark, TextIngest.asRecords(df),
-            showFmt = flags.contains("--with-format"),
-            columns = columns, tsMode = tsMode)
-          .toLocalIterator().forEachRemaining(l => stdout(l))
+        val lines = TextIngest.print(spark, TextIngest.asRecords(df),
+          showFmt = flags.contains("--with-format"),
+          columns = columns, tsMode = tsMode)
+        val out = flags.get("--parallel") match {
+          // reference `read --parallel CMD`: records piped to one
+          // subprocess per partition (src/main.rs:234-279)
+          case Some(cmd) => spark.createDataset(lines.rdd.pipe(cmd))
+          case None      => lines
+        }
+        out.toLocalIterator().forEachRemaining(l => stdout(l))
 
       case "delete" :: Nil =>
         val t0 = flags.get("--after-time").map(TextProto.parseTimestamp)
@@ -96,7 +102,7 @@ object Cli {
 
   private val valueFlags = Set("-d", "--format", "--after-time",
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
-    "--wildcard", "--gegnum", "--timestamp-format")
+    "--wildcard", "--gegnum", "--timestamp-format", "--parallel")
   private val boolFlags = Set("--human", "--with-format", "--major")
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

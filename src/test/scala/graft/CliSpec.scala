@@ -56,6 +56,15 @@ class CliSpec extends SparkSpec {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }
 
+  test("read --parallel pipes partitions through a subprocess (main.rs:234-279)") {
+    val wh = tmpDir("graft-cli4")
+    cli("-d", wh, "add", "--format", "u")(
+      "a 1 10", "b 2 20", "c 3 30")
+    val out = cli("-d", wh, "read", "%", "--parallel", "wc -l")()
+    // one count line per partition; totals must cover all 3 records
+    assert(out.map(_.trim.toInt).sum == 3)
+  }
+
   test("timestamp output modes: nanos, seconds, strftime pattern") {
     val wh = tmpDir("graft-cli3")
     cli("-d", wh, "add", "--format", "u")("k 2020-01-01T00:00:01 7")

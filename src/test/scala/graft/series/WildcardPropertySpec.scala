@@ -1,0 +1,42 @@
+package graft.series
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property: [[SeriesOps.keyPredicate]] (exact/range/range+LIKE rewrite)
+  * selects exactly the same rows as a plain `LIKE` for every pattern shape —
+  * the rewrite is an access-path optimization, never a semantics change.
+  * Mirrors the reference's wildcard test surface (`src/wildcard.rs`,
+  * 80-case matrix shapes).
+  */
+class WildcardPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val alphabet = Seq("a", "b", "c", "fi", "fib", "z", "é", "%", "_")
+  private val keyGen = Gen.listOfN(3, Gen.oneOf(alphabet)).map(_.mkString)
+  private val patGen = Gen.listOfN(3,
+    Gen.oneOf(alphabet :+ "%" :+ "%" :+ "")).map(_.mkString) // %-heavy
+
+  test("keyPredicate == plain LIKE for arbitrary patterns") {
+    val keys = ((1 to 400).flatMap(_ => keyGen.sample) ++
+      Seq("", "fib", "fibonacci", "fic", "%", "a%b")).distinct
+    val df = keys.toDF("key").cache()
+    df.count()
+
+    val patterns = ((1 to 120).flatMap(_ => patGen.sample) ++
+      Seq("%", "fib%", "%fib", "f%b", "", "fib", "a%b%c", "%%")).distinct
+
+    patterns.foreach { pat =>
+      // plain-LIKE truth: only % is magic, so escape _ and \ the same way
+      val w = Wildcard(pat)
+      val expect = df.filter(col("key").like(w.likePattern))
+        .as[String].collect().toSet
+      val got = df.filter(SeriesOps.keyPredicate(col("key"), pat))
+        .as[String].collect().toSet
+      assert(got == expect, s"pattern '$pat': got ${got.diff(expect)} extra, " +
+        s"missing ${expect.diff(got)}")
+    }
+    df.unpersist()
+  }
+}
