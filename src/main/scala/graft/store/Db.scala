@@ -63,20 +63,24 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         pattern: String = "%",
         after: Option[Long] = None,
         before: Option[Long] = None
-    ): DataFrame = {
-      val filtered = SeriesOps.timeRange(
-        SeriesOps.keyFilter(records, pattern),
-        after,
-        before
-      )
+    ): DataFrame =
+      pipeline(SeriesOps.keyFilter(records, pattern), after, before)
+
+    /** Exact-key point lookup (reference `DatabaseReader::get`,
+      * `src/database_reader.rs:168-175`). An exact string compare — NOT the
+      * wildcard path: sonnerie wildcards have no escape syntax, so a key
+      * containing a literal `%` is only reachable this way.
+      */
+    def get(key: String, after: Option[Long] = None, before: Option[Long] = None): DataFrame =
+      pipeline(records.filter(col("key") === key), after, before)
+
+    private def pipeline(filtered0: DataFrame, after: Option[Long],
+                         before: Option[Long]): DataFrame = {
+      val filtered = SeriesOps.timeRange(filtered0, after, before)
       val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
       val visible = SeriesOps.applyDeletes(merged, deletes)
       SeriesOps.ordered(visible.drop("txid"))
     }
-
-    /** Exact-key point lookup (reference `DatabaseReader::get`). */
-    def get(key: String, after: Option[Long] = None, before: Option[Long] = None): DataFrame =
-      read(key.replace("%", "\\%"), after, before)
   }
 
   def snapshot(): Snapshot = Snapshot(Manifest.current(warehouse))
@@ -84,6 +88,10 @@ final class Db(val spark: SparkSession, val warehouse: String) {
   def read(pattern: String = "%", after: Option[Long] = None,
            before: Option[Long] = None): DataFrame =
     snapshot().read(pattern, after, before)
+
+  def get(key: String, after: Option[Long] = None,
+          before: Option[Long] = None): DataFrame =
+    snapshot().get(key, after, before)
 }
 
 object Db {

@@ -61,6 +61,15 @@ class WarehouseSpec extends SparkSpec {
     assert(timed.select("v").as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
+  test("get is an exact lookup, even for keys containing literal % (database_reader.rs:168-175)") {
+    val db = freshDb()
+    tx(db, ("a%b", 1L, 1L), ("axb", 1L, 2L), ("a", 1L, 3L))
+    assert(db.get("a%b").select("v").as[Long].collect().toSeq == Seq(1L))
+    assert(db.get("a").select("v").as[Long].collect().toSeq == Seq(3L))
+    // the wildcard path treats the same string's % as magic
+    assert(rows(db, "a%b").map(_._3) == Seq(1L, 2L))
+  }
+
   test("delete suppresses lower txids; re-insert after delete survives (tests.rs:1069-1155)") {
     val db = freshDb()
     tx(db, ("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 3L))   // txid 0
