@@ -45,8 +45,9 @@ object Cli {
       case "add" :: Nil =>
         val lines = spark.createDataset(stdin.toSeq)
         val recs = flags.get("--format") match {
-          case Some(fmt) => TextIngest.parse(spark, lines, fmt)
-          case None      => TextIngest.parseWithFmt(spark, lines)
+          case Some(fmt) =>
+            TextIngest.parse(spark, lines, fmt, flags.get("--timestamp-format"))
+          case None => TextIngest.parseWithFmt(spark, lines)
         }
         TxWriter.write(db, recs.toDF())
 

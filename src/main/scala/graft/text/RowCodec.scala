@@ -83,13 +83,17 @@ object RowCodec {
   /** Parse an ingest line `key ts v1 v2 …` with a fixed format
     * (ref `formatted::add_from_stream`, `src/formatted.rs:20-60`).
     */
-  def parseLine(line: String, fmt: String): SeriesRecord = {
+  def parseLine(line: String, fmt: String,
+                tsPattern: Option[String] = None): SeriesRecord = {
     validate(fmt)
     val (key, r1) = TextProto.splitOne(line).getOrElse(
       throw new IllegalArgumentException(s"empty line"))
     val (tsTok, rest) = TextProto.splitOne(r1).getOrElse(
       throw new IllegalArgumentException(s"missing timestamp: $line"))
-    val ts = TextProto.parseTimestamp(tsTok)
+    val ts = tsPattern match {
+      case Some(p) => TextProto.parseTimestampWith(tsTok, p)
+      case None    => TextProto.parseTimestamp(tsTok)
+    }
     SeriesRecord(key, ts, fmt, parseValues(fmt, rest, line))
   }
 

@@ -16,10 +16,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 object TextIngest {
 
   /** Parse lines with one fixed format string (`sonnerie add --format`). */
-  def parse(spark: SparkSession, lines: Dataset[String], fmt: String): Dataset[SeriesRecord] = {
+  def parse(spark: SparkSession, lines: Dataset[String], fmt: String,
+            tsPattern: Option[String] = None): Dataset[SeriesRecord] = {
     import spark.implicits._
     RowCodec.validate(fmt)
-    lines.filter((l: String) => l.nonEmpty).map((l: String) => RowCodec.parseLine(l, fmt))
+    lines.filter((l: String) => l.nonEmpty)
+      .map((l: String) => RowCodec.parseLine(l, fmt, tsPattern))
   }
 
   /** Parse lines with an embedded per-line format (`compact --gegnum` IO). */

@@ -117,6 +117,17 @@ object TextProto {
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"
   ).map(DateTimeFormatter.ofPattern)
 
+  /** Parse with an explicit layout (reference `add --timestamp-format`,
+    * `src/formatted.rs:39-47`; Java patterns here rather than strftime).
+    */
+  def parseTimestampWith(s: String, pattern: String): Long = {
+    val f = DateTimeFormatter.ofPattern(pattern)
+    val ldt =
+      if (pattern.exists("HmsS".contains(_))) LocalDateTime.parse(s, f)
+      else java.time.LocalDate.parse(s, f).atStartOfDay()
+    toNanos(ldt)
+  }
+
   def parseTimestamp(s: String): Long = {
     if (s.forall(_.isDigit)) return s.toLong // raw nanos
     val norm = s.replace('_', ' ') // reference also accepts '_' separator

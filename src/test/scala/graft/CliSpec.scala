@@ -52,6 +52,14 @@ class CliSpec extends SparkSpec {
     assert(full == Seq("a\t1\tuuu\t10 20 30", "b\t2\tss\tHello\\ x World"))
   }
 
+  test("add --timestamp-format parses a custom input layout") {
+    val wh = tmpDir("graft-cli5")
+    cli("-d", wh, "add", "--format", "u",
+      "--timestamp-format", "dd/MM/yyyy HH:mm")("k 01/02/2020\\ 03:04 9")
+    assert(cli("-d", wh, "read", "k", "--human")() ==
+      Seq("k\t2020-02-01T03:04:00\t9"))
+  }
+
   test("parseColumns handles ranges") {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }
