@@ -20,12 +20,17 @@ import graft.series.SeriesOps
   * - '''major''': rewrites everything into a single transaction and drops
   *   all delete markers (fully purged, `src/main.rs:412-414`).
   *
-  * Correctness of txid re-numbering: the compacted output takes the txid of
-  * the *newest* compacted transaction (the reference replaces the
-  * lexically-last tx file, `src/main.rs:481-490`). Applied markers all have
-  * txid ≤ that maximum, so survivors (records that out-txid a marker — the
-  * "re-insert after delete" case, `src/tests.rs:1069-1155`) keep surviving,
-  * and later transactions keep shadowing compacted records.
+  * Txid re-numbering: the compacted output gets a *fresh* txid (the
+  * reference instead reuses the lexically-last tx filename,
+  * `src/main.rs:481-490` — but that forces moving live directories before
+  * the swap, breaking concurrent readers of the current snapshot). Under
+  * the single-compactor model (reference's flock, `src/main.rs:404-406`)
+  * a fresh txid is strictly newer than every compacted record and every
+  * retained delete marker, so survivors of a marker (the "re-insert after
+  * delete" case, `src/tests.rs:1069-1155`) keep surviving — markers only
+  * suppress txids *below* their own — and the old directories stay
+  * untouched until [[vacuum]], keeping every published snapshot readable
+  * throughout.
   *
   * `transform` is the reference's `--gegnum` hook (`src/main.rs:429-477`)
   * re-expressed functionally: an arbitrary `DataFrame => DataFrame` applied
@@ -66,7 +71,6 @@ object Compactor {
     // (it may be purging deletes or applying a transform to a single tx)
     if (toCompact.isEmpty || (!major && toCompact.size < 2)) return
 
-    val newTxid = toCompact.max
     val dirs = toCompact.map(t => s"${db.dataDir}/txid=$t")
     val records = db.spark.read
       .option("basePath", db.dataDir).option("mergeSchema", "true")
@@ -77,33 +81,28 @@ object Compactor {
     val merged = SeriesOps.lastWins(purged, Seq("key", "ts"), "txid").drop("txid")
     val out = transform(merged)
 
-    val tmpDir = s"${db.dataDir}/.compact-tmp-$newTxid"
+    // Claim a fresh txid and write straight into its (new) directory — no
+    // live directory is touched; a crash here leaves an invisible orphan.
+    var newTxid = -1L
+    Manifest.update(db.warehouse) { cur =>
+      newTxid = cur.nextTxid
+      cur.copy(nextTxid = cur.nextTxid + 1)
+    }
     val parts = db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     out.repartitionByRange(parts, col("key"), col("ts"))
       .sortWithinPartitions(col("key"), col("ts"))
-      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+      .write.mode(SaveMode.ErrorIfExists)
+      .option("compression", "zstd")
+      .parquet(s"${db.dataDir}/txid=$newTxid")
 
-    // Swap: move old dirs aside, move compacted output into place, then
-    // publish the new manifest. Readers holding older snapshots keep
-    // working until vacuum() removes the retired directories.
-    val finalDir = Paths.get(s"${db.dataDir}/txid=$newTxid")
-    val retired = Paths.get(s"${db.dataDir}/.retired-$newTxid-${System.nanoTime()}")
-    Files.createDirectories(retired)
-    toCompact.foreach { t =>
-      val p = Paths.get(s"${db.dataDir}/txid=$t")
-      if (Files.exists(p)) Files.move(p, retired.resolve(s"txid=$t"))
-    }
-    Files.move(Paths.get(tmpDir), finalDir)
-
+    // Atomic cutover: one manifest commit swaps the compacted inputs for
+    // the new transaction (and purges markers on major). Old directories
+    // remain on disk for readers of older snapshots until vacuum().
     Manifest.update(db.warehouse) { cur =>
       cur.copy(
         dataTxids = cur.dataTxids.filterNot(toCompact.contains) :+ newTxid,
         deleteTxids = if (major) Vector.empty else cur.deleteTxids
       )
-    }
-    if (major) m.deleteTxids.foreach { t =>
-      val p = Paths.get(s"${db.deleteDir}/txid=$t")
-      if (Files.exists(p)) Files.move(p, retired.resolve(s"del-txid=$t"))
     }
   }
 

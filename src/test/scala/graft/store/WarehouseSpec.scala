@@ -99,11 +99,16 @@ class WarehouseSpec extends SparkSpec {
     tx(db, ("c", 1L, 30L), ("d", 1L, 4L))       // txid 2
     TxWriter.delete(db, wildcard = "d")         // txid 3
     val before = rows(db)
+    val snapBefore = db.snapshot()
     Compactor.minor(db)
     assert(rows(db) == before)
     val m = Manifest.current(db.warehouse)
-    assert(m.dataTxids == Vector(0L, 2L))       // 1+2 folded into 2
+    assert(m.dataTxids.size == 2 && m.dataTxids.head == 0L) // base + fresh tx
+    assert(m.dataTxids.last > 3L)               // 1+2 folded into a fresh txid
     assert(m.deleteTxids.nonEmpty)              // markers kept for the base
+    // pre-compaction snapshot stays readable (dirs untouched until vacuum)
+    assert(snapBefore.read().select("key", "ts", "v")
+      .as[(String, Long, Long)].collect().toSeq == before)
   }
 
   test("major compaction purges deletes and folds to one tx (main.rs:412-414)") {
