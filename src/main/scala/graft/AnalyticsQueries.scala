@@ -138,8 +138,18 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // wh_roundtrip intentionally has no oracle (driver rows-only check);
-    // its semantics are covered by f7/j1 oracles and the warehouse specs
+    // wh_roundtrip writes a REAL on-disk warehouse and reads it back; the
+    // oracle is the algebraic result: (key, ts) pairs are unique in events,
+    // both data txids precede the delete marker, so the read equals the
+    // series minus all 'error%' keys
+    "wh_roundtrip" ->
+      """WITH series AS (
+        |  SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_ns(ts) AS ts, value
+        |  FROM events)
+        |SELECT key, ts, value FROM series
+        |WHERE key NOT LIKE 'error%'
+        |ORDER BY key, ts""".stripMargin,
     "w4_rank_topn" ->
       """SELECT event_type, user_id, spend, rnk FROM (
         |  SELECT event_type, user_id,

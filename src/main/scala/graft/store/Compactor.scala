@@ -89,11 +89,19 @@ object Compactor {
       cur.copy(nextTxid = cur.nextTxid + 1)
     }
     val parts = db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    out.repartitionByRange(parts, col("key"), col("ts"))
+    val sorted = out.drop("tbucket")
+      .repartitionByRange(parts, col("key"), col("ts"))
       .sortWithinPartitions(col("key"), col("ts"))
+    // preserve the warehouse's time bucketing, recomputed from ts so a
+    // gegnum/transform that rewrote timestamps stays consistent
+    val w = m.timeBucket
+    val writer0 = (if (w > 0)
+      sorted.withColumn("tbucket", col("ts") - col("ts") % w)
+    else sorted)
       .write.mode(SaveMode.ErrorIfExists)
       .option("compression", "zstd")
-      .parquet(s"${db.dataDir}/txid=$newTxid")
+    val writer = if (w > 0) writer0.partitionBy("tbucket") else writer0
+    writer.parquet(s"${db.dataDir}/txid=$newTxid")
 
     // Atomic cutover: one manifest commit swaps the compacted inputs for
     // the new transaction (and purges markers on major). Old directories

@@ -76,10 +76,20 @@ final class Db(val spark: SparkSession, val warehouse: String) {
 
     private def pipeline(filtered0: DataFrame, after: Option[Long],
                          before: Option[Long]): DataFrame = {
-      val filtered = SeriesOps.timeRange(filtered0, after, before)
+      // time-bucketed warehouse: derive the partition-column predicate so
+      // time ranges prune whole tbucket= directories before any IO
+      val w = manifest.timeBucket
+      val bucketed =
+        if (w > 0 && filtered0.columns.contains("tbucket")) {
+          val preds =
+            after.map(a => col("tbucket") >= a - a % w).toSeq ++
+              before.map(b => col("tbucket") < b).toSeq
+          preds.reduceOption(_ && _).fold(filtered0)(filtered0.filter)
+        } else filtered0
+      val filtered = SeriesOps.timeRange(bucketed, after, before)
       val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
       val visible = SeriesOps.applyDeletes(merged, deletes)
-      SeriesOps.ordered(visible.drop("txid"))
+      SeriesOps.ordered(visible.drop("txid").drop("tbucket"))
     }
   }
 

@@ -28,11 +28,16 @@ final case class ManifestState(
     /** Highest committed streaming micro-batch id (exactly-once replay
       * guard for [[graft.streaming.StreamIngest]]); -1 = none.
       */
-    streamBatch: Long = -1L
+    streamBatch: Long = -1L,
+    /** Time-bucket width in nanos for Hive-style `tbucket=` partition
+      * dirs (0 = unbucketed). Fixed at first data write; gives time-range
+      * reads partition pruning on top of row-group stats.
+      */
+    timeBucket: Long = 0L
 ) {
   def json: String = {
     def arr(v: Vector[Long]) = v.mkString("[", ",", "]")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch}"""
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket}"""
   }
 }
 
@@ -68,7 +73,8 @@ object Manifest {
     }
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
-      if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L)
+      if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
+      longField("timeBucket"))
   }
 
   /** Atomically publish `next` as the successor of `expected`. Returns false

@@ -38,8 +38,15 @@ object TxWriter {
     *               the reference's `TimeOrderingViolation` (`src/write.rs:57-79`),
     *               which its ordering check implies.
     */
+  /** @param timeBucketNanos on the FIRST data write, opt the warehouse into
+    *        Hive-style `tbucket=` time partitioning of this width — time
+    *        range reads then prune whole directories (partition pruning)
+    *        on top of row-group stats. Later writes inherit the warehouse's
+    *        configured width automatically.
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
-            rangePartitions: Option[Int] = None): Long = {
+            rangePartitions: Option[Int] = None,
+            timeBucketNanos: Option[Long] = None): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -56,16 +63,30 @@ object TxWriter {
       }
     }
 
+    // resolve the warehouse bucket width (sticky after the first write)
+    val pre = Manifest.current(db.warehouse)
+    val width: Long =
+      if (pre.dataTxids.nonEmpty || pre.timeBucket > 0) pre.timeBucket
+      else timeBucketNanos.getOrElse(0L)
+
     val txid = claimTxid(db)
+    if (width > 0 && pre.timeBucket == 0L)
+      Manifest.update(db.warehouse)(m => m.copy(timeBucket = width))
+
     val parts = rangePartitions.getOrElse(
       db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    df.repartitionByRange(parts, col("key"), col("ts"))
+    val sorted = df.drop("tbucket")
+      .repartitionByRange(parts, col("key"), col("ts"))
       .sortWithinPartitions(col("key"), col("ts"))
+    val writer0 = (if (width > 0)
+      sorted.withColumn("tbucket", col("ts") - col("ts") % width)
+    else sorted)
       .write.mode(SaveMode.ErrorIfExists)
       // zstd: the modern analog of the reference's LZ4-level-9 segments
       // (src/write.rs:83) — better ratio at comparable scan speed
       .option("compression", "zstd")
-      .parquet(s"${db.dataDir}/txid=$txid")
+    val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
+    writer.parquet(s"${db.dataDir}/txid=$txid")
     publishData(db, txid)
     txid
   }
