@@ -161,7 +161,7 @@ object AnalyticsQueries {
         |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "x2_json_extract" ->
       """SELECT event_type,
-        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "g4_distinct" ->
@@ -195,9 +195,10 @@ object AnalyticsQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
         |sessions AS (
         |  SELECT user_id, ts, event_id,
-        |         sum(new_session) OVER (PARTITION BY user_id
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id
         |           ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS t_start, max(ts) AS t_end,
