@@ -42,7 +42,9 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val first = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
     val results = ordered.map { case (n, fn) =>
-      n -> math.min(first(n), once(n, fn))
+      val second = once(n, fn)
+      System.err.println(f"BENCH2 $n%-24s first=${first(n)}%7.3f second=$second%7.3f")
+      n -> math.min(first(n), second)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,6 +32,9 @@ object Graft {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_vec_dot",
       exprs => graft.functions.LongVecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32",
+      exprs => graft.functions.SimHash32(exprs.head), "scala_udf")
     spark
   }
 
@@ -47,6 +50,21 @@ object Graft {
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+
+  /** Ensure a compute-heavy operator input has at least cluster-parallelism
+    * partitions. Parquet can only split scans at row-group boundaries, so a
+    * small or single-row-group file yields one partition and every
+    * derivation above it (hashing, signatures, dot products) runs on one
+    * core. At warehouse scale scans produce thousands of splits and this
+    * inserts nothing; in the degenerate case it adds one slim shuffle
+    * (column pruning keeps it to the referenced columns) so CPU-bound work
+    * parallelizes. Call it at operator entry, *before* computing derived
+    * columns — projections added after the repartition execute post-shuffle.
+    */
+  def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)

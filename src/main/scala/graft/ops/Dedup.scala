@@ -42,15 +42,21 @@ object Dedup {
     * n words fall back to one whole-text shingle.
     */
   def shingleHashes(text: Column, n: Int = 3): Column = {
-    val w = split(text, " ")
-    val grams = when(
-      size(w) >= n,
-      transform(
-        sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))
-      )
-    ).otherwise(array(text))
-    array_distinct(transform(grams, g => PortableHash.h30(g)))
+    // bind the token array ONCE per row via a single-element lambda scope:
+    // referencing `split(text)` directly inside the gram lambda would
+    // re-evaluate the split once per gram (the expression tree is copied
+    // into the lambda body — ~50× redundant splits per document)
+    val perRow = transform(array(split(text, " ")), w => {
+      val grams = when(
+        size(w) >= n,
+        transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))
+        )
+      ).otherwise(array(text))
+      array_distinct(transform(grams, g => PortableHash.h30(g)))
+    })
+    element_at(perRow, 1)
   }
 
   /** DuckDB fragment equal to [[shingleHashes]] (kept adjacent so the two
@@ -101,7 +107,7 @@ object Dedup {
     // once — a single fused Project would re-inline the md5 hashing into
     // every one of the k=8 signature rows (CollapseProject keeps multi-
     // referenced non-cheap aliases separate)
-    val withSig = df
+    val withSig = graft.core.Graft.rebalance(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"), minhashSignature(col("sh")).as("sig"))
     val bands = withSig.select(
@@ -137,11 +143,15 @@ object Dedup {
   /** 32-bit SimHash over word-token hashes: bit b set iff more token
     * hashes have bit b set than clear.
     */
-  /** Per-bit vote sum over a (pre-materialized) token-hash array column.
-    * Keep the hash array a real column: inlining it would recompute the
-    * md5 hashing once per bit (32×).
+  /** Per-bit majority vote over a (pre-materialized) token-hash array
+    * column — the native single-pass kernel
+    * ([[graft.functions.SimHash32]]); [[simhashOfComposed]] keeps the
+    * built-in composition it is value-identical to (property-tested).
     */
-  def simhashOf(hs: Column): Column = {
+  def simhashOf(hs: Column): Column = graft.functions.SimHash32(hs)
+
+  /** Built-in-only formulation (what the DuckDB oracle mirrors). */
+  def simhashOfComposed(hs: Column): Column = {
     val n = size(hs)
     (0 until SIMHASH_BITS).map { b =>
       val ones = size(filter(hs, h => shiftright(h, b).bitwiseAND(1) === 1))
@@ -174,7 +184,7 @@ object Dedup {
     val chunks = maxDist + 1
     val width = SIMHASH_BITS / chunks
     val mask = (1L << width) - 1
-    val sh = df
+    val sh = graft.core.Graft.rebalance(df)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("_hs"))
       .select(col("id"), simhashOf(col("_hs")).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
@@ -206,7 +216,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    bucket: Column, threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0, "inverted-index jaccard needs threshold > 0")
-    val ex = df.select(col(idCol).as("id"), bucket.as("bucket"),
+    val ex = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("id"), bucket.as("bucket"),
         shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"), col("bucket"), size(col("sh")).as("sz"),
         explode(col("sh")).as("h"))

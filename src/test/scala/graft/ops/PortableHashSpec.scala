@@ -53,6 +53,19 @@ class PortableHashSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native SimHash32 == 32-filter composition") {
+    val hss = (0 to 60).map { i =>
+      (0 until (i % 7) * 9 + 1).map(j =>
+        graft.ops.Multimodal.h60jvm(s"tok:$i:$j") % PortableHash.P)
+    } :+ Seq(0L) :+ Seq(Long.MaxValue >>> 4)
+    hss.toDF("hs")
+      .select(
+        Dedup.simhashOf(col("hs")).as("native"),
+        Dedup.simhashOfComposed(col("hs")).as("composed"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("native expressions callable from SQL after configure") {
     graft.core.Graft.configure(spark)
     val r = spark.sql(
