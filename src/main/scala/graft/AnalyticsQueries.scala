@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
@@ -110,6 +110,31 @@ object AnalyticsQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // value-add: Pearson correlation with engine-portable exactness —
+    // moments accumulated as exact int64 (cents × small residue), one
+    // IEEE-double formula at the end (identical bits on any engine;
+    // Spark's built-in corr() accumulates doubles in partition order and
+    // is NOT cross-engine stable)
+    "g5_corr" -> { (s, d) =>
+      val x = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val y = col("user_id") % 97
+      def d0(c: Column) = c.cast("double")
+      Graft.events(s, d)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          round(
+            (d0(col("n")) * d0(col("sxy")) - d0(col("sx")) * d0(col("sy"))) /
+              (sqrt(d0(col("n")) * d0(col("sxx")) - d0(col("sx")) * d0(col("sx"))) *
+                sqrt(d0(col("n")) * d0(col("syy")) - d0(col("sy")) * d0(col("sy")))),
+            9).as("corr_xy"))
+        .orderBy("event_type")
+    },
     // §2.4 value-add: exact distinct aggregation
     "g4_distinct" -> { (s, d) =>
       Graft.events(s, d)
@@ -164,6 +189,27 @@ object AnalyticsQueries {
         |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "g5_corr" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         user_id % 97 AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx,
+        |         CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 9) AS corr_xy
+        |FROM a ORDER BY event_type""".stripMargin,
     "g4_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events

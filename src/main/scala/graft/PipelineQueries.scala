@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Dedup, PortableHash, Similarity, TextAnalysis}
+import graft.ops.{Dedup, PortableHash, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -83,6 +83,29 @@ object PipelineQueries {
       Similarity.nearDupPairs(Graft.embeddings(s, d), "vec_id", "embedding",
           col("label"), 0.35)
         .orderBy("id1", "id2")
+    },
+    // ── duplicate clusters (pairs → keep/drop decision) ───────────────
+    "dedup_clusters" -> { (s, d) =>
+      val cand = Dedup.minhashCandidates(Graft.documents(s, d), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.connectedComponents(cand).orderBy("id")
+    },
+    // ── deterministic sampling / splits ───────────────────────────────
+    "sa1_hash_sample" -> { (s, d) =>
+      Sampling.hashSample(Graft.documents(s, d), "doc_id", 0.1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    "sa2_stratified" -> { (s, d) =>
+      Sampling.stratifiedSample(Graft.documents(s, d), "lang", "doc_id", 20)
+        .select(col("lang"), col("doc_id"), col("source"))
+        .orderBy("lang", "doc_id")
+    },
+    "sa3_split_stats" -> { (s, d) =>
+      Sampling.assignSplit(Graft.documents(s, d), "doc_id", 0.8, 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("split")
     }
   )
 
@@ -123,6 +146,25 @@ object PipelineQueries {
   private val minhashSigSql =
     Dedup.sqlMinhashSignature("sh")
 
+  /** Shared CTE chain ending in `mpairs(id1, id2, sig1, sig2)` — the LSH
+    * candidate pairs (used by both the pair query and the cluster query).
+    */
+  private def minhashCtes: String =
+    s"""shing AS (
+       |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh FROM documents),
+       |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
+       |bands AS (${bandsUnion("sigs")}),
+       |mpairs AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+       |         l.sig AS sig1, r.sig AS sig2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_key = r.band_key
+       |   AND l.doc_id < r.doc_id)""".stripMargin
+
+  private def minhashEstSql: String =
+    s"""(CAST(len(list_filter(range(${Dedup.MINHASH_K}),
+       |     i -> sig1[i+1] = sig2[i+1])) AS DOUBLE) / ${Dedup.MINHASH_K})""".stripMargin
+
   private def bandsUnion(src: String): String =
     (0 until Dedup.MINHASH_K / Dedup.LSH_R).map { b =>
       val i = b * Dedup.LSH_R
@@ -157,21 +199,36 @@ object PipelineQueries {
         |       count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH shing AS (
-         |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh FROM documents),
-         |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
-         |bands AS (${bandsUnion("sigs")}),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
-         |         l.sig AS sig1, r.sig AS sig2
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.band_key = r.band_key
-         |   AND l.doc_id < r.doc_id)
-         |SELECT id1, id2,
-         |  CAST(len(list_filter(range(${Dedup.MINHASH_K}),
-         |       i -> sig1[i+1] = sig2[i+1])) AS DOUBLE) / ${Dedup.MINHASH_K}
-         |    AS est_jaccard
-         |FROM pairs ORDER BY id1, id2""".stripMargin,
+      s"""WITH $minhashCtes
+         |SELECT id1, id2, $minhashEstSql AS est_jaccard
+         |FROM mpairs ORDER BY id1, id2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id1, id2 FROM mpairs WHERE $minhashEstSql >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM cand
+         |          UNION ALL SELECT id2, id1 FROM cand),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
+         |SELECT id, CAST(min(r) AS BIGINT) AS comp
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "sa1_hash_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.sqlHashSamplePred("doc_id", 0.1)}
+         |ORDER BY doc_id""".stripMargin,
+    "sa2_stratified" ->
+      s"""SELECT lang, doc_id, source FROM (
+         |  SELECT lang, doc_id, source,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${Sampling.sqlHashBucket("doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "sa3_split_stats" ->
+      s"""SELECT ${Sampling.sqlAssignSplit("doc_id", 0.8, 0.1)} AS split,
+         |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
     "dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id, ${Dedup.sqlTokenHashes("text")} AS _hs FROM documents),

@@ -234,4 +234,57 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ── duplicate clusters ─────────────────────────────────────────────
+
+  /** Connected components over candidate-pair edges: every node mapped to
+    * the minimum id reachable from it (`comp`) — the canonical document of
+    * its duplicate cluster. This is the step that turns pairwise near-dup
+    * evidence into an actual keep/drop decision.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (a) pulls the minimum label from the 1-hop neighborhood and (b)
+    * compresses by adopting the label's own label — labels travel
+    * exponentially far per round, so convergence is O(log diameter)
+    * rounds (2-hop doubling, the Hash-to-Min family of CC algorithms)
+    * rather than O(diameter). Every round is three hash shuffles of the
+    * slim (id, comp) relation — never the document payloads — and each
+    * round's result is `localCheckpoint`ed so the plan stays O(1) deep
+    * instead of nesting every previous iteration (at cluster scale,
+    * substitute a reliable checkpoint dir for executor-loss tolerance).
+    * The driver only inspects the converged flag; no data is collected.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().localCheckpoint(true)
+    var comp = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      // (a) minimum label in the 1-hop neighborhood (labels are node ids,
+      // so min(own, neighbors') is monotonically non-increasing)
+      val neighborMin = edges
+        .join(comp, edges("b") === comp("id"))
+        .groupBy(col("a").as("id")).agg(min(col("comp")).as("ncomp"))
+      val relaxed = comp.alias("c")
+        .join(neighborMin.alias("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("c.comp"), coalesce(col("n.ncomp"), col("c.comp")))
+            .as("comp"))
+      // (b) pointer jumping: adopt the label's own current label
+      val next = relaxed.alias("m")
+        .join(relaxed.select(col("id").as("lid"), col("comp").as("lcomp"))
+          .alias("p"), col("m.comp") === col("p.lid"), "left")
+        .select(col("id"),
+          least(col("m.comp"), coalesce(col("p.lcomp"), col("m.comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      val changed = next.alias("u").join(comp.alias("o"), Seq("id"))
+        .filter(col("u.comp") < col("o.comp")).limit(1).count()
+      comp = next
+      converged = changed == 0
+    }
+    comp
+  }
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys off the portable content hash ([[PortableHash.h60]]),
+  * never an RNG: the same row lands in the same sample/split on every
+  * engine, every run, every cluster size — the property that makes
+  * training sets reproducible and leakage-auditable. (The reference has no
+  * sampling; its client-side map-reduce role, sonnerie `README.md:23-25`,
+  * is exactly where these run.)
+  *
+  * Scale: all three operators are embarrassingly parallel single-pass
+  * filters/projections over the scan (no shuffle at all for [[hashSample]]
+  * and [[assignSplit]]; one per-stratum shuffle for [[stratifiedSample]]'s
+  * rank) — they hold unchanged at 100 TB.
+  */
+object Sampling {
+
+  private val BUCKETS = 1000000L
+
+  /** Bucket in [0, BUCKETS) from the id's decimal string — the unit of
+    * all deterministic sampling decisions.
+    */
+  def hashBucket(id: Column): Column =
+    PortableHash.h60(id.cast("string")) % BUCKETS
+
+  def sqlHashBucket(idExpr: String): String =
+    s"(${PortableHash.sqlH60(s"CAST($idExpr AS VARCHAR)")} % $BUCKETS)"
+
+  /** Keep ~`rate` of rows, chosen by id hash (0 < rate <= 1). */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit((rate * BUCKETS).toLong))
+
+  def sqlHashSamplePred(idExpr: String, rate: Double): String =
+    s"${sqlHashBucket(idExpr)} < ${(rate * BUCKETS).toLong}"
+
+  /** Exactly `k` rows per stratum (fewer if the stratum is smaller),
+    * chosen and ordered by id hash — a deterministic stratified sample.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Train/val/test assignment by hash bucket: `[0, pTrain)` → train,
+    * `[pTrain, pTrain+pVal)` → val, rest → test.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  pTrain: Double, pVal: Double): DataFrame = {
+    val b = hashBucket(col(idCol))
+    val tEnd = (pTrain * BUCKETS).toLong
+    val vEnd = ((pTrain + pVal) * BUCKETS).toLong
+    df.withColumn("split",
+      when(b < tEnd, "train").when(b < vEnd, "val").otherwise("test"))
+  }
+
+  def sqlAssignSplit(idExpr: String, pTrain: Double, pVal: Double): String = {
+    val tEnd = (pTrain * BUCKETS).toLong
+    val vEnd = ((pTrain + pVal) * BUCKETS).toLong
+    s"""CASE WHEN ${sqlHashBucket(idExpr)} < $tEnd THEN 'train'
+       |     WHEN ${sqlHashBucket(idExpr)} < $vEnd THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "g")
+
+  test("hashSample is deterministic and rate-accurate") {
+    val a = Sampling.hashSample(docs, "id", 0.2).select("id").as[Long].collect().sorted
+    val b = Sampling.hashSample(docs, "id", 0.2).select("id").as[Long].collect().sorted
+    assert(a.sameElements(b), "same sample on re-run")
+    // md5 buckets are uniform; 1000 draws at p=0.2 stay within ±6 sigma
+    assert(a.length > 130 && a.length < 270, s"rate off: ${a.length}")
+    // a smaller rate's sample is a subset of a larger rate's (nested samples)
+    val small = Sampling.hashSample(docs, "id", 0.05).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(a.toSet))
+  }
+
+  test("stratifiedSample returns k per stratum, deterministically") {
+    val s = Sampling.stratifiedSample(docs, "g", "id", 10)
+    val counts = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.size == 7 && counts.values.forall(_ == 10))
+    val again = Sampling.stratifiedSample(docs, "g", "id", 10)
+      .select("id").as[Long].collect().sorted
+    assert(s.select("id").as[Long].collect().sorted.sameElements(again))
+  }
+
+  test("assignSplit partitions every row exactly once with stable shares") {
+    val sp = Sampling.assignSplit(docs, "id", 0.8, 0.1)
+    assert(sp.count() == 1000)
+    val byok = sp.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byok.keySet == Set("train", "val", "test"))
+    assert(byok("train") > 700 && byok("val") < 200 && byok("test") < 200)
+    // membership is a pure function of the id
+    val row = sp.filter(col("id") === 123).select("split").as[String].head()
+    val again = Sampling.assignSplit(docs, "id", 0.8, 0.1)
+      .filter(col("id") === 123).select("split").as[String].head()
+    assert(row == again)
+  }
+
+  test("connectedComponents finds min-id clusters") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain {1,2,3}
+      (10L, 11L),                  // pair {10,11}
+      (20L, 22L), (21L, 22L), (23L, 20L) // diamond {20,21,22,23}
+    ).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (log rounds)") {
+    // path graph 0-1-2-...-40: worst case for naive propagation
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(comp.length == 41 && comp.forall(_._2 == 0L))
+  }
+}
