@@ -39,7 +39,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // optional comma-separated query filter for local profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val first = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
     val results = ordered.map { case (n, fn) =>
       val second = once(n, fn)

@@ -73,11 +73,15 @@ object TxWriter {
     if (width > 0 && pre.timeBucket == 0L)
       Manifest.update(db.warehouse)(m => m.copy(timeBucket = width))
 
-    val parts = rangePartitions.getOrElse(
-      db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val sorted = df.drop("tbucket")
-      .repartitionByRange(parts, col("key"), col("ts"))
-      .sortWithinPartitions(col("key"), col("ts"))
+    // no explicit partition count unless the caller pins one: an
+    // AQE-coalescible range exchange sizes output files to the shuffle
+    // target (~64 MB) instead of hard-coding shuffle.partitions files —
+    // small transactions stay a few files, huge ones fan out
+    val ranged = rangePartitions match {
+      case Some(n) => df.drop("tbucket").repartitionByRange(n, col("key"), col("ts"))
+      case None    => df.drop("tbucket").repartitionByRange(col("key"), col("ts"))
+    }
+    val sorted = ranged.sortWithinPartitions(col("key"), col("ts"))
     val writer0 = (if (width > 0)
       sorted.withColumn("tbucket", col("ts") - col("ts") % width)
     else sorted)

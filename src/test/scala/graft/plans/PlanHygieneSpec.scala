@@ -18,4 +18,24 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("dedup self-joins broadcast or reuse one exchange, never recompute") {
+    val sfDir = "/root/testdata/sf0.001"
+    // AQE finalizes the plan only after execution; run THIS df, then inspect
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard").foreach {
+      name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        // acceptable shapes: AQE broadcasts one tiny side (recompute is
+        // cheaper than a shuffle at toy scale), or — the at-scale shape —
+        // a shuffled join whose identical branches collapse into one
+        // ReusedExchange. A shuffled join with two independent pipeline
+        // computations would double the signature CPU at 100 TB.
+        val shuffledJoin = plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin")
+        assert(!shuffledJoin || plan.contains("ReusedExchange"),
+          s"$name shuffled self-join without exchange reuse:\n${plan.take(2000)}")
+    }
+  }
 }
