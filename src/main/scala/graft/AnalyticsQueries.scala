@@ -66,12 +66,18 @@ object AnalyticsQueries {
           Seq("signup_value"))
         .orderBy("user_id", "ts", "event_id")
     },
-    // §2.7 set operations
+    // §2.7 set operations — "engaged but not noisy" users; every leg is
+    // non-empty at each scale factor so all three operators do real work
     "x1_setops" -> { (s, d) =>
       val ev = Graft.events(s, d)
       def users(t: String) =
         ev.filter(col("event_type") === t).select("user_id").distinct()
-      users("click").intersect(users("purchase")).except(users("error"))
+      val noisy = ev.groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("errs"))
+        .filter(col("errs") > col("clicks")).select("user_id")
+      users("click").intersect(users("purchase")).except(noisy)
         .orderBy("user_id")
     },
     // value-add: hierarchical rollup aggregation
@@ -272,11 +278,18 @@ object AnalyticsQueries {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
     "x1_setops" ->
-      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      """WITH noisy AS (
+        |  SELECT user_id FROM (
+        |    SELECT user_id,
+        |           count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |           count(*) FILTER (WHERE event_type = 'error') AS errs
+        |    FROM events GROUP BY user_id)
+        |  WHERE errs > clicks)
+        |(SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         | INTERSECT
         | SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |SELECT user_id FROM noisy
         |ORDER BY user_id""".stripMargin,
     "g3_rollup" ->
       """SELECT event_type, user_id % 5 AS cohort, count(*) AS n,

@@ -100,9 +100,19 @@ object Dedup {
     * signature-agreement estimate of Jaccard similarity.
     * Scale: the self-join is on (band index, band key) — a shuffle of
     * (bands × docs) slim rows, never an all-pairs product.
+    *
+    * @param maxBucket guard for boilerplate-heavy corpora: a band value
+    *        shared by B documents (a boilerplate template, an empty-ish
+    *        shingle set) expands to B²/2 candidate pairs — one degenerate
+    *        bucket can dominate the whole job at web scale. With a cap,
+    *        buckets larger than `maxBucket` are dropped before the join
+    *        (pairs inside them almost always still co-occur in a sane
+    *        bucket of another band; this is the standard LSH guard). The
+    *        size count runs on the same (band, band_key) partitioning as
+    *        the join, so it adds no shuffle.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     // staged projections: shingle hashes and signature each materialize
     // once — a single fused Project would re-inline the md5 hashing into
     // every one of the k=8 signature rows (CollapseProject keeps multi-
@@ -110,13 +120,21 @@ object Dedup {
     val withSig = graft.core.Graft.rebalance(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .select(col("id"), minhashSignature(col("sh")).as("sig"))
-    val bands = withSig.select(
+    val bands0 = withSig.select(
       col("id"), col("sig"),
       posexplode(bandKeys(col("sig")))
     ).withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
       // identical shuffle on both self-join branches → ReusedExchange
       // computes the signatures once (a broadcast side would recompute)
       .repartition(col("band"), col("band_key"))
+    val bands = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))
+        bands0.withColumn("_bsz", count(lit(1)).over(w))
+          .filter(col("_bsz") <= cap).drop("_bsz")
+      case None => bands0
+    }
 
     val l = bands.alias("l")
     val r = bands.alias("r")

@@ -40,4 +40,38 @@ class WindowedAggSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streamed session windows (gap-based) == batch sessionization") {
+    Graft.configure(spark)
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = Graft.events(spark, dir)
+    val schema = batchDf.schema
+
+    // gap-close sessions per user on event time: the streaming-native
+    // formulation of SeriesAnalytics.sessionize's 30-minute gap rule
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ets", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withWatermark("ets", "10 minutes")
+        .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+
+    val q = sessions(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"),
+        col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = norm(spark.table("sess_win"))
+    val batch = norm(sessions(batchDf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
