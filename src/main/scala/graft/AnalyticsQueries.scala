@@ -54,6 +54,14 @@ object AnalyticsQueries {
           "key", "ts", "value", 86400000000000L)
         .orderBy("key", "bucket_ts")
     },
+    // value-add: grid densify + forward fill (client-side analytics in
+    // the reference, README.md:23-25)
+    "w5_gapfill" -> { (s, d) =>
+      SeriesAnalytics.gapFill(
+          SparkEntry.series(s, d).select("key", "ts", "value"),
+          "key", "ts", "value", 86400000000000L)
+        .orderBy("key", "bucket_ts")
+    },
     // value-add: as-of join (absent in reference, SURVEY §2.3)
     "j2_asof_join" -> { (s, d) =>
       val ev = Graft.events(s, d)
@@ -265,6 +273,29 @@ object AnalyticsQueries {
         |       min(value) AS vmin, max(value) AS vmax,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
         |FROM series GROUP BY key, bucket_ts ORDER BY key, bucket_ts""".stripMargin,
+    "w5_gapfill" ->
+      """WITH series AS (
+        |  SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_ns(ts) AS ts, value FROM events),
+        |b AS (SELECT key, ts - ts % 86400000000000 AS bucket_ts,
+        |             max(value) AS v
+        |      FROM series GROUP BY key, bucket_ts),
+        |bounds AS (SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        |           FROM b GROUP BY key),
+        |grid AS (SELECT key,
+        |                unnest(range(lo, hi + 86400000000000, 86400000000000))
+        |                  AS bucket_ts
+        |         FROM bounds),
+        |j AS (SELECT g.key, g.bucket_ts, b.v,
+        |             CASE WHEN b.bucket_ts IS NULL THEN 0 ELSE 1 END AS obs
+        |      FROM grid g LEFT JOIN b
+        |        ON g.key = b.key AND g.bucket_ts = b.bucket_ts)
+        |SELECT key, bucket_ts,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY key
+        |         ORDER BY bucket_ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       CAST(obs AS BIGINT) AS is_observed
+        |FROM j ORDER BY key, bucket_ts""".stripMargin,
     "j2_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events

@@ -82,6 +82,33 @@ object SeriesAnalytics {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("vsum")
       )
 
+  /** Gap-fill: densify each key's series onto a fixed `widthNanos` grid
+    * between its first and last observed bucket, forward-filling missing
+    * buckets from the latest earlier observation (`is_observed` marks
+    * real vs filled rows). Bucket value = max within the bucket
+    * (deterministic). One shuffle to bucket, one to window — the grid is
+    * generated per key with `sequence`, so a key's cost is proportional
+    * to its own span, never a global cross product.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+              widthNanos: Long): DataFrame = {
+    val b = df.groupBy(col(keyCol),
+        (col(tsCol) - (col(tsCol) % widthNanos)).as("bucket_ts"))
+      .agg(max(col(valueCol)).as("_v"))
+      .withColumn("_obs", lit(1L))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min(col("bucket_ts")).as("_lo"), max(col("bucket_ts")).as("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"), lit(widthNanos)))
+          .as("bucket_ts"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq(keyCol, "bucket_ts"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        last(col("_v"), ignoreNulls = true).over(w).as(valueCol),
+        coalesce(col("_obs"), lit(0L)).as("is_observed"))
+  }
+
   /** Pipe rows through an external command, one subprocess per partition —
     * the reference's `read --parallel CMD` (sonnerie `src/main.rs:234-279`)
     * re-expressed as `RDD.pipe`: partitioned external consumers with the
