@@ -143,12 +143,14 @@ object SeriesOps {
     * the pathological hot-key case (one key = 10% of 100 TB).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 factor: Int): DataFrame = {
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"unsupported join type for salting: $joinType")
     val salted = left.withColumn("_salt",
       pmod(hash(left.columns.map(col): _*), lit(factor)))
     val exploded = right.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
-    salted.join(exploded, keys :+ "_salt").drop("_salt")
+    salted.join(exploded, keys :+ "_salt", joinType).drop("_salt")
   }
 
   /** Per-key grouped iteration (reference `feature=by-key`, `src/bykey.rs`):
