@@ -84,6 +84,21 @@ object PipelineQueries {
           col("label"), 0.35)
         .orderBy("id1", "id2")
     },
+    // rows-only check (iterative Lloyd training is not ANSI-SQL-
+    // expressible): IVF probe over a k-means codebook
+    "ann_ivf_trained" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.ivfKnnTrained(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, 16, 2)
+        .select(col("query_id"), col("nn_id"), col("cos"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    "dedup_embedding_lsh" -> { (s, d) =>
+      Similarity.nearDupPairsAuto(Graft.embeddings(s, d), "vec_id",
+          "embedding", 0.35)
+        .orderBy("id1", "id2")
+    },
     // ── duplicate clusters (pairs → keep/drop decision) ───────────────
     "dedup_clusters" -> { (s, d) =>
       val cand = Dedup.minhashCandidates(Graft.documents(s, d), "doc_id", "text")
@@ -319,6 +334,16 @@ object PipelineQueries {
          |  SELECT vec_id AS id, label AS bucket,
          |         ${Similarity.sqlVeci("embedding")} AS v
          |  FROM embeddings)
+         |SELECT id1, id2, cos FROM (
+         |  SELECT l.id AS id1, r.id AS id2,
+         |         round(${Similarity.sqlCosine("l.v", "r.v")}, 9) AS cos
+         |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
+         |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, ${Similarity.sqlVeci("embedding")} AS v
+         |  FROM embeddings),
+         |pre AS (SELECT id, v, ${Similarity.sqlLshBucket("v")} AS bucket FROM v)
          |SELECT id1, id2, cos FROM (
          |  SELECT l.id AS id1, r.id AS id2,
          |         round(${Similarity.sqlCosine("l.v", "r.v")}, 9) AS cos

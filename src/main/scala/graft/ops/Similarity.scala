@@ -173,9 +173,27 @@ object Similarity {
 
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              embCol: String, k: Int, nCentroids: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vecs = corpus.select(col(idCol), veci(col(embCol)).as("v"))
-    val cents = vecs.filter(col(idCol) < nCentroids)
+    ivfKnnWith(vecs, queries, vecs.filter(col(idCol) < nCentroids),
+      idCol, embCol, k)
+  }
+
+  /** IVF with a Lloyd-trained codebook ([[kmeansCodebook]]) instead of the
+    * first-N quantizer — better-balanced cells, same probe plan.
+    */
+  def ivfKnnTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int, nCentroids: Int = 16,
+                    iters: Int = 3): DataFrame = {
+    val vecs = corpus.select(col(idCol), veci(col(embCol)).as("v"))
+    val cents = kmeansCodebook(corpus, idCol, embCol, nCentroids, iters)
+      .withColumnRenamed("centroid_id", idCol)
+    ivfKnnWith(vecs, queries, cents, idCol, embCol, k)
+  }
+
+  private def ivfKnnWith(vecs: DataFrame, queries: DataFrame,
+                         cents: DataFrame, idCol: String, embCol: String,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val corpusCells = ivfAssign(vecs, cents, idCol, "v")
       .select(col(idCol).as("nn_id"), col("v").as("cv"),
         col("vn").as("cn"), col("centroid_id"))
@@ -193,15 +211,112 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic spherical k-means (Lloyd) codebook over the
+    * integer-scaled vectors: init = first k vectors by id, then `iters`
+    * rounds of assign (broadcast codebook, exact integer-dot cosine) +
+    * recompute (per-cell elementwise mean). Returns `(centroid_id,
+    * centroid: Array[Long])` re-scaled to the integer grid so the result
+    * plugs straight into [[ivfAssign]]/[[ivfKnn]] as a drop-in, better-
+    * balanced quantizer.
+    *
+    * Scale: each round is one broadcast join (codebook ≪ corpus), one
+    * hash aggregation (shuffle width = k × dim), and a k-row collect to
+    * rebuild the broadcast literal — the standard distributed Lloyd loop;
+    * `iters` is fixed, so the plan depth is bounded. Empty cells keep
+    * their previous centroid (never NaN).
+    */
+  def kmeansCodebook(vectors: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    val vecs = vectors.select(col(idCol).as("_vid"), veci(col(embCol)).as("v"))
+    var codebook: Array[(Long, Array[Long])] = vecs
+      .orderBy("_vid").limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(codebook.toIndexedSeq.map {
+          case (cid, cv) => org.apache.spark.sql.Row(cid, cv.toSeq)
+        }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+        .withColumn("cn", dotInt(col("cv"), col("cv")))
+      val scored = vecs
+        .withColumn("vn", dotInt(col("v"), col("v")))
+        .join(broadcast(cdf), lit(true))
+        .withColumn("ccos", round(cosineFromParts(
+          dotInt(col("v"), col("cv")), col("vn"), col("cn")), 9))
+      val w = Window.partitionBy(col("_vid"))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      val assigned = scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("centroid_id"), col("v"))
+      // per-cell elementwise mean, back on the integer grid
+      val dim = codebook.head._2.length
+      val means = assigned
+        .select(col("centroid_id") +:
+          (0 until dim).map(i => element_at(col("v"), i + 1).as(s"_d$i")): _*)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("_n"),
+          (0 until dim).map(i => sum(col(s"_d$i")).as(s"_s$i")): _*)
+        .collect()
+      val updated = means.map { r =>
+        val cid = r.getLong(0)
+        val n = r.getLong(1)
+        (cid, (0 until dim).map(i =>
+          Math.floorDiv(r.getLong(2 + i), n)).toArray)
+      }.toMap
+      codebook = codebook.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+    }
+
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(codebook.toIndexedSeq.map {
+        case (cid, cv) => org.apache.spark.sql.Row(cid, cv.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+  }
+
   /** Embedding near-duplicate pairs within a bucket column (e.g. label):
     * cosine ≥ threshold, ids ordered. Norms precomputed per vector.
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                   bucket: Column, threshold: Double): DataFrame = {
-    val pre = df.select(col(idCol).as("id"), bucket.as("bucket"),
-        veci(col(embCol)).as("v"))
-      .withColumn("n2", dotInt(col("v"), col("v")))
-      .repartition(col("bucket")) // ReusedExchange on the self-join
+                   bucket: Column, threshold: Double): DataFrame =
+    nearDupFromPre(
+      df.select(col(idCol).as("id"), bucket.as("bucket"),
+          veci(col(embCol)).as("v"))
+        .withColumn("n2", dotInt(col("v"), col("v"))),
+      threshold)
+
+  /** Unsupervised variant: buckets are hyperplane LSH cells of the vector
+    * itself — no label column needed, the at-scale default (a bucket
+    * column like `label` is a luxury a raw 100 TB corpus doesn't have).
+    * Each vector joins only within its cell (~1/2^planes of the corpus);
+    * trades recall for never forming a global pair space.
+    */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, embCol: String,
+                       threshold: Double, dim: Int = 64): DataFrame =
+    nearDupFromPre(
+      df.select(col(idCol).as("id"), veci(col(embCol)).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), dim))
+        .withColumn("n2", dotInt(col("v"), col("v"))),
+      threshold)
+
+  private def nearDupFromPre(pre0: DataFrame, threshold: Double): DataFrame = {
+    val pre = pre0.repartition(col("bucket")) // ReusedExchange on the self-join
     val l = pre.alias("l")
     val r = pre.alias("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
