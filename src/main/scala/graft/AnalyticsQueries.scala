@@ -149,6 +149,18 @@ object AnalyticsQueries {
             9).as("corr_xy"))
         .orderBy("event_type")
     },
+    // value-add: exact interpolated percentiles (Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition;
+    // round(9) guards the last ulp)
+    "g6_percentile" -> { (s, d) =>
+      Graft.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.5)), 9).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 9).as("p90"),
+          round(percentile(col("value"), lit(0.99)), 9).as("p99"))
+        .orderBy("event_type")
+    },
     // §2.4 value-add: exact distinct aggregation
     "g4_distinct" -> { (s, d) =>
       Graft.events(s, d)
@@ -224,6 +236,12 @@ object AnalyticsQueries {
         |         sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
         |           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 9) AS corr_xy
         |FROM a ORDER BY event_type""".stripMargin,
+    "g6_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.5), 9) AS p50,
+        |       round(quantile_cont(value, 0.9), 9) AS p90,
+        |       round(quantile_cont(value, 0.99), 9) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "g4_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
