@@ -278,6 +278,13 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var comp = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
+    // labels are node ids and only ever decrease, so the label sum is a
+    // strictly decreasing potential function: cheap convergence detection
+    // (one aggregate on the checkpointed relation, no comparison join)
+    def potential(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0) // decimal: id-sum cannot overflow at any corpus size
+    var pot = potential(comp)
     var converged = false
     while (!converged) {
       // (a) minimum label in the 1-hop neighborhood (labels are node ids,
@@ -298,10 +305,10 @@ object Dedup {
           least(col("m.comp"), coalesce(col("p.lcomp"), col("m.comp")))
             .as("comp"))
         .localCheckpoint(true)
-      val changed = next.alias("u").join(comp.alias("o"), Seq("id"))
-        .filter(col("u.comp") < col("o.comp")).limit(1).count()
+      val nextPot = potential(next)
       comp = next
-      converged = changed == 0
+      converged = nextPot.compareTo(pot) == 0
+      pot = nextPot
     }
     comp
   }
