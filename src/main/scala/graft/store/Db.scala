@@ -74,6 +74,49 @@ final class Db(val spark: SparkSession, val warehouse: String) {
     def get(key: String, after: Option[Long] = None, before: Option[Long] = None): DataFrame =
       pipeline(records.filter(col("key") === key), after, before)
 
+    /** Highest committed txid (data or delete) — the resume cursor for
+      * [[tail]]. -1 on an empty warehouse.
+      */
+    def maxTxid: Long =
+      (manifest.dataTxids ++ manifest.deleteTxids).foldLeft(-1L)(math.max)
+
+    /** Change feed: everything committed AFTER `sinceTxid` — the
+      * incremental-consumption primitive (sonnerie-serve's live GET /
+      * reader-cache invalidation loop, `src/bin/sonnerie-serve.rs:242-264`,
+      * re-expressed as a cursor over commit order). Returns the new data
+      * txids' records with last-wins applied among themselves and any new
+      * delete markers applied (a delete only suppresses lower txids, as
+      * always), (key, ts) ordered. Poll pattern:
+      * {{{
+      * var cursor = db.snapshot().maxTxid
+      * while (true) { val s = db.snapshot()
+      *   process(s.tail(cursor)); cursor = s.maxTxid; sleep(…) }
+      * }}}
+      * Each batch scans only the new transaction directories — cost is the
+      * new data, never the warehouse.
+      */
+    def tail(sinceTxid: Long, pattern: String = "%",
+             after: Option[Long] = None,
+             before: Option[Long] = None): DataFrame = {
+      val newData = manifest.dataTxids.filter(_ > sinceTxid)
+      if (newData.isEmpty)
+        return SeriesOps.ordered(records.limit(0).drop("txid").drop("tbucket"))
+      val dirs = newData.map(t => s"$dataDir/txid=$t")
+      val recs = spark.read.option("basePath", dataDir)
+        .option("mergeSchema", "true").parquet(dirs: _*)
+      val newDeletes = {
+        val ts = manifest.deleteTxids.filter(_ > sinceTxid)
+        if (ts.isEmpty) Db.emptyDeletes(spark)
+        else spark.read.option("basePath", deleteDir)
+          .parquet(ts.map(t => s"$deleteDir/txid=$t"): _*)
+      }
+      val filtered = SeriesOps.timeRange(
+        SeriesOps.keyFilter(recs, pattern), after, before)
+      val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
+      val visible = SeriesOps.applyDeletes(merged, newDeletes)
+      SeriesOps.ordered(visible.drop("txid").drop("tbucket"))
+    }
+
     private def pipeline(filtered0: DataFrame, after: Option[Long],
                          before: Option[Long]): DataFrame = {
       // time-bucketed warehouse: derive the partition-column predicate so
@@ -102,6 +145,9 @@ final class Db(val spark: SparkSession, val warehouse: String) {
   def get(key: String, after: Option[Long] = None,
           before: Option[Long] = None): DataFrame =
     snapshot().get(key, after, before)
+
+  def tail(sinceTxid: Long, pattern: String = "%"): DataFrame =
+    snapshot().tail(sinceTxid, pattern)
 }
 
 object Db {
