@@ -25,16 +25,22 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LikePrefixRangeRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LikePrefixRangeRule
-    // native expressions for SQL users (Column API uses them directly)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix60",
-      exprs => graft.functions.Md5Prefix60(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "long_vec_dot",
-      exprs => graft.functions.LongVecDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32",
-      exprs => graft.functions.SimHash32(exprs.head), "scala_udf")
+    // native expressions for SQL users (Column API uses them directly);
+    // register only once — re-registering logs a WARN per call
+    def registerOnce(name: String,
+                     builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+                       => org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+      val reg = spark.sessionState.functionRegistry
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    registerOnce("md5_prefix60",
+      exprs => graft.functions.Md5Prefix60(exprs.head))
+    registerOnce("long_vec_dot",
+      exprs => graft.functions.LongVecDot(exprs(0), exprs(1)))
+    registerOnce("simhash32",
+      exprs => graft.functions.SimHash32(exprs.head))
     spark
   }
 
