@@ -138,6 +138,13 @@ final class Db(val spark: SparkSession, val warehouse: String) {
 
   def snapshot(): Snapshot = Snapshot(Manifest.current(warehouse))
 
+  /** Time travel: the warehouse exactly as of a manifest version
+    * (see [[Manifest.versions]]). Old versions stay readable until
+    * [[Compactor.vacuum]] prunes unreferenced transaction dirs.
+    */
+  def snapshotAt(version: Long): Snapshot =
+    Snapshot(Manifest.at(warehouse, version))
+
   def read(pattern: String = "%", after: Option[Long] = None,
            before: Option[Long] = None): DataFrame =
     snapshot().read(pattern, after, before)

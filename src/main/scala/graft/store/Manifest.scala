@@ -59,6 +59,29 @@ object Manifest {
     else parse(Files.readString(files.maxBy(versionOf)))
   }
 
+  /** All manifest versions present on disk, ascending. Every commit is a
+    * new immutable version file, so this is the warehouse's full history
+    * (until an explicit history prune).
+    */
+  def versions(warehouse: String): Vector[Long] = {
+    val d = dir(warehouse)
+    if (!Files.isDirectory(d)) return Vector.empty
+    Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(versionOf).toVector.sorted
+  }
+
+  /** The manifest exactly as of `version` — time travel. Data/delete dirs
+    * referenced by an old version remain on disk until [[Compactor.vacuum]]
+    * prunes to the CURRENT live set, so old snapshots stay readable until
+    * then (the same contract as table formats' VACUUM).
+    */
+  def at(warehouse: String, version: Long): ManifestState = {
+    val p = dir(warehouse).resolve(f"v$version%012d.json")
+    require(Files.exists(p), s"no manifest version $version in $warehouse")
+    parse(Files.readString(p))
+  }
+
   /** Tiny hand-rolled parser for our own fixed-shape JSON (no deps). */
   private[store] def parse(s: String): ManifestState = {
     def longField(name: String): Long = {
