@@ -109,7 +109,12 @@ object Compactor {
     Manifest.update(db.warehouse) { cur =>
       cur.copy(
         dataTxids = cur.dataTxids.filterNot(toCompact.contains) :+ newTxid,
-        deleteTxids = if (major) Vector.empty else cur.deleteTxids
+        deleteTxids = if (major) Vector.empty else cur.deleteTxids,
+        // major rewrote everything → the written schema IS the warehouse
+        // schema (a transform may have dropped columns); minor merges
+        schemaDdl =
+          if (major) Manifest.mergeDdl("", sorted.schema)
+          else Manifest.mergeDdl(cur.schemaDdl, sorted.schema)
       )
     }
   }

@@ -40,11 +40,22 @@ final class Db(val spark: SparkSession, val warehouse: String) {
     /** Union of all committed data transactions, with `txid` column. */
     def records: DataFrame = {
       require(!isEmpty, "empty warehouse")
-      val dirs = manifest.dataTxids.map(t => s"$dataDir/txid=$t")
-      spark.read
-        .option("basePath", dataDir)
-        .option("mergeSchema", "true")
-        .parquet(dirs: _*)
+      readData(manifest.dataTxids)
+    }
+
+    /** Manifest-tracked schema makes planning O(1): no footer fetch per
+      * file (`mergeSchema` reads every footer — O(files) at warehouse
+      * scale). Partition columns (txid, tbucket) are appended by partition
+      * discovery. Falls back to mergeSchema when the manifest predates
+      * schema tracking or recorded a type conflict.
+      */
+    private def readData(txids: Seq[Long]): DataFrame = {
+      val dirs = txids.map(t => s"$dataDir/txid=$t")
+      val base = spark.read.option("basePath", dataDir)
+      if (manifest.schemaDdl.nonEmpty)
+        base.schema(org.apache.spark.sql.types.StructType
+          .fromDDL(manifest.schemaDdl)).parquet(dirs: _*)
+      else base.option("mergeSchema", "true").parquet(dirs: _*)
     }
 
     def deletes: DataFrame =
@@ -101,9 +112,7 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       val newData = manifest.dataTxids.filter(_ > sinceTxid)
       if (newData.isEmpty)
         return SeriesOps.ordered(records.limit(0).drop("txid").drop("tbucket"))
-      val dirs = newData.map(t => s"$dataDir/txid=$t")
-      val recs = spark.read.option("basePath", dataDir)
-        .option("mergeSchema", "true").parquet(dirs: _*)
+      val recs = readData(newData)
       val newDeletes = {
         val ts = manifest.deleteTxids.filter(_ > sinceTxid)
         if (ts.isEmpty) Db.emptyDeletes(spark)

@@ -33,11 +33,20 @@ final case class ManifestState(
       * dirs (0 = unbucketed). Fixed at first data write; gives time-range
       * reads partition pruning on top of row-group stats.
       */
-    timeBucket: Long = 0L
+    timeBucket: Long = 0L,
+    /** Merged data schema as Spark DDL ("" = unknown → readers fall back
+      * to parquet `mergeSchema`). Maintained at commit so planning a read
+      * is O(1) instead of O(files) footer fetches — the schema-in-manifest
+      * design of large-scale table formats. Base64 in the JSON so DDL
+      * punctuation never needs escaping.
+      */
+    schemaDdl: String = ""
 ) {
   def json: String = {
     def arr(v: Vector[Long]) = v.mkString("[", ",", "]")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      schemaDdl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"schemaB64":"$b64"}"""
   }
 }
 
@@ -94,10 +103,32 @@ object Manifest {
         .map(_.split(',').map(_.trim.toLong).toVector)
         .getOrElse(Vector.empty)
     }
+    val ddl = """"schemaB64":"([^"]*)"""".r.findFirstMatchIn(s)
+      .map(m => new String(java.util.Base64.getDecoder.decode(m.group(1)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse("")
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
-      longField("timeBucket"))
+      longField("timeBucket"), ddl)
+  }
+
+  /** Merge a newly committed transaction's data schema into the tracked
+    * DDL: union of fields by name, everything nullable. A type conflict
+    * (same name, different type) yields "" — readers then fall back to
+    * parquet mergeSchema, which owns cross-type resolution.
+    */
+  def mergeDdl(curDdl: String, incoming: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.StructType
+    val inc = StructType(incoming.fields.map(_.copy(nullable = true)))
+    if (curDdl.isEmpty) return inc.toDDL
+    val cur = scala.util.Try(StructType.fromDDL(curDdl)).getOrElse(return "")
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    val conflict = inc.fields.exists(f =>
+      byName.get(f.name).exists(_.dataType != f.dataType))
+    if (conflict) return ""
+    StructType(cur.fields ++
+      inc.fields.filterNot(f => byName.contains(f.name))).toDDL
   }
 
   /** Atomically publish `next` as the successor of `expected`. Returns false

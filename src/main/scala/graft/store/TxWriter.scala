@@ -91,7 +91,7 @@ object TxWriter {
       .option("compression", "zstd")
     val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
     writer.parquet(s"${db.dataDir}/txid=$txid")
-    publishData(db, txid)
+    publishData(db, txid, sorted.schema)
     txid
   }
 
@@ -130,6 +130,9 @@ object TxWriter {
     claimed
   }
 
-  private def publishData(db: Db, txid: Long): Unit =
-    Manifest.update(db.warehouse)(m => m.copy(dataTxids = m.dataTxids :+ txid))
+  private def publishData(db: Db, txid: Long,
+                          schema: org.apache.spark.sql.types.StructType): Unit =
+    Manifest.update(db.warehouse)(m => m.copy(
+      dataTxids = m.dataTxids :+ txid,
+      schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema)))
 }
