@@ -136,6 +136,21 @@ object Compactor {
     sweep(db.deleteDir, m.deleteTxids.map(t => s"txid=$t").toSet)
   }
 
+  /** Drop manifest versions older than the newest `keep` (history bound:
+    * a long-lived warehouse accretes one version file per commit, which
+    * eventually slows the listing in `Manifest.current`). Time travel
+    * reaches only retained versions afterwards. The current version is
+    * always retained.
+    */
+  def pruneHistory(db: Db, keep: Int = 100): Unit = {
+    require(keep >= 1, "must keep at least the current version")
+    val vs = Manifest.versions(db.warehouse)
+    vs.dropRight(keep).foreach { v =>
+      Files.deleteIfExists(
+        Paths.get(db.warehouse, "_manifest", f"v$v%012d.json"))
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)

@@ -39,5 +39,14 @@ class TimeTravelSpec extends SparkSpec {
     assert(keys(db.read("%")) == Set("b"), "current snapshot survives vacuum")
     val historical = scala.util.Try(db.snapshotAt(v1).read("%").count())
     assert(historical.isFailure || !keys(db.snapshotAt(v1).read("%")).contains("a"))
+
+    // history pruning bounds the manifest listing; current always retained
+    Compactor.pruneHistory(db, keep = 1)
+    val remaining = Manifest.versions(db.warehouse)
+    assert(remaining.size == 1 &&
+      remaining.head == db.snapshot().manifest.version)
+    assert(keys(db.read("%")) == Set("b"))
+    assert(scala.util.Try(db.snapshotAt(v1)).isFailure,
+      "pruned versions are no longer reachable")
   }
 }
