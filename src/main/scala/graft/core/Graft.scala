@@ -20,6 +20,9 @@ object Graft {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // stats-only aggs (tx bounds at publish) answer from parquet footers
+    // where the type supports exact footer min/max
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     // LIKE-prefix → key-range rewrite (sargable wildcard scans); runtime
     // injection so driver-created sessions get it without sql.extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LikePrefixRangeRule))

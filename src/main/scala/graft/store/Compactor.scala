@@ -106,6 +106,7 @@ object Compactor {
     // Atomic cutover: one manifest commit swaps the compacted inputs for
     // the new transaction (and purges markers on major). Old directories
     // remain on disk for readers of older snapshots until vacuum().
+    val newStats = TxWriter.txStatsOf(db, s"${db.dataDir}/txid=$newTxid")
     Manifest.update(db.warehouse) { cur =>
       cur.copy(
         dataTxids = cur.dataTxids.filterNot(toCompact.contains) :+ newTxid,
@@ -114,7 +115,9 @@ object Compactor {
         // schema (a transform may have dropped columns); minor merges
         schemaDdl =
           if (major) Manifest.mergeDdl("", sorted.schema)
-          else Manifest.mergeDdl(cur.schemaDdl, sorted.schema)
+          else Manifest.mergeDdl(cur.schemaDdl, sorted.schema),
+        txStats = (cur.txStats -- toCompact) ++
+          newStats.map(newTxid -> _)
       )
     }
   }

@@ -65,25 +65,108 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         spark.read.option("basePath", deleteDir).parquet(dirs: _*)
       }
 
+    /** Data txids whose manifest stats can overlap the request — the
+      * reference's segment binary search at transaction granularity
+      * (`src/segment_reader.rs:173-234`): a point/prefix/time read skips
+      * whole transactions before any file listing. Overlap checks run in
+      * UTF-8 byte order (Spark's own string comparison); txids without
+      * stats are conservatively kept.
+      */
+    def prunedDataTxids(pattern: String, after: Option[Long],
+                        before: Option[Long]): Vector[Long] = {
+      import java.nio.charset.StandardCharsets.UTF_8
+      def bytes(s: String) = s.getBytes(UTF_8)
+      def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+      val w = graft.series.Wildcard(pattern)
+      // key bounds implied by the pattern: [lo, hi) in byte order
+      val lo: Option[Array[Byte]] =
+        if (w.prefix.isEmpty) None else Some(bytes(w.prefix))
+      val hi: Option[Array[Byte]] =
+        if (w.isExact) Some(bytes(w.pattern) :+ 0.toByte) // [k, k+0x00)
+        else if (w.prefix.isEmpty) None
+        else {
+          val b = bytes(w.prefix)
+          var i = b.length - 1
+          while (i >= 0 && b(i) == -1) i -= 1
+          if (i < 0) None
+          else { val out = java.util.Arrays.copyOf(b, i + 1)
+                 out(i) = (out(i) + 1).toByte; Some(out) }
+        }
+      manifest.dataTxids.filter { t =>
+        manifest.txStats.get(t).forall { st =>
+          val keyOk =
+            lo.forall(l => cmp(bytes(st.maxKey), l) >= 0) &&
+              hi.forall(h => cmp(bytes(st.minKey), h) < 0)
+          val timeOk =
+            after.forall(a => st.maxTs >= a) &&
+              before.forall(b => st.minTs < b)
+          keyOk && timeOk
+        }
+      }
+    }
+
     /** The full sonnerie read pipeline: key wildcard (prefix-range
       * rewritten), `[t0, t1)` time filter, last-writer-wins across txids,
       * delete-marker anti-join, (key, ts) ordered output — all lazily
       * composed so Catalyst pushes the filters into every per-tx scan.
+      * Transactions whose manifest stats cannot overlap are skipped
+      * entirely ([[prunedDataTxids]]).
       */
     def read(
         pattern: String = "%",
         after: Option[Long] = None,
         before: Option[Long] = None
-    ): DataFrame =
-      pipeline(SeriesOps.keyFilter(records, pattern), after, before)
+    ): DataFrame = {
+      val txids = prunedDataTxids(pattern, after, before)
+      if (txids.isEmpty) emptyResult()
+      else pipeline(
+        SeriesOps.keyFilter(readData(txids), pattern), after, before)
+    }
+
+    /** Zero-row result with the read pipeline's output shape. */
+    private def emptyResult(): DataFrame =
+      SeriesOps.ordered(records.limit(0).drop("txid").drop("tbucket"))
 
     /** Exact-key point lookup (reference `DatabaseReader::get`,
       * `src/database_reader.rs:168-175`). An exact string compare — NOT the
       * wildcard path: sonnerie wildcards have no escape syntax, so a key
       * containing a literal `%` is only reachable this way.
       */
-    def get(key: String, after: Option[Long] = None, before: Option[Long] = None): DataFrame =
-      pipeline(records.filter(col("key") === key), after, before)
+    def get(key: String, after: Option[Long] = None, before: Option[Long] = None): DataFrame = {
+      // exact-match txid pruning by stats bounds (key may contain a
+      // literal '%', so no Wildcard parse here — direct range check)
+      import java.nio.charset.StandardCharsets.UTF_8
+      val kb = key.getBytes(UTF_8)
+      def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - b.length
+      }
+      val txids = manifest.dataTxids.filter { t =>
+        manifest.txStats.get(t).forall { st =>
+          cmp(st.maxKey.getBytes(UTF_8), kb) >= 0 &&
+            cmp(st.minKey.getBytes(UTF_8), kb) <= 0 &&
+            after.forall(a => st.maxTs >= a) &&
+            before.forall(b => st.minTs < b)
+        }
+      }
+      if (txids.isEmpty) emptyResult()
+      else pipeline(readData(txids).filter(col("key") === key), after, before)
+    }
 
     /** Highest committed txid (data or delete) — the resume cursor for
       * [[tail]]. -1 on an empty warehouse.

@@ -40,15 +40,33 @@ final case class ManifestState(
       * design of large-scale table formats. Base64 in the JSON so DDL
       * punctuation never needs escaping.
       */
-    schemaDdl: String = ""
+    schemaDdl: String = "",
+    /** Per-transaction (key, ts) bounds — the reference's segment index
+      * (`file_format.md:79-90`) at transaction granularity: point/range/
+      * prefix/time reads skip whole transactions whose bounds cannot
+      * overlap, before any file listing. Missing entries (pre-stats
+      * manifests) are conservatively included by readers.
+      */
+    txStats: Map[Long, TxStats] = Map.empty
 ) {
   def json: String = {
     def arr(v: Vector[Long]) = v.mkString("[", ",", "]")
-    val b64 = java.util.Base64.getEncoder.encodeToString(
-      schemaDdl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"schemaB64":"$b64"}"""
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stats blob: one space-separated line per txid, keys base64'd so any
+    // UTF-8 key bytes survive the JSON round trip untouched
+    val stats = txStats.toVector.sortBy(_._1).map { case (t, s) =>
+      s"$t ${b64(s.minKey)} ${b64(s.maxKey)} ${s.minTs} ${s.maxTs}"
+    }.mkString("\n")
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}"}"""
   }
 }
+
+/** Per-transaction bounds: min/max key (UTF-8 byte order, matching
+  * Spark's string comparison) and min/max ts.
+  */
+final case class TxStats(minKey: String, maxKey: String,
+                         minTs: Long, maxTs: Long)
 
 object Manifest {
   private def dir(warehouse: String): Path = Paths.get(warehouse, "_manifest")
@@ -103,14 +121,23 @@ object Manifest {
         .map(_.split(',').map(_.trim.toLong).toVector)
         .getOrElse(Vector.empty)
     }
-    val ddl = """"schemaB64":"([^"]*)"""".r.findFirstMatchIn(s)
-      .map(m => new String(java.util.Base64.getDecoder.decode(m.group(1)),
-        java.nio.charset.StandardCharsets.UTF_8))
-      .getOrElse("")
+    def b64Field(name: String): String =
+      (s""""$name":"([^"]*)"""").r.findFirstMatchIn(s)
+        .map(m => new String(java.util.Base64.getDecoder.decode(m.group(1)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .getOrElse("")
+    def dec64(x: String) = new String(
+      java.util.Base64.getDecoder.decode(x),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stats = b64Field("txStatsB64").split('\n').filter(_.nonEmpty)
+      .map { line =>
+        val Array(t, lo, hi, t0, t1) = line.split(' ')
+        t.toLong -> TxStats(dec64(lo), dec64(hi), t0.toLong, t1.toLong)
+      }.toMap
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
-      longField("timeBucket"), ddl)
+      longField("timeBucket"), b64Field("schemaB64"), stats)
   }
 
   /** Merge a newly committed transaction's data schema into the tracked

@@ -95,6 +95,19 @@ object TxWriter {
     txid
   }
 
+  /** (key, ts) bounds of a freshly written transaction directory — a
+    * stats-only read (parquet aggregate pushdown answers min/max from
+    * footers, bounded by the one transaction's file count). None for an
+    * empty or all-null transaction.
+    */
+  private[store] def txStatsOf(db: Db, dir: String): Option[TxStats] = {
+    val r = db.spark.read.parquet(dir)
+      .agg(min(col("key")), max(col("key")), min(col("ts")), max(col("ts")))
+      .head()
+    if (r.isNullAt(0)) None
+    else Some(TxStats(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+  }
+
   /** Append a range-delete marker transaction (reference `CreateTx::delete`,
     * `src/create_tx.rs:115-174`): suppresses records with `txid < this txid`,
     * `key ∈ [firstKey, lastKey)` (empty lastKey = unbounded), `ts ∈ [t0, t1)`,
@@ -131,8 +144,11 @@ object TxWriter {
   }
 
   private def publishData(db: Db, txid: Long,
-                          schema: org.apache.spark.sql.types.StructType): Unit =
+                          schema: org.apache.spark.sql.types.StructType): Unit = {
+    val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
     Manifest.update(db.warehouse)(m => m.copy(
       dataTxids = m.dataTxids :+ txid,
-      schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema)))
+      schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
+      txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s))))
+  }
 }
