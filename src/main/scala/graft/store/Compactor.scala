@@ -42,6 +42,33 @@ object Compactor {
   def minor(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =
     compact(db, major = false, transform)
 
+  /** Minor compaction in bounded passes: fold at most `maxTxPerPass`
+    * transactions per rewrite, looping until one folded transaction
+    * remains — the reference's 1000-file-per-pass cap + loop
+    * (`src/database_reader.rs:24,103-107`, `src/main.rs:397-499`), which
+    * bounds each pass's scan width (and, there, fd count) when a
+    * warehouse accretes a huge transaction tail.
+    */
+  def minorChunked(db: Db, maxTxPerPass: Int = 1000,
+                   transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
+    require(maxTxPerPass >= 2, "a pass must fold at least 2 transactions")
+    var guard = 0
+    while (db.snapshot().manifest.dataTxids.drop(1).size >= 2 && guard < 10000) {
+      compactChunk(db, maxTxPerPass, transform)
+      guard += 1
+    }
+  }
+
+  /** One bounded minor pass: fold the NEWEST `maxTxPerPass` non-base
+    * transactions. The folded output gets a fresh (highest) txid, so the
+    * folded set must be the precedence-topmost transactions — folding an
+    * older chunk would lift its records above unfolded newer ones and
+    * invert last-wins.
+    */
+  private def compactChunk(db: Db, maxTxPerPass: Int,
+                           transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+    compact(db, major = false, transform, limitTx = Some(maxTxPerPass))
+
   /** Literal `--gegnum` parity (reference `src/main.rs:429-477`): dump the
     * whole database as text-protocol lines through an external shell
     * command, re-ingest its stdout as the compacted contents. Requires the
@@ -63,10 +90,14 @@ object Compactor {
     compact(db, major = true, transform)
 
   private def compact(db: Db, major: Boolean,
-                      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+                      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                      limitTx: Option[Int] = None): Unit = {
     val snap = db.snapshot()
     val m = snap.manifest
-    val toCompact = if (major) m.dataTxids else m.dataTxids.drop(1)
+    val tail = m.dataTxids.drop(1)
+    val toCompact =
+      if (major) m.dataTxids
+      else limitTx.fold(tail)(n => tail.sorted.takeRight(n))
     // minor needs ≥2 tx to fold; major runs whenever there is any data
     // (it may be purging deletes or applying a transform to a single tx)
     if (toCompact.isEmpty || (!major && toCompact.size < 2)) return
