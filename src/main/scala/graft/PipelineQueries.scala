@@ -47,6 +47,12 @@ object PipelineQueries {
         .select(col("id1"), col("id2"), col("dist").cast("long"))
         .orderBy("id1", "id2")
     },
+    // the 100 TB fingerprint width: 60 portable bits, 4×15-bit chunks
+    "dedup_simhash60" -> { (s, d) =>
+      Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", 3, 60)
+        .select(col("id1"), col("id2"), col("dist").cast("long"))
+        .orderBy("id1", "id2")
+    },
     "dedup_ngram_jaccard" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val bucket = concat(col("lang"), lit("/"),
@@ -186,10 +192,12 @@ object PipelineQueries {
       s"SELECT doc_id, sig, $b AS band, sig[${i + 1}] * $P + sig[${i + 2}] AS band_key FROM $src"
     }.mkString("\nUNION ALL ")
 
-  private def simhashChunksUnion(src: String): String =
+  private def simhashChunksUnion(src: String, width: Int = 8): String = {
+    val mask = (1L << width) - 1
     (0 until 4).map { c =>
-      s"SELECT doc_id, sh, $c AS chunk, (sh >> ${c * 8}) & 255 AS chunk_val FROM $src"
+      s"SELECT doc_id, sh, $c AS chunk, (sh >> ${c * width}) & $mask AS chunk_val FROM $src"
     }.mkString("\nUNION ALL ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "text_profile" ->
@@ -250,6 +258,20 @@ object PipelineQueries {
          |sh AS (
          |  SELECT doc_id, ${Dedup.sqlSimhashTerms("_hs")} AS sh FROM hs),
          |chunked AS (${simhashChunksUnion("sh")}),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |         bit_count(xor(l.sh, r.sh)) AS dist
+         |  FROM chunked l JOIN chunked r
+         |    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+         |   AND l.doc_id < r.doc_id)
+         |SELECT id1, id2, CAST(dist AS BIGINT) AS dist FROM pairs
+         |WHERE dist <= 3 ORDER BY id1, id2""".stripMargin,
+    "dedup_simhash60" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, ${Dedup.sqlTokenHashes("text")} AS _hs FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${Dedup.sqlSimhashTerms("_hs", 60)} AS sh FROM hs),
+         |chunked AS (${simhashChunksUnion("sh", 15)}),
          |pairs AS (
          |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
          |         bit_count(xor(l.sh, r.sh)) AS dist

@@ -6,16 +6,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native 32-bit SimHash over an `array<bigint>` of token hashes — bit b of
+/** Native SimHash over an `array<bigint>` of token hashes — bit b of
   * the result is set iff at least half the token hashes have bit b set
   * (majority vote, ties to 1). Semantically identical to the built-in
   * composition `sum_b(CASE WHEN 2 * size(filter(hs, h -> (h >> b) & 1 = 1))
   * >= size(hs) THEN 1<<b ELSE 0 END)` but a single pass over the unboxed
-  * array instead of 32 interpreted `filter` traversals per document
-  * (reference near-dup role: sonnerie has none; this is the training-data
-  * pipeline's fingerprint kernel).
+  * array instead of one interpreted `filter` traversal per bit per
+  * document (reference near-dup role: sonnerie has none; this is the
+  * training-data pipeline's fingerprint kernel).
+  *
+  * `bits` ≤ 60: the token hashes carry 60 portable bits
+  * ([[Md5Prefix60]]), and 60-bit results stay exact BIGINTs in every
+  * engine. 32 is the demo default; 60 is the 100 TB fingerprint.
   */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression, bits: Int = SimHash32.BITS)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
@@ -30,13 +36,13 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    SimHash32.eval(input.asInstanceOf[ArrayData])
+    SimHash32.eval(input.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.eval($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
@@ -48,14 +54,14 @@ object SimHash32 {
   val BITS = 32
 
   /** Static kernel shared by interpreted and generated code paths. */
-  def eval(hs: ArrayData): Long = {
+  def eval(hs: ArrayData, bits: Int): Long = {
     val n = hs.numElements()
-    val ones = new Array[Int](BITS)
+    val ones = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
       var b = 0
-      while (b < BITS) {
+      while (b < bits) {
         ones(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
@@ -63,7 +69,7 @@ object SimHash32 {
     }
     var r = 0L
     var b = 0
-    while (b < BITS) {
+    while (b < bits) {
       if (2 * ones(b) >= n) r |= 1L << b
       b += 1
     }
@@ -72,4 +78,7 @@ object SimHash32 {
 
   def apply(c: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+
+  def apply(c: Column, bits: Int): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(c), bits))
 }

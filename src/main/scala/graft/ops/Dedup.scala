@@ -166,12 +166,13 @@ object Dedup {
     * ([[graft.functions.SimHash32]]); [[simhashOfComposed]] keeps the
     * built-in composition it is value-identical to (property-tested).
     */
-  def simhashOf(hs: Column): Column = graft.functions.SimHash32(hs)
+  def simhashOf(hs: Column, bits: Int = SIMHASH_BITS): Column =
+    graft.functions.SimHash32(hs, bits)
 
   /** Built-in-only formulation (what the DuckDB oracle mirrors). */
-  def simhashOfComposed(hs: Column): Column = {
+  def simhashOfComposed(hs: Column, bits: Int = SIMHASH_BITS): Column = {
     val n = size(hs)
-    (0 until SIMHASH_BITS).map { b =>
+    (0 until bits).map { b =>
       val ones = size(filter(hs, h => shiftright(h, b).bitwiseAND(1) === 1))
       when(ones * 2 >= n, lit(1L << b)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
@@ -187,8 +188,8 @@ object Dedup {
     s"list_transform(string_split($textExpr, ' '), t -> ${PortableHash.sqlH60("t")})"
 
   /** Per-bit vote terms over a column holding [[sqlTokenHashes]]. */
-  def sqlSimhashTerms(hsVar: String): String =
-    (0 until SIMHASH_BITS).map { b =>
+  def sqlSimhashTerms(hsVar: String, bits: Int = SIMHASH_BITS): String =
+    (0 until bits).map { b =>
       s"(CASE WHEN 2 * len(list_filter($hsVar, h -> (h >> $b) & 1 = 1)) >= len($hsVar) THEN ${1L << b}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
 
@@ -197,14 +198,17 @@ object Dedup {
     * pair within maxDist agrees on ≥1 chunk → join per chunk, then verify
     * with bit_count(xor).
     */
+  /** @param bits fingerprint width: 32 (demo default) or up to 60 — the
+    *        100 TB setting (fewer false candidates per pigeonhole chunk).
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, bits: Int = SIMHASH_BITS): DataFrame = {
     val chunks = maxDist + 1
-    val width = SIMHASH_BITS / chunks
+    val width = bits / chunks
     val mask = (1L << width) - 1
     val sh = graft.core.Graft.rebalance(df)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("_hs"))
-      .select(col("id"), simhashOf(col("_hs")).as("sh"))
+      .select(col("id"), simhashOf(col("_hs"), bits).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sh"), c * width).bitwiseAND(mask)): _*)))

@@ -58,12 +58,14 @@ class PortableHashSpec extends SparkSpec {
       (0 until (i % 7) * 9 + 1).map(j =>
         graft.ops.Multimodal.h60jvm(s"tok:$i:$j") % PortableHash.P)
     } :+ Seq(0L) :+ Seq(Long.MaxValue >>> 4)
-    hss.toDF("hs")
-      .select(
-        Dedup.simhashOf(col("hs")).as("native"),
-        Dedup.simhashOfComposed(col("hs")).as("composed"))
-      .collect()
-      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    Seq(32, 60, 1).foreach { bits =>
+      hss.toDF("hs")
+        .select(
+          Dedup.simhashOf(col("hs"), bits).as("native"),
+          Dedup.simhashOfComposed(col("hs"), bits).as("composed"))
+        .collect()
+        .foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits"))
+    }
   }
 
   test("native expressions callable from SQL after configure") {
