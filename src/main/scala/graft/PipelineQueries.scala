@@ -38,6 +38,12 @@ object PipelineQueries {
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
         .orderBy("content_hash")
     },
+    // the keep-set after exact dedup — the operator users actually run
+    "dedup_keepset" -> { (s, d) =>
+      Dedup.dropExactDuplicates(Graft.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
     "dedup_minhash_lsh" -> { (s, d) =>
       Dedup.minhashCandidates(Graft.documents(s, d), "doc_id", "text")
         .orderBy("id1", "id2")
@@ -266,6 +272,11 @@ object PipelineQueries {
          |   AND l.doc_id < r.doc_id)
          |SELECT id1, id2, CAST(dist AS BIGINT) AS dist FROM pairs
          |WHERE dist <= 3 ORDER BY id1, id2""".stripMargin,
+    "dedup_keepset" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash60" ->
       s"""WITH hs AS (
          |  SELECT doc_id, ${Dedup.sqlTokenHashes("text")} AS _hs FROM documents),

@@ -35,15 +35,6 @@ object Profile {
         explode(col("sh")).as("h"))
     t("jac: shingle+explode rebal")(ex.count())
     t("jac: shingle+explode rebal2")(ex.count())
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    t("jac: rebal noCoalesce")(ex.count())
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
-    t("jac: rebal minPart16k")(ex.count())
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t("jac: rebal noAQE")(ex.count())
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    println("PROFILE final plan:\n" + ex.queryExecution.executedPlan.toString.take(3000))
     val exS = docs
       .select(col("doc_id").as("id"), bucket.as("bucket"),
         Dedup.shingleHashes(col("text"), 3).as("sh"))
