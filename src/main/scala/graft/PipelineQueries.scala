@@ -111,6 +111,11 @@ object PipelineQueries {
           "embedding", 0.35)
         .orderBy("id1", "id2")
     },
+    // the production composition: LSH candidates → exact-jaccard verify
+    "dedup_verified" -> { (s, d) =>
+      Dedup.verifiedNearDups(Graft.documents(s, d), "doc_id", "text", 0.4)
+        .orderBy("id1", "id2")
+    },
     // ── duplicate clusters (pairs → keep/drop decision) ───────────────
     "dedup_clusters" -> { (s, d) =>
       val cand = Dedup.minhashCandidates(Graft.documents(s, d), "doc_id", "text")
@@ -231,6 +236,20 @@ object PipelineQueries {
       s"""WITH $minhashCtes
          |SELECT id1, id2, $minhashEstSql AS est_jaccard
          |FROM mpairs ORDER BY id1, id2""".stripMargin,
+    "dedup_verified" ->
+      s"""WITH $minhashCtes,
+         |inter AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+         |         len(a.sh) AS sz1, len(b.sh) AS sz2
+         |  FROM (SELECT id1, id2 FROM mpairs) c
+         |  JOIN shing a ON a.doc_id = c.id1
+         |  JOIN shing b ON b.doc_id = c.id2)
+         |SELECT id1, id2,
+         |       round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) AS jaccard
+         |FROM inter
+         |WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= 0.4
+         |ORDER BY id1, id2""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |cand AS (SELECT id1, id2 FROM mpairs WHERE $minhashEstSql >= 0.5),

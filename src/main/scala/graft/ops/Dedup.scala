@@ -154,6 +154,35 @@ object Dedup {
     )
   }
 
+  /** The production near-dup recipe at corpus scale: LSH candidate
+    * generation (sub-quadratic, optionally bucket-capped) followed by
+    * EXACT Jaccard verification computed only on the candidate pairs —
+    * never an all-pairs or all-shingles join. Verification cost is
+    * O(candidates × shingles-per-doc); the recall envelope is the LSH
+    * family's, the precision is exact.
+    */
+  def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       maxBucket: Option[Int] = None): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, maxBucket)
+      .select(col("id1"), col("id2"))
+    val sh = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+    val joined = cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      // stage the intersection size as a real column: referencing the
+      // array_intersect expression three times in one projection would
+      // recompute it (CollapseProject keeps staged aliases apart)
+      .select(col("id1"), col("id2"),
+        size(col("sh1")).as("sz1"), size(col("sh2")).as("sz2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"))
+    joined.select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────
 
   val SIMHASH_BITS = 32
