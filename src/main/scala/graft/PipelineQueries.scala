@@ -33,6 +33,24 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id")
     },
+    // end-to-end corpus cleaning: quality gate + language filter + exact
+    // dedup keep-set — the canonical pretraining-data preparation job,
+    // composed from the individual operators (all scan-bound + one agg)
+    "tp_clean_corpus" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langPredict(col("text")).as("lang_pred"))
+      val kept = scored
+        .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+      val canonical = kept
+        .groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      kept.join(canonical, "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -291,6 +309,18 @@ object PipelineQueries {
          |   AND l.doc_id < r.doc_id)
          |SELECT id1, id2, CAST(dist AS BIGINT) AS dist FROM pairs
          |WHERE dist <= 3 ORDER BY id1, id2""".stripMargin,
+    "tp_clean_corpus" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text, $sqlQuality AS quality,
+         |         $sqlLangPred AS lang_pred
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+         |SELECT k.doc_id, k.lang, k.quality
+         |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
     "dedup_keepset" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (
