@@ -87,6 +87,20 @@ object Cli {
           t1 = at.map(_ + 1).orElse(t1).getOrElse(Long.MaxValue),
           wildcard = flags.getOrElse("--wildcard", "%"))
 
+      // change feed: everything committed after --since-txid (default:
+      // full history), printed as text-protocol lines; prints the new
+      // cursor on stderr-style last line for the next invocation
+      case "tail" :: rest =>
+        val pattern = rest.headOption.getOrElse("%")
+        val since = flags.get("--since-txid").map(_.toLong).getOrElse(-1L)
+        val snap = db.snapshot()
+        val feed = snap.tail(since, pattern)
+        TextIngest.print(spark, TextIngest.asRecords(feed),
+            showFmt = flags.contains("--with-format"),
+            tsMode = TextIngest.TsNanos)
+          .toLocalIterator().forEachRemaining(l => stdout(l))
+        stdout(s"# cursor ${snap.maxTxid}")
+
       case "compact" :: Nil =>
         flags.get("--gegnum") match {
           case Some(cmd) => Compactor.gegnum(db, cmd)
@@ -103,7 +117,8 @@ object Cli {
 
   private val valueFlags = Set("-d", "--format", "--after-time",
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
-    "--wildcard", "--gegnum", "--timestamp-format", "--parallel")
+    "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
+    "--since-txid")
   private val boolFlags = Set("--human", "--with-format", "--major")
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

@@ -41,6 +41,17 @@ class CliSpec extends SparkSpec {
       "fibonacci\t2020-01-02T00:00:00\t1")
   }
 
+  test("tail verb: change feed with a resumable cursor") {
+    val wh = tmpDir("graft-cli-tail")
+    cli("-d", wh, "add", "--format", "u")("a 100 1")
+    val first = cli("-d", wh, "tail")()
+    assert(first.exists(_.startsWith("a\t")) && first.last.startsWith("# cursor "))
+    val cursor = first.last.stripPrefix("# cursor ")
+    cli("-d", wh, "add", "--format", "u")("b 200 2")
+    val next = cli("-d", wh, "tail", "%", "--since-txid", cursor)()
+    assert(next.count(!_.startsWith("#")) == 1 && next.head.startsWith("b\t"))
+  }
+
   test("multicolumn --columns selection and per-line formats") {
     val wh = tmpDir("graft-cli2")
     cli("-d", wh, "add")(
