@@ -29,10 +29,14 @@ case class Md5Prefix60(child: Expression)
         s"requires string input, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    Md5Prefix60.eval(input.asInstanceOf[UTF8String])
+    Md5Prefix60.hash60(input.asInstanceOf[UTF8String])
 
+  // The static kernel must NOT be named `eval`: a companion method whose
+  // name clashes with an inherited member (Expression.eval) gets no static
+  // forwarder, so the generated Java fails to compile and Spark silently
+  // falls back to interpreted evaluation.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.hash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
     copy(child = newChild)
@@ -50,7 +54,7 @@ object Md5Prefix60 {
     * shifted right 4 (drops the 16th hex digit). Static + JIT-friendly for
     * generated code.
     */
-  def eval(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = {
     val md = digestPool.get()
     md.reset()
     val d = md.digest(s.getBytes)

@@ -36,13 +36,16 @@ case class SimHash32(child: Expression, bits: Int = SimHash32.BITS)
     }
 
   override def nullSafeEval(input: Any): Any =
-    SimHash32.eval(input.asInstanceOf[ArrayData], bits)
+    SimHash32.simhash(input.asInstanceOf[ArrayData], bits)
 
+  // Static kernel must not be named `eval` (clash with Expression.eval
+  // suppresses the static forwarder → Janino compile error → silent
+  // interpreter fallback; see Md5Prefix60).
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.eval($c, $bits)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.simhash($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
@@ -54,7 +57,7 @@ object SimHash32 {
   val BITS = 32
 
   /** Static kernel shared by interpreted and generated code paths. */
-  def eval(hs: ArrayData, bits: Int): Long = {
+  def simhash(hs: ArrayData, bits: Int): Long = {
     val n = hs.numElements()
     val ones = new Array[Int](bits)
     var i = 0

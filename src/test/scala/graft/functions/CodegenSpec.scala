@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the codegen path of the native kernels. Round-2 regression: a
+  * companion method named like an inherited member (`eval` clashing with
+  * `Expression.eval`) gets NO static forwarder, so the generated Java
+  * (`graft.functions.Md5Prefix60.eval(...)`) failed to compile and every
+  * use silently fell back to interpreted evaluation ("Expr codegen error"
+  * WARNs). These tests fail loudly instead.
+  */
+class CodegenSpec extends AnyFunSuite {
+
+  test("static forwarders exist for all native kernel methods") {
+    import java.lang.reflect.Modifier
+    def statics(cls: Class[_]): Set[String] =
+      cls.getDeclaredMethods
+        .filter(m => Modifier.isStatic(m.getModifiers))
+        .map(_.getName)
+        .toSet
+    assert(statics(classOf[Md5Prefix60]).contains("hash60"),
+      "Md5Prefix60.hash60 static forwarder missing — codegen will fall back")
+    assert(statics(classOf[SimHash32]).contains("simhash"),
+      "SimHash32.simhash static forwarder missing — codegen will fall back")
+    assert(statics(classOf[LongVecDot]).contains("dot"),
+      "LongVecDot.dot static forwarder missing — codegen will fall back")
+    // Document the trap itself: `eval` can never be a forwarder here.
+    assert(!statics(classOf[Md5Prefix60]).contains("eval"))
+    assert(!statics(classOf[SimHash32]).contains("eval"))
+  }
+
+  test("generated code compiles and agrees with interpreted eval") {
+    val arr = Literal.create(Seq(1L, 3L, 5L, 7L, 2654435761L), ArrayType(LongType))
+    val exprs: Seq[Expression] = Seq(
+      Md5Prefix60(Literal("hello world")),
+      Md5Prefix60(Literal("")),
+      SimHash32(arr, 32),
+      SimHash32(arr, 60),
+      SimHash32(arr, 1),
+      LongVecDot(arr, arr))
+    // GenerateUnsafeProjection has no interpreted fallback: a Janino
+    // compile error in any doGenCode is a thrown exception here, not a WARN.
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = proj(InternalRow.empty)
+    exprs.zipWithIndex.foreach { case (e, i) =>
+      val interpreted = e.eval(InternalRow.empty).asInstanceOf[Long]
+      assert(row.getLong(i) == interpreted,
+        s"codegen/interpreted disagree at $i: ${row.getLong(i)} vs $interpreted")
+    }
+  }
+}
