@@ -136,11 +136,16 @@ object AnalyticsQueries {
       Graft.events(s, d)
         .select(col("event_type"), x.as("x"), y.as("y"))
         .groupBy("event_type")
+        // moments summed as decimal(38,0): per-row products fit int64 but
+        // their SUM wraps silently at ~1e12 rows — DuckDB accumulates in
+        // HUGEINT, so int64 accumulation here would hash-diverge at scale
+        // instead of erroring (values are identical at any non-wrapping SF)
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
         .select(col("event_type"), col("n"),
           round(
             (d0(col("n")) * d0(col("sxy")) - d0(col("sx")) * d0(col("sy"))) /

@@ -71,8 +71,21 @@ object Graft {
     * columns — projections added after the repartition execute post-shuffle.
     */
   def rebalance(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Only probe partitioning when the plan is scan-shaped (no shuffle
+    // upstream): there `.rdd` is lazy and free. On a derived input, AQE's
+    // `.rdd` materializes the upstream shuffle stages eagerly and the
+    // probe's work is discarded — and a post-shuffle frame is already
+    // spread across shuffle.partitions, so the repartition buys nothing.
+    val hasShuffleUpstream = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Sort | _: Distinct | _: Deduplicate |
+          _: Window | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (hasShuffleUpstream) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -164,9 +164,12 @@ object Dedup {
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, n: Int = 3,
                        maxBucket: Option[Int] = None): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, n, maxBucket)
+    // rebalance once and share; the nested rebalance inside
+    // minhashCandidates sees the repartition upstream and no-ops
+    val spread = graft.core.Graft.rebalance(df)
+    val cand = minhashCandidates(spread, idCol, textCol, n, maxBucket)
       .select(col("id1"), col("id2"))
-    val sh = graft.core.Graft.rebalance(df)
+    val sh = spread
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
     val joined = cand
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
@@ -314,9 +317,13 @@ object Dedup {
     // labels are node ids and only ever decrease, so the label sum is a
     // strictly decreasing potential function: cheap convergence detection
     // (one aggregate on the checkpointed relation, no comparison join)
-    def potential(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0) // decimal: id-sum cannot overflow at any corpus size
+    def potential(df: DataFrame): java.math.BigDecimal = {
+      // decimal: id-sum cannot overflow at any corpus size; sum over zero
+      // rows is NULL — treat as 0 so an empty edge set converges instead
+      // of NPEing (clean corpus, no candidate pairs)
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var pot = potential(comp)
     var converged = false
     while (!converged) {

@@ -139,13 +139,17 @@ object Compactor {
     // remain on disk for readers of older snapshots until vacuum().
     val newStats = TxWriter.txStatsOf(db, s"${db.dataDir}/txid=$newTxid")
     Manifest.update(db.warehouse) { cur =>
+      val survivors = cur.dataTxids.filterNot(toCompact.contains)
       cur.copy(
-        dataTxids = cur.dataTxids.filterNot(toCompact.contains) :+ newTxid,
+        dataTxids = survivors :+ newTxid,
         deleteTxids = if (major) Vector.empty else cur.deleteTxids,
         // major rewrote everything → the written schema IS the warehouse
-        // schema (a transform may have dropped columns); minor merges
+        // schema (a transform may have dropped columns) — but only if no
+        // transaction committed concurrently between snapshot and cutover:
+        // a survivor's columns must stay in the manifest schema or its new
+        // columns would silently read as null. Minor always merges.
         schemaDdl =
-          if (major) Manifest.mergeDdl("", sorted.schema)
+          if (major && survivors.isEmpty) Manifest.mergeDdl("", sorted.schema)
           else Manifest.mergeDdl(cur.schemaDdl, sorted.schema),
         txStats = (cur.txStats -- toCompact) ++
           newStats.map(newTxid -> _)

@@ -132,9 +132,24 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         SeriesOps.keyFilter(readData(txids), pattern), after, before)
     }
 
-    /** Zero-row result with the read pipeline's output shape. */
-    private def emptyResult(): DataFrame =
-      SeriesOps.ordered(records.limit(0).drop("txid").drop("tbucket"))
+    /** Zero-row result with the read pipeline's output shape. Must not go
+      * through [[records]]: the documented bootstrap pattern
+      * (`cursor = maxTxid; tail(cursor)` before any commit) reads an empty
+      * warehouse, which should yield zero rows, not throw.
+      */
+    private def emptyResult(): DataFrame = {
+      val schema: StructType =
+        if (manifest.schemaDdl.nonEmpty)
+          StructType.fromDDL(manifest.schemaDdl) // excludes partition cols
+        else if (!isEmpty)
+          records.drop("txid").drop("tbucket").schema
+        else // nothing ever committed: the canonical series shape
+          StructType(Seq(
+            StructField("key", StringType, nullable = false),
+            StructField("ts", LongType, nullable = false)))
+      SeriesOps.ordered(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
 
     /** Exact-key point lookup (reference `DatabaseReader::get`,
       * `src/database_reader.rs:168-175`). An exact string compare — NOT the
@@ -193,8 +208,7 @@ final class Db(val spark: SparkSession, val warehouse: String) {
              after: Option[Long] = None,
              before: Option[Long] = None): DataFrame = {
       val newData = manifest.dataTxids.filter(_ > sinceTxid)
-      if (newData.isEmpty)
-        return SeriesOps.ordered(records.limit(0).drop("txid").drop("tbucket"))
+      if (newData.isEmpty) return emptyResult()
       val recs = readData(newData)
       val newDeletes = {
         val ts = manifest.deleteTxids.filter(_ > sinceTxid)

@@ -60,4 +60,11 @@ class SamplingSpec extends SparkSpec {
     val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
     assert(comp.length == 41 && comp.forall(_._2 == 0L))
   }
+
+  test("connectedComponents on an empty pair set returns empty (no NPE)") {
+    // a clean corpus yields zero candidate pairs; sum() over zero rows is
+    // NULL, which used to NPE the convergence check
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
 }

@@ -53,4 +53,25 @@ class SchemaTrackSpec extends SparkSpec {
         .fieldNames.contains("extra"))
     assert(db.read("%").columns.toSet == Set("key", "ts", "v"))
   }
+
+  test("concurrent commit during major compaction keeps its schema") {
+    val db = Db(spark, tmpDir("graft-schema4"))
+    TxWriter.write(db, Seq(("a", 1L, 10L)).toDF("key", "ts", "v"))
+    // The transform hook runs before the cutover manifest CAS — a commit
+    // made inside it models a writer racing the compaction. Its new
+    // column must survive in the manifest schema: resetting the ddl to
+    // only the compacted output would read `w` as silently-null.
+    Compactor.major(db, { df =>
+      TxWriter.write(db,
+        Seq(("b", 2L, 20L, 3.5)).toDF("key", "ts", "v", "w"))
+      df
+    })
+    val tracked = org.apache.spark.sql.types.StructType
+      .fromDDL(db.snapshot().manifest.schemaDdl)
+    assert(tracked.fieldNames.toSet == Set("key", "ts", "v", "w"),
+      s"schema lost the concurrent tx's column: ${tracked.fieldNames.toSeq}")
+    val out = db.read("%").orderBy("key").select("key", "v", "w").collect()
+    assert(out.length == 2)
+    assert(out(1).getString(0) == "b" && out(1).getDouble(2) == 3.5)
+  }
 }

@@ -12,6 +12,18 @@ class TailSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.select("key", "ts", "v").as[(String, Long, Long)].collect().toSet
 
+  test("empty warehouse: read/get/tail return zero rows, not errors") {
+    // documented bootstrap: cursor = maxTxid (-1) then tail(cursor)
+    // before any commit — must yield an empty feed, not throw
+    val db = Db(spark, tmpDir("graft-empty"))
+    val s = db.snapshot()
+    assert(s.maxTxid == -1L)
+    assert(s.tail(s.maxTxid).count() == 0)
+    assert(db.read("%").count() == 0)
+    assert(db.read("nothing%").count() == 0)
+    assert(db.get("nokey").count() == 0)
+  }
+
   test("tail sees only new commits; cursor advances; deletes apply") {
     val db = Db(spark, tmpDir("graft-tail"))
     TxWriter.write(db, Seq(("a", 1L, 10L), ("b", 1L, 20L)).toDF("key", "ts", "v"))
