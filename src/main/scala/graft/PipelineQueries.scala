@@ -114,8 +114,8 @@ object PipelineQueries {
           col("label"), 0.35)
         .orderBy("id1", "id2")
     },
-    // rows-only check (iterative Lloyd training is not ANSI-SQL-
-    // expressible): IVF probe over a k-means codebook
+    // IVF probe over a Lloyd-trained codebook; the fixed-iteration
+    // deterministic training unrolls into the SQL oracle (sqlIvfTrained)
     "ann_ivf_trained" -> { (s, d) =>
       val emb = Graft.embeddings(s, d)
       Similarity.ivfKnnTrained(emb, emb.filter(col("vec_id") < 5),
@@ -411,6 +411,10 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
+    // the Lloyd loop is deterministic with fixed iters → unrolled in SQL
+    "ann_ivf_trained" ->
+      Similarity.sqlIvfTrained(nCentroids = 16, iters = 2, k = 10,
+        queryPred = "vec_id < 5"),
     "dedup_embedding" ->
       s"""WITH pre AS (
          |  SELECT vec_id AS id, label AS bucket,

@@ -290,6 +290,68 @@ object Similarity {
             org.apache.spark.sql.types.LongType)))))
   }
 
+  /** DuckDB oracle for [[ivfKnnTrained]]: the Lloyd loop is deterministic
+    * (init = first k vectors by id; assign by exact integer-dot cosine
+    * rounded to 9 places, ties to the lower centroid id; recompute =
+    * elementwise floor-mean on the integer grid; empty cells keep their
+    * centroid), so a FIXED iteration count unrolls into plain SQL — one
+    * assign+mean CTE pair per iteration, then the standard IVF probe.
+    * Floor-mean portability: sums stay far below 2^53, so
+    * `floor(sum::DOUBLE / n)` is exact and equals Java's `Math.floorDiv`.
+    */
+  def sqlIvfTrained(nCentroids: Int, iters: Int, k: Int,
+                    queryPred: String): String = {
+    def cosAssign(vAlias: String, cAlias: String) = sqlCosineParts(
+      sqlDotInt(s"$vAlias.v", s"$cAlias.cv"), s"$vAlias.n2", s"$cAlias.cn")
+    def assignCte(name: String, cbWithN: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, n2, centroid_id FROM (
+         |    SELECT vn.vec_id, vn.v, vn.n2, c.centroid_id,
+         |           row_number() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY round(${cosAssign("vn", "c")}, 9) DESC,
+         |                      c.centroid_id) AS rn
+         |    FROM vn CROSS JOIN $cbWithN c)
+         |  WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"cb${it - 1}"
+      s"""c$it AS (SELECT centroid_id, cv,
+         |       ${sqlDotInt("cv", "cv")} AS cn FROM $prev),
+         |${assignCte(s"a$it", s"c$it")},
+         |e$it AS (SELECT centroid_id, unnest(range(len(v))) AS i,
+         |         unnest(v) AS x FROM a$it),
+         |m$it AS (SELECT centroid_id, list(mv ORDER BY i) AS cv FROM (
+         |    SELECT centroid_id, i,
+         |           CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+         |    FROM e$it GROUP BY centroid_id, i)
+         |  GROUP BY centroid_id),
+         |cb$it AS (SELECT p.centroid_id, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$it m USING (centroid_id))""".stripMargin
+    }.mkString(",\n")
+    val cosScore = sqlCosineParts(sqlDotInt("qv", "a.v"), "qn", "a.n2")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
+       |cb0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS centroid_id, v AS cv
+       |  FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $nCentroids)),
+       |$iterCtes,
+       |cf AS (SELECT centroid_id, cv,
+       |       ${sqlDotInt("cv", "cv")} AS cn FROM cb$iters),
+       |${assignCte("assign", "cf")},
+       |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, centroid_id
+       |      FROM assign WHERE $queryPred),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS nn_id, round($cosScore, 9) AS cos
+       |  FROM q JOIN assign a USING (centroid_id)
+       |  WHERE a.vec_id <> query_id)
+       |SELECT query_id, nn_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs within a bucket column (e.g. label):
     * cosine ≥ threshold, ids ordered. Norms precomputed per vector.
     */
