@@ -38,16 +38,24 @@ object SeriesOps {
     val w = Wildcard(pattern)
     if (w.isExact) key === w.pattern
     else {
+      // The successor upper bound is only sound for ASCII prefixes (same
+      // guard as LikePrefixRangeRule): bumping a non-ASCII last char can
+      // produce an unpaired surrogate whose UTF-8 bytes mis-bound the
+      // range. The lower bound is always sound (UTF8String compares in
+      // UTF-8 byte order); non-ASCII prefixes keep the LIKE residual.
+      val ascii = w.prefix.nonEmpty && w.prefix.forall(_ < 0x7f)
       val range: Option[Column] =
         if (w.prefix.isEmpty) None
         else {
           val lower = key >= w.prefix
-          Some(Wildcard.asciiSuccessor(w.prefix) match {
-            case Some(succ) => lower && key < succ
-            case None       => lower
-          })
+          Some(
+            if (ascii) Wildcard.asciiSuccessor(w.prefix) match {
+              case Some(succ) => lower && key < succ
+              case None       => lower
+            }
+            else lower)
         }
-      if (w.isPrefixOnly) range.getOrElse(lit(true))
+      if (w.isPrefixOnly && ascii) range.getOrElse(lit(true))
       else range.map(_ && key.like(w.likePattern)).getOrElse(key.like(w.likePattern))
     }
   }

@@ -117,10 +117,64 @@ object TextProto {
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"
   ).map(DateTimeFormatter.ofPattern)
 
+  /** chrono-strftime layout → java.time formatter. The reference CLI takes
+    * chrono tokens (`src/formatted.rs:39-47`, `src/main.rs:520-543`), so a
+    * sonnerie user's `--timestamp-format '%FT%T'` must work verbatim.
+    * Supported: `%Y %m %d %H %M %S %F %T %y %j %f %.f %%` plus literal
+    * text; anything else fails loudly (matching chrono's parse error
+    * rather than silently mis-reading data). Defaults fill omitted
+    * fields (date-only layouts parse to midnight, like the reference's
+    * `NaiveDate … and_hms_opt(0,0,0)`).
+    */
+  def strftimeFormatter(fmt: String): DateTimeFormatter = {
+    import java.time.format.DateTimeFormatterBuilder
+    import java.time.temporal.ChronoField._
+    val b = new DateTimeFormatterBuilder()
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => b.appendValue(YEAR, 4); i += 2
+          case 'y' => b.appendValueReduced(YEAR, 2, 2, 2000); i += 2
+          case 'm' => b.appendValue(MONTH_OF_YEAR, 2); i += 2
+          case 'd' => b.appendValue(DAY_OF_MONTH, 2); i += 2
+          case 'j' => b.appendValue(DAY_OF_YEAR, 3); i += 2
+          case 'H' => b.appendValue(HOUR_OF_DAY, 2); i += 2
+          case 'M' => b.appendValue(MINUTE_OF_HOUR, 2); i += 2
+          case 'S' => b.appendValue(SECOND_OF_MINUTE, 2); i += 2
+          case 'F' => // %Y-%m-%d
+            b.appendValue(YEAR, 4).appendLiteral('-')
+              .appendValue(MONTH_OF_YEAR, 2).appendLiteral('-')
+              .appendValue(DAY_OF_MONTH, 2); i += 2
+          case 'T' => // %H:%M:%S
+            b.appendValue(HOUR_OF_DAY, 2).appendLiteral(':')
+              .appendValue(MINUTE_OF_HOUR, 2).appendLiteral(':')
+              .appendValue(SECOND_OF_MINUTE, 2); i += 2
+          case 'f' => // nanoseconds, no dot (chrono: 9 digits)
+            b.appendFraction(NANO_OF_SECOND, 9, 9, false); i += 2
+          case '.' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'f' =>
+            // chrono %.f: optional dot + 1-9 fractional digits
+            b.appendFraction(NANO_OF_SECOND, 0, 9, true); i += 3
+          case '%' => b.appendLiteral('%'); i += 2
+          case t => throw new IllegalArgumentException(
+            s"unsupported strftime token %$t in '$fmt'")
+        }
+      } else { b.appendLiteral(c); i += 1 }
+    }
+    b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
+      .parseDefaulting(HOUR_OF_DAY, 0).parseDefaulting(MINUTE_OF_HOUR, 0)
+      .parseDefaulting(SECOND_OF_MINUTE, 0).parseDefaulting(NANO_OF_SECOND, 0)
+      .toFormatter
+  }
+
   /** Parse with an explicit layout (reference `add --timestamp-format`,
-    * `src/formatted.rs:39-47`; Java patterns here rather than strftime).
+    * `src/formatted.rs:39-47`). A `%` marks a chrono-strftime layout (what
+    * the reference accepts); otherwise the pattern is a Java layout.
     */
   def parseTimestampWith(s: String, pattern: String): Long = {
+    if (pattern.contains('%'))
+      return toNanos(LocalDateTime.from(strftimeFormatter(pattern).parse(s)))
     val f = DateTimeFormatter.ofPattern(pattern)
     val ldt =
       if (pattern.exists("HmsS".contains(_))) LocalDateTime.parse(s, f)
@@ -155,7 +209,8 @@ object TextProto {
     val secs = Math.floorDiv(nanos, 1000000000L)
     val rem = Math.floorMod(nanos, 1000000000L)
     val ldt = LocalDateTime.ofInstant(Instant.ofEpochSecond(secs, rem), ZoneOffset.UTC)
-    if (pattern.nonEmpty) ldt.format(DateTimeFormatter.ofPattern(pattern))
+    if (pattern.contains('%')) ldt.format(strftimeFormatter(pattern))
+    else if (pattern.nonEmpty) ldt.format(DateTimeFormatter.ofPattern(pattern))
     else {
       // default human layout: fractional seconds only when nonzero
       // (reference CLI prints `%FT%T` for whole seconds, README.md:84-96)

@@ -71,6 +71,21 @@ class CliSpec extends SparkSpec {
       Seq("k\t2020-02-01T03:04:00\t9"))
   }
 
+  test("chrono strftime layouts work verbatim (reference main.rs:520-543)") {
+    // a sonnerie user's `--timestamp-format '%FT%T'` must work unchanged
+    val wh = tmpDir("graft-cli6")
+    cli("-d", wh, "add", "--format", "u",
+      "--timestamp-format", "%FT%T")("k 2020-01-01T00:00:01 7")
+    cli("-d", wh, "add", "--format", "u",
+      "--timestamp-format", "%Y-%m-%d %H:%M:%S%.f")("k 2020-01-01\\ 00:00:02.5 8")
+    assert(cli("-d", wh, "read", "k")() == Seq(
+      "k\t1577836801000000000\t7",
+      "k\t1577836802500000000\t8"))
+    // strftime on the output side too
+    assert(cli("-d", wh, "read", "k", "--timestamp-format", "%F %T")() ==
+      Seq("k\t2020-01-01 00:00:01\t7", "k\t2020-01-01 00:00:02\t8"))
+  }
+
   test("parseColumns handles ranges") {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }

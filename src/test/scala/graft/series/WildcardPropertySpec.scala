@@ -39,4 +39,27 @@ class WildcardPropertySpec extends SparkSpec {
     }
     df.unpersist()
   }
+
+  test("keyPredicate is sound for non-ASCII prefixes (surrogate boundary)") {
+    // U+D7FF's char-successor is an unpaired surrogate: its UTF-8 bytes
+    // would mis-bound the range, so the rewrite must keep a LIKE residual
+    // instead of trusting the successor. Include non-BMP (surrogate-pair)
+    // keys, whose UTF-8 bytes sort above U+D7FF and must still match.
+    val d7ff = "퟿"
+    val nonBmp = new String(Character.toChars(0x10348)) // 𐍈
+    val keys = Seq(s"k$d7ff", s"k$d7ff/a", s"k$d7ff/b", s"k$nonBmp",
+      s"k$nonBmp/x", "k", "kz", s"ké/a", "é/x", "é", "z")
+    val df = keys.toDF("key")
+    val pats = Seq(s"k$d7ff%", s"k$d7ff/%", s"k$nonBmp%", "é%",
+      s"k$d7ff%a", s"é%x")
+    pats.foreach { pat =>
+      val w = Wildcard(pat)
+      val expect = df.filter(col("key").like(w.likePattern))
+        .as[String].collect().toSet
+      val got = df.filter(SeriesOps.keyPredicate(col("key"), pat))
+        .as[String].collect().toSet
+      assert(got == expect, s"pattern '$pat': got ${got.diff(expect)} extra, " +
+        s"missing ${expect.diff(got)}")
+    }
+  }
 }
