@@ -101,6 +101,22 @@ object Cli {
           .toLocalIterator().forEachRemaining(l => stdout(l))
         stdout(s"# cursor ${snap.maxTxid}")
 
+      // one transaction's records, printed through the text sink
+      // (reference examples/get.rs:5-46)
+      case "dump" :: txid :: Nil =>
+        val df = db.snapshot().transaction(txid.toLong)
+        TextIngest.print(spark, TextIngest.asRecords(df),
+            showFmt = flags.contains("--with-format"),
+            tsMode = TextIngest.TsNanos)
+          .toLocalIterator().forEachRemaining(l => stdout(l))
+
+      // reference sonnerie-serve: blocks serving GET/PUT until killed
+      case "serve" :: Nil =>
+        val srv = new graft.serve.Serve(db,
+          flags.get("--port").map(_.toInt).getOrElse(5555)).start()
+        stdout(s"# serving on port ${srv.boundPort}")
+        Thread.currentThread().join() // serve until the process is killed
+
       case "compact" :: Nil =>
         flags.get("--gegnum") match {
           case Some(cmd) => Compactor.gegnum(db, cmd)
@@ -118,7 +134,7 @@ object Cli {
   private val valueFlags = Set("-d", "--format", "--after-time",
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
-    "--since-txid")
+    "--since-txid", "--port")
   private val boolFlags = Set("--human", "--with-format", "--major")
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =

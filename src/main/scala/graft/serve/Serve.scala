@@ -1,0 +1,84 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.store.{Db, TxWriter}
+import graft.text.TextIngest
+
+/** HTTP endpoint over a warehouse — the reference's `sonnerie-serve`
+  * surface (`src/bin/sonnerie-serve.rs:98-300`), re-expressed over
+  * [[Db]]/[[TxWriter]] with the JDK's built-in server (dependency-free).
+  *
+  *  - `GET /<wildcard>[?human]` → the read pipeline streamed as
+  *    text-protocol lines (no format column, nanos timestamps; `human`
+  *    switches to the human layout) — reference `get()`. Exact patterns
+  *    route through the point-lookup path like the reference's
+  *    `is_exact()` special case.
+  *  - `PUT /` with text-protocol lines (`key ts fmt vals…`) → ONE
+  *    transaction, committed atomically, `201 ok` — reference `put()`.
+  *    The reference external-sorts through a temp file; here the sort is
+  *    [[TxWriter]]'s range-shuffle-sort, so the server only buffers the
+  *    raw lines. (At real scale, batch ingest goes through
+  *    [[graft.streaming.StreamIngest]] instead of one HTTP body.)
+  *
+  * Each GET plans against a fresh manifest snapshot — the snapshot read
+  * IS the reference's 10-second shared-reader invalidation loop, minus
+  * the staleness window.
+  */
+final class Serve(db: Db, port: Int = 0) {
+
+  private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        ex.getRequestMethod match {
+          case "GET" => doGet(ex)
+          case "PUT" => doPut(ex)
+          case _     => respond(ex, 400, "invalid request\n")
+        }
+      } catch {
+        case e: Throwable => respond(ex, 500, s"error: ${e.getMessage}\n")
+      } finally ex.close()
+  })
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Ephemeral-port binding (port = 0) resolves here. */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): this.type = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  private def doGet(ex: HttpExchange): Unit = {
+    // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")
+    val pattern = ex.getRequestURI.getPath.stripPrefix("/")
+    val human = Option(ex.getRequestURI.getQuery)
+      .exists(_.split('&').contains("human"))
+    val w = graft.series.Wildcard(pattern)
+    val df = if (w.isExact) db.get(w.pattern) else db.read(pattern)
+    val lines = TextIngest.print(db.spark, TextIngest.asRecords(df),
+      tsMode = if (human) TextIngest.TsHuman else TextIngest.TsNanos)
+    ex.getResponseHeaders.set("Content-Type", "text/plain")
+    ex.sendResponseHeaders(200, 0) // chunked: stream rows as they arrive
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
+    lines.toLocalIterator().forEachRemaining { l => out.write(l); out.write('\n') }
+    out.flush()
+  }
+
+  private def doPut(ex: HttpExchange): Unit = {
+    val spark = db.spark
+    import spark.implicits._
+    val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8")
+      .getLines().filter(_.trim.nonEmpty).toSeq
+    val recs = TextIngest.parseWithFmt(spark, spark.createDataset(body))
+    TxWriter.write(db, recs.toDF())
+    respond(ex, 201, "ok")
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "text/plain")
+    ex.sendResponseHeaders(status, b.length.toLong)
+    ex.getResponseBody.write(b)
+  }
+}

@@ -183,6 +183,14 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       else pipeline(readData(txids).filter(col("key") === key), after, before)
     }
 
+    /** One committed transaction's records, (key, ts) ordered — the
+      * single-tx dump surface (reference `examples/get.rs:5-46`).
+      */
+    def transaction(txid: Long): DataFrame = {
+      require(manifest.dataTxids.contains(txid), s"unknown txid $txid")
+      SeriesOps.ordered(readData(Seq(txid)).drop("txid").drop("tbucket"))
+    }
+
     /** Highest committed txid (data or delete) — the resume cursor for
       * [[tail]]. -1 on an empty warehouse.
       */

@@ -86,6 +86,18 @@ class CliSpec extends SparkSpec {
       Seq("k\t2020-01-01 00:00:01\t7", "k\t2020-01-01 00:00:02\t8"))
   }
 
+  test("dump prints one transaction's records (examples/get.rs:5-46)") {
+    val wh = tmpDir("graft-cli-dump")
+    cli("-d", wh, "add", "--format", "u")("a 1 10")
+    cli("-d", wh, "add", "--format", "u")("a 1 11", "b 2 20")
+    val txids = graft.store.Db(spark, wh).snapshot().manifest.dataTxids
+    assert(cli("-d", wh, "dump", txids.head.toString)() == Seq("a\t1\t10"))
+    assert(cli("-d", wh, "dump", txids.last.toString)() ==
+      Seq("a\t1\t11", "b\t2\t20"))
+    // dump is raw per-tx content: no last-wins, no delete filtering
+    intercept[Exception](cli("-d", wh, "dump", "999")())
+  }
+
   test("parseColumns handles ranges") {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }

@@ -1,0 +1,60 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.store.Db
+
+/** The reference's PUT-then-GET lifecycle over HTTP
+  * (`src/bin/sonnerie-serve.rs`): PUT text-protocol lines commits one
+  * transaction and answers 201 `ok`; GET streams the read pipeline as
+  * text-protocol lines; exact keys take the point-lookup path.
+  */
+class ServeSpec extends SparkSpec {
+
+  private def http(method: String, url: String, body: Option[String] = None)
+      : (Int, String) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    body.foreach { b =>
+      c.setDoOutput(true)
+      c.getOutputStream.write(b.getBytes("UTF-8"))
+    }
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    c.disconnect()
+    (code, text)
+  }
+
+  test("PUT commits one tx (201), GET streams it back (200)") {
+    val db = Db(spark, tmpDir("graft-serve"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+
+      val (putCode, putBody) = http("PUT", s"$base/", Some(
+        "fib 10 u 55\nfib 11 u 89\nother 5 u 7\n"))
+      assert(putCode == 201 && putBody == "ok")
+      assert(db.snapshot().manifest.dataTxids.size == 1,
+        "one PUT = one transaction")
+
+      val (gc, gb) = http("GET", s"$base/fib%25") // %25 = urlencoded %
+      assert(gc == 200)
+      assert(gb == "fib\t10\t55\nfib\t11\t89\n")
+
+      // exact key → point-lookup path; human timestamps
+      val (ec, eb) = http("GET", s"$base/other?human")
+      assert(ec == 200 && eb == "other\t1970-01-01T00:00:00.000000005\t7\n")
+
+      // a second PUT is a second tx; GET sees the merged view
+      val (p2, _) = http("PUT", s"$base/", Some("fib 10 u 56\n"))
+      assert(p2 == 201)
+      val (_, merged) = http("GET", s"$base/fib%25")
+      assert(merged == "fib\t10\t56\nfib\t11\t89\n",
+        "last-wins across PUT transactions")
+
+      val (bc, _) = http("POST", s"$base/x", Some("nope"))
+      assert(bc == 400)
+    } finally srv.stop()
+  }
+}
