@@ -17,6 +17,9 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val nKeys = args.lift(1).map(_.toLong).getOrElse(20000L)
+    // overwrite fraction for tx1 (0.01 = the light default; 0.5 = the
+    // overwrite-heavy workload for the lastWins A/B)
+    val upsertFrac = args.lift(2).map(_.toDouble).getOrElse(0.01)
     val spark = Graft.localSession(
       Runtime.getRuntime.availableProcessors().min(32), 32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,8 +41,16 @@ object StressBench {
     }
 
     timed("ingest tx0")(TxWriter.write(db, gen(n, 0)))
-    timed("ingest tx1 (1% upsert)")(TxWriter.write(db, gen(n / 100, 1)))
+    timed(f"ingest tx1 (${upsertFrac * 100}%.0f%% upsert)")(
+      TxWriter.write(db, gen((n * upsertFrac).toLong, 1)))
     TxWriter.delete(db, wildcard = "key-000001%") // 10 of nKeys keys
+    // lastWins A/B: one wide SortAggregate exchange (max_by struct) vs
+    // slim max(txid) agg + hash semi-join (two exchanges, no sort buffer)
+    val raw = db.snapshot().records
+    timed("merge max_by (default)")(
+      graft.series.SeriesOps.lastWins(raw, Seq("key", "ts"), "txid").count())
+    timed("merge semi-join (alt)")(
+      graft.series.SeriesOps.lastWinsSemi(raw, Seq("key", "ts"), "txid").count())
     timed("full scan+merge+delete")(assert(db.read().count() > 0))
     timed("ordered dump")(
       db.read().write.mode("overwrite").parquet(s"$wh/dump"))

@@ -104,6 +104,23 @@ object SeriesOps {
       .select(df.columns.map(col): _*) // restore original column order
   }
 
+  /** Alternative last-wins formulation: a slim `max(txid)` aggregation
+    * (shuffle ships only the key columns + txid, with map-side partials)
+    * followed by a left-semi join back on (keyCols, txid). Two exchanges
+    * instead of [[lastWins]]'s one — but the max_by exchange carries the
+    * FULL payload in a struct buffer and plans as SortAggregate, so on a
+    * low-overwrite warehouse (partial agg collapses nothing) the wide
+    * sort-agg exchange can cost more than slim-agg + hash-semi-join.
+    * A/B'd in StressBench; numbers in SCALE.md. Assumes at most one row
+    * per (keyCols, txid), which the transaction writer guarantees.
+    */
+  def lastWinsSemi(df: DataFrame, keyCols: Seq[String] = Seq("key", "ts"),
+                   txidCol: String = "txid"): DataFrame = {
+    val winners = df.groupBy(keyCols.map(col): _*)
+      .agg(max(col(txidCol)).as(txidCol))
+    df.join(winners, keyCols :+ txidCol, "left_semi")
+  }
+
   /** Delete-marker anti-join. `deletes` schema:
     * `(firstKey, lastKey /* "" = unbounded, exclusive */, t0 /* incl */,
     *   t1 /* excl */, wildcard, txid)`.
