@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Dedup, PortableHash, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, PortableHash, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -50,6 +50,21 @@ object PipelineQueries {
       kept.join(canonical, "doc_id")
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy("doc_id")
+    },
+    // benchmark decontamination: flag corpus docs sharing >= 3 distinct
+    // trigrams with the (stand-in) eval set — inverted-index join, the
+    // match count IS the overlap
+    "tp_decontaminate" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      Decontaminate.overlaps(docs, bench, "doc_id", "text", "doc_id", "text",
+          n = 3, minOverlap = 3)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    },
+    // Gopher-style repetition quality signals, scan-speed projection
+    "tp_repetition" -> { (s, d) =>
+      TextAnalysis.repetition(Graft.documents(s, d)).orderBy("doc_id")
     },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
@@ -246,6 +261,9 @@ object PipelineQueries {
          |      list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
          |    (h, c) -> (h * 31 + c) % $P) AS rhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "tp_decontaminate" ->
+      Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
+    "tp_repetition" -> TextAnalysis.sqlRepetition,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

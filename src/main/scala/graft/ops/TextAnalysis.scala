@@ -87,6 +87,44 @@ object TextAnalysis {
       (h, ch) => (h * 31 + ascii(ch)) % PortableHash.P
     )
 
+  /** Repetition signals (the Gopher-family quality filters): fraction of
+    * duplicated words and duplicated word-bigrams per document. High
+    * values mark boilerplate/template/spam documents a training corpus
+    * should drop. Pure codegen projection, zero shuffle — scan-speed at
+    * any corpus size. Token array staged once as a real column
+    * (CollapseProject keeps multi-referenced non-cheap aliases apart).
+    */
+  def repetition(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val staged = df.select(col(idCol), col(textCol).as("_t"),
+      tokens(col(textCol)).as("_w"))
+    val nTok = size(col("_w"))
+    staged.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(col("_w"))).cast("long").as("n_distinct"),
+      round(lit(1.0) - size(array_distinct(col("_w"))).cast("double") / nTok, 9)
+        .as("dup_word_ratio"),
+      when(nTok >= 2,
+        round(lit(1.0) -
+          size(Dedup.shingleHashes(col("_t"), 2)).cast("double") / (nTok - 1), 9))
+        .otherwise(lit(0.0)).as("dup_2gram_ratio"))
+  }
+
+  /** DuckDB twin of [[repetition]] (adjacent so they cannot drift). */
+  def sqlRepetition: String =
+    s"""SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 9)
+       |    AS dup_word_ratio,
+       |  CASE WHEN len(w) >= 2 THEN
+       |    round(CAST(1 AS DOUBLE) -
+       |      CAST(len(${Dedup.sqlShingleHashes("text", 2)}) AS DOUBLE) / (len(w) - 1), 9)
+       |  ELSE 0.0 END AS dup_2gram_ratio
+       |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** One-pass document profile used by the pipeline queries. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
