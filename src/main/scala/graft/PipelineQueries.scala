@@ -171,6 +171,14 @@ object PipelineQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("split")
+    },
+    // corpus mixing: a 5000-char budget of each language, hash-ordered —
+    // the deterministic data-mixing step of corpus assembly
+    "sa4_token_budget" -> { (s, d) =>
+      Sampling.tokenBudget(Graft.documents(s, d), "lang", "doc_id",
+          "n_chars", 5000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -313,6 +321,11 @@ object PipelineQueries {
       s"""SELECT ${Sampling.sqlAssignSplit("doc_id", 0.8, 0.1)} AS split,
          |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "sa4_token_budget" ->
+      s"""SELECT doc_id, lang, n_chars
+         |FROM ${Sampling.sqlTokenBudgetFrom("documents", "lang", "doc_id",
+                 "n_chars", 5000L)} t
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id, ${Dedup.sqlTokenHashes("text")} AS _hs FROM documents),

@@ -69,4 +69,38 @@ object Sampling {
        |     WHEN ${sqlHashBucket(idExpr)} < $vEnd THEN 'val'
        |     ELSE 'test' END""".stripMargin
   }
+
+  /** Corpus mixing by token budget: within each stratum (language,
+    * source, domain…), keep documents in hash order until the stratum's
+    * cumulative `weightCol` (tokens, chars, bytes) reaches `budget` —
+    * the deterministic "N tokens of each language" data-mixing step every
+    * pretraining corpus goes through. A document is kept only if it fits
+    * the remaining budget entirely.
+    *
+    * One shuffle (per-stratum window). A pretraining mix has few strata,
+    * so a single stratum can dominate; at 100 TB the running sum stays a
+    * window (Spark range-partitions the sort), never a driver loop.
+    */
+  def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
+                  weightCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("_cum", sum(col(weightCol)).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
+  /** DuckDB twin of [[tokenBudget]]'s keep-predicate (adjacent so they
+    * cannot drift); the windowed sum is CAST to BIGINT per the HUGEINT
+    * portability rule.
+    */
+  def sqlTokenBudgetFrom(table: String, strataCol: String, idCol: String,
+                         weightCol: String, budget: Long): String =
+    s"""(SELECT * FROM (
+       |  SELECT *, CAST(sum($weightCol) OVER (
+       |      PARTITION BY $strataCol
+       |      ORDER BY ${sqlHashBucket(idCol)}, $idCol
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
+       |  FROM $table)
+       | WHERE _cum <= $budget)""".stripMargin
 }

@@ -41,6 +41,25 @@ class SamplingSpec extends SparkSpec {
     assert(row == again)
   }
 
+  test("tokenBudget keeps a deterministic per-stratum prefix within budget") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
+      .toDF("id", "lang", "w")
+    val kept = Sampling.tokenBudget(df, "lang", "id", "w", 70L)
+    val byLang = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // exactly 7 docs of 10 weight fit a 70 budget, per stratum
+    assert(byLang == Map("en" -> 7L, "de" -> 7L))
+    // deterministic: rerun selects the same ids
+    val ids1 = kept.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.tokenBudget(df, "lang", "id", "w", 70L)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // a doc that does not fully fit is dropped (budget not overrun)
+    val tight = Sampling.tokenBudget(df, "lang", "id", "w", 65L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(tight == Map("en" -> 6L, "de" -> 6L))
+  }
+
   test("connectedComponents finds min-id clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain {1,2,3}
