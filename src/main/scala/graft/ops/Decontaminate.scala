@@ -20,6 +20,12 @@ object Decontaminate {
 
   /** (doc_id, bench_id, overlap) for every corpus document sharing at
     * least `minOverlap` distinct `n`-gram shingles with a benchmark item.
+    *
+    * The benchmark side is broadcast EXPLICITLY: an eval set is megabytes
+    * against a corpus of terabytes, and broadcasting its exploded
+    * shingles means the corpus side — the expensive explode of every
+    * document's n-grams — is never shuffled for the join. Only the
+    * matched (doc_id, bench_id) pairs move for the final count.
     */
   def overlaps(corpus: DataFrame, bench: DataFrame,
                idCol: String, textCol: String,
@@ -31,7 +37,7 @@ object Decontaminate {
     val b = bench
       .select(col(benchIdCol).as("bench_id"),
         explode(Dedup.shingleHashes(col(benchTextCol), n)).as("g"))
-    c.join(b, "g")
+    c.join(broadcast(b), "g")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)

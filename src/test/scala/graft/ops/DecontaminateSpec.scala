@@ -36,6 +36,12 @@ class DecontaminateSpec extends SparkSpec {
     assert(!got.contains((3L, 100L)) && !got.contains((3L, 101L)))
   }
 
+  test("benchmark side broadcasts: corpus shingles never shuffle for the join") {
+    val phys = Decontaminate.overlaps(corpus, bench, "doc_id", "text",
+        "bench_id", "btext").queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"no broadcast join:\n$phys")
+  }
+
   test("clean drops exactly the contaminated docs at the threshold") {
     val kept = Decontaminate.clean(corpus, bench, "doc_id", "text",
         "bench_id", "btext", n = 3, minOverlap = 4)
