@@ -29,4 +29,26 @@ class StatefulOpsSpec extends SparkSpec {
     assert(updates.map(u => (u.lastTs, u.lastValue, u.count)).toSeq ==
       Seq((20L, 2.0, 2L), (20L, 2.0, 3L), (30L, 3.0, 4L)))
   }
+
+  test("streaming exact dedup emits each distinct content once across batches") {
+    implicit val sc = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val mem = MemoryStream[Doc]
+    val q = dedupStream(spark, mem.toDS(), lateness = Some("1 hour"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+
+    mem.addData(Doc(1L, "alpha text", t(100)), Doc(2L, "beta text", t(101)),
+      Doc(3L, "alpha text", t(102))) // in-batch dup of doc 1
+    q.processAllAvailable()
+    mem.addData(Doc(4L, "alpha text", t(200)), // cross-batch dup of doc 1
+      Doc(5L, "gamma text", t(201)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out").as[Doc].collect()
+    assert(out.map(_.text).sorted.toSeq ==
+      Seq("alpha text", "beta text", "gamma text"),
+      s"got: ${out.toSeq}")
+  }
 }
