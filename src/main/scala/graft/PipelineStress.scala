@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Graft
-import graft.ops.{Dedup, Sampling}
+import graft.ops.{Decontaminate, Dedup, Sampling, TextAnalysis}
 
 /** Pipeline-operator throughput at synthetic scale — the dedup-family
   * numbers behind SCALE.md (the driver's documents table is 5k rows at
@@ -61,6 +61,20 @@ object PipelineStress {
     timed("split assign")(
       Sampling.assignSplit(docs, "doc_id", 0.8, 0.1)
         .groupBy("split").count().count())
+    timed("repetition ratios")(
+      TextAnalysis.repetition(docs)
+        .agg(count(lit(1))).as[Long](spark.implicits.newLongEncoder).head())
+    timed("decontaminate (1k bench)") {
+      // broadcast inverted index: bench = 1000 docs drawn from the corpus
+      Decontaminate.overlaps(docs, docs.filter(col("doc_id") % (n / 1000) === 0),
+          "doc_id", "text", "doc_id", "text", minOverlap = 3)
+        .filter(col("doc_id") =!= col("bench_id")).count()
+    }
+    timed("token budget mix")(
+      Sampling.tokenBudget(
+        docs.withColumn("w", length(col("text"))).withColumn("stratum",
+          pmod(col("doc_id"), lit(8))),
+        "stratum", "doc_id", "w", (n / 8) * 30).count())
 
     spark.stop()
   }
