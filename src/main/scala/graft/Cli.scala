@@ -51,9 +51,20 @@ object Cli {
         }
         TxWriter.write(db, recs.toDF())
 
-      case "read" :: pattern :: Nil =>
+      // `read <pattern>` or, as in the reference, a pure key range via
+      // `read --after-key A --before-key B` (src/main.rs:113-121)
+      case "read" :: rest if rest.size <= 1 =>
+        val base = rest.headOption match {
+          case Some(pattern) => db.read(pattern)
+          case None =>
+            val from = flags.get("--after-key")
+            val until = flags.get("--before-key")
+            require(from.nonEmpty || until.nonEmpty,
+              "read needs a pattern or --after-key/--before-key")
+            SeriesOps.keyRange(db.read("%"), from, until)
+        }
         val df = SeriesOps.timeRange(
-          db.read(pattern),
+          base,
           flags.get("--after-time").map(TextProto.parseTimestamp),
           flags.get("--before-time").map(TextProto.parseTimestamp))
         val columns = flags.get("--columns").map(parseColumns)
@@ -62,11 +73,15 @@ object Cli {
           case Some("seconds") => TextIngest.TsSeconds
           case Some(pattern)   => TextIngest.TsPattern(pattern)
           case None =>
-            if (flags.contains("--human")) TextIngest.TsHuman
+            // reference spellings (src/main.rs:98-112)
+            if (flags.contains("--timestamp-nanos")) TextIngest.TsNanos
+            else if (flags.contains("--timestamp-seconds")) TextIngest.TsSeconds
+            else if (flags.contains("--human")) TextIngest.TsHuman
             else TextIngest.TsNanos
         }
         val lines = TextIngest.print(spark, TextIngest.asRecords(df),
-          showFmt = flags.contains("--with-format"),
+          showFmt = flags.contains("--with-format") ||
+            flags.contains("--print-format"),
           columns = columns, tsMode = tsMode)
         val out = flags.get("--parallel") match {
           // reference `read --parallel CMD`: records piped to one
@@ -81,8 +96,12 @@ object Cli {
         val t1 = flags.get("--before-time").map(TextProto.parseTimestamp)
         val at = flags.get("--time").map(TextProto.parseTimestamp)
         TxWriter.delete(db,
-          firstKey = flags.getOrElse("--first-key", ""),
-          lastKey = flags.getOrElse("--last-key", ""),
+          // --after-key/--before-key are the reference's spellings for
+          // the same inclusive/exclusive bounds (src/main.rs:42-48)
+          firstKey = flags.getOrElse("--first-key",
+            flags.getOrElse("--after-key", "")),
+          lastKey = flags.getOrElse("--last-key",
+            flags.getOrElse("--before-key", "")),
           t0 = at.orElse(t0).getOrElse(0L),
           t1 = at.map(_ + 1).orElse(t1).getOrElse(Long.MaxValue),
           wildcard = flags.getOrElse("--wildcard", "%"))
@@ -119,7 +138,8 @@ object Cli {
 
       case "compact" :: Nil =>
         flags.get("--gegnum") match {
-          case Some(cmd) => Compactor.gegnum(db, cmd)
+          case Some(cmd) =>
+            Compactor.gegnum(db, cmd, flags.get("--timestamp-format"))
           case None =>
             if (flags.contains("--major")) Compactor.major(db)
             else Compactor.minor(db)
@@ -134,8 +154,9 @@ object Cli {
   private val valueFlags = Set("-d", "--format", "--after-time",
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
-    "--since-txid", "--port")
-  private val boolFlags = Set("--human", "--with-format", "--major")
+    "--since-txid", "--port", "--after-key", "--before-key")
+  private val boolFlags = Set("--human", "--with-format", "--major",
+    "--timestamp-nanos", "--timestamp-seconds", "--print-format")
 
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
     args match {

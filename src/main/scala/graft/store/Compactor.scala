@@ -76,14 +76,18 @@ object Compactor {
     * per partition ([[graft.series.SeriesAnalytics.pipe]] semantics); the
     * functional `transform` hook is the idiomatic fast path.
     */
-  def gegnum(db: Db, cmd: String): Unit =
+  def gegnum(db: Db, cmd: String, tsFormat: Option[String] = None): Unit =
     major(db, { df =>
       val spark = df.sparkSession
       import spark.implicits._
+      // --timestamp-format: the subprocess sees strftime-formatted
+      // timestamps instead of nanos, both directions (main.rs:84-88)
+      val tsMode = tsFormat.map(graft.text.TextIngest.TsPattern)
+        .getOrElse(graft.text.TextIngest.TsNanos)
       val lines = graft.text.TextIngest.print(spark,
-        graft.text.TextIngest.asRecords(df), tsAsNanos = true, showFmt = true)
+        graft.text.TextIngest.asRecords(df), showFmt = true, tsMode = tsMode)
       val piped = spark.createDataset(lines.rdd.pipe(cmd))
-      graft.text.TextIngest.parseWithFmt(spark, piped).toDF()
+      graft.text.TextIngest.parseWithFmt(spark, piped, tsFormat).toDF()
     })
 
   def major(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =

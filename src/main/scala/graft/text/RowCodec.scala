@@ -100,7 +100,8 @@ object RowCodec {
   /** Parse an ingest line with per-line format `key ts fmt v1 v2 …`
     * (ref `add_from_stream_with_fmt`, `src/formatted.rs:66-106`).
     */
-  def parseLineWithFmt(line: String): SeriesRecord = {
+  def parseLineWithFmt(line: String,
+                       tsPattern: Option[String] = None): SeriesRecord = {
     val (key, r1) = TextProto.splitOne(line).getOrElse(
       throw new IllegalArgumentException(s"empty line"))
     val (tsTok, r2) = TextProto.splitOne(r1).getOrElse(
@@ -108,8 +109,11 @@ object RowCodec {
     val (fmt, rest) = TextProto.splitOne(r2).getOrElse(
       throw new IllegalArgumentException(s"missing format: $line"))
     validate(fmt)
-    SeriesRecord(key, TextProto.parseTimestamp(tsTok), fmt,
-      parseValues(fmt, rest, line))
+    val ts = tsPattern match {
+      case Some(p) => TextProto.parseTimestampWith(tsTok, p)
+      case None    => TextProto.parseTimestamp(tsTok)
+    }
+    SeriesRecord(key, ts, fmt, parseValues(fmt, rest, line))
   }
 
   private def parseValues(fmt: String, rest0: String, line: String): Seq[Cell] = {

@@ -25,9 +25,11 @@ object TextIngest {
   }
 
   /** Parse lines with an embedded per-line format (`compact --gegnum` IO). */
-  def parseWithFmt(spark: SparkSession, lines: Dataset[String]): Dataset[SeriesRecord] = {
+  def parseWithFmt(spark: SparkSession, lines: Dataset[String],
+                   tsPattern: Option[String] = None): Dataset[SeriesRecord] = {
     import spark.implicits._
-    lines.filter((l: String) => l.nonEmpty).map((l: String) => RowCodec.parseLineWithFmt(l))
+    lines.filter((l: String) => l.nonEmpty)
+      .map((l: String) => RowCodec.parseLineWithFmt(l, tsPattern))
   }
 
   def toDF(records: Dataset[SeriesRecord]): DataFrame = records.toDF()

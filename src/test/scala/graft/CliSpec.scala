@@ -98,6 +98,27 @@ class CliSpec extends SparkSpec {
     intercept[Exception](cli("-d", wh, "dump", "999")())
   }
 
+  test("reference flag spellings: key-range read, ts modes, print-format") {
+    val wh = tmpDir("graft-cli-ref")
+    cli("-d", wh, "add", "--format", "u")("alpha 1 1", "beta 2 2", "gamma 3 3")
+    // key-range read without a pattern (after inclusive, before exclusive)
+    assert(cli("-d", wh, "read", "--after-key", "alpha",
+      "--before-key", "gamma")() == Seq("alpha\t1\t1", "beta\t2\t2"))
+    assert(cli("-d", wh, "read", "--after-key", "b")() ==
+      Seq("beta\t2\t2", "gamma\t3\t3"))
+    // reference boolean spellings
+    assert(cli("-d", wh, "read", "beta", "--timestamp-seconds")() ==
+      Seq("beta\t0\t2"))
+    assert(cli("-d", wh, "read", "beta", "--timestamp-nanos")() ==
+      Seq("beta\t2\t2"))
+    assert(cli("-d", wh, "read", "beta", "--print-format")() ==
+      Seq("beta\t2\tu\t2"))
+    // delete with reference key-bound spellings
+    cli("-d", wh, "delete", "--after-key", "beta", "--before-key", "gamma")()
+    assert(cli("-d", wh, "read", "%")().map(_.split('\t').head) ==
+      Seq("alpha", "gamma"))
+  }
+
   test("parseColumns handles ranges") {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }

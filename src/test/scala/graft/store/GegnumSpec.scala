@@ -27,4 +27,21 @@ class GegnumSpec extends SparkSpec {
       tsAsNanos = true, showFmt = true).collect().toSeq
     assert(out == Seq("apple\t1\tu\t10", "cherry\t3\tu\t30"))
   }
+
+  test("gegnum --timestamp-format: subprocess sees strftime timestamps") {
+    val db = Db(spark, tmpDir("graft-gegnum2"))
+    val lines = Seq(
+      "a 1577836800000000000 u 1", // 2020-01-01T00:00:00
+      "b 1577923200000000000 u 2"  // 2020-01-02T00:00:00
+    ).toDS()
+    TxWriter.write(db, TextIngest.parseWithFmt(spark, lines).toDF())
+
+    // the filter matches the FORMATTED timestamp — proof the subprocess
+    // saw strftime output; re-ingest parses the same layout back to nanos
+    Compactor.gegnum(db, "grep 2020-01-02", Some("%FT%T"))
+
+    val out = TextIngest.print(spark, TextIngest.asRecords(db.read()),
+      tsAsNanos = true, showFmt = true).collect().toSeq
+    assert(out == Seq("b\t1577923200000000000\tu\t2"))
+  }
 }
