@@ -51,6 +51,19 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy("doc_id")
     },
+    // multimodal frame sampling: one media row explodes to n frame rows;
+    // the stub's byte-slice arithmetic is the oracle (plumbing verified
+    // end-to-end, decoder swaps in without touching it)
+    "mm_frames" -> { (s, d) =>
+      import s.implicits._
+      val media = graft.ops.Multimodal
+        .mediaFromDocuments(Graft.documents(s, d))
+        .as[graft.ops.Multimodal.MediaRecord]
+      graft.ops.Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("kind"), col("frame").cast("long"),
+          col("offset_ms"), col("frame_bytes"))
+        .orderBy("media_id", "frame")
+    },
     // benchmark decontamination: flag corpus docs sharing >= 3 distinct
     // trigrams with the (stand-in) eval set — inverted-index join, the
     // match count IS the overlap
@@ -269,6 +282,24 @@ object PipelineQueries {
          |      list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
          |    (h, c) -> (h * 31 + c) % $P) AS rhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |         octet_length(encode(text)) AS len,
+        |         (doc_id % 30 + 1) * 1000 AS duration_ms
+        |  FROM documents),
+        |f AS (SELECT media_id, kind, unnest(range(4)) AS frame, len,
+        |             duration_ms FROM m),
+        |g AS (SELECT media_id, kind, frame,
+        |             greatest(1, len // 4) AS slice_len,
+        |             least(frame * greatest(1, len // 4),
+        |                   greatest(0, len - 1)) AS start,
+        |             len, duration_ms FROM f)
+        |SELECT media_id, kind, CAST(frame AS BIGINT) AS frame,
+        |       CAST(frame * greatest(1, duration_ms // 4) AS BIGINT) AS offset_ms,
+        |       CAST(least(start + slice_len, len) - start AS BIGINT) AS frame_bytes
+        |FROM g ORDER BY media_id, frame""".stripMargin,
     "tp_decontaminate" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
     "tp_repetition" -> TextAnalysis.sqlRepetition,
