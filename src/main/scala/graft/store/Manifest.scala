@@ -12,10 +12,12 @@ import scala.jdk.CollectionConverters._
   * rely on directory-listing order — listings race with writers — so we use
   * an explicit manifest: versioned JSON files `_manifest/v<seq>.json`, each a
   * complete snapshot of committed data/delete txids. Commit = write temp +
-  * atomic rename to the next version; rename fails if the version exists,
-  * which serializes writers (single-warehouse-writer model, same as the
-  * reference's flock'd compactor `src/main.rs:404-406`). Readers bind to the
-  * highest version at snapshot time and never see partial state.
+  * atomic hard-link to the next version; link(2) fails if the version
+  * exists (unlike rename, which silently replaces), which serializes
+  * writers under optimistic retry — concurrent committers are safe, each
+  * lands as its own version (cf. the reference's flock'd compactor,
+  * `src/main.rs:404-406`). Readers bind to the highest version at snapshot
+  * time and never see partial state.
   *
   * On an object store this rename becomes a conditional put ("if-none-match"),
   * the standard commit primitive of table formats at 100 TB scale.
@@ -170,8 +172,13 @@ object Manifest {
     val tmp = Files.createTempFile(d, ".tmp-manifest", ".json")
     Files.write(tmp, next.json.getBytes(StandardCharsets.UTF_8))
     try {
-      // ATOMIC_MOVE onto an existing target fails on POSIX → CAS semantics.
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      // CAS primitive: link(2) fails with EEXIST if the target exists.
+      // (NOT rename: POSIX rename silently REPLACES an existing target,
+      // so racing committers would all "win" and share txids — caught by
+      // the concurrent-PUT serve test.) The content is fully written to
+      // tmp first, so the version appears atomically complete.
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |

@@ -57,4 +57,23 @@ class ServeSpec extends SparkSpec {
       assert(bc == 400)
     } finally srv.stop()
   }
+
+  test("concurrent PUTs each commit atomically (manifest CAS under load)") {
+    val db = Db(spark, tmpDir("graft-serve2"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence((1 to 4).map { i =>
+        Future(http("PUT", s"$base/", Some(s"k$i 1 u $i\nk$i 2 u ${i * 10}\n")))
+      }), 120.seconds)
+      assert(results.forall(_._1 == 201), s"results: $results")
+      assert(db.snapshot().manifest.dataTxids.size == 4,
+        "every concurrent PUT must land as its own transaction")
+      val (_, all) = http("GET", s"$base/k%25")
+      assert(all.linesIterator.size == 8, s"got:\n$all")
+    } finally srv.stop()
+  }
 }

@@ -47,6 +47,36 @@ class RobustnessSpec extends SparkSpec {
     assert(after.nextTxid == 2 && after.version == a.version + 1)
   }
 
+  test("manifest CAS under a true race: every claimant gets a unique txid") {
+    // POSIX rename silently REPLACES an existing target, so a rename-based
+    // "CAS" lets racing committers all win and share txids (found by the
+    // concurrent-PUT serve test); the link(2)-based commit must not.
+    val wh = tmpDir("graft-cas-race")
+    val threads = 16
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (1 to threads).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          var mine = -1L
+          Manifest.update(wh) { m =>
+            mine = m.nextTxid
+            m.copy(nextTxid = m.nextTxid + 1)
+          }
+          claimed.add(mine)
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(claimed.size == threads,
+      s"txid collision under race: ${claimed.size} unique of $threads")
+    assert(Manifest.current(wh).nextTxid == threads.toLong)
+  }
+
   test("text protocol roundtrips arbitrary records (property)") {
     val tokenGen = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\\', 'é'))).map(_.mkString)
