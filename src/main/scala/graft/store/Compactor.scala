@@ -93,9 +93,54 @@ object Compactor {
   def major(db: Db, transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit =
     compact(db, major = true, transform)
 
+  // One compactor at a time per warehouse — the reference's flock'd
+  // compactor (src/main.rs:404-406). Two racing compactors would fold
+  // overlapping source sets into two outputs and duplicate every record
+  // at cutover. A FileLock excludes other processes (auto-released on
+  // crash, like flock); the per-warehouse monitor serializes threads in
+  // this JVM (FileLock is process-scoped). Concurrent WRITERS are fine
+  // and don't take this lock: they claim txids later than the compacted
+  // output's, so last-wins and delete precedence stay correct.
+  private val localLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCompactionLock[A](warehouse: String)(body: => A): A = {
+    val monitor = localLocks.computeIfAbsent(warehouse, _ => new Object)
+    monitor.synchronized {
+      val lockPath = Paths.get(warehouse, "_compact.lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock() // blocks until the other process finishes
+      try body
+      finally { lock.release(); ch.close() }
+    }
+  }
+
   private def compact(db: Db, major: Boolean,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-                      limitTx: Option[Int] = None): Unit = {
+                      limitTx: Option[Int] = None): Unit =
+    withCompactionLock(db.warehouse) {
+      compactLocked(db, major, transform, limitTx)
+    }
+
+  private def compactLocked(db: Db, major: Boolean,
+                      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                      limitTx: Option[Int] = None, retries: Int = 0): Unit = {
+    // Claim the output txid BEFORE snapshotting: every commit that lands
+    // after this point has a txid ABOVE the compacted output, so its
+    // records win last-wins against folded copies and its delete markers
+    // suppress them — concurrent writers need no lock. (Claiming after
+    // the snapshot would open a window where a commit slots between the
+    // snapshot and the claim, ranking below the output and silently
+    // losing.) If the compaction aborts below, the claim is just a
+    // skipped txid.
+    var newTxid = -1L
+    Manifest.update(db.warehouse) { cur =>
+      newTxid = cur.nextTxid
+      cur.copy(nextTxid = cur.nextTxid + 1)
+    }
     val snap = db.snapshot()
     val m = snap.manifest
     val tail = m.dataTxids.drop(1)
@@ -116,13 +161,8 @@ object Compactor {
     val merged = SeriesOps.lastWins(purged, Seq("key", "ts"), "txid").drop("txid")
     val out = transform(merged)
 
-    // Claim a fresh txid and write straight into its (new) directory — no
-    // live directory is touched; a crash here leaves an invisible orphan.
-    var newTxid = -1L
-    Manifest.update(db.warehouse) { cur =>
-      newTxid = cur.nextTxid
-      cur.copy(nextTxid = cur.nextTxid + 1)
-    }
+    // Write straight into the claimed txid's (new) directory — no live
+    // directory is touched; a crash here leaves an invisible orphan.
     val parts = db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = out.drop("tbucket")
       .repartitionByRange(parts, col("key"), col("ts"))
@@ -142,24 +182,53 @@ object Compactor {
     // the new transaction (and purges markers on major). Old directories
     // remain on disk for readers of older snapshots until vacuum().
     val newStats = TxWriter.txStatsOf(db, s"${db.dataDir}/txid=$newTxid")
-    Manifest.update(db.warehouse) { cur =>
-      val survivors = cur.dataTxids.filterNot(toCompact.contains)
-      cur.copy(
-        dataTxids = survivors :+ newTxid,
-        deleteTxids = if (major) Vector.empty else cur.deleteTxids,
-        // major rewrote everything → the written schema IS the warehouse
-        // schema (a transform may have dropped columns) — but only if no
-        // transaction committed concurrently between snapshot and cutover:
-        // a survivor's columns must stay in the manifest schema or its new
-        // columns would silently read as null. Minor always merges.
-        schemaDdl =
-          if (major && survivors.isEmpty) Manifest.mergeDdl("", sorted.schema)
-          else Manifest.mergeDdl(cur.schemaDdl, sorted.schema),
-        txStats = (cur.txStats -- toCompact) ++
-          newStats.map(newTxid -> _)
-      )
+    // Only the markers APPLIED by this compaction (the snapshot's) may be
+    // dropped on major: a delete committed after the snapshot has a txid
+    // above the compacted output's sources and must keep suppressing them
+    // (same concurrent-commit reasoning as the schema merge below).
+    val appliedDeletes = m.deleteTxids.toSet
+    val snapData = m.dataTxids.toSet
+    try {
+      Manifest.update(db.warehouse) { cur =>
+        // Claim-first makes every commit AFTER our claim rank above the
+        // output — but a writer that claimed BEFORE our claim may publish
+        // during the compaction, ranking below it (its records would
+        // silently lose last-wins to folded copies; its delete markers
+        // would not cover the output). Atomic with this CAS: detect such
+        // low-ranked latecomers and abort — the retry folds them.
+        val lateLow =
+          cur.dataTxids.filterNot(snapData.contains).filter(_ < newTxid) ++
+            cur.deleteTxids.filterNot(appliedDeletes.contains)
+              .filter(_ < newTxid)
+        if (lateLow.nonEmpty) throw new AbortCompaction
+        val survivors = cur.dataTxids.filterNot(toCompact.contains)
+        cur.copy(
+          dataTxids = survivors :+ newTxid,
+          deleteTxids =
+            if (major) cur.deleteTxids.filterNot(appliedDeletes.contains)
+            else cur.deleteTxids,
+          // major rewrote everything → the written schema IS the warehouse
+          // schema (a transform may have dropped columns) — but only if no
+          // transaction committed concurrently between snapshot and cutover:
+          // a survivor's columns must stay in the manifest schema or its new
+          // columns would silently read as null. Minor always merges.
+          schemaDdl =
+            if (major && survivors.isEmpty) Manifest.mergeDdl("", sorted.schema)
+            else Manifest.mergeDdl(cur.schemaDdl, sorted.schema),
+          txStats = (cur.txStats -- toCompact) ++
+            newStats.map(newTxid -> _)
+        )
+      }
+    } catch {
+      case _: AbortCompaction =>
+        deleteRecursively(Paths.get(s"${db.dataDir}/txid=$newTxid"))
+        if (retries >= 5) throw new IllegalStateException(
+          "compaction aborted 5 times by low-ranked concurrent commits")
+        compactLocked(db, major, transform, limitTx, retries + 1)
     }
   }
+
+  private final class AbortCompaction extends RuntimeException
 
   /** Remove directories no longer referenced by the current manifest
     * (retired compaction inputs, orphans from crashed writers).

@@ -1,0 +1,82 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compaction vs concurrent commits. Claim-first ordering means every
+  * commit after the compactor's claim ranks ABOVE the folded output
+  * (last-wins and delete precedence hold with no writer-side lock); the
+  * compaction lock serializes compactors; a writer that pre-claimed a
+  * LOW txid and publishes mid-compaction forces an abort-and-retry.
+  */
+class CompactConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delete committed during major compaction keeps suppressing") {
+    val db = Db(spark, tmpDir("graft-cc1"))
+    TxWriter.write(db, Seq(("a", 1L, 10L), ("b", 1L, 20L)).toDF("key", "ts", "v"))
+    var injected = false
+    Compactor.major(db, { df =>
+      if (!injected) { injected = true; TxWriter.delete(db, wildcard = "a%") }
+      df
+    })
+    // the marker postdates the compactor's claim → it must survive the
+    // major marker purge and cover the folded output
+    assert(db.snapshot().manifest.deleteTxids.nonEmpty,
+      "concurrent delete marker was wrongly purged at cutover")
+    assert(db.read("%").select("key").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("write committed during major compaction wins last-wins") {
+    val db = Db(spark, tmpDir("graft-cc2"))
+    TxWriter.write(db, Seq(("a", 1L, 10L)).toDF("key", "ts", "v"))
+    var injected = false
+    Compactor.major(db, { df =>
+      if (!injected) { injected = true
+        TxWriter.write(db, Seq(("a", 1L, 11L)).toDF("key", "ts", "v"))
+      }
+      df
+    })
+    assert(db.read("%").select("v").as[Long].head() == 11L,
+      "concurrent write must outrank the folded copy")
+  }
+
+  test("concurrent compactors serialize: no record duplication") {
+    val db = Db(spark, tmpDir("graft-cc3"))
+    (1 to 3).foreach(i =>
+      TxWriter.write(db, Seq((s"k$i", i.toLong, i.toLong)).toDF("key", "ts", "v")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(Compactor.minor(db)), Future(Compactor.minor(db)))), 180.seconds)
+    assert(db.read("%").count() == 3, "compaction raced into duplication")
+  }
+
+  test("low-ranked latecomer publish aborts and retries the compaction") {
+    val db = Db(spark, tmpDir("graft-cc4"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    TxWriter.write(db, Seq(("a", 1L, 2L)).toDF("key", "ts", "v"))
+    // a writer claims its txid now (before the compactor claims its own)…
+    var w = -1L
+    Manifest.update(db.warehouse) { m =>
+      w = m.nextTxid; m.copy(nextTxid = m.nextTxid + 1)
+    }
+    var injected = false
+    Compactor.major(db, { df =>
+      if (!injected) { injected = true
+        // …and publishes mid-compaction: its txid ranks BELOW the
+        // compacted output, which must force an abort + retry
+        Seq(("a", 1L, 99L)).toDF("key", "ts", "v").coalesce(1)
+          .write.parquet(s"${db.dataDir}/txid=$w")
+        Manifest.update(db.warehouse)(m => m.copy(dataTxids = m.dataTxids :+ w))
+      }
+      df
+    })
+    // the retry folded the latecomer, so its value wins and exactly one
+    // transaction remains
+    assert(db.read("%").select("v").as[Long].collect().toSeq == Seq(99L))
+    assert(db.snapshot().manifest.dataTxids.size == 1,
+      s"retry did not fold the latecomer: ${db.snapshot().manifest.dataTxids}")
+  }
+}
