@@ -34,7 +34,7 @@ object Demo {
     db.read("fib%").show(false)
 
     Compactor.major(db)
-    Compactor.vacuum(db)
+    Compactor.vacuum(db, graceMs = 0L)
     println("after major compaction + vacuum:")
     db.read("%").show(false)
     println("manifest: " + Manifest.current(wh).json)

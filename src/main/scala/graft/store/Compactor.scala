@@ -232,20 +232,32 @@ object Compactor {
 
   /** Remove directories no longer referenced by the current manifest
     * (retired compaction inputs, orphans from crashed writers).
+    *
+    * An unreferenced directory is NOT necessarily garbage: a live writer
+    * claims its txid first and publishes last, so its in-flight directory
+    * looks orphaned until the publish. Two guards make vacuum safe to run
+    * any time: the compaction lock (can't race a compactor's own
+    * in-flight output), and an mtime grace window (skip anything
+    * modified recently — the retention-period answer every table format
+    * uses). `graceMs = 0` is for tests and known-quiescent warehouses.
     */
-  def vacuum(db: Db): Unit = {
-    val m = Manifest.current(db.warehouse)
-    def sweep(root: String, live: Set[String]): Unit = {
-      val d = Paths.get(root)
-      if (!Files.isDirectory(d)) return
-      Files.list(d).iterator().asScala.toVector.foreach { p =>
-        val n = p.getFileName.toString
-        if (!live.contains(n)) deleteRecursively(p)
+  def vacuum(db: Db, graceMs: Long = 15 * 60 * 1000L): Unit =
+    withCompactionLock(db.warehouse) {
+      val m = Manifest.current(db.warehouse)
+      val cutoff = System.currentTimeMillis() - graceMs
+      def sweep(root: String, live: Set[String]): Unit = {
+        val d = Paths.get(root)
+        if (!Files.isDirectory(d)) return
+        Files.list(d).iterator().asScala.toVector.foreach { p =>
+          val n = p.getFileName.toString
+          val oldEnough =
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+          if (!live.contains(n) && oldEnough) deleteRecursively(p)
+        }
       }
+      sweep(db.dataDir, m.dataTxids.map(t => s"txid=$t").toSet)
+      sweep(db.deleteDir, m.deleteTxids.map(t => s"txid=$t").toSet)
     }
-    sweep(db.dataDir, m.dataTxids.map(t => s"txid=$t").toSet)
-    sweep(db.deleteDir, m.deleteTxids.map(t => s"txid=$t").toSet)
-  }
 
   /** Drop manifest versions older than the newest `keep` (history bound:
     * a long-lived warehouse accretes one version file per commit, which

@@ -31,7 +31,7 @@ class IntegrationSpec extends SparkSpec {
     assert(state() == Seq(("b", 22L), ("c", 3L), ("d", 4L)))
 
     Compactor.major(db)
-    Compactor.vacuum(db)
+    Compactor.vacuum(db, graceMs = 0L)
     assert(state() == Seq(("b", 22L), ("c", 3L), ("d", 4L)))
     val m = Manifest.current(db.warehouse)
     assert(m.dataTxids.size == 1 && m.deleteTxids.isEmpty)

@@ -53,6 +53,20 @@ class CompactConcurrencySpec extends SparkSpec {
     assert(db.read("%").count() == 3, "compaction raced into duplication")
   }
 
+  test("vacuum grace window protects an in-flight writer's directory") {
+    val db = Db(spark, tmpDir("graft-cc5"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    // a claimed-but-unpublished directory looks orphaned until publish
+    Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v")
+      .write.parquet(s"${db.dataDir}/txid=77")
+    Compactor.vacuum(db) // default grace: fresh dirs must survive
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${db.dataDir}/txid=77")))
+    Compactor.vacuum(db, graceMs = 0L) // quiescent: now it is garbage
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${db.dataDir}/txid=77")))
+  }
+
   test("low-ranked latecomer publish aborts and retries the compaction") {
     val db = Db(spark, tmpDir("graft-cc4"))
     TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))

@@ -31,7 +31,7 @@ class RobustnessSpec extends SparkSpec {
     Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v")
       .write.parquet(s"${db.dataDir}/txid=999")
     assert(db.read().count() == 1) // invisible to readers
-    Compactor.vacuum(db)
+    Compactor.vacuum(db, graceMs = 0L)
     assert(!Files.exists(Paths.get(s"${db.dataDir}/txid=999")))
     assert(db.read().count() == 1)
   }

@@ -35,7 +35,7 @@ class TimeTravelSpec extends SparkSpec {
     assert(keys(db.read("%")) == Set("b"))
 
     // vacuum prunes to the CURRENT live set: history contract ends
-    Compactor.vacuum(db)
+    Compactor.vacuum(db, graceMs = 0L)
     assert(keys(db.read("%")) == Set("b"), "current snapshot survives vacuum")
     val historical = scala.util.Try(db.snapshotAt(v1).read("%").count())
     assert(historical.isFailure || !keys(db.snapshotAt(v1).read("%")).contains("a"))

@@ -121,7 +121,7 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(db) == before)
     val m = Manifest.current(db.warehouse)
     assert(m.dataTxids.size == 1 && m.deleteTxids.isEmpty)
-    Compactor.vacuum(db)
+    Compactor.vacuum(db, graceMs = 0L)
     assert(rows(db) == before) // still readable after vacuum
   }
 
