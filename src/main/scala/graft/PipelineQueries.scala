@@ -79,6 +79,11 @@ object PipelineQueries {
     "tp_repetition" -> { (s, d) =>
       TextAnalysis.repetition(Graft.documents(s, d)).orderBy("doc_id")
     },
+    // corpus-statistics quality score: avg n-gram document frequency
+    // (model-based-filter stand-in; boilerplate scores high)
+    "tp_gram_df" -> { (s, d) =>
+      TextAnalysis.gramDocFreqScore(Graft.documents(s, d)).orderBy("doc_id")
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -303,6 +308,7 @@ object PipelineQueries {
     "tp_decontaminate" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
     "tp_repetition" -> TextAnalysis.sqlRepetition,
+    "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

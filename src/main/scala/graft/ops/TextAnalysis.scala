@@ -125,6 +125,46 @@ object TextAnalysis {
        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-statistics quality score: each document's average n-gram
+    * DOCUMENT frequency (in how many documents its n-grams appear). The
+    * deterministic stand-in for model-based quality filtering: template/
+    * boilerplate documents score high (their n-grams are everywhere),
+    * unusual documents score low. Two shuffles — gram frequency
+    * aggregation, then per-doc aggregation — with the gram join reusing
+    * the frequency exchange (same partitioning); the standard
+    * inverted-index shape that survives any corpus size. Exactness:
+    * counts are int64, one double division at the end.
+    */
+  def gramDocFreqScore(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 2): DataFrame = {
+    val grams = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("g"))
+      .repartition(col("g")) // shared exchange for freq + join
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    grams.join(freq, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("gdf")).as("_sum_df"))
+      .select(col("id").as(idCol), col("n_grams"),
+        round(col("_sum_df").cast("double") / col("n_grams"), 9)
+          .as("avg_gram_df"))
+  }
+
+  /** DuckDB twin of [[gramDocFreqScore]] (adjacent so they cannot drift);
+    * the int sum is CAST to BIGINT per the HUGEINT portability rule.
+    */
+  def sqlGramDocFreqScore(n: Int = 2): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id AS id, unnest(${Dedup.sqlShingleHashes("text", n)}) AS g
+       |  FROM documents),
+       |freq AS (SELECT g, count(*) AS gdf FROM grams GROUP BY g)
+       |SELECT id AS doc_id, count(*) AS n_grams,
+       |       round(CAST(CAST(sum(gdf) AS BIGINT) AS DOUBLE) / count(*), 9)
+       |         AS avg_gram_df
+       |FROM grams JOIN freq USING (g)
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** One-pass document profile used by the pipeline queries. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

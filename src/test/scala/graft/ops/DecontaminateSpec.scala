@@ -50,6 +50,20 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("gramDocFreqScore: shared boilerplate scores high, unique text low") {
+    val df = Seq(
+      (1L, "common template text here"),
+      (2L, "common template text here"),
+      (3L, "common template text here"),
+      (4L, "totally unique words nowhere else")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.gramDocFreqScore(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // docs 1-3 share every bigram (df = 3 each); doc 4's are unique
+    assert(scores(1L) == 3.0 && scores(2L) == 3.0 && scores(3L) == 3.0)
+    assert(scores(4L) == 1.0)
+  }
+
   test("repetition ratios: boilerplate scores high, varied text low") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),
