@@ -95,4 +95,33 @@ class TextProtoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RowCodec.validate(""))
     RowCodec.validate("iuIUfFsB")
   }
+
+  test("strftime layouts round-trip arbitrary timestamps (property)") {
+    // the layouts the reference CLI/docs use (main.rs:520-543, %.f =
+    // chrono's optional dot + 1-9 fractional digits)
+    val layouts = Seq("%FT%T%.f", "%Y-%m-%d %H:%M:%S%.f", "%FT%T")
+    val rng = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val nanos = math.abs(rng.nextLong()) % 4102444800000000000L // < 2100
+      layouts.foreach { fmt =>
+        val wholeSec = fmt.endsWith("%T")
+        val t = if (wholeSec) nanos - nanos % 1000000000L else nanos
+        val text = TextProto.formatTimestamp(t, fmt)
+        val back = TextProto.parseTimestampWith(text, fmt)
+        assert(back == t, s"$fmt: $t -> '$text' -> $back")
+      }
+    }
+    // chrono token semantics, pinned
+    assert(TextProto.parseTimestampWith("2020-01-01T00:00:01", "%FT%T") ==
+      1577836801000000000L)
+    assert(TextProto.parseTimestampWith("2020-01-01", "%F") ==
+      1577836800000000000L) // date-only -> midnight
+    assert(TextProto.parseTimestampWith("2020-01-01T00:00:01.5", "%FT%T%.f") ==
+      1577836801500000000L)
+    assert(TextProto.formatTimestamp(1577836801000000000L, "%F %T") ==
+      "2020-01-01 00:00:01")
+    // unsupported tokens fail loudly, never silently mis-parse
+    intercept[IllegalArgumentException](
+      TextProto.parseTimestampWith("x", "%Q"))
+  }
 }
