@@ -22,7 +22,8 @@ class PlanHygieneSpec extends SparkSpec {
   test("dedup self-joins broadcast or reuse one exchange, never recompute") {
     val sfDir = "/root/testdata/sf0.001"
     // AQE finalizes the plan only after execution; run THIS df, then inspect
-    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard").foreach {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "tp_gram_df").foreach {
       name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect()
