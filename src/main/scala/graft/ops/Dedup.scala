@@ -309,11 +309,21 @@ object Dedup {
     * The driver only inspects the converged flag; no data is collected.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().localCheckpoint(true)
-    var comp = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // Per-round materialization keeps the plan O(1) deep. When the
+    // session has a reliable checkpoint dir configured (a real cluster:
+    // survives executor loss), use it; otherwise localCheckpoint (fast,
+    // executor-local — fine on local[] and for short jobs).
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .distinct())
+    var comp = materialize(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("comp", col("id")))
     // labels are node ids and only ever decrease, so the label sum is a
     // strictly decreasing potential function: cheap convergence detection
     // (one aggregate on the checkpointed relation, no comparison join)
@@ -338,13 +348,12 @@ object Dedup {
           least(col("c.comp"), coalesce(col("n.ncomp"), col("c.comp")))
             .as("comp"))
       // (b) pointer jumping: adopt the label's own current label
-      val next = relaxed.alias("m")
+      val next = materialize(relaxed.alias("m")
         .join(relaxed.select(col("id").as("lid"), col("comp").as("lcomp"))
           .alias("p"), col("m.comp") === col("p.lid"), "left")
         .select(col("id"),
           least(col("m.comp"), coalesce(col("p.lcomp"), col("m.comp")))
-            .as("comp"))
-        .localCheckpoint(true)
+            .as("comp")))
       val nextPot = potential(next)
       comp = next
       converged = nextPot.compareTo(pot) == 0

@@ -80,6 +80,21 @@ class SamplingSpec extends SparkSpec {
     assert(comp.length == 41 && comp.forall(_._2 == 0L))
   }
 
+  test("connectedComponents honors a configured reliable checkpoint dir") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val comp = Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // checkpoint data actually landed in the reliable dir
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .count() > 0, "no reliable checkpoint written")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("connectedComponents on an empty pair set returns empty (no NPE)") {
     // a clean corpus yields zero candidate pairs; sum() over zero rows is
     // NULL, which used to NPE the convergence check
