@@ -55,7 +55,14 @@ object Cli {
       // `read --after-key A --before-key B` (src/main.rs:113-121)
       case "read" :: rest if rest.size <= 1 =>
         val base = rest.headOption match {
-          case Some(pattern) => db.read(pattern)
+          case Some(pattern) =>
+            // the reference declares filter and key bounds conflicts_with
+            // (src/main.rs:113-121): error rather than silently ignoring
+            // the bounds and over-reading
+            require(!flags.contains("--after-key") &&
+              !flags.contains("--before-key"),
+              "a pattern conflicts with --after-key/--before-key")
+            db.read(pattern)
           case None =>
             val from = flags.get("--after-key")
             val until = flags.get("--before-key")

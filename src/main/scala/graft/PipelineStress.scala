@@ -66,7 +66,8 @@ object PipelineStress {
         .agg(count(lit(1))).as[Long](spark.implicits.newLongEncoder).head())
     timed("decontaminate (1k bench)") {
       // broadcast inverted index: bench = 1000 docs drawn from the corpus
-      Decontaminate.overlaps(docs, docs.filter(col("doc_id") % (n / 1000) === 0),
+      Decontaminate.overlaps(docs,
+        docs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
           "doc_id", "text", "doc_id", "text", minOverlap = 3)
         .filter(col("doc_id") =!= col("bench_id")).count()
     }

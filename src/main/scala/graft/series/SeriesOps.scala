@@ -55,7 +55,11 @@ object SeriesOps {
             }
             else lower)
         }
-      if (w.isPrefixOnly && ascii) range.getOrElse(lit(true))
+      // all-% patterns (empty prefix) match everything: lit(true), not
+      // LIKE '%' — the optimizer rewrites the latter to IsNotNull(key),
+      // silently dropping null-key rows from full scans
+      if (w.isPrefixOnly && (ascii || w.prefix.isEmpty))
+        range.getOrElse(lit(true))
       else range.map(_ && key.like(w.likePattern)).getOrElse(key.like(w.likePattern))
     }
   }

@@ -29,7 +29,12 @@ final class Serve(db: Db, port: Int = 0) {
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
   server.createContext("/", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit =
+    override def handle(ex: HttpExchange): Unit = {
+      // once the 200 chunked headers are out we can no longer turn a
+      // mid-stream failure into a 500 — responding again would throw from
+      // the catch and mask the real error; log it and truncate instead
+      val headersSent = new java.util.concurrent.atomic.AtomicBoolean(false)
+      ex.setAttribute("headersSent", headersSent)
       try {
         ex.getRequestMethod match {
           case "GET" => doGet(ex)
@@ -37,8 +42,12 @@ final class Serve(db: Db, port: Int = 0) {
           case _     => respond(ex, 400, "invalid request\n")
         }
       } catch {
-        case e: Throwable => respond(ex, 500, s"error: ${e.getMessage}\n")
+        case e: Throwable =>
+          if (headersSent.get())
+            System.err.println(s"serve: mid-stream failure: $e")
+          else respond(ex, 500, s"error: ${e.getMessage}\n")
       } finally ex.close()
+    }
   })
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
@@ -58,7 +67,12 @@ final class Serve(db: Db, port: Int = 0) {
     val lines = TextIngest.print(db.spark, TextIngest.asRecords(df),
       tsMode = if (human) TextIngest.TsHuman else TextIngest.TsNanos)
     ex.getResponseHeaders.set("Content-Type", "text/plain")
+    // materialize the first partition lazily BEFORE committing the 200?
+    // No — planning errors throw before this point; runtime errors can
+    // strike at any row, so the handler logs-and-truncates (see above)
     ex.sendResponseHeaders(200, 0) // chunked: stream rows as they arrive
+    ex.getAttribute("headersSent")
+      .asInstanceOf[java.util.concurrent.atomic.AtomicBoolean].set(true)
     val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
     lines.toLocalIterator().forEachRemaining { l => out.write(l); out.write('\n') }

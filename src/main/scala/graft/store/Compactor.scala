@@ -128,6 +128,18 @@ object Compactor {
   private def compactLocked(db: Db, major: Boolean,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                       limitTx: Option[Int] = None, retries: Int = 0): Unit = {
+    // Cheap no-op check BEFORE claiming anything: a cron'd compact on a
+    // quiescent warehouse must not burn a txid and a manifest version
+    // per invocation.
+    def selectFoldable(m: ManifestState, below: Long): Vector[Long] = {
+      val eligible = m.dataTxids.filter(_ < below)
+      val tail = eligible.drop(1)
+      if (major) eligible else limitTx.fold(tail)(n => tail.sorted.takeRight(n))
+    }
+    val pre = Manifest.current(db.warehouse)
+    val preFold = selectFoldable(pre, Long.MaxValue)
+    if (preFold.isEmpty || (!major && preFold.size < 2)) return
+
     // Claim the output txid BEFORE snapshotting: every commit that lands
     // after this point has a txid ABOVE the compacted output, so its
     // records win last-wins against folded copies and its delete markers
@@ -143,10 +155,11 @@ object Compactor {
     }
     val snap = db.snapshot()
     val m = snap.manifest
-    val tail = m.dataTxids.drop(1)
-    val toCompact =
-      if (major) m.dataTxids
-      else limitTx.fold(tail)(n => tail.sorted.takeRight(n))
+    // Fold ONLY txids below our claim: the snapshot can already contain
+    // commits that landed after the claim (txid > newTxid); folding one
+    // would demote it beneath the output — and beneath writers that
+    // claimed earlier but publish later — inverting last-wins.
+    val toCompact = selectFoldable(m, newTxid)
     // minor needs ≥2 tx to fold; major runs whenever there is any data
     // (it may be purging deletes or applying a transform to a single tx)
     if (toCompact.isEmpty || (!major && toCompact.size < 2)) return
@@ -182,11 +195,13 @@ object Compactor {
     // the new transaction (and purges markers on major). Old directories
     // remain on disk for readers of older snapshots until vacuum().
     val newStats = TxWriter.txStatsOf(db, s"${db.dataDir}/txid=$newTxid")
-    // Only the markers APPLIED by this compaction (the snapshot's) may be
-    // dropped on major: a delete committed after the snapshot has a txid
-    // above the compacted output's sources and must keep suppressing them
-    // (same concurrent-commit reasoning as the schema merge below).
-    val appliedDeletes = m.deleteTxids.toSet
+    // Only the markers APPLIED by this compaction AND ranked below our
+    // claim may be dropped on major: a marker above newTxid (even one
+    // already visible in the snapshot) must keep suppressing writers that
+    // claimed before it but publish later (same concurrent-commit
+    // reasoning as the schema merge below; applying it to the fold AND
+    // keeping it is harmless — the covered records are already purged).
+    val appliedDeletes = m.deleteTxids.filter(_ < newTxid).toSet
     val snapData = m.dataTxids.toSet
     try {
       Manifest.update(db.warehouse) { cur =>
@@ -245,14 +260,23 @@ object Compactor {
     withCompactionLock(db.warehouse) {
       val m = Manifest.current(db.warehouse)
       val cutoff = System.currentTimeMillis() - graceMs
+      // Newest mtime anywhere UNDER the directory: a long-running write
+      // keeps touching files below _temporary/ while the top-level dir
+      // mtime stays at job start, so the top mtime alone would age out an
+      // in-flight multi-hour ingest.
+      def newestMtime(p: java.nio.file.Path): Long = {
+        val s = Files.walk(p)
+        try s.iterator().asScala.map(Files.getLastModifiedTime(_).toMillis)
+          .foldLeft(0L)(math.max)
+        finally s.close()
+      }
       def sweep(root: String, live: Set[String]): Unit = {
         val d = Paths.get(root)
         if (!Files.isDirectory(d)) return
         Files.list(d).iterator().asScala.toVector.foreach { p =>
           val n = p.getFileName.toString
-          val oldEnough =
-            Files.getLastModifiedTime(p).toMillis <= cutoff
-          if (!live.contains(n) && oldEnough) deleteRecursively(p)
+          if (!live.contains(n) && newestMtime(p) <= cutoff)
+            deleteRecursively(p)
         }
       }
       sweep(db.dataDir, m.dataTxids.map(t => s"txid=$t").toSet)

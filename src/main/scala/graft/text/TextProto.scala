@@ -126,20 +126,32 @@ object TextProto {
     * fields (date-only layouts parse to midnight, like the reference's
     * `NaiveDate … and_hms_opt(0,0,0)`).
     */
-  def strftimeFormatter(fmt: String): DateTimeFormatter = {
+  // DateTimeFormatter is immutable and thread-safe; the builder walk is
+  // per-row cost on the print/parse hot paths (read, serve GET, gegnum)
+  // without a cache.
+  private val strftimeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DateTimeFormatter]()
+
+  def strftimeFormatter(fmt: String): DateTimeFormatter =
+    strftimeCache.computeIfAbsent(fmt, buildStrftime)
+
+  private def buildStrftime(fmt: String): DateTimeFormatter = {
     import java.time.format.DateTimeFormatterBuilder
     import java.time.temporal.ChronoField._
     val b = new DateTimeFormatterBuilder()
+    var hasDayOfYear = false
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
         fmt.charAt(i + 1) match {
           case 'Y' => b.appendValue(YEAR, 4); i += 2
-          case 'y' => b.appendValueReduced(YEAR, 2, 2, 2000); i += 2
+          // chrono/POSIX two-digit years: 69-99 → 1969-1999, 00-68 →
+          // 2000-2068 (base 1969 gives exactly that window)
+          case 'y' => b.appendValueReduced(YEAR, 2, 2, 1969); i += 2
           case 'm' => b.appendValue(MONTH_OF_YEAR, 2); i += 2
           case 'd' => b.appendValue(DAY_OF_MONTH, 2); i += 2
-          case 'j' => b.appendValue(DAY_OF_YEAR, 3); i += 2
+          case 'j' => b.appendValue(DAY_OF_YEAR, 3); hasDayOfYear = true; i += 2
           case 'H' => b.appendValue(HOUR_OF_DAY, 2); i += 2
           case 'M' => b.appendValue(MINUTE_OF_HOUR, 2); i += 2
           case 'S' => b.appendValue(SECOND_OF_MINUTE, 2); i += 2
@@ -162,8 +174,12 @@ object TextProto {
         }
       } else { b.appendLiteral(c); i += 1 }
     }
-    b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
-      .parseDefaulting(HOUR_OF_DAY, 0).parseDefaulting(MINUTE_OF_HOUR, 0)
+    // month/day defaults conflict with a parsed day-of-year (the resolver
+    // cross-checks the derived date against DAY_OF_YEAR), so only default
+    // them for layouts without %j
+    if (!hasDayOfYear)
+      b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
+    b.parseDefaulting(HOUR_OF_DAY, 0).parseDefaulting(MINUTE_OF_HOUR, 0)
       .parseDefaulting(SECOND_OF_MINUTE, 0).parseDefaulting(NANO_OF_SECOND, 0)
       .toFormatter
   }

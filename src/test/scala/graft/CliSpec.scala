@@ -117,6 +117,10 @@ class CliSpec extends SparkSpec {
     cli("-d", wh, "delete", "--after-key", "beta", "--before-key", "gamma")()
     assert(cli("-d", wh, "read", "%")().map(_.split('\t').head) ==
       Seq("alpha", "gamma"))
+    // pattern + key bounds conflict (reference conflicts_with): hard
+    // error, never a silent unbounded read
+    intercept[Exception](
+      cli("-d", wh, "read", "%", "--after-key", "alpha")())
   }
 
   test("parseColumns handles ranges") {

@@ -40,6 +40,18 @@ class WildcardPropertySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("all-% pattern keeps null keys (lit(true), not LIKE '%')") {
+    // LIKE '%' optimizes to IsNotNull(key); the full-scan pattern must
+    // not silently drop a null-key row that records/compaction retain
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("a"), org.apache.spark.sql.Row(null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    assert(df.filter(SeriesOps.keyPredicate(col("key"), "%")).count() == 2)
+  }
+
   test("keyPredicate is sound for non-ASCII prefixes (surrogate boundary)") {
     // U+D7FF's char-successor is an unpaired surrogate: its UTF-8 bytes
     // would mis-bound the range, so the rewrite must keep a LIKE residual

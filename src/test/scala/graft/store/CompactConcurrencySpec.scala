@@ -53,6 +53,16 @@ class CompactConcurrencySpec extends SparkSpec {
     assert(db.read("%").count() == 3, "compaction raced into duplication")
   }
 
+  test("no-op compaction burns neither a txid nor a manifest version") {
+    val db = Db(spark, tmpDir("graft-cc6"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    val before = db.snapshot().manifest
+    Compactor.minor(db) // single tx: nothing to fold
+    val after = db.snapshot().manifest
+    assert(after.nextTxid == before.nextTxid && after.version == before.version,
+      s"idle compact mutated the manifest: $before -> $after")
+  }
+
   test("vacuum grace window protects an in-flight writer's directory") {
     val db = Db(spark, tmpDir("graft-cc5"))
     TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))

@@ -123,5 +123,17 @@ class TextProtoSpec extends AnyFunSuite {
     // unsupported tokens fail loudly, never silently mis-parse
     intercept[IllegalArgumentException](
       TextProto.parseTimestampWith("x", "%Q"))
+    // chrono/POSIX %y century rule: 69-99 → 19xx, 00-68 → 20xx
+    assert(TextProto.formatTimestamp(
+      TextProto.parseTimestampWith("99-01-01", "%y-%m-%d"), "%F") ==
+      "1999-01-01")
+    assert(TextProto.formatTimestamp(
+      TextProto.parseTimestampWith("68-01-01", "%y-%m-%d"), "%F") ==
+      "2068-01-01")
+    // %j day-of-year parses for any day, not just 001 (defaults must not
+    // conflict with the derived date)
+    assert(TextProto.formatTimestamp(
+      TextProto.parseTimestampWith("2024-100", "%Y-%j"), "%F") ==
+      "2024-04-09")
   }
 }
