@@ -157,6 +157,23 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // PQ/ADC: the corpus is searched through its product-quantization
+    // codes only (raw vectors never touched at query time) — the
+    // memory-bounded ANN shape for corpora whose vectors don't fit
+    "ann_pq_adc" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // exact-substring duplicate spans (Lee et al. 2022): per-document
+    // fraction of tokens inside a k-token window shared with another doc
+    "tp_dup_spans" -> { (s, d) =>
+      Dedup.dupSpanCoverage(Graft.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
     "dedup_embedding_lsh" -> { (s, d) =>
       Similarity.nearDupPairsAuto(Graft.embeddings(s, d), "vec_id",
           "embedding", 0.35)
@@ -305,6 +322,8 @@ object PipelineQueries {
         |       CAST(frame * greatest(1, duration_ms // 4) AS BIGINT) AS offset_ms,
         |       CAST(least(start + slice_len, len) - start AS BIGINT) AS frame_bytes
         |FROM g ORDER BY media_id, frame""".stripMargin,
+    "ann_pq_adc" -> Similarity.sqlPqAdc(10, "vec_id < 5"),
+    "tp_dup_spans" -> Dedup.sqlDupSpanCoverage(8),
     "tp_decontaminate" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
     "tp_repetition" -> TextAnalysis.sqlRepetition,

@@ -289,6 +289,97 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ── exact-substring (window) duplicate spans ───────────────────────
+
+  /** Cross-document duplicated k-token spans and per-document duplicate
+    * coverage — the exact-substring deduplication measure of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL
+    * 2022): every k-token window of every document is fingerprinted; a
+    * window occurring in ≥ 2 '''distinct''' documents marks its k token
+    * positions as duplicated; a document's `dup_coverage` is the fraction
+    * of its tokens inside at least one duplicated span. (Within-document
+    * repetition is deliberately not counted — that axis is
+    * [[TextAnalysis.repetition]].)
+    *
+    * Scale design: the corpus never forms document pairs. Windows explode
+    * to slim (id, pos, hash64) rows, one hash-repartition on the window
+    * hash serves BOTH the duplicated-window aggregation and the join back
+    * (ReusedExchange), and "≥ 2 distinct docs" is `min(id) <> max(id)` —
+    * partial-aggregable, no countDistinct. Cost is O(tokens) rows through
+    * one exchange; the k-offset coverage explode multiplies only the
+    * matched spans, not the corpus. This is the suffix-array substitute
+    * that actually distributes: fixed-k windows trade the suffix array's
+    * any-length matches for embarrassing parallelism (k = the minimum
+    * span length worth deduplicating, 50 tokens in the paper).
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 2, "window length must be ≥ 2")
+    val toks = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .select(col("id"), col("w"), size(col("w")).as("n_tokens"))
+      .filter(col("n_tokens") >= k)
+    val wins = toks
+      .select(col("id"), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => PortableHash.h60(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
+      .toDF("id", "n_tokens", "pos", "wh")
+      .repartition(col("wh")) // ReusedExchange: feeds the agg AND the join
+    val dup = wins.groupBy("wh")
+      .agg(min(col("id")).as("_mn"), max(col("id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select("wh")
+    val dwins = wins.join(dup, "wh").select("id", "pos")
+    val cov = dwins
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("covered_tokens"))
+    val dw = dwins.groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(dw, Seq("id"), "left")
+      .join(cov, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - (k - 1)).cast("long").as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 9).as("dup_coverage"))
+  }
+
+  /** DuckDB oracle equal to [[dupSpanCoverage]] (kept adjacent so the two
+    * can never drift).
+    */
+  def sqlDupSpanCoverage(k: Int = 8, table: String = "documents",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): String = {
+    val win = s"array_to_string(w[i+1:i+$k], ' ')"
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, string_split($textCol, ' ') AS w,
+       |         len(string_split($textCol, ' ')) AS n_tokens
+       |  FROM $table),
+       |t AS (SELECT id, w, n_tokens FROM toks WHERE n_tokens >= $k),
+       |wins AS (
+       |  SELECT id, n_tokens, i AS pos, ${PortableHash.sqlH60(win)} AS wh
+       |  FROM (SELECT id, n_tokens, w,
+       |        unnest(range(n_tokens - $k + 1)) AS i FROM t)),
+       |dup AS (SELECT wh FROM wins GROUP BY wh HAVING min(id) <> max(id)),
+       |dwins AS (SELECT id, pos FROM wins JOIN dup USING (wh)),
+       |cov AS (SELECT id, count(*) AS covered_tokens FROM (
+       |    SELECT DISTINCT id, pos + u AS tp
+       |    FROM (SELECT id, pos, unnest(range($k)) AS u FROM dwins))
+       |  GROUP BY id),
+       |dw AS (SELECT id, count(*) AS dup_windows FROM dwins GROUP BY id)
+       |SELECT t.id AS $idCol, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_tokens - ${k - 1} AS BIGINT) AS n_windows,
+       |       COALESCE(dup_windows, 0) AS dup_windows,
+       |       COALESCE(covered_tokens, 0) AS covered_tokens,
+       |       round(COALESCE(covered_tokens, 0)::DOUBLE / n_tokens, 9)
+       |         AS dup_coverage
+       |FROM t LEFT JOIN dw ON t.id = dw.id LEFT JOIN cov ON t.id = cov.id
+       |ORDER BY $idCol""".stripMargin
+  }
+
   // ── duplicate clusters ─────────────────────────────────────────────
 
   /** Connected components over candidate-pair edges: every node mapped to

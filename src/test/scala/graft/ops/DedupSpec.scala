@@ -39,4 +39,45 @@ class DedupSpec extends SparkSpec {
     assert(r(1L).length == 1) // 2 words < n=3
     assert(r(2L).length == 2) // 4 words -> 2 trigrams
   }
+
+  test("dupSpanCoverage: planted cross-doc span, exact coverage accounting") {
+    // A and B share exactly one 8-token span; C is unique; D repeats an
+    // 8-gram within itself only; E is shorter than the window.
+    val docs = Seq(
+      (1L, "a1 a2 S1 S2 S3 S4 S5 S6 S7 S8"),
+      (2L, "S1 S2 S3 S4 S5 S6 S7 S8 b1 b2"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+      (5L, "s1 s2 s3 s4 s5 s6 s7")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+
+    assert(!r.contains(5L), "doc shorter than k is excluded")
+    // A: 10 tokens -> 3 windows; only the S1..S8 window (pos 2) is shared
+    assert(r(1L) == ((1L, 10L, 3L, 1L, 8L, 0.8)))
+    // B: shared window at pos 0
+    assert(r(2L) == ((2L, 10L, 3L, 1L, 8L, 0.8)))
+    // C: no duplication
+    assert(r(3L) == ((3L, 10L, 3L, 0L, 0L, 0.0)))
+    // D: the repeated 8-gram never leaves the document -> not cross-doc
+    assert(r(4L)._4 == 0L && r(4L)._6 == 0.0)
+  }
+
+  test("dupSpanCoverage: overlapping spans union their token coverage") {
+    // A and B share 9 consecutive tokens -> two overlapping 8-windows in
+    // each; covered tokens must be the 9-token union, not 16
+    val docs = Seq(
+      (1L, "S1 S2 S3 S4 S5 S6 S7 S8 S9 x1"),
+      (2L, "y1 S1 S2 S3 S4 S5 S6 S7 S8 S9")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._4 == 2L, "two duplicated windows")
+    assert(r(1L)._5 == 9L, "union coverage, overlap counted once")
+    assert(r(1L)._6 == 0.9)
+    assert(r(2L)._5 == 9L)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product-quantization codebook, encoding and ADC search.
+  * Small dim=8 / m=2 / k=4 geometry so expected codes are hand-checkable.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  // vectors 0..3 are the codebook (first-k-by-id quantizer); 100 is an
+  // exact copy of 0; 101 differs from 0 only in the second subspace,
+  // where it matches 2; 102 is far from everything
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+  private lazy val emb = Seq(
+    (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+    (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+    (2L, vec(0, 0, 1, 0, 0, 1, 0, 0)),
+    (3L, vec(0, 0, 0, 1, 1, 0, 0, 0)),
+    (100L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+    (101L, vec(1, 0, 0, 0, 0, 1, 0, 0)),
+    (102L, vec(-1, -1, -1, -1, -1, -1, -1, -1))
+  ).toDF("vec_id", "embedding")
+
+  test("pqCodebook: m*k entries, subvectors of subDim") {
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      m = 2, k = 4, dim = dim)
+    val rows = cb.as[(Long, Int, Seq[Long], Long)].collect()
+    assert(rows.length == 2 * 4)
+    assert(rows.forall(_._3.length == dim / 2))
+    // entry c of subspace m is the m-th slice of vector with the c-th
+    // smallest id: c=2, m=1 -> second half of vec 2 = (0, 1, 0, 0) * 1e6
+    val e = rows.find(r => r._1 == 2L && r._2 == 1).get
+    assert(e._3 == Seq(0L, 1000000L, 0L, 0L))
+  }
+
+  test("pqEncode: codebook members encode to themselves; ties go low") {
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      m = 2, k = 4, dim = dim)
+    val vecs = emb.select(col("vec_id"),
+      Similarity.veci(col("embedding")).as("v"))
+    val codes = Similarity.pqEncode(vecs, cb, "vec_id", "v", m = 2, dim = dim)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(codes(0L) == Seq(0L, 0L))
+    assert(codes(1L) == Seq(1L, 1L))
+    assert(codes(100L) == Seq(0L, 0L), "exact copy gets the same codes")
+    assert(codes(101L) == Seq(0L, 2L), "second subspace matches entry 2")
+  }
+
+  test("pqAdcKnn: an exact duplicate is the rank-1 neighbor at distance 0") {
+    val r = Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", topK = 3, m = 2, k = 4, dim = dim)
+      .select("query_id", "nn_id", "adist", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .sortBy(_._4)
+    assert(r.head == ((0L, 100L, 0L, 1)),
+      "identical vector at ADC distance 0")
+    assert(r.forall(_._3 >= 0L))
+  }
+
+  test("pqAdcKnn is deterministic") {
+    def run() = Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") < 2),
+        "vec_id", "embedding", topK = 5, m = 2, k = 4, dim = dim)
+      .select("query_id", "nn_id", "adist", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    assert(run() == run())
+  }
+}
