@@ -449,19 +449,107 @@ object Similarity {
       .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
   }
 
-  /** ADC (asymmetric distance computation) top-k: queries stay exact,
-    * the corpus is its PQ codes. Per query, a `m × k` lookup table of
-    * subspace distances is built against the codebook; the approximate
-    * distance of a corpus vector is the sum of `m` LUT entries selected
-    * by its codes. The plan is the production shape: the slim codes
-    * relation streams through ONE broadcast hash join with the LUT
-    * (queries × m × k rows — tiny), then a (query, nn) partial-agg sum;
-    * raw corpus vectors are never touched at query time. Compose with
-    * [[ivfAssign]] cells to probe a fraction of the codes at full scale.
+  /** Codebook collected to plan-time literals: `(m)(c) = (subvector,
+    * norm)`. k × m subvectors — a few KiB, the [[kmeansCodebook]]
+    * collect precedent.
+    */
+  def collectCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                      m: Int = PQ_M, k: Int = PQ_K,
+                      dim: Int = 64): Array[Array[(Array[Long], Long)]] = {
+    val rows = pqCodebook(corpus, idCol, embCol, m, k, dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+    (0 until m).map { mm =>
+      rows.filter(_._2 == mm).sortBy(_._1).map(r => (r._3, r._4))
+    }.toArray
+  }
+
+  /** PQ codes as ONE zero-shuffle projection: for each subspace the
+    * codebook entries are plan-time literal arrays (the [[lshBucket]]
+    * plane trick), so the argmin is `array_position(dists, array_min)`
+    * over a k-element in-row array — first minimum wins, i.e. ties go to
+    * the lower entry id, matching [[pqEncode]]. The per-vector square
+    * norm is dropped from the argmin metric (constant shift per
+    * subspace). Encoding a 100 TB corpus is then a map-only scan; no
+    * exchange exists at all.
+    */
+  def pqCodesLit(v: Column, cb: Array[Array[(Array[Long], Long)]],
+                 subDim: Int): Column =
+    array(cb.indices.map { mm =>
+      val sub = slice(v, mm * subDim + 1, subDim)
+      val dists = array(cb(mm).map { case (cv, cn) =>
+        lit(cn) - lit(2L) * dotInt(sub, typedLit(cv.toSeq))
+      }: _*)
+      array_position(dists, array_min(dists)) - 1
+    }: _*)
+
+  /** ADC (asymmetric distance computation) top-k: queries stay exact, the
+    * corpus is its PQ codes. The query-side m × k distance lookup tables
+    * are computed on the driver (exact long arithmetic over the collected
+    * codebook and query vectors — both tiny by contract, the broadcast
+    * side of every ANN variant here) and embedded as literals. Per corpus
+    * row the plan computes codes ([[pqCodesLit]], map-only) and each
+    * query's distance as m literal-LUT lookups, then takes top-k.
+    *
+    * At 100 TB the executed plan is ONE scan + projection + a rank-limit
+    * window: Spark's WindowGroupLimit keeps ≤ topK rows per query per
+    * partition BEFORE the only exchange, so the shuffle carries
+    * O(topK × queries × partitions) rows — never the corpus. Raw vectors
+    * are read once (encode); search itself would touch only the stored
+    * codes table. Compose with [[ivfAssign]] cells to probe a fraction of
+    * the codes at full scale.
     */
   def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                embCol: String, topK: Int, m: Int = PQ_M, k: Int = PQ_K,
                dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
+    val cb = collectCodebook(corpus, idCol, embCol, m, k, dim)
+    val qrows = queries
+      .select(col(idCol), veci(col(embCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    // lut(q)(mm)(c) = ‖q_mm − cb(mm)(c)‖²: exact driver-side long math
+    val luts = qrows.map { case (qid, qv) =>
+      qid -> cb.zipWithIndex.map { case (entries, mm) =>
+        val qsub = qv.slice(mm * subDim, (mm + 1) * subDim)
+        val qn = qsub.map(x => x * x).sum
+        entries.map { case (cv, cn) =>
+          qn - 2L * qsub.zip(cv).map { case (a, b) => a * b }.sum + cn
+        }
+      }
+    }
+    val codes = corpus
+      .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
+      .select(col("nn_id"), pqCodesLit(col("v"), cb, subDim).as("codes"))
+    val perQuery = luts.map { case (qid, lut) =>
+      val adist = lut.zipWithIndex.map { case (entryDs, mm) =>
+        element_at(typedLit(entryDs.toSeq), element_at(col("codes"), mm + 1)
+          .cast("int") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adist.as("adist"))
+    }
+    val scored = codes
+      .select(col("nn_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id"), col("nn_id"), col("q.adist"))
+      .filter(col("query_id") =!= col("nn_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  /** Relational formulation of [[pqAdcKnn]] — broadcast codebook join,
+    * `min_by` argmin encode, LUT equi-join, (query, nn) partial-agg sum.
+    * Value-identical (PqSpec cross-checks); kept as the shape that works
+    * when the codebook/queries must stay distributed, and as the
+    * measured-alternative record: its scoring exchange carries a
+    * (queries × corpus)-row aggregation that the literal-LUT plan avoids.
+    */
+  def pqAdcKnnRelational(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         embCol: String, topK: Int, m: Int = PQ_M,
+                         k: Int = PQ_K, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val vecs = corpus.select(col(idCol), veci(col(embCol)).as("v"))

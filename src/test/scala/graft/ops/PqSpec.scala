@@ -64,6 +64,19 @@ class PqSpec extends SparkSpec {
     assert(r.forall(_._3 >= 0L))
   }
 
+  test("literal-LUT plan equals the relational formulation") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nn_id", "adist", "rank")
+        .as[(Long, Long, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val proj = collect(Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", topK = 5, m = 2, k = 4, dim = dim))
+    val rel = collect(Similarity.pqAdcKnnRelational(emb,
+      emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", topK = 5, m = 2, k = 4, dim = dim))
+    assert(proj == rel)
+    assert(proj.nonEmpty)
+  }
+
   test("pqAdcKnn is deterministic") {
     def run() = Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") < 2),
         "vec_id", "embedding", topK = 5, m = 2, k = 4, dim = dim)

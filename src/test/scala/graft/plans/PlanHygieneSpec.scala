@@ -19,11 +19,26 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("tp_dup_spans reuses the window-hash exchange in the no-broadcast regime") {
+    // at 100 TB neither side of the dup-window join broadcasts; the two
+    // branches over the exploded window relation must collapse into one
+    // shuffle (ReusedExchange), not recompute the explode+hash pipeline
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("tp_dup_spans")(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"window relation recomputed:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("dedup self-joins broadcast or reuse one exchange, never recompute") {
     val sfDir = "/root/testdata/sf0.001"
     // AQE finalizes the plan only after execution; run THIS df, then inspect
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "tp_gram_df").foreach {
+        "tp_gram_df", "tp_dup_spans").foreach {
       name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect()
