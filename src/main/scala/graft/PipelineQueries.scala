@@ -168,6 +168,16 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // IVF + PQ composed (the FAISS IVFADC shape): coarse cell assignment
+    // and PQ codes both as literal projections, probe own cell only
+    "ann_ivf_pq" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     // exact-substring duplicate spans (Lee et al. 2022): per-document
     // fraction of tokens inside a k-token window shared with another doc
     "tp_dup_spans" -> { (s, d) =>
@@ -323,6 +333,7 @@ object PipelineQueries {
         |       CAST(least(start + slice_len, len) - start AS BIGINT) AS frame_bytes
         |FROM g ORDER BY media_id, frame""".stripMargin,
     "ann_pq_adc" -> Similarity.sqlPqAdc(10, "vec_id < 5"),
+    "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
     "tp_dup_spans" -> Dedup.sqlDupSpanCoverage(8),
     "tp_decontaminate" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),

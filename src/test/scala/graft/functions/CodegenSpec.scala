@@ -28,6 +28,8 @@ class CodegenSpec extends AnyFunSuite {
       "SimHash32.simhash static forwarder missing — codegen will fall back")
     assert(statics(classOf[LongVecDot]).contains("dot"),
       "LongVecDot.dot static forwarder missing — codegen will fall back")
+    assert(statics(classOf[PqEncode]).contains("encode"),
+      "PqEncode.encode static forwarder missing — codegen will fall back")
     // Document the trap itself: `eval` can never be a forwarder here.
     assert(!statics(classOf[Md5Prefix60]).contains("eval"))
     assert(!statics(classOf[SimHash32]).contains("eval"))
@@ -51,5 +53,23 @@ class CodegenSpec extends AnyFunSuite {
       assert(row.getLong(i) == interpreted,
         s"codegen/interpreted disagree at $i: ${row.getLong(i)} vs $interpreted")
     }
+  }
+
+  test("PqEncode generated code compiles and agrees with interpreted eval") {
+    // dim=4, m=2, k=2, subDim=2: vec (1,2,3,4); entries per subspace
+    val vec = Literal.create(Seq(1L, 2L, 3L, 4L), ArrayType(LongType))
+    val cb = Array(9L, 9L, 1L, 2L, /* m=0: entries (9,9), (1,2) */
+                   3L, 4L, 0L, 0L) /* m=1: entries (3,4), (0,0) */
+    val norms = Array(162L, 5L, 25L, 0L)
+    val e = PqEncode(vec, cb, norms, m = 2, k = 2, subDim = 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val got = proj(InternalRow.empty).getArray(0).toLongArray().toSeq
+    val interpreted = e.eval(InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(got == interpreted)
+    // m=0: d(entry0)=162-2*27=108, d(entry1)=5-2*5=-5 -> code 1
+    // m=1: d(entry0)=25-2*25=-25, d(entry1)=0 -> code 0
+    assert(got == Seq(1L, 0L))
   }
 }

@@ -64,6 +64,17 @@ class PqSpec extends SparkSpec {
     assert(r.forall(_._3 >= 0L))
   }
 
+  test("native PqEncode kernel equals the composed column formulation") {
+    val cb = Similarity.collectCodebook(emb, "vec_id", "embedding",
+      m = 2, k = 4, dim = dim)
+    val vecs = emb.select(col("vec_id"),
+      Similarity.veci(col("embedding")).as("v")).orderBy("vec_id")
+    def run(c: org.apache.spark.sql.Column) =
+      vecs.select(c.as("codes")).as[Seq[Long]].collect().toSeq
+    assert(run(Similarity.pqCodesLit(col("v"), cb, dim / 2)) ==
+      run(Similarity.pqCodesComposed(col("v"), cb, dim / 2)))
+  }
+
   test("literal-LUT plan equals the relational formulation") {
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "nn_id", "adist", "rank")
@@ -75,6 +86,34 @@ class PqSpec extends SparkSpec {
       "vec_id", "embedding", topK = 5, m = 2, k = 4, dim = dim))
     assert(proj == rel)
     assert(proj.nonEmpty)
+  }
+
+  test("ivfPqKnn: exact duplicate lands in the same cell, ADC distance 0") {
+    val r = Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", topK = 3, nCells = 2, m = 2, k = 4, dim = dim)
+      .select("query_id", "nn_id", "adist", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(r.head == ((0L, 100L, 0L, 1)))
+  }
+
+  test("ivfPqKnn results are the cell-filtered subset of full ADC scoring") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nn_id", "adist")
+        .as[(Long, Long, Long)].collect().toSet
+    val adc = pairs(Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", topK = 100, m = 2, k = 4, dim = dim))
+    val ivf = pairs(Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", topK = 100, nCells = 2, m = 2, k = 4, dim = dim))
+    assert(ivf.nonEmpty)
+    assert(ivf.subsetOf(adc),
+      "in-cell ADC scores must agree with the unfiltered ADC scan")
+  }
+
+  test("pqAdcKnn with an empty query set returns an empty, well-typed frame") {
+    val r = Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", topK = 3, m = 2, k = 4, dim = dim)
+    assert(r.columns.toSeq == Seq("query_id", "nn_id", "adist", "rank"))
+    assert(r.count() == 0)
   }
 
   test("pqAdcKnn is deterministic") {
