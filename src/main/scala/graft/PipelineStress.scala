@@ -76,6 +76,24 @@ object PipelineStress {
         docs.withColumn("w", length(col("text"))).withColumn("stratum",
           pmod(col("doc_id"), lit(8))),
         "stratum", "doc_id", "w", (n / 8) * 30).count())
+    timed("dup spans k=8")(
+      Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
+        .agg(sum("dup_windows")).as[Long](spark.implicits.newLongEncoder)
+        .head())
+
+    // synthetic embeddings (64-dim from hash mixing, values in [-0.5, 0.5))
+    // for the PQ family: codes + full-ADC ranking for 5 probe vectors
+    val embs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (pmod(hash(col("id"), i), lit(1000)).cast("float") / 1000f) - 0.5f)
+        .as("embedding"))
+      .localCheckpoint(true)
+    timed("pq adc top10 (5 probes)")(
+      graft.ops.Similarity.pqAdcKnn(embs,
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count())
+    timed("ivf-pq top10 (5 probes)")(
+      graft.ops.Similarity.ivfPqKnn(embs,
+        embs.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count())
 
     spark.stop()
   }
