@@ -480,7 +480,7 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> {
-      val cosAssign = Similarity.sqlCosineParts(
+      val cosAssign = Similarity.sqlCosineGuardedParts(
         Similarity.sqlDotInt("vn.v", "c.cv"), "vn.n2", "c.cn")
       val cosScore = Similarity.sqlCosineParts(
         Similarity.sqlDotInt("qv", "a.v"), "qn", "a.n2")

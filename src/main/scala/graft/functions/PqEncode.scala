@@ -57,6 +57,25 @@ case class PqEncode(child: Expression, codebook: Array[Long],
     copy(child = newChild)
 
   override def prettyName: String = "pq_encode"
+
+  // Case-class equals/hashCode would compare the Array fields by reference,
+  // so two structurally identical encoders would never be semanticEquals —
+  // defeating Catalyst canonicalization / common-subexpression elimination.
+  // Compare the codebook by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncode =>
+      child == that.child && m == that.m && k == that.k &&
+        subDim == that.subDim &&
+        java.util.Arrays.equals(codebook, that.codebook) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(k),
+      Integer.valueOf(subDim),
+      Integer.valueOf(java.util.Arrays.hashCode(codebook)),
+      Integer.valueOf(java.util.Arrays.hashCode(norms)))
 }
 
 object PqEncode {

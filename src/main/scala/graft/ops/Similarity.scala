@@ -63,6 +63,24 @@ object Similarity {
   def cosineFromParts(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
 
+  /** [[cosineFromParts]] with a zero-norm guard: a zero vector scores a
+    * sentinel −1.0 instead of NaN. NaN ordering differs between Spark
+    * (greatest; `array_max` returns it) and the DuckDB oracle's
+    * `ORDER BY DESC`, so any assignment/argmax over cosines must use this
+    * guarded form on BOTH sides or a zero vector silently diverges.
+    */
+  def cosineGuardedParts(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 === 0L || n2 === 0L, lit(-1.0))
+      .otherwise(cosineFromParts(dot, n1, n2))
+
+  /** SQL twin of [[cosineGuardedParts]] (norm exprs are repeated, so pass
+    * simple column references).
+    */
+  def sqlCosineGuardedParts(dotExpr: String, n1Expr: String,
+                            n2Expr: String): String =
+    s"(CASE WHEN $n1Expr = 0 OR $n2Expr = 0 THEN -1.0 " +
+      s"ELSE ${sqlCosineParts(dotExpr, n1Expr, n2Expr)} END)"
+
   /** Exact top-k neighbors for each query id. The query side is broadcast
     * (small by construction); corpus is scanned once; norms precomputed
     * per row; ties broken by id.
@@ -164,7 +182,7 @@ object Similarity {
     val scored = v.join(broadcast(c), lit(true))
       .withColumn("cdot", dotInt(col(viCol), col("cv")))
       .withColumn("ccos",
-        round(cosineFromParts(col("cdot"), col("vn"), col("cn")), 9))
+        round(cosineGuardedParts(col("cdot"), col("vn"), col("cn")), 9))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
@@ -211,6 +229,138 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe IVF: like [[ivfKnn]] but each query probes its `nProbe`
+    * nearest cells instead of one — the standard recall knob of an
+    * inverted-file index (FAISS `nprobe`). The corpus partitioning is
+    * unchanged (every vector lives in exactly one cell, so probe joins
+    * produce no duplicate pairs); only the query side fans out, by a
+    * constant factor ≤ nProbe. At 100 TB: cost per query ≈
+    * nProbe/nCentroids of the corpus, still partition-prunable when the
+    * (cell, vector) table is stored partitioned by cell.
+    */
+  def ivfKnnProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  embCol: String, k: Int, nCentroids: Int = 16,
+                  nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = corpus.select(col(idCol), veci(col(embCol)).as("v"))
+    val cents = vecs.filter(col(idCol) < nCentroids)
+    val corpusCells = ivfAssign(vecs, cents, idCol, "v")
+      .select(col(idCol).as("nn_id"), col("v").as("cv"),
+        col("vn").as("cn"), col("centroid_id"))
+    // query side: keep the nProbe highest-cosine cells per query
+    val c = cents.select(col(idCol).as("centroid_id"), col("v").as("ccv"))
+      .withColumn("ccn", dotInt(col("ccv"), col("ccv")))
+    val q0 = queries.select(col(idCol).as("query_id"),
+        veci(col(embCol)).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
+    val qScored = q0.join(broadcast(c), lit(true))
+      .withColumn("ccos", round(cosineGuardedParts(
+        dotInt(col("qv"), col("ccv")), col("qn"), col("ccn")), 9))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val qCells = qScored.withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val scored = corpusCells.join(broadcast(qCells), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("dot", dotInt(col("qv"), col("cv")))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ── SQ8 scalar quantization ────────────────────────────────────────
+
+  /** Per-dimension (min, max) corpus statistics for [[sq8Knn]]: one
+    * explode + narrow agg (shuffle width = dim rows) + a dim-row collect —
+    * the train step of a scalar quantizer.
+    */
+  def sq8Stats(corpus: DataFrame, idCol: String, embCol: String,
+               dim: Int): Array[(Long, Long)] = {
+    val e = corpus.select(posexplode(veci(col(embCol)))).toDF("i", "x")
+    val rows = e.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    require(rows.length == dim, s"expected $dim dims, got ${rows.length}")
+    rows.map(r => (r.getLong(1), r.getLong(2)))
+  }
+
+  /** SQ8 reconstruction as ONE literal projection: each dimension
+    * quantizes to an 8-bit code `floor((x−min)·255 / range)` and
+    * immediately reconstructs `min + floor(code·range / 255)` — the value
+    * a code-only store would search against. Both divisions are IEEE
+    * doubles over exactly-representable integers (≤ 2³¹), so Spark and
+    * DuckDB floor identically. Quantize→reconstruct is kept as one
+    * expression because the persisted form at scale is the CODES (64 B →
+    * 64 codes ≈ 4× smaller than float32, 16× smaller than the integer
+    * grid); reconstruction is free arithmetic at scan time.
+    */
+  def sq8Recon(v: Column, stats: Array[(Long, Long)]): Column = {
+    val mins = typedLit(stats.map(_._1).toSeq)
+    val rngs = typedLit(stats.map { case (mn, mx) => math.max(1L, mx - mn) }.toSeq)
+    zip_with(v, sequence(lit(0), lit(stats.length - 1)), (x, i) => {
+      val mn = element_at(mins, i.cast("int") + 1)
+      val rng = element_at(rngs, i.cast("int") + 1)
+      val code = floor(((x - mn) * lit(255L)).cast("double") / rng.cast("double"))
+      mn + floor((code * rng).cast("double") / lit(255.0)).cast("long")
+    })
+  }
+
+  /** k-NN over SQ8-quantized corpus vectors (asymmetric: queries stay
+    * exact, corpus is reconstructed from its 8-bit codes). Ranking metric
+    * is exact integer squared-L2 between the query and the
+    * reconstruction. Plan: one stats agg (train), then scan → literal
+    * projection → broadcast-join the tiny query set → rank-limit window —
+    * the same single-exchange shape as [[pqAdcKnn]], at a milder
+    * compression point (4× vs ~20×) with much higher fidelity.
+    */
+  def sq8Knn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = sq8Stats(corpus, idCol, embCol, dim)
+    val c = corpus.select(col(idCol).as("nn_id"),
+      sq8Recon(veci(col(embCol)), stats).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("_d", zip_with(col("rv"), col("qv"), (a, b) => a - b))
+      .select(col("query_id"), col("nn_id"),
+        dotInt(col("_d"), col("_d")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** DuckDB oracle equal to [[sq8Knn]] (adjacent so they cannot drift). */
+  def sqlSq8(k: Int, queryPred: String, dim: Int = 64): String =
+    s"""WITH v0 AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |e AS (SELECT vec_id, unnest(range($dim)) AS i, unnest(v) AS x FROM v0),
+       |st AS (SELECT i, min(x) AS mn, greatest(1, max(x) - min(x)) AS rng
+       |       FROM e GROUP BY i),
+       |rc AS (
+       |  SELECT e.vec_id, e.i,
+       |         st.mn + CAST(floor(
+       |           CAST(CAST(floor(CAST((e.x - st.mn) * 255 AS DOUBLE)
+       |                           / CAST(st.rng AS DOUBLE)) AS BIGINT)
+       |                * st.rng AS DOUBLE) / 255.0) AS BIGINT) AS r
+       |  FROM e JOIN st USING (i)),
+       |recon AS (SELECT vec_id AS nn_id, list(r ORDER BY i) AS rv
+       |          FROM rc GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v0 WHERE $queryPred),
+       |scored AS (
+       |  SELECT query_id, nn_id,
+       |         CAST(list_dot_product(dd, dd) AS BIGINT) AS adist
+       |  FROM (
+       |    SELECT query_id, nn_id,
+       |           list_transform(range($dim), i -> rv[i+1] - qv[i+1]) AS dd
+       |    FROM recon CROSS JOIN q WHERE nn_id <> query_id))
+       |SELECT query_id, nn_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adist, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Deterministic spherical k-means (Lloyd) codebook over the
     * integer-scaled vectors: init = first k vectors by id, then `iters`
     * rounds of assign (broadcast codebook, exact integer-dot cosine) +
@@ -251,7 +401,7 @@ object Similarity {
       val scored = vecs
         .withColumn("vn", dotInt(col("v"), col("v")))
         .join(broadcast(cdf), lit(true))
-        .withColumn("ccos", round(cosineFromParts(
+        .withColumn("ccos", round(cosineGuardedParts(
           dotInt(col("v"), col("cv")), col("vn"), col("cn")), 9))
       val w = Window.partitionBy(col("_vid"))
         .orderBy(col("ccos").desc, col("centroid_id"))
@@ -301,7 +451,7 @@ object Similarity {
     */
   def sqlIvfTrained(nCentroids: Int, iters: Int, k: Int,
                     queryPred: String): String = {
-    def cosAssign(vAlias: String, cAlias: String) = sqlCosineParts(
+    def cosAssign(vAlias: String, cAlias: String) = sqlCosineGuardedParts(
       sqlDotInt(s"$vAlias.v", s"$cAlias.cv"), s"$vAlias.n2", s"$cAlias.cn")
     def assignCte(name: String, cbWithN: String) =
       s"""$name AS (
@@ -392,6 +542,13 @@ object Similarity {
 
   val PQ_M = 16 // subspaces
   val PQ_K = 64 // codebook entries per subspace
+
+  /** Literal-LUT ANN variants ([[pqAdcKnn]], [[ivfPqKnn]]) collect the
+    * query set and embed O(|queries| × m × k) literals in the plan; past
+    * this cap that is a driver/planning hazard, not a query plan — callers
+    * with big query sets belong on [[pqAdcKnnRelational]].
+    */
+  val MAX_LITERAL_QUERIES = 1024
 
   /** Integer squared-L2 from precomputed square norms and the pair dot:
     * ‖a−b‖² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ — exact int64 (components ≤ 2·10⁶
@@ -526,16 +683,12 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+    require(qrows.length <= MAX_LITERAL_QUERIES,
+      s"pqAdcKnn embeds per-query literal LUTs in the plan: got " +
+        s"${qrows.length} queries (cap $MAX_LITERAL_QUERIES); use " +
+        "pqAdcKnnRelational for distributed query sets")
     // lut(q)(mm)(c) = ‖q_mm − cb(mm)(c)‖²: exact driver-side long math
-    val luts = qrows.map { case (qid, qv) =>
-      qid -> cb.zipWithIndex.map { case (entries, mm) =>
-        val qsub = qv.slice(mm * subDim, (mm + 1) * subDim)
-        val qn = qsub.map(x => x * x).sum
-        entries.map { case (cv, cn) =>
-          qn - 2L * qsub.zip(cv).map { case (a, b) => a * b }.sum + cn
-        }
-      }
-    }
+    val luts = qrows.map { case (qid, qv) => qid -> adcLut(cb, qv, subDim) }
     val codes = corpus
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .select(col("nn_id"), pqCodesLit(col("v"), cb, subDim).as("codes"))
@@ -602,7 +755,7 @@ object Similarity {
       val vn = dotInt(v, v)
       val coss = array(cents.map { cv =>
         val cn = cv.map(x => x * x).sum
-        round(cosineFromParts(dotInt(v, typedLit(cv.toSeq)), vn, lit(cn)), 9)
+        round(cosineGuardedParts(dotInt(v, typedLit(cv.toSeq)), vn, lit(cn)), 9)
       }: _*)
       (array_position(coss, array_max(coss)) - 1).cast("long")
     }
@@ -618,6 +771,10 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .sortBy(_._1)
+    require(qcells.length <= MAX_LITERAL_QUERIES,
+      s"ivfPqKnn embeds per-query literal LUTs in the plan: got " +
+        s"${qcells.length} queries (cap $MAX_LITERAL_QUERIES); use " +
+        "pqAdcKnnRelational for distributed query sets")
     if (qcells.isEmpty)
       return codes.select(lit(0L).as("query_id"), col("nn_id"),
         lit(0L).as("adist"), lit(0).as("rank")).limit(0)
@@ -647,7 +804,8 @@ object Similarity {
     val s = dim / m
     def l2(a: String, b: String, bn: String) =
       s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
-    val cellCos = sqlCosineParts(sqlDotInt("vn.v", "cc.cv"), "vn.n2", "cc.cn")
+    val cellCos = sqlCosineGuardedParts(sqlDotInt("vn.v", "cc.cv"),
+      "vn.n2", "cc.cn")
     s"""WITH v0 AS (
        |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
        |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),

@@ -123,4 +123,55 @@ class PqSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
     assert(run() == run())
   }
+
+  test("PqEncode: structurally identical expressions are semanticEquals") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cb = Similarity.collectCodebook(emb, "vec_id", "embedding",
+      m = 2, k = 4, dim = dim)
+    val v = Similarity.veci(col("embedding"))
+    // two independent builds share no Array instances, so case-class
+    // reference equality would return false — value equality must hold
+    // for Catalyst CSE / exchange reuse to see them as the same encoder
+    val a = ColumnBridge.expression(Similarity.pqCodesLit(v, cb, dim / 2))
+    val b = ColumnBridge.expression(Similarity.pqCodesLit(v,
+      Similarity.collectCodebook(emb, "vec_id", "embedding",
+        m = 2, k = 4, dim = dim), dim / 2))
+    assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b))
+    val other = ColumnBridge.expression(
+      Similarity.pqCodesLit(v, cb, dim / 2 - 1))
+    assert(a != other)
+  }
+
+  test("zero-norm vectors get sentinel cosine -1, never NaN (cell argmax)") {
+    val withZero = emb.union(Seq((200L, vec(0, 0, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding"))
+    // ivfAssign: the zero vector must still be assigned (to the lowest
+    // centroid id, since all guarded cosines tie at -1), not dropped or
+    // NaN-ordered
+    val vecs = withZero.select(col("vec_id"),
+      Similarity.veci(col("embedding")).as("v"))
+    val assigned = Similarity.ivfAssign(vecs,
+        vecs.filter(col("vec_id") < 2), "vec_id", "v")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(assigned(200L) == 0L)
+    // ivfPqKnn cellOf: same guard on the literal-projection path — the
+    // query must run and place the zero vector in cell 0
+    val r = Similarity.ivfPqKnn(withZero,
+        withZero.filter(col("vec_id") === 200L),
+        "vec_id", "embedding", topK = 3, nCells = 2, m = 2, k = 4, dim = dim)
+      .select("query_id", "nn_id", "adist", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(r.nonEmpty && r.forall(_._1 == 200L))
+  }
+
+  test("literal-LUT query cap rejects oversized query sets with guidance") {
+    val err = intercept[IllegalArgumentException] {
+      val many = spark.range(Similarity.MAX_LITERAL_QUERIES + 1)
+        .select(col("id").as("vec_id"),
+          typedLit(vec(1, 0, 0, 0, 0, 0, 0, 1)).as("embedding"))
+      Similarity.pqAdcKnn(emb, many, "vec_id", "embedding",
+        topK = 3, m = 2, k = 4, dim = dim)
+    }
+    assert(err.getMessage.contains("pqAdcKnnRelational"))
+  }
 }
