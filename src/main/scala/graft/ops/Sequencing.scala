@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence preparation for training pipelines: fixed-size token chunking
+  * with overlap, deterministic context-window packing, and source-mixture
+  * reweighting. (The reference engine stops at retrieval; these are the
+  * steps between a cleaned corpus and a training batch, the same role as
+  * its client-side map-reduce, sonnerie `README.md:23-25`.)
+  *
+  * Scale notes per operator are on the methods; none of them ever builds a
+  * global structure — chunking is a scan-speed explode, packing is a
+  * per-shard window (shard count sets the parallelism floor), mixing is
+  * one tiny aggregation.
+  */
+object Sequencing {
+
+  /** Split each document into fixed-`size`-token chunks overlapping by
+    * `overlap` tokens (stride = size − overlap) — the sliding-window
+    * sequence prep for long documents. Pure scan + explode: no shuffle,
+    * output rows = Σ ceil((n_tokens − overlap) / stride), so it holds
+    * unchanged at 100 TB.
+    *
+    * Chunk count: `max(1, ceil((n_tokens − overlap) / stride))`; the last
+    * chunk may be short (`chunk_tokens < size`). Tokens are the same
+    * whitespace tokens as [[TextAnalysis.tokenCount]].
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // ceil((nt - overlap) / stride) via exact double floor: token counts
+    // are far below 2^53, so both engines floor the same double
+    val nt = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val nChunks = greatest(lit(1L),
+      floor((nt - overlap + (stride - 1)).cast("double") / lit(stride.toDouble))
+        .cast("long"))
+    df.select(col(idCol), nt.as("_nt"), nChunks.as("_nc"))
+      .select(col(idCol), col("_nt"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(size.toLong), col("_nt") - col("chunk_id") * stride)
+          .as("chunk_tokens"))
+  }
+
+  /** DuckDB twin of [[chunk]] (adjacent so they cannot drift). */
+  def sqlChunkFrom(table: String, idCol: String, textCol: String,
+                   size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""(SELECT $idCol, chunk_id, chunk_id * $stride AS start_tok,
+       |        least($size, nt - chunk_id * $stride) AS chunk_tokens
+       | FROM (
+       |   SELECT $idCol, nt,
+       |          unnest(range(greatest(1, CAST(floor(
+       |            CAST(nt - $overlap + ${stride - 1} AS DOUBLE) / $stride)
+       |            AS BIGINT)))) AS chunk_id
+       |   FROM (SELECT $idCol,
+       |                CAST(len(string_split($textCol, ' ')) AS BIGINT) AS nt
+       |         FROM $table)))""".stripMargin
+  }
+
+  /** Deterministic context-window packing: documents are sharded by id
+    * hash (so the layout is reproducible and the sort is per-shard, never
+    * global), ordered by id within the shard, and cut into bins of
+    * `window` tokens by cumulative token count — the offline analogue of
+    * sequence packing for pretraining batches. A document straddling a
+    * boundary starts the next bin's count (bin = floor((cum − tok) /
+    * window): the bin a document *starts* in).
+    *
+    * Returns per-bin stats `(shard, bin, n_docs, tokens, fill)`. One
+    * shuffle (the per-shard window); shards bound both skew and the
+    * running-sum reorder domain, so parallelism = `shards` regardless of
+    * corpus size — size `shards` to the cluster, not the data.
+    */
+  def packBins(df: DataFrame, idCol: String, tokCol: String,
+               window: Long, shards: Int): DataFrame = {
+    val shard = Sampling.hashBucket(col(idCol)) % shards
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(tokCol).cast("long").as("_tok"),
+        shard.as("shard"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .withColumn("bin",
+        floor((col("_cum") - col("_tok")).cast("double") / lit(window.toDouble))
+          .cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("tokens"))
+      .withColumn("fill",
+        round(col("tokens").cast("double") / lit(window.toDouble), 6))
+  }
+
+  /** DuckDB twin of [[packBins]] (adjacent so they cannot drift). */
+  def sqlPackBinsFrom(table: String, idCol: String, tokExpr: String,
+                      window: Long, shards: Int): String =
+    s"""(SELECT shard, bin, count(*) AS n_docs,
+       |        CAST(sum(tok) AS BIGINT) AS tokens,
+       |        round(CAST(sum(tok) AS DOUBLE) / $window, 6) AS fill
+       | FROM (
+       |   SELECT shard, tok,
+       |          CAST(floor(CAST(cum - tok AS DOUBLE) / $window) AS BIGINT)
+       |            AS bin
+       |   FROM (
+       |     SELECT $idCol, tok, shard,
+       |            CAST(sum(tok) OVER (PARTITION BY shard ORDER BY $idCol
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |     FROM (SELECT $idCol, CAST($tokExpr AS BIGINT) AS tok,
+       |                  (${Sampling.sqlHashBucket(idCol)}) % $shards AS shard
+       |           FROM $table)))
+       | GROUP BY shard, bin)""".stripMargin
+
+  /** Source-mixture reweighting: per-source document/token totals plus the
+    * sampling weight that would flatten the mixture to uniform across
+    * sources (`weight s = (total_tokens / n_sources) / tokens_s` — > 1
+    * upsample, < 1 downsample). The universal knob of corpus assembly
+    * ("how much of each domain"). One tiny aggregation (rows = number of
+    * sources) joined back as a broadcast scalar; nothing here grows with
+    * corpus size except the first scan.
+    */
+  def sourceMix(df: DataFrame, srcCol: String, tokCol: String): DataFrame = {
+    val g = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokCol).cast("long")).as("tokens"))
+    // the global totals come from a window over the GROUPED result — only
+    // #sources rows land in the single partition, and the corpus is
+    // scanned once (a second agg subtree would scan it twice)
+    val w = Window.partitionBy()
+    g.withColumn("weight",
+        round((sum(col("tokens")).over(w).cast("double") /
+          count(lit(1)).over(w)) / col("tokens").cast("double"), 6))
+  }
+
+  /** DuckDB twin of [[sourceMix]] (adjacent so they cannot drift). */
+  def sqlSourceMixFrom(table: String, srcCol: String, tokExpr: String): String =
+    s"""(SELECT source, n_docs, tokens,
+       |        round((CAST(tot AS DOUBLE) / ns) / CAST(tokens AS DOUBLE), 6)
+       |          AS weight
+       | FROM (SELECT $srcCol AS source, count(*) AS n_docs,
+       |              CAST(sum($tokExpr) AS BIGINT) AS tokens
+       |       FROM $table GROUP BY $srcCol) g
+       | CROSS JOIN (SELECT count(*) AS ns, CAST(sum(t) AS BIGINT) AS tot
+       |             FROM (SELECT CAST(sum($tokExpr) AS BIGINT) AS t
+       |                   FROM $table GROUP BY $srcCol)) s)""".stripMargin
+}
