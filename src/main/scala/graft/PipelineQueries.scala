@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, PortableHash, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, PortableHash, Sampling, Sequencing, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -178,6 +178,46 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // multi-probe IVF: the recall knob (nProbe=2) over the same inverted
+    // file — query side fans out to its 2 best cells, corpus side unchanged
+    "ann_ivf_probe" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.ivfKnnProbe(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, 16, 2)
+        .select(col("query_id"), col("nn_id"), col("cos"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // SQ8 scalar quantization: corpus searched through its 8-bit codes
+    // (asymmetric — queries exact), the 4×-compression/high-fidelity point
+    "ann_sq8" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.sq8Knn(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // ── sequence preparation (chunk / pack / mix) ─────────────────────
+    // sliding-window token chunking: scan-speed explode, zero shuffle
+    "tp_chunks" -> { (s, d) =>
+      Sequencing.chunk(Graft.documents(s, d), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+    // deterministic context-window packing: per-shard running sum cuts
+    // hash-sharded docs into 256-token bins; parallelism = shards
+    "tp_pack_bins" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      Sequencing.packBins(docs, "doc_id", "n_tok", 256L, 8)
+        .orderBy("shard", "bin")
+    },
+    // source-mixture reweighting: per-source totals + flatten-to-uniform
+    // sampling weight, one tiny aggregation
+    "tp_source_mix" -> { (s, d) =>
+      Sequencing.sourceMix(Graft.documents(s, d), "source", "n_chars")
+        .orderBy("source")
+    },
     // exact-substring duplicate spans (Lee et al. 2022): per-document
     // fraction of tokens inside a k-token window shared with another doc
     "tp_dup_spans" -> { (s, d) =>
@@ -333,6 +373,22 @@ object PipelineQueries {
         |       CAST(least(start + slice_len, len) - start AS BIGINT) AS frame_bytes
         |FROM g ORDER BY media_id, frame""".stripMargin,
     "ann_pq_adc" -> Similarity.sqlPqAdc(10, "vec_id < 5"),
+    "ann_ivf_probe" -> Similarity.sqlIvfProbe(nCentroids = 16, nProbe = 2,
+      k = 10, queryPred = "vec_id < 5"),
+    "ann_sq8" -> Similarity.sqlSq8(10, "vec_id < 5"),
+    "tp_chunks" ->
+      s"""SELECT doc_id, chunk_id, start_tok, chunk_tokens
+         |FROM ${Sequencing.sqlChunkFrom("documents", "doc_id", "text", 32, 8)} c
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "tp_pack_bins" ->
+      s"""SELECT shard, bin, n_docs, tokens, fill
+         |FROM ${Sequencing.sqlPackBinsFrom("documents", "doc_id",
+                  "len(string_split(text, ' '))", 256L, 8)} t
+         |ORDER BY shard, bin""".stripMargin,
+    "tp_source_mix" ->
+      s"""SELECT source, n_docs, tokens, weight
+         |FROM ${Sequencing.sqlSourceMixFrom("documents", "source", "n_chars")} s
+         |ORDER BY source""".stripMargin,
     "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
     "tp_dup_spans" -> Dedup.sqlDupSpanCoverage(8),
     "tp_decontaminate" ->

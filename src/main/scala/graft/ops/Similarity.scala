@@ -271,6 +271,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** DuckDB oracle equal to [[ivfKnnProbe]] (adjacent so they cannot
+    * drift): corpus cells exactly as `ann_ivf`'s oracle, query side keeps
+    * its `nProbe` best cells before the probe join.
+    */
+  def sqlIvfProbe(nCentroids: Int, nProbe: Int, k: Int,
+                  queryPred: String): String = {
+    val cosAssign = sqlCosineGuardedParts(
+      sqlDotInt("vn.v", "c.cv"), "vn.n2", "c.cn")
+    val cosQCell = sqlCosineGuardedParts(
+      sqlDotInt("q0.qv", "c.cv"), "q0.qn", "c.cn")
+    val cosScore = sqlCosineParts(sqlDotInt("qv", "a.v"), "qn", "a.n2")
+    s"""WITH v AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn FROM vn
+       |      WHERE vec_id < $nCentroids),
+       |assign AS (
+       |  SELECT vec_id, v, n2, centroid_id FROM (
+       |    SELECT vn.vec_id, vn.v, vn.n2, c.centroid_id,
+       |           row_number() OVER (PARTITION BY vn.vec_id
+       |             ORDER BY round($cosAssign, 9) DESC, c.centroid_id) AS rn
+       |    FROM vn CROSS JOIN c)
+       |  WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn FROM vn
+       |       WHERE $queryPred),
+       |qcells AS (
+       |  SELECT query_id, qv, qn, centroid_id FROM (
+       |    SELECT q0.query_id, q0.qv, q0.qn, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q0.query_id
+       |             ORDER BY round($cosQCell, 9) DESC, c.centroid_id) AS pr
+       |    FROM q0 CROSS JOIN c)
+       |  WHERE pr <= $nProbe),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS nn_id, round($cosScore, 9) AS cos
+       |  FROM qcells q JOIN assign a USING (centroid_id)
+       |  WHERE a.vec_id <> query_id)
+       |SELECT query_id, nn_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // ── SQ8 scalar quantization ────────────────────────────────────────
 
   /** Per-dimension (min, max) corpus statistics for [[sq8Knn]]: one
