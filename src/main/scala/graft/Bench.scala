@@ -2,7 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Benchmark main. Prints ONE JSON line with per-query steady-state times.
+  *
+  * Measurement protocol (r7): three interleaved passes over the full query
+  * list (pass 1 runs every query, then pass 2, then pass 3), keeping the
+  * per-query MIN and reporting the spread (max/min) alongside it. A
+  * fixed-cost in-memory sentinel query runs before each pass; its own
+  * spread is the machine-noise floor for the run. If the sentinel drifts
+  * more than SENTINEL_TOLERANCE the whole run is flagged `contaminated` —
+  * r06 proved that min-of-2 on a contended machine can swing a query 5x
+  * with byte-identical plans, so the harness must measure the noise, not
+  * assume it away.
+  */
 object Bench {
+  /** Max sentinel max/min ratio before the run is declared contaminated. */
+  private val SENTINEL_TOLERANCE = 1.6
+  private val PASSES = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,28 +47,67 @@ object Bench {
         .filter(col("rn") === 1).count()
     }
 
-    // two passes, keep the faster run per query: long-lived jobs amortize
-    // plan compilation/codegen, so steady-state is the number that
-    // predicts 100 TB behavior (first-run times differ only by compile)
-    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try body catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Fixed-cost CPU-bound shuffle agg over in-memory ranges: no IO, no
+    // data-dependent plan, so any pass-to-pass drift is pure machine noise.
+    def sentinel(): Double = time {
+      spark.range(0, 4000000, 1, 8)
+        .groupBy((col("id") % 64).as("g"))
+        .agg(sum(col("id") * 3 + 1).as("s"), count(lit(1)).as("c"))
+        .agg(sum(col("s")), sum(col("c"))).collect()
+    }
+    sentinel() // warm the sentinel plan itself before measuring with it
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      time { fn(spark, sfDir).count() }
+
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val first = ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
-    val results = ordered.map { case (n, fn) =>
-      val second = once(n, fn)
-      System.err.println(f"BENCH2 $n%-24s first=${first(n)}%7.3f second=$second%7.3f")
-      n -> math.min(first(n), second)
+
+    // interleaved passes: each pass runs the whole list, so transient
+    // machine contention hits different queries on different passes and
+    // the per-query min converges on the uncontended time
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to PASSES) {
+      sentinels += sentinel()
+      for ((n, fn) <- ordered) {
+        val t = once(fn)
+        samples(n) = samples(n) :+ t
+        System.err.println(f"BENCH pass=$pass $n%-24s $t%7.3f")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mins = ordered.map { case (n, _) => n -> samples(n).min }
+    val spreads = ordered.map { case (n, _) =>
+      val s = samples(n); n -> (if (s.min > 0) s.max / s.min else 1.0)
+    }
+    // pass 1 doubles as the whole-suite warm-up (per-query codegen, file
+    // cache) — its sentinel sample reflects JIT churn, not the machine, so
+    // the contamination verdict uses the steady-state samples (pass ≥ 2)
+    val steady = sentinels.drop(1)
+    val sentMin = sentinels.min
+    val sentSpread =
+      if (steady.nonEmpty && steady.min > 0) steady.max / steady.min else 1.0
+    val contaminated = sentSpread > SENTINEL_TOLERANCE
+    System.err.println(
+      f"BENCH sentinel min=$sentMin%7.3f spread=$sentSpread%5.2f contaminated=$contaminated")
+
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},""" +
+      s""""spread":${jmap(spreads)},"sentinel_sec":${f"$sentMin%.4f"},""" +
+      s""""sentinel_spread":${f"$sentSpread%.4f"},"passes":$PASSES,""" +
+      s""""contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
