@@ -198,6 +198,43 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // ADC over a per-subspace-Lloyd-trained PQ codebook (vs ann_pq_adc's
+    // first-k quantizer) — the deterministic training unrolls in SQL
+    "ann_pq_trained" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.pqAdcKnnWith(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10,
+          Similarity.pqTrainedCodebook(emb, "vec_id", "embedding", iters = 2))
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // the persisted-index lifecycle: build the IVF+PQ index ONCE into a
+    // real warehouse (cell-partitioned codes + reserved-cell train
+    // artifacts), then answer the query purely from partition-pruned
+    // index reads — value-identical to ann_ivf_pq's in-query build
+    "ann_ivf_pq_persisted" -> { (s, d) =>
+      import graft.store.Db
+      val wh = java.nio.file.Files.createTempDirectory("graft-annix").toString
+      val db = Db(s, wh)
+      val emb = Graft.embeddings(s, d)
+      Similarity.buildIndex(db, emb, "vec_id", "embedding")
+      Similarity.ivfPqProbePersisted(db, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // recall@10 of every ANN variant against the exact kNN, with a 0/1
+    // per-variant floor — the quality gate that keeps "approximate" honest
+    "ann_recall" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 10)
+      recallVariants.map { case (name, thr, mk) =>
+        Similarity.recallRow(name, mk(emb, q), exact, thr)
+      }.reduce(_ unionByName _).orderBy("variant")
+    },
     // ── sequence preparation (chunk / pack / mix) ─────────────────────
     // sliding-window token chunking: scan-speed explode, zero shuffle
     "tp_chunks" -> { (s, d) =>
@@ -240,6 +277,24 @@ object PipelineQueries {
         .filter(col("est_jaccard") >= 0.5)
       Dedup.connectedComponents(cand).orderBy("id")
     },
+    // the composition users actually run: cluster the near-dup evidence
+    // and keep ONE document (min id) per cluster — candidates → connected
+    // components → anti-join
+    "dedup_cluster_keepset" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.dropNearDuplicates(docs, "doc_id", cand)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // the 100 TB wide-fingerprint setting: 64-bit simhash, 8 pigeonhole
+    // chunks (hamming ≤ 7 ⟹ some chunk of 8 equal)
+    "dedup_simhash64" -> { (s, d) =>
+      Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", 7, 64)
+        .select(col("id1"), col("id2"), col("dist").cast("long"))
+        .orderBy("id1", "id2")
+    },
     // ── deterministic sampling / splits ───────────────────────────────
     "sa1_hash_sample" -> { (s, d) =>
       Sampling.hashSample(Graft.documents(s, d), "doc_id", 0.1)
@@ -265,6 +320,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }
+  )
+
+  /** The ANN recall gates: (variant, recall@10 floor, plan builder).
+    * Floors are pinned just under the measured sf0.01 recall of each
+    * variant so a quality regression flips `pass` on the Spark side only
+    * if it flips in DuckDB too — i.e. a REAL recall change, not noise
+    * (the values are deterministic, so any drift is a plan change).
+    */
+  private val recallVariants: Seq[(String, Double,
+      (DataFrame, DataFrame) => DataFrame)] = Seq(
+    ("ivf_probe", 0.5, (c, q) =>
+      Similarity.ivfKnnProbe(c, q, "vec_id", "embedding", 10, 16, 2)),
+    ("lsh_bucket", 0.1, (c, q) =>
+      Similarity.lshBucketKnn(c, q, "vec_id", "embedding", 10)),
+    ("pq_adc", 0.4, (c, q) =>
+      Similarity.pqAdcKnn(c, q, "vec_id", "embedding", 10)),
+    ("pq_trained", 0.5, (c, q) =>
+      Similarity.pqAdcKnnWith(c, q, "vec_id", "embedding", 10,
+        Similarity.pqTrainedCodebook(c, "vec_id", "embedding", iters = 2)))
   )
 
   // ── generated DuckDB oracle SQL ─────────────────────────────────────
@@ -301,6 +375,46 @@ object PipelineQueries {
     }._1
   }
 
+  private def sqlKnnExact: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS nn_id,
+       |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+       |  FROM q CROSS JOIN v c WHERE c.vec_id <> query_id)
+       |SELECT query_id, nn_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def sqlAnnLsh: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${Similarity.sqlLshBucket("v")} AS bucket FROM v),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS nn_id,
+       |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+       |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
+       |SELECT query_id, nn_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle SQL per recall variant — the SAME builders the standalone
+    * `ann_*` oracles use, so the recall gate inherits their exactness.
+    */
+  private def sqlRecallVariant(name: String): String = name match {
+    case "ivf_probe" => Similarity.sqlIvfProbe(nCentroids = 16, nProbe = 2,
+      k = 10, queryPred = "vec_id < 5")
+    case "lsh_bucket" => sqlAnnLsh
+    case "pq_adc" => Similarity.sqlPqAdc(10, "vec_id < 5")
+    case "pq_trained" => Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2)
+  }
+
   private val minhashSigSql =
     Dedup.sqlMinhashSignature("sh")
 
@@ -329,9 +443,10 @@ object PipelineQueries {
       s"SELECT doc_id, sig, $b AS band, sig[${i + 1}] * $P + sig[${i + 2}] AS band_key FROM $src"
     }.mkString("\nUNION ALL ")
 
-  private def simhashChunksUnion(src: String, width: Int = 8): String = {
+  private def simhashChunksUnion(src: String, width: Int = 8,
+                                 chunks: Int = 4): String = {
     val mask = (1L << width) - 1
-    (0 until 4).map { c =>
+    (0 until chunks).map { c =>
       s"SELECT doc_id, sh, $c AS chunk, (sh >> ${c * width}) & $mask AS chunk_val FROM $src"
     }.mkString("\nUNION ALL ")
   }
@@ -383,13 +498,20 @@ object PipelineQueries {
     "tp_pack_bins" ->
       s"""SELECT shard, bin, n_docs, tokens, fill
          |FROM ${Sequencing.sqlPackBinsFrom("documents", "doc_id",
-                  "len(string_split(text, ' '))", 256L, 8)} t
+                  sqlNTokens, 256L, 8)} t
          |ORDER BY shard, bin""".stripMargin,
     "tp_source_mix" ->
       s"""SELECT source, n_docs, tokens, weight
          |FROM ${Sequencing.sqlSourceMixFrom("documents", "source", "n_chars")} s
          |ORDER BY source""".stripMargin,
     "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
+    // the persisted probe is value-identical to the in-query build
+    "ann_ivf_pq_persisted" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
+    "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),
+    "ann_recall" ->
+      (recallVariants.map { case (name, thr, _) =>
+        Similarity.sqlRecallRow(name, sqlRecallVariant(name), sqlKnnExact, thr)
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variant")),
     "tp_dup_spans" -> Dedup.sqlDupSpanCoverage(8),
     "tp_decontaminate" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
@@ -429,6 +551,34 @@ object PipelineQueries {
          |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
          |SELECT id, CAST(min(r) AS BIGINT) AS comp
          |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_cluster_keepset" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id1, id2 FROM mpairs WHERE $minhashEstSql >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM cand
+         |          UNION ALL SELECT id2, id1 FROM cand),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash64" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, ${Dedup.sqlTokenHashes("text")} AS _hs FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${Dedup.sqlSimhashTerms("_hs", 64)} AS sh FROM hs),
+         |chunked AS (${simhashChunksUnion("sh", 8, 8)}),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         |         bit_count(xor(l.sh, r.sh)) AS dist
+         |  FROM chunked l JOIN chunked r
+         |    ON l.chunk = r.chunk AND l.chunk_val = r.chunk_val
+         |   AND l.doc_id < r.doc_id)
+         |SELECT id1, id2, CAST(dist AS BIGINT) AS dist FROM pairs
+         |WHERE dist <= 7 ORDER BY id1, id2""".stripMargin,
     "sa1_hash_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${Sampling.sqlHashSamplePred("doc_id", 0.1)}
@@ -508,37 +658,12 @@ object PipelineQueries {
          |      AS jaccard
          |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
          |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
-    "knn_cosine" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT query_id, c.vec_id AS nn_id,
-         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
-         |  FROM q CROSS JOIN v c WHERE c.vec_id <> query_id)
-         |SELECT query_id, nn_id, cos, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY cos DESC, nn_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "ann_lsh_bucket" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${Similarity.sqlLshBucket("v")} AS bucket FROM v),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT query_id, c.vec_id AS nn_id,
-         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
-         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> query_id)
-         |SELECT query_id, nn_id, cos, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY cos DESC, nn_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "knn_cosine" -> sqlKnnExact,
+    "ann_lsh_bucket" -> sqlAnnLsh,
     "ann_ivf" -> {
       val cosAssign = Similarity.sqlCosineGuardedParts(
         Similarity.sqlDotInt("vn.v", "c.cv"), "vn.n2", "c.cn")
-      val cosScore = Similarity.sqlCosineParts(
+      val cosScore = Similarity.sqlCosineGuardedParts(
         Similarity.sqlDotInt("qv", "a.v"), "qn", "a.n2")
       s"""WITH v AS (
          |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),

@@ -15,13 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * document (reference near-dup role: sonnerie has none; this is the
   * training-data pipeline's fingerprint kernel).
   *
-  * `bits` ≤ 60: the token hashes carry 60 portable bits
-  * ([[Md5Prefix60]]), and 60-bit results stay exact BIGINTs in every
-  * engine. 32 is the demo default; 60 is the 100 TB fingerprint.
+  * `bits` ≤ 64: the token hashes carry 60 portable bits
+  * ([[Md5Prefix60]]), so with 60-bit inputs any voted bit ≥ 60 is
+  * structurally 0 (no token ever sets it) — a 64-bit call is a 60-bit
+  * fingerprint laid out on the 8×8-bit pigeonhole chunk grid, identical
+  * in both engines. 32 is the demo default; 64/8-chunk is the 100 TB
+  * fingerprint setting.
   */
 case class SimHash32(child: Expression, bits: Int = SimHash32.BITS)
     extends UnaryExpression {
-  require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType

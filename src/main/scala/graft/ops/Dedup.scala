@@ -230,8 +230,11 @@ object Dedup {
     * pair within maxDist agrees on ≥1 chunk → join per chunk, then verify
     * with bit_count(xor).
     */
-  /** @param bits fingerprint width: 32 (demo default) or up to 60 — the
-    *        100 TB setting (fewer false candidates per pigeonhole chunk).
+  /** @param bits fingerprint width: 32 (demo default) up to 64 — the
+    *        100 TB setting is 64 bits / 8 chunks (maxDist = 7): fewer
+    *        false candidates per pigeonhole chunk, wider verified radius.
+    *        (With 60-bit token hashes, voted bits ≥ 60 are structurally 0
+    *        — see [[graft.functions.SimHash32]].)
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, bits: Int = SIMHASH_BITS): DataFrame = {
@@ -399,6 +402,20 @@ object Dedup {
     * substitute a reliable checkpoint dir for executor-loss tolerance).
     * The driver only inspects the converged flag; no data is collected.
     */
+  /** Keep ONE document per near-duplicate cluster: label the candidate
+    * pairs with [[connectedComponents]] (comp = min reachable id), drop
+    * every labeled node except its cluster's minimum, keep everything
+    * unlabeled (singletons never enter the edge set). The anti-join ships
+    * only the slim drop-list; the documents table is scanned once.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // Per-round materialization keeps the plan O(1) deep. When the
     // session has a reliable checkpoint dir configured (a real cluster:

@@ -127,15 +127,21 @@ object Sequencing {
     // #sources rows land in the single partition, and the corpus is
     // scanned once (a second agg subtree would scan it twice)
     val w = Window.partitionBy()
+    // zero/NULL token total → NULL weight (identical CASE on both sides):
+    // a bare division would give Infinity in Spark but engine-dependent
+    // output in DuckDB, breaking the hash-exact contract on such data
     g.withColumn("weight",
-        round((sum(col("tokens")).over(w).cast("double") /
-          count(lit(1)).over(w)) / col("tokens").cast("double"), 6))
+        when(coalesce(col("tokens"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(round((sum(col("tokens")).over(w).cast("double") /
+            count(lit(1)).over(w)) / col("tokens").cast("double"), 6)))
   }
 
   /** DuckDB twin of [[sourceMix]] (adjacent so they cannot drift). */
   def sqlSourceMixFrom(table: String, srcCol: String, tokExpr: String): String =
     s"""(SELECT source, n_docs, tokens,
-       |        round((CAST(tot AS DOUBLE) / ns) / CAST(tokens AS DOUBLE), 6)
+       |        CASE WHEN COALESCE(tokens, 0) = 0 THEN NULL
+       |             ELSE round((CAST(tot AS DOUBLE) / ns)
+       |                        / CAST(tokens AS DOUBLE), 6) END
        |          AS weight
        | FROM (SELECT $srcCol AS source, count(*) AS n_docs,
        |              CAST(sum($tokExpr) AS BIGINT) AS tokens

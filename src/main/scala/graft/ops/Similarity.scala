@@ -223,7 +223,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("dot", dotInt(col("qv"), col("cv")))
       .select(col("query_id"), col("nn_id"),
-        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
+        round(cosineGuardedParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -265,7 +265,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("dot", dotInt(col("qv"), col("cv")))
       .select(col("query_id"), col("nn_id"),
-        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
+        round(cosineGuardedParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -281,7 +281,10 @@ object Similarity {
       sqlDotInt("vn.v", "c.cv"), "vn.n2", "c.cn")
     val cosQCell = sqlCosineGuardedParts(
       sqlDotInt("q0.qv", "c.cv"), "q0.qn", "c.cn")
-    val cosScore = sqlCosineParts(sqlDotInt("qv", "a.v"), "qn", "a.n2")
+    // guarded scoring too: a zero-norm vector is NaN in Spark (sorts
+    // FIRST in a DESC window) but NULL in DuckDB (sorts last) — the
+    // sentinel −1.0 keeps the two engines identical (ADVICE r6)
+    val cosScore = sqlCosineGuardedParts(sqlDotInt("qv", "a.v"), "qn", "a.n2")
     s"""WITH v AS (
        |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
        |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v),
@@ -520,7 +523,7 @@ object Similarity {
          |cb$it AS (SELECT p.centroid_id, COALESCE(m.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN m$it m USING (centroid_id))""".stripMargin
     }.mkString(",\n")
-    val cosScore = sqlCosineParts(sqlDotInt("qv", "a.v"), "qn", "a.n2")
+    val cosScore = sqlCosineGuardedParts(sqlDotInt("qv", "a.v"), "qn", "a.n2")
     s"""WITH v0 AS (
        |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
        |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
@@ -717,10 +720,19 @@ object Similarity {
     */
   def pqAdcKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                embCol: String, topK: Int, m: Int = PQ_M, k: Int = PQ_K,
-               dim: Int = 64): DataFrame = {
+               dim: Int = 64): DataFrame =
+    pqAdcKnnWith(corpus, queries, idCol, embCol, topK,
+      collectCodebook(corpus, idCol, embCol, m, k, dim), m, dim)
+
+  /** [[pqAdcKnn]] against a caller-supplied codebook (first-k or
+    * [[pqTrainedCodebook]] — the ADC plan is identical either way).
+    */
+  def pqAdcKnnWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, topK: Int,
+                   cb: Array[Array[(Array[Long], Long)]],
+                   m: Int = PQ_M, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
-    val cb = collectCodebook(corpus, idCol, embCol, m, k, dim)
     val qrows = queries
       .select(col(idCol), veci(col(embCol)))
       .collect()
@@ -767,6 +779,20 @@ object Similarity {
       }
     }
 
+  /** Nearest-centroid cell id as a literal projection (argmax guarded
+    * cosine over the plan-constant centroid set; first index achieving the
+    * max = lowest cell id, matching [[ivfAssign]]'s tie-break). Map-only:
+    * assigning a 100 TB corpus to cells is one scan, no exchange.
+    */
+  def ivfCellLit(v: Column, cents: Array[Array[Long]]): Column = {
+    val vn = dotInt(v, v)
+    val coss = array(cents.map { cv =>
+      val cn = cv.map(x => x * x).sum
+      round(cosineGuardedParts(dotInt(v, typedLit(cv.toSeq)), vn, lit(cn)), 9)
+    }: _*)
+    (array_position(coss, array_max(coss)) - 1).cast("long")
+  }
+
   /** IVF + PQ composed (the FAISS IVFADC architecture — the standard
     * billion-scale ANN shape): a coarse quantizer assigns every vector to
     * one of `nCells` inverted-file cells; within a cell, vectors are
@@ -792,25 +818,15 @@ object Similarity {
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(veci(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toArray)
-    // argmax-cosine cell as a literal projection; first index achieving
-    // the max = lowest cell id, matching ivfAssign's tie-break
-    def cellOf(v: Column): Column = {
-      val vn = dotInt(v, v)
-      val coss = array(cents.map { cv =>
-        val cn = cv.map(x => x * x).sum
-        round(cosineGuardedParts(dotInt(v, typedLit(cv.toSeq)), vn, lit(cn)), 9)
-      }: _*)
-      (array_position(coss, array_max(coss)) - 1).cast("long")
-    }
     val cb = collectCodebook(corpus, idCol, embCol, m, k, dim)
     val codes = corpus
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
-      .select(col("nn_id"), cellOf(col("v")).as("cell"),
+      .select(col("nn_id"), ivfCellLit(col("v"), cents).as("cell"),
         pqCodesLit(col("v"), cb, subDim).as("codes"))
     // query cells via the SAME column expression (identical rounding path)
     val qcells = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
-      .select(col("query_id"), cellOf(col("v")).as("cell"), col("v"))
+      .select(col("query_id"), ivfCellLit(col("v"), cents).as("cell"), col("v"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .sortBy(_._1)
@@ -972,4 +988,327 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
+
+  // ── trained PQ codebook (per-subspace Lloyd) ───────────────────────
+
+  /** Per-subspace deterministic Lloyd codebook: init = the first-k-by-id
+    * subvectors ([[pqCodebook]]'s quantizer), then `iters` rounds of
+    * assign (broadcast codebook, exact integer L2, ties → lower entry id)
+    * + recompute (per-entry elementwise floor-mean on the integer grid;
+    * empty entries keep their centroid). Same determinism contract as
+    * [[kmeansCodebook]], so a fixed iteration count unrolls into the
+    * [[sqlPqAdcTrained]] oracle.
+    *
+    * Scale: each round is one broadcast join + one `min_by` partial
+    * aggregation over the (id, m, subvector) explosion and an m×k×subDim
+    * mean collect (a few thousand longs) — corpus scanned once per round,
+    * bounded plan depth.
+    */
+  def pqTrainedCodebook(corpus: DataFrame, idCol: String, embCol: String,
+                        m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64,
+                        iters: Int = 2): Array[Array[(Array[Long], Long)]] = {
+    val spark = corpus.sparkSession
+    val subDim = dim / m
+    var cb: Array[Array[Array[Long]]] =
+      collectCodebook(corpus, idCol, embCol, m, k, dim).map(_.map(_._1))
+    val sub = corpus
+      .select(col(idCol).as("_vid"), veci(col(embCol)).as("v"))
+      .select(col("_vid"), posexplode(subVectors(col("v"), m, subDim)))
+      .toDF("_vid", "m", "sv")
+    for (_ <- 0 until iters) {
+      val rows = for { mm <- cb.indices; c <- cb(mm).indices } yield
+        org.apache.spark.sql.Row(mm, c.toLong, cb(mm)(c).toSeq,
+          cb(mm)(c).map(x => x * x).sum)
+      val cbDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("m",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("c",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.StructField("cn",
+            org.apache.spark.sql.types.LongType))))
+      // argmin entry per (vector, subspace): min over (d, c) — lowest
+      // distance, ties to the lower entry id, matching pqEncode
+      val assigned = sub.join(broadcast(cbDf), "m")
+        .withColumn("d", l2FromParts(
+          dotInt(col("sv"), col("sv")), dotInt(col("sv"), col("cv")),
+          col("cn")))
+        .groupBy(col("_vid"), col("m"))
+        .agg(min_by(struct(col("c"), col("sv")),
+          struct(col("d"), col("c"))).as("best"))
+        .select(col("m"), col("best.c").as("c"), col("best.sv").as("sv"))
+      val means = assigned
+        .select(col("m") +: col("c") +:
+          (0 until subDim).map(i => element_at(col("sv"), i + 1).as(s"_d$i")): _*)
+        .groupBy("m", "c")
+        .agg(count(lit(1)).as("_n"),
+          (0 until subDim).map(i => sum(col(s"_d$i")).as(s"_s$i")): _*)
+        .collect()
+      val updated = means.map { r =>
+        val mm = r.getInt(0)
+        val c = r.getLong(1).toInt
+        val n = r.getLong(2)
+        (mm, c) -> (0 until subDim).map(i =>
+          Math.floorDiv(r.getLong(3 + i), n)).toArray
+      }.toMap
+      cb = cb.zipWithIndex.map { case (entries, mm) =>
+        entries.zipWithIndex.map { case (old, c) =>
+          updated.getOrElse((mm, c), old)
+        }
+      }
+    }
+    cb.map(_.map(cv => (cv, cv.map(x => x * x).sum)))
+  }
+
+  /** DuckDB oracle for ADC over the [[pqTrainedCodebook]] (adjacent so
+    * they cannot drift): the per-subspace Lloyd loop is deterministic, so
+    * a fixed iteration count unrolls into one assign+mean CTE pair per
+    * round — the [[sqlIvfTrained]] precedent applied per subspace. The
+    * floor-mean stays exact in doubles (sums ≪ 2^53) and equals Java's
+    * `Math.floorDiv`.
+    */
+  def sqlPqAdcTrained(topK: Int, queryPred: String, iters: Int = 2,
+                      m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64): String = {
+    val s = dim / m
+    def l2(a: String, b: String, bn: String) =
+      s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"cb${it - 1}"
+      s"""n$it AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn FROM $prev),
+         |a$it AS (
+         |  SELECT vec_id, m, c, sv FROM (
+         |    SELECT sub.vec_id, sub.m, n$it.c, sub.sv,
+         |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+         |             ORDER BY ${l2("sv", "cv", "cn")}, n$it.c) AS rn
+         |    FROM sub JOIN n$it ON sub.m = n$it.m)
+         |  WHERE rn = 1),
+         |e$it AS (SELECT m, c, unnest(range($s)) AS j, unnest(sv) AS x
+         |         FROM a$it),
+         |m$it AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM (
+         |    SELECT m, c, j,
+         |           CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+         |             AS mv
+         |    FROM e$it GROUP BY m, c, j)
+         |  GROUP BY m, c),
+         |cb$it AS (SELECT p.c, p.m, COALESCE(mi.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$it mi ON mi.m = p.m AND mi.c = p.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, v[m*$s+1 : m*$s+$s] AS sv FROM v0, ms),
+       |cb0 AS (
+       |  SELECT c, m, v[m*$s+1 : m*$s+$s] AS cv FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |             AS c, v
+       |    FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $k)), ms),
+       |$iterCtes,
+       |cbn AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn
+       |        FROM cb$iters),
+       |enc AS (
+       |  SELECT vec_id AS nn_id, m, c AS code FROM (
+       |    SELECT sub.vec_id, sub.m, cbn.c,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |             ORDER BY ${l2("sv", "cv", "cn")}, cbn.c) AS rn
+       |    FROM sub JOIN cbn ON sub.m = cbn.m)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT sub.vec_id AS query_id, sub.m, cbn.c AS code,
+       |         ${l2("sv", "cv", "cn")} AS d
+       |  FROM sub JOIN cbn ON sub.m = cbn.m
+       |  WHERE sub.vec_id IN (SELECT vec_id FROM v0 WHERE $queryPred)),
+       |scored AS (
+       |  SELECT query_id, nn_id, CAST(sum(d) AS BIGINT) AS adist
+       |  FROM enc JOIN lut USING (m, code)
+       |  WHERE nn_id <> query_id
+       |  GROUP BY query_id, nn_id)
+       |SELECT query_id, nn_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adist, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ── persisted ANN index (build once, probe many) ───────────────────
+
+  /** Reserved index cells holding the train artifacts, so a probe needs
+    * NO corpus access: everything the search uses lives in the warehouse.
+    * Data cells are ≥ 0.
+    */
+  val CELL_CENTROIDS = -1L
+  val CELL_CODEBOOK = -2L
+
+  /** Persist the IVF+PQ index into a graft warehouse as ONE transaction:
+    * every corpus vector becomes a `(cell, codes)` row, plus the coarse
+    * centroids (cell −1) and PQ codebook (cell −2) as reserved-cell rows.
+    * The row's `ts` IS the cell id and the warehouse is written with
+    * `timeBucketNanos = 1`, so each cell lands in its own
+    * `tbucket=<cell>` partition directory — the engine's analog of the
+    * reference persisting its search structure to segment files
+    * (`file_format.md:12-27`), except partition pruning replaces the
+    * binary search.
+    *
+    * At 100 TB this is the point: encoding is one map-only scan (cell +
+    * codes are both literal projections), the stored table is the
+    * ~20×-compressed codes, and every later probe reads ~nProbe/nCells of
+    * it via partition pruning ([[ivfPqProbePersisted]]) instead of
+    * re-encoding the corpus per query. Re-running buildIndex appends a
+    * new transaction and last-writer-wins supersedes the old rows —
+    * incremental index refresh for free.
+    */
+  def buildIndex(db: graft.store.Db, corpus: DataFrame, idCol: String,
+                 embCol: String, nCells: Int = 16, m: Int = PQ_M,
+                 k: Int = PQ_K, dim: Int = 64): Long = {
+    val spark = corpus.sparkSession
+    val subDim = dim / m
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(veci(col(embCol)).as("cv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cb = collectCodebook(corpus, idCol, embCol, m, k, dim)
+    val codes = corpus
+      .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
+      .select(
+        format_string("v/%012d", col("nn_id")).as("key"),
+        ivfCellLit(col("v"), cents).as("ts"),
+        col("nn_id"), lit(-1L).as("sub"),
+        pqCodesLit(col("v"), cb, subDim).as("codes"))
+    val metaRows =
+      cents.zipWithIndex.map { case (cv, i) =>
+        org.apache.spark.sql.Row(f"c/$i%012d", CELL_CENTROIDS, i.toLong,
+          -1L, cv.toSeq)
+      } ++
+      (for { mm <- cb.indices; c <- cb(mm).indices } yield
+        org.apache.spark.sql.Row(f"b/$mm%03d/$c%05d", CELL_CODEBOOK,
+          c.toLong, mm.toLong, cb(mm)(c)._1.toSeq))
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("nn_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("codes",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    graft.store.TxWriter.write(db, codes.unionByName(meta),
+      timeBucketNanos = Some(1L))
+  }
+
+  /** ADC probe over a [[buildIndex]] warehouse: the train artifacts are
+    * two reserved-cell partition reads (a handful of rows), the query set
+    * is assigned to cells with the SAME literal expression buildIndex
+    * used, and then ONLY the probed cells' partitions are scanned —
+    * `tbucket=<cell>` partition pruning does to the codes table what the
+    * reference's segment search does to its files. No corpus column is
+    * ever read.
+    */
+  def ivfPqProbePersisted(db: graft.store.Db, queries: DataFrame,
+                          idCol: String, embCol: String, topK: Int,
+                          m: Int = PQ_M, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
+    val snap = db.snapshot()
+    def cellRead(cell: Long): DataFrame =
+      snap.read("%", after = Some(cell), before = Some(cell + 1))
+    val cents = cellRead(CELL_CENTROIDS)
+      .select(col("nn_id"), col("codes")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    val cb: Array[Array[(Array[Long], Long)]] = {
+      val rows = cellRead(CELL_CODEBOOK)
+        .select(col("sub"), col("nn_id"), col("codes")).collect()
+      val byM = rows.groupBy(_.getLong(0))
+      (0 until m).map { mm =>
+        byM(mm.toLong).sortBy(_.getLong(1)).map { r =>
+          val cv = r.getSeq[Long](2).toArray
+          (cv, cv.map(x => x * x).sum)
+        }
+      }.toArray
+    }
+    val qcells = queries
+      .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
+      .select(col("query_id"), ivfCellLit(col("v"), cents).as("cell"),
+        col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    require(qcells.length <= MAX_LITERAL_QUERIES,
+      s"ivfPqProbePersisted embeds per-query literal LUTs in the plan: " +
+        s"got ${qcells.length} queries (cap $MAX_LITERAL_QUERIES); use " +
+        "pqAdcKnnRelational for distributed query sets")
+    val probed = qcells.map(_._2).distinct.sorted
+    if (probed.isEmpty)
+      return queries.sparkSession.range(0)
+        .select(col("id").as("query_id"), col("id").as("nn_id"),
+          col("id").as("adist"), lit(0).as("rank")).limit(0)
+    // one partition-pruned read per probed cell (each scan's
+    // PartitionFilters pin tbucket to the cell — PlanSpec asserts this)
+    val codes = probed.map(cellRead).reduce(_ unionByName _)
+      .select(col("nn_id"), col("ts").as("cell"), col("codes"))
+    val perQuery = qcells.map { case (qid, qcell, qv) =>
+      val lut = adcLut(cb, qv, subDim)
+      val adist = lut.zipWithIndex.map { case (entryDs, mm) =>
+        element_at(typedLit(entryDs.toSeq), element_at(col("codes"), mm + 1)
+          .cast("int") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), lit(qcell).as("qcell"),
+        adist.as("adist"))
+    }
+    val scored = codes
+      .select(col("nn_id"), col("cell"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.qcell") === col("cell") &&
+        col("q.query_id") =!= col("nn_id"))
+      .select(col("q.query_id").as("query_id"), col("nn_id"),
+        col("q.adist").as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  // ── recall gates ───────────────────────────────────────────────────
+
+  /** One (variant, hits, expected, recall, pass) row: recall@k of an
+    * approximate result against the exact top-k over the matching
+    * (query_id, nn_id) pairs. `pass` pins the variant's recall floor as a
+    * 0/1 column, so a recall regression flips the row and fails the
+    * hash-exact gate.
+    */
+  def recallRow(name: String, approx: DataFrame, exact: DataFrame,
+                threshold: Double): DataFrame = {
+    val a = approx.select(col("query_id"), col("nn_id"))
+    val e = exact.select(col("query_id"), col("nn_id"))
+    val hits = a.join(e, Seq("query_id", "nn_id"))
+      .agg(count(lit(1)).as("hits"))
+    val expected = e.agg(count(lit(1)).as("expected"))
+    hits.crossJoin(expected).select(
+      lit(name).as("variant"), col("hits"), col("expected"),
+      round(col("hits").cast("double") / col("expected"), 6).as("recall"),
+      (col("hits").cast("double") / col("expected") >= threshold)
+        .cast("long").as("pass"))
+  }
+
+  /** DuckDB twin of [[recallRow]] (adjacent so they cannot drift); the
+    * variant/exact SQL are full SELECTs used as subqueries.
+    */
+  def sqlRecallRow(name: String, variantSql: String, exactSql: String,
+                   threshold: Double): String =
+    s"""SELECT '$name' AS variant, hits, expected,
+       |  round(CAST(hits AS DOUBLE) / expected, 6) AS recall,
+       |  CAST(CAST(hits AS DOUBLE) / expected >= $threshold AS BIGINT)
+       |    AS pass
+       |FROM (SELECT
+       |  (SELECT count(*) FROM ($variantSql) a
+       |     JOIN ($exactSql) e
+       |       ON a.query_id = e.query_id AND a.nn_id = e.nn_id) AS hits,
+       |  (SELECT count(*) FROM ($exactSql) e2) AS expected)""".stripMargin
 }
