@@ -59,9 +59,16 @@ case class SimHash32(child: Expression, bits: Int = SimHash32.BITS)
 object SimHash32 {
   val BITS = 32
 
-  /** Static kernel shared by interpreted and generated code paths. */
+  /** Static kernel shared by interpreted and generated code paths.
+    * An empty token-hash array is 0L — without the special case the tie
+    * rule (2·ones ≥ n) would set EVERY bit for n = 0, producing a -1
+    * fingerprint that violates the "voted bit ≥ 60 is structurally 0"
+    * invariant and makes all empty inputs mutual dist-0 candidates.
+    * Mirrored in `Dedup.sqlSimhashTerms` (the `len > 0` guard).
+    */
   def simhash(hs: ArrayData, bits: Int): Long = {
     val n = hs.numElements()
+    if (n == 0) return 0L
     val ones = new Array[Int](bits)
     var i = 0
     while (i < n) {

@@ -219,10 +219,13 @@ object Dedup {
   def sqlTokenHashes(textExpr: String): String =
     s"list_transform(string_split($textExpr, ' '), t -> ${PortableHash.sqlH60("t")})"
 
-  /** Per-bit vote terms over a column holding [[sqlTokenHashes]]. */
+  /** Per-bit vote terms over a column holding [[sqlTokenHashes]]. The
+    * `len > 0` guard mirrors [[graft.functions.SimHash32]]'s empty-input
+    * special case (an empty array is 0, not all-ones from the tie rule).
+    */
   def sqlSimhashTerms(hsVar: String, bits: Int = SIMHASH_BITS): String =
     (0 until bits).map { b =>
-      s"(CASE WHEN 2 * len(list_filter($hsVar, h -> (h >> $b) & 1 = 1)) >= len($hsVar) THEN ${1L << b}::BIGINT ELSE 0 END)"
+      s"(CASE WHEN len($hsVar) > 0 AND 2 * len(list_filter($hsVar, h -> (h >> $b) & 1 = 1)) >= len($hsVar) THEN ${1L << b}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
 
   /** Near-dup pairs with hamming distance ≤ maxDist, candidates via the

@@ -812,13 +812,24 @@ object Similarity {
     */
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                embCol: String, topK: Int, nCells: Int = 16, m: Int = PQ_M,
-               k: Int = PQ_K, dim: Int = 64): DataFrame = {
+               k: Int = PQ_K, dim: Int = 64): DataFrame =
+    ivfPqKnnWith(corpus, queries, idCol, embCol, topK,
+      collectCodebook(corpus, idCol, embCol, m, k, dim), nCells, m, dim)
+
+  /** [[ivfPqKnn]] with an explicit PQ codebook (e.g. [[pqTrainedCodebook]])
+    * — the in-memory twin of a [[buildIndex]] + [[ivfPqProbePersisted]]
+    * round trip over the same quantizers (PersistedIndexSpec asserts the
+    * equivalence).
+    */
+  def ivfPqKnnWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, topK: Int,
+                   cb: Array[Array[(Array[Long], Long)]], nCells: Int = 16,
+                   m: Int = PQ_M, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(veci(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toArray)
-    val cb = collectCodebook(corpus, idCol, embCol, m, k, dim)
     val codes = corpus
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .select(col("nn_id"), ivfCellLit(col("v"), cents).as("cell"),
@@ -831,7 +842,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .sortBy(_._1)
     require(qcells.length <= MAX_LITERAL_QUERIES,
-      s"ivfPqKnn embeds per-query literal LUTs in the plan: got " +
+      s"ivfPqKnnWith embeds per-query literal LUTs in the plan: got " +
         s"${qcells.length} queries (cap $MAX_LITERAL_QUERIES); use " +
         "pqAdcKnnRelational for distributed query sets")
     if (qcells.isEmpty)
@@ -1052,8 +1063,18 @@ object Similarity {
         val mm = r.getInt(0)
         val c = r.getLong(1).toInt
         val n = r.getLong(2)
-        (mm, c) -> (0 until subDim).map(i =>
-          Math.floorDiv(r.getLong(3 + i), n)).toArray
+        (mm, c) -> (0 until subDim).map { i =>
+          val s = r.getLong(3 + i)
+          // the SQL oracle recomputes this mean as CAST(sum AS DOUBLE) /
+          // count, exact only while |sum| < 2^53 (components ~2e6 after
+          // scaling → holds to ~4e9 rows per entry); past that the engines
+          // could silently disagree, so fail loudly instead
+          require(math.abs(s) < (1L << 53),
+            s"pqTrainedCodebook component sum $s exceeds the 2^53 window " +
+              "the SQL oracle's double mean is exact in; shard the corpus " +
+              "or train on a sample")
+          Math.floorDiv(s, n)
+        }.toArray
       }.toMap
       cb = cb.zipWithIndex.map { case (entries, mm) =>
         entries.zipWithIndex.map { case (old, c) =>
@@ -1071,12 +1092,15 @@ object Similarity {
     * floor-mean stays exact in doubles (sums ≪ 2^53) and equals Java's
     * `Math.floorDiv`.
     */
-  def sqlPqAdcTrained(topK: Int, queryPred: String, iters: Int = 2,
-                      m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64): String = {
-    val s = dim / m
+  /** The per-subspace Lloyd rounds as a CTE chain `cb1 … cb<iters>` over
+    * a `cb0(c, m, cv)` init and a `sub(vec_id, m, sv)` explosion — shared
+    * verbatim by [[sqlPqAdcTrained]] and [[sqlIvfPqTrained]] so the two
+    * oracles cannot drift from [[pqTrainedCodebook]].
+    */
+  private def sqlPqTrainCtes(iters: Int, s: Int): String = {
     def l2(a: String, b: String, bn: String) =
       s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
-    val iterCtes = (1 to iters).map { it =>
+    (1 to iters).map { it =>
       val prev = s"cb${it - 1}"
       s"""n$it AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn FROM $prev),
          |a$it AS (
@@ -1098,6 +1122,14 @@ object Similarity {
          |  FROM $prev p LEFT JOIN m$it mi ON mi.m = p.m AND mi.c = p.c)"""
         .stripMargin
     }.mkString(",\n")
+  }
+
+  def sqlPqAdcTrained(topK: Int, queryPred: String, iters: Int = 2,
+                      m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64): String = {
+    val s = dim / m
+    def l2(a: String, b: String, bn: String) =
+      s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
+    val iterCtes = sqlPqTrainCtes(iters, s)
     s"""WITH v0 AS (
        |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
        |ms AS (SELECT unnest(range($m)) AS m),
@@ -1135,6 +1167,70 @@ object Similarity {
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB oracle for IVF+PQ over the TRAINED codebook — [[sqlIvfPq]]'s
+    * cell structure with its first-k codebook CTEs replaced by the
+    * [[sqlPqTrainCtes]] Lloyd chain. This is the value [[buildIndex]] +
+    * [[ivfPqProbePersisted]] computes (adjacent so they cannot drift).
+    */
+  def sqlIvfPqTrained(topK: Int, queryPred: String, iters: Int = 2,
+                      nCells: Int = 16, m: Int = PQ_M, k: Int = PQ_K,
+                      dim: Int = 64): String = {
+    val s = dim / m
+    def l2(a: String, b: String, bn: String) =
+      s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
+    val cellCos = sqlCosineGuardedParts(sqlDotInt("vn.v", "cc.cv"),
+      "vn.n2", "cc.cn")
+    val iterCtes = sqlPqTrainCtes(iters, s)
+    s"""WITH v0 AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
+       |cc AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
+       |  FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $nCells)),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vn.vec_id, cc.cid AS cell,
+       |           row_number() OVER (PARTITION BY vn.vec_id
+       |             ORDER BY round($cellCos, 9) DESC, cc.cid) AS rn
+       |    FROM vn CROSS JOIN cc) WHERE rn = 1),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, v[m*$s+1 : m*$s+$s] AS sv FROM v0, ms),
+       |cb0 AS (
+       |  SELECT c, m, v[m*$s+1 : m*$s+$s] AS cv FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |             AS c, v
+       |    FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $k)), ms),
+       |$iterCtes,
+       |cbn AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn
+       |        FROM cb$iters),
+       |enc AS (
+       |  SELECT vec_id AS nn_id, m, c AS code FROM (
+       |    SELECT sub.vec_id, sub.m, cbn.c,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |             ORDER BY ${l2("sv", "cv", "cn")}, cbn.c) AS rn
+       |    FROM sub JOIN cbn ON sub.m = cbn.m)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT sub.vec_id AS query_id, sub.m, cbn.c AS code,
+       |         ${l2("sv", "cv", "cn")} AS d
+       |  FROM sub JOIN cbn ON sub.m = cbn.m
+       |  WHERE sub.vec_id IN (SELECT vec_id FROM v0 WHERE $queryPred)),
+       |scored AS (
+       |  SELECT query_id, nn_id, CAST(sum(d) AS BIGINT) AS adist
+       |  FROM enc JOIN lut USING (m, code)
+       |  JOIN cells ce ON ce.vec_id = nn_id
+       |  JOIN cells cq ON cq.vec_id = query_id AND cq.cell = ce.cell
+       |  WHERE nn_id <> query_id
+       |  GROUP BY query_id, nn_id)
+       |SELECT query_id, nn_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adist, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   // ── persisted ANN index (build once, probe many) ───────────────────
 
   /** Reserved index cells holding the train artifacts, so a probe needs
@@ -1158,19 +1254,36 @@ object Similarity {
     * codes are both literal projections), the stored table is the
     * ~20×-compressed codes, and every later probe reads ~nProbe/nCells of
     * it via partition pruning ([[ivfPqProbePersisted]]) instead of
-    * re-encoding the corpus per query. Re-running buildIndex appends a
-    * new transaction and last-writer-wins supersedes the old rows —
-    * incremental index refresh for free.
+    * re-encoding the corpus per query.
+    *
+    * Rebuild = one delete-marker transaction wiping every prior index row
+    * followed by the fresh build transaction. Plain last-writer-wins is
+    * NOT enough: rows are keyed (key, ts) with ts = cell id, so a vector
+    * whose cell assignment changes between builds (new corpus → new
+    * centroids) would leave its old (key, oldCell) row visible alongside
+    * the new one. The range delete suppresses exactly the lower txids
+    * ([[graft.series.SeriesOps.applyDeletes]]), so a probe sees one build,
+    * never a mix; the superseded rows are physically purged at compaction.
+    * PersistedIndexSpec asserts the supersede.
+    *
+    * @param codebook PQ codebook to persist; defaults to the per-subspace
+    *        Lloyd [[pqTrainedCodebook]] (measurably better recall than the
+    *        first-k [[collectCodebook]] — the `ann_recall` floors).
     */
   def buildIndex(db: graft.store.Db, corpus: DataFrame, idCol: String,
                  embCol: String, nCells: Int = 16, m: Int = PQ_M,
-                 k: Int = PQ_K, dim: Int = 64): Long = {
+                 k: Int = PQ_K, dim: Int = 64,
+                 codebook: Option[Array[Array[(Array[Long], Long)]]] = None,
+                 trainIters: Int = 2): Long = {
     val spark = corpus.sparkSession
     val subDim = dim / m
+    if (db.snapshot().manifest.dataTxids.nonEmpty)
+      graft.store.TxWriter.delete(db, t0 = Long.MinValue, t1 = Long.MaxValue)
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(veci(col(embCol)).as("cv")).collect()
       .map(_.getSeq[Long](0).toArray)
-    val cb = collectCodebook(corpus, idCol, embCol, m, k, dim)
+    val cb = codebook.getOrElse(
+      pqTrainedCodebook(corpus, idCol, embCol, m, k, dim, trainIters))
     val codes = corpus
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .select(
@@ -1218,8 +1331,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val snap = db.snapshot()
-    def cellRead(cell: Long): DataFrame =
-      snap.read("%", after = Some(cell), before = Some(cell + 1))
+    def cellRead(cell: Long): DataFrame = snap.readInstants(Seq(cell))
     val cents = cellRead(CELL_CENTROIDS)
       .select(col("nn_id"), col("codes")).collect()
       .sortBy(_.getLong(0))
@@ -1251,9 +1363,13 @@ object Similarity {
       return queries.sparkSession.range(0)
         .select(col("id").as("query_id"), col("id").as("nn_id"),
           col("id").as("adist"), lit(0).as("rank")).limit(0)
-    // one partition-pruned read per probed cell (each scan's
-    // PartitionFilters pin tbucket to the cell — PlanSpec asserts this)
-    val codes = probed.map(cellRead).reduce(_ unionByName _)
+    // ONE snapshot read with `ts IN (probedCells)`: tbucket partition
+    // pruning skips every non-probed cell directory while the plan stays
+    // O(1) in probe count — at nCells=4096 × multi-probe a union-per-cell
+    // plan would carry one scan subtree (and one manifest read) per cell.
+    // PersistedIndexSpec asserts the scan's PartitionFilters pin tbucket
+    // to exactly the probed cells.
+    val codes = snap.readInstants(probed.toIndexedSeq)
       .select(col("nn_id"), col("ts").as("cell"), col("codes"))
     val perQuery = qcells.map { case (qid, qcell, qv) =>
       val lut = adcLut(cb, qv, subDim)

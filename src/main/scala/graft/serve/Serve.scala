@@ -2,7 +2,7 @@ package graft.serve
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
-import graft.store.{Db, TxWriter}
+import graft.store.{Db, Manifest, TxWriter}
 import graft.text.TextIngest
 
 /** HTTP endpoint over a warehouse — the reference's `sonnerie-serve`
@@ -21,11 +21,36 @@ import graft.text.TextIngest
   *    raw lines. (At real scale, batch ingest goes through
   *    [[graft.streaming.StreamIngest]] instead of one HTTP body.)
   *
-  * Each GET plans against a fresh manifest snapshot — the snapshot read
-  * IS the reference's 10-second shared-reader invalidation loop, minus
-  * the staleness window.
+  * GETs share a TTL-cached snapshot — the reference's 10-second reader
+  * cache (`sonnerie-serve.rs:242-264`) minus the staleness window: within
+  * the TTL a one-listing manifest-version probe detects commits, so a
+  * cached snapshot is reused only while it is provably current, and the
+  * per-request cost drops to a directory stat instead of a manifest
+  * parse + plan-base rebuild (the repeated-point-lookup floor).
   */
-final class Serve(db: Db, port: Int = 0) {
+final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000) {
+
+  /** (manifest version, snapshot, loadedAt nanos). */
+  private val cachedSnap = new java.util.concurrent.atomic.AtomicReference[
+    (Long, Db#Snapshot, Long)]()
+  @volatile private var loads = 0L
+
+  /** Snapshot (re)builds since start — observable cache behavior for
+    * ServeSpec: two GETs within the TTL load once; a commit loads again.
+    */
+  def snapshotLoads: Long = loads
+
+  private def snapshot(): Db#Snapshot = {
+    val now = System.nanoTime()
+    val cur = cachedSnap.get()
+    if (cur != null && now - cur._3 < snapshotTtlMillis * 1000000L &&
+        Manifest.currentVersion(db.warehouse) == cur._1)
+      return cur._2
+    val snap = db.snapshot()
+    loads += 1
+    cachedSnap.set((snap.manifest.version, snap, now))
+    snap
+  }
 
   private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
   server.createContext("/", new HttpHandler {
@@ -63,7 +88,8 @@ final class Serve(db: Db, port: Int = 0) {
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
-    val df = if (w.isExact) db.get(w.pattern) else db.read(pattern)
+    val snap = snapshot()
+    val df = if (w.isExact) snap.get(w.pattern) else snap.read(pattern)
     val lines = TextIngest.print(db.spark, TextIngest.asRecords(df),
       tsMode = if (human) TextIngest.TsHuman else TextIngest.TsNanos)
     ex.getResponseHeaders.set("Content-Type", "text/plain")

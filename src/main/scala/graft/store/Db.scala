@@ -132,6 +132,37 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         SeriesOps.keyFilter(readData(txids), pattern), after, before)
     }
 
+    /** Read exactly the given `ts` instants (one [[read]] pipeline pass
+      * with `ts IN (instants)`). On a time-bucketed warehouse the matching
+      * `tbucket IN (…)` predicate is derived alongside, so partition
+      * pruning skips every non-matching bucket directory while the plan
+      * stays O(1) in the instant count — the shape
+      * [[graft.ops.Similarity.ivfPqProbePersisted]] needs: probing 64 of
+      * 4096 index cells is one scan with a 64-value IN-set, not a 64-way
+      * union. Transactions whose stats overlap no instant are skipped
+      * entirely, as in [[read]].
+      */
+    def readInstants(instants: Seq[Long], pattern: String = "%"): DataFrame = {
+      require(instants.nonEmpty, "readInstants needs at least one instant")
+      val lo = instants.min
+      val hi = instants.max + 1
+      val txids = prunedDataTxids(pattern, Some(lo), Some(hi))
+      if (txids.isEmpty) return emptyResult()
+      val base = SeriesOps.keyFilter(readData(txids), pattern)
+      val w = manifest.timeBucket
+      val bucketed =
+        if (w > 0 && base.columns.contains("tbucket"))
+          // same bucket formula the writer uses (ts - ts % w, Spark's
+          // dividend-sign remainder — consistent for negative reserved ts)
+          base.filter(col("tbucket")
+            .isin(instants.map(t => t - t % w).distinct: _*))
+        else base
+      val filtered = bucketed.filter(col("ts").isin(instants: _*))
+      val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
+      val visible = SeriesOps.applyDeletes(merged, deletes)
+      SeriesOps.ordered(visible.drop("txid").drop("tbucket"))
+    }
+
     /** Zero-row result with the read pipeline's output shape. Must not go
       * through [[records]]: the documented bootstrap pattern
       * (`cursor = maxTxid; tail(cursor)` before any commit) reads an empty

@@ -88,6 +88,20 @@ object Manifest {
     else parse(Files.readString(files.maxBy(versionOf)))
   }
 
+  /** Highest manifest version on disk WITHOUT reading any file — one
+    * directory listing. The cheap invalidation probe for cached snapshots
+    * ([[graft.serve.Serve]]'s reader cache): a commit bumps the version,
+    * so `currentVersion != cached.version` ⟺ the cache is stale. 0 when
+    * nothing was ever committed (matching [[current]]'s empty state).
+    */
+  def currentVersion(warehouse: String): Long = {
+    val d = dir(warehouse)
+    if (!Files.isDirectory(d)) return 0L
+    Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(versionOf).foldLeft(0L)(math.max)
+  }
+
   /** All manifest versions present on disk, ascending. Every commit is a
     * new immutable version file, so this is the warehouse's full history
     * (until an explicit history prune).

@@ -120,11 +120,19 @@ object TextProto {
   /** chrono-strftime layout → java.time formatter. The reference CLI takes
     * chrono tokens (`src/formatted.rs:39-47`, `src/main.rs:520-543`), so a
     * sonnerie user's `--timestamp-format '%FT%T'` must work verbatim.
-    * Supported: `%Y %m %d %H %M %S %F %T %y %j %f %.f %%` plus literal
-    * text; anything else fails loudly (matching chrono's parse error
-    * rather than silently mis-reading data). Defaults fill omitted
-    * fields (date-only layouts parse to midnight, like the reference's
-    * `NaiveDate … and_hms_opt(0,0,0)`).
+    * Supported: `%Y %m %d %H %M %S %F %T %y %j %f %.f %b %h %B %a %A %e
+    * %z %s %%` plus literal text; anything else fails loudly (matching
+    * chrono's parse error rather than silently mis-reading data). Defaults
+    * fill omitted fields (date-only layouts parse to midnight, like the
+    * reference's `NaiveDate … and_hms_opt(0,0,0)`).
+    *
+    * chrono-parity notes: names are English and parse case-insensitively
+    * (chrono's month/weekday tables); `%z` formats as the engine's UTC
+    * (`+0000`) and a parsed offset is dropped, exactly what chrono's
+    * `NaiveDateTime::parse_from_str` does with `%z`; `%s` is the UTC epoch
+    * second (parse side handled in [[parseTimestampWith]] via
+    * INSTANT_SECONDS); `%a`/`%A` are cross-checked against the parsed date
+    * by the resolver, as chrono rejects impossible weekday/date pairs.
     */
   // DateTimeFormatter is immutable and thread-safe; the builder walk is
   // per-row cost on the print/parse hot paths (read, serve GET, gegnum)
@@ -136,10 +144,12 @@ object TextProto {
     strftimeCache.computeIfAbsent(fmt, buildStrftime)
 
   private def buildStrftime(fmt: String): DateTimeFormatter = {
-    import java.time.format.DateTimeFormatterBuilder
+    import java.time.format.{DateTimeFormatterBuilder, TextStyle}
     import java.time.temporal.ChronoField._
     val b = new DateTimeFormatterBuilder()
+    b.parseCaseInsensitive() // chrono name parsing is case-insensitive
     var hasDayOfYear = false
+    var hasEpoch = false
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
@@ -151,10 +161,24 @@ object TextProto {
           case 'y' => b.appendValueReduced(YEAR, 2, 2, 1969); i += 2
           case 'm' => b.appendValue(MONTH_OF_YEAR, 2); i += 2
           case 'd' => b.appendValue(DAY_OF_MONTH, 2); i += 2
+          case 'e' => // day of month, space-padded ( 1-31)
+            b.padNext(2, ' ').appendValue(DAY_OF_MONTH); i += 2
           case 'j' => b.appendValue(DAY_OF_YEAR, 3); hasDayOfYear = true; i += 2
+          case 'b' | 'h' => // abbreviated month name (Jan … Dec)
+            b.appendText(MONTH_OF_YEAR, TextStyle.SHORT); i += 2
+          case 'B' => // full month name (January … December)
+            b.appendText(MONTH_OF_YEAR, TextStyle.FULL); i += 2
+          case 'a' => // abbreviated weekday name (Sun … Sat)
+            b.appendText(DAY_OF_WEEK, TextStyle.SHORT); i += 2
+          case 'A' => // full weekday name (Sunday … Saturday)
+            b.appendText(DAY_OF_WEEK, TextStyle.FULL); i += 2
           case 'H' => b.appendValue(HOUR_OF_DAY, 2); i += 2
           case 'M' => b.appendValue(MINUTE_OF_HOUR, 2); i += 2
           case 'S' => b.appendValue(SECOND_OF_MINUTE, 2); i += 2
+          case 'z' => // +0000 offset; the engine's datetimes are UTC
+            b.appendOffset("+HHMM", "+0000"); i += 2
+          case 's' => // unix timestamp seconds (variable width, signed)
+            b.appendValue(INSTANT_SECONDS); hasEpoch = true; i += 2
           case 'F' => // %Y-%m-%d
             b.appendValue(YEAR, 4).appendLiteral('-')
               .appendValue(MONTH_OF_YEAR, 2).appendLiteral('-')
@@ -176,12 +200,19 @@ object TextProto {
     }
     // month/day defaults conflict with a parsed day-of-year (the resolver
     // cross-checks the derived date against DAY_OF_YEAR), so only default
-    // them for layouts without %j
-    if (!hasDayOfYear)
-      b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
-    b.parseDefaulting(HOUR_OF_DAY, 0).parseDefaulting(MINUTE_OF_HOUR, 0)
-      .parseDefaulting(SECOND_OF_MINUTE, 0).parseDefaulting(NANO_OF_SECOND, 0)
-      .toFormatter
+    // them for layouts without %j; an epoch layout (%s) carries the whole
+    // datetime in one field, so defaulting date/time fields there would
+    // only invite resolver conflicts
+    if (!hasEpoch) {
+      if (!hasDayOfYear)
+        b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
+      b.parseDefaulting(HOUR_OF_DAY, 0).parseDefaulting(MINUTE_OF_HOUR, 0)
+        .parseDefaulting(SECOND_OF_MINUTE, 0)
+    }
+    b.parseDefaulting(NANO_OF_SECOND, 0)
+      // English month/weekday names, whatever the JVM default locale —
+      // chrono's tables are English-only
+      .toFormatter(java.util.Locale.ENGLISH)
   }
 
   /** Parse with an explicit layout (reference `add --timestamp-format`,
@@ -189,8 +220,23 @@ object TextProto {
     * the reference accepts); otherwise the pattern is a Java layout.
     */
   def parseTimestampWith(s: String, pattern: String): Long = {
-    if (pattern.contains('%'))
-      return toNanos(LocalDateTime.from(strftimeFormatter(pattern).parse(s)))
+    if (pattern.contains('%')) {
+      import java.time.temporal.ChronoField.{INSTANT_SECONDS, NANO_OF_SECOND}
+      val parsed = strftimeFormatter(pattern).parse(s)
+      // prefer the LOCAL fields: a %z layout parses the offset but must
+      // ignore its value (chrono NaiveDateTime::parse_from_str semantics),
+      // and java keeps the as-written local fields alongside the derived
+      // instant. Only a pure-epoch layout (%s) has no local date to
+      // assemble — resolve that through INSTANT_SECONDS directly.
+      return try toNanos(LocalDateTime.from(parsed))
+      catch {
+        case e: java.time.DateTimeException
+            if parsed.isSupported(INSTANT_SECONDS) =>
+          Math.addExact(
+            Math.multiplyExact(parsed.getLong(INSTANT_SECONDS), 1000000000L),
+            parsed.getLong(NANO_OF_SECOND))
+      }
+    }
     val f = DateTimeFormatter.ofPattern(pattern)
     val ldt =
       if (pattern.exists("HmsS".contains(_))) LocalDateTime.parse(s, f)
@@ -225,7 +271,10 @@ object TextProto {
     val secs = Math.floorDiv(nanos, 1000000000L)
     val rem = Math.floorMod(nanos, 1000000000L)
     val ldt = LocalDateTime.ofInstant(Instant.ofEpochSecond(secs, rem), ZoneOffset.UTC)
-    if (pattern.contains('%')) ldt.format(strftimeFormatter(pattern))
+    // format the strftime path at explicit UTC so %z (+0000) and %s
+    // (INSTANT_SECONDS) have the offset/instant a bare LocalDateTime lacks
+    if (pattern.contains('%'))
+      ldt.atOffset(ZoneOffset.UTC).format(strftimeFormatter(pattern))
     else if (pattern.nonEmpty) ldt.format(DateTimeFormatter.ofPattern(pattern))
     else {
       // default human layout: fractional seconds only when nonzero

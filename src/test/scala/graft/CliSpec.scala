@@ -84,6 +84,15 @@ class CliSpec extends SparkSpec {
     // strftime on the output side too
     assert(cli("-d", wh, "read", "k", "--timestamp-format", "%F %T")() ==
       Seq("k\t2020-01-01 00:00:01\t7", "k\t2020-01-01 00:00:02\t8"))
+    // the exotic chrono tokens round-trip through the CLI: month-name
+    // ingest layout in, same layout out (formatted.rs:39-47)
+    cli("-d", wh, "add", "--format", "u",
+      "--timestamp-format", "%d %b %Y %H:%M:%S")("k 02\\ Jan\\ 2020\\ 00:00:03 9")
+    assert(cli("-d", wh, "read", "k", "--timestamp-format",
+      "%d %b %Y %H:%M:%S")() == Seq(
+      "k\t01 Jan 2020 00:00:01\t7",
+      "k\t01 Jan 2020 00:00:02\t8",
+      "k\t02 Jan 2020 00:00:03\t9"))
   }
 
   test("dump prints one transaction's records (examples/get.rs:5-46)") {

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.store.Db
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF+PQ index lifecycle: build → partition-pruned probe →
+  * rebuild-supersede. Small dim=8 / m=2 / k=4 / nCells=2 geometry with two
+  * obvious clusters so cell assignments are hand-checkable.
+  *
+  * Covers the two claims only the driver row exercised before:
+  *  - the probe plan's PartitionFilters pin `tbucket` to EXACTLY the
+  *    probed cells (one scan subtree total — not one per cell);
+  *  - re-running buildIndex on the same warehouse supersedes the previous
+  *    build even when a vector's cell assignment changes (the stale-row
+  *    hazard of (key, ts=cell) keying under plain last-writer-wins).
+  */
+class PersistedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  // vec 0 and 1 are the coarse centroids (first-nCells-by-id); 2 and 4
+  // sit in cluster 0, 3 in cluster 1
+  private def corpusA: DataFrame = Seq(
+    (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+    (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+    (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)),
+    (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1)),
+    (4L, vec(0.8, 0, 0.1, 0, 0, 0.1, 0, 0.8))
+  ).toDF("vec_id", "embedding")
+
+  // same corpus but vec 2 moved into cluster 1 — its cell flips between
+  // builds, the exact case where stale index rows would survive without
+  // the rebuild delete-marker
+  private def corpusB: DataFrame = Seq(
+    (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+    (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+    (2L, vec(0, 0.95, 0.05, 0, 0, 0.05, 0.95, 0)),
+    (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1)),
+    (4L, vec(0.8, 0, 0.1, 0, 0, 0.1, 0, 0.8))
+  ).toDF("vec_id", "embedding")
+
+  private def build(db: Db, corpus: DataFrame): Long =
+    Similarity.buildIndex(db, corpus, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = dim)
+
+  private def probe(db: Db, corpus: DataFrame, queryId: Long): DataFrame =
+    Similarity.ivfPqProbePersisted(db,
+      corpus.filter(col("vec_id") === queryId), "vec_id", "embedding",
+      topK = 3, m = 2, dim = dim)
+
+  private def expected(corpus: DataFrame, queryId: Long): DataFrame =
+    Similarity.ivfPqKnnWith(corpus,
+      corpus.filter(col("vec_id") === queryId), "vec_id", "embedding",
+      topK = 3,
+      Similarity.pqTrainedCodebook(corpus, "vec_id", "embedding",
+        m = 2, k = 4, dim = dim),
+      nCells = 2, m = 2, dim = dim)
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Int)] =
+    df.select(col("query_id"), col("nn_id"), col("adist"),
+        col("rank").cast("int"))
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+
+  test("probe equals the in-memory IVF+PQ over the same trained codebook") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    val got = rows(probe(db, corpusA, queryId = 2L))
+    assert(got.nonEmpty)
+    assert(got == rows(expected(corpusA, queryId = 2L)))
+  }
+
+  test("probe plan: one scan, PartitionFilters pinned to exactly the probed cell") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    // query 2 lives in cluster 0 → probed cells = {0}, cell 1 untouched
+    val plan = probe(db, corpusA, queryId = 2L)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).filter(_.contains("tbucket"))
+      .toVector
+    assert(pf.nonEmpty, s"no tbucket PartitionFilters in probe plan:\n$plan")
+    // O(1) plan: the codes read is ONE pruned scan, not a union-per-cell
+    assert(pf.size == 1, s"expected one pruned codes scan, got:\n$pf")
+    // drop attribute ids (tbucket#123L) before extracting the cell values
+    val cells = "-?\\d+".r
+      .findAllIn(pf.head.replaceAll("#\\d+L?", "")).map(_.toLong).toSet
+    assert(cells == Set(0L), s"PartitionFilters not pinned to cell 0: $pf")
+  }
+
+  test("rebuild supersedes the old index even when cells change") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    build(db, corpusB) // vec 2 flips cluster 0 → 1 between builds
+    // exactly one visible row per vector: the corpusA row for vec 2
+    // (cell 0) must NOT survive alongside its corpusB row (cell 1)
+    val visible = db.read("v/%")
+      .select(col("key"), col("ts")).as[(String, Long)].collect().toSeq
+    assert(visible.size == 5, s"stale index rows visible: $visible")
+    assert(visible.map(_._1).distinct.size == 5)
+    assert(visible.toMap.apply("v/000000000002") == 1L,
+      "vec 2 must sit in cell 1 after the rebuild")
+    // and probing the new index matches corpusB's in-memory answer
+    val got = rows(probe(db, corpusB, queryId = 2L))
+    assert(got.nonEmpty)
+    assert(got == rows(expected(corpusB, queryId = 2L)))
+  }
+}

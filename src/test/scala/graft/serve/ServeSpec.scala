@@ -58,6 +58,34 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("snapshot cache: GETs within the TTL share one snapshot; a commit invalidates it") {
+    val db = Db(spark, tmpDir("graft-serve3"))
+    val srv = new Serve(db).start() // default TTL 10s >> test duration
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      http("PUT", s"$base/", Some("a 1 u 1\n"))
+      assert(srv.snapshotLoads == 0, "PUT must not build a read snapshot")
+
+      val (_, first) = http("GET", s"$base/a")
+      assert(first == "a\t1\t1\n")
+      assert(srv.snapshotLoads == 1)
+      val (_, second) = http("GET", s"$base/a")
+      assert(second == first)
+      assert(srv.snapshotLoads == 1,
+        "second GET within the TTL must reuse the cached snapshot")
+
+      // a commit bumps the manifest version → the next GET must see the
+      // new data immediately (version probe, no 10s staleness window)
+      http("PUT", s"$base/", Some("a 2 u 2\n"))
+      val (_, after) = http("GET", s"$base/a")
+      assert(after == "a\t1\t1\na\t2\t2\n")
+      assert(srv.snapshotLoads == 2,
+        "a commit within the TTL must invalidate the cached snapshot")
+      http("GET", s"$base/a")
+      assert(srv.snapshotLoads == 2, "and the refreshed snapshot is cached again")
+    } finally srv.stop()
+  }
+
   test("concurrent PUTs each commit atomically (manifest CAS under load)") {
     val db = Db(spark, tmpDir("graft-serve2"))
     val srv = new Serve(db).start()

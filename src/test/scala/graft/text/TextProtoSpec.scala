@@ -136,4 +136,54 @@ class TextProtoSpec extends AnyFunSuite {
       TextProto.parseTimestampWith("2024-100", "%Y-%j"), "%F") ==
       "2024-04-09")
   }
+
+  test("exotic chrono tokens: %b %B %a %A %e %z %s (formatted.rs:39-47)") {
+    val t = 1577836801000000000L // 2020-01-01T00:00:01Z, a Wednesday
+    // month names, abbreviated and full; parse is case-insensitive
+    assert(TextProto.formatTimestamp(t, "%d %b %Y %H:%M:%S") ==
+      "01 Jan 2020 00:00:01")
+    assert(TextProto.parseTimestampWith("01 Jan 2020 00:00:01",
+      "%d %b %Y %H:%M:%S") == t)
+    assert(TextProto.parseTimestampWith("01 JAN 2020 00:00:01",
+      "%d %b %Y %H:%M:%S") == t)
+    assert(TextProto.formatTimestamp(t, "%B %d, %Y") == "January 01, 2020")
+    assert(TextProto.parseTimestampWith("January 01, 2020", "%B %d, %Y") ==
+      1577836800000000000L)
+    // %h is chrono's alias of %b
+    assert(TextProto.formatTimestamp(t, "%h") == "Jan")
+    // weekday names format and cross-check on parse (chrono rejects an
+    // impossible weekday/date pair)
+    assert(TextProto.formatTimestamp(t, "%a %F") == "Wed 2020-01-01")
+    assert(TextProto.formatTimestamp(t, "%A") == "Wednesday")
+    assert(TextProto.parseTimestampWith("Wed 2020-01-01", "%a %F") ==
+      1577836800000000000L)
+    intercept[Exception]( // 2020-01-01 was not a Monday
+      TextProto.parseTimestampWith("Mon 2020-01-01", "%a %F"))
+    // %e: space-padded day of month
+    assert(TextProto.formatTimestamp(t, "%e %b") == " 1 Jan")
+    assert(TextProto.parseTimestampWith(" 1 Jan 2020", "%e %b %Y") ==
+      1577836800000000000L)
+    // %z: the engine's datetimes are UTC -> +0000; a parsed offset is
+    // dropped (chrono NaiveDateTime::parse_from_str semantics)
+    assert(TextProto.formatTimestamp(t, "%FT%T%z") ==
+      "2020-01-01T00:00:01+0000")
+    assert(TextProto.parseTimestampWith("2020-01-01T00:00:01+0500",
+      "%FT%T%z") == t)
+    // %s: unix epoch seconds, both directions, pre-1970 included
+    assert(TextProto.formatTimestamp(t, "%s") == "1577836801")
+    assert(TextProto.parseTimestampWith("1577836801", "%s") == t)
+    assert(TextProto.formatTimestamp(-1000000000L, "%s") == "-1")
+    assert(TextProto.parseTimestampWith("-1", "%s") == -1000000000L)
+    // round-trip the VERDICT layout across random whole-second instants
+    val rng = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val nanos = math.abs(rng.nextLong()) % 4102444800000000000L
+      val ts = nanos - nanos % 1000000000L
+      Seq("%d %b %Y %H:%M:%S", "%e %B %Y %H:%M:%S %z", "%s").foreach { fmt =>
+        val text = TextProto.formatTimestamp(ts, fmt)
+        assert(TextProto.parseTimestampWith(text, fmt) == ts,
+          s"$fmt: $ts -> '$text'")
+      }
+    }
+  }
 }
