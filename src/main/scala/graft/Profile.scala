@@ -4,6 +4,52 @@ import org.apache.spark.sql.functions._
 import graft.core.Graft
 import graft.ops.Dedup
 
+/** Dev-only serve-layer latency probe: the repeated point-lookup path the
+  * reference answers in ~15 ms from its 10s-cached reader
+  * (`sonnerie-serve.rs:242-264`). Measures GET latency cold (snapshot
+  * build + first plan) vs warm (TTL-cached snapshot, version-probe only)
+  * on a warm JVM. Numbers land in SCALE.md. Not part of the driver
+  * contract.
+  */
+object ServeLatency {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.localSession(cores = 8)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.store.{Db, TxWriter}
+    import graft.serve.Serve
+    val wh = java.nio.file.Files.createTempDirectory("graft-servelat").toString
+    val db = Db(spark, wh)
+    import spark.implicits._
+    // same row shape the PUT path commits: text-protocol lines → SeriesRecord
+    val lines = (1 to 100000).map(i => f"k$i%07d $i%d u $i%d")
+    TxWriter.write(db,
+      graft.text.TextIngest.parseWithFmt(spark, spark.createDataset(lines)).toDF())
+    var srv = new Serve(db).start()
+    def get(path: String): Unit = {
+      val c = new java.net.URL(s"http://localhost:${srv.boundPort}$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      scala.io.Source.fromInputStream(c.getInputStream, "UTF-8").mkString
+      c.disconnect()
+    }
+    def ms(label: String, n: Int)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => f)
+      println(f"SERVE $label%-40s ${(System.nanoTime() - t0) / 1e6 / n}%9.2f ms/op")
+    }
+    get("/k0000001") // JVM/codegen warmup for the read path itself
+    srv.stop()
+    srv = new Serve(db).start() // fresh cache, warm JVM
+    ms("GET exact key, cold snapshot", 1)(get("/k0000042"))
+    ms("GET exact key, cached snapshot", 50)(get("/k0000042"))
+    ms("GET exact key, varying keys (cached)", 50) {
+      get(f"/k${(math.random() * 99999).toInt + 1}%07d")
+    }
+    println(s"SERVE snapshot loads: ${srv.snapshotLoads}")
+    srv.stop()
+    spark.stop()
+  }
+}
+
 /** Dev-only stage profiler: times sub-stages of the slowest bench queries
   * so optimization targets measurements, not guesses. Not part of the
   * driver contract.

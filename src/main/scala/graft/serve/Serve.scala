@@ -74,13 +74,18 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000) {
       } finally ex.close()
     }
   })
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Ephemeral-port binding (port = 0) resolves here. */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): this.type = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+
+  /** Stops the listener AND its worker pool — the pool's threads are
+    * non-daemon, so leaving them running keeps the JVM alive after stop().
+    */
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def doGet(ex: HttpExchange): Unit = {
     // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")

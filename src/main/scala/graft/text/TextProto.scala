@@ -120,10 +120,17 @@ object TextProto {
   /** chrono-strftime layout → java.time formatter. The reference CLI takes
     * chrono tokens (`src/formatted.rs:39-47`, `src/main.rs:520-543`), so a
     * sonnerie user's `--timestamp-format '%FT%T'` must work verbatim.
-    * Supported: `%Y %m %d %H %M %S %F %T %y %j %f %.f %b %h %B %a %A %e
-    * %z %s %%` plus literal text; anything else fails loudly (matching
-    * chrono's parse error rather than silently mis-reading data). Defaults
-    * fill omitted fields (date-only layouts parse to midnight, like the
+    * Supported: the full chrono table for naive datetimes — dates
+    * `%Y %y %m %d %e %j %b %h %B %a %A %u %w %U %W %G %g %V %D %x %F %v`,
+    * times `%H %k %I %l %M %S %p %P %R %T %X %r`, fractions
+    * `%f %.f %3f %6f %9f %.3f %.6f %.9f`, composites `%c %+`, zone/epoch
+    * `%z %:z %s`, literals `%t %n %%`, and the `%-`/`%0`/`%_` padding
+    * modifiers on numeric tokens — plus literal text; anything else
+    * (`%C %Z`: century can't round-trip through java.time's resolver,
+    * zone *names* don't exist on naive timestamps — chrono itself fails
+    * to format `%Z` on a NaiveDateTime) fails loudly, matching chrono's
+    * parse error rather than silently mis-reading data. Defaults fill
+    * omitted fields (date-only layouts parse to midnight, like the
     * reference's `NaiveDate … and_hms_opt(0,0,0)`).
     *
     * chrono-parity notes: names are English and parse case-insensitively
@@ -143,58 +150,169 @@ object TextProto {
   def strftimeFormatter(fmt: String): DateTimeFormatter =
     strftimeCache.computeIfAbsent(fmt, buildStrftime)
 
+  /** chrono's `%w` (weekday, Sunday = 0 … Saturday = 6) — ISO
+    * DAY_OF_WEEK shifted, with a resolver that folds a parsed value back
+    * into DAY_OF_WEEK so the weekday/date cross-check still applies.
+    */
+  private object WeekdaySun0 extends java.time.temporal.TemporalField {
+    import java.time.temporal._
+    import java.time.format.ResolverStyle
+    override def getBaseUnit: TemporalUnit = ChronoUnit.DAYS
+    override def getRangeUnit: TemporalUnit = ChronoUnit.WEEKS
+    override def range: ValueRange = ValueRange.of(0, 6)
+    override def isDateBased: Boolean = true
+    override def isTimeBased: Boolean = false
+    override def isSupportedBy(t: TemporalAccessor): Boolean =
+      t.isSupported(ChronoField.DAY_OF_WEEK)
+    override def rangeRefinedBy(t: TemporalAccessor): ValueRange = range
+    override def getFrom(t: TemporalAccessor): Long =
+      t.getLong(ChronoField.DAY_OF_WEEK) % 7
+    override def adjustInto[R <: Temporal](t: R, v: Long): R =
+      t.`with`(ChronoField.DAY_OF_WEEK, if (v == 0L) 7L else v)
+        .asInstanceOf[R]
+    override def resolve(
+        values: java.util.Map[TemporalField, java.lang.Long],
+        partial: TemporalAccessor, style: ResolverStyle): TemporalAccessor = {
+      val v = values.remove(this).longValue()
+      values.put(ChronoField.DAY_OF_WEEK,
+        java.lang.Long.valueOf(if (v == 0L) 7L else v))
+      null
+    }
+    override def toString: String = "WeekdaySun0"
+  }
+
   private def buildStrftime(fmt: String): DateTimeFormatter = {
     import java.time.format.{DateTimeFormatterBuilder, TextStyle}
-    import java.time.temporal.ChronoField._
+    import java.time.temporal.{ChronoField, IsoFields, TemporalField, WeekFields}
+    import java.time.DayOfWeek
+    import ChronoField._
     val b = new DateTimeFormatterBuilder()
     b.parseCaseInsensitive() // chrono name parsing is case-insensitive
+    // POSIX week-of-year: week 1 starts at the first Sunday (resp. Monday);
+    // earlier days are week 0 — exactly WeekFields(start, minimalDays = 7)
+    val weekSun = WeekFields.of(DayOfWeek.SUNDAY, 7).weekOfYear()
+    val weekMon = WeekFields.of(DayOfWeek.MONDAY, 7).weekOfYear()
     var hasDayOfYear = false
     var hasEpoch = false
+    var hasAmPm = false
+    val ampmLower = new java.util.HashMap[java.lang.Long, String]()
+    ampmLower.put(0L, "am"); ampmLower.put(1L, "pm")
+    // numeric token with a chrono padding modifier: default zero-padding
+    // (space for %e %k %l), %- no pad, %0 zero pad, %_ space pad
+    def num(f: TemporalField, w: Int, mod: Char, defPad: Char = '0'): Unit =
+      (if (mod == ' ') defPad else mod) match {
+        case '-'           => b.appendValue(f)
+        case '0'           => b.appendValue(f, w)
+        case '_' | _       => b.padNext(w, ' ').appendValue(f)
+      }
+    def time(): Unit = // %T / %X
+      b.appendValue(HOUR_OF_DAY, 2).appendLiteral(':')
+        .appendValue(MINUTE_OF_HOUR, 2).appendLiteral(':')
+        .appendValue(SECOND_OF_MINUTE, 2)
+    def token(t: Char, mod: Char): Unit = t match {
+      case 'Y' => num(YEAR, 4, mod)
+      // chrono/POSIX two-digit years: 69-99 → 1969-1999, 00-68 →
+      // 2000-2068 (base 1969 gives exactly that window)
+      case 'y' => b.appendValueReduced(YEAR, 2, 2, 1969)
+      case 'm' => num(MONTH_OF_YEAR, 2, mod)
+      case 'd' => num(DAY_OF_MONTH, 2, mod)
+      case 'e' => num(DAY_OF_MONTH, 2, mod, defPad = ' ')
+      case 'j' => num(DAY_OF_YEAR, 3, mod); hasDayOfYear = true
+      case 'b' | 'h' => // abbreviated month name (Jan … Dec)
+        b.appendText(MONTH_OF_YEAR, TextStyle.SHORT)
+      case 'B' => // full month name (January … December)
+        b.appendText(MONTH_OF_YEAR, TextStyle.FULL)
+      case 'a' => // abbreviated weekday name (Sun … Sat)
+        b.appendText(DAY_OF_WEEK, TextStyle.SHORT)
+      case 'A' => // full weekday name (Sunday … Saturday)
+        b.appendText(DAY_OF_WEEK, TextStyle.FULL)
+      case 'u' => num(DAY_OF_WEEK, 1, mod) // ISO weekday, Monday = 1
+      case 'w' => num(WeekdaySun0, 1, mod) // Sunday = 0
+      case 'U' => num(weekSun, 2, mod)
+      case 'W' => num(weekMon, 2, mod)
+      case 'G' => num(IsoFields.WEEK_BASED_YEAR, 4, mod)
+      case 'g' => b.appendValueReduced(IsoFields.WEEK_BASED_YEAR, 2, 2, 1969)
+      case 'V' => num(IsoFields.WEEK_OF_WEEK_BASED_YEAR, 2, mod)
+      case 'H' => num(HOUR_OF_DAY, 2, mod)
+      case 'k' => num(HOUR_OF_DAY, 2, mod, defPad = ' ')
+      case 'I' => num(CLOCK_HOUR_OF_AMPM, 2, mod); hasAmPm = true
+      case 'l' => num(CLOCK_HOUR_OF_AMPM, 2, mod, defPad = ' '); hasAmPm = true
+      case 'M' => num(MINUTE_OF_HOUR, 2, mod)
+      case 'S' => num(SECOND_OF_MINUTE, 2, mod)
+      case 'p' => b.appendText(AMPM_OF_DAY, TextStyle.SHORT); hasAmPm = true
+      case 'P' => b.appendText(AMPM_OF_DAY, ampmLower); hasAmPm = true
+      case 'z' => // +0000 offset; the engine's datetimes are UTC
+        b.appendOffset("+HHMM", "+0000")
+      case 's' => // unix timestamp seconds (variable width, signed)
+        b.appendValue(INSTANT_SECONDS); hasEpoch = true
+      case 'F' => // %Y-%m-%d
+        b.appendValue(YEAR, 4).appendLiteral('-')
+          .appendValue(MONTH_OF_YEAR, 2).appendLiteral('-')
+          .appendValue(DAY_OF_MONTH, 2)
+      case 'D' | 'x' => // %m/%d/%y
+        b.appendValue(MONTH_OF_YEAR, 2).appendLiteral('/')
+          .appendValue(DAY_OF_MONTH, 2).appendLiteral('/')
+          .appendValueReduced(YEAR, 2, 2, 1969)
+      case 'v' => // %e-%b-%Y ( 4-Jul-2001)
+        b.padNext(2, ' ').appendValue(DAY_OF_MONTH).appendLiteral('-')
+          .appendText(MONTH_OF_YEAR, TextStyle.SHORT).appendLiteral('-')
+          .appendValue(YEAR, 4)
+      case 'T' | 'X' => time()
+      case 'R' => // %H:%M
+        b.appendValue(HOUR_OF_DAY, 2).appendLiteral(':')
+          .appendValue(MINUTE_OF_HOUR, 2)
+      case 'r' => // %I:%M:%S %p
+        b.appendValue(CLOCK_HOUR_OF_AMPM, 2).appendLiteral(':')
+          .appendValue(MINUTE_OF_HOUR, 2).appendLiteral(':')
+          .appendValue(SECOND_OF_MINUTE, 2).appendLiteral(' ')
+          .appendText(AMPM_OF_DAY, TextStyle.SHORT)
+        hasAmPm = true
+      case 'c' => // ctime: %a %b %e %H:%M:%S %Y
+        b.appendText(DAY_OF_WEEK, TextStyle.SHORT).appendLiteral(' ')
+          .appendText(MONTH_OF_YEAR, TextStyle.SHORT).appendLiteral(' ')
+          .padNext(2, ' ').appendValue(DAY_OF_MONTH).appendLiteral(' ')
+        time()
+        b.appendLiteral(' ').appendValue(YEAR, 4)
+      case 'f' => // nanoseconds, no dot (chrono: 9 digits)
+        b.appendFraction(NANO_OF_SECOND, 9, 9, false)
+      case 't' => b.appendLiteral('\t')
+      case 'n' => b.appendLiteral('\n')
+      case '%' => b.appendLiteral('%')
+      case _ => throw new IllegalArgumentException(
+        s"unsupported strftime token %$t in '$fmt'")
+    }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
         fmt.charAt(i + 1) match {
-          case 'Y' => b.appendValue(YEAR, 4); i += 2
-          // chrono/POSIX two-digit years: 69-99 → 1969-1999, 00-68 →
-          // 2000-2068 (base 1969 gives exactly that window)
-          case 'y' => b.appendValueReduced(YEAR, 2, 2, 1969); i += 2
-          case 'm' => b.appendValue(MONTH_OF_YEAR, 2); i += 2
-          case 'd' => b.appendValue(DAY_OF_MONTH, 2); i += 2
-          case 'e' => // day of month, space-padded ( 1-31)
-            b.padNext(2, ' ').appendValue(DAY_OF_MONTH); i += 2
-          case 'j' => b.appendValue(DAY_OF_YEAR, 3); hasDayOfYear = true; i += 2
-          case 'b' | 'h' => // abbreviated month name (Jan … Dec)
-            b.appendText(MONTH_OF_YEAR, TextStyle.SHORT); i += 2
-          case 'B' => // full month name (January … December)
-            b.appendText(MONTH_OF_YEAR, TextStyle.FULL); i += 2
-          case 'a' => // abbreviated weekday name (Sun … Sat)
-            b.appendText(DAY_OF_WEEK, TextStyle.SHORT); i += 2
-          case 'A' => // full weekday name (Sunday … Saturday)
-            b.appendText(DAY_OF_WEEK, TextStyle.FULL); i += 2
-          case 'H' => b.appendValue(HOUR_OF_DAY, 2); i += 2
-          case 'M' => b.appendValue(MINUTE_OF_HOUR, 2); i += 2
-          case 'S' => b.appendValue(SECOND_OF_MINUTE, 2); i += 2
-          case 'z' => // +0000 offset; the engine's datetimes are UTC
-            b.appendOffset("+HHMM", "+0000"); i += 2
-          case 's' => // unix timestamp seconds (variable width, signed)
-            b.appendValue(INSTANT_SECONDS); hasEpoch = true; i += 2
-          case 'F' => // %Y-%m-%d
-            b.appendValue(YEAR, 4).appendLiteral('-')
-              .appendValue(MONTH_OF_YEAR, 2).appendLiteral('-')
-              .appendValue(DAY_OF_MONTH, 2); i += 2
-          case 'T' => // %H:%M:%S
-            b.appendValue(HOUR_OF_DAY, 2).appendLiteral(':')
-              .appendValue(MINUTE_OF_HOUR, 2).appendLiteral(':')
-              .appendValue(SECOND_OF_MINUTE, 2); i += 2
-          case 'f' => // nanoseconds, no dot (chrono: 9 digits)
-            b.appendFraction(NANO_OF_SECOND, 9, 9, false); i += 2
+          case d @ ('3' | '6' | '9') if i + 2 < fmt.length &&
+              fmt.charAt(i + 2) == 'f' =>
+            // chrono %3f/%6f/%9f: fixed-width fraction, no dot
+            val w = d - '0'
+            b.appendFraction(NANO_OF_SECOND, w, w, false); i += 3
+          case '.' if i + 3 < fmt.length && "369".contains(fmt.charAt(i + 2)) &&
+              fmt.charAt(i + 3) == 'f' =>
+            // chrono %.3f/%.6f/%.9f: dot + fixed-width fraction
+            val w = fmt.charAt(i + 2) - '0'
+            b.appendFraction(NANO_OF_SECOND, w, w, true); i += 4
           case '.' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'f' =>
             // chrono %.f: optional dot + 1-9 fractional digits
             b.appendFraction(NANO_OF_SECOND, 0, 9, true); i += 3
-          case '%' => b.appendLiteral('%'); i += 2
-          case t => throw new IllegalArgumentException(
-            s"unsupported strftime token %$t in '$fmt'")
+          case '+' => // ISO 8601 / RFC 3339: %Y-%m-%dT%H:%M:%S%.f%:z
+            b.appendValue(YEAR, 4).appendLiteral('-')
+              .appendValue(MONTH_OF_YEAR, 2).appendLiteral('-')
+              .appendValue(DAY_OF_MONTH, 2).appendLiteral('T')
+            time()
+            b.appendFraction(NANO_OF_SECOND, 0, 9, true)
+              .appendOffset("+HH:MM", "+00:00")
+            i += 2
+          case ':' if i + 2 < fmt.length && fmt.charAt(i + 2) == 'z' =>
+            b.appendOffset("+HH:MM", "+00:00"); i += 3 // %:z → +00:00
+          case m @ ('-' | '0' | '_') if i + 2 < fmt.length &&
+              "YmdejuwUWGVHkIlMS".indexOf(fmt.charAt(i + 2)) >= 0 =>
+            token(fmt.charAt(i + 2), m); i += 3 // padding modifier
+          case t => token(t, ' '); i += 2
         }
       } else { b.appendLiteral(c); i += 1 }
     }
@@ -202,11 +320,13 @@ object TextProto {
     // cross-checks the derived date against DAY_OF_YEAR), so only default
     // them for layouts without %j; an epoch layout (%s) carries the whole
     // datetime in one field, so defaulting date/time fields there would
-    // only invite resolver conflicts
+    // only invite resolver conflicts; a 12-hour layout (%I %p) resolves
+    // HOUR_OF_DAY itself, and a pre-seeded 0 would collide with it
     if (!hasEpoch) {
       if (!hasDayOfYear)
         b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
-      b.parseDefaulting(HOUR_OF_DAY, 0).parseDefaulting(MINUTE_OF_HOUR, 0)
+      if (!hasAmPm) b.parseDefaulting(HOUR_OF_DAY, 0)
+      b.parseDefaulting(MINUTE_OF_HOUR, 0)
         .parseDefaulting(SECOND_OF_MINUTE, 0)
     }
     b.parseDefaulting(NANO_OF_SECOND, 0)

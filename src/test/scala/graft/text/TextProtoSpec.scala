@@ -174,6 +174,19 @@ class TextProtoSpec extends AnyFunSuite {
     assert(TextProto.parseTimestampWith("1577836801", "%s") == t)
     assert(TextProto.formatTimestamp(-1000000000L, "%s") == "-1")
     assert(TextProto.parseTimestampWith("-1", "%s") == -1000000000L)
+    // fixed-width fraction tokens (%.3f/%.6f/%.9f with dot, %3f/%6f/%9f
+    // without — chrono's fixed-length forms of %.f/%f)
+    val tf = 1577836801123456789L
+    assert(TextProto.formatTimestamp(tf, "%T%.3f") == "00:00:01.123")
+    assert(TextProto.formatTimestamp(tf, "%T%.6f") == "00:00:01.123456")
+    assert(TextProto.formatTimestamp(tf, "%T%.9f") == "00:00:01.123456789")
+    assert(TextProto.formatTimestamp(tf, "%T.%3f") == "00:00:01.123")
+    assert(TextProto.parseTimestampWith("2020-01-01T00:00:01.123",
+      "%FT%T%.3f") == 1577836801123000000L)
+    assert(TextProto.parseTimestampWith("2020-01-01T00:00:01.123456789",
+      "%FT%T%.9f") == tf)
+    assert(TextProto.parseTimestampWith("2020-01-01T00:00:01.123456",
+      "%FT%T.%6f") == 1577836801123456000L)
     // round-trip the VERDICT layout across random whole-second instants
     val rng = new scala.util.Random(7)
     (1 to 100).foreach { _ =>
@@ -185,5 +198,78 @@ class TextProtoSpec extends AnyFunSuite {
           s"$fmt: $ts -> '$text'")
       }
     }
+  }
+
+  test("full chrono table: composites, 12-hour, weekday/week numbers, pad modifiers") {
+    val fmt = TextProto.formatTimestamp _
+    val parse = TextProto.parseTimestampWith _
+    val t = 1577836801000000000L // 2020-01-01T00:00:01Z, a Wednesday
+    // composite date/time tokens
+    assert(fmt(t, "%D") == "01/01/20" && fmt(t, "%x") == "01/01/20")
+    assert(parse("01/01/20", "%D") == 1577836800000000000L)
+    assert(fmt(t, "%v") == " 1-Jan-2020")
+    assert(parse(" 1-Jan-2020", "%v") == 1577836800000000000L)
+    assert(fmt(t, "%R") == "00:00" && fmt(t, "%X") == "00:00:01")
+    assert(fmt(t, "%c") == "Wed Jan  1 00:00:01 2020") // ctime layout
+    assert(parse("Wed Jan  1 00:00:01 2020", "%c") == t)
+    assert(fmt(t, "%+") == "2020-01-01T00:00:01+00:00") // RFC 3339
+    assert(fmt(t + 123000000L, "%+") == "2020-01-01T00:00:01.123+00:00")
+    assert(parse("2020-01-01T00:00:01+09:30", "%+") == t) // offset dropped
+    assert(fmt(t, "%FT%T%:z") == "2020-01-01T00:00:01+00:00")
+    // 12-hour clock: %I/%l/%p/%P/%r; midnight hour prints as 12
+    assert(fmt(t, "%I:%M %p") == "12:00 AM" && fmt(t, "%P") == "am")
+    assert(fmt(t, "%r") == "12:00:01 AM")
+    val t13 = t + 13L * 3600 * 1000000000L
+    assert(fmt(t13, "%I %l %p %P") == "01  1 PM pm")
+    assert(parse("2020-01-01 01:00:01 PM", "%F %I:%M:%S %p") == t13)
+    assert(parse("2020-01-01 12:00:01 am", "%F %r") == t)
+    // a 12-hour layout without am/pm cannot resolve the hour (chrono too)
+    intercept[Exception](parse("2020-01-01 01:00:01", "%F %I:%M:%S"))
+    // weekday numbers: ISO %u (Mon=1) and POSIX %w (Sun=0); Wed = 3
+    assert(fmt(t, "%u %w") == "3 3")
+    val sun = 1577577600000000000L // 2019-12-29, a Sunday
+    assert(fmt(sun, "%u") == "7" && fmt(sun, "%w") == "0")
+    // %w parse folds into the weekday/date cross-check
+    assert(parse("0 2019-12-29", "%w %F") == sun)
+    intercept[Exception](parse("1 2019-12-29", "%w %F"))
+    // POSIX week numbers: days before the first Sunday/Monday are week 00
+    assert(fmt(t, "%U %W") == "00 00") // Jan 1 2020 precedes both
+    assert(fmt(t + 4L * 86400 * 1000000000L, "%U") == "01") // Jan 5, Sunday
+    assert(fmt(t + 5L * 86400 * 1000000000L, "%W") == "01") // Jan 6, Monday
+    // ISO week-based year: 2020-01-01 is ISO week 1 of 2020 ...
+    assert(fmt(t, "%G-W%V-%u") == "2020-W01-3")
+    // ... but 2021-01-01 (Friday) falls in ISO week 53 of 2020
+    val y21 = 1609459200000000000L
+    assert(fmt(y21, "%G-W%V") == "2020-W53" && fmt(y21, "%g") == "20")
+    // %k space-padded 24h hour; literals %t %n
+    assert(fmt(t, "%k|") == " 0|" && fmt(t13, "%k|") == "13|")
+    assert(fmt(t, "%Y%t%m%n") == "2020\t01\n")
+    // padding modifiers: %- none, %0 zero, %_ space
+    assert(fmt(t, "%-d/%-m") == "1/1")
+    assert(fmt(t, "%_d|%_m") == " 1| 1")
+    assert(fmt(t, "%0e") == "01") // zero-pad an otherwise space-padded token
+    assert(parse("1/1/2020", "%-d/%-m/%Y") == 1577836800000000000L)
+    // round-trip sweep over the new composable tokens
+    val rng2 = new scala.util.Random(11)
+    (1 to 60).foreach { _ =>
+      val nanos = math.abs(rng2.nextLong()) % 4102444800000000000L
+      val ts = nanos - nanos % 1000000000L
+      Seq("%+", "%c", "%F %r", "%v %T", "%-d %-m %Y %T")
+        .foreach { f =>
+          val text = fmt(ts, f)
+          assert(parse(text, f) == ts, s"$f: $ts -> '$text'")
+        }
+      // two-digit-year layouts only round-trip inside the POSIX 1969-2068
+      // window (chrono maps 69-99 → 19xx, 00-68 → 20xx — same loss)
+      val ts2 = (ts % (3124224000000000000L - (-31536000000000000L))) +
+        -31536000000000000L // clamp into [1969, 2068)
+      val tsc = if (ts2 < -31536000000000000L) ts2 + 3155760000000000000L else ts2
+      val text = fmt(tsc - tsc % 1000000000L, "%D %H:%M:%S")
+      assert(parse(text, "%D %H:%M:%S") == tsc - tsc % 1000000000L,
+        s"%D: $tsc -> '$text'")
+    }
+    // unsupported-by-design tokens still fail loudly
+    intercept[IllegalArgumentException](fmt(t, "%C"))
+    intercept[IllegalArgumentException](fmt(t, "%Z"))
   }
 }
