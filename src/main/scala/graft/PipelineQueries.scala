@@ -271,6 +271,25 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // incremental index maintenance (FAISS `add`): train + build on the
+    // even half, then append the odd half encoded with the PERSISTED
+    // quantizer — one map-only tx per batch, no retrain, no corpus
+    // re-scan. The probe answers over all vectors; the oracle trains its
+    // Lloyd chain on the even half only (trainPred)
+    "ann_ivf_pq_append" -> { (s, d) =>
+      import graft.store.Db
+      val db = Db(s, tempWarehouse())
+      val emb = Graft.embeddings(s, d)
+      Similarity.buildIndex(db, emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding")
+      Similarity.appendToIndex(db, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      Similarity.ivfPqProbePersisted(db, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     // recall@10 of every ANN variant against the exact kNN, with a 0/1
     // per-variant floor — the quality gate that keeps "approximate" honest
     "ann_recall" -> { (s, d) =>
@@ -602,6 +621,8 @@ object PipelineQueries {
     // the TRAINED codebook (buildIndex persists pqTrainedCodebook)
     "ann_ivf_pq_persisted" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
     "ann_ivf_pq_probe_only" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
+    "ann_ivf_pq_append" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
+      trainPred = "vec_id % 2 = 0"),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),
     "ann_recall" ->
       ((recallVariants.map { case (name, thr, _) =>

@@ -1097,7 +1097,8 @@ object Similarity {
     * verbatim by [[sqlPqAdcTrained]] and [[sqlIvfPqTrained]] so the two
     * oracles cannot drift from [[pqTrainedCodebook]].
     */
-  private def sqlPqTrainCtes(iters: Int, s: Int): String = {
+  private def sqlPqTrainCtes(iters: Int, s: Int,
+                             subRel: String = "sub"): String = {
     def l2(a: String, b: String, bn: String) =
       s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
     (1 to iters).map { it =>
@@ -1105,10 +1106,10 @@ object Similarity {
       s"""n$it AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn FROM $prev),
          |a$it AS (
          |  SELECT vec_id, m, c, sv FROM (
-         |    SELECT sub.vec_id, sub.m, n$it.c, sub.sv,
-         |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+         |    SELECT $subRel.vec_id, $subRel.m, n$it.c, $subRel.sv,
+         |           row_number() OVER (PARTITION BY $subRel.vec_id, $subRel.m
          |             ORDER BY ${l2("sv", "cv", "cn")}, n$it.c) AS rn
-         |    FROM sub JOIN n$it ON sub.m = n$it.m)
+         |    FROM $subRel JOIN n$it ON $subRel.m = n$it.m)
          |  WHERE rn = 1),
          |e$it AS (SELECT m, c, unnest(range($s)) AS j, unnest(sv) AS x
          |         FROM a$it),
@@ -1174,20 +1175,24 @@ object Similarity {
     */
   def sqlIvfPqTrained(topK: Int, queryPred: String, iters: Int = 2,
                       nCells: Int = 16, m: Int = PQ_M, k: Int = PQ_K,
-                      dim: Int = 64): String = {
+                      dim: Int = 64, trainPred: String = "TRUE"): String = {
     val s = dim / m
     def l2(a: String, b: String, bn: String) =
       s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
     val cellCos = sqlCosineGuardedParts(sqlDotInt("vn.v", "cc.cv"),
       "vn.n2", "cc.cn")
-    val iterCtes = sqlPqTrainCtes(iters, s)
+    // train artifacts (centroids + Lloyd codebook) come from the TRAIN
+    // subset only — the appendToIndex oracle trains on the initial build's
+    // corpus while encoding/searching ALL vectors
+    val iterCtes = sqlPqTrainCtes(iters, s, subRel = "subt")
     s"""WITH v0 AS (
        |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vt AS (SELECT vec_id, v FROM v0 WHERE $trainPred),
        |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
        |cc AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
-       |  FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $nCells)),
+       |  FROM (SELECT vec_id, v FROM vt ORDER BY vec_id LIMIT $nCells)),
        |cells AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vn.vec_id, cc.cid AS cell,
@@ -1197,11 +1202,13 @@ object Similarity {
        |ms AS (SELECT unnest(range($m)) AS m),
        |sub AS (
        |  SELECT vec_id, m, v[m*$s+1 : m*$s+$s] AS sv FROM v0, ms),
+       |subt AS (
+       |  SELECT vec_id, m, v[m*$s+1 : m*$s+$s] AS sv FROM vt, ms),
        |cb0 AS (
        |  SELECT c, m, v[m*$s+1 : m*$s+$s] AS cv FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |             AS c, v
-       |    FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $k)), ms),
+       |    FROM (SELECT vec_id, v FROM vt ORDER BY vec_id LIMIT $k)), ms),
        |$iterCtes,
        |cbn AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn
        |        FROM cb$iters),
@@ -1317,6 +1324,58 @@ object Similarity {
       timeBucketNanos = Some(1L))
   }
 
+  /** Reads a [[buildIndex]] warehouse's reserved-cell train artifacts:
+    * coarse centroids (ordered by cell id) and the per-subspace codebook
+    * with precomputed norms. Bounded collects — nCells + m×k rows.
+    */
+  private def readIndexMeta(snap: graft.store.Db#Snapshot, m: Int)
+      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]]) = {
+    val cents = snap.readInstants(Seq(CELL_CENTROIDS))
+      .select(col("nn_id"), col("codes")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    val cb: Array[Array[(Array[Long], Long)]] = {
+      val rows = snap.readInstants(Seq(CELL_CODEBOOK))
+        .select(col("sub"), col("nn_id"), col("codes")).collect()
+      val byM = rows.groupBy(_.getLong(0))
+      (0 until m).map { mm =>
+        byM(mm.toLong).sortBy(_.getLong(1)).map { r =>
+          val cv = r.getSeq[Long](2).toArray
+          (cv, cv.map(x => x * x).sum)
+        }
+      }.toArray
+    }
+    (cents, cb)
+  }
+
+  /** FAISS-style `add`: encode NEW vectors with the index's EXISTING
+    * centroids and codebook (two reserved-cell reads) and append them as
+    * ONE transaction — no retraining, no touch of the already-indexed
+    * corpus. This is the steady-state ingest path at warehouse scale: the
+    * quantizer is trained once, and each arriving batch is a map-only
+    * encode of just that batch.
+    *
+    * Contract (same as FAISS `IndexIVF.add`): ids must be new, or
+    * re-encodes of vectors whose cell assignment is unchanged (last-wins
+    * then supersedes the old row in place). A changed embedding that
+    * lands in a DIFFERENT cell needs [[buildIndex]]'s rebuild path, whose
+    * delete marker clears the stale (id, oldCell) row —
+    * PersistedIndexSpec covers that hazard.
+    */
+  def appendToIndex(db: graft.store.Db, vectors: DataFrame, idCol: String,
+                    embCol: String, m: Int = PQ_M, dim: Int = 64): Long = {
+    val subDim = dim / m
+    val (cents, cb) = readIndexMeta(db.snapshot(), m)
+    val codes = vectors
+      .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
+      .select(
+        format_string("v/%012d", col("nn_id")).as("key"),
+        ivfCellLit(col("v"), cents).as("ts"),
+        col("nn_id"), lit(-1L).as("sub"),
+        pqCodesLit(col("v"), cb, subDim).as("codes"))
+    graft.store.TxWriter.write(db, codes, timeBucketNanos = Some(1L))
+  }
+
   /** ADC probe over a [[buildIndex]] warehouse: the train artifacts are
     * two reserved-cell partition reads (a handful of rows), the query set
     * is assigned to cells with the SAME literal expression buildIndex
@@ -1331,22 +1390,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val snap = db.snapshot()
-    def cellRead(cell: Long): DataFrame = snap.readInstants(Seq(cell))
-    val cents = cellRead(CELL_CENTROIDS)
-      .select(col("nn_id"), col("codes")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Long](1).toArray)
-    val cb: Array[Array[(Array[Long], Long)]] = {
-      val rows = cellRead(CELL_CODEBOOK)
-        .select(col("sub"), col("nn_id"), col("codes")).collect()
-      val byM = rows.groupBy(_.getLong(0))
-      (0 until m).map { mm =>
-        byM(mm.toLong).sortBy(_.getLong(1)).map { r =>
-          val cv = r.getSeq[Long](2).toArray
-          (cv, cv.map(x => x * x).sum)
-        }
-      }.toArray
-    }
+    val (cents, cb) = readIndexMeta(snap, m)
     val qcells = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
       .select(col("query_id"), ivfCellLit(col("v"), cents).as("cell"),

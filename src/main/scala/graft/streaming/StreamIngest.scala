@@ -57,4 +57,30 @@ object StreamIngest {
     q.awaitTermination()
     q
   }
+
+  /** Streaming ANN-index maintenance: each micro-batch of
+    * (`idCol: Long`, `embCol: Array[Float]`) rows is encoded with the
+    * index warehouse's PERSISTED quantizer
+    * ([[graft.ops.Similarity.appendToIndex]] — FAISS `add`, no retrain)
+    * and committed as one transaction, under the same batch-id replay
+    * guard as [[writer]]. The 100 TB steady state: the index is trained
+    * once by `buildIndex`, and newly arriving documents become searchable
+    * one exactly-once micro-batch behind the stream.
+    */
+  def indexWriter(db: Db, stream: DataFrame, idCol: String, embCol: String,
+                  m: Int = graft.ops.Similarity.PQ_M, dim: Int = 64,
+                  trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatch && !batch.isEmpty) {
+          graft.ops.Similarity.appendToIndex(db, batch, idCol, embCol, m, dim)
+          Manifest.update(db.warehouse)(cur =>
+            cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+        }
+        ()
+      }
 }

@@ -109,4 +109,48 @@ class PersistedIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == rows(expected(corpusB, queryId = 2L)))
   }
+
+  test("appendToIndex encodes with the persisted quantizer, one tx per batch") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    // build on vectors 0-3 (trains centroids + codebook), append 4 later
+    build(db, corpusA.filter(col("vec_id") < 4))
+    Similarity.appendToIndex(db, corpusA.filter(col("vec_id") === 4L),
+      "vec_id", "embedding", m = 2, dim = dim)
+    assert(db.snapshot().manifest.dataTxids.size == 2,
+      "append must be one additional tx, not a rebuild")
+    // probe sees the appended vector through the SAME quantizer: equal to
+    // the in-memory index over the full corpus with the codebook trained
+    // on the build subset only
+    val got = rows(probe(db, corpusA, queryId = 2L))
+    val want = rows(Similarity.ivfPqKnnWith(corpusA,
+      corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+      topK = 3,
+      Similarity.pqTrainedCodebook(corpusA.filter(col("vec_id") < 4),
+        "vec_id", "embedding", m = 2, k = 4, dim = dim),
+      nCells = 2, m = 2, dim = dim))
+    assert(got.nonEmpty && got == want)
+    // vec 4 (cluster 0, same as query 2) must be a visible neighbor
+    assert(got.exists(_._2 == 4L), s"appended vector not searchable: $got")
+  }
+
+  test("major compaction collapses rebuild history; probe unchanged") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    build(db, corpusB)
+    val want = rows(probe(db, corpusB, queryId = 2L))
+    // two builds = 2 delete markers + 2 data txs of history; compaction
+    // purges the superseded corpusA rows and the markers into one tx
+    graft.store.Compactor.major(db)
+    val m = db.snapshot().manifest
+    assert(m.dataTxids.size == 1, s"history not collapsed: ${m.dataTxids}")
+    assert(rows(probe(db, corpusB, queryId = 2L)) == want,
+      "probe answer changed across compaction")
+    // pruning still works on the compacted layout: one scan, cell-pinned
+    val plan = probe(db, corpusB, queryId = 2L)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).filter(_.contains("tbucket"))
+      .toVector
+    assert(pf.size == 1, s"expected one pruned codes scan, got:\n$pf")
+  }
 }

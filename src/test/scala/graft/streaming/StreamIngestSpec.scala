@@ -59,4 +59,43 @@ class StreamIngestSpec extends SparkSpec {
     StreamIngest.commitBatch(db, Seq.empty[(String, Long, Long)].toDF("key", "ts", "v"), 0L)
     assert(Manifest.current(db.warehouse).dataTxids.isEmpty)
   }
+
+  test("streaming ANN-index maintenance: new vectors searchable per batch") {
+    import graft.ops.Similarity
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-annstream"))
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // trained once on the seed corpus (2 clear clusters)
+    val seed = Seq(
+      (0L, vec(1, 0, 0, 1)), (1L, vec(0, 1, 1, 0)),
+      (2L, vec(0.9, 0.1, 0.1, 0.9)), (3L, vec(0.1, 0.9, 0.9, 0.1))
+    ).toDF("vec_id", "embedding")
+    Similarity.buildIndex(db, seed, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 4)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val writer = StreamIngest.indexWriter(db, stream, "vec_id", "embedding",
+      m = 2, dim = 4)
+      .option("checkpointLocation", tmpDir("graft-anncp"))
+
+    mem.addData((4L, vec(0.95, 0, 0, 0.95))) // cluster-0 arrival
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData((5L, vec(0, 0.95, 0.95, 0))) // cluster-1 arrival
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    // one tx per batch on top of the build
+    assert(Manifest.current(db.warehouse).dataTxids.size == 3)
+    // both arrivals are searchable, through the seed-trained quantizer
+    val got = Similarity.ivfPqProbePersisted(db,
+        seed.filter(col("vec_id") === 2L), "vec_id", "embedding",
+        topK = 3, m = 2, dim = 4)
+      .select("nn_id").as[Long].collect().toSet
+    assert(got.contains(4L), s"cluster-0 arrival not searchable: $got")
+    val got1 = Similarity.ivfPqProbePersisted(db,
+        seed.filter(col("vec_id") === 3L), "vec_id", "embedding",
+        topK = 3, m = 2, dim = 4)
+      .select("nn_id").as[Long].collect().toSet
+    assert(got1.contains(5L), s"cluster-1 arrival not searchable: $got1")
+  }
 }
