@@ -271,6 +271,18 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // FAISS's nprobe knob on the persisted index: each query scores its 2
+    // best cells' candidates — 2/nCells of the codes instead of 1/nCells,
+    // for the recall headroom (still one partition-pruned scan)
+    "ann_ivf_pq_multiprobe" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.ivfPqProbePersisted(annIndexFor(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nProbe = 2)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     // incremental index maintenance (FAISS `add`): train + build on the
     // even half, then append the odd half encoded with the PERSISTED
     // quantizer — one map-only tx per batch, no retrain, no corpus
@@ -621,6 +633,8 @@ object PipelineQueries {
     // the TRAINED codebook (buildIndex persists pqTrainedCodebook)
     "ann_ivf_pq_persisted" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
     "ann_ivf_pq_probe_only" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
+    "ann_ivf_pq_multiprobe" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
+      nProbe = 2),
     "ann_ivf_pq_append" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
       trainPred = "vec_id % 2 = 0"),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),

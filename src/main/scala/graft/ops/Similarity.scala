@@ -785,12 +785,21 @@ object Similarity {
     * assigning a 100 TB corpus to cells is one scan, no exchange.
     */
   def ivfCellLit(v: Column, cents: Array[Array[Long]]): Column = {
+    val coss = ivfCellCoss(v, cents)
+    (array_position(coss, array_max(coss)) - 1).cast("long")
+  }
+
+  /** The guarded-cosine-per-centroid array behind [[ivfCellLit]] (rounded
+    * to 9 places, index i = cell i). Exposed so multi-probe callers can
+    * rank cells with the EXACT arithmetic the single-cell assignment uses
+    * — a driver-side re-computation in Scala doubles could drift.
+    */
+  def ivfCellCoss(v: Column, cents: Array[Array[Long]]): Column = {
     val vn = dotInt(v, v)
-    val coss = array(cents.map { cv =>
+    array(cents.map { cv =>
       val cn = cv.map(x => x * x).sum
       round(cosineGuardedParts(dotInt(v, typedLit(cv.toSeq)), vn, lit(cn)), 9)
     }: _*)
-    (array_position(coss, array_max(coss)) - 1).cast("long")
   }
 
   /** IVF + PQ composed (the FAISS IVFADC architecture — the standard
@@ -1175,7 +1184,8 @@ object Similarity {
     */
   def sqlIvfPqTrained(topK: Int, queryPred: String, iters: Int = 2,
                       nCells: Int = 16, m: Int = PQ_M, k: Int = PQ_K,
-                      dim: Int = 64, trainPred: String = "TRUE"): String = {
+                      dim: Int = 64, trainPred: String = "TRUE",
+                      nProbe: Int = 1): String = {
     val s = dim / m
     def l2(a: String, b: String, bn: String) =
       s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
@@ -1193,12 +1203,13 @@ object Similarity {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
        |  FROM (SELECT vec_id, v FROM vt ORDER BY vec_id LIMIT $nCells)),
-       |cells AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT vn.vec_id, cc.cid AS cell,
-       |           row_number() OVER (PARTITION BY vn.vec_id
-       |             ORDER BY round($cellCos, 9) DESC, cc.cid) AS rn
-       |    FROM vn CROSS JOIN cc) WHERE rn = 1),
+       |cellr AS (
+       |  SELECT vn.vec_id, cc.cid AS cell,
+       |         row_number() OVER (PARTITION BY vn.vec_id
+       |           ORDER BY round($cellCos, 9) DESC, cc.cid) AS rn
+       |  FROM vn CROSS JOIN cc),
+       |cells AS (SELECT vec_id, cell FROM cellr WHERE rn = 1),
+       |cellsq AS (SELECT vec_id, cell FROM cellr WHERE rn <= $nProbe),
        |ms AS (SELECT unnest(range($m)) AS m),
        |sub AS (
        |  SELECT vec_id, m, v[m*$s+1 : m*$s+$s] AS sv FROM v0, ms),
@@ -1228,7 +1239,7 @@ object Similarity {
        |  SELECT query_id, nn_id, CAST(sum(d) AS BIGINT) AS adist
        |  FROM enc JOIN lut USING (m, code)
        |  JOIN cells ce ON ce.vec_id = nn_id
-       |  JOIN cells cq ON cq.vec_id = query_id AND cq.cell = ce.cell
+       |  JOIN cellsq cq ON cq.vec_id = query_id AND cq.cell = ce.cell
        |  WHERE nn_id <> query_id
        |  GROUP BY query_id, nn_id)
        |SELECT query_id, nn_id, adist, rank FROM (
@@ -1383,26 +1394,39 @@ object Similarity {
     * `tbucket=<cell>` partition pruning does to the codes table what the
     * reference's segment search does to its files. No corpus column is
     * ever read.
+    *
+    * `nProbe` is FAISS's recall/latency knob: each query scores the
+    * candidates of its `nProbe` highest-cosine cells (ties to the lower
+    * cell id, [[ivfCellLit]] semantics). Cost scales as nProbe/nCells of
+    * the codes table — still pure partition pruning, still one scan.
     */
   def ivfPqProbePersisted(db: graft.store.Db, queries: DataFrame,
                           idCol: String, embCol: String, topK: Int,
-                          m: Int = PQ_M, dim: Int = 64): DataFrame = {
+                          m: Int = PQ_M, dim: Int = 64,
+                          nProbe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val snap = db.snapshot()
     val (cents, cb) = readIndexMeta(snap, m)
+    // cell ranking happens on the Spark-computed cosine array (driver only
+    // sorts) so multi-probe selection can't drift from the stored cells
     val qcells = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
-      .select(col("query_id"), ivfCellLit(col("v"), cents).as("cell"),
+      .select(col("query_id"), ivfCellCoss(col("v"), cents).as("coss"),
         col("v"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .map { r =>
+        val coss = r.getSeq[Double](1)
+        val cells = coss.indices.sortBy(i => (-coss(i), i))
+          .take(nProbe).map(_.toLong).toArray
+        (r.getLong(0), cells, r.getSeq[Long](2).toArray)
+      }
       .sortBy(_._1)
     require(qcells.length <= MAX_LITERAL_QUERIES,
       s"ivfPqProbePersisted embeds per-query literal LUTs in the plan: " +
         s"got ${qcells.length} queries (cap $MAX_LITERAL_QUERIES); use " +
         "pqAdcKnnRelational for distributed query sets")
-    val probed = qcells.map(_._2).distinct.sorted
+    val probed = qcells.flatMap(_._2).distinct.sorted
     if (probed.isEmpty)
       return queries.sparkSession.range(0)
         .select(col("id").as("query_id"), col("id").as("nn_id"),
@@ -1415,18 +1439,20 @@ object Similarity {
     // to exactly the probed cells.
     val codes = snap.readInstants(probed.toIndexedSeq)
       .select(col("nn_id"), col("ts").as("cell"), col("codes"))
-    val perQuery = qcells.map { case (qid, qcell, qv) =>
+    val perQuery = qcells.map { case (qid, qcs, qv) =>
       val lut = adcLut(cb, qv, subDim)
       val adist = lut.zipWithIndex.map { case (entryDs, mm) =>
         element_at(typedLit(entryDs.toSeq), element_at(col("codes"), mm + 1)
           .cast("int") + 1)
       }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), lit(qcell).as("qcell"),
+      struct(lit(qid).as("query_id"), typedLit(qcs.toSeq).as("qcells"),
         adist.as("adist"))
     }
+    // a code row scores against query q iff its (one) cell is among q's
+    // probed cells — each (query, nn) pair appears at most once
     val scored = codes
       .select(col("nn_id"), col("cell"), explode(array(perQuery: _*)).as("q"))
-      .filter(col("q.qcell") === col("cell") &&
+      .filter(array_contains(col("q.qcells"), col("cell")) &&
         col("q.query_id") =!= col("nn_id"))
       .select(col("q.query_id").as("query_id"), col("nn_id"),
         col("q.adist").as("adist"))

@@ -133,6 +133,43 @@ class PersistedIndexSpec extends SparkSpec {
     assert(got.exists(_._2 == 4L), s"appended vector not searchable: $got")
   }
 
+  test("multi-probe: nProbe=nCells equals the exhaustive trained-ADC scan") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    // probing EVERY cell removes the IVF approximation entirely: the
+    // result must equal a plain PQ/ADC scan over the same trained codebook
+    val got = rows(Similarity.ivfPqProbePersisted(db,
+      corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+      topK = 3, m = 2, dim = dim, nProbe = 2))
+    val want = rows(Similarity.pqAdcKnnWith(corpusA,
+      corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+      topK = 3,
+      Similarity.pqTrainedCodebook(corpusA, "vec_id", "embedding",
+        m = 2, k = 4, dim = dim),
+      m = 2, dim = dim))
+    assert(got.nonEmpty && got == want)
+    // and the exhaustive probe sees the OTHER cluster's vectors too
+    assert(got.exists(_._2 == 3L) || got.exists(_._2 == 1L),
+      s"nProbe=2 never reached cell 1: $got")
+  }
+
+  test("multi-probe plan: PartitionFilters widen to exactly the probed cells") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    val plan = Similarity.ivfPqProbePersisted(db,
+        corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+        topK = 3, m = 2, dim = dim, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).filter(_.contains("tbucket"))
+      .toVector
+    // still ONE scan — the plan is O(1) in nProbe, only the IN-set widens
+    assert(pf.size == 1, s"expected one pruned codes scan, got:\n$pf")
+    val cells = "-?\\d+".r
+      .findAllIn(pf.head.replaceAll("#\\d+L?", "")).map(_.toLong).toSet
+    assert(cells == Set(0L, 1L), s"PartitionFilters not {0,1}: $pf")
+  }
+
   test("major compaction collapses rebuild history; probe unchanged") {
     val db = Db(spark, tmpDir("graft-pidx"))
     build(db, corpusA)
