@@ -182,6 +182,16 @@ object PipelineQueries {
           col("label"), 0.35)
         .orderBy("id1", "id2")
     },
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space, near-dup
+    // pairs only within a cluster, keep the member farthest from its
+    // centroid per duplicate group — the semantic twin of
+    // dedup_cluster_keepset (map-only assign, cell-bounded pairs,
+    // connected components, one anti-join)
+    "dedup_semantic" -> { (s, d) =>
+      Similarity.semDedupKeepset(Graft.embeddings(s, d), "vec_id",
+          "embedding", 16, 0.35)
+        .orderBy("vec_id")
+    },
     // IVF probe over a Lloyd-trained codebook; the fixed-iteration
     // deterministic training unrolls into the SQL oracle (sqlIvfTrained)
     "ann_ivf_trained" -> { (s, d) =>
@@ -836,6 +846,7 @@ object PipelineQueries {
          |         round(${Similarity.sqlCosine("l.v", "r.v")}, 9) AS cos
          |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
          |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin,
+    "dedup_semantic" -> Similarity.sqlSemDedup(16, 0.35),
     "dedup_embedding_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id, ${Similarity.sqlVeci("embedding")} AS v

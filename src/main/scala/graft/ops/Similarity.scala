@@ -584,6 +584,100 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
+    * pretraining corpora — cluster the embedding space, form
+    * near-duplicate pairs ONLY within a cluster, and keep ONE member per
+    * duplicate group: the member FARTHEST from its cluster centroid
+    * (lowest centroid-cosine — the paper's keep rule, which preserves the
+    * cluster's outer shell), ties to the lower id.
+    *
+    * The Spark shape, stage by stage: centroid assignment is a
+    * broadcast-literal map-only projection ([[ivfCellCoss]], the
+    * deterministic first-N quantizer of the [[ivfKnn]] family); the pair
+    * space is bounded by cells, never all-pairs ([[nearDupPairs]] with
+    * the cell as the bucket); duplicate groups are
+    * [[Dedup.connectedComponents]] (O(log d) rounds over slim edges); the
+    * keep rule is one `min_by` partial aggregation; the final keep-set is
+    * an anti-join shipping only the slim drop-list — the corpus is
+    * scanned once. Every stage is map-only or shuffles reduced data:
+    * the composition survives 100 TB exactly like `dedup_cluster_keepset`.
+    *
+    * Returns the SURVIVING rows as (idCol, cell, c2c) where `c2c` is the
+    * (rounded, guarded) cosine to the assigned centroid.
+    */
+  def semDedupKeepset(df: DataFrame, idCol: String, embCol: String,
+                      nCells: Int = 16, tau: Double = 0.35): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(nCells)
+      .select(veci(col(embCol)).as("cv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val pre = df
+      .select(col(idCol).as("id"), ivfCellCoss(veci(col(embCol)), cents).as("coss"))
+      .select(col("id"),
+        (array_position(col("coss"), array_max(col("coss"))) - 1)
+          .cast("long").as("cell"),
+        array_max(col("coss")).as("c2c"))
+    val pairs = nearDupPairs(df, idCol, embCol,
+      ivfCellLit(veci(col(embCol)), cents), tau)
+    val labeled = Dedup.connectedComponents(pairs).join(pre, Seq("id"))
+    val keep = labeled.groupBy(col("comp"))
+      .agg(min_by(col("id"), struct(col("c2c"), col("id"))).as("keep_id"))
+    val drop = labeled.join(keep, Seq("comp"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id"))
+    pre.join(drop, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"), col("c2c"))
+  }
+
+  /** DuckDB oracle for [[semDedupKeepset]] (adjacent so they cannot
+    * drift): same first-nCells centroids, guarded-cosine argmax cells,
+    * within-cell pair threshold, recursive-CTE connected components, and
+    * the farthest-from-centroid keep rule via `rn = 1` over
+    * `(c2c, id)` — the total order `min_by(struct(c2c, id))` uses.
+    */
+  def sqlSemDedup(nCells: Int, tau: Double): String = {
+    val guarded = sqlCosineGuardedParts(
+      sqlDotInt("vn.v", "cc.cv"), "vn.n2", "cc.cn")
+    s"""WITH RECURSIVE v0 AS (
+       |  SELECT vec_id AS id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vn AS (SELECT id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
+       |cc AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
+       |         v AS cv, ${sqlDotInt("v", "v")} AS cn
+       |  FROM (SELECT id, v FROM v0 ORDER BY id LIMIT $nCells)),
+       |asg AS (
+       |  SELECT id, cell, c2c FROM (
+       |    SELECT vn.id, cc.cid AS cell, round($guarded, 9) AS c2c,
+       |           row_number() OVER (PARTITION BY vn.id
+       |             ORDER BY round($guarded, 9) DESC, cc.cid) AS rn
+       |    FROM vn CROSS JOIN cc) WHERE rn = 1),
+       |pre AS (SELECT a.id, a.cell, w.v, w.n2
+       |        FROM asg a JOIN vn w ON w.id = a.id),
+       |pairs AS (
+       |  SELECT l.id AS id1, r.id AS id2
+       |  FROM pre l JOIN pre r ON l.cell = r.cell AND l.id < r.id
+       |  WHERE round(${sqlCosineParts(
+                sqlDotInt("l.v", "r.v"), "l.n2", "r.n2")}, 9) >= $tau),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |keep AS (
+       |  SELECT comp, id AS keep_id FROM (
+       |    SELECT c.comp, c.id, row_number() OVER (PARTITION BY c.comp
+       |             ORDER BY a.c2c, a.id) AS rn
+       |    FROM comp c JOIN asg a ON a.id = c.id) WHERE rn = 1),
+       |dropped AS (
+       |  SELECT c.id FROM comp c JOIN keep k ON k.comp = c.comp
+       |  WHERE c.id <> k.keep_id)
+       |SELECT a.id AS vec_id, a.cell, a.c2c FROM asg a
+       |WHERE a.id NOT IN (SELECT id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ── product quantization (PQ codes + ADC search) ───────────────────
 
   val PQ_M = 16 // subspaces
