@@ -418,6 +418,13 @@ object PipelineQueries {
           "n_chars", 5000L)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    },
+    // deterministic pre-training shuffle: shard + within-shard position
+    // as a pure function of the ids — reproducible on any engine/cluster
+    "sa5_shuffle_shards" -> { (s, d) =>
+      Sampling.shuffleShards(Graft.documents(s, d), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
     }
   )
 
@@ -740,6 +747,10 @@ object PipelineQueries {
       s"""SELECT doc_id, lang, n_chars
          |FROM ${Sampling.sqlTokenBudgetFrom("documents", "lang", "doc_id",
                  "n_chars", 5000L)} t
+         |ORDER BY doc_id""".stripMargin,
+    "sa5_shuffle_shards" ->
+      s"""SELECT doc_id, shard, pos
+         |FROM ${Sampling.sqlShuffleShardsFrom("documents", "doc_id", 8)} t
          |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH hs AS (

@@ -103,4 +103,35 @@ object Sampling {
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
        |  FROM $table)
        | WHERE _cum <= $budget)""".stripMargin
+
+  /** Deterministic global shuffle into training shards — the "shuffle the
+    * corpus before training" step: `shard` = id-hash mod nShards, `pos` =
+    * the row's position within its shard ordered by (hash, id). The order
+    * is a pure function of the ids, so the shuffle is reproducible across
+    * engines, runs, and cluster sizes, and any contiguous slice of a
+    * shard is an unbiased corpus sample (documents that were adjacent in
+    * the source are scattered by the hash).
+    *
+    * Scale: the assignment is a map-only projection; `pos` is one
+    * per-shard window whose parallelism equals nShards — size nShards to
+    * the output file count (hundreds+ at 100 TB), and the physical write
+    * is `repartition(shard) + sortWithinPartitions(hash, id)`, the same
+    * exchange the window already did.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("shard", (hashBucket(col(idCol)) % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB twin of [[shuffleShards]] (adjacent so they cannot drift). */
+  def sqlShuffleShardsFrom(table: String, idCol: String,
+                           nShards: Int): String =
+    s"""(SELECT *,
+       |  CAST(row_number() OVER (
+       |      PARTITION BY ${sqlHashBucket(idCol)} % $nShards
+       |      ORDER BY ${sqlHashBucket(idCol)}, $idCol) AS BIGINT) AS pos,
+       |  CAST(${sqlHashBucket(idCol)} % $nShards AS BIGINT) AS shard
+       | FROM $table)""".stripMargin
 }

@@ -101,4 +101,34 @@ class SamplingSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(pairs).count() == 0)
   }
+
+  test("shuffleShards: total, balanced-ish, contiguous positions, scattered") {
+    val sh = Sampling.shuffleShards(docs, "id", 8)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    assert(sh.length == 1000, "every row is assigned exactly once")
+    val byShard = sh.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // md5 buckets are uniform: 1000 rows over 8 shards stay within ±6σ
+    assert(byShard.values.forall(g => g.size > 60 && g.size < 190),
+      s"shard skew: ${byShard.view.mapValues(_.size).toMap}")
+    // pos is 1..n contiguous within each shard (a valid training order)
+    byShard.values.foreach { g =>
+      assert(g.map(_._3).sorted.sameElements(1L to g.size))
+    }
+    // determinism: a re-run reproduces the exact assignment
+    val again = Sampling.shuffleShards(docs, "id", 8)
+      .select(col("id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    assert(sh.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // the shuffle actually scatters: within a shard, consecutive training
+    // positions are rarely source-adjacent ids
+    val adjacent = byShard.values.map { g =>
+      g.sortBy(_._3).sliding(2).count {
+        case Array(a, b) => math.abs(a._1 - b._1) == 1
+        case _ => false
+      }
+    }.sum
+    assert(adjacent < 25, s"source order leaked into training order: $adjacent")
+  }
 }
