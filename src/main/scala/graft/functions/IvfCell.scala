@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native nearest-centroid assignment: maps an `array<bigint>` vector to
+  * the cell id of its highest-cosine centroid (guarded cosine rounded to
+  * 9 places, ties to the LOWER cell id) in one tight loop over the
+  * unboxed `ArrayData`.
+  *
+  * Semantically identical to the composed formulation
+  * ([[graft.ops.Similarity.ivfCellComposed]]:
+  * `array_position(coss, array_max(coss)) - 1` over a literal
+  * guarded-cosine array) — IvfCellSpec asserts the equivalence — but the
+  * composed tree grows ~7 plan nodes per centroid: at nCells = 256 its
+  * generated code exceeds Janino's 64 KB method limit and the whole
+  * projection silently falls back to interpreted eval (measured on
+  * AnnStress: the 200k-vector encode scan). The kernel is one function
+  * call regardless of nCells; centroids and norms ride along as flattened
+  * reference arrays (plan-time constants).
+  *
+  * Rounding matches Spark's `round(_, 9)` on doubles exactly:
+  * `BigDecimal.valueOf(cos).setScale(9, HALF_UP)`.
+  */
+case class IvfCell(child: Expression, cents: Array[Long],
+                   norms: Array[Long], nCells: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"requires array<bigint> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    IvfCell.cell(v.asInstanceOf[ArrayData], cents, norms, nCells, dim)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "long[]")
+    val nRef = ctx.addReferenceObj("ivfNorms", norms, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfCell.cell($c, $cRef, $nRef, $nCells, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCell =
+    copy(child = newChild)
+
+  override def prettyName: String = "ivf_cell"
+
+  // value-compare the reference arrays so structurally identical
+  // assignments stay semanticEquals (Catalyst CSE) — the PqEncode rule
+  override def equals(other: Any): Boolean = other match {
+    case that: IvfCell =>
+      child == that.child && nCells == that.nCells && dim == that.dim &&
+        java.util.Arrays.equals(cents, that.cents) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nCells),
+      Integer.valueOf(dim),
+      Integer.valueOf(java.util.Arrays.hashCode(cents)),
+      Integer.valueOf(java.util.Arrays.hashCode(norms)))
+}
+
+object IvfCell {
+  /** Static kernel for both interpreted and generated code paths.
+    * `cents` is `[nCells][dim]` flattened; `norms` is per-cell ⟨c,c⟩.
+    */
+  def cell(v: ArrayData, cents: Array[Long], norms: Array[Long],
+           nCells: Int, dim: Int): Long = {
+    var vn = 0L
+    var i = 0
+    val n = math.min(v.numElements(), dim)
+    while (i < n) { val x = v.getLong(i); vn += x * x; i += 1 }
+    var best = Double.NegativeInfinity
+    var bestC = 0L
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += v.getLong(i) * cents(off + i); i += 1 }
+      val cos =
+        if (vn == 0L || norms(c) == 0L) -1.0
+        else dot.toDouble / (math.sqrt(vn.toDouble) * math.sqrt(norms(c).toDouble))
+      val r = java.math.BigDecimal.valueOf(cos)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r > best) { best = r; bestC = c } // strict >: ties keep lower c
+      c += 1
+    }
+    bestC
+  }
+
+  /** The per-centroid rounded guarded cosines behind [[cell]] — the SAME
+    * JVM arithmetic, exposed for driver-side callers (the probe's
+    * top-nProbe cell ranking over a collected query set) so their cell
+    * choice cannot drift from the kernel's assignment.
+    */
+  def cosArray(v: Array[Long], cents: Array[Long], norms: Array[Long],
+               nCells: Int, dim: Int): Array[Double] = {
+    var vn = 0L
+    var i = 0
+    val n = math.min(v.length, dim)
+    while (i < n) { vn += v(i) * v(i); i += 1 }
+    val out = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += v(i) * cents(off + i); i += 1 }
+      val cos =
+        if (vn == 0L || norms(c) == 0L) -1.0
+        else dot.toDouble / (math.sqrt(vn.toDouble) * math.sqrt(norms(c).toDouble))
+      out(c) = java.math.BigDecimal.valueOf(cos)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      c += 1
+    }
+    out
+  }
+
+  /** Column builder over the collected centroid rows. */
+  def apply(v: Column, cents: Array[Array[Long]]): Column = {
+    val dim = cents(0).length
+    val flat = cents.flatten
+    val norms = cents.map(cv => cv.map(x => x * x).sum)
+    ColumnBridge.column(
+      IvfCell(ColumnBridge.expression(v), flat, norms, cents.length, dim))
+  }
+}

@@ -845,10 +845,8 @@ object Similarity {
       return codes.select(lit(0L).as("query_id"), col("nn_id"),
         lit(0L).as("adist"), lit(0).as("rank")).limit(0)
     val perQuery = luts.map { case (qid, lut) =>
-      val adist = lut.zipWithIndex.map { case (entryDs, mm) =>
-        element_at(typedLit(entryDs.toSeq), element_at(col("codes"), mm + 1)
-          .cast("int") + 1)
-      }.reduce(_ + _)
+      val adist = graft.functions.AdcDist(col("codes"),
+        typedLit(lut.flatten.toSeq))
       struct(lit(qid).as("query_id"), adist.as("adist"))
     }
     val scored = codes
@@ -876,9 +874,18 @@ object Similarity {
   /** Nearest-centroid cell id as a literal projection (argmax guarded
     * cosine over the plan-constant centroid set; first index achieving the
     * max = lowest cell id, matching [[ivfAssign]]'s tie-break). Map-only:
-    * assigning a 100 TB corpus to cells is one scan, no exchange.
+    * assigning a 100 TB corpus to cells is one scan, no exchange. The
+    * native kernel ([[graft.functions.IvfCell]]) keeps the projection in
+    * whole-stage codegen at any nCells — the composed formulation below
+    * blows Janino's 64 KB method limit past ~100 centroids.
     */
-  def ivfCellLit(v: Column, cents: Array[Array[Long]]): Column = {
+  def ivfCellLit(v: Column, cents: Array[Array[Long]]): Column =
+    graft.functions.IvfCell(v, cents)
+
+  /** Built-in-only formulation of [[ivfCellLit]], kept for the kernel
+    * equivalence spec (IvfCellSpec) — the [[pqCodesComposed]] rule.
+    */
+  def ivfCellComposed(v: Column, cents: Array[Array[Long]]): Column = {
     val coss = ivfCellCoss(v, cents)
     (array_position(coss, array_max(coss)) - 1).cast("long")
   }
@@ -952,11 +959,8 @@ object Similarity {
       return codes.select(lit(0L).as("query_id"), col("nn_id"),
         lit(0L).as("adist"), lit(0).as("rank")).limit(0)
     val perQuery = qcells.map { case (qid, qcell, qv) =>
-      val lut = adcLut(cb, qv, subDim)
-      val adist = lut.zipWithIndex.map { case (entryDs, mm) =>
-        element_at(typedLit(entryDs.toSeq), element_at(col("codes"), mm + 1)
-          .cast("int") + 1)
-      }.reduce(_ + _)
+      val adist = graft.functions.AdcDist(col("codes"),
+        typedLit(adcLut(cb, qv, subDim).flatten.toSeq))
       struct(lit(qid).as("query_id"), lit(qcell).as("qcell"),
         adist.as("adist"))
     }
@@ -1426,32 +1430,48 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))))
     graft.store.TxWriter.write(db, codes.unionByName(meta),
-      timeBucketNanos = Some(1L))
+      timeBucketNanos = Some(1L), bucketMajor = true)
   }
+
+  /** Train-artifact cache for probe-many steady state: keyed by
+    * (warehouse, manifest version, m), so an append or rebuild — which
+    * always advances the manifest — naturally invalidates. Entries are a
+    * few thousand longs; the map stays tiny (one live version per
+    * warehouse, dead versions are never re-requested).
+    */
+  private val indexMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Int),
+    (Array[Array[Long]], Array[Array[(Array[Long], Long)]])]()
 
   /** Reads a [[buildIndex]] warehouse's reserved-cell train artifacts:
     * coarse centroids (ordered by cell id) and the per-subspace codebook
-    * with precomputed norms. Bounded collects — nCells + m×k rows.
+    * with precomputed norms. Bounded collects — nCells + m×k rows —
+    * cached per manifest version ([[indexMetaCache]]), so repeated probes
+    * pay ZERO metadata jobs (the reference's 10 s reader cache, made
+    * exact by version keying).
     */
-  private def readIndexMeta(snap: graft.store.Db#Snapshot, m: Int)
-      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]]) = {
-    val cents = snap.readInstants(Seq(CELL_CENTROIDS))
-      .select(col("nn_id"), col("codes")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Long](1).toArray)
-    val cb: Array[Array[(Array[Long], Long)]] = {
-      val rows = snap.readInstants(Seq(CELL_CODEBOOK))
-        .select(col("sub"), col("nn_id"), col("codes")).collect()
-      val byM = rows.groupBy(_.getLong(0))
-      (0 until m).map { mm =>
-        byM(mm.toLong).sortBy(_.getLong(1)).map { r =>
-          val cv = r.getSeq[Long](2).toArray
-          (cv, cv.map(x => x * x).sum)
+  private def readIndexMeta(db: graft.store.Db,
+                            snap: graft.store.Db#Snapshot, m: Int)
+      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]]) =
+    indexMetaCache.computeIfAbsent(
+      (db.warehouse, snap.manifest.version, m), _ => {
+        val cents = snap.readInstants(Seq(CELL_CENTROIDS), ordered = false)
+          .select(col("nn_id"), col("codes")).collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Long](1).toArray)
+        val cb: Array[Array[(Array[Long], Long)]] = {
+          val rows = snap.readInstants(Seq(CELL_CODEBOOK), ordered = false)
+            .select(col("sub"), col("nn_id"), col("codes")).collect()
+          val byM = rows.groupBy(_.getLong(0))
+          (0 until m).map { mm =>
+            byM(mm.toLong).sortBy(_.getLong(1)).map { r =>
+              val cv = r.getSeq[Long](2).toArray
+              (cv, cv.map(x => x * x).sum)
+            }
+          }.toArray
         }
-      }.toArray
-    }
-    (cents, cb)
-  }
+        (cents, cb)
+      })
 
   /** FAISS-style `add`: encode NEW vectors with the index's EXISTING
     * centroids and codebook (two reserved-cell reads) and append them as
@@ -1470,7 +1490,7 @@ object Similarity {
   def appendToIndex(db: graft.store.Db, vectors: DataFrame, idCol: String,
                     embCol: String, m: Int = PQ_M, dim: Int = 64): Long = {
     val subDim = dim / m
-    val (cents, cb) = readIndexMeta(db.snapshot(), m)
+    val (cents, cb) = readIndexMeta(db, db.snapshot(), m)
     val codes = vectors
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .select(
@@ -1478,7 +1498,8 @@ object Similarity {
         ivfCellLit(col("v"), cents).as("ts"),
         col("nn_id"), lit(-1L).as("sub"),
         pqCodesLit(col("v"), cb, subDim).as("codes"))
-    graft.store.TxWriter.write(db, codes, timeBucketNanos = Some(1L))
+    graft.store.TxWriter.write(db, codes, timeBucketNanos = Some(1L),
+      bucketMajor = true)
   }
 
   /** ADC probe over a [[buildIndex]] warehouse: the train artifacts are
@@ -1501,19 +1522,22 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val snap = db.snapshot()
-    val (cents, cb) = readIndexMeta(snap, m)
-    // cell ranking happens on the Spark-computed cosine array (driver only
-    // sorts) so multi-probe selection can't drift from the stored cells
+    val (cents, cb) = readIndexMeta(db, snap, m)
+    // cell ranking calls the SAME static kernel the stored assignment ran
+    // ([[graft.functions.IvfCell.cosArray]]) on the collected query
+    // vectors, so multi-probe selection can't drift from the stored cells
+    val centsFlat = cents.flatten
+    val centNorms = cents.map(cv => cv.map(x => x * x).sum)
     val qcells = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
-      .select(col("query_id"), ivfCellCoss(col("v"), cents).as("coss"),
-        col("v"))
       .collect()
       .map { r =>
-        val coss = r.getSeq[Double](1)
+        val qv = r.getSeq[Long](1).toArray
+        val coss = graft.functions.IvfCell.cosArray(qv, centsFlat,
+          centNorms, cents.length, dim)
         val cells = coss.indices.sortBy(i => (-coss(i), i))
           .take(nProbe).map(_.toLong).toArray
-        (r.getLong(0), cells, r.getSeq[Long](2).toArray)
+        (r.getLong(0), cells, qv)
       }
       .sortBy(_._1)
     require(qcells.length <= MAX_LITERAL_QUERIES,
@@ -1531,25 +1555,30 @@ object Similarity {
     // plan would carry one scan subtree (and one manifest read) per cell.
     // PersistedIndexSpec asserts the scan's PartitionFilters pin tbucket
     // to exactly the probed cells.
-    val codes = snap.readInstants(probed.toIndexedSeq)
+    val codes = snap.readInstants(probed.toIndexedSeq, ordered = false)
       .select(col("nn_id"), col("ts").as("cell"), col("codes"))
-    val perQuery = qcells.map { case (qid, qcs, qv) =>
-      val lut = adcLut(cb, qv, subDim)
-      val adist = lut.zipWithIndex.map { case (entryDs, mm) =>
-        element_at(typedLit(entryDs.toSeq), element_at(col("codes"), mm + 1)
-          .cast("int") + 1)
-      }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), typedLit(qcs.toSeq).as("qcells"),
-        adist.as("adist"))
-    }
-    // a code row scores against query q iff its (one) cell is among q's
-    // probed cells — each (query, nn) pair appears at most once
+    // O(matches) scoring: a code row explodes into EXACTLY the queries
+    // probing its cell (literal cell→queries map; each (query, nn) pair
+    // appears at most once because a row has one cell), then one native
+    // ADC kernel per surviving pair over the query's LUT (literal
+    // query→LUT map). The former shape — explode ALL query structs per
+    // row, filter, with m element_at nodes per query — wasted |Q|×m
+    // lookups per row on non-matching cells and its generated code blew
+    // Janino's 64 KB limit past ~32 queries (measured on AnnStress).
+    val cellToQids: Map[Long, Seq[Long]] = qcells
+      .flatMap { case (qid, qcs, _) => qcs.map(c => c -> qid) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sorted.toSeq }
+    val qidToLut: Map[Long, Seq[Long]] = qcells.map { case (qid, _, qv) =>
+      qid -> adcLut(cb, qv, subDim).flatten.toSeq
+    }.toMap
     val scored = codes
-      .select(col("nn_id"), col("cell"), explode(array(perQuery: _*)).as("q"))
-      .filter(array_contains(col("q.qcells"), col("cell")) &&
-        col("q.query_id") =!= col("nn_id"))
-      .select(col("q.query_id").as("query_id"), col("nn_id"),
-        col("q.adist").as("adist"))
+      .select(col("nn_id"), col("codes"),
+        explode(element_at(typedLit(cellToQids), col("cell")))
+          .as("query_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        graft.functions.AdcDist(col("codes"),
+          element_at(typedLit(qidToLut), col("query_id"))).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)

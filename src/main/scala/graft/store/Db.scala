@@ -142,7 +142,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       * union. Transactions whose stats overlap no instant are skipped
       * entirely, as in [[read]].
       */
-    def readInstants(instants: Seq[Long], pattern: String = "%"): DataFrame = {
+    def readInstants(instants: Seq[Long], pattern: String = "%",
+                     ordered: Boolean = true): DataFrame = {
       require(instants.nonEmpty, "readInstants needs at least one instant")
       val lo = instants.min
       val hi = instants.max + 1
@@ -160,7 +161,11 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       val filtered = bucketed.filter(col("ts").isin(instants: _*))
       val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
       val visible = SeriesOps.applyDeletes(merged, deletes)
-      SeriesOps.ordered(visible.drop("txid").drop("tbucket"))
+        .drop("txid").drop("tbucket")
+      // ordered=false skips the global (key, ts) range-shuffle-sort —
+      // for consumers that re-shuffle anyway (the ANN probe's rank
+      // window), the sort is a wasted exchange over every matched row
+      if (ordered) SeriesOps.ordered(visible) else visible
     }
 
     /** Zero-row result with the read pipeline's output shape. Must not go

@@ -44,9 +44,19 @@ object TxWriter {
     *        on top of row-group stats. Later writes inherit the warehouse's
     *        configured width automatically.
     */
+  /** @param bucketMajor when time-bucketed, range-partition by
+    *        (tbucket, key, ts) instead of (key, ts): rows of one bucket
+    *        co-locate, so each task writes into FEW `tbucket=` dirs
+    *        instead of all of them. Key-major (default) is right for
+    *        time-series reads (key ranges span buckets); bucket-major is
+    *        right when reads are always per-bucket — the ANN index, whose
+    *        bucket IS the IVF cell, writes 256 cells × 32 tasks = one
+    *        file per cell instead of a task×cell small-file explosion.
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
             rangePartitions: Option[Int] = None,
-            timeBucketNanos: Option[Long] = None): Long = {
+            timeBucketNanos: Option[Long] = None,
+            bucketMajor: Boolean = false): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -77,11 +87,16 @@ object TxWriter {
     // AQE-coalescible range exchange sizes output files to the shuffle
     // target (~64 MB) instead of hard-coding shuffle.partitions files —
     // small transactions stay a few files, huge ones fan out
+    val base = df.drop("tbucket")
+    val rangeCols =
+      if (bucketMajor && width > 0)
+        Seq(col("ts") - col("ts") % width, col("key"), col("ts"))
+      else Seq(col("key"), col("ts"))
     val ranged = rangePartitions match {
-      case Some(n) => df.drop("tbucket").repartitionByRange(n, col("key"), col("ts"))
-      case None    => df.drop("tbucket").repartitionByRange(col("key"), col("ts"))
+      case Some(n) => base.repartitionByRange(n, rangeCols: _*)
+      case None    => base.repartitionByRange(rangeCols: _*)
     }
-    val sorted = ranged.sortWithinPartitions(col("key"), col("ts"))
+    val sorted = ranged.sortWithinPartitions(rangeCols: _*)
     val writer0 = (if (width > 0)
       sorted.withColumn("tbucket", col("ts") - col("ts") % width)
     else sorted)

@@ -30,6 +30,10 @@ class CodegenSpec extends AnyFunSuite {
       "LongVecDot.dot static forwarder missing — codegen will fall back")
     assert(statics(classOf[PqEncode]).contains("encode"),
       "PqEncode.encode static forwarder missing — codegen will fall back")
+    assert(statics(classOf[IvfCell]).contains("cell"),
+      "IvfCell.cell static forwarder missing — codegen will fall back")
+    assert(statics(classOf[AdcDist]).contains("dist"),
+      "AdcDist.dist static forwarder missing — codegen will fall back")
     // Document the trap itself: `eval` can never be a forwarder here.
     assert(!statics(classOf[Md5Prefix60]).contains("eval"))
     assert(!statics(classOf[SimHash32]).contains("eval"))
@@ -71,5 +75,22 @@ class CodegenSpec extends AnyFunSuite {
     // m=0: d(entry0)=162-2*27=108, d(entry1)=5-2*5=-5 -> code 1
     // m=1: d(entry0)=25-2*25=-25, d(entry1)=0 -> code 0
     assert(got == Seq(1L, 0L))
+  }
+
+  test("IvfCell and AdcDist generated code compiles and agrees with eval") {
+    val vec = Literal.create(Seq(1L, 2L, 3L, 4L), ArrayType(LongType))
+    // centroids: (1,2,3,4) itself (cos 1.0) and an orthogonal-ish one
+    val cents = Array(1L, 2L, 3L, 4L, 4L, -3L, 2L, -1L)
+    val norms = Array(30L, 30L)
+    val cellE = IvfCell(vec, cents, norms, nCells = 2, dim = 4)
+    val codes = Literal.create(Seq(1L, 0L), ArrayType(LongType))
+    val lut = Literal.create(Seq(10L, 20L, 30L, 40L), ArrayType(LongType))
+    val distE = AdcDist(codes, lut) // 20 (m=0,code=1) + 30 (m=1,code=0)
+    val proj = GenerateUnsafeProjection.generate(Seq(cellE, distE))
+    val row = proj(InternalRow.empty)
+    assert(row.getLong(0) == cellE.eval(InternalRow.empty).asInstanceOf[Long])
+    assert(row.getLong(0) == 0L, "vector must land on its own centroid")
+    assert(row.getLong(1) == distE.eval(InternalRow.empty).asInstanceOf[Long])
+    assert(row.getLong(1) == 50L)
   }
 }
