@@ -72,6 +72,13 @@ object AnnStress {
       Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", 10)
         .count()
     }
+    // the batch path: 10k queries as a DataFrame — 10× past the literal
+    // path's cap, no literals, no collect
+    val batch = gen(spark.range(0, 10000).toDF("id")).localCheckpoint(true)
+    timed("relational probe (10k queries)") {
+      Similarity.ivfPqProbePersistedRelational(db, batch, "vec_id",
+        "embedding", topK = 10).count()
+    }
 
     // index footprint vs raw corpus: the ~20× compression claim
     def dirBytes(p: java.nio.file.Path): Long = {

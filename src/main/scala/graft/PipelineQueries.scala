@@ -281,6 +281,17 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // the DISTRIBUTED batch-probe path: query set stays a DataFrame (no
+    // literals, no collect) — cell join + relational ADC. Same oracle as
+    // the literal probe because the two paths are value-identical
+    "ann_ivf_pq_batch" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.ivfPqProbePersistedRelational(annIndexFor(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     // FAISS's nprobe knob on the persisted index: each query scores its 2
     // best cells' candidates — 2/nCells of the codes instead of 1/nCells,
     // for the recall headroom (still one partition-pruned scan)
@@ -652,6 +663,7 @@ object PipelineQueries {
     "ann_ivf_pq_probe_only" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
     "ann_ivf_pq_multiprobe" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
       nProbe = 2),
+    "ann_ivf_pq_batch" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
     "ann_ivf_pq_append" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
       trainPred = "vec_id % 2 = 0"),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),

@@ -77,7 +77,105 @@ case class IvfCell(child: Expression, cents: Array[Long],
       Integer.valueOf(java.util.Arrays.hashCode(norms)))
 }
 
+/** [[IvfCell]]'s multi-probe sibling: the `nProbe` highest-cosine cell
+  * ids, ordered best-first (ties to the lower cell id) — FAISS's nprobe
+  * as a DISTRIBUTED projection, for batch probes whose query set is
+  * itself a DataFrame. `IvfCells(v, cents, 1)` = `array(IvfCell(v, cents))`.
+  */
+case class IvfCells(child: Expression, cents: Array[Long],
+                    norms: Array[Long], nCells: Int, dim: Int, nProbe: Int)
+    extends UnaryExpression {
+  require(nProbe >= 1 && nProbe <= nCells,
+    s"nProbe must be in [1, $nCells], got $nProbe")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"requires array<bigint> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    IvfCell.topCells(v.asInstanceOf[ArrayData], cents, norms, nCells, dim,
+      nProbe)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "long[]")
+    val nRef = ctx.addReferenceObj("ivfNorms", norms, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfCell.topCells($c, $cRef, $nRef, $nCells, $dim, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "ivf_cells"
+
+  override def equals(other: Any): Boolean = other match {
+    case that: IvfCells =>
+      child == that.child && nCells == that.nCells && dim == that.dim &&
+        nProbe == that.nProbe &&
+        java.util.Arrays.equals(cents, that.cents) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nCells),
+      Integer.valueOf(dim), Integer.valueOf(nProbe),
+      Integer.valueOf(java.util.Arrays.hashCode(cents)),
+      Integer.valueOf(java.util.Arrays.hashCode(norms)))
+}
+
+object IvfCells {
+  def apply(v: Column, cents: Array[Array[Long]], nProbe: Int): Column = {
+    val dim = cents(0).length
+    val flat = cents.flatten
+    val norms = cents.map(cv => cv.map(x => x * x).sum)
+    ColumnBridge.column(IvfCells(ColumnBridge.expression(v), flat, norms,
+      cents.length, dim, nProbe))
+  }
+}
+
 object IvfCell {
+  /** Top-`nProbe` cells by (rounded guarded cosine desc, cell id asc),
+    * best first — the kernel behind [[IvfCells]]. Selection by repeated
+    * argmax (nProbe is small); arithmetic identical to [[cosArray]].
+    */
+  def topCells(v: ArrayData, cents: Array[Long], norms: Array[Long],
+               nCells: Int, dim: Int, nProbe: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val va = new Array[Long](v.numElements())
+    var i = 0
+    while (i < va.length) { va(i) = v.getLong(i); i += 1 }
+    val coss = cosArray(va, cents, norms, nCells, dim)
+    val taken = new Array[Boolean](nCells)
+    val out = new Array[Long](nProbe)
+    var n = 0
+    while (n < nProbe) {
+      var best = Double.NegativeInfinity
+      var bestC = -1
+      var c = 0
+      while (c < nCells) {
+        if (!taken(c) && coss(c) > best) { best = coss(c); bestC = c }
+        c += 1
+      }
+      taken(bestC) = true
+      out(n) = bestC
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Static kernel for both interpreted and generated code paths.
     * `cents` is `[nCells][dim]` flattened; `norms` is per-cell ⟨c,c⟩.
     */

@@ -1584,6 +1584,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** [[ivfPqProbePersisted]] for DISTRIBUTED query sets — no literals, no
+    * query collect, no per-query plan growth: the batch-probe path (e.g.
+    * k-neighbors for every document of a corpus against the index).
+    *
+    * Shape: queries assign to their top-nProbe cells as a native
+    * projection ([[graft.functions.IvfCells]] — exactly the kernel the
+    * literal path ranks with, so the two paths cannot disagree), join the
+    * codes table on cell (each query meets only its probed cells'
+    * candidates), explode the m codes, and join the relational LUT
+    * (query subvectors × broadcast codebook) on (query_id, m, code) —
+    * one partial-agg sum per (query, candidate). Value-identical to the
+    * literal path (PersistedIndexSpec). At scale every stage is a hash
+    * shuffle of reduced data; only the m×k codebook is broadcast.
+    *
+    * Reads ALL data cells when the query set probes them all (a batch
+    * probe usually does) — still only the ~20×-compressed codes, never a
+    * corpus column.
+    */
+  def ivfPqProbePersistedRelational(db: graft.store.Db, queries: DataFrame,
+                                    idCol: String, embCol: String,
+                                    topK: Int, m: Int = PQ_M, dim: Int = 64,
+                                    nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val subDim = dim / m
+    val snap = db.snapshot()
+    val (cents, cb) = readIndexMeta(db, snap, m)
+    val qv0 = queries
+      .select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
+    val qcells = qv0.select(col("query_id"),
+      explode(graft.functions.IvfCells(col("qv"), cents, nProbe)).as("cell"))
+    // the whole codes table (every non-reserved cell), codes only
+    val codes = snap
+      .readInstants((0L until cents.length.toLong).toIndexedSeq,
+        ordered = false)
+      .select(col("nn_id"), col("ts").as("cell"), col("codes"))
+    // candidate pairs: a query meets exactly its probed cells' members
+    val cand = codes.join(qcells, "cell")
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    // relational ADC LUT: query subvectors × broadcast codebook rows
+    val cbRows = for { mm <- cb.indices; c <- cb(mm).indices } yield
+      (mm.toLong, c.toLong, cb(mm)(c)._1.toSeq, cb(mm)(c)._2)
+    val cbDf = spark.createDataFrame(cbRows).toDF("m", "code", "cv", "cn")
+    val lut = qv0
+      .select(col("query_id"),
+        posexplode(subVectors(col("qv"), m, subDim)).as(Seq("m", "sv")))
+      .join(broadcast(cbDf), "m")
+      .select(col("query_id"), col("m"), col("code"),
+        l2FromParts(dotInt(col("sv"), col("sv")),
+          dotInt(col("sv"), col("cv")), col("cn")).as("d"))
+    val scored = cand.join(lut, Seq("query_id", "m", "code"))
+      .groupBy("query_id", "nn_id")
+      .agg(sum(col("d")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   // ── recall gates ───────────────────────────────────────────────────
 
   /** One (variant, hits, expected, recall, pass) row: recall@k of an

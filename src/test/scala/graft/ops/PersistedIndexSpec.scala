@@ -170,6 +170,18 @@ class PersistedIndexSpec extends SparkSpec {
     assert(cells == Set(0L, 1L), s"PartitionFilters not {0,1}: $pf")
   }
 
+  test("relational probe equals the literal probe (nProbe 1 and 2)") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    build(db, corpusA)
+    for (nProbe <- Seq(1, 2)) {
+      val lit = rows(Similarity.ivfPqProbePersisted(db, corpusA,
+        "vec_id", "embedding", topK = 3, m = 2, dim = dim, nProbe = nProbe))
+      val rel = rows(Similarity.ivfPqProbePersistedRelational(db, corpusA,
+        "vec_id", "embedding", topK = 3, m = 2, dim = dim, nProbe = nProbe))
+      assert(lit.nonEmpty && rel == lit, s"paths disagree at nProbe=$nProbe")
+    }
+  }
+
   test("major compaction collapses rebuild history; probe unchanged") {
     val db = Db(spark, tmpDir("graft-pidx"))
     build(db, corpusA)
