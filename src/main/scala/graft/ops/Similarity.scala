@@ -1386,18 +1386,26 @@ object Similarity {
     *        Lloyd [[pqTrainedCodebook]] (measurably better recall than the
     *        first-k [[collectCodebook]] — the `ann_recall` floors).
     */
+  /** @param coarse explicit coarse centroids (e.g. collected from
+    *        [[kmeansCodebook]], the offline-trained path SCALE.md calls
+    *        for at real scale) — defaults to the deterministic
+    *        first-nCells quantizer. Probes are agnostic: they read
+    *        whatever centroids the warehouse carries.
+    */
   def buildIndex(db: graft.store.Db, corpus: DataFrame, idCol: String,
                  embCol: String, nCells: Int = 16, m: Int = PQ_M,
                  k: Int = PQ_K, dim: Int = 64,
                  codebook: Option[Array[Array[(Array[Long], Long)]]] = None,
-                 trainIters: Int = 2): Long = {
+                 trainIters: Int = 2,
+                 coarse: Option[Array[Array[Long]]] = None): Long = {
     val spark = corpus.sparkSession
     val subDim = dim / m
     if (db.snapshot().manifest.dataTxids.nonEmpty)
       graft.store.TxWriter.delete(db, t0 = Long.MinValue, t1 = Long.MaxValue)
-    val cents = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(veci(col(embCol)).as("cv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    val cents = coarse.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(veci(col(embCol)).as("cv")).collect()
+        .map(_.getSeq[Long](0).toArray))
     val cb = codebook.getOrElse(
       pqTrainedCodebook(corpus, idCol, embCol, m, k, dim, trainIters))
     val codes = corpus

@@ -182,6 +182,36 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("buildIndex with Lloyd-trained coarse centroids round-trips") {
+    val db = Db(spark, tmpDir("graft-pidx"))
+    // trained coarse quantizer (kmeansCodebook) instead of first-nCells —
+    // the offline-k-means path; probes read whatever the warehouse stores
+    val trained = Similarity.kmeansCodebook(corpusA, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .orderBy("centroid_id").select("v")
+      .as[Seq[Long]].collect().map(_.toArray)
+    Similarity.buildIndex(db, corpusA, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = dim, coarse = Some(trained))
+    // stored centroids are exactly the trained ones, in cell order
+    val stored = db.snapshot()
+      .readInstants(Seq(Similarity.CELL_CENTROIDS), ordered = false)
+      .select("nn_id", "codes").as[(Long, Seq[Long])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    assert(stored.length == 2 &&
+      stored.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    // probing every cell is quantizer-independent: equals exhaustive ADC
+    val got = rows(Similarity.ivfPqProbePersisted(db,
+      corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+      topK = 3, m = 2, dim = dim, nProbe = 2))
+    val want = rows(Similarity.pqAdcKnnWith(corpusA,
+      corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+      topK = 3,
+      Similarity.pqTrainedCodebook(corpusA, "vec_id", "embedding",
+        m = 2, k = 4, dim = dim),
+      m = 2, dim = dim))
+    assert(got.nonEmpty && got == want)
+  }
+
   test("major compaction collapses rebuild history; probe unchanged") {
     val db = Db(spark, tmpDir("graft-pidx"))
     build(db, corpusA)
