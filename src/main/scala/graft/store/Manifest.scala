@@ -36,6 +36,13 @@ final case class ManifestState(
       * reads partition pruning on top of row-group stats.
       */
     timeBucket: Long = 0L,
+    /** Bucket-major layout flag, fixed with [[timeBucket]] at first data
+      * write: transactions range-partition by (tbucket, key, ts) so each
+      * write task touches FEW bucket dirs — the layout for warehouses
+      * whose reads are always per-bucket (the ANN index, bucket = IVF
+      * cell). Sticky so appends and compaction rewrites inherit it.
+      */
+    bucketMajor: Boolean = false,
     /** Merged data schema as Spark DDL ("" = unknown → readers fall back
       * to parquet `mergeSchema`). Maintained at commit so planning a read
       * is O(1) instead of O(files) footer fetches — the schema-in-manifest
@@ -60,7 +67,7 @@ final case class ManifestState(
     val stats = txStats.toVector.sortBy(_._1).map { case (t, s) =>
       s"$t ${b64(s.minKey)} ${b64(s.maxKey)} ${s.minTs} ${s.maxTs}"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}"}"""
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}"}"""
   }
 }
 
@@ -153,7 +160,8 @@ object Manifest {
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
-      longField("timeBucket"), b64Field("schemaB64"), stats)
+      longField("timeBucket"), longField("bucketMajor") == 1L,
+      b64Field("schemaB64"), stats)
   }
 
   /** Merge a newly committed transaction's data schema into the tracked

@@ -73,15 +73,19 @@ object TxWriter {
       }
     }
 
-    // resolve the warehouse bucket width (sticky after the first write)
+    // resolve the warehouse bucket width + layout (sticky after the
+    // first write — appends and compaction rewrites inherit both)
     val pre = Manifest.current(db.warehouse)
+    val fresh = pre.dataTxids.isEmpty && pre.timeBucket == 0L
     val width: Long =
-      if (pre.dataTxids.nonEmpty || pre.timeBucket > 0) pre.timeBucket
-      else timeBucketNanos.getOrElse(0L)
+      if (fresh) timeBucketNanos.getOrElse(0L) else pre.timeBucket
+    val major: Boolean =
+      if (fresh) bucketMajor && width > 0 else pre.bucketMajor
 
     val txid = claimTxid(db)
     if (width > 0 && pre.timeBucket == 0L)
-      Manifest.update(db.warehouse)(m => m.copy(timeBucket = width))
+      Manifest.update(db.warehouse)(m =>
+        m.copy(timeBucket = width, bucketMajor = major))
 
     // no explicit partition count unless the caller pins one: an
     // AQE-coalescible range exchange sizes output files to the shuffle
@@ -89,7 +93,7 @@ object TxWriter {
     // small transactions stay a few files, huge ones fan out
     val base = df.drop("tbucket")
     val rangeCols =
-      if (bucketMajor && width > 0)
+      if (major && width > 0)
         Seq(col("ts") - col("ts") % width, col("key"), col("ts"))
       else Seq(col("key"), col("ts"))
     val ranged = rangePartitions match {

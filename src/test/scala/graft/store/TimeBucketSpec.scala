@@ -61,4 +61,29 @@ class TimeBucketSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("tbucket")) // pruning still active post-compaction
   }
+
+  test("bucket-major layout is sticky; appends and compaction inherit it") {
+    val db = Db(spark, tmpDir("graft-bmajor"))
+    val data = (for {
+      day <- 0L until 4L; k <- Seq("a", "b", "c")
+    } yield (k, day * DAY + k.length, day * 10)).toDF("key", "ts", "v")
+    TxWriter.write(db, data, rangePartitions = Some(2),
+      timeBucketNanos = Some(DAY), bucketMajor = true)
+    assert(Manifest.current(db.warehouse).bucketMajor)
+    // later write WITHOUT the flag inherits the layout
+    TxWriter.write(db, Seq(("d", 2 * DAY, 99L)).toDF("key", "ts", "v"),
+      rangePartitions = Some(1))
+    assert(Manifest.current(db.warehouse).bucketMajor)
+    val before = db.read().select("key", "ts", "v")
+      .as[(String, Long, Long)].collect().sorted
+    Compactor.major(db)
+    assert(Manifest.current(db.warehouse).bucketMajor,
+      "compaction must not drop the layout flag")
+    assert(db.read().select("key", "ts", "v")
+      .as[(String, Long, Long)].collect().sorted.sameElements(before))
+    // key-major warehouses never flip: the flag needs a bucket width
+    val flat = Db(spark, tmpDir("graft-bmajor"))
+    TxWriter.write(flat, data, bucketMajor = true) // no width → ignored
+    assert(!Manifest.current(flat.warehouse).bucketMajor)
+  }
 }
