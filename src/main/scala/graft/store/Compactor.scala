@@ -273,7 +273,9 @@ object Compactor {
       def sweep(root: String, live: Set[String]): Unit = {
         val d = Paths.get(root)
         if (!Files.isDirectory(d)) return
-        Files.list(d).iterator().asScala.toVector.foreach { p =>
+        val ls = Files.list(d)
+        val entries = try ls.iterator().asScala.toVector finally ls.close()
+        entries.foreach { p =>
           val n = p.getFileName.toString
           if (!live.contains(n) && newestMtime(p) <= cutoff)
             deleteRecursively(p)
@@ -298,7 +300,10 @@ object Compactor {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
 }

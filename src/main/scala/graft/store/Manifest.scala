@@ -85,12 +85,24 @@ object Manifest {
     n.stripPrefix("v").stripSuffix(".json").toLong
   }
 
+  /** Manifest file paths in `d`, with the backing directory stream CLOSED
+    * before returning. `Files.list` holds an open DirectoryStream that
+    * full traversal does NOT release — only close() does — and
+    * [[currentVersion]] runs on Serve's per-GET hot path, so leaking one
+    * fd per call kills a long-running server at the ulimit.
+    */
+  private def manifestFiles(d: Path): Vector[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json")).toVector
+    finally s.close()
+  }
+
   def current(warehouse: String): ManifestState = {
     val d = dir(warehouse)
     if (!Files.isDirectory(d))
       return ManifestState(0L, 0L, Vector.empty, Vector.empty)
-    val files = Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json")).toVector
+    val files = manifestFiles(d)
     if (files.isEmpty) ManifestState(0L, 0L, Vector.empty, Vector.empty)
     else parse(Files.readString(files.maxBy(versionOf)))
   }
@@ -104,9 +116,7 @@ object Manifest {
   def currentVersion(warehouse: String): Long = {
     val d = dir(warehouse)
     if (!Files.isDirectory(d)) return 0L
-    Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .map(versionOf).foldLeft(0L)(math.max)
+    manifestFiles(d).map(versionOf).foldLeft(0L)(math.max)
   }
 
   /** All manifest versions present on disk, ascending. Every commit is a
@@ -116,9 +126,7 @@ object Manifest {
   def versions(warehouse: String): Vector[Long] = {
     val d = dir(warehouse)
     if (!Files.isDirectory(d)) return Vector.empty
-    Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .map(versionOf).toVector.sorted
+    manifestFiles(d).map(versionOf).sorted
   }
 
   /** The manifest exactly as of `version` — time travel. Data/delete dirs
