@@ -57,7 +57,7 @@ object Bench {
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      body
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -71,8 +71,18 @@ object Bench {
     }
     sentinel() // warm the sentinel plan itself before measuring with it
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      time { fn(spark, sfDir).count() }
+    // a failing query is recorded as an ERROR, never silently timed as its
+    // time-to-throw: the bench artifact must distinguish "fast" from
+    // "broken" (CORRECTNESS catches the breakage too, but this line is
+    // what gets read as the performance record)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
 
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -85,6 +95,7 @@ object Bench {
     // time), each pass bracketed by a sentinel probe on BOTH sides
     final case class Attempt(mins: Seq[(String, Double)],
                              spreads: Seq[(String, Double)],
+                             errs: Map[String, Int],
                              sentMin: Double, sentSpread: Double) {
       def contaminated: Boolean = sentSpread > SENTINEL_TOLERANCE
     }
@@ -92,11 +103,17 @@ object Bench {
       val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
       val samples = scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
+      val errs = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
       for (pass <- 1 to PASSES) {
         sentinels += sentinel()
         for ((n, fn) <- ordered) {
-          val t = once(fn)
+          val (t, err) = once(fn)
           samples(n) = samples(n) :+ t
+          err.foreach { e =>
+            errs(n) += 1
+            System.err.println(s"BENCH attempt=$attempt pass=$pass $n ERROR $e")
+          }
           System.err.println(f"BENCH attempt=$attempt pass=$pass $n%-24s $t%7.3f")
         }
       }
@@ -113,7 +130,7 @@ object Bench {
       val steady = sentinels.drop(1)
       val sentSpread =
         if (steady.nonEmpty && steady.min > 0) steady.max / steady.min else 1.0
-      Attempt(mins, spreads, sentinels.min, sentSpread)
+      Attempt(mins, spreads, errs.toMap, sentinels.min, sentSpread)
     }
 
     // bounded retry: keep the first clean attempt; if the machine never
@@ -127,17 +144,31 @@ object Bench {
         f"spread=${a.sentSpread}%5.2f contaminated=${a.contaminated}")
       if (best == null || a.sentSpread < best.sentSpread) best = a
     }
-    val Attempt(mins, spreads, sentMin, sentSpread) = best
-    val contaminated = best.contaminated
+    val Attempt(mins, spreads, errs, sentMin, sentSpread) = best
+    println(renderJson(mins, spreads, errs, sentMin, sentSpread, PASSES,
+      attempt, best.contaminated, sfDir))
+    spark.stop()
+  }
 
+  /** The ONE printed JSON line. An errored query is excluded from `value`
+    * (its min is a time-to-throw, not a runtime) and reported under
+    * `errors` with its failure count — a broken query poisons the artifact
+    * visibly instead of quietly shrinking the total. BenchJsonSpec.
+    */
+  def renderJson(mins: Seq[(String, Double)], spreads: Seq[(String, Double)],
+                 errs: Map[String, Int], sentMin: Double, sentSpread: Double,
+                 passes: Int, attempts: Int, contaminated: Boolean,
+                 sfDir: String): String = {
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
-    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},""" +
-      s""""spread":${jmap(spreads)},"sentinel_sec":${f"$sentMin%.4f"},""" +
-      s""""sentinel_spread":${f"$sentSpread%.4f"},"passes":$PASSES,""" +
-      s""""attempts":$attempt,"contaminated":$contaminated,"sf":"$sfDir"}""")
-    spark.stop()
+    val clean = mins.filterNot { case (n, _) => errs.contains(n) }
+    val total = if (clean.nonEmpty) clean.map(_._2).sum else 0.0
+    val errJson = errs.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(clean)},""" +
+    s""""spread":${jmap(spreads)},"errors":$errJson,""" +
+    s""""err_count":${errs.values.sum},"sentinel_sec":${f"$sentMin%.4f"},""" +
+    s""""sentinel_spread":${f"$sentSpread%.4f"},"passes":$passes,""" +
+    s""""attempts":$attempts,"contaminated":$contaminated,"sf":"$sfDir"}"""
   }
 }

@@ -16,20 +16,31 @@ import graft.ops.{Decontaminate, Dedup, PortableHash, Sampling, Sequencing, Simi
 object PipelineQueries {
   private val P = PortableHash.P
 
-  /** Temp warehouse registered for recursive delete at JVM exit — Bench's
+  /** Temp warehouses registered for recursive delete at JVM exit — Bench's
     * interleaved passes and every correctness run must not leak
     * `graft-annix` dirs (the rows are read lazily after the query builder
-    * returns, so cleanup can't happen any earlier than exit).
+    * returns, so cleanup can't happen any earlier than exit). ONE shutdown
+    * hook drains the list: the lifecycle rows create a fresh warehouse per
+    * invocation, so a 3-attempt × 3-pass bench would otherwise register
+    * dozens of hooks.
     */
-  private def tempWarehouse(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-annix")
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+      tempDirs.forEach { dir =>
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
     }))
+
+  private def tempWarehouse(): String = {
+    cleanupHook
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix")
+    tempDirs.add(dir)
     dir.toString
   }
 

@@ -1400,8 +1400,15 @@ object Similarity {
                  coarse: Option[Array[Array[Long]]] = None): Long = {
     val spark = corpus.sparkSession
     val subDim = dim / m
+    // rebuild supersede, scoped to the INDEX keyspace (v/ codes, c/
+    // centroids, b/ codebook): a warehouse can hold other data alongside
+    // the index without a rebuild logically deleting it — an unbounded
+    // range delete here would wipe everything at the next compaction
     if (db.snapshot().manifest.dataTxids.nonEmpty)
-      graft.store.TxWriter.delete(db, t0 = Long.MinValue, t1 = Long.MaxValue)
+      Seq("v/%", "c/%", "b/%").foreach { w =>
+        graft.store.TxWriter.delete(db, t0 = Long.MinValue,
+          t1 = Long.MaxValue, wildcard = w)
+      }
     val cents = coarse.getOrElse(
       corpus.orderBy(col(idCol)).limit(nCells)
         .select(veci(col(embCol)).as("cv")).collect()
@@ -1444,12 +1451,25 @@ object Similarity {
   /** Train-artifact cache for probe-many steady state: keyed by
     * (warehouse, manifest version, m), so an append or rebuild — which
     * always advances the manifest — naturally invalidates. Entries are a
-    * few thousand longs; the map stays tiny (one live version per
-    * warehouse, dead versions are never re-requested).
+    * few thousand longs, and [[readIndexMeta]] evicts the dead versions
+    * of a (warehouse, m) on every insert — a streaming ingest appends
+    * once per micro-batch, each advancing the manifest, so without
+    * eviction the stale entries would accumulate for the driver's life.
     */
   private val indexMetaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Int),
     (Array[Array[Long]], Array[Array[(Array[Long], Long)]])]()
+
+  /** Cached manifest versions for a warehouse — observable eviction
+    * behavior for IndexMetaCacheSpec; after any probe at version v, no
+    * version < v remains cached for that (warehouse, m).
+    */
+  private[ops] def cachedIndexMetaVersions(warehouse: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    indexMetaCache.keySet.asScala.collect {
+      case (w, v, _) if w == warehouse => v
+    }.toSeq.sorted
+  }
 
   /** Reads a [[buildIndex]] warehouse's reserved-cell train artifacts:
     * coarse centroids (ordered by cell id) and the per-subspace codebook
@@ -1460,9 +1480,9 @@ object Similarity {
     */
   private def readIndexMeta(db: graft.store.Db,
                             snap: graft.store.Db#Snapshot, m: Int)
-      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]]) =
-    indexMetaCache.computeIfAbsent(
-      (db.warehouse, snap.manifest.version, m), _ => {
+      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]]) = {
+    val key = (db.warehouse, snap.manifest.version, m)
+    val out = indexMetaCache.computeIfAbsent(key, _ => {
         val cents = snap.readInstants(Seq(CELL_CENTROIDS), ordered = false)
           .select(col("nn_id"), col("codes")).collect()
           .sortBy(_.getLong(0))
@@ -1480,6 +1500,12 @@ object Similarity {
         }
         (cents, cb)
       })
+    // keep-latest: a concurrent probe of an older snapshot at worst
+    // recomputes its (bounded) collects after this sweep
+    indexMetaCache.keySet.removeIf(k =>
+      k._1 == key._1 && k._3 == key._3 && k._2 < key._2)
+    out
+  }
 
   /** FAISS-style `add`: encode NEW vectors with the index's EXISTING
     * centroids and codebook (two reserved-cell reads) and append them as

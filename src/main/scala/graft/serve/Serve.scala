@@ -33,12 +33,12 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000) {
   /** (manifest version, snapshot, loadedAt nanos). */
   private val cachedSnap = new java.util.concurrent.atomic.AtomicReference[
     (Long, Db#Snapshot, Long)]()
-  @volatile private var loads = 0L
+  private val loads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Snapshot (re)builds since start — observable cache behavior for
     * ServeSpec: two GETs within the TTL load once; a commit loads again.
     */
-  def snapshotLoads: Long = loads
+  def snapshotLoads: Long = loads.get()
 
   private def snapshot(): Db#Snapshot = {
     val now = System.nanoTime()
@@ -47,8 +47,17 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000) {
         Manifest.currentVersion(db.warehouse) == cur._1)
       return cur._2
     val snap = db.snapshot()
-    loads += 1
-    cachedSnap.set((snap.manifest.version, snap, now))
+    loads.incrementAndGet()
+    // two concurrent misses race on the install; CAS so an older snapshot
+    // never overwrites a newer one (versions are monotone — the probe
+    // would self-heal next GET, but the miscount wouldn't)
+    var installed = false
+    while (!installed) {
+      val prev = cachedSnap.get()
+      if (prev != null && prev._1 > snap.manifest.version) installed = true
+      else installed =
+        cachedSnap.compareAndSet(prev, (snap.manifest.version, snap, now))
+    }
     snap
   }
 

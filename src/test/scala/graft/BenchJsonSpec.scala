@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's error accounting: a query that throws is excluded
+  * from the total and surfaces under `errors` with its failure count —
+  * the JSON line can't silently shrink when a query breaks.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val mins = Seq("q_ok" -> 1.5, "q_broken" -> 0.01, "q_ok2" -> 2.0)
+  private val spreads = Seq("q_ok" -> 1.1, "q_broken" -> 1.0, "q_ok2" -> 1.2)
+
+  test("clean run: no errors key noise, total sums all queries") {
+    val j = Bench.renderJson(mins, spreads, Map.empty, 0.1, 1.05, 3, 1,
+      contaminated = false, "/tmp/sf")
+    assert(j.contains(""""err_count":0"""))
+    assert(j.contains(""""errors":{}"""))
+    assert(j.contains(""""value":3.51"""))
+    assert(j.contains(""""q_broken":0.0100"""))
+  }
+
+  test("a broken query poisons the line visibly and leaves the total") {
+    val j = Bench.renderJson(mins, spreads,
+      Map("q_broken" -> 3), 0.1, 1.05, 3, 1, contaminated = false, "/tmp/sf")
+    assert(j.contains(""""errors":{"q_broken":3}"""))
+    assert(j.contains(""""err_count":3"""))
+    // excluded from both the total and the per-query times
+    assert(j.contains(""""value":3.5,"""))
+    assert(!j.contains(""""q_broken":0.0100"""))
+  }
+}
