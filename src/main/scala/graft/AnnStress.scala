@@ -20,7 +20,9 @@ import graft.ops.{Sampling, Similarity}
 object AnnStress {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
-    val nCells = 256
+    // arg 2: cell count — 256 default; 4096 is the realistic-at-100TB
+    // setting (probe must stay partition-pruned with no planning cliff)
+    val nCells = args.lift(1).map(_.toInt).getOrElse(256)
     val spark = Graft.localSession(
       Runtime.getRuntime.availableProcessors().min(32), 32)
     spark.sparkContext.setLogLevel("ERROR")

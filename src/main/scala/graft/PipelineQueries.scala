@@ -62,6 +62,30 @@ object PipelineQueries {
     graft.store.Db(s, wh)
   }
 
+  /** The append-side steady-state twin of [[annIndexFor]]: an index
+    * trained+built on the even half with the odd half already appended
+    * (both outside any query's timing, after the first invocation), so
+    * `ann_ivf_pq_append_only` measures ONLY what a steady-state ingest
+    * pays — encode one arriving batch with the persisted quantizer, one
+    * tx commit, probe.
+    */
+  private val annAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annAppendIndexFor(s: SparkSession, d: String): graft.store.Db = {
+    val wh = annAppendIndexCache.computeIfAbsent(d, _ => {
+      val w = tempWarehouse()
+      val db = graft.store.Db(s, w)
+      val emb = Graft.embeddings(s, d)
+      Similarity.buildIndex(db, emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding")
+      Similarity.appendToIndex(db, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      w
+    })
+    graft.store.Db(s, wh)
+  }
+
   // int-ish outputs are cast to long on the Spark side: DuckDB counts are
   // BIGINT and the driver's hash compare is dtype-sensitive.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,6 +358,54 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // the steady-state APPEND number the incremental design exists for:
+    // the index (trained on the even half, odd half already appended) is
+    // session-cached outside this query's timing — each invocation pays
+    // only one small-batch encode-and-commit with the PERSISTED quantizer
+    // (idempotent by last-wins: an unchanged vector re-encodes to the
+    // same cell) plus the probe that proves the batch is searchable
+    "ann_ivf_pq_append_only" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      val db = annAppendIndexFor(s, d)
+      Similarity.appendToIndex(db,
+        emb.filter(col("vec_id") % 2 === 1 && col("vec_id") % 17 === 0),
+        "vec_id", "embedding")
+      Similarity.ivfPqProbePersisted(db, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // the offline-k-means persisted index (SCALE.md's real-scale default):
+    // buildIndex persists Lloyd-trained COARSE centroids — the probe is
+    // quantizer-agnostic, so the only change vs ann_ivf_pq_persisted is
+    // what cell structure the warehouse carries
+    "ann_ivf_trained_persisted" -> { (s, d) =>
+      import graft.store.Db
+      val db = Db(s, tempWarehouse())
+      val emb = Graft.embeddings(s, d)
+      val cents = Similarity.collectKmeansCentroids(emb, "vec_id",
+        "embedding", 16, 2)
+      Similarity.buildIndex(db, emb, "vec_id", "embedding",
+        coarse = Some(cents))
+      Similarity.ivfPqProbePersisted(db, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    // SemDeDup over TRAINED clusters (the paper's setting — balanced
+    // k-means cells, ~100k of them at corpus scale, keep the within-cell
+    // quadratic pair space bounded): same plan as dedup_semantic, only
+    // the centroids the broadcast quantizer carries change
+    "dedup_semantic_trained" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      val cents = Similarity.collectKmeansCentroids(emb, "vec_id",
+        "embedding", 16, 2)
+      Similarity.semDedupKeepset(emb, "vec_id", "embedding", 16, 0.35,
+          Some(cents))
+        .orderBy("vec_id")
+    },
     // recall@10 of every ANN variant against the exact kNN, with a 0/1
     // per-variant floor — the quality gate that keeps "approximate" honest
     "ann_recall" -> { (s, d) =>
@@ -473,8 +545,23 @@ object PipelineQueries {
     // measured 1.0 at sf0.01 — 8-bit scalar quantization barely perturbs
     // the ordering; anything under 0.9 is a real quality break
     ("sq8", 0.9, (c, q) =>
-      Similarity.sq8Knn(c, q, "vec_id", "embedding", 10))
+      Similarity.sq8Knn(c, q, "vec_id", "embedding", 10)),
+    // IVF+PQ with a Lloyd-trained COARSE quantizer (what
+    // ann_ivf_trained_persisted stores) — the floor sits ABOVE ivf_probe's
+    // first-N 0.5: balanced cells are the point of training the coarse
+    // quantizer, and losing that edge is a real regression
+    ("ivf_pq_coarse_trained", IVF_PQ_COARSE_FLOOR, (c, q) =>
+      Similarity.ivfPqKnnWith(c, q, "vec_id", "embedding", 10,
+        Similarity.pqTrainedCodebook(c, "vec_id", "embedding", iters = 2),
+        coarse = Some(Similarity.collectKmeansCentroids(c, "vec_id",
+          "embedding", 16, 2))))
   )
+
+  /** Recall@10 floor for the trained-coarse IVF+PQ variant (measured
+    * 0.56 at sf0.01; pinned just under, above the first-N `ivf_probe`
+    * 0.5 floor — see [[recallVariants]]).
+    */
+  private val IVF_PQ_COARSE_FLOOR = 0.55
 
   /** Pair-recall floor for LSH-bucketed embedding near-dup vs the exact
     * all-pairs sweep (measured 0.026 at sf0.01 — same-bucket-only pairing
@@ -556,6 +643,8 @@ object PipelineQueries {
     case "pq_adc" => Similarity.sqlPqAdc(10, "vec_id < 5")
     case "pq_trained" => Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2)
     case "sq8" => Similarity.sqlSq8(10, "vec_id < 5")
+    case "ivf_pq_coarse_trained" =>
+      Similarity.sqlIvfPqTrained(10, "vec_id < 5", coarseIters = 2)
   }
 
   /** (query_id, nn_id) projections of the LSH-bucketed vs exact all-pairs
@@ -677,6 +766,15 @@ object PipelineQueries {
     "ann_ivf_pq_batch" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
     "ann_ivf_pq_append" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
       trainPred = "vec_id % 2 = 0"),
+    // same value as the full lifecycle row: the cached index holds the
+    // identical train artifacts, and the per-invocation batch re-append
+    // is idempotent under last-wins
+    "ann_ivf_pq_append_only" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
+      trainPred = "vec_id % 2 = 0"),
+    "ann_ivf_trained_persisted" -> Similarity.sqlIvfPqTrained(10,
+      "vec_id < 5", coarseIters = 2),
+    "dedup_semantic_trained" -> Similarity.sqlSemDedup(16, 0.35,
+      coarseIters = 2),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),
     "ann_recall" ->
       ((recallVariants.map { case (name, thr, _) =>

@@ -45,6 +45,37 @@ object ServeLatency {
       get(f"/k${(math.random() * 99999).toInt + 1}%07d")
     }
     println(s"SERVE snapshot loads: ${srv.snapshotLoads}")
+    // concurrent amortization: N client threads × sequential varying-key
+    // GETs against the 4-worker pool — the claim under test is that the
+    // Spark job-launch floor amortizes across concurrent requests (many
+    // point-lookup jobs in flight share the scheduler), so per-request
+    // p50 at 8 clients should sit well under 8× the serial latency and
+    // aggregate QPS should rise with concurrency
+    for (clients <- Seq(1, 2, 4, 8)) {
+      val perClient = 25
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val rnd = new java.util.concurrent.atomic.AtomicLong(12345)
+      val t0 = System.nanoTime()
+      val threads = (1 to clients).map { _ =>
+        val th = new Thread(() =>
+          (1 to perClient).foreach { _ =>
+            val k = (rnd.incrementAndGet() * 2654435761L % 99999).abs + 1
+            val r0 = System.nanoTime()
+            get(f"/k$k%07d")
+            lat.add(System.nanoTime() - r0)
+          })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val sorted = lat.asScala.toArray.sorted
+      def pct(p: Double) = sorted((p * (sorted.length - 1)).toInt) / 1e6
+      println(f"SERVE concurrent c=$clients%2d n=${sorted.length}%4d " +
+        f"p50=${pct(0.50)}%7.1f ms p99=${pct(0.99)}%7.1f ms " +
+        f"qps=${sorted.length / wall}%6.1f " +
+        f"amortized=${wall * 1000 / sorted.length}%6.1f ms/lookup")
+    }
     srv.stop()
     spark.stop()
   }

@@ -486,6 +486,17 @@ object Similarity {
             org.apache.spark.sql.types.LongType)))))
   }
 
+  /** [[kmeansCodebook]] collected to plan-time centroid arrays in
+    * cell-id order — the shape [[buildIndex]] / [[semDedupKeepset]] /
+    * [[ivfPqKnnWith]] accept as `coarse`. Bounded collect: k rows.
+    */
+  def collectKmeansCentroids(vectors: DataFrame, idCol: String,
+                             embCol: String, k: Int,
+                             iters: Int): Array[Array[Long]] =
+    kmeansCodebook(vectors, idCol, embCol, k, iters)
+      .orderBy("centroid_id").select("v").collect()
+      .map(_.getSeq[Long](0).toArray)
+
   /** DuckDB oracle for [[ivfKnnTrained]]: the Lloyd loop is deterministic
     * (init = first k vectors by id; assign by exact integer-dot cosine
     * rounded to 9 places, ties to the lower centroid id; recompute =
@@ -548,6 +559,50 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The coarse-quantizer Lloyd rounds as a CTE chain `kb0 … kb<iters>`
+    * (columns `centroid_id, cv`) over a `(id-ish, v)` source relation —
+    * [[sqlIvfTrained]]'s unrolled loop with `k`-prefixed CTE names so it
+    * composes with [[sqlPqTrainCtes]] (whose `a/e/m/cb` names it would
+    * otherwise collide with) in one query. Mirrors [[kmeansCodebook]]
+    * exactly: init = first nCells by id, guarded-cosine argmax assign
+    * (round 9, ties to the lower centroid id), elementwise floor-mean
+    * recompute on the integer grid, empty cells keep their centroid.
+    */
+  private def sqlCoarseLloydCtes(nCells: Int, iters: Int, srcRel: String,
+                                 idExpr: String = "vec_id"): String = {
+    val cosAssign = sqlCosineGuardedParts(
+      sqlDotInt("kvn.v", "kc.cv"), "kvn.n2", "kc.cn")
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"kb${it - 1}"
+      s"""kc$it AS (SELECT centroid_id, cv,
+         |       ${sqlDotInt("cv", "cv")} AS cn FROM $prev),
+         |ka$it AS (
+         |  SELECT id, v, centroid_id FROM (
+         |    SELECT kvn.id, kvn.v, kc.centroid_id,
+         |           row_number() OVER (PARTITION BY kvn.id
+         |             ORDER BY round($cosAssign, 9) DESC,
+         |                      kc.centroid_id) AS rn
+         |    FROM kvn CROSS JOIN kc$it kc)
+         |  WHERE rn = 1),
+         |ke$it AS (SELECT centroid_id, unnest(range(len(v))) AS i,
+         |         unnest(v) AS x FROM ka$it),
+         |km$it AS (SELECT centroid_id, list(mv ORDER BY i) AS cv FROM (
+         |    SELECT centroid_id, i,
+         |           CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+         |    FROM ke$it GROUP BY centroid_id, i)
+         |  GROUP BY centroid_id),
+         |kb$it AS (SELECT p.centroid_id, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN km$it m USING (centroid_id))""".stripMargin
+    }.mkString(",\n")
+    s"""kvn AS (SELECT $idExpr AS id, v, ${sqlDotInt("v", "v")} AS n2
+       |        FROM $srcRel),
+       |kb0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+       |           AS centroid_id, v AS cv
+       |  FROM (SELECT id, v FROM kvn ORDER BY id LIMIT $nCells)),
+       |$iterCtes""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs within a bucket column (e.g. label):
     * cosine ≥ threshold, ids ordered. Norms precomputed per vector.
     */
@@ -605,11 +660,19 @@ object Similarity {
     * Returns the SURVIVING rows as (idCol, cell, c2c) where `c2c` is the
     * (rounded, guarded) cosine to the assigned centroid.
     */
+  /** @param coarse explicit cluster centroids (e.g. collected from
+    *        [[kmeansCodebook]] — the paper runs ~100k k-means clusters at
+    *        corpus scale, where the within-cell quadratic pair space makes
+    *        balanced cells the whole ballgame) — defaults to the
+    *        deterministic first-nCells quantizer.
+    */
   def semDedupKeepset(df: DataFrame, idCol: String, embCol: String,
-                      nCells: Int = 16, tau: Double = 0.35): DataFrame = {
-    val cents = df.orderBy(col(idCol)).limit(nCells)
-      .select(veci(col(embCol)).as("cv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+                      nCells: Int = 16, tau: Double = 0.35,
+                      coarse: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = coarse.getOrElse(
+      df.orderBy(col(idCol)).limit(nCells)
+        .select(veci(col(embCol)).as("cv")).collect()
+        .map(_.getSeq[Long](0).toArray))
     val pre = df
       .select(col(idCol).as("id"), ivfCellCoss(veci(col(embCol)), cents).as("coss"))
       .select(col("id"),
@@ -634,16 +697,25 @@ object Similarity {
     * the farthest-from-centroid keep rule via `rn = 1` over
     * `(c2c, id)` — the total order `min_by(struct(c2c, id))` uses.
     */
-  def sqlSemDedup(nCells: Int, tau: Double): String = {
+  def sqlSemDedup(nCells: Int, tau: Double, coarseIters: Int = 0): String = {
     val guarded = sqlCosineGuardedParts(
       sqlDotInt("vn.v", "cc.cv"), "vn.n2", "cc.cn")
+    // coarseIters > 0 swaps the first-N quantizer for the unrolled Lloyd
+    // chain — the trained-cluster setting the SemDeDup paper uses
+    val ccCtes =
+      if (coarseIters <= 0)
+        s"""cc AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
+           |         v AS cv, ${sqlDotInt("v", "v")} AS cn
+           |  FROM (SELECT id, v FROM v0 ORDER BY id LIMIT $nCells)),""".stripMargin
+      else
+        s"""${sqlCoarseLloydCtes(nCells, coarseIters, "v0", "id")},
+           |cc AS (SELECT centroid_id AS cid, cv,
+           |       ${sqlDotInt("cv", "cv")} AS cn FROM kb$coarseIters),""".stripMargin
     s"""WITH RECURSIVE v0 AS (
        |  SELECT vec_id AS id, ${sqlVeci("embedding")} AS v FROM embeddings),
        |vn AS (SELECT id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
-       |cc AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid,
-       |         v AS cv, ${sqlDotInt("v", "v")} AS cn
-       |  FROM (SELECT id, v FROM v0 ORDER BY id LIMIT $nCells)),
+       |$ccCtes
        |asg AS (
        |  SELECT id, cell, c2c FROM (
        |    SELECT vn.id, cc.cid AS cell, round($guarded, 9) AS c2c,
@@ -934,12 +1006,14 @@ object Similarity {
   def ivfPqKnnWith(corpus: DataFrame, queries: DataFrame, idCol: String,
                    embCol: String, topK: Int,
                    cb: Array[Array[(Array[Long], Long)]], nCells: Int = 16,
-                   m: Int = PQ_M, dim: Int = 64): DataFrame = {
+                   m: Int = PQ_M, dim: Int = 64,
+                   coarse: Option[Array[Array[Long]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
-    val cents = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(veci(col(embCol)).as("cv")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    val cents = coarse.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(veci(col(embCol)).as("cv")).collect()
+        .map(_.getSeq[Long](0).toArray))
     val codes = corpus
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .select(col("nn_id"), ivfCellLit(col("v"), cents).as("cell"),
@@ -1283,7 +1357,7 @@ object Similarity {
   def sqlIvfPqTrained(topK: Int, queryPred: String, iters: Int = 2,
                       nCells: Int = 16, m: Int = PQ_M, k: Int = PQ_K,
                       dim: Int = 64, trainPred: String = "TRUE",
-                      nProbe: Int = 1): String = {
+                      nProbe: Int = 1, coarseIters: Int = 0): String = {
     val s = dim / m
     def l2(a: String, b: String, bn: String) =
       s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
@@ -1293,14 +1367,24 @@ object Similarity {
     // subset only — the appendToIndex oracle trains on the initial build's
     // corpus while encoding/searching ALL vectors
     val iterCtes = sqlPqTrainCtes(iters, s, subRel = "subt")
+    // coarseIters > 0: the coarse quantizer is the unrolled Lloyd chain
+    // over the train subset ([[kmeansCodebook]]) instead of first-N —
+    // the offline-trained path buildIndex's `coarse` parameter persists
+    val ccCtes =
+      if (coarseIters <= 0)
+        s"""cc AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
+           |  FROM (SELECT vec_id, v FROM vt ORDER BY vec_id LIMIT $nCells)),""".stripMargin
+      else
+        s"""${sqlCoarseLloydCtes(nCells, coarseIters, "vt")},
+           |cc AS (SELECT centroid_id AS cid, cv,
+           |       ${sqlDotInt("cv", "cv")} AS cn FROM kb$coarseIters),""".stripMargin
     s"""WITH v0 AS (
        |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
        |vt AS (SELECT vec_id, v FROM v0 WHERE $trainPred),
        |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
-       |cc AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-       |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
-       |  FROM (SELECT vec_id, v FROM vt ORDER BY vec_id LIMIT $nCells)),
+       |$ccCtes
        |cellr AS (
        |  SELECT vn.vec_id, cc.cid AS cell,
        |         row_number() OVER (PARTITION BY vn.vec_id

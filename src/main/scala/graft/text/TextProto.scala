@@ -195,6 +195,7 @@ object TextProto {
     var hasDayOfYear = false
     var hasEpoch = false
     var hasAmPm = false
+    var hasWeek = false
     val ampmLower = new java.util.HashMap[java.lang.Long, String]()
     ampmLower.put(0L, "am"); ampmLower.put(1L, "pm")
     // numeric token with a chrono padding modifier: default zero-padding
@@ -228,11 +229,13 @@ object TextProto {
         b.appendText(DAY_OF_WEEK, TextStyle.FULL)
       case 'u' => num(DAY_OF_WEEK, 1, mod) // ISO weekday, Monday = 1
       case 'w' => num(WeekdaySun0, 1, mod) // Sunday = 0
-      case 'U' => num(weekSun, 2, mod)
-      case 'W' => num(weekMon, 2, mod)
-      case 'G' => num(IsoFields.WEEK_BASED_YEAR, 4, mod)
-      case 'g' => b.appendValueReduced(IsoFields.WEEK_BASED_YEAR, 2, 2, 1969)
-      case 'V' => num(IsoFields.WEEK_OF_WEEK_BASED_YEAR, 2, mod)
+      case 'U' => num(weekSun, 2, mod); hasWeek = true
+      case 'W' => num(weekMon, 2, mod); hasWeek = true
+      case 'G' => num(IsoFields.WEEK_BASED_YEAR, 4, mod); hasWeek = true
+      case 'g' =>
+        b.appendValueReduced(IsoFields.WEEK_BASED_YEAR, 2, 2, 1969)
+        hasWeek = true
+      case 'V' => num(IsoFields.WEEK_OF_WEEK_BASED_YEAR, 2, mod); hasWeek = true
       case 'H' => num(HOUR_OF_DAY, 2, mod)
       case 'k' => num(HOUR_OF_DAY, 2, mod, defPad = ' ')
       case 'I' => num(CLOCK_HOUR_OF_AMPM, 2, mod); hasAmPm = true
@@ -316,14 +319,17 @@ object TextProto {
         }
       } else { b.appendLiteral(c); i += 1 }
     }
-    // month/day defaults conflict with a parsed day-of-year (the resolver
-    // cross-checks the derived date against DAY_OF_YEAR), so only default
-    // them for layouts without %j; an epoch layout (%s) carries the whole
-    // datetime in one field, so defaulting date/time fields there would
-    // only invite resolver conflicts; a 12-hour layout (%I %p) resolves
-    // HOUR_OF_DAY itself, and a pre-seeded 0 would collide with it
+    // month/day defaults conflict with a parsed day-of-year or week
+    // number (the resolver derives the date from %j / year+week+weekday
+    // and cross-checks it against every other date field, so an injected
+    // Jan 1 would reject 51 weeks of the year — chrono resolves these
+    // layouts fine), so only default them for layouts with neither; an
+    // epoch layout (%s) carries the whole datetime in one field, so
+    // defaulting date/time fields there would only invite resolver
+    // conflicts; a 12-hour layout (%I %p) resolves HOUR_OF_DAY itself,
+    // and a pre-seeded 0 would collide with it
     if (!hasEpoch) {
-      if (!hasDayOfYear)
+      if (!hasDayOfYear && !hasWeek)
         b.parseDefaulting(MONTH_OF_YEAR, 1).parseDefaulting(DAY_OF_MONTH, 1)
       if (!hasAmPm) b.parseDefaulting(HOUR_OF_DAY, 0)
       b.parseDefaulting(MINUTE_OF_HOUR, 0)

@@ -40,4 +40,29 @@ class SemDedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("explicit coarse: zero-iteration k-means equals the first-N default") {
+    // kmeansCodebook with iters=0 IS the first-nCells-by-id init, so the
+    // coarse parameter with it must reproduce the default path exactly
+    val cents = Similarity.collectKmeansCentroids(corpus, "vec_id",
+      "embedding", 2, 0)
+    def rows(coarse: Option[Array[Array[Long]]]) =
+      Similarity.semDedupKeepset(corpus, "vec_id", "embedding", 2, 0.97,
+          coarse)
+        .orderBy("vec_id").as[(Long, Long, Double)].collect().toSeq
+    assert(rows(Some(cents)) == rows(None))
+  }
+
+  test("trained coarse centroids: dedup still collapses the cluster") {
+    // 2 Lloyd rounds move the centroids to the cluster means; the {0,2,3}
+    // near-dup group still shares a cell, so exactly one member survives,
+    // and the two singletons (1, 4) always survive
+    val cents = Similarity.collectKmeansCentroids(corpus, "vec_id",
+      "embedding", 2, 2)
+    val kept = Similarity.semDedupKeepset(corpus, "vec_id", "embedding", 2,
+        0.97, Some(cents))
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(0L, 2L, 3L)).size == 1, s"keep-set: $kept")
+    assert(kept.contains(1L) && kept.contains(4L), s"keep-set: $kept")
+  }
 }
