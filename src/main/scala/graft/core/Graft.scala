@@ -23,6 +23,19 @@ object Graft {
     // stats-only aggs (tx bounds at publish) answer from parquet footers
     // where the type supports exact footer min/max
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // FileOutputCommitter v2: task commits rename directly into the
+    // destination instead of queueing a sequential driver-side merge at
+    // job commit. On local FS this is a wash (A/B at 1M vecs × 4096
+    // dynamic partitions: within noise — local renames are ~free), but on
+    // a cluster FS v1's job-commit merge serializes thousands of
+    // partition-directory moves on the driver, a documented bottleneck at
+    // exactly the partition counts the index writes. v2's weaker
+    // mid-job-failure visibility is irrelevant here: every engine write
+    // lands in a private claimed `txid=` directory that only becomes
+    // visible via the manifest CAS publish (TxWriter), and
+    // partially-written unclaimed dirs are vacuumed.
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     // LIKE-prefix → key-range rewrite (sargable wildcard scans); runtime
     // injection so driver-created sessions get it without sql.extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LikePrefixRangeRule))
