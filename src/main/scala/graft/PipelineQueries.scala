@@ -412,8 +412,8 @@ object PipelineQueries {
       val emb = Graft.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 10)
-      val annRows = recallVariants.map { case (name, thr, mk) =>
-        Similarity.recallRow(name, mk(emb, q), exact, thr)
+      val annRows = recallVariantFrames(emb, q).map { case (name, thr, df) =>
+        Similarity.recallRow(name, df, exact, thr)
       }
       // pair-recall of LSH-bucketed near-dup detection: its exact set is
       // the full all-pairs sweep (lit(1) bucket = one global bucket —
@@ -522,40 +522,57 @@ object PipelineQueries {
     }
   )
 
-  /** The ANN recall gates: (variant, recall@10 floor, plan builder).
-    * Floors are pinned just under the measured sf0.01 recall of each
-    * variant so a quality regression flips `pass` on the Spark side only
-    * if it flips in DuckDB too — i.e. a REAL recall change, not noise
-    * (the values are deterministic, so any drift is a plan change).
+  /** The ANN recall gates: (variant, recall@10 floor). Floors are pinned
+    * just under the measured sf0.01 recall of each variant so a quality
+    * regression flips `pass` on the Spark side only if it flips in DuckDB
+    * too — i.e. a REAL recall change, not noise (the values are
+    * deterministic, so any drift is a plan change). Plans are built by
+    * [[recallVariantFrames]].
     */
-  private val recallVariants: Seq[(String, Double,
-      (DataFrame, DataFrame) => DataFrame)] = Seq(
-    ("ivf_probe", 0.5, (c, q) =>
-      Similarity.ivfKnnProbe(c, q, "vec_id", "embedding", 10, 16, 2)),
+  private val recallVariants: Seq[(String, Double)] = Seq(
+    "ivf_probe" -> 0.5,
     // measured 0.02 at sf0.01 (single-bucket LSH trades recall for never
     // forming a pair space); the old 0.1 floor sat permanently at pass=0,
     // a gate that can't flip on a regression
-    ("lsh_bucket", 0.01, (c, q) =>
-      Similarity.lshBucketKnn(c, q, "vec_id", "embedding", 10)),
-    ("pq_adc", 0.4, (c, q) =>
-      Similarity.pqAdcKnn(c, q, "vec_id", "embedding", 10)),
-    ("pq_trained", 0.5, (c, q) =>
-      Similarity.pqAdcKnnWith(c, q, "vec_id", "embedding", 10,
-        Similarity.pqTrainedCodebook(c, "vec_id", "embedding", iters = 2))),
+    "lsh_bucket" -> 0.01,
+    "pq_adc" -> 0.4,
+    "pq_trained" -> 0.5,
     // measured 1.0 at sf0.01 — 8-bit scalar quantization barely perturbs
     // the ordering; anything under 0.9 is a real quality break
-    ("sq8", 0.9, (c, q) =>
-      Similarity.sq8Knn(c, q, "vec_id", "embedding", 10)),
+    "sq8" -> 0.9,
     // IVF+PQ with a Lloyd-trained COARSE quantizer (what
     // ann_ivf_trained_persisted stores) — the floor sits ABOVE ivf_probe's
     // first-N 0.5: balanced cells are the point of training the coarse
     // quantizer, and losing that edge is a real regression
-    ("ivf_pq_coarse_trained", IVF_PQ_COARSE_FLOOR, (c, q) =>
-      Similarity.ivfPqKnnWith(c, q, "vec_id", "embedding", 10,
-        Similarity.pqTrainedCodebook(c, "vec_id", "embedding", iters = 2),
-        coarse = Some(Similarity.collectKmeansCentroids(c, "vec_id",
-          "embedding", 16, 2))))
+    "ivf_pq_coarse_trained" -> IVF_PQ_COARSE_FLOOR
   )
+
+  /** One plan per recall variant. The Lloyd-trained artifacts are
+    * driver-local arrays computed ONCE and shared: `pq_trained` and
+    * `ivf_pq_coarse_trained` train the IDENTICAL codebook (same corpus,
+    * same m/k/iters), so training twice inside one invocation was pure
+    * duplicate work — deterministic, so sharing cannot change any value.
+    */
+  private def recallVariantFrames(c: DataFrame, q: DataFrame)
+      : Seq[(String, Double, DataFrame)] = {
+    lazy val cb =
+      Similarity.pqTrainedCodebook(c, "vec_id", "embedding", iters = 2)
+    def frame(name: String): DataFrame = name match {
+      case "ivf_probe" =>
+        Similarity.ivfKnnProbe(c, q, "vec_id", "embedding", 10, 16, 2)
+      case "lsh_bucket" =>
+        Similarity.lshBucketKnn(c, q, "vec_id", "embedding", 10)
+      case "pq_adc" => Similarity.pqAdcKnn(c, q, "vec_id", "embedding", 10)
+      case "pq_trained" =>
+        Similarity.pqAdcKnnWith(c, q, "vec_id", "embedding", 10, cb)
+      case "sq8" => Similarity.sq8Knn(c, q, "vec_id", "embedding", 10)
+      case "ivf_pq_coarse_trained" =>
+        Similarity.ivfPqKnnWith(c, q, "vec_id", "embedding", 10, cb,
+          coarse = Some(Similarity.collectKmeansCentroids(c, "vec_id",
+            "embedding", 16, 2)))
+    }
+    recallVariants.map { case (name, thr) => (name, thr, frame(name)) }
+  }
 
   /** Recall@10 floor for the trained-coarse IVF+PQ variant (measured
     * 0.56 at sf0.01; pinned just under, above the first-N `ivf_probe`
@@ -777,7 +794,7 @@ object PipelineQueries {
       coarseIters = 2),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),
     "ann_recall" ->
-      ((recallVariants.map { case (name, thr, _) =>
+      ((recallVariants.map { case (name, thr) =>
         Similarity.sqlRecallRow(name, sqlRecallVariant(name), sqlKnnExact, thr)
       } :+ Similarity.sqlRecallRow("embedding_lsh", sqlEmbLshPairs,
         sqlEmbExactPairs, EMB_LSH_RECALL_FLOOR))
