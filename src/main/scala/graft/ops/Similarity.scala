@@ -102,6 +102,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** FAISS-style refinement stage (the `IndexRefineFlat` pattern): re-rank
+    * an ANN shortlist with EXACT cosine against the raw vectors and keep
+    * the true top-k. `cand` carries (query_id, nn_id) — typically an
+    * IVF+PQ probe run with shortK > topK — so the quantization error ADC
+    * introduced is corrected exactly where it matters: recall@topK rises
+    * to the shortlist's recall@shortK for the price of |Q|×shortK exact
+    * distances. Plan shape: the shortlist (small by construction) is
+    * BROADCAST against one corpus scan — a map-side hash join, no
+    * shuffle, no per-pair blowup; at warehouse scale the same call works
+    * with the corpus read key-pruned to the candidate ids (the shortlist
+    * is the IN-set). Ties break on nn_id, as everywhere in this family.
+    */
+  def refineTopK(corpus: DataFrame, queries: DataFrame, cand: DataFrame,
+                 idCol: String, embCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"), veci(col(embCol)).as("cv"))
+      .withColumn("cn", dotInt(col("cv"), col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
+    val scored = c
+      .join(broadcast(cand.select(col("query_id"), col("nn_id"))), "nn_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("dot", dotInt(col("qv"), col("cv")))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** DuckDB oracle equal to [[refineTopK]] over any candidate-producing
+    * SQL (adjacent so they cannot drift): `candSql` is a complete query
+    * yielding (query_id, nn_id, …) — e.g. [[sqlIvfPqTrained]] at shortK —
+    * and the re-rank mirrors the exact-cosine scoring of [[sqlKnn]].
+    */
+  def sqlRefine(candSql: String, topK: Int, queryPred: String): String =
+    s"""WITH cand AS ($candSql),
+       |v AS (SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE $queryPred),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nn_id,
+       |         round(${sqlCosine("q.qv", "c.v")}, 9) AS cos
+       |  FROM cand JOIN v c ON c.vec_id = cand.nn_id
+       |  JOIN q ON q.query_id = cand.query_id)
+       |SELECT query_id, nn_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val LSH_PLANES = 8
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
