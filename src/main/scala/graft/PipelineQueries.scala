@@ -463,6 +463,41 @@ object PipelineQueries {
       Sequencing.sourceMix(Graft.documents(s, d), "source", "n_chars")
         .orderBy("source")
     },
+    // ── the capstone composition: corpus → training shards in ONE plan ─
+    // quality/lang-id gate → exact-dedup canon → verified near-dup drop →
+    // decontaminate vs the held-out slice → per-lang token budget →
+    // deterministic bin packing. Every stage is an operator from this
+    // file; chained they stay one Catalyst plan: the gates are map-side
+    // filters over the documents scan, the drop sets are slim DISTINCT-id
+    // relations applied as broadcast anti-joins, and the only wide stages
+    // are the ones the components already own (dedup's bucketed
+    // self-join, the per-stratum budget window, the per-shard packing
+    // window) — no stage adds a shuffle the standalone operator lacks
+    "tp_e2e_pipeline" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langPredict(col("text")).as("lang_pred"))
+      val kept = scored
+        .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+      val canon = kept.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val nearDrop = Dedup.verifiedNearDups(docs, "doc_id", "text", 0.4)
+        .select(col("id2").as("doc_id")).distinct()
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      val contamDrop = Decontaminate.overlaps(docs, bench, "doc_id",
+          "text", "doc_id", "text", n = 3, minOverlap = 3)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .select("doc_id").distinct()
+      val clean = kept.join(canon, "doc_id")
+        .join(nearDrop, Seq("doc_id"), "left_anti")
+        .join(contamDrop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val bud = Sampling.tokenBudget(clean, "lang", "doc_id", "n_tok", 5000L)
+      Sequencing.packBins(bud, "doc_id", "n_tok", 256L, 8)
+        .orderBy("shard", "bin")
+    },
     // exact-substring duplicate spans (Lee et al. 2022): per-document
     // fraction of tokens inside a k-token window shared with another doc
     "tp_dup_spans" -> { (s, d) =>
@@ -810,6 +845,55 @@ object PipelineQueries {
       s"""SELECT shard, bin, n_docs, tokens, fill
          |FROM ${Sequencing.sqlPackBinsFrom("documents", "doc_id",
                   sqlNTokens, 256L, 8)} t
+         |ORDER BY shard, bin""".stripMargin,
+    // the capstone pipeline: each CTE is the oracle of the corresponding
+    // standalone row (clean/verified-dedup/decontaminate/budget/pack),
+    // chained on the kept ids
+    "tp_e2e_pipeline" ->
+      s"""WITH $minhashCtes,
+         |inter AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+         |         len(a.sh) AS sz1, len(b.sh) AS sz2
+         |  FROM (SELECT id1, id2 FROM mpairs) c
+         |  JOIN shing a ON a.doc_id = c.id1
+         |  JOIN shing b ON b.doc_id = c.id2),
+         |neardrop AS (
+         |  SELECT DISTINCT id2 AS doc_id FROM inter
+         |  WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= 0.4),
+         |scored AS (
+         |  SELECT doc_id, lang, text, $sqlQuality AS quality,
+         |         $sqlLangPred AS lang_pred
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |cg AS (
+         |  SELECT doc_id, unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id AS bench_id,
+         |         unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM cg c JOIN bg b USING (g)
+         |    WHERE c.doc_id <> b.bench_id
+         |    GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 3)),
+         |clean AS (
+         |  SELECT k.doc_id, k.lang,
+         |         CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |bud AS (
+         |  SELECT doc_id, lang, n_tok
+         |  FROM ${Sampling.sqlTokenBudgetFrom("clean", "lang", "doc_id",
+                    "n_tok", 5000L)} t)
+         |SELECT shard, bin, n_docs, tokens, fill
+         |FROM ${Sequencing.sqlPackBinsFrom("bud", "doc_id", "n_tok",
+                  256L, 8)} p
          |ORDER BY shard, bin""".stripMargin,
     "tp_source_mix" ->
       s"""SELECT source, n_docs, tokens, weight
