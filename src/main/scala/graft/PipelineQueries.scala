@@ -409,6 +409,21 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // the full FAISS IVFADC: PQ codes quantize the RESIDUAL from the
+    // (Lloyd-trained) coarse centroid instead of the raw vector — same
+    // index bytes, measurably higher recall (the codebook's resolution is
+    // spent on what the coarse quantizer didn't explain). Same plan shape
+    // as ann_ivf_pq: literal projections + one rank-limit window
+    "ann_ivf_pq_residual" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      val cents = Similarity.collectKmeansCentroids(emb, "vec_id",
+        "embedding", 16, 2)
+      Similarity.ivfPqKnnResidual(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, 16, coarse = Some(cents))
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     // SemDeDup over TRAINED clusters (the paper's setting — balanced
     // k-means cells, ~100k of them at corpus scale, keep the within-cell
     // quadratic pair space bounded): same plan as dedup_semantic, only
@@ -595,6 +610,13 @@ object PipelineQueries {
     // first-N 0.5: balanced cells are the point of training the coarse
     // quantizer, and losing that edge is a real regression
     "ivf_pq_coarse_trained" -> IVF_PQ_COARSE_FLOOR,
+    // residual-encoded IVF+PQ (FAISS by_residual): measured 0.54 at
+    // sf0.01 — statistically the same as the raw-encoding 0.56 because
+    // this corpus's recall is cell-coverage/metric-mismatch bound, NOT
+    // quantization bound (ResidualPqSpec pins the 1.67× quantization-
+    // error edge where it is measurable); the floor guards the path
+    // against a broken residual join, not a quantization regression
+    "ivf_pq_residual" -> RESIDUAL_FLOOR,
     // exact re-rank of the IVF+PQ shortlist (FAISS IndexRefineFlat):
     // measured 0.74 at sf0.01 vs the unrefined shortlist's 0.56 —
     // refinement recovers the ADC error inside the shortlist (the
@@ -632,6 +654,9 @@ object PipelineQueries {
           Similarity.ivfPqKnnWith(c, q, "vec_id", "embedding",
             REFINE_SHORTK, cb, coarse = Some(coarse)),
           "vec_id", "embedding", 10)
+      case "ivf_pq_residual" =>
+        Similarity.ivfPqKnnResidual(c, q, "vec_id", "embedding", 10, 16,
+          coarse = Some(coarse))
     }
     recallVariants.map { case (name, thr) => (name, thr, frame(name)) }
   }
@@ -641,6 +666,12 @@ object PipelineQueries {
     * 0.5 floor — see [[recallVariants]]).
     */
   private val IVF_PQ_COARSE_FLOOR = 0.55
+
+  /** Recall@10 floor for the residual-encoded IVF+PQ (measured 0.54 at
+    * sf0.01, pinned just under — see the [[recallVariants]] note on what
+    * this floor does and does not guard).
+    */
+  private val RESIDUAL_FLOOR = 0.5
 
   /** Shortlist size the refine stage re-ranks (FAISS's `k_factor × k`:
     * 5× here). Bounded: the re-rank scores |Q|×REFINE_SHORTK exact pairs.
@@ -739,6 +770,8 @@ object PipelineQueries {
       Similarity.sqlRefine(
         Similarity.sqlIvfPqTrained(REFINE_SHORTK, "vec_id < 5",
           coarseIters = 2), 10, "vec_id < 5")
+    case "ivf_pq_residual" =>
+      Similarity.sqlIvfPqResidual(10, "vec_id < 5", coarseIters = 2)
   }
 
   /** (query_id, nn_id) projections of the LSH-bucketed vs exact all-pairs
@@ -921,6 +954,8 @@ object PipelineQueries {
       trainPred = "vec_id % 2 = 0"),
     "ann_ivf_trained_persisted" -> Similarity.sqlIvfPqTrained(10,
       "vec_id < 5", coarseIters = 2),
+    "ann_ivf_pq_residual" -> Similarity.sqlIvfPqResidual(10, "vec_id < 5",
+      coarseIters = 2),
     "dedup_semantic_trained" -> Similarity.sqlSemDedup(16, 0.35,
       coarseIters = 2),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),

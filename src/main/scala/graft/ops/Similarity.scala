@@ -1101,6 +1101,100 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** Residual vector wrt the assigned cell's centroid, as one zero-shuffle
+    * projection over a plan-constant centroid table: `v − cents[cell]`
+    * elementwise. The subtraction is exact long arithmetic on the [[veci]]
+    * grid, so Spark and the SQL oracle cannot drift.
+    */
+  def residualLit(v: Column, cell: Column,
+                  cents: Array[Array[Long]]): Column =
+    zip_with(v,
+      element_at(typedLit(cents.map(_.toSeq).toSeq), (cell + 1).cast("int")),
+      (a, b) => a - b)
+
+  /** IVF+PQ with RESIDUAL encoding — the full FAISS IVFADC
+    * (`by_residual=true`, its default; IndexIVFPQ encodes `x − q1(x)`
+    * rather than `x`): each vector's PQ codes quantize its offset from its
+    * cell's centroid, and the per-subspace codebook is Lloyd-trained on
+    * those residuals. Residuals are centered near zero with far smaller
+    * spread than raw vectors, so the same m×k codebook budget spends its
+    * resolution on the part of the vector the coarse quantizer didn't
+    * already explain — measurably higher recall at identical index bytes
+    * (the `ann_recall` floors pin the edge over the raw-encoding
+    * [[ivfPqKnnWith]]).
+    *
+    * Query side (asymmetric, per FAISS): for each probed cell the query's
+    * LUT is built from `q − cents[cell]` — candidate codes in that cell
+    * are residuals wrt the SAME centroid, so `‖q_res − recon‖₂²`
+    * approximates `‖q − x‖₂²` with the shared centroid term cancelled.
+    * Cost shape is identical to [[ivfPqKnnWith]]: encode is one map-only
+    * scan (cell + residual + codes are all literal projections), scoring
+    * explodes nProbe structs per query and keeps the rank-limit window as
+    * the only exchange. At 100 TB nothing changes vs the raw path — the
+    * persisted layout would carry the same (cell, codes) rows, just
+    * encoded relative to their cell.
+    */
+  def ivfPqKnnResidual(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, topK: Int, nCells: Int = 16,
+                       m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64,
+                       iters: Int = 2, nProbe: Int = 1,
+                       coarse: Option[Array[Array[Long]]] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
+    val cents = coarse.getOrElse(
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(veci(col(embCol)).as("cv")).collect()
+        .map(_.getSeq[Long](0).toArray))
+    // (id, v, cell, rv): assignment + residual as literal projections
+    val pre = corpus
+      .select(col(idCol).as("_vid"), veci(col(embCol)).as("v"))
+      .withColumn("cell", ivfCellLit(col("v"), cents))
+      .withColumn("rv", residualLit(col("v"), col("cell"), cents))
+    // per-subspace Lloyd codebook over the RESIDUALS (init = first-k
+    // residuals by id — the collectCodebook rule on the residual frame)
+    val cb = pqTrainedCodebookPre(pre.select(col("_vid"), col("rv").as("v")),
+      m, k, dim, iters)
+    val codes = pre.select(col("_vid").as("nn_id"), col("cell"),
+      pqCodesLit(col("rv"), cb, subDim).as("codes"))
+    // query cells ranked by the EXACT kernel arithmetic (ivfCellCoss), so
+    // the probed-cell choice cannot drift from the corpus assignment
+    val qrows = queries
+      .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
+      .select(col("query_id"), col("v"), ivfCellCoss(col("v"), cents).as("coss"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    require(qrows.length <= MAX_LITERAL_QUERIES,
+      s"ivfPqKnnResidual embeds per-(query,probe) literal LUTs in the " +
+        s"plan: got ${qrows.length} queries (cap $MAX_LITERAL_QUERIES); " +
+        "use the persisted relational path for distributed query sets")
+    if (qrows.isEmpty)
+      return codes.select(lit(0L).as("query_id"), col("nn_id"),
+        lit(0L).as("adist"), lit(0).as("rank")).limit(0)
+    val perProbe = qrows.flatMap { case (qid, qv, coss) =>
+      val probed = coss.zipWithIndex
+        .sortBy { case (c, i) => (-c, i) }.take(nProbe).map(_._2)
+      probed.map { cellId =>
+        val qres = qv.zip(cents(cellId)).map { case (a, b) => a - b }
+        val adist = graft.functions.AdcDist(col("codes"),
+          typedLit(adcLut(cb, qres, subDim).flatten.toSeq))
+        struct(lit(qid).as("query_id"), lit(cellId.toLong).as("qcell"),
+          adist.as("adist"))
+      }
+    }
+    val scored = codes
+      .select(col("nn_id"), col("cell"), explode(array(perProbe: _*)).as("q"))
+      .filter(col("q.qcell") === col("cell") &&
+        col("q.query_id") =!= col("nn_id"))
+      .select(col("q.query_id").as("query_id"), col("nn_id"),
+        col("q.adist").as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** DuckDB oracle equal to [[ivfPqKnn]] (adjacent so they cannot drift). */
   def sqlIvfPq(topK: Int, queryPred: String, nCells: Int = 16, m: Int = PQ_M,
                k: Int = PQ_K, dim: Int = 64): String = {
@@ -1250,13 +1344,30 @@ object Similarity {
     */
   def pqTrainedCodebook(corpus: DataFrame, idCol: String, embCol: String,
                         m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64,
-                        iters: Int = 2): Array[Array[(Array[Long], Long)]] = {
-    val spark = corpus.sparkSession
+                        iters: Int = 2): Array[Array[(Array[Long], Long)]] =
+    pqTrainedCodebookPre(
+      corpus.select(col(idCol).as("_vid"), veci(col(embCol)).as("v")),
+      m, k, dim, iters)
+
+  /** [[pqTrainedCodebook]] over an ALREADY-integerized `(_vid, v)` frame —
+    * the entry point for training on derived vectors (e.g. the coarse
+    * residuals [[ivfPqKnnResidual]] quantizes). Init = first-k vectors by
+    * `_vid` sub-sliced (the [[collectCodebook]] rule applied to the given
+    * frame); the Lloyd rounds are identical.
+    */
+  def pqTrainedCodebookPre(pre: DataFrame, m: Int = PQ_M, k: Int = PQ_K,
+                           dim: Int = 64, iters: Int = 2)
+      : Array[Array[(Array[Long], Long)]] = {
+    val spark = pre.sparkSession
     val subDim = dim / m
-    var cb: Array[Array[Array[Long]]] =
-      collectCodebook(corpus, idCol, embCol, m, k, dim).map(_.map(_._1))
-    val sub = corpus
-      .select(col(idCol).as("_vid"), veci(col(embCol)).as("v"))
+    var cb: Array[Array[Array[Long]]] = {
+      val vecs = pre.orderBy(col("_vid")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+      (0 until m).map { mm =>
+        vecs.map(_.slice(mm * subDim, (mm + 1) * subDim))
+      }.toArray
+    }
+    val sub = pre
       .select(col("_vid"), posexplode(subVectors(col("v"), m, subDim)))
       .toDF("_vid", "m", "sv")
     for (_ <- 0 until iters) {
@@ -1474,6 +1585,96 @@ object Similarity {
        |  FROM enc JOIN lut USING (m, code)
        |  JOIN cells ce ON ce.vec_id = nn_id
        |  JOIN cellsq cq ON cq.vec_id = query_id AND cq.cell = ce.cell
+       |  WHERE nn_id <> query_id
+       |  GROUP BY query_id, nn_id)
+       |SELECT query_id, nn_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adist, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for the RESIDUAL IVF+PQ ([[ivfPqKnnResidual]] —
+    * adjacent so they cannot drift): [[sqlIvfPqTrained]]'s skeleton with
+    * every vector replaced by its residual `v − cc.cv[cell]` before the
+    * PQ train/encode/LUT stages. The subtraction happens on the integer
+    * grid (exact in both engines); the per-probed-cell query LUT mirrors
+    * the asymmetric FAISS formulation — `lut` carries a `cell` column and
+    * `scored` matches it against the candidate's own cell.
+    */
+  def sqlIvfPqResidual(topK: Int, queryPred: String, iters: Int = 2,
+                       nCells: Int = 16, m: Int = PQ_M, k: Int = PQ_K,
+                       dim: Int = 64, nProbe: Int = 1,
+                       coarseIters: Int = 0): String = {
+    val s = dim / m
+    def l2(a: String, b: String, bn: String) =
+      s"(${sqlDotInt(a, a)} - 2 * ${sqlDotInt(a, b)} + $bn)"
+    val cellCos = sqlCosineGuardedParts(sqlDotInt("vn.v", "cc.cv"),
+      "vn.n2", "cc.cn")
+    val iterCtes = sqlPqTrainCtes(iters, s, subRel = "subt")
+    val ccCtes =
+      if (coarseIters <= 0)
+        s"""cc AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
+           |  FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $nCells)),""".stripMargin
+      else
+        s"""${sqlCoarseLloydCtes(nCells, coarseIters, "v0")},
+           |cc AS (SELECT centroid_id AS cid, cv,
+           |       ${sqlDotInt("cv", "cv")} AS cn FROM kb$coarseIters),""".stripMargin
+    s"""WITH v0 AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
+       |$ccCtes
+       |cellr AS (
+       |  SELECT vn.vec_id, cc.cid AS cell,
+       |         row_number() OVER (PARTITION BY vn.vec_id
+       |           ORDER BY round($cellCos, 9) DESC, cc.cid) AS rn
+       |  FROM vn CROSS JOIN cc),
+       |cells AS (SELECT vec_id, cell FROM cellr WHERE rn = 1),
+       |cellsq AS (SELECT vec_id, cell FROM cellr WHERE rn <= $nProbe),
+       |resid AS (
+       |  SELECT ce.vec_id,
+       |         list_transform(range($dim), i -> vn.v[i+1] - cc.cv[i+1]) AS rv
+       |  FROM cells ce JOIN vn ON vn.vec_id = ce.vec_id
+       |  JOIN cc ON cc.cid = ce.cell),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, rv[m*$s+1 : m*$s+$s] AS sv
+       |  FROM resid CROSS JOIN ms),
+       |subt AS (SELECT vec_id, m, sv FROM sub),
+       |cb0 AS (
+       |  SELECT c, m, rv[m*$s+1 : m*$s+$s] AS cv FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |             AS c, rv
+       |    FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT $k))
+       |  CROSS JOIN ms),
+       |$iterCtes,
+       |cbn AS (SELECT c, m, cv, ${sqlDotInt("cv", "cv")} AS cn
+       |        FROM cb$iters),
+       |enc AS (
+       |  SELECT vec_id AS nn_id, m, c AS code FROM (
+       |    SELECT sub.vec_id, sub.m, cbn.c,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |             ORDER BY ${l2("sv", "cv", "cn")}, cbn.c) AS rn
+       |    FROM sub JOIN cbn ON sub.m = cbn.m)
+       |  WHERE rn = 1),
+       |qres AS (
+       |  SELECT cq.vec_id AS query_id, cq.cell,
+       |         list_transform(range($dim), i -> vn.v[i+1] - cc.cv[i+1]) AS rv
+       |  FROM cellsq cq JOIN vn ON vn.vec_id = cq.vec_id
+       |  JOIN cc ON cc.cid = cq.cell
+       |  WHERE cq.vec_id IN (SELECT vec_id FROM v0 WHERE $queryPred)),
+       |qsub AS (SELECT query_id, cell, m, rv[m*$s+1 : m*$s+$s] AS sv
+       |         FROM qres CROSS JOIN ms),
+       |lut AS (
+       |  SELECT query_id, cell, qsub.m, cbn.c AS code,
+       |         ${l2("sv", "cv", "cn")} AS d
+       |  FROM qsub JOIN cbn ON qsub.m = cbn.m),
+       |scored AS (
+       |  SELECT query_id, nn_id, CAST(sum(d) AS BIGINT) AS adist
+       |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+       |  JOIN cells ce ON ce.vec_id = enc.nn_id AND ce.cell = lut.cell
        |  WHERE nn_id <> query_id
        |  GROUP BY query_id, nn_id)
        |SELECT query_id, nn_id, adist, rank FROM (
