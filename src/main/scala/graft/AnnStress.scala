@@ -74,6 +74,62 @@ object AnnStress {
       Similarity.bruteForceKnn(corpus, queries, "vec_id", "embedding", 10)
         .count()
     }
+
+    // raw vs residual encoding at the same index bytes: recall@10 against
+    // exact kNN, identical coarse quantizer (sample-trained k-means) and
+    // codebook budget — the FAISS by_residual A/B at corpus scale
+    {
+      val sample = Sampling.hashSample(corpus, "vec_id", 0.05)
+      val cents = timed("train coarse k-means (5% sample)") {
+        Similarity.collectKmeansCentroids(sample, "vec_id", "embedding",
+          nCells.min(64), 2)
+      }
+      val resCb = timed("train residual codebook (5% sample)") {
+        Similarity.residualCodebook(sample, "vec_id", "embedding", cents)
+      }
+      val exact = Similarity
+        .bruteForceKnn(corpus, queries, "vec_id", "embedding", 10)
+        .select("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+      for (nProbe <- Seq(1, 2)) {
+        val raw = timed(f"raw IVF+PQ probe, nProbe=$nProbe") {
+          recall(Similarity.ivfPqKnnWith(corpus, queries, "vec_id",
+            "embedding", 10, cb, nCells.min(64), nProbe = nProbe,
+            coarse = Some(cents)))
+        }
+        val res = timed(f"residual IVF+PQ probe, nProbe=$nProbe") {
+          recall(Similarity.ivfPqKnnResidual(corpus, queries, "vec_id",
+            "embedding", 10, nCells.min(64), nProbe = nProbe,
+            coarse = Some(cents), codebook = Some(resCb)))
+        }
+        println(f"ANNSTRESS recall@10 nProbe=$nProbe raw=$raw%.3f residual=$res%.3f")
+      }
+      // the production composition: ADC shortlist (5× k) + exact re-rank.
+      // Dense same-cluster candidates make top-10 ADC ordering tie-bound;
+      // what refine inherits is SHORTLIST quality, where the residual
+      // codes' lower quantization error is the measurable edge
+      for (nProbe <- Seq(1, 2)) {
+        val rawR = timed(f"raw shortlist(50)+refine, nProbe=$nProbe") {
+          recall(Similarity.refineTopK(corpus, queries,
+            Similarity.ivfPqKnnWith(corpus, queries, "vec_id", "embedding",
+              50, cb, nCells.min(64), nProbe = nProbe, coarse = Some(cents)),
+            "vec_id", "embedding", 10))
+        }
+        val resR = timed(f"residual shortlist(50)+refine, nProbe=$nProbe") {
+          recall(Similarity.refineTopK(corpus, queries,
+            Similarity.ivfPqKnnResidual(corpus, queries, "vec_id",
+              "embedding", 50, nCells.min(64), nProbe = nProbe,
+              coarse = Some(cents), codebook = Some(resCb)),
+            "vec_id", "embedding", 10))
+        }
+        println(f"ANNSTRESS refined recall@10 nProbe=$nProbe raw=$rawR%.3f residual=$resR%.3f")
+      }
+    }
     // the batch path: 10k queries as a DataFrame — 10× past the literal
     // path's cap, no literals, no collect
     val batch = gen(spark.range(0, 10000).toDF("id")).localCheckpoint(true)

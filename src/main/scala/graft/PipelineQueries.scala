@@ -424,6 +424,24 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // the persisted twin of ann_ivf_pq_residual (FAISS's on-disk default:
+    // IndexIVFPQ persists by_residual): buildIndex stores the flag row, so
+    // append and every probe encode/score residually without the caller
+    // restating it — ResidualPersistedSpec pins probe == in-memory path
+    "ann_ivf_pq_residual_persisted" -> { (s, d) =>
+      import graft.store.Db
+      val db = Db(s, tempWarehouse())
+      val emb = Graft.embeddings(s, d)
+      val cents = Similarity.collectKmeansCentroids(emb, "vec_id",
+        "embedding", 16, 2)
+      Similarity.buildIndex(db, emb, "vec_id", "embedding",
+        coarse = Some(cents), byResidual = true)
+      Similarity.ivfPqProbePersisted(db, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("nn_id"), col("adist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     // SemDeDup over TRAINED clusters (the paper's setting — balanced
     // k-means cells, ~100k of them at corpus scale, keep the within-cell
     // quadratic pair space bounded): same plan as dedup_semantic, only
@@ -587,6 +605,35 @@ object PipelineQueries {
     }
   )
 
+  /** Recall@10 floor for the trained-coarse IVF+PQ variant (measured
+    * 0.56 at sf0.01; pinned just under, above the first-N `ivf_probe`
+    * 0.5 floor — see [[recallVariants]]).
+    *
+    * These floor constants MUST be declared before [[recallVariants]]:
+    * that is a plain `val`, and a forward reference from its initializer
+    * would silently read 0.0 (the Spark-side `pass` would then use a dead
+    * floor while the DuckDB oracle, built by a `def` after object init,
+    * used the real one).
+    */
+  private val IVF_PQ_COARSE_FLOOR = 0.55
+
+  /** Recall@10 floor for the residual-encoded IVF+PQ (measured 0.54 at
+    * sf0.01, pinned just under — see the [[recallVariants]] note on what
+    * this floor does and does not guard).
+    */
+  private val RESIDUAL_FLOOR = 0.5
+
+  /** Shortlist size the refine stage re-ranks (FAISS's `k_factor × k`:
+    * 5× here). Bounded: the re-rank scores |Q|×REFINE_SHORTK exact pairs.
+    */
+  private val REFINE_SHORTK = 50
+
+  /** Recall@10 floor for the exact-re-ranked IVF+PQ shortlist (measured
+    * 0.74 at sf0.01; pinned just under, well above the unrefined
+    * shortlist's 0.55 floor — see [[recallVariants]]).
+    */
+  private val REFINE_FLOOR = 0.7
+
   /** The ANN recall gates: (variant, recall@10 floor). Floors are pinned
     * just under the measured sf0.01 recall of each variant so a quality
     * regression flips `pass` on the Spark side only if it flips in DuckDB
@@ -660,29 +707,6 @@ object PipelineQueries {
     }
     recallVariants.map { case (name, thr) => (name, thr, frame(name)) }
   }
-
-  /** Recall@10 floor for the trained-coarse IVF+PQ variant (measured
-    * 0.56 at sf0.01; pinned just under, above the first-N `ivf_probe`
-    * 0.5 floor — see [[recallVariants]]).
-    */
-  private val IVF_PQ_COARSE_FLOOR = 0.55
-
-  /** Recall@10 floor for the residual-encoded IVF+PQ (measured 0.54 at
-    * sf0.01, pinned just under — see the [[recallVariants]] note on what
-    * this floor does and does not guard).
-    */
-  private val RESIDUAL_FLOOR = 0.5
-
-  /** Shortlist size the refine stage re-ranks (FAISS's `k_factor × k`:
-    * 5× here). Bounded: the re-rank scores |Q|×REFINE_SHORTK exact pairs.
-    */
-  private val REFINE_SHORTK = 50
-
-  /** Recall@10 floor for the exact-re-ranked IVF+PQ shortlist (measured
-    * 0.74 at sf0.01; pinned just under, well above the unrefined
-    * shortlist's 0.55 floor — see [[recallVariants]]).
-    */
-  private val REFINE_FLOOR = 0.7
 
   /** Pair-recall floor for LSH-bucketed embedding near-dup vs the exact
     * all-pairs sweep (measured 0.026 at sf0.01 — same-bucket-only pairing
@@ -956,6 +980,10 @@ object PipelineQueries {
       "vec_id < 5", coarseIters = 2),
     "ann_ivf_pq_residual" -> Similarity.sqlIvfPqResidual(10, "vec_id < 5",
       coarseIters = 2),
+    // value-identical to the in-memory residual row (same train
+    // artifacts persisted; ResidualPersistedSpec pins the equality)
+    "ann_ivf_pq_residual_persisted" -> Similarity.sqlIvfPqResidual(10,
+      "vec_id < 5", coarseIters = 2),
     "dedup_semantic_trained" -> Similarity.sqlSemDedup(16, 0.35,
       coarseIters = 2),
     "ann_pq_trained" -> Similarity.sqlPqAdcTrained(10, "vec_id < 5", iters = 2),

@@ -1059,7 +1059,8 @@ object Similarity {
                    embCol: String, topK: Int,
                    cb: Array[Array[(Array[Long], Long)]], nCells: Int = 16,
                    m: Int = PQ_M, dim: Int = 64,
-                   coarse: Option[Array[Array[Long]]] = None): DataFrame = {
+                   coarse: Option[Array[Array[Long]]] = None,
+                   nProbe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val cents = coarse.getOrElse(
@@ -1070,12 +1071,19 @@ object Similarity {
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .select(col("nn_id"), ivfCellLit(col("v"), cents).as("cell"),
         pqCodesLit(col("v"), cb, subDim).as("codes"))
-    // query cells via the SAME column expression (identical rounding path)
+    // query cells ranked via the SAME kernel arithmetic the corpus
+    // assignment uses (ivfCellCoss — identical rounding path); top-nProbe
+    // cells each get the one LUT the raw encoding needs
     val qcells = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("v"))
-      .select(col("query_id"), ivfCellLit(col("v"), cents).as("cell"), col("v"))
+      .select(col("query_id"), col("v"), ivfCellCoss(col("v"), cents).as("coss"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .map { r =>
+        val coss = r.getSeq[Double](2).toArray
+        val probed = coss.zipWithIndex
+          .sortBy { case (c, i) => (-c, i) }.take(nProbe).map(_._2)
+        (r.getLong(0), probed, r.getSeq[Long](1).toArray)
+      }
       .sortBy(_._1)
     require(qcells.length <= MAX_LITERAL_QUERIES,
       s"ivfPqKnnWith embeds per-query literal LUTs in the plan: got " +
@@ -1084,11 +1092,13 @@ object Similarity {
     if (qcells.isEmpty)
       return codes.select(lit(0L).as("query_id"), col("nn_id"),
         lit(0L).as("adist"), lit(0).as("rank")).limit(0)
-    val perQuery = qcells.map { case (qid, qcell, qv) =>
+    val perQuery = qcells.flatMap { case (qid, probed, qv) =>
       val adist = graft.functions.AdcDist(col("codes"),
         typedLit(adcLut(cb, qv, subDim).flatten.toSeq))
-      struct(lit(qid).as("query_id"), lit(qcell).as("qcell"),
-        adist.as("adist"))
+      probed.map { cellId =>
+        struct(lit(qid).as("query_id"), lit(cellId.toLong).as("qcell"),
+          adist.as("adist"))
+      }
     }
     val scored = codes
       .select(col("nn_id"), col("cell"), explode(array(perQuery: _*)).as("q"))
@@ -1138,8 +1148,9 @@ object Similarity {
                        embCol: String, topK: Int, nCells: Int = 16,
                        m: Int = PQ_M, k: Int = PQ_K, dim: Int = 64,
                        iters: Int = 2, nProbe: Int = 1,
-                       coarse: Option[Array[Array[Long]]] = None)
-      : DataFrame = {
+                       coarse: Option[Array[Array[Long]]] = None,
+                       codebook: Option[Array[Array[(Array[Long], Long)]]] =
+                         None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val cents = coarse.getOrElse(
@@ -1152,9 +1163,13 @@ object Similarity {
       .withColumn("cell", ivfCellLit(col("v"), cents))
       .withColumn("rv", residualLit(col("v"), col("cell"), cents))
     // per-subspace Lloyd codebook over the RESIDUALS (init = first-k
-    // residuals by id — the collectCodebook rule on the residual frame)
-    val cb = pqTrainedCodebookPre(pre.select(col("_vid"), col("rv").as("v")),
-      m, k, dim, iters)
+    // residuals by id — the collectCodebook rule on the residual frame).
+    // Callers training at corpus scale pass a sample-trained codebook
+    // (see residualCodebook) — training cost must not scale with the
+    // corpus, the AnnStress rule
+    val cb = codebook.getOrElse(
+      pqTrainedCodebookPre(pre.select(col("_vid"), col("rv").as("v")),
+        m, k, dim, iters))
     val codes = pre.select(col("_vid").as("nn_id"), col("cell"),
       pqCodesLit(col("rv"), cb, subDim).as("codes"))
     // query cells ranked by the EXACT kernel arithmetic (ivfCellCoss), so
@@ -1193,6 +1208,24 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  /** Residual-trained PQ codebook over a (typically sampled) frame: assign
+    * cells, subtract centroids, Lloyd-train on what remains — the
+    * artifact [[ivfPqKnnResidual]] takes via `codebook` when training at
+    * corpus scale (train on a hash-sample; cost must not scale with the
+    * corpus).
+    */
+  def residualCodebook(sample: DataFrame, idCol: String, embCol: String,
+                       cents: Array[Array[Long]], m: Int = PQ_M,
+                       k: Int = PQ_K, dim: Int = 64, iters: Int = 2)
+      : Array[Array[(Array[Long], Long)]] = {
+    val pre = sample
+      .select(col(idCol).as("_vid"), veci(col(embCol)).as("v"))
+      .withColumn("cell", ivfCellLit(col("v"), cents))
+      .select(col("_vid"),
+        residualLit(col("v"), col("cell"), cents).as("v"))
+    pqTrainedCodebookPre(pre, m, k, dim, iters)
   }
 
   /** DuckDB oracle equal to [[ivfPqKnn]] (adjacent so they cannot drift). */
@@ -1693,6 +1726,12 @@ object Similarity {
   val CELL_CENTROIDS = -1L
   val CELL_CODEBOOK = -2L
 
+  /** Index-level flags (one row, written only when non-default): `nn_id`
+    * = 1 marks residual encoding ([[buildIndex]] `byResidual`). Absence =
+    * raw encoding, so pre-existing indexes keep their meaning.
+    */
+  val CELL_FLAGS = -3L
+
   /** Persist the IVF+PQ index into a graft warehouse as ONE transaction:
     * every corpus vector becomes a `(cell, codes)` row, plus the coarse
     * centroids (cell −1) and PQ codebook (cell −2) as reserved-cell rows.
@@ -1729,20 +1768,29 @@ object Similarity {
     *        first-nCells quantizer. Probes are agnostic: they read
     *        whatever centroids the warehouse carries.
     */
+  /** @param byResidual FAISS `by_residual`: PQ codes quantize
+    *        `v − cents[cell]` instead of `v` (codebook default switches to
+    *        the residual-trained [[residualCodebook]]); persisted as a
+    *        [[CELL_FLAGS]] row so append and every probe path encode/score
+    *        the same way. Same index bytes, lower quantization error
+    *        (ResidualPqSpec).
+    */
   def buildIndex(db: graft.store.Db, corpus: DataFrame, idCol: String,
                  embCol: String, nCells: Int = 16, m: Int = PQ_M,
                  k: Int = PQ_K, dim: Int = 64,
                  codebook: Option[Array[Array[(Array[Long], Long)]]] = None,
                  trainIters: Int = 2,
-                 coarse: Option[Array[Array[Long]]] = None): Long = {
+                 coarse: Option[Array[Array[Long]]] = None,
+                 byResidual: Boolean = false): Long = {
     val spark = corpus.sparkSession
     val subDim = dim / m
     // rebuild supersede, scoped to the INDEX keyspace (v/ codes, c/
-    // centroids, b/ codebook): a warehouse can hold other data alongside
-    // the index without a rebuild logically deleting it — an unbounded
-    // range delete here would wipe everything at the next compaction
+    // centroids, b/ codebook, f/ flags): a warehouse can hold other data
+    // alongside the index without a rebuild logically deleting it — an
+    // unbounded range delete here would wipe everything at the next
+    // compaction
     if (db.snapshot().manifest.dataTxids.nonEmpty)
-      Seq("v/%", "c/%", "b/%").foreach { w =>
+      Seq("v/%", "c/%", "b/%", "f/%").foreach { w =>
         graft.store.TxWriter.delete(db, t0 = Long.MinValue,
           t1 = Long.MaxValue, wildcard = w)
       }
@@ -1751,14 +1799,20 @@ object Similarity {
         .select(veci(col(embCol)).as("cv")).collect()
         .map(_.getSeq[Long](0).toArray))
     val cb = codebook.getOrElse(
-      pqTrainedCodebook(corpus, idCol, embCol, m, k, dim, trainIters))
-    val codes = corpus
+      if (byResidual)
+        residualCodebook(corpus, idCol, embCol, cents, m, k, dim, trainIters)
+      else pqTrainedCodebook(corpus, idCol, embCol, m, k, dim, trainIters))
+    val withCell = corpus
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
+      .withColumn("cell", ivfCellLit(col("v"), cents))
+    val encV =
+      if (byResidual) residualLit(col("v"), col("cell"), cents) else col("v")
+    val codes = withCell
       .select(
         format_string("v/%012d", col("nn_id")).as("key"),
-        ivfCellLit(col("v"), cents).as("ts"),
+        col("cell").as("ts"),
         col("nn_id"), lit(-1L).as("sub"),
-        pqCodesLit(col("v"), cb, subDim).as("codes"))
+        pqCodesLit(encV, cb, subDim).as("codes"))
     val metaRows =
       cents.zipWithIndex.map { case (cv, i) =>
         org.apache.spark.sql.Row(f"c/$i%012d", CELL_CENTROIDS, i.toLong,
@@ -1766,7 +1820,11 @@ object Similarity {
       } ++
       (for { mm <- cb.indices; c <- cb(mm).indices } yield
         org.apache.spark.sql.Row(f"b/$mm%03d/$c%05d", CELL_CODEBOOK,
-          c.toLong, mm.toLong, cb(mm)(c)._1.toSeq))
+          c.toLong, mm.toLong, cb(mm)(c)._1.toSeq)) ++
+      (if (byResidual)
+        Seq(org.apache.spark.sql.Row("f/encoding", CELL_FLAGS, 1L, -1L,
+          Seq(1L)))
+      else Nil)
     val meta = spark.createDataFrame(
       spark.sparkContext.parallelize(metaRows.toIndexedSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -1795,7 +1853,7 @@ object Similarity {
     */
   private val indexMetaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Int),
-    (Array[Array[Long]], Array[Array[(Array[Long], Long)]])]()
+    (Array[Array[Long]], Array[Array[(Array[Long], Long)]], Boolean)]()
 
   /** Cached manifest versions for a warehouse — observable eviction
     * behavior for IndexMetaCacheSpec; after any probe at version v, no
@@ -1817,7 +1875,7 @@ object Similarity {
     */
   private def readIndexMeta(db: graft.store.Db,
                             snap: graft.store.Db#Snapshot, m: Int)
-      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]]) = {
+      : (Array[Array[Long]], Array[Array[(Array[Long], Long)]], Boolean) = {
     val key = (db.warehouse, snap.manifest.version, m)
     val out = indexMetaCache.computeIfAbsent(key, _ => {
         val cents = snap.readInstants(Seq(CELL_CENTROIDS), ordered = false)
@@ -1835,7 +1893,11 @@ object Similarity {
             }
           }.toArray
         }
-        (cents, cb)
+        // flags row is absent on raw indexes (readInstants of a bucket no
+        // tx carries returns an empty frame)
+        val byResidual = snap.readInstants(Seq(CELL_FLAGS), ordered = false)
+          .select(col("nn_id")).collect().exists(_.getLong(0) == 1L)
+        (cents, cb, byResidual)
       })
     // keep-latest: a concurrent probe of an older snapshot at worst
     // recomputes its (bounded) collects after this sweep
@@ -1861,14 +1923,20 @@ object Similarity {
   def appendToIndex(db: graft.store.Db, vectors: DataFrame, idCol: String,
                     embCol: String, m: Int = PQ_M, dim: Int = 64): Long = {
     val subDim = dim / m
-    val (cents, cb) = readIndexMeta(db, db.snapshot(), m)
-    val codes = vectors
+    val (cents, cb, byResidual) = readIndexMeta(db, db.snapshot(), m)
+    val withCell = vectors
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
+      .withColumn("cell", ivfCellLit(col("v"), cents))
+    // the arriving batch encodes exactly as the build did — the flag row
+    // makes residual-vs-raw a property of the INDEX, not the caller
+    val encV =
+      if (byResidual) residualLit(col("v"), col("cell"), cents) else col("v")
+    val codes = withCell
       .select(
         format_string("v/%012d", col("nn_id")).as("key"),
-        ivfCellLit(col("v"), cents).as("ts"),
+        col("cell").as("ts"),
         col("nn_id"), lit(-1L).as("sub"),
-        pqCodesLit(col("v"), cb, subDim).as("codes"))
+        pqCodesLit(encV, cb, subDim).as("codes"))
     graft.store.TxWriter.write(db, codes, timeBucketNanos = Some(1L),
       bucketMajor = true)
   }
@@ -1893,7 +1961,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
     val snap = db.snapshot()
-    val (cents, cb) = readIndexMeta(db, snap, m)
+    val (cents, cb, byResidual) = readIndexMeta(db, snap, m)
     // cell ranking calls the SAME static kernel the stored assignment ran
     // ([[graft.functions.IvfCell.cosArray]]) on the collected query
     // vectors, so multi-probe selection can't drift from the stored cells
@@ -1939,17 +2007,37 @@ object Similarity {
     val cellToQids: Map[Long, Seq[Long]] = qcells
       .flatMap { case (qid, qcs, _) => qcs.map(c => c -> qid) }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sorted.toSeq }
-    val qidToLut: Map[Long, Seq[Long]] = qcells.map { case (qid, _, qv) =>
-      qid -> adcLut(cb, qv, subDim).flatten.toSeq
-    }.toMap
+    // raw: one LUT per query. Residual: one LUT per (probed cell, query)
+    // — the asymmetric FAISS formulation, `q − cents[cell]` against codes
+    // that are residuals wrt the same centroid. Sizes stay bounded by
+    // |Q| × nProbe × m × k either way.
+    val lutFor: Column => Column =
+      if (!byResidual) {
+        val qidToLut: Map[Long, Seq[Long]] = qcells.map { case (qid, _, qv) =>
+          qid -> adcLut(cb, qv, subDim).flatten.toSeq
+        }.toMap
+        _ => element_at(typedLit(qidToLut), col("query_id"))
+      } else {
+        val cellQidLut: Map[Long, Map[Long, Seq[Long]]] = qcells
+          .flatMap { case (qid, qcs, qv) =>
+            qcs.map { c =>
+              val qres = qv.zip(cents(c.toInt)).map { case (a, b) => a - b }
+              c -> (qid -> adcLut(cb, qres, subDim).flatten.toSeq)
+            }
+          }
+          .groupBy(_._1)
+          .map { case (c, xs) => c -> xs.map(_._2).toMap }
+        cellCol => element_at(element_at(typedLit(cellQidLut), cellCol),
+          col("query_id"))
+      }
     val scored = codes
-      .select(col("nn_id"), col("codes"),
+      .select(col("nn_id"), col("codes"), col("cell"),
         explode(element_at(typedLit(cellToQids), col("cell")))
           .as("query_id"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         graft.functions.AdcDist(col("codes"),
-          element_at(typedLit(qidToLut), col("query_id"))).as("adist"))
+          lutFor(col("cell"))).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
@@ -1981,7 +2069,7 @@ object Similarity {
     val spark = queries.sparkSession
     val subDim = dim / m
     val snap = db.snapshot()
-    val (cents, cb) = readIndexMeta(db, snap, m)
+    val (cents, cb, byResidual) = readIndexMeta(db, snap, m)
     val qv0 = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
     val qcells = qv0.select(col("query_id"),
@@ -1994,20 +2082,39 @@ object Similarity {
     // candidate pairs: a query meets exactly its probed cells' members
     val cand = codes.join(qcells, "cell")
       .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"),
+      .select(col("query_id"), col("cell"), col("nn_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
-    // relational ADC LUT: query subvectors × broadcast codebook rows
+    // relational ADC LUT: query subvectors × broadcast codebook rows.
+    // Raw: keyed (query, m, code). Residual: the query side is first
+    // re-centered per probed cell (`qv − cents[cell]`, a broadcast
+    // centroid join + one zip_with), so the LUT is keyed
+    // (query, cell, m, code) — still |Q| × nProbe × m × k rows, every
+    // stage a hash shuffle of reduced data.
     val cbRows = for { mm <- cb.indices; c <- cb(mm).indices } yield
       (mm.toLong, c.toLong, cb(mm)(c)._1.toSeq, cb(mm)(c)._2)
     val cbDf = spark.createDataFrame(cbRows).toDF("m", "code", "cv", "cn")
-    val lut = qv0
-      .select(col("query_id"),
-        posexplode(subVectors(col("qv"), m, subDim)).as(Seq("m", "sv")))
+    val (lutKeys, lutSrc) =
+      if (!byResidual)
+        (Seq("query_id", "m", "code"),
+          qv0.select(col("query_id"),
+            posexplode(subVectors(col("qv"), m, subDim)).as(Seq("m", "sv"))))
+      else {
+        val centsDf = spark.createDataFrame(
+          cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
+            .toIndexedSeq).toDF("cell", "ccv")
+        (Seq("query_id", "cell", "m", "code"),
+          qcells.join(qv0, "query_id").join(broadcast(centsDf), "cell")
+            .select(col("query_id"), col("cell"),
+              zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
+            .select(col("query_id"), col("cell"),
+              posexplode(subVectors(col("rv"), m, subDim)).as(Seq("m", "sv"))))
+      }
+    val lut = lutSrc
       .join(broadcast(cbDf), "m")
-      .select(col("query_id"), col("m"), col("code"),
+      .select(col("query_id") +: lutKeys.drop(1).map(col) :+
         l2FromParts(dotInt(col("sv"), col("sv")),
-          dotInt(col("sv"), col("cv")), col("cn")).as("d"))
-    val scored = cand.join(lut, Seq("query_id", "m", "code"))
+          dotInt(col("sv"), col("cv")), col("cn")).as("d"): _*)
+    val scored = cand.join(lut, lutKeys)
       .groupBy("query_id", "nn_id")
       .agg(sum(col("d")).as("adist"))
     val w = Window.partitionBy(col("query_id"))
