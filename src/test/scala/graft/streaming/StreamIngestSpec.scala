@@ -98,4 +98,35 @@ class StreamIngestSpec extends SparkSpec {
       .select("nn_id").as[Long].collect().toSet
     assert(got1.contains(5L), s"cluster-1 arrival not searchable: $got1")
   }
+
+  test("streaming maintenance of a RESIDUAL index: the flag row steers " +
+    "per-batch appends without the writer knowing") {
+    import graft.ops.Similarity
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-annstream-res"))
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val seed = Seq(
+      (0L, vec(1, 0, 0, 1)), (1L, vec(0, 1, 1, 0)),
+      (2L, vec(0.9, 0.1, 0.1, 0.9)), (3L, vec(0.1, 0.9, 0.9, 0.1))
+    ).toDF("vec_id", "embedding")
+    Similarity.buildIndex(db, seed, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 4, byResidual = true)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val writer = StreamIngest.indexWriter(db, stream, "vec_id", "embedding",
+      m = 2, dim = 4)
+      .option("checkpointLocation", tmpDir("graft-anncp-res"))
+    // an exact duplicate of vector 2 arrives via the stream: residual
+    // append must encode it with vector 2's codes, so it ranks first for
+    // the query equal to vector 2
+    mem.addData((9L, vec(0.9, 0.1, 0.1, 0.9)))
+    val q = writer.start(); q.processAllAvailable(); q.stop()
+    val r = Similarity.ivfPqProbePersisted(db,
+        seed.filter(col("vec_id") === 2L), "vec_id", "embedding",
+        topK = 2, m = 2, dim = 4)
+      .select("nn_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(r.head._1 == 9L,
+      s"streamed duplicate should rank 1 on the residual index: ${r.toSeq}")
+  }
 }
