@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, PortableHash, Sampling, Sequencing, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Pipeline, PortableHash, Sampling, Sequencing, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -519,38 +519,11 @@ object PipelineQueries {
         .orderBy("source")
     },
     // ── the capstone composition: corpus → training shards in ONE plan ─
-    // quality/lang-id gate → exact-dedup canon → verified near-dup drop →
-    // decontaminate vs the held-out slice → per-lang token budget →
-    // deterministic bin packing. Every stage is an operator from this
-    // file; chained they stay one Catalyst plan: the gates are map-side
-    // filters over the documents scan, the drop sets are slim DISTINCT-id
-    // relations applied as broadcast anti-joins, and the only wide stages
-    // are the ones the components already own (dedup's bucketed
-    // self-join, the per-stratum budget window, the per-shard packing
-    // window) — no stage adds a shuffle the standalone operator lacks
+    // [[graft.ops.Pipeline.corpusToShards]] — stages and scale notes
+    // there; benchmark set = the held-out doc_id % 25 slice
     "tp_e2e_pipeline" -> { (s, d) =>
       val docs = Graft.documents(s, d)
-      val scored = docs.select(col("doc_id"), col("lang"), col("text"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.langPredict(col("text")).as("lang_pred"))
-      val kept = scored
-        .filter(col("quality") >= 0.5 && col("lang_pred") === col("lang"))
-      val canon = kept.groupBy(md5(col("text")).as("_h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val nearDrop = Dedup.verifiedNearDups(docs, "doc_id", "text", 0.4)
-        .select(col("id2").as("doc_id")).distinct()
-      val bench = docs.filter(col("doc_id") % 25 === 0)
-      val contamDrop = Decontaminate.overlaps(docs, bench, "doc_id",
-          "text", "doc_id", "text", n = 3, minOverlap = 3)
-        .filter(col("doc_id") =!= col("bench_id"))
-        .select("doc_id").distinct()
-      val clean = kept.join(canon, "doc_id")
-        .join(nearDrop, Seq("doc_id"), "left_anti")
-        .join(contamDrop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-      val bud = Sampling.tokenBudget(clean, "lang", "doc_id", "n_tok", 5000L)
-      Sequencing.packBins(bud, "doc_id", "n_tok", 256L, 8)
+      Pipeline.corpusToShards(docs, docs.filter(col("doc_id") % 25 === 0))
         .orderBy("shard", "bin")
     },
     // exact-substring duplicate spans (Lee et al. 2022): per-document

@@ -35,11 +35,22 @@ object PipelineStress {
       ).as("text"))
       .localCheckpoint(true) // materialize: time operators, not generation
 
+    // GC + block-manager telemetry per stage: a stage that is slow because
+    // the JVM is collecting (or the block manager is full of superseded
+    // checkpoint blocks) reads very differently from one whose plan is slow
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def storageMB: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
     def timed[A](name: String)(f: => Long): Unit = {
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val out = f
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"PSTRESS $name%-26s ${secs}%8.2f s  ${n / secs / 1e6}%6.2f M docs/s  (out=$out)")
+      println(f"PSTRESS $name%-26s ${secs}%8.2f s  ${n / secs / 1e6}%6.2f M docs/s  (out=$out, gc=${(gcMillis - g0) / 1e3}%.1f s, stored=${storageMB} MB)")
     }
 
     timed("exact groups")(
@@ -80,6 +91,51 @@ object PipelineStress {
       Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
         .agg(sum("dup_windows")).as[Long](spark.implicits.newLongEncoder)
         .head())
+
+    // e2e corpus→shards (ops.Pipeline.corpusToShards): a corpus variant
+    // whose docs PASS the quality/lang-id gates — every 4th word a
+    // language-marker word (langPredict argmax), every 3rd an English
+    // stopword (stopScore ≥ 0.2 → quality 0.81) — in three languages so
+    // the per-lang budget window has 3 strata, same near-dup base
+    // structure as `docs`. Budget keeps ~half of each language; 64 pack
+    // shards = the at-scale parallelism floor.
+    val stopArr = array(graft.ops.TextAnalysis.englishStopwords.map(lit): _*)
+    val langNames = graft.ops.TextAnalysis.langMarkers.keys.toSeq.sorted
+    val markerArrs = langNames.map(l =>
+      array(graft.ops.TextAnalysis.langMarkers(l).map(lit): _*))
+    val langIdx = pmod(col("base"), lit(3))
+    val marker = (i: org.apache.spark.sql.Column) =>
+      element_at(
+        markerArrs.zipWithIndex.foldLeft(markerArrs.head) {
+          case (acc, (arr, j)) => when(langIdx === j, arr).otherwise(acc)
+        },
+        (pmod(hash(col("base"), i), lit(6)) + 1).cast("int"))
+    val edocs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 971 === 0, lit(0L))
+        .when(col("id") % 50 === 0, col("id") - 1)
+        .otherwise(col("id")).as("base"))
+      .select(col("doc_id"),
+        element_at(array(langNames.map(lit): _*),
+          (pmod(col("base"), lit(3)) + 1).cast("int")).as("lang"),
+        concat_ws(" ",
+          concat(
+            transform(sequence(lit(0), lit(38)), i =>
+              when(i % 4 === 1, marker(i))
+                .when(i % 3 === 0,
+                  element_at(stopArr,
+                    (pmod(hash(col("base"), i), lit(10)) + 1).cast("int")))
+                .otherwise(concat(lit("w"), pmod(hash(col("base"), i),
+                  lit(997))))),
+            array(concat(lit("t"), pmod(hash(col("doc_id")), lit(9973)))))
+        ).as("text"))
+      .localCheckpoint(true)
+    timed("e2e corpus->shards") {
+      graft.ops.Pipeline.corpusToShards(edocs,
+        edocs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
+        budgetPerLang = (n / 6) * 40, window = 256L, shards = 64)
+        .count()
+    }
 
     // synthetic embeddings (64-dim from hash mixing, values in [-0.5, 0.5))
     // for the PQ family: codes + full-ADC ranking for 5 probe vectors
