@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, Pipeline, PortableHash, Sampling, Sequencing, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -518,6 +518,29 @@ object PipelineQueries {
       Sequencing.sourceMix(Graft.documents(s, d), "source", "n_chars")
         .orderBy("source")
     },
+    // ── data selection: DSIR importance resampling + LM scoring ───────
+    // importance weights against the doc_id % 7 target slice (hashed
+    // 1+2-gram models, micro-quantized log-ratios — exact int sums)
+    "sel_dsir_weights" -> { (s, d) =>
+      Selection.importanceWeights(Graft.documents(s, d),
+        Graft.documents(s, d).filter(col("doc_id") % 7 === 0),
+        "doc_id", "text").orderBy("doc_id")
+    },
+    // Gumbel top-k resampling over those weights (deterministic hashed
+    // noise — the engine-portable "sample ∝ weight" step)
+    "sel_dsir_topk" -> { (s, d) =>
+      Selection.dsirTopK(Graft.documents(s, d),
+        Graft.documents(s, d).filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 100)
+        .orderBy(col("skey").desc, col("doc_id"))
+    },
+    // CCNet-style LM quality scoring: stupid-backoff bigram LM trained
+    // on the doc_id % 7 = 3 slice scores every document's mean NLL
+    "sel_lm_score" -> { (s, d) =>
+      Selection.lmScore(Graft.documents(s, d),
+        Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
+        "doc_id", "text").orderBy("doc_id")
+    },
     // ── the capstone composition: corpus → training shards in ONE plan ─
     // [[graft.ops.Pipeline.corpusToShards]] — stages and scale notes
     // there; benchmark set = the held-out doc_id % 25 slice
@@ -950,6 +973,21 @@ object PipelineQueries {
       s"""SELECT source, n_docs, tokens, weight
          |FROM ${Sequencing.sqlSourceMixFrom("documents", "source", "n_chars")} s
          |ORDER BY source""".stripMargin,
+    "sel_dsir_weights" ->
+      s"""SELECT doc_id, n_feats, weight
+         |FROM ${Selection.sqlImportanceWeightsFrom("documents", "doc_id",
+                  "text", "doc_id % 7 = 0")} w
+         |ORDER BY doc_id""".stripMargin,
+    "sel_dsir_topk" ->
+      s"""SELECT doc_id, weight, skey
+         |FROM ${Selection.sqlDsirTopKFrom("documents", "doc_id", "text",
+                  "doc_id % 7 = 0", 100)} t
+         |ORDER BY skey DESC, doc_id""".stripMargin,
+    "sel_lm_score" ->
+      s"""SELECT doc_id, n_trans, nll
+         |FROM ${Selection.sqlLmScoreFrom("documents", "doc_id", "text",
+                  "doc_id % 7 = 3")} l
+         |ORDER BY doc_id""".stripMargin,
     "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
     // the persisted probe is value-identical to an in-query IVF+PQ over
     // the TRAINED codebook (buildIndex persists pqTrainedCodebook)

@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-data pipelines: DSIR-style
+  * importance resampling (Xie et al. 2023, arXiv:2302.03169 — hashed
+  * n-gram importance weights against a small target corpus, then
+  * deterministic Gumbel top-k) and CCNet-style language-model quality
+  * scoring (Wenzek et al. 2020, arXiv:1911.00359 — a bigram LM with
+  * stupid backoff, Brants et al. 2007, trained on a clean subset scores
+  * every document's negative log-likelihood). These are the "pick WHICH
+  * data to train on" stages that sit between dedup/decontamination and
+  * token budgeting; the reference has no analog (its client-side
+  * map-reduce slot, sonnerie `README.md:23-25`, is where they'd run).
+  *
+  * Exactness contract: every log is quantized to 6-decimal fixed point
+  * (int64 micro-units) at the MODEL table — bounded rows — before the
+  * per-document sum, so the wide aggregation sums integers (associative,
+  * partial-agg-safe, engine-portable) and the only float ops on the
+  * per-document path are one division and one round. That is what lets
+  * importance weights and LM scores have hash-exact DuckDB oracles.
+  *
+  * Scale shape: feature/LM model tables are bounded (`BUCKETS` rows for
+  * DSIR; train-subset vocab/bigram counts for the LM) and broadcast;
+  * the corpus side is one explode + one broadcast join + one hash
+  * aggregation by doc — the inverted-index shape that survives 100 TB.
+  * Top-k is a distributed TakeOrdered, never a driver sort.
+  */
+object Selection {
+
+  /** Hashed-feature space size (the paper uses 10k buckets; 4096 keeps
+    * every count well-exercised at test scale).
+    */
+  val BUCKETS = 4096L
+
+  /** 6-decimal fixed point: the unit all quantized logs are stored in. */
+  val MICRO = 1000000L
+
+  private val B = BUCKETS
+
+  // ── shared featurization: hashed unigram+bigram bag (with counts) ──
+
+  /** Unigram + bigram feature buckets WITH multiplicity (DSIR models
+    * feature counts, not presence — unlike [[Dedup.shingleHashes]] which
+    * is distinct-per-doc). The token array is bound once via the
+    * single-element-transform scope (the round-2 HOF finding).
+    */
+  def featureBuckets(text: Column, buckets: Long = BUCKETS): Column = {
+    val perRow = transform(array(split(text, " ")), w => {
+      val uni = transform(w, t => PortableHash.h60(t) % buckets)
+      val bi = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => PortableHash.h60(
+            concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+            % buckets))
+        .otherwise(array().cast("array<bigint>"))
+      concat(uni, bi)
+    })
+    element_at(perRow, 1)
+  }
+
+  /** DuckDB twin of [[featureBuckets]] (adjacent so they cannot drift). */
+  def sqlFeatureBuckets(textExpr: String,
+                        buckets: Long = BUCKETS): String = {
+    val w = s"string_split($textExpr, ' ')"
+    val uni = s"list_transform($w, t -> ${PortableHash.sqlH60("t")} % $buckets)"
+    val bi =
+      s"""CASE WHEN len($w) >= 2 THEN list_transform(range(1, len($w)),
+         |  i -> ${PortableHash.sqlH60(s"($w)[i] || ' ' || ($w)[i+1]")} % $buckets)
+         |ELSE []::BIGINT[] END""".stripMargin
+    s"list_concat($uni, $bi)"
+  }
+
+  // ── DSIR importance weights ────────────────────────────────────────
+
+  /** Per-document importance weight log(p_target(x)/p_raw(x)) under
+    * add-one-smoothed bag-of-hashed-ngrams models fit on `target` and
+    * `corpus` (the DSIR estimator). Output: (doc_id, n_feats, weight).
+    *
+    * The per-bucket log-ratio is quantized to micro-units in the
+    * `BUCKETS`-row model table; a document's weight is the integer sum
+    * of its features' micro-log-ratios (exact, order-independent)
+    * divided once at the end.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Long = BUCKETS): DataFrame =
+    microWeights(corpus, target, idCol, textCol, buckets)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("_s").cast("double") / MICRO, 6).as("weight"))
+
+  /** (doc_id, n_feats, _s) with _s = integer micro-units weight — the
+    * exact intermediate [[dsirTopK]] adds Gumbel keys to.
+    */
+  private def microWeights(corpus: DataFrame, target: DataFrame,
+                           idCol: String, textCol: String,
+                           buckets: Long): DataFrame = {
+    val cf = graft.core.Graft.rebalance(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(featureBuckets(col(textCol), buckets)).as("b"))
+    val tf = target
+      .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+    val rc = cf.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = tf.groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = rc.agg(sum("rc").as("rtot"))
+      .crossJoin(tc.agg(sum("tc").as("ttot"))) // 1 row × 1 row
+    // bounded model table: ≤ `buckets` rows, broadcast to the corpus side
+    val lr = rc.join(tc, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("tc"), lit(0L)) + 1.0) * (col("rtot") + buckets.toDouble)) /
+          ((col("rc") + 1.0) * (coalesce(col("ttot"), lit(0L)) + buckets.toDouble)))
+          * MICRO.toDouble, 0).cast("long").as("lri"))
+    cf.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"), sum("lri").as("_s"))
+  }
+
+  /** DuckDB twin of [[importanceWeights]] (adjacent so they cannot
+    * drift); CTE names are prefixed to avoid collisions when composed.
+    */
+  def sqlImportanceWeightsFrom(table: String, idCol: String,
+                               textCol: String, targetPred: String,
+                               buckets: Long = BUCKETS): String =
+    s"""(WITH dsir_cf AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(${sqlFeatureBuckets(textCol, buckets)}) AS b
+       |  FROM $table),
+       |dsir_tf AS (
+       |  SELECT unnest(${sqlFeatureBuckets(textCol, buckets)}) AS b
+       |  FROM $table WHERE $targetPred),
+       |dsir_rc AS (SELECT b, count(*) AS rc FROM dsir_cf GROUP BY b),
+       |dsir_tc AS (SELECT b, count(*) AS tc FROM dsir_tf GROUP BY b),
+       |dsir_tot AS (SELECT
+       |  (SELECT CAST(sum(rc) AS BIGINT) FROM dsir_rc) AS rtot,
+       |  (SELECT CAST(sum(tc) AS BIGINT) FROM dsir_tc) AS ttot),
+       |dsir_lr AS (
+       |  SELECT b, CAST(round(ln(
+       |      ((COALESCE(tc, 0) + 1.0) * (rtot + $buckets.0)) /
+       |      ((rc + 1.0) * (COALESCE(ttot, 0) + $buckets.0)))
+       |    * 1000000.0, 0) AS BIGINT) AS lri
+       |  FROM dsir_rc LEFT JOIN dsir_tc USING (b) CROSS JOIN dsir_tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       round(CAST(CAST(sum(lri) AS BIGINT) AS DOUBLE) / 1000000.0, 6)
+       |         AS weight
+       |FROM dsir_cf JOIN dsir_lr USING (b)
+       |GROUP BY doc_id)""".stripMargin
+
+  // ── Gumbel top-k resampling ────────────────────────────────────────
+
+  /** Deterministic standard-Gumbel noise in micro-units, derived from
+    * the id hash (no RNG — same sample on every engine/run/cluster).
+    * u = (h30 + 0.5)/P is an exact rational strictly inside (0, 1)
+    * (h30 < P < 2^53, so every term is float-exact before the logs).
+    */
+  def gumbelMicro(id: Column): Column =
+    round(-log(-log(
+      (PortableHash.h30(concat(id.cast("string"), lit("|gumbel"))) + 0.5)
+        / PortableHash.P.toDouble))
+      * MICRO.toDouble, 0).cast("long")
+
+  /** DuckDB twin of [[gumbelMicro]] (adjacent so they cannot drift). */
+  def sqlGumbelMicro(idExpr: String): String =
+    s"""CAST(round(-ln(-ln(
+       |  (${PortableHash.sqlH30(s"CAST($idExpr AS VARCHAR) || '|gumbel'")} + 0.5)
+       |  / ${PortableHash.P}.0)) * 1000000.0, 0) AS BIGINT)""".stripMargin
+
+  /** Gumbel top-k importance resampling: sample `k` documents without
+    * replacement with probability ∝ their importance weight, via the
+    * Gumbel-top-k trick (key = log-weight + Gumbel noise, take the k
+    * largest — Vieira 2014). Keys are exact int64 micro-units, so the
+    * selected SET is engine-identical; output (doc_id, weight, skey)
+    * ordered by key descending.
+    */
+  def dsirTopK(corpus: DataFrame, target: DataFrame,
+               idCol: String, textCol: String, k: Int,
+               buckets: Long = BUCKETS): DataFrame =
+    microWeights(corpus, target, idCol, textCol, buckets)
+      .withColumn("_ki", col("_s") + gumbelMicro(col("doc_id")))
+      .orderBy(col("_ki").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        round(col("_s").cast("double") / MICRO, 6).as("weight"),
+        round(col("_ki").cast("double") / MICRO, 6).as("skey"))
+
+  /** DuckDB twin of [[dsirTopK]] (adjacent so they cannot drift). */
+  def sqlDsirTopKFrom(table: String, idCol: String, textCol: String,
+                      targetPred: String, k: Int,
+                      buckets: Long = BUCKETS): String =
+    s"""(SELECT doc_id,
+       |        round(CAST(s AS DOUBLE) / 1000000.0, 6) AS weight,
+       |        round(CAST(ki AS DOUBLE) / 1000000.0, 6) AS skey
+       | FROM (
+       |  SELECT doc_id, s, s + ${sqlGumbelMicro("doc_id")} AS ki
+       |  FROM (
+       |    SELECT doc_id, CAST(round(weight * 1000000.0, 0) AS BIGINT) AS s
+       |    FROM ${sqlImportanceWeightsFrom(table, idCol, textCol,
+                     targetPred, buckets)} wts))
+       | ORDER BY ki DESC, doc_id LIMIT $k)""".stripMargin
+
+  // ── stupid-backoff bigram LM scoring ───────────────────────────────
+
+  /** Backoff discount (Brants et al. 2007's fixed 0.4). */
+  val BACKOFF = 0.4
+
+  /** Score every corpus document under a bigram LM with stupid backoff
+    * trained on `train`: S(cur|prev) = count(prev cur)/count(prev) when
+    * the bigram was seen, else BACKOFF·(count(cur)+0.5)/W (the +0.5
+    * keeps OOV tokens finite). Output (doc_id, n_trans, nll) where nll
+    * is the mean negative log-score over the document's n−1 transitions
+    * (≈ log-perplexity; high = unusual under the clean LM — the CCNet
+    * filter signal). Documents with <2 tokens get n_trans=0, nll NULL.
+    *
+    * Per-transition logs are quantized to micro-units at the bounded
+    * model tables (train vocab / train bigrams), so the per-document
+    * aggregation sums int64 — same exactness contract as DSIR. The
+    * corpus pays one explode, one join against the bigram table (the
+    * only wide join; at real scale the train-side tables are megabytes
+    * and broadcast), one hash agg by doc, one anti-join-free left join
+    * back for short docs.
+    */
+  def lmScore(corpus: DataFrame, train: DataFrame,
+              idCol: String, textCol: String): DataFrame = {
+    def transitions(df: DataFrame, id: Column): DataFrame = {
+      val perRow = transform(array(split(col(textCol), " ")), w =>
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(
+              PortableHash.h60(element_at(w, i)).as("hp"),
+              PortableHash.h60(element_at(w, i + 1)).as("hc"))))
+          .otherwise(array().cast("array<struct<hp:bigint,hc:bigint>>")))
+      df.select(id.as("doc_id"), explode(element_at(perRow, 1)).as("t"))
+        .select(col("doc_id"), col("t.hp").as("hp"), col("t.hc").as("hc"))
+    }
+    val ct = transitions(graft.core.Graft.rebalance(corpus), col(idCol))
+    // model tables from the train subset: unigram counts (vocab-bounded)
+    // and bigram counts — both broadcastable at corpus scale
+    val uni = train
+      .select(explode(transform(split(col(textCol), " "),
+        t => PortableHash.h60(t))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("uc"))
+    val big = transitions(train, col(idCol))
+      .groupBy("hp", "hc").agg(count(lit(1)).as("bc"))
+    val wTot = uni.agg(sum("uc").as("w")) // 1 row
+    val scored = ct
+      .join(broadcast(big), Seq("hp", "hc"), "left")
+      .join(broadcast(uni.select(col("h").as("hp"), col("uc").as("ucp"))),
+        Seq("hp"), "left")
+      .join(broadcast(uni.select(col("h").as("hc"), col("uc").as("ucc"))),
+        Seq("hc"), "left")
+      .crossJoin(broadcast(wTot))
+      // a seen bigram implies a seen prev-unigram: ucp is never NULL
+      // when bc isn't
+      .select(col("doc_id"),
+        when(col("bc").isNotNull,
+          round(log(col("bc").cast("double") / col("ucp")) * MICRO.toDouble, 0))
+          .otherwise(
+            round(log((lit(BACKOFF) * (coalesce(col("ucc"), lit(0L)) + 0.5))
+              / col("w")) * MICRO.toDouble, 0))
+          .cast("long").as("ti"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_trans"), sum("ti").as("_s"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        when(col("n_trans").isNotNull,
+          round(-col("_s").cast("double") / (col("n_trans") * MICRO), 6))
+          .otherwise(lit(null).cast("double")).as("nll"))
+  }
+
+  /** DuckDB twin of [[lmScore]] (adjacent so they cannot drift). */
+  def sqlLmScoreFrom(table: String, idCol: String, textCol: String,
+                     trainPred: String): String = {
+    val w = s"string_split($textCol, ' ')"
+    val trans =
+      s"""CASE WHEN len($w) >= 2 THEN list_transform(range(1, len($w)),
+         |  i -> struct_pack(hp := ${PortableHash.sqlH60(s"($w)[i]")},
+         |                   hc := ${PortableHash.sqlH60(s"($w)[i+1]")}))
+         |ELSE []::STRUCT(hp BIGINT, hc BIGINT)[] END""".stripMargin
+    s"""(WITH lm_ct AS (
+       |  SELECT $idCol AS doc_id, t.hp AS hp, t.hc AS hc
+       |  FROM (SELECT $idCol, unnest($trans) AS t FROM $table)),
+       |lm_uni AS (
+       |  SELECT h, count(*) AS uc FROM (
+       |    SELECT unnest(list_transform($w,
+       |      t -> ${PortableHash.sqlH60("t")})) AS h
+       |    FROM $table WHERE $trainPred) GROUP BY h),
+       |lm_big AS (
+       |  SELECT hp, hc, count(*) AS bc FROM (
+       |    SELECT t.hp AS hp, t.hc AS hc
+       |    FROM (SELECT unnest($trans) AS t FROM $table WHERE $trainPred))
+       |  GROUP BY hp, hc),
+       |lm_w AS (SELECT CAST(sum(uc) AS BIGINT) AS w FROM lm_uni),
+       |lm_scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+       |         CAST(sum(ti) AS BIGINT) AS s
+       |  FROM (
+       |    SELECT c.doc_id,
+       |      CAST(CASE WHEN b.bc IS NOT NULL THEN
+       |          round(ln(CAST(b.bc AS DOUBLE) / up.uc) * 1000000.0, 0)
+       |        ELSE
+       |          round(ln((${BACKOFF} * (COALESCE(uc2.uc, 0) + 0.5)) / w.w)
+       |            * 1000000.0, 0)
+       |        END AS BIGINT) AS ti
+       |    FROM lm_ct c
+       |    LEFT JOIN lm_big b ON c.hp = b.hp AND c.hc = b.hc
+       |    LEFT JOIN lm_uni up ON c.hp = up.h
+       |    LEFT JOIN lm_uni uc2 ON c.hc = uc2.h
+       |    CROSS JOIN lm_w w)
+       |  GROUP BY doc_id)
+       |SELECT d.$idCol AS doc_id,
+       |       COALESCE(s.n_trans, 0) AS n_trans,
+       |       CASE WHEN s.n_trans IS NOT NULL THEN
+       |         round(-CAST(s.s AS DOUBLE) / (s.n_trans * 1000000.0), 6)
+       |       ELSE NULL END AS nll
+       |FROM $table d LEFT JOIN lm_scored s ON d.$idCol = s.doc_id)""".stripMargin
+  }
+}
