@@ -6,9 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The canonical timestamp of the engine is a `Long` of epoch **nanoseconds**
   * (reference: sonnerie `Timestamp = u64` nanos, `src/lib.rs:29-30`). The
-  * driver's `events` table stores parquet TIMESTAMP(NANOS), which Spark only
-  * reads via `spark.sql.legacy.parquet.nanosAsLong` — giving us exactly the
-  * canonical Long-nanos column with zero precision loss.
+  * driver's `events` table has stored `ts` as parquet TIMESTAMP(NANOS) (read
+  * as Long via `spark.sql.legacy.parquet.nanosAsLong`) and as TIMESTAMP(US);
+  * [[normalizeTs]] maps either physical encoding onto the canonical Long
+  * epoch-nanos column, so every operator downstream sees one type.
   */
 object Graft {
 
@@ -101,6 +102,23 @@ object Graft {
     else df
   }
 
+  /** Map a timestamp-typed column onto the engine's canonical Long
+    * epoch-nanos, leaving an already-Long column untouched. The session
+    * timezone is pinned to UTC ([[configure]]), so the NTZ→TZ cast is the
+    * identity on the underlying micros value and the conversion is exact
+    * (TIMESTAMP(US) carries no sub-µs digits to lose). Works on batch and
+    * streaming frames alike — it is one projected expression.
+    */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(c, unix_micros(col(c).cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -113,7 +131,8 @@ object Graft {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

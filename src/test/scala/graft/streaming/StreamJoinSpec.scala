@@ -15,7 +15,7 @@ class StreamJoinSpec extends SparkSpec {
     Graft.configure(spark)
     val dir = "/root/testdata/sf0.001"
     val batchDf = Graft.events(spark, dir)
-    val schema = batchDf.schema
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val dayUs = 86400000000L
 
     def purchases(df: org.apache.spark.sql.DataFrame) =
@@ -39,8 +39,8 @@ class StreamJoinSpec extends SparkSpec {
           col("s_ts") >= col("p_ts") - expr(s"INTERVAL $dayUs MICROSECONDS"))
         .select(col("user_id"), col("p_id"), col("s_id"))
 
-    def stream() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def stream() = Graft.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
 
     val q = joined(purchases(stream()), signups(stream()))
       .writeStream.outputMode("append")

@@ -15,7 +15,9 @@ class WindowedAggSpec extends SparkSpec {
     Graft.configure(spark)
     val dir = "/root/testdata/sf0.001"
     val batchDf = Graft.events(spark, dir)
-    val schema = batchDf.schema
+    // raw file schema (ts may be TIMESTAMP there) — normalizeTs maps the
+    // stream onto the same canonical Long-nanos frame the batch side has
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
 
     def windowed(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("ets", timestamp_micros((col("ts") / 1000).cast("long")))
@@ -23,10 +25,10 @@ class WindowedAggSpec extends SparkSpec {
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .count()
 
-    val q = windowed(
+    val q = windowed(Graft.normalizeTs(
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
+          .parquet(dir)))
       .writeStream.outputMode("complete")
       .format("memory").queryName("win_agg").start()
     q.processAllAvailable()
@@ -45,7 +47,7 @@ class WindowedAggSpec extends SparkSpec {
     Graft.configure(spark)
     val dir = "/root/testdata/sf0.001"
     val batchDf = Graft.events(spark, dir)
-    val schema = batchDf.schema
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
 
     // gap-close sessions per user on event time: the streaming-native
     // formulation of SeriesAnalytics.sessionize's 30-minute gap rule
@@ -55,10 +57,10 @@ class WindowedAggSpec extends SparkSpec {
         .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
 
-    val q = sessions(
+    val q = sessions(Graft.normalizeTs(
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
+          .parquet(dir)))
       .writeStream.outputMode("complete")
       .format("memory").queryName("sess_win").start()
     q.processAllAvailable()
