@@ -549,6 +549,17 @@ object PipelineQueries {
       Pipeline.corpusToShards(docs, docs.filter(col("doc_id") % 25 === 0))
         .orderBy("shard", "bin")
     },
+    // the capstone WITH the data-selection stage: after cleaning, DSIR-
+    // resample toward the src0 domain (30 docs — under the cleaned-corpus
+    // size, so the stage genuinely cuts) before budgeting — the
+    // full "clean → dedup → decontaminate → select → budget → pack" shape
+    // of a production training-data pipeline, still one Catalyst plan
+    "tp_e2e_selected" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      Pipeline.corpusToShards(docs, docs.filter(col("doc_id") % 25 === 0),
+          dsirTargetPred = Some(col("source") === "src0"), dsirK = 30)
+        .orderBy("shard", "bin")
+    },
     // exact-substring duplicate spans (Lee et al. 2022): per-document
     // fraction of tokens inside a k-token window shared with another doc
     "tp_dup_spans" -> { (s, d) =>
@@ -961,6 +972,61 @@ object PipelineQueries {
          |  FROM kept k JOIN canon c ON k.doc_id = c.doc_id
          |  WHERE k.doc_id NOT IN (SELECT doc_id FROM neardrop)
          |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |bud AS (
+         |  SELECT doc_id, lang, n_tok
+         |  FROM ${Sampling.sqlTokenBudgetFrom("clean", "lang", "doc_id",
+                    "n_tok", 5000L)} t)
+         |SELECT shard, bin, n_docs, tokens, fill
+         |FROM ${Sequencing.sqlPackBinsFrom("bud", "doc_id", "n_tok",
+                  256L, 8)} p
+         |ORDER BY shard, bin""".stripMargin,
+    // tp_e2e_pipeline + the DSIR selection CTE: cleantext keeps source +
+    // text so the importance model can target `source = 'src0'`; sel is
+    // the Gumbel-top-k keep set, applied before budgeting
+    "tp_e2e_selected" ->
+      s"""WITH $minhashCtes,
+         |inter AS (
+         |  SELECT id1, id2,
+         |         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+         |         len(a.sh) AS sz1, len(b.sh) AS sz2
+         |  FROM (SELECT id1, id2 FROM mpairs) c
+         |  JOIN shing a ON a.doc_id = c.id1
+         |  JOIN shing b ON b.doc_id = c.id2),
+         |neardrop AS (
+         |  SELECT DISTINCT id2 AS doc_id FROM inter
+         |  WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= 0.4),
+         |scored AS (
+         |  SELECT doc_id, lang, source, text, $sqlQuality AS quality,
+         |         $sqlLangPred AS lang_pred
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |cg AS (
+         |  SELECT doc_id, unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id AS bench_id,
+         |         unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id FROM cg c JOIN bg b USING (g)
+         |    WHERE c.doc_id <> b.bench_id
+         |    GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 3)),
+         |cleantext AS (
+         |  SELECT k.doc_id, k.lang, k.source, k.text
+         |  FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sel AS (
+         |  SELECT doc_id FROM ${Selection.sqlDsirTopKFrom("cleantext",
+                    "doc_id", "text", "source = 'src0'", 30)} q),
+         |clean AS (
+         |  SELECT c.doc_id, c.lang,
+         |         CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM cleantext c JOIN sel s ON c.doc_id = s.doc_id),
          |bud AS (
          |  SELECT doc_id, lang, n_tok
          |  FROM ${Sampling.sqlTokenBudgetFrom("clean", "lang", "doc_id",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The capstone corpus-to-training-shards composition: every stage is an
@@ -9,32 +9,42 @@ import org.apache.spark.sql.functions._
   * `README.md:23-25`, recast as corpus preparation).
   *
   * quality/lang-id gate → exact-dedup canon → verified near-dup drop →
-  * decontaminate vs a benchmark set → per-lang token budget →
+  * decontaminate vs a benchmark set → [optional DSIR importance
+  * resampling toward a target domain] → per-lang token budget →
   * deterministic bin packing.
   *
   * Scale shape: the gates are map-side filters over the documents scan,
   * the drop sets are slim DISTINCT-id relations applied as broadcast
   * anti-joins, and the only wide stages are the ones the component
-  * operators already own (dedup's bucketed self-join, the per-stratum
-  * budget window, the per-shard packing window) — no stage adds a shuffle
-  * the standalone operator lacks. Measured at synthetic scale by
+  * operators already own (dedup's bucketed self-join, DSIR's bounded
+  * broadcast model table + TakeOrdered, the per-stratum budget window,
+  * the per-shard packing window) — no stage adds a shuffle the
+  * standalone operator lacks. Measured at synthetic scale by
   * [[graft.PipelineStress]] (SCALE.md).
   */
 object Pipeline {
 
-  /** `docs` needs (doc_id, lang, text); `bench` needs (doc_id, text).
-    * Output = [[Sequencing.packBins]] rows (shard, bin, n_docs, tokens,
-    * fill) over the cleaned, budgeted corpus.
+  /** `docs` needs (doc_id, lang, text) — extra columns pass through and
+    * may be referenced by `dsirTargetPred`; `bench` needs (doc_id, text).
+    * With `dsirTargetPred` set, the cleaned corpus is importance-resampled
+    * toward the documents matching the predicate ([[Selection.dsirTopK]],
+    * keeping `dsirK` docs) before budgeting — the "pick WHICH data"
+    * stage of a training pipeline (DSIR, arXiv:2302.03169, targets e.g.
+    * Wikipedia-like text exactly this way). Output =
+    * [[Sequencing.packBins]] rows (shard, bin, n_docs, tokens, fill)
+    * over the cleaned, selected, budgeted corpus.
     */
   def corpusToShards(docs: DataFrame, bench: DataFrame,
                      minQuality: Double = 0.5,
                      nearDupJaccard: Double = 0.4,
                      budgetPerLang: Long = 5000L,
                      window: Long = 256L,
-                     shards: Int = 8): DataFrame = {
-    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      TextAnalysis.langPredict(col("text")).as("lang_pred"))
+                     shards: Int = 8,
+                     dsirTargetPred: Option[Column] = None,
+                     dsirK: Int = 0): DataFrame = {
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langPredict(col("text")))
     val kept = scored
       .filter(col("quality") >= minQuality && col("lang_pred") === col("lang"))
     val canon = kept.groupBy(md5(col("text")).as("_h"))
@@ -46,11 +56,20 @@ object Pipeline {
         "text", "doc_id", "text", n = 3, minOverlap = 3)
       .filter(col("doc_id") =!= col("bench_id"))
       .select("doc_id").distinct()
-    val clean = kept.join(canon, "doc_id")
+    val cleanText = kept.join(canon, "doc_id")
       .join(nearDrop, Seq("doc_id"), "left_anti")
       .join(contamDrop, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    val selected = dsirTargetPred match {
+      case Some(pred) if dsirK > 0 =>
+        // slim k-row id set; the join back is broadcastable by construction
+        val keep = Selection
+          .dsirTopK(cleanText, cleanText.filter(pred), "doc_id", "text", dsirK)
+          .select("doc_id")
+        cleanText.join(keep, "doc_id")
+      case _ => cleanText
+    }
+    val clean = selected.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
     val bud = Sampling.tokenBudget(clean, "lang", "doc_id", "n_tok",
       budgetPerLang)
     Sequencing.packBins(bud, "doc_id", "n_tok", window, shards)
