@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, Sampling, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Sampling, Selection, TextAnalysis}
 
 /** Pipeline-operator throughput at synthetic scale — the dedup-family
   * numbers behind SCALE.md (the driver's documents table is 5k rows at
@@ -91,6 +91,18 @@ object PipelineStress {
       Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
         .agg(sum("dup_windows")).as[Long](spark.implicits.newLongEncoder)
         .head())
+    // DSIR selection family: target = a 1% slice (the realistic shape —
+    // a small curated target corpus against a huge raw one)
+    timed("dsir weights")(
+      Selection.importanceWeights(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text").count())
+    timed("dsir topk 10%")(
+      Selection.dsirTopK(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+        (n / 10).toInt).count())
+    timed("lm score (1% train)")(
+      Selection.lmScore(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text").count())
 
     // e2e corpus→shards (ops.Pipeline.corpusToShards): a corpus variant
     // whose docs PASS the quality/lang-id gates — every 4th word a
@@ -134,6 +146,17 @@ object PipelineStress {
       graft.ops.Pipeline.corpusToShards(edocs,
         edocs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
         budgetPerLang = (n / 6) * 40, window = 256L, shards = 64)
+        .count()
+    }
+    // the full selected pipeline: DSIR toward one of the three languages,
+    // keeping 10% — the marginal cost over the unselected e2e run is the
+    // selection stage itself (model build + broadcast join + TakeOrdered)
+    timed("e2e selected->shards") {
+      graft.ops.Pipeline.corpusToShards(edocs,
+        edocs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
+        budgetPerLang = (n / 6) * 40, window = 256L, shards = 64,
+        dsirTargetPred = Some(col("lang") === langNames.head),
+        dsirK = (n / 10).toInt)
         .count()
     }
 

@@ -61,11 +61,19 @@ object Pipeline {
       .join(contamDrop, Seq("doc_id"), "left_anti")
     val selected = dsirTargetPred match {
       case Some(pred) if dsirK > 0 =>
+        // The cleaned corpus feeds THREE consumers here (the DSIR model's
+        // corpus side, its target side, and the keep-join back), and the
+        // cleaning subtree above it is the expensive half of the plan —
+        // materialize it once instead of recomputing per consumer
+        // (measured 4.5× on the e2e stress run). Same lazy-localCheckpoint
+        // device as the connected-components loop; on a real cluster swap
+        // in a reliable checkpoint / intermediate table.
+        val ct = cleanText.localCheckpoint(false)
         // slim k-row id set; the join back is broadcastable by construction
         val keep = Selection
-          .dsirTopK(cleanText, cleanText.filter(pred), "doc_id", "text", dsirK)
+          .dsirTopK(ct, ct.filter(pred), "doc_id", "text", dsirK)
           .select("doc_id")
-        cleanText.join(keep, "doc_id")
+        ct.join(keep, "doc_id")
       case _ => cleanText
     }
     val clean = selected.select(col("doc_id"), col("lang"),
