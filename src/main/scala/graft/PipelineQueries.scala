@@ -541,6 +541,12 @@ object PipelineQueries {
         Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
         "doc_id", "text").orderBy("doc_id")
     },
+    // CCNet's head/middle/tail corpus split by LM perplexity rank
+    "sel_lm_buckets" -> { (s, d) =>
+      Selection.lmBuckets(Graft.documents(s, d),
+        Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
+        "doc_id", "text").orderBy("doc_id")
+    },
     // ── the capstone composition: corpus → training shards in ONE plan ─
     // [[graft.ops.Pipeline.corpusToShards]] — stages and scale notes
     // there; benchmark set = the held-out doc_id % 25 slice
@@ -1053,6 +1059,11 @@ object PipelineQueries {
       s"""SELECT doc_id, n_trans, nll
          |FROM ${Selection.sqlLmScoreFrom("documents", "doc_id", "text",
                   "doc_id % 7 = 3")} l
+         |ORDER BY doc_id""".stripMargin,
+    "sel_lm_buckets" ->
+      s"""SELECT doc_id, n_trans, nll, bucket
+         |FROM ${Selection.sqlLmBucketsFrom("documents", "doc_id", "text",
+                  "doc_id % 7 = 3")} b
          |ORDER BY doc_id""".stripMargin,
     "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
     // the persisted probe is value-identical to an in-query IVF+PQ over

@@ -32,9 +32,11 @@ object SparkEntry {
       .select(
         concat(col("event_type"), lit("/"), col("user_id").cast("string"))
           .as("key"),
-        // The engine's canonical ts is full epoch-nanos; the oracle view
-        // truncates to µs because DuckDB 1.0 floors parquet TIMESTAMP(NANOS)
-        // to µs at scan time. Nanos fidelity is covered by warehouse
+        // The engine's canonical ts is full epoch-nanos (Graft.normalizeTs
+        // absorbs the testdata's physical encoding). The µs-floor below is
+        // a no-op on µs-encoded data and matches DuckDB's µs flooring of
+        // the legacy TIMESTAMP(NANOS) encoding — kept so the oracle view
+        // is identical under both. Nanos fidelity is covered by warehouse
         // round-trip specs (TxWriterSpec), not the DuckDB gate.
         (col("ts") - col("ts") % 1000).as("ts"),
         (col("event_id") % 4).as("txid"),

@@ -270,6 +270,55 @@ object Selection {
           .otherwise(lit(null).cast("double")).as("nll"))
   }
 
+  /** CCNet's head/middle/tail split: bucket every scoreable document
+    * (n_trans > 0) by LM perplexity rank — bucket 1 = most in-domain.
+    * Exact ntile over the total (nll, doc_id) order, so the assignment is
+    * engine-identical (nll itself is micro-quantization-exact). The
+    * global-order window is one range shuffle — the same cost as any
+    * total sort; at 100 TB the standard cheaper variant is broadcasting
+    * approximate nll thresholds and bucketing by comparison (plan becomes
+    * a map-only projection), trading exact tercile sizes for no shuffle.
+    */
+  def lmBuckets(corpus: DataFrame, train: DataFrame,
+                idCol: String, textCol: String,
+                nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lmScore(corpus, train, idCol, textCol)
+      .filter(col("n_trans") > 0)
+      .withColumn("bucket",
+        ntile(nBuckets).over(Window.orderBy(col("nll"), col("doc_id")))
+          .cast("long"))
+  }
+
+  /** The 100 TB variant of [[lmBuckets]]: bucket by fixed nll thresholds
+    * (ascending; bucket = 1 + number of thresholds strictly below the
+    * doc's nll) — a map-only projection, no global sort. Thresholds come
+    * from an offline quantile estimate (e.g.
+    * `lmScore(...).stat.approxQuantile("nll", probs, err)` on a sample) —
+    * the train-offline / apply-online split every other scale path in
+    * this engine uses (IVF centroids, PQ codebooks, SQ8 ranges).
+    */
+  def lmBucketsByThresholds(corpus: DataFrame, train: DataFrame,
+                            idCol: String, textCol: String,
+                            thresholds: Seq[Double]): DataFrame = {
+    val sorted = thresholds.sorted
+    val bucket = sorted.zipWithIndex.foldLeft(lit(1L)) {
+      case (acc, (t, i)) => when(col("nll") > t, lit(i + 2L)).otherwise(acc)
+    }
+    lmScore(corpus, train, idCol, textCol)
+      .filter(col("n_trans") > 0)
+      .withColumn("bucket", bucket)
+  }
+
+  /** DuckDB twin of [[lmBuckets]] (adjacent so they cannot drift). */
+  def sqlLmBucketsFrom(table: String, idCol: String, textCol: String,
+                       trainPred: String, nBuckets: Int = 3): String =
+    s"""(SELECT doc_id, n_trans, nll,
+       |        CAST(ntile($nBuckets) OVER (ORDER BY nll, doc_id) AS BIGINT)
+       |          AS bucket
+       | FROM ${sqlLmScoreFrom(table, idCol, textCol, trainPred)} sc
+       | WHERE n_trans > 0)""".stripMargin
+
   /** DuckDB twin of [[lmScore]] (adjacent so they cannot drift). */
   def sqlLmScoreFrom(table: String, idCol: String, textCol: String,
                      trainPred: String): String = {

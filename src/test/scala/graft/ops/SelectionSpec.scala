@@ -80,6 +80,38 @@ class SelectionSpec extends SparkSpec {
     assert(s(1)._2 == 1L && s(1)._3.isDefined)
   }
 
+  test("lmBuckets puts in-domain docs in the head and balances terciles") {
+    val train = corpus.filter(col("doc_id") < 40)
+    val b = Selection.lmBuckets(corpus, train, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+    assert(b.length == 80)
+    val sizes = b.groupBy(_._2).view.mapValues(_.length).toMap
+    // ntile(3) over 80 rows: 27/27/26
+    assert(sizes == Map(1L -> 27, 2L -> 27, 3L -> 26))
+    // every aa-doc (in-domain, lower nll) ranks before every zz-doc, so
+    // bucket 3 (tail) is all zz
+    assert(b.filter(_._2 == 3L).forall(_._1 >= 40))
+    assert(b.filter(_._1 < 40).forall(_._2 <= 2L))
+  }
+
+  test("lmBucketsByThresholds assigns by nll range (the map-only scale path)") {
+    val train = corpus.filter(col("doc_id") < 40)
+    val nlls = Selection.lmScore(corpus, train, "doc_id", "text")
+      .filter(col("n_trans") > 0)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    val distinct = nlls.values.toSeq.distinct.sorted
+    assert(distinct.size >= 2, "need two nll levels to threshold between")
+    val t = (distinct(0) + distinct(1)) / 2
+    val b = Selection.lmBucketsByThresholds(corpus, train, "doc_id", "text",
+        Seq(t))
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+    assert(b.length == nlls.size)
+    b.foreach { case (id, bucket) =>
+      val expect = if (nlls(id) > t) 2L else 1L
+      assert(bucket == expect, s"doc $id nll=${nlls(id)} t=$t")
+    }
+  }
+
   test("gumbelMicro is deterministic, finite, and id-sensitive") {
     val ids = (0L until 500L).toDF("id")
     val g = ids.select(Selection.gumbelMicro(col("id")).as("g"))
