@@ -34,6 +34,23 @@ class PlanHygieneSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("DSIR corpus join broadcasts the bounded model table; top-k is a TakeOrdered") {
+    val sfDir = "/root/testdata/sf0.001"
+    // the ≤BUCKETS-row log-ratio model must broadcast onto the corpus scan
+    // (a shuffled join here would shuffle the whole corpus at 100 TB)
+    val w = SparkEntry.queries("sel_dsir_weights")(spark, sfDir)
+    w.collect()
+    val wPlan = w.queryExecution.executedPlan.toString
+    assert(wPlan.contains("BroadcastHashJoin"),
+      s"model join not broadcast:\n${wPlan.take(2000)}")
+    // the k-row sample must be a distributed TakeOrdered, not a global sort
+    val t = SparkEntry.queries("sel_dsir_topk")(spark, sfDir)
+    t.collect()
+    val tPlan = t.queryExecution.executedPlan.toString
+    assert(tPlan.contains("TakeOrderedAndProject"),
+      s"top-k planned as a full sort:\n${tPlan.take(2000)}")
+  }
+
   test("dedup self-joins broadcast or reuse one exchange, never recompute") {
     val sfDir = "/root/testdata/sf0.001"
     // AQE finalizes the plan only after execution; run THIS df, then inspect
