@@ -103,6 +103,13 @@ object PipelineStress {
     timed("lm score (1% train)")(
       Selection.lmScore(docs,
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text").count())
+    timed("lm buckets (exact ntile)")(
+      Selection.lmBuckets(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text").count())
+    timed("lm buckets (thresholds)")(
+      Selection.lmBucketsByThresholds(docs,
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+        Seq(2.0, 6.0)).count())
 
     // e2e corpus→shards (ops.Pipeline.corpusToShards): a corpus variant
     // whose docs PASS the quality/lang-id gates — every 4th word a
