@@ -154,21 +154,40 @@ object Bench {
     * (its min is a time-to-throw, not a runtime) and reported under
     * `errors` with its failure count — a broken query poisons the artifact
     * visibly instead of quietly shrinking the total. BenchJsonSpec.
+    *
+    * Kept COMPACT on purpose: the r8 driver recorded only the tail of the
+    * line (~2 KB survived), so the per-query SPREAD map (87 more entries)
+    * is collapsed to aggregate stats plus the 3 noisiest queries —
+    * everything the artifact reader used, at half the bytes, so the whole
+    * line survives recording. Full per-pass detail still streams to
+    * stderr (`BENCH attempt= pass=` rows).
     */
   def renderJson(mins: Seq[(String, Double)], spreads: Seq[(String, Double)],
                  errs: Map[String, Int], sentMin: Double, sentSpread: Double,
                  passes: Int, attempts: Int, contaminated: Boolean,
                  sfDir: String): String = {
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)], dec: Int): String =
+      kv.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
+          s"%.${dec}f", Double.box(v))
+      }.mkString("{", ",", "}")
     val clean = mins.filterNot { case (n, _) => errs.contains(n) }
     val total = if (clean.nonEmpty) clean.map(_._2).sum else 0.0
     val errJson = errs.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(clean)},""" +
-    s""""spread":${jmap(spreads)},"errors":$errJson,""" +
+    val sv = spreads.map(_._2).sorted
+    val sMax = if (sv.nonEmpty) sv.last else 1.0
+    val sP95 =
+      if (sv.nonEmpty) sv(((sv.size - 1) * 0.95).toInt) else 1.0
+    val noisiest = spreads.sortBy(-_._2).take(3)
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(clean, 3)},""" +
+    s""""spread_max":${f"$sMax%.2f"},"spread_p95":${f"$sP95%.2f"},""" +
+    s""""spread_top":${jmap(noisiest, 2)},"errors":$errJson,""" +
     s""""err_count":${errs.values.sum},"sentinel_sec":${f"$sentMin%.4f"},""" +
     s""""sentinel_spread":${f"$sentSpread%.4f"},"passes":$passes,""" +
-    s""""attempts":$attempts,"contaminated":$contaminated,"sf":"$sfDir"}"""
+    s""""attempts":$attempts,"contaminated":$contaminated,"sf":"$sfDir",""" +
+    // duplicated at the TAIL: the r8 recorder kept only the line's last
+    // ~2 KB, losing the head — the headline number must survive that
+    s""""total_sec":${f"$total%.3f"},"n_queries":${clean.size}}"""
   }
 }

@@ -518,6 +518,13 @@ object PipelineQueries {
       Sequencing.sourceMix(Graft.documents(s, d), "source", "n_chars")
         .orderBy("source")
     },
+    // temperature-scaled sampling probabilities (α=0.7 exponentiated
+    // smoothing — upsamples small sources, the multilingual standard)
+    "tp_source_mix_temp" -> { (s, d) =>
+      Sequencing.sourceMixTemperature(Graft.documents(s, d), "source",
+          "n_chars", 0.7)
+        .orderBy("source")
+    },
     // ── data selection: DSIR importance resampling + LM scoring ───────
     // importance weights against the doc_id % 7 target slice (hashed
     // 1+2-gram models, micro-quantized log-ratios — exact int sums)
@@ -1044,6 +1051,11 @@ object PipelineQueries {
     "tp_source_mix" ->
       s"""SELECT source, n_docs, tokens, weight
          |FROM ${Sequencing.sqlSourceMixFrom("documents", "source", "n_chars")} s
+         |ORDER BY source""".stripMargin,
+    "tp_source_mix_temp" ->
+      s"""SELECT source, n_docs, tokens, p_raw, p_temp
+         |FROM ${Sequencing.sqlSourceMixTemperatureFrom("documents", "source",
+                  "n_chars", 0.7)} s
          |ORDER BY source""".stripMargin,
     "sel_dsir_weights" ->
       s"""SELECT doc_id, n_feats, weight

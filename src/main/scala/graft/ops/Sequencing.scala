@@ -136,6 +136,63 @@ object Sequencing {
             count(lit(1)).over(w)) / col("tokens").cast("double"), 6)))
   }
 
+  /** Temperature-scaled source sampling probabilities: p_temp ∝ tokens^α
+    * (exponentiated smoothing, the multilingual/data-recipe standard —
+    * α<1 upsamples small sources, α=1 is proportional, α=0 uniform).
+    * Output per source: (source, n_docs, tokens, p_raw, p_temp), both
+    * probabilities rounded to 6dp. The powered mass is micro-quantized to
+    * int64 at the #sources-row grouped table before the normalizing sum
+    * (exact, order-independent — the same device as [[Selection]]'s
+    * log-sums), so the only cross-engine float op is `pow` itself on
+    * identical integer inputs. Same scale shape as [[sourceMix]]: one
+    * corpus scan, then window totals over #sources rows.
+    */
+  def sourceMixTemperature(df: DataFrame, srcCol: String, tokCol: String,
+                           alpha: Double): DataFrame = {
+    val g = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol).cast("long")).as("tokens"))
+    val w = Window.partitionBy()
+    val li = round(pow(col("tokens").cast("double"), alpha) * 1000000d, 0)
+      .cast("long")
+    g.withColumn("_li",
+        when(coalesce(col("tokens"), lit(0L)) <= 0L, lit(0L)).otherwise(li))
+      .withColumn("p_raw",
+        when(coalesce(sum(col("tokens")).over(w), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("tokens").cast("double") /
+            sum(col("tokens")).over(w).cast("double"), 6)))
+      .withColumn("p_temp",
+        when(sum(col("_li")).over(w) === 0L, lit(null).cast("double"))
+          .otherwise(round(col("_li").cast("double") /
+            sum(col("_li")).over(w).cast("double"), 6)))
+      .drop("_li")
+  }
+
+  /** DuckDB twin of [[sourceMixTemperature]] (adjacent so they cannot
+    * drift).
+    */
+  def sqlSourceMixTemperatureFrom(table: String, srcCol: String,
+                                  tokExpr: String, alpha: Double): String =
+    s"""(SELECT source, n_docs, tokens,
+       |        CASE WHEN COALESCE(tot, 0) = 0 THEN NULL
+       |             ELSE round(CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |        END AS p_raw,
+       |        CASE WHEN ltot = 0 THEN NULL
+       |             ELSE round(CAST(li AS DOUBLE) / CAST(ltot AS DOUBLE), 6)
+       |        END AS p_temp
+       | FROM (SELECT source, n_docs, tokens, li,
+       |              CAST(sum(tokens) OVER () AS BIGINT) AS tot,
+       |              CAST(sum(li) OVER () AS BIGINT) AS ltot
+       |       FROM (SELECT source, n_docs, tokens,
+       |                    CASE WHEN COALESCE(tokens, 0) <= 0 THEN 0
+       |                         ELSE CAST(round(pow(CAST(tokens AS DOUBLE),
+       |                                              $alpha) * 1000000.0, 0)
+       |                                   AS BIGINT) END AS li
+       |             FROM (SELECT $srcCol AS source, count(*) AS n_docs,
+       |                          CAST(sum($tokExpr) AS BIGINT) AS tokens
+       |                   FROM $table GROUP BY $srcCol) g) p) q)""".stripMargin
+
   /** DuckDB twin of [[sourceMix]] (adjacent so they cannot drift). */
   def sqlSourceMixFrom(table: String, srcCol: String, tokExpr: String): String =
     s"""(SELECT source, n_docs, tokens,

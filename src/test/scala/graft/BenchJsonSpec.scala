@@ -16,8 +16,8 @@ class BenchJsonSpec extends AnyFunSuite {
       contaminated = false, "/tmp/sf")
     assert(j.contains(""""err_count":0"""))
     assert(j.contains(""""errors":{}"""))
-    assert(j.contains(""""value":3.51"""))
-    assert(j.contains(""""q_broken":0.0100"""))
+    assert(j.contains(""""value":3.510"""))
+    assert(j.contains(""""q_broken":0.010"""))
   }
 
   test("a broken query poisons the line visibly and leaves the total") {
@@ -26,7 +26,17 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(j.contains(""""errors":{"q_broken":3}"""))
     assert(j.contains(""""err_count":3"""))
     // excluded from both the total and the per-query times
-    assert(j.contains(""""value":3.5,"""))
-    assert(!j.contains(""""q_broken":0.0100"""))
+    assert(j.contains(""""value":3.500,"""))
+    assert(!j.contains(""""q_broken":0.010"""))
+  }
+
+  test("spread collapses to aggregate stats + the noisiest queries") {
+    val j = Bench.renderJson(mins, spreads, Map.empty, 0.1, 1.05, 3, 1,
+      contaminated = false, "/tmp/sf")
+    assert(j.contains(""""spread_max":1.20"""))
+    assert(j.contains(""""spread_p95":"""))
+    // worst-first top list, no full per-query spread map
+    assert(j.contains(""""spread_top":{"q_ok2":1.20"""))
+    assert(!j.contains(""""spread":{"""))
   }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior of [[Sequencing.sourceMixTemperature]] (the α-exponentiated
+  * sampling weights; cross-engine exactness is the `tp_source_mix_temp`
+  * driver row's job): α<1 shifts mass toward small sources, α=1 recovers
+  * the proportional distribution, and the probabilities form a
+  * distribution.
+  */
+class SequencingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 sources with strongly skewed token mass: 100 / 1000 / 10000
+  private lazy val docs = (
+    (0 until 10).map(i => (s"a$i", "small", 10L)) ++
+    (0 until 10).map(i => (s"b$i", "mid", 100L)) ++
+    (0 until 10).map(i => (s"c$i", "big", 1000L))
+  ).toDF("doc_id", "source", "n_tok")
+
+  test("alpha<1 upsamples small sources relative to proportional") {
+    val m = Sequencing.sourceMixTemperature(docs, "source", "n_tok", 0.5)
+      .select("source", "p_raw", "p_temp")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("small")._2 > m("small")._1, s"small: $m")
+    assert(m("big")._2 < m("big")._1, s"big: $m")
+    // both are distributions (rounding leaves ~1e-6 slack)
+    assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-5)
+    // order is preserved: bigger source never drops below a smaller one
+    assert(m("big")._2 > m("mid")._2 && m("mid")._2 > m("small")._2)
+  }
+
+  test("alpha=1 recovers the proportional distribution") {
+    val m = Sequencing.sourceMixTemperature(docs, "source", "n_tok", 1.0)
+      .select("source", "p_raw", "p_temp")
+      .as[(String, Double, Double)].collect()
+    m.foreach { case (s, raw, temp) =>
+      assert(math.abs(raw - temp) < 2e-6, s"$s: $raw vs $temp")
+    }
+  }
+
+  test("alpha=0 is uniform over non-empty sources") {
+    val m = Sequencing.sourceMixTemperature(docs, "source", "n_tok", 0.0)
+      .select("p_temp").as[Double].collect()
+    m.foreach(p => assert(math.abs(p - 1.0 / 3) < 2e-6))
+  }
+
+  test("zero-token sources get probability 0, others renormalize over them") {
+    val withEmpty = docs
+      .union(Seq(("z0", "empty", 0L)).toDF("doc_id", "source", "n_tok"))
+    val m = Sequencing.sourceMixTemperature(withEmpty, "source", "n_tok", 0.5)
+      .select("source", "p_temp").as[(String, Double)].collect().toMap
+    assert(m("empty") == 0.0)
+    assert(math.abs(m.view.filterKeys(_ != "empty").values.sum - 1.0) < 1e-5)
+  }
+}
