@@ -185,6 +185,14 @@ object PipelineQueries {
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
         .orderBy("content_hash")
     },
+    // CCNet/C4-style boilerplate removal: global line counts, then every
+    // document rewritten with its corpus-repeated lines dropped — the
+    // drop list broadcasts, the corpus never shuffles for the removal
+    "dedup_lines" -> { (s, d) =>
+      Dedup.lineDedup(Graft.documents(s, d), "doc_id", "text",
+          width = 10, maxDup = 1)
+        .orderBy("doc_id")
+    },
     // the keep-set after exact dedup — the operator users actually run
     "dedup_keepset" -> { (s, d) =>
       Dedup.dropExactDuplicates(Graft.documents(s, d), "doc_id", "text")
@@ -1123,6 +1131,7 @@ object PipelineQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+    "dedup_lines" -> Dedup.sqlLineDedup(width = 10, maxDup = 1),
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT id1, id2, $minhashEstSql AS est_jaccard

@@ -472,4 +472,106 @@ object Dedup {
     }
     comp
   }
+
+  // ── line-level dedup (boilerplate removal) ─────────────────────────
+
+  /** Non-overlapping `width`-word segments of a document, in order — the
+    * "lines" of line-level corpus dedup. Corpora with real line structure
+    * would split on newlines; the fixed-width segmentation is the same
+    * rule C4 applies to its three-sentence spans and works on any text.
+    * The last segment may be short; an empty/short document is one
+    * segment (its whole text).
+    */
+  def lineSegments(text: Column, width: Int): Column = {
+    // same bind-once scope as shingleHashes: evaluate the split once per
+    // row, not once per segment
+    val perRow = transform(array(split(text, " ")), w =>
+      transform(
+        sequence(lit(0), greatest(lit(0L),
+          floor((size(w) + (width - 1)).cast("double") / lit(width.toDouble))
+            .cast("long") - 1)),
+        i => concat_ws(" ", slice(w, i * width + 1, lit(width)))))
+    element_at(perRow, 1)
+  }
+
+  /** Corpus-level duplicate-line removal — the CCNet/C4 boilerplate
+    * filter: segment every document into `width`-word lines, count each
+    * distinct line's occurrences across the WHOLE corpus, and rewrite
+    * every document with its lines that occur more than `maxDup` times
+    * removed (headers, footers, navigation chrome — the segments that
+    * repeat verbatim across many pages).
+    *
+    * Returns one row per input document: `(doc_id, n_segs, n_kept,
+    * text_clean)` — `text_clean` is the document rebuilt from its kept
+    * segments in original order (empty string when every line was
+    * boilerplate).
+    *
+    * 100 TB shape: the global count is one hash-aggregate on a 60-bit
+    * line hash (map-side partial agg — the shuffle carries one long +
+    * count per distinct line per partition). The drop list (`n_occ >
+    * maxDup`) is then a TINY relation — boilerplate is by definition the
+    * small set of lines repeated many times — so the removal step is a
+    * broadcast left-anti join against the corpus-side segments: the
+    * corpus is never shuffled, only scanned twice (count pass + rewrite
+    * pass). The per-document rebuild is the one real shuffle, keyed by
+    * doc_id and carrying only kept segments.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                width: Int = 10, maxDup: Int = 1): DataFrame = {
+    val segs = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("doc_id"),
+        posexplode(lineSegments(col(textCol), width))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_h", PortableHash.h60(col("seg")))
+    val dropList = segs
+      .groupBy(col("seg_h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > maxDup)
+      .select("seg_h")
+    val kept = segs.join(broadcast(dropList), Seq("seg_h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s("seg")),
+          " ").as("text_clean"))
+    df.select(col(idCol).as("doc_id"),
+        size(lineSegments(col(textCol), width)).cast("long").as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** DuckDB twin of [[lineDedup]] (adjacent so they cannot drift). */
+  def sqlLineDedup(width: Int = 10, maxDup: Int = 1): String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(
+       |           (string_split(text, ' '))[i*$width+1 : i*$width+$width],
+       |           ' ') AS seg
+       |  FROM (SELECT doc_id, text,
+       |               unnest(range(greatest(1, CAST(ceil(
+       |                 CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |                 / $width) AS BIGINT)))) AS i
+       |        FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |         ${PortableHash.sqlH60("seg")} AS seg_h FROM segs),
+       |drop_list AS (
+       |  SELECT seg_h FROM hashed GROUP BY seg_h
+       |  HAVING count(*) > $maxDup),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+       |  FROM hashed WHERE seg_h NOT IN (SELECT seg_h FROM drop_list)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(greatest(1, ceil(
+       |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) / $width))
+       |         AS BIGINT) AS n_segs,
+       |       coalesce(k.n_kept, 0) AS n_kept,
+       |       coalesce(k.text_clean, '') AS text_clean
+       |FROM documents d LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

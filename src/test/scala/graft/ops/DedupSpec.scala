@@ -80,4 +80,49 @@ class DedupSpec extends SparkSpec {
     assert(r(1L)._6 == 0.9)
     assert(r(2L)._5 == 9L)
   }
+
+  test("lineSegments: non-overlapping width-word windows, short tail kept") {
+    val r = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), // 7 words, width 3 -> 3 segments
+      (2L, "a b c"),                // exactly one full segment
+      (3L, "solo"))                 // sub-width doc = one segment
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.lineSegments(col("text"), 3).as("segs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(r(1L) == Seq("w1 w2 w3", "w4 w5 w6", "w7"))
+    assert(r(2L) == Seq("a b c"))
+    assert(r(3L) == Seq("solo"))
+  }
+
+  test("lineDedup: corpus-repeated lines removed, order preserved") {
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $boiler u4 u5 u6"),   // boilerplate mid-doc
+      (2L, s"$boiler v1 v2 v3"),            // boilerplate leading
+      (3L, boiler),                         // nothing but boilerplate
+      (4L, "w1 w2 w3")                      // untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text", width = 3, maxDup = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    // segment grid (width 3): doc 1 = [u1 u2 u3][all rights reserved]
+    // [u4 u5 u6]; the boilerplate line occurs 3x corpus-wide -> dropped
+    // everywhere, remaining segments rejoin in original order
+    assert(r(1L) == ((1L, 3L, 2L, "u1 u2 u3 u4 u5 u6")))
+    assert(r(2L) == ((2L, 2L, 1L, "v1 v2 v3")))
+    assert(r(3L) == ((3L, 1L, 0L, "")), "all-boilerplate doc -> empty")
+    assert(r(4L) == ((4L, 1L, 1L, "w1 w2 w3")))
+  }
+
+  test("lineDedup: maxDup threshold spares lines at or under it") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"),           // 2 occurrences
+      (3L, "p q r"), (4L, "p q r"), (5L, "p q r")) // 3 occurrences
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text", width = 3, maxDup = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(r(1L) == 1L && r(2L) == 1L, "2 <= maxDup survives")
+    assert(r(3L) == 0L && r(4L) == 0L && r(5L) == 0L, "3 > maxDup dropped")
+  }
 }
