@@ -171,6 +171,17 @@ object PipelineQueries {
         .filter(col("doc_id") =!= col("bench_id"))
         .orderBy("doc_id", "bench_id")
     },
+    // decontamination with the bloom prefilter: identical exact output
+    // (same oracle), but non-matching corpus shingles die at scan speed
+    // in a codegen'd bit-array probe before the join ever sees them
+    "tp_decontaminate_bloom" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      Decontaminate.overlapsBloom(docs, bench, "doc_id", "text", "doc_id",
+          "text", n = 3, minOverlap = 3)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    },
     // Gopher-style repetition quality signals, scan-speed projection
     "tp_repetition" -> { (s, d) =>
       TextAnalysis.repetition(Graft.documents(s, d)).orderBy("doc_id")
@@ -1124,6 +1135,9 @@ object PipelineQueries {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variant")),
     "tp_dup_spans" -> Dedup.sqlDupSpanCoverage(8),
     "tp_decontaminate" ->
+      Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
+    // the bloom variant is exact by construction — same oracle
+    "tp_decontaminate_bloom" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
     "tp_repetition" -> TextAnalysis.sqlRepetition,
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),

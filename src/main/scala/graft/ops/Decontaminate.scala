@@ -43,6 +43,47 @@ object Decontaminate {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** [[overlaps]] with a bloom-filter prefilter on the corpus side — same
+    * exact result (the bloom has no false negatives and the exact join
+    * removes its false positives), different 100 TB cost profile.
+    *
+    * The broadcast-hash-join in [[overlaps]] already avoids shuffling the
+    * corpus, but every exploded corpus shingle still PROBES the hash
+    * relation and carries its row through the join operator. Here a
+    * [[graft.functions.BloomMightContain]] probe — a codegen'd bit-array
+    * test, orders of magnitude cheaper than a hash-relation probe with
+    * row copy — drops ~all non-matching shingles at scan speed first: with
+    * sparse contamination (the normal case: an eval set leaks into a tiny
+    * fraction of a corpus) the join sees `matches + fpp × |corpus grams|`
+    * rows instead of all of them. This is also the shape that survives a
+    * bench side too big to broadcast (a 10^8-item bloom is ~100 MB at 1%
+    * fpp where the exploded relation is many GB): the join can degrade to
+    * sort-merge while the prefilter still kills the corpus-side volume.
+    *
+    * `expectedItems` sizes the filter; when absent, one count job on the
+    * (small) bench side measures it exactly.
+    */
+  def overlapsBloom(corpus: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    benchIdCol: String, benchTextCol: String,
+                    n: Int = 3, minOverlap: Int = 3,
+                    fpp: Double = 0.01,
+                    expectedItems: Option[Long] = None): DataFrame = {
+    val b = bench
+      .select(col(benchIdCol).as("bench_id"),
+        explode(Dedup.shingleHashes(col(benchTextCol), n)).as("g"))
+    val nItems = expectedItems.getOrElse(b.count())
+    val bloom = b.stat.bloomFilter("g", math.max(nItems, 64L), fpp)
+    val c = graft.core.Graft.rebalance(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("g"))
+      .filter(graft.functions.BloomMightContain.probe(col("g"), bloom))
+    c.join(broadcast(b), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** The keep-set: corpus with contaminated documents removed — the
     * production decontamination step (broadcast-friendly: the distinct
     * contaminated-id relation is far smaller than the corpus).
