@@ -182,6 +182,23 @@ object PipelineQueries {
         .filter(col("doc_id") =!= col("bench_id"))
         .orderBy("doc_id", "bench_id")
     },
+    // PII redaction: emails/IPs/phones/SSN shapes -> typed placeholders.
+    // The synthetic corpus carries no PII, so both engines plant the same
+    // deterministic contact line in half the docs first — the compare
+    // then checks real matches, not a no-op
+    "tp_pii_scrub" -> { (s, d) =>
+      val planted = Graft.documents(s, d).withColumn("t",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 or 10.0.0."),
+            (col("doc_id") % 256).cast("string")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          TextAnalysis.piiCount(col("t")).cast("long").as("n_pii"),
+          md5(TextAnalysis.piiScrub(col("t"))).as("scrub_hash"))
+        .orderBy("doc_id")
+    },
     // Gopher-style repetition quality signals, scan-speed projection
     "tp_repetition" -> { (s, d) =>
       TextAnalysis.repetition(Graft.documents(s, d)).orderBy("doc_id")
@@ -1139,6 +1156,19 @@ object PipelineQueries {
     // the bloom variant is exact by construction — same oracle
     "tp_decontaminate_bloom" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
+    "tp_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0
+         |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |                || '@example.com or 555-123-4567 or 10.0.0.'
+         |                || CAST(doc_id % 256 AS VARCHAR)
+         |           ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(${TextAnalysis.sqlPiiCount("t")} AS BIGINT) AS n_pii,
+         |       md5(${TextAnalysis.sqlPiiScrub("t")}) AS scrub_hash
+         |FROM planted ORDER BY doc_id""".stripMargin,
     "tp_repetition" -> TextAnalysis.sqlRepetition,
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
     "dedup_exact" ->

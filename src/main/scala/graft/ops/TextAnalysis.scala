@@ -165,6 +165,58 @@ object TextAnalysis {
        |FROM grams JOIN freq USING (g)
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ── PII scrubbing ──────────────────────────────────────────────────
+
+  /** (pattern, replacement) table for PII redaction. Patterns stay inside
+    * the regex subset with identical semantics in Java (Spark
+    * `regexp_replace`) and RE2 (the DuckDB twin): character classes,
+    * bounded repetition, alternation — no backreferences or lookaround.
+    * Order matters: emails first, so their user/host digits can't be
+    * half-eaten by the phone/IP rules.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // email addresses
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // IPv4 addresses (before phones: a dotted quad is not 4 phone stubs)
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    // NANP-style phone numbers: optional +1 / area code, 3-3-4 digits
+    ("(\\+1[ .-]?)?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}",
+      "<PHONE>"),
+    // US SSN shape
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  /** PII redaction — the pre-release scrub every published training
+    * corpus runs: emails, IPv4s, phone numbers and SSN-shaped ids
+    * replaced with typed placeholder tokens. A pure chain of codegen'd
+    * `regexp_replace` projections: scan-speed, no shuffle, trivially
+    * scales to any corpus size.
+    */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of PII matches in a document (pre-scrub), by summing the
+    * length deltas is wrong (replacements differ in length), so count
+    * directly: `regexp_count` per pattern.
+    */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
+      .reduce(_ + _)
+
+  /** DuckDB twin of [[piiScrub]] (adjacent so they cannot drift); RE2's
+    * `g` flag replaces all occurrences like Java's replaceAll. DuckDB
+    * single-quoted strings pass backslashes through verbatim — only the
+    * quote needs escaping.
+    */
+  def sqlPiiScrub(textExpr: String): String =
+    piiPatterns.foldLeft(textExpr) { case (e, (p, r)) =>
+      s"regexp_replace($e, '${p.replace("'", "''")}', '$r', 'g')"
+    }
+
+  def sqlPiiCount(textExpr: String): String =
+    piiPatterns.map { case (p, _) =>
+      s"len(regexp_extract_all($textExpr, '${p.replace("'", "''")}'))"
+    }.mkString("(", " + ", ")")
+
   /** One-pass document profile used by the pipeline queries. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
