@@ -82,6 +82,64 @@ object PipelineStress {
           "doc_id", "text", "doc_id", "text", minOverlap = 3)
         .filter(col("doc_id") =!= col("bench_id")).count()
     }
+    timed("decontaminate bloom (1k)") {
+      // same exact result as above; the bloom prefilter kills non-matching
+      // corpus shingles at scan speed before the join
+      Decontaminate.overlapsBloom(docs,
+        docs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
+          "doc_id", "text", "doc_id", "text", minOverlap = 3)
+        .filter(col("doc_id") =!= col("bench_id")).count()
+    }
+    // the regime the bloom prefilter exists for: a bench side too large
+    // to broadcast (forced sort-merge join). Without the bloom the WHOLE
+    // exploded corpus-gram relation shuffles for the join; with it only
+    // matching grams (+fpp) do.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    timed("decontaminate smj (1k)") {
+      Decontaminate.overlaps(docs,
+        docs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
+          "doc_id", "text", "doc_id", "text", minOverlap = 3,
+          hintBroadcast = false)
+        .filter(col("doc_id") =!= col("bench_id")).count()
+    }
+    timed("decontam bloom smj (1k)") {
+      Decontaminate.overlapsBloom(docs,
+        docs.filter(col("doc_id") % math.max(1L, n / 1000) === 0),
+          "doc_id", "text", "doc_id", "text", minOverlap = 3,
+          hintBroadcast = false)
+        .filter(col("doc_id") =!= col("bench_id")).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    // the quantity the bloom actually buys at cluster scale: corpus-gram
+    // rows entering the join's shuffle with vs without the prefilter
+    // (locally the explode compute dominates and shuffle is in-memory, so
+    // wall-time is flat — on a network this row ratio IS the win)
+    timed("bloom shuffle rows") {
+      val b = docs.filter(col("doc_id") % math.max(1L, n / 1000) === 0)
+        .select(explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
+      val bloom = b.stat.bloomFilter("g", 64000, 0.01)
+      val c = docs.select(explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
+      val survivors = c.filter(
+        graft.functions.BloomMightContain.probe(col("g"), bloom)).count()
+      val total = c.count()
+      println(f"PSTRESS   bloom prefilter: $total%,d grams -> $survivors%,d " +
+        f"(${total.toDouble / survivors}%.0fx fewer shuffled rows)")
+      survivors
+    }
+    timed("line dedup w=10")(
+      Dedup.lineDedup(docs, "doc_id", "text", width = 10, maxDup = 1)
+        .agg(sum(col("n_segs") - col("n_kept")))
+        .as[Long](spark.implicits.newLongEncoder).head())
+    timed("pii scrub")(
+      // half the docs get a planted contact line (generated text has no
+      // PII); the timed cost is the full regex scan of every document
+      docs.withColumn("t",
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+              lit("@example.com 555-123-4567")))
+            .otherwise(col("text")))
+        .select(TextAnalysis.piiCount(col("t")).cast("long").as("n"))
+        .agg(sum("n")).as[Long](spark.implicits.newLongEncoder).head())
     timed("token budget mix")(
       Sampling.tokenBudget(
         docs.withColumn("w", length(col("text"))).withColumn("stratum",

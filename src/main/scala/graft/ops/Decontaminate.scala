@@ -30,14 +30,15 @@ object Decontaminate {
   def overlaps(corpus: DataFrame, bench: DataFrame,
                idCol: String, textCol: String,
                benchIdCol: String, benchTextCol: String,
-               n: Int = 3, minOverlap: Int = 3): DataFrame = {
+               n: Int = 3, minOverlap: Int = 3,
+               hintBroadcast: Boolean = true): DataFrame = {
     val c = graft.core.Graft.rebalance(corpus)
       .select(col(idCol).as("doc_id"),
         explode(Dedup.shingleHashes(col(textCol), n)).as("g"))
     val b = bench
       .select(col(benchIdCol).as("bench_id"),
         explode(Dedup.shingleHashes(col(benchTextCol), n)).as("g"))
-    c.join(broadcast(b), "g")
+    c.join(if (hintBroadcast) broadcast(b) else b, "g")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
@@ -68,7 +69,8 @@ object Decontaminate {
                     benchIdCol: String, benchTextCol: String,
                     n: Int = 3, minOverlap: Int = 3,
                     fpp: Double = 0.01,
-                    expectedItems: Option[Long] = None): DataFrame = {
+                    expectedItems: Option[Long] = None,
+                    hintBroadcast: Boolean = true): DataFrame = {
     val b = bench
       .select(col(benchIdCol).as("bench_id"),
         explode(Dedup.shingleHashes(col(benchTextCol), n)).as("g"))
@@ -78,7 +80,7 @@ object Decontaminate {
       .select(col(idCol).as("doc_id"),
         explode(Dedup.shingleHashes(col(textCol), n)).as("g"))
       .filter(graft.functions.BloomMightContain.probe(col("g"), bloom))
-    c.join(broadcast(b), "g")
+    c.join(if (hintBroadcast) broadcast(b) else b, "g")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
