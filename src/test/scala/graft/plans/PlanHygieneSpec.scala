@@ -71,4 +71,41 @@ class PlanHygieneSpec extends SparkSpec {
           s"$name shuffled self-join without exchange reuse:\n${plan.take(2000)}")
     }
   }
+
+  test("dedup_lines: drop-list anti-join broadcasts; corpus never shuffles for removal") {
+    val df = SparkEntry.queries("dedup_lines")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"boilerplate drop list must broadcast:\n${plan.take(2000)}")
+    // the only corpus-keyed exchange is the per-doc rebuild (doc_id) plus
+    // the slim line-hash count agg — a seg-keyed join shuffle would mean
+    // the drop list stopped broadcasting
+    assert(!plan.contains("SortMergeJoin"),
+      s"removal join degraded to a corpus shuffle:\n${plan.take(2000)}")
+  }
+
+  test("tp_decontaminate_bloom: the bloom probe sits in the plan before the join") {
+    val df = SparkEntry.queries("tp_decontaminate_bloom")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom prefilter missing from executed plan:\n${plan.take(2000)}")
+    val filterIdx = plan.indexOf("bloom_might_contain")
+    val joinIdx = plan.indexOf("HashJoin")
+    assert(joinIdx >= 0 && joinIdx < filterIdx,
+      "bloom filter must feed the join (appear below it in the plan tree)")
+  }
+
+  test("tp_pii_scrub plans as a pure projection: no exchange except the result sort") {
+    val df = SparkEntry.queries("tp_pii_scrub")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE's toString prints Final AND Initial plans, so count kinds, not
+    // occurrences: the orderBy's rangepartitioning is the only exchange
+    // allowed — any hashpartitioning means the op grew a shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"pii scrub should be map-only (+1 result sort):\n${plan.take(2000)}")
+  }
 }
