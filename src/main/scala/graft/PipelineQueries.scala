@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -212,6 +212,23 @@ object PipelineQueries {
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
         .orderBy("content_hash")
+    },
+    // incremental dedup: first half of the corpus registers its content
+    // fingerprints in a warehouse, then the second half drops whatever
+    // content the store has seen — the steady-state ingest shape (store
+    // scanned through a bloom probe of the batch, never shuffled)
+    "dedup_incremental" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val db = graft.store.Db(s, tempWarehouse())
+      IncrementalDedup.registerBatch(db,
+        docs.filter(col("doc_id") < mid), "doc_id", "text")
+      // probe the WHOLE corpus: every first-half doc is registered
+      // content and must drop — a silently no-op probe cannot pass
+      IncrementalDedup.dropSeenBefore(db, docs, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     },
     // CCNet/C4-style boilerplate removal: global line counts, then every
     // document rewritten with its corpus-repeated lines dropped — the
@@ -1176,6 +1193,18 @@ object PipelineQueries {
         |       count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "dedup_lines" -> Dedup.sqlLineDedup(width = 10, maxDup = 1),
+    "dedup_incremental" ->
+      s"""WITH m AS (
+         |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS mid
+         |  FROM documents)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d, m
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM documents e
+         |  WHERE e.doc_id < m.mid
+         |    AND ${PortableHash.sqlH60("e.text")} =
+         |        ${PortableHash.sqlH60("d.text")})
+         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT id1, id2, $minhashEstSql AS est_jaccard
