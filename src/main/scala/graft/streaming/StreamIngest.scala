@@ -58,6 +58,45 @@ object StreamIngest {
     q
   }
 
+  /** Durable streaming dedup: each micro-batch of documents drops content
+    * already registered in the fingerprint warehouse
+    * ([[graft.ops.IncrementalDedup.dropSeenBefore]] — bloom-probed store
+    * scan, never a store shuffle), registers what survives as one
+    * transaction, and hands the fresh rows to `onFresh` (the downstream
+    * forward). Unlike [[StatefulOps.dedupStream]]'s in-memory state store
+    * this dedup set lives in the warehouse: it survives restarts WITHOUT
+    * a streaming checkpoint, is shared across queries and batch jobs, is
+    * compactable, and has no watermark trade-off (exact-forever dedup).
+    *
+    * Replay safety is two-layered: the batch-id guard skips fully
+    * committed batches, and a replay of a batch that crashed between
+    * register and the id update is naturally idempotent — its content is
+    * now "seen", so the replay registers nothing and forwards nothing
+    * twice (at-least-once `onFresh` with an empty replay, exactly-once
+    * store state).
+    */
+  def dedupWriter(db: Db, stream: DataFrame, idCol: String, textCol: String,
+                  onFresh: DataFrame => Unit = _ => (),
+                  trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatch && !batch.isEmpty) {
+          val fresh = graft.ops.IncrementalDedup
+            .dropSeenBefore(db, batch, idCol, textCol)
+            .localCheckpoint(true)
+          if (!fresh.isEmpty)
+            graft.ops.IncrementalDedup.registerBatch(db, fresh, idCol, textCol)
+          Manifest.update(db.warehouse)(cur =>
+            cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+          onFresh(fresh)
+        }
+        ()
+      }
+
   /** Streaming ANN-index maintenance: each micro-batch of
     * (`idCol: Long`, `embCol: Array[Float]`) rows is encoded with the
     * index warehouse's PERSISTED quantizer

@@ -129,4 +129,37 @@ class StreamIngestSpec extends SparkSpec {
     assert(r.head._1 == 9L,
       s"streamed duplicate should rank 1 on the residual index: ${r.toSeq}")
   }
+
+  test("durable streaming dedup: warehouse-backed seen-set across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-dedupstream"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val cp = tmpDir("graft-dedupcp")
+    val forwarded = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): Unit = {
+      val q = StreamIngest.dedupWriter(db, stream, "doc_id", "text",
+          onFresh = f => forwarded ++=
+            f.as[(Long, String)](implicitly).collect())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    }
+    mem.addData(1L -> "alpha", 2L -> "beta")
+    run()
+    assert(forwarded.toSet == Set(1L -> "alpha", 2L -> "beta"))
+
+    forwarded.clear()
+    mem.addData(3L -> "alpha", 4L -> "gamma") // 3 repeats batch-1 content
+    run()
+    assert(forwarded.toSet == Set(4L -> "gamma"),
+      "re-arriving content must not be forwarded")
+    // the seen-set is the warehouse, not stream state: a brand-new query
+    // (fresh checkpoint = fresh batch ids are NOT fresh state) still dedups
+    val store = db.read("h/%")
+    assert(store.count() == 3, "one fingerprint per distinct content")
+    val direct = graft.ops.IncrementalDedup.dropSeenBefore(db,
+      Seq(9L -> "beta", 10L -> "delta").toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, String)].collect().toSet
+    assert(direct == Set(10L -> "delta"))
+  }
 }
