@@ -140,6 +140,22 @@ object PipelineStress {
             .otherwise(col("text")))
         .select(TextAnalysis.piiCount(col("t")).cast("long").as("n"))
         .agg(sum("n")).as[Long](spark.implicits.newLongEncoder).head())
+    // incremental dedup steady state: one-time register of the whole
+    // corpus, then per-batch probes (the recurring cost at ingest time) —
+    // half the probe batch repeats registered content, half is fresh
+    val incDb = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-incstress").toString)
+    timed("incr register (full corpus)")(
+      graft.ops.IncrementalDedup.registerBatch(incDb, docs, "doc_id", "text"))
+    val probeBatch = docs.filter(col("doc_id") < 2500)
+      .select((col("doc_id") + n).as("doc_id"), col("text"))
+      .unionByName(spark.range(n + 10000, n + 12500).select(
+        col("id").as("doc_id"),
+        concat(lit("fresh "), col("id").cast("string")).as("text")))
+      .localCheckpoint(true)
+    timed("incr probe (5k batch)")(
+      graft.ops.IncrementalDedup.dropSeenBefore(incDb, probeBatch,
+        "doc_id", "text").count())
     timed("token budget mix")(
       Sampling.tokenBudget(
         docs.withColumn("w", length(col("text"))).withColumn("stratum",
