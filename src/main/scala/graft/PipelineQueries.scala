@@ -601,6 +601,16 @@ object PipelineQueries {
         Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
         "doc_id", "text").orderBy("doc_id")
     },
+    // model-based quality filter: closed-form Naive Bayes over hashed
+    // n-gram features, trained on curated-vs-raw seed slices, scores and
+    // labels every document (the GPT-3/fastText filter shape)
+    "sel_nb_score" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      Selection.nbScore(docs,
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 === 5),
+        "doc_id", "text").orderBy("doc_id")
+    },
     // CCNet's head/middle/tail corpus split by LM perplexity rank
     "sel_lm_buckets" -> { (s, d) =>
       Selection.lmBuckets(Graft.documents(s, d),
@@ -1124,6 +1134,11 @@ object PipelineQueries {
       s"""SELECT doc_id, n_trans, nll
          |FROM ${Selection.sqlLmScoreFrom("documents", "doc_id", "text",
                   "doc_id % 7 = 3")} l
+         |ORDER BY doc_id""".stripMargin,
+    "sel_nb_score" ->
+      s"""SELECT doc_id, n_feats, nb_score, nb_label
+         |FROM ${Selection.sqlNbScoreFrom("documents", "doc_id", "text",
+                  "doc_id % 10 = 0", "doc_id % 10 = 5")} nb
          |ORDER BY doc_id""".stripMargin,
     "sel_lm_buckets" ->
       s"""SELECT doc_id, n_trans, nll, bucket

@@ -366,4 +366,101 @@ object Selection {
        |       ELSE NULL END AS nll
        |FROM $table d LEFT JOIN lm_scored s ON d.$idCol = s.doc_id)""".stripMargin
   }
+
+  // ── Naive-Bayes quality classifier ─────────────────────────────────
+
+  /** Model-based quality filtering — the GPT-3/CCNet "train a classifier
+    * on curated-vs-raw seeds, keep what scores curated" stage, as a
+    * multinomial Naive Bayes over the shared hashed unigram+bigram
+    * features ([[featureBuckets]]): per-bucket add-one-smoothed log-odds
+    * `log(p(b|positive) / p(b|negative))`, fit on two labeled seed sets;
+    * a document's score is its features' MEAN log-odds (length-normalized
+    * so verdicts compare across document sizes), `nb_label = 1` when
+    * positive wins. NB's argmax is a linear classifier over these
+    * features — the same decision family as the fastText/LR filters the
+    * pipelines use, with closed-form training (two count aggregations)
+    * instead of SGD, which is what keeps it one deterministic Catalyst
+    * plan with a hash-exact oracle.
+    *
+    * Same exactness + scale contract as the rest of the module: logs are
+    * micro-quantized at the ≤`buckets`-row model table, the corpus path
+    * is explode → broadcast model join → integer-sum hash-agg, and
+    * corpus features unseen in BOTH seeds fall back to the smoothing
+    * prior `log((ntot+B)/(ptot+B))` computed from the 1-row totals.
+    */
+  def nbScore(corpus: DataFrame, positive: DataFrame, negative: DataFrame,
+              idCol: String, textCol: String,
+              buckets: Long = BUCKETS): DataFrame = {
+    val cf = graft.core.Graft.rebalance(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(featureBuckets(col(textCol), buckets)).as("b"))
+    val pc = positive
+      .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("pc"))
+    val nc = negative
+      .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nc"))
+    val tot = pc.agg(sum("pc").as("ptot"))
+      .crossJoin(nc.agg(sum("nc").as("ntot"))) // 1 row × 1 row
+    val lo = pc.join(nc, Seq("b"), "full").crossJoin(tot)
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("pc"), lit(0L)) + 1.0) * (col("ntot") + buckets.toDouble)) /
+          ((coalesce(col("nc"), lit(0L)) + 1.0) * (col("ptot") + buckets.toDouble)))
+          * MICRO.toDouble, 0).cast("long").as("loi"))
+    cf.join(broadcast(lo), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("loi"),
+          round(log((col("ntot") + buckets.toDouble) /
+            (col("ptot") + buckets.toDouble)) * MICRO.toDouble, 0)
+            .cast("long")).as("loi"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"), sum("loi").as("_s"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("_s").cast("double") / (col("n_feats") * MICRO), 6)
+          .as("nb_score"),
+        (col("_s") > 0L).cast("long").as("nb_label"))
+  }
+
+  /** DuckDB twin of [[nbScore]] (adjacent so they cannot drift). */
+  def sqlNbScoreFrom(table: String, idCol: String, textCol: String,
+                     positivePred: String, negativePred: String,
+                     buckets: Long = BUCKETS): String =
+    s"""(WITH nb_cf AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(${sqlFeatureBuckets(textCol, buckets)}) AS b
+       |  FROM $table),
+       |nb_pc AS (
+       |  SELECT b, count(*) AS pc FROM (
+       |    SELECT unnest(${sqlFeatureBuckets(textCol, buckets)}) AS b
+       |    FROM $table WHERE $positivePred) GROUP BY b),
+       |nb_nc AS (
+       |  SELECT b, count(*) AS nc FROM (
+       |    SELECT unnest(${sqlFeatureBuckets(textCol, buckets)}) AS b
+       |    FROM $table WHERE $negativePred) GROUP BY b),
+       |nb_tot AS (SELECT
+       |  (SELECT CAST(sum(pc) AS BIGINT) FROM nb_pc) AS ptot,
+       |  (SELECT CAST(sum(nc) AS BIGINT) FROM nb_nc) AS ntot),
+       |nb_lo AS (
+       |  SELECT b, CAST(round(ln(
+       |      ((COALESCE(pc, 0) + 1.0) * (ntot + $buckets.0)) /
+       |      ((COALESCE(nc, 0) + 1.0) * (ptot + $buckets.0)))
+       |    * 1000000.0, 0) AS BIGINT) AS loi
+       |  FROM nb_pc FULL JOIN nb_nc USING (b) CROSS JOIN nb_tot),
+       |nb_sum AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |         CAST(sum(loi2) AS BIGINT) AS s
+       |  FROM (
+       |    SELECT f.doc_id,
+       |           COALESCE(l.loi, CAST(round(ln(
+       |               (t.ntot + $buckets.0) / (t.ptot + $buckets.0))
+       |             * 1000000.0, 0) AS BIGINT)) AS loi2
+       |    FROM nb_cf f LEFT JOIN nb_lo l USING (b) CROSS JOIN nb_tot t)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_feats,
+       |       round(CAST(s AS DOUBLE) / (n_feats * 1000000.0), 6)
+       |         AS nb_score,
+       |       CAST(s > 0 AS BIGINT) AS nb_label
+       |FROM nb_sum)""".stripMargin
 }

@@ -121,4 +121,32 @@ class SelectionSpec extends SparkSpec {
     val mean = g.sum.toDouble / g.length / Selection.MICRO
     assert(mean > 0.3 && mean < 0.9, s"implausible Gumbel mean $mean")
   }
+
+  test("nbScore generalizes: held-out docs classify with their sublanguage") {
+    // train on half of each sublanguage, score everything: the held-out
+    // halves must side with their own class, not just the seeds
+    val pos = corpus.filter(col("doc_id") < 20)              // aa-seeds
+    val neg = corpus.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val r = Selection.nbScore(corpus, pos, neg, "doc_id", "text")
+      .select("doc_id", "nb_score", "nb_label")
+      .as[(Long, Double, Long)].collect().toSeq
+    val (aa, zz) = r.partition(_._1 < 40)
+    assert(aa.forall(_._3 == 1L), "every aa-doc (incl. held-out) labels positive")
+    assert(zz.forall(_._3 == 0L), "every zz-doc (incl. held-out) labels negative")
+    assert(aa.map(_._2).min > zz.map(_._2).max,
+      "scores separate the classes with a margin")
+  }
+
+  test("nbScore: mixed-vocabulary doc lands between the classes") {
+    val pos = corpus.filter(col("doc_id") < 40)
+    val neg = corpus.filter(col("doc_id") >= 40)
+    val probe = Seq((100L, "aa bb zz yy")).toDF("doc_id", "text")
+    val s = Selection.nbScore(probe, pos, neg, "doc_id", "text")
+      .select("nb_score").as[Double].head()
+    val sAa = Selection.nbScore(Seq((101L, "aa bb cc")).toDF("doc_id", "text"),
+      pos, neg, "doc_id", "text").select("nb_score").as[Double].head()
+    val sZz = Selection.nbScore(Seq((102L, "zz yy xx")).toDF("doc_id", "text"),
+      pos, neg, "doc_id", "text").select("nb_score").as[Double].head()
+    assert(sZz < s && s < sAa, s"expected $sZz < $s < $sAa")
+  }
 }
