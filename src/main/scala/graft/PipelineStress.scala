@@ -180,6 +180,11 @@ object PipelineStress {
     timed("lm buckets (exact ntile)")(
       Selection.lmBuckets(docs,
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text").count())
+    timed("nb classifier (1% seeds each)")(
+      Selection.nbScore(docs,
+        docs.filter(col("doc_id") % 100 === 0),
+        docs.filter(col("doc_id") % 100 === 50),
+        "doc_id", "text").count())
     timed("lm buckets (thresholds)")(
       Selection.lmBucketsByThresholds(docs,
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",

@@ -34,6 +34,14 @@ object Pipeline {
     * [[Sequencing.packBins]] rows (shard, bin, n_docs, tokens, fill)
     * over the cleaned, selected, budgeted corpus.
     */
+  /** @param nbSeeds when set to (positivePred, negativePred), a
+    *        closed-form NB classifier ([[Selection.nbScore]]) trains on
+    *        the matching slices of the heuristic-kept corpus and the gate
+    *        additionally requires `nb_label = 1` — the model-based filter
+    *        stage. Costs one extra doc_id-keyed join of two slim
+    *        corpus-sized relations (the keep-set is O(corpus), unlike
+    *        DSIR's k-row set, so it cannot broadcast).
+    */
   def corpusToShards(docs: DataFrame, bench: DataFrame,
                      minQuality: Double = 0.5,
                      nearDupJaccard: Double = 0.4,
@@ -41,12 +49,22 @@ object Pipeline {
                      window: Long = 256L,
                      shards: Int = 8,
                      dsirTargetPred: Option[Column] = None,
-                     dsirK: Int = 0): DataFrame = {
+                     dsirK: Int = 0,
+                     nbSeeds: Option[(Column, Column)] = None): DataFrame = {
     val scored = docs
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("lang_pred", TextAnalysis.langPredict(col("text")))
-    val kept = scored
+    val heuristicKept = scored
       .filter(col("quality") >= minQuality && col("lang_pred") === col("lang"))
+    val kept = nbSeeds match {
+      case Some((posPred, negPred)) =>
+        val lbl = Selection.nbScore(heuristicKept,
+            heuristicKept.filter(posPred), heuristicKept.filter(negPred),
+            "doc_id", "text")
+          .filter(col("nb_label") === 1L).select("doc_id")
+        heuristicKept.join(lbl, "doc_id")
+      case None => heuristicKept
+    }
     val canon = kept.groupBy(md5(col("text")).as("_h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val nearDrop = Dedup.verifiedNearDups(docs, "doc_id", "text",

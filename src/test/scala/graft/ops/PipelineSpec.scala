@@ -49,4 +49,16 @@ class PipelineSpec extends SparkSpec {
       .orderBy("shard", "bin").collect().toSeq
     assert(run() == run())
   }
+
+  test("NB gate shrinks the corpus; disabled gate is a no-op") {
+    val base = Pipeline.corpusToShards(docs, bench)
+    val gated = Pipeline.corpusToShards(docs, bench,
+      nbSeeds = Some((col("source") === "src0", col("source") === "src1")))
+    val nBase = base.agg(sum("n_docs")).as[Long].head()
+    val nGated = gated.agg(sum("n_docs")).as[Long].head()
+    assert(nGated < nBase, s"NB gate must drop something: $nGated vs $nBase")
+    assert(nGated > 0L, "NB gate must not drop everything")
+    assert(Pipeline.corpusToShards(docs, bench, nbSeeds = None)
+      .collect().toSet == base.collect().toSet)
+  }
 }
