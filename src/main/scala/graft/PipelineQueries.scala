@@ -208,6 +208,12 @@ object PipelineQueries {
     "tp_gram_df" -> { (s, d) =>
       TextAnalysis.gramDocFreqScore(Graft.documents(s, d)).orderBy("doc_id")
     },
+    // corpus frequency table (tokenizer-training seed): top-100 tokens
+    // with occurrence + document frequency, deterministic tie-break
+    // (k=20 < |vocab| at every SF so the cut and its tie-break BIND)
+    "tp_vocab_topk" -> { (s, d) =>
+      TextAnalysis.vocabTopK(Graft.documents(s, d), "doc_id", "text", 20)
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -1203,6 +1209,7 @@ object PipelineQueries {
          |FROM planted ORDER BY doc_id""".stripMargin,
     "tp_repetition" -> TextAnalysis.sqlRepetition,
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
+    "tp_vocab_topk" -> TextAnalysis.sqlVocabTopK(20),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

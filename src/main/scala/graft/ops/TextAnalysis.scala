@@ -165,6 +165,33 @@ object TextAnalysis {
        |FROM grams JOIN freq USING (g)
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: top-k tokens by total occurrence (ties broken by
+    * token order so the cut is deterministic) with document frequency —
+    * the frequency table that seeds tokenizer training and stopword
+    * induction. Plan: explode → hash-agg (map-side partials; shuffle
+    * width = distinct vocabulary, not corpus size) → distributed
+    * TakeOrdered for the k cut. count_distinct costs the standard expand
+    * double-agg; both widths are vocabulary-bounded.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(k)
+
+  /** DuckDB twin of [[vocabTopK]] (adjacent so they cannot drift). */
+  def sqlVocabTopK(k: Int): String =
+    s"""SELECT token, count(*) AS n_occ,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |      FROM documents)
+       |GROUP BY token ORDER BY n_occ DESC, token LIMIT $k""".stripMargin
+
   // ── PII scrubbing ──────────────────────────────────────────────────
 
   /** (pattern, replacement) table for PII redaction. Patterns stay inside
