@@ -93,6 +93,39 @@ object Sequencing {
         round(col("tokens").cast("double") / lit(window.toDouble), 6))
   }
 
+  /** Per-document bin assignment — the relation [[packBins]] aggregates,
+    * exposed so a sink can materialize the layout. Passthrough columns
+    * survive; adds (shard, bin).
+    */
+  def assignBins(df: DataFrame, idCol: String, tokCol: String,
+                 window: Long, shards: Int): DataFrame = {
+    val shard = Sampling.hashBucket(col(idCol)) % shards
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
+      .withColumn("bin",
+        floor((col("_cum") - col(tokCol).cast("long")).cast("double")
+          / lit(window.toDouble)).cast("long"))
+      .drop("_cum")
+  }
+
+  /** Materialize packed training shards: one parquet file per shard under
+    * `dir/shard=N/`, rows sorted by (bin, id) inside the file so a
+    * trainer streams bins in order without any read-side sort. The write
+    * plan is ONE hash exchange into exactly `shards` partitions (shards
+    * are sized to the cluster, so this is the parallelism floor, not a
+    * bottleneck) + a partition-local sort; at 100 TB raise `shards`, not
+    * the per-shard file count — the layout contract (bin-ordered rows
+    * within a shard) is what downstream loaders depend on.
+    */
+  def writeShards(df: DataFrame, idCol: String, tokCol: String,
+                  window: Long, shards: Int, dir: String): Unit =
+    assignBins(df, idCol, tokCol, window, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("bin"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   /** DuckDB twin of [[packBins]] (adjacent so they cannot drift). */
   def sqlPackBinsFrom(table: String, idCol: String, tokExpr: String,
                       window: Long, shards: Int): String =

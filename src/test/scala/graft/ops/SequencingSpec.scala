@@ -56,4 +56,45 @@ class SequencingSpec extends SparkSpec {
     assert(m("empty") == 0.0)
     assert(math.abs(m.view.filterKeys(_ != "empty").values.sum - 1.0) < 1e-5)
   }
+
+  test("assignBins aggregates to exactly packBins") {
+    val docs = (0L until 200L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
+    val agg = Sequencing.assignBins(docs, "doc_id", "n_tok", 256L, 4)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = Sequencing.packBins(docs, "doc_id", "n_tok", 256L, 4)
+      .select("shard", "bin", "n_docs", "tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(agg == direct)
+  }
+
+  test("writeShards: one bin-ordered file per shard, layout round-trips") {
+    val docs = (0L until 300L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
+    val dir = tmpDir("graft-shards")
+    Sequencing.writeShards(docs, "doc_id", "n_tok", 256L, 4, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.length == 4, s"expected 4 shard dirs: ${shardDirs.toSeq}")
+    shardDirs.foreach { sd =>
+      val files = new java.io.File(s"$dir/$sd").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$sd should hold ONE file, got ${files.length}")
+    }
+    val back = spark.read.parquet(dir)
+    // layout contract: within a shard file, rows stream bins in order
+    shardDirs.foreach { sd =>
+      val bins = spark.read.parquet(s"$dir/$sd").select("bin")
+        .as[Long].collect()
+      assert(bins.sameElements(bins.sorted), s"$sd rows not bin-ordered")
+    }
+    // content contract: the materialized layout aggregates to packBins
+    val agg = back.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = Sequencing.packBins(docs, "doc_id", "n_tok", 256L, 4)
+      .select("shard", "bin", "n_docs", "tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(agg == direct)
+  }
 }
