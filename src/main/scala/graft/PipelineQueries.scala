@@ -208,7 +208,7 @@ object PipelineQueries {
     "tp_gram_df" -> { (s, d) =>
       TextAnalysis.gramDocFreqScore(Graft.documents(s, d)).orderBy("doc_id")
     },
-    // corpus frequency table (tokenizer-training seed): top-100 tokens
+    // corpus frequency table (tokenizer-training seed): top-k tokens
     // with occurrence + document frequency, deterministic tie-break
     // (k=20 < |vocab| at every SF so the cut and its tie-break BIND)
     "tp_vocab_topk" -> { (s, d) =>

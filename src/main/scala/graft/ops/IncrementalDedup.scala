@@ -72,14 +72,19 @@ object IncrementalDedup {
     b.join(broadcast(matched), Seq("_h"), "left_anti").drop("_h")
   }
 
-  /** The full ingest step: drop already-seen content, register what
-    * remains, return the fresh rows (what a `foreachBatch` streaming
-    * sink would forward downstream). One store scan + one tx per batch.
+  /** The full ingest step: drop already-seen content, hand the fresh
+    * rows to `onFresh` (the downstream forward), THEN register them —
+    * forward-first so a crash between the two replays as a re-forward
+    * (at-least-once delivery), never as content marked seen but never
+    * delivered. Returns the fresh rows. One store scan + one tx per
+    * batch.
     */
   def ingestBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
+                  textCol: String,
+                  onFresh: DataFrame => Unit = _ => ()): DataFrame = {
     val fresh = dropSeenBefore(db, batch, idCol, textCol)
       .localCheckpoint(true) // the register tx must not re-plan the probe
+    onFresh(fresh)
     if (!fresh.isEmpty) registerBatch(db, fresh, idCol, textCol)
     fresh
   }

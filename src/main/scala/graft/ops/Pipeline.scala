@@ -33,14 +33,16 @@ object Pipeline {
     * Wikipedia-like text exactly this way). Output =
     * [[Sequencing.packBins]] rows (shard, bin, n_docs, tokens, fill)
     * over the cleaned, selected, budgeted corpus.
-    */
-  /** @param nbSeeds when set to (positivePred, negativePred), a
+    *
+    * @param nbSeeds when set to (positivePred, negativePred), a
     *        closed-form NB classifier ([[Selection.nbScore]]) trains on
     *        the matching slices of the heuristic-kept corpus and the gate
     *        additionally requires `nb_label = 1` — the model-based filter
     *        stage. Costs one extra doc_id-keyed join of two slim
     *        corpus-sized relations (the keep-set is O(corpus), unlike
-    *        DSIR's k-row set, so it cannot broadcast).
+    *        DSIR's k-row set, so it cannot broadcast). Either seed slice
+    *        matching nothing is a fail-fast error (an empty-seed model
+    *        would silently gate out most of the corpus).
     */
   def corpusToShards(docs: DataFrame, bench: DataFrame,
                      minQuality: Double = 0.5,
@@ -58,11 +60,18 @@ object Pipeline {
       .filter(col("quality") >= minQuality && col("lang_pred") === col("lang"))
     val kept = nbSeeds match {
       case Some((posPred, negPred)) =>
-        val lbl = Selection.nbScore(heuristicKept,
-            heuristicKept.filter(posPred), heuristicKept.filter(negPred),
-            "doc_id", "text")
+        // the scored subtree feeds FOUR consumers here (corpus side, two
+        // seed slices, join-back) — materialize once, same device as the
+        // DSIR branch below
+        val hk = heuristicKept.localCheckpoint(false)
+        val pos = hk.filter(posPred)
+        val neg = hk.filter(negPred)
+        require(!pos.isEmpty && !neg.isEmpty,
+          "nbSeeds predicate matched no gate-passing documents — an " +
+            "empty-seed NB model would silently gate out the corpus")
+        val lbl = Selection.nbScore(hk, pos, neg, "doc_id", "text")
           .filter(col("nb_label") === 1L).select("doc_id")
-        heuristicKept.join(lbl, "doc_id")
+        hk.join(lbl, "doc_id")
       case None => heuristicKept
     }
     val canon = kept.groupBy(md5(col("text")).as("_h"))

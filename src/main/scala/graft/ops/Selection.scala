@@ -400,8 +400,11 @@ object Selection {
     val nc = negative
       .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("nc"))
-    val tot = pc.agg(sum("pc").as("ptot"))
-      .crossJoin(nc.agg(sum("nc").as("ntot"))) // 1 row × 1 row
+    // coalesce: an empty seed set must degenerate to prior-only scoring
+    // (sum over zero rows is NULL, which would otherwise cascade into
+    // NULL scores/labels for every document)
+    val tot = pc.agg(coalesce(sum("pc"), lit(0L)).as("ptot"))
+      .crossJoin(nc.agg(coalesce(sum("nc"), lit(0L)).as("ntot"))) // 1×1 row
     val lo = pc.join(nc, Seq("b"), "full").crossJoin(tot)
       .select(col("b"),
         round(log(
@@ -440,8 +443,8 @@ object Selection {
        |    SELECT unnest(${sqlFeatureBuckets(textCol, buckets)}) AS b
        |    FROM $table WHERE $negativePred) GROUP BY b),
        |nb_tot AS (SELECT
-       |  (SELECT CAST(sum(pc) AS BIGINT) FROM nb_pc) AS ptot,
-       |  (SELECT CAST(sum(nc) AS BIGINT) FROM nb_nc) AS ntot),
+       |  (SELECT COALESCE(CAST(sum(pc) AS BIGINT), 0) FROM nb_pc) AS ptot,
+       |  (SELECT COALESCE(CAST(sum(nc) AS BIGINT), 0) FROM nb_nc) AS ntot),
        |nb_lo AS (
        |  SELECT b, CAST(round(ln(
        |      ((COALESCE(pc, 0) + 1.0) * (ntot + $buckets.0)) /

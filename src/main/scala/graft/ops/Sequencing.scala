@@ -63,6 +63,31 @@ object Sequencing {
        |         FROM $table)))""".stripMargin
   }
 
+  /** The one shared binning computation: shard hash + per-shard
+    * cumulative-token window + bin formula. `preShuffle` pins the
+    * window's exchange to exactly `shards` partitions (hash on the shard
+    * column), which the window and everything after it then reuse -- the
+    * single-exchange shape the sink wants; without it the window takes
+    * the default shuffle width (right for the slim aggregate path).
+    */
+  private[ops] def binned(df: DataFrame, idCol: String, tokCol: String,
+                     window: Long, shards: Int,
+                     preShuffle: Boolean): DataFrame = {
+    val withShard = df.withColumn("shard",
+      Sampling.hashBucket(col(idCol)) % shards)
+    val base =
+      if (preShuffle) withShard.repartition(shards, col("shard"))
+      else withShard
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
+      .withColumn("bin",
+        floor((col("_cum") - col(tokCol).cast("long")).cast("double")
+          / lit(window.toDouble)).cast("long"))
+      .drop("_cum")
+  }
+
   /** Deterministic context-window packing: documents are sharded by id
     * hash (so the layout is reproducible and the sort is per-shard, never
     * global), ordered by id within the shard, and cut into bins of
@@ -77,52 +102,39 @@ object Sequencing {
     * corpus size — size `shards` to the cluster, not the data.
     */
   def packBins(df: DataFrame, idCol: String, tokCol: String,
-               window: Long, shards: Int): DataFrame = {
-    val shard = Sampling.hashBucket(col(idCol)) % shards
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(tokCol).cast("long").as("_tok"),
-        shard.as("shard"))
-      .withColumn("_cum", sum(col("_tok")).over(w))
-      .withColumn("bin",
-        floor((col("_cum") - col("_tok")).cast("double") / lit(window.toDouble))
-          .cast("long"))
+               window: Long, shards: Int): DataFrame =
+    // slim projection first: only (id, tok) ride the window shuffle
+    binned(df.select(col(idCol), col(tokCol)), idCol, tokCol, window,
+        shards, preShuffle = false)
       .groupBy(col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol).cast("long")).as("tokens"))
       .withColumn("fill",
         round(col("tokens").cast("double") / lit(window.toDouble), 6))
-  }
 
-  /** Per-document bin assignment — the relation [[packBins]] aggregates,
+  /** Per-document bin assignment -- the relation [[packBins]] aggregates,
     * exposed so a sink can materialize the layout. Passthrough columns
     * survive; adds (shard, bin).
     */
   def assignBins(df: DataFrame, idCol: String, tokCol: String,
-                 window: Long, shards: Int): DataFrame = {
-    val shard = Sampling.hashBucket(col(idCol)) % shards
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard", shard)
-      .withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
-      .withColumn("bin",
-        floor((col("_cum") - col(tokCol).cast("long")).cast("double")
-          / lit(window.toDouble)).cast("long"))
-      .drop("_cum")
-  }
+                 window: Long, shards: Int): DataFrame =
+    binned(df, idCol, tokCol, window, shards, preShuffle = false)
 
   /** Materialize packed training shards: one parquet file per shard under
     * `dir/shard=N/`, rows sorted by (bin, id) inside the file so a
     * trainer streams bins in order without any read-side sort. The write
-    * plan is ONE hash exchange into exactly `shards` partitions (shards
-    * are sized to the cluster, so this is the parallelism floor, not a
-    * bottleneck) + a partition-local sort; at 100 TB raise `shards`, not
-    * the per-shard file count — the layout contract (bin-ordered rows
-    * within a shard) is what downstream loaders depend on.
+    * plan is ONE hash exchange into exactly `shards` partitions -- the
+    * pre-shuffle satisfies the window's clustering requirement, so the
+    * window and the partition-local sort both run on that same exchange
+    * (SequencingSpec pins it). Shards are sized to the cluster, so this
+    * is the parallelism floor, not a bottleneck; at 100 TB raise
+    * `shards`, not the per-shard file count -- the layout contract
+    * (bin-ordered rows within a shard) is what downstream loaders
+    * depend on.
     */
   def writeShards(df: DataFrame, idCol: String, tokCol: String,
                   window: Long, shards: Int, dir: String): Unit =
-    assignBins(df, idCol, tokCol, window, shards)
-      .repartition(shards, col("shard"))
+    binned(df, idCol, tokCol, window, shards, preShuffle = true)
       .sortWithinPartitions(col("bin"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 

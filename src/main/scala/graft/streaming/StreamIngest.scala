@@ -69,11 +69,11 @@ object StreamIngest {
     * compactable, and has no watermark trade-off (exact-forever dedup).
     *
     * Replay safety is two-layered: the batch-id guard skips fully
-    * committed batches, and a replay of a batch that crashed between
-    * register and the id update is naturally idempotent — its content is
-    * now "seen", so the replay registers nothing and forwards nothing
-    * twice (at-least-once `onFresh` with an empty replay, exactly-once
-    * store state).
+    * committed batches, and within a batch [[IncrementalDedup.ingestBatch]]
+    * forwards BEFORE it registers — a crash between the two replays as a
+    * re-forward of the same fresh rows (at-least-once `onFresh`), never
+    * as content marked seen but never delivered; a crash after register
+    * replays as an empty forward. Store state is exactly-once either way.
     */
   def dedupWriter(db: Db, stream: DataFrame, idCol: String, textCol: String,
                   onFresh: DataFrame => Unit = _ => (),
@@ -85,14 +85,10 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatch && !batch.isEmpty) {
-          val fresh = graft.ops.IncrementalDedup
-            .dropSeenBefore(db, batch, idCol, textCol)
-            .localCheckpoint(true)
-          if (!fresh.isEmpty)
-            graft.ops.IncrementalDedup.registerBatch(db, fresh, idCol, textCol)
+          graft.ops.IncrementalDedup.ingestBatch(db, batch, idCol, textCol,
+            onFresh)
           Manifest.update(db.warehouse)(cur =>
             cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
-          onFresh(fresh)
         }
         ()
       }

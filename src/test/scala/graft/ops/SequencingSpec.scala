@@ -69,6 +69,18 @@ class SequencingSpec extends SparkSpec {
     assert(agg == direct)
   }
 
+  test("writeShards' sink plan has exactly one exchange (pre-shuffle feeds window AND sort)") {
+    val docs = (0L until 200L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
+    val sink = Sequencing.binned(docs, "doc_id", "n_tok", 256L, 4,
+        preShuffle = true)
+      .sortWithinPartitions(col("bin"), col("doc_id"))
+    sink.collect()
+    val plan = sink.queryExecution.executedPlan.toString
+    val kinds = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSet
+    assert(kinds.size <= 1 && plan.contains("Exchange hashpartitioning"),
+      s"expected ONE hash exchange, saw $kinds:\n${plan.take(1500)}")
+  }
+
   test("writeShards: one bin-ordered file per shard, layout round-trips") {
     val docs = (0L until 300L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
     val dir = tmpDir("graft-shards")
