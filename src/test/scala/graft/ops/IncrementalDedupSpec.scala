@@ -64,6 +64,23 @@ class IncrementalDedupSpec extends SparkSpec {
       "an all-seen batch must not commit an empty transaction")
   }
 
+  test("compacting the fingerprint store preserves dedup behavior") {
+    val db = tmpDb()
+    IncrementalDedup.registerBatch(db, docs(1L -> "aa", 2L -> "bb"),
+      "doc_id", "text")
+    IncrementalDedup.registerBatch(db, docs(3L -> "cc"), "doc_id", "text")
+    graft.store.Compactor.major(db)
+    assert(db.snapshot().manifest.dataTxids.size == 1, "compacted to one tx")
+    val out = IncrementalDedup.dropSeenBefore(db,
+        docs(10L -> "bb", 11L -> "dd", 12L -> "cc"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(11L -> "dd"),
+      "seen-set must survive compaction unchanged")
+    // and the store stays appendable after compaction
+    IncrementalDedup.registerBatch(db, docs(11L -> "dd"), "doc_id", "text")
+    assert(db.read("h/%").count() == 4)
+  }
+
   test("probe plan: store side is scanned and bloom-probed, batch anti-joins broadcast") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,
