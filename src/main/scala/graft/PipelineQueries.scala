@@ -236,6 +236,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     },
+    // incremental NEAR-dup: first half registers MinHash bands +
+    // signatures in the warehouse's "m/" store, then the whole corpus
+    // probes — a doc drops when it shares an LSH band with registered
+    // content and ≥ minAgree of 8 signature positions agree (first-half
+    // docs match themselves exactly; second-half docs drop only when
+    // near-duplicate to the past). Store is bloom-scanned, never shuffled.
+    "dedup_incremental_near" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val db = graft.store.Db(s, tempWarehouse())
+      IncrementalDedup.registerNearBatch(db,
+        docs.filter(col("doc_id") < mid), "doc_id", "text")
+      IncrementalDedup.dropNearSeenBefore(db, docs, "doc_id", "text",
+          minAgree = 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
     // CCNet/C4-style boilerplate removal: global line counts, then every
     // document rewritten with its corpus-repeated lines dropped — the
     // drop list broadcasts, the corpus never shuffles for the removal
@@ -1226,6 +1244,26 @@ object PipelineQueries {
          |  WHERE e.doc_id < m.mid
          |    AND ${PortableHash.sqlH60("e.text")} =
          |        ${PortableHash.sqlH60("d.text")})
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_near" ->
+      s"""WITH m AS (
+         |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS mid
+         |  FROM documents),
+         |shing AS (
+         |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh
+         |  FROM documents),
+         |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
+         |bands AS (${bandsUnion("sigs")}),
+         |seenb AS (SELECT b.* FROM bands b, m WHERE b.doc_id < m.mid),
+         |drops AS (
+         |  SELECT DISTINCT l.doc_id AS did
+         |  FROM bands l JOIN seenb r
+         |    ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE len(list_filter(range(${Dedup.MINHASH_K}),
+         |          i -> l.sig[i+1] = r.sig[i+1])) >= 4)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE did = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes

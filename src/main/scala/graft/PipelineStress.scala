@@ -156,6 +156,17 @@ object PipelineStress {
     timed("incr probe (5k batch)")(
       graft.ops.IncrementalDedup.dropSeenBefore(incDb, probeBatch,
         "doc_id", "text").count())
+    // incremental NEAR-dup steady state: same register/probe split over
+    // the "m/" band store (4 rows + one 8-long signature per doc); the
+    // probe adds the signature-agreement verify on bloom survivors
+    val nearDb = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-nearstress").toString)
+    timed("near register (full corpus)")(
+      graft.ops.IncrementalDedup.registerNearBatch(nearDb, docs,
+        "doc_id", "text"))
+    timed("near probe (5k batch)")(
+      graft.ops.IncrementalDedup.dropNearSeenBefore(nearDb, probeBatch,
+        "doc_id", "text").count())
     timed("token budget mix")(
       Sampling.tokenBudget(
         docs.withColumn("w", length(col("text"))).withColumn("stratum",

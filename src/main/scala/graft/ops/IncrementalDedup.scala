@@ -88,4 +88,107 @@ object IncrementalDedup {
     if (!fresh.isEmpty) registerBatch(db, fresh, idCol, textCol)
     fresh
   }
+
+  // ── NEAR-dup (MinHash-LSH) variant of the same steady state ────────
+  //
+  // Exact fingerprints miss the dominant web-corpus duplicate class:
+  // boilerplate-shifted near-copies. The near store keeps, per document,
+  // its LSH band buckets AND its full MinHash signature as ordinary
+  // warehouse rows under the "m/" key prefix — so one warehouse can hold
+  // both stores, and compaction / time travel / exactly-once batch-ids
+  // apply to the near index unchanged:
+  //
+  //   key = "m/<band-bucket>"   ts = doc_id   bh = packed bucket   sig = k longs
+  //
+  // (ts carries the doc id, so many documents legitimately share a
+  // bucket key as distinct (key, ts) records, and re-registering a
+  // document is a last-wins overwrite, not a duplicate.)
+  //
+  // Probe shape at 100 TB — same contract as the exact path: the store
+  // is SCANNED through a bloom built from the batch's bucket hashes
+  // (never shuffled, never broadcast); survivors are bounded by
+  // |batch|·bands + fpp·|store| and broadcast; candidate pairs then
+  // verify on signature agreement, so a bloom false positive or an
+  // unrelated bucket collision can add a candidate but never a drop.
+
+  private val SIG_K = Dedup.MINHASH_K
+  private val BANDS = Dedup.MINHASH_K / Dedup.LSH_R
+
+  /** (doc_id, sig, bh) — one row per (document, band); `bh` packs
+    * (band_key, band) into one int64 (band_key < P² and BANDS ≤ 8 keep
+    * the product in range), the single column the bloom probes and the
+    * candidate join keys on.
+    */
+  private def bandRows(batch: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    graft.core.Graft.rebalance(batch)
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.shingleHashes(col(textCol), n).as("sh"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(Dedup.bandKeys(col("sig"))))
+      .select(col("doc_id"), col("sig"),
+        (col("col") * BANDS + col("pos")).as("bh"))
+
+  /** Registers a batch's MinHash band buckets + signatures as ONE
+    * transaction (BANDS rows per document). Returns the txid.
+    */
+  def registerNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3): Long =
+    graft.store.TxWriter.write(db,
+      bandRows(batch, idCol, textCol, n)
+        .select(format_string("m/%019d", col("bh")).as("key"),
+          col("doc_id").as("ts"), col("bh"), col("sig")))
+
+  /** The arriving batch minus documents NEAR-duplicate to registered
+    * content: a document drops when it shares an LSH band bucket with a
+    * stored document AND at least `minAgree` of the `k` MinHash
+    * signature positions agree (agreement/k estimates Jaccard, so
+    * `minAgree = 4` ≈ sim ≥ 0.5). Exact re-arrivals always drop
+    * (identical text → identical signature → agreement = k). Columns
+    * pass through unchanged; within-batch near-dups are NOT collapsed
+    * (compose with [[Dedup.dropNearDuplicates]]-style batch ops for
+    * that).
+    */
+  def dropNearSeenBefore(db: graft.store.Db, batch: DataFrame, idCol: String,
+                         textCol: String, minAgree: Int = SIG_K / 2,
+                         n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    require(minAgree >= 1 && minAgree <= SIG_K,
+      s"minAgree must be in [1, $SIG_K]")
+    val snap = db.snapshot()
+    if (snap.manifest.dataTxids.isEmpty) return batch
+    val b = bandRows(batch, idCol, textCol, n)
+    val probes = b.select(col("bh")).distinct()
+    val nProbes = probes.count()
+    if (nProbes == 0) return batch
+    val bloom = probes.stat.bloomFilter("bh", math.max(nProbes, 64L), fpp)
+    // store side: slim (bh, sig) scan, bloom-probed at scan speed; the
+    // exact bh join below removes bloom false positives before any
+    // signature math
+    val matched = snap.read("m/%")
+      .filter(graft.functions.BloomMightContain.probe(col("bh"), bloom))
+      .select(col("bh"), col("sig").as("seen_sig"))
+    val agree = aggregate(
+      zip_with(col("sig"), col("seen_sig"),
+        (x, y) => (x === y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val drops = b.join(broadcast(matched), Seq("bh"))
+      .filter(agree >= minAgree)
+      .select(col("doc_id").cast("long").as(idCol)).distinct()
+    batch.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Near-dup ingest step — same forward-first replay contract as
+    * [[ingestBatch]]: drop near-seen, forward the fresh rows, register
+    * their bands/signatures as one transaction.
+    */
+  def ingestNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
+                      textCol: String, minAgree: Int = SIG_K / 2,
+                      onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+    val fresh = dropNearSeenBefore(db, batch, idCol, textCol, minAgree)
+      .localCheckpoint(true) // the register tx must not re-plan the probe
+    onFresh(fresh)
+    if (!fresh.isEmpty) registerNearBatch(db, fresh, idCol, textCol)
+    fresh
+  }
 }

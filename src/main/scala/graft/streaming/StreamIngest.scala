@@ -93,6 +93,34 @@ object StreamIngest {
         ()
       }
 
+  /** NEAR-dup variant of [[dedupWriter]]: each micro-batch drops
+    * documents MinHash-near-duplicate to anything the warehouse's band
+    * store has seen ([[graft.ops.IncrementalDedup.dropNearSeenBefore]] —
+    * bloom-probed band scan + signature-agreement verify, never a store
+    * shuffle), registers the survivors' bands/signatures as one
+    * transaction, and forwards the fresh rows. Same two-layer replay
+    * safety as [[dedupWriter]] (batch-id guard + forward-first ingest).
+    */
+  def nearDedupWriter(db: Db, stream: DataFrame, idCol: String,
+                      textCol: String,
+                      minAgree: Int = graft.ops.Dedup.MINHASH_K / 2,
+                      onFresh: DataFrame => Unit = _ => (),
+                      trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatch && !batch.isEmpty) {
+          graft.ops.IncrementalDedup.ingestNearBatch(db, batch, idCol,
+            textCol, minAgree, onFresh)
+          Manifest.update(db.warehouse)(cur =>
+            cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+        }
+        ()
+      }
+
   /** Streaming ANN-index maintenance: each micro-batch of
     * (`idCol: Long`, `embCol: Array[Float]`) rows is encoded with the
     * index warehouse's PERSISTED quantizer

@@ -94,4 +94,80 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"matched hashes must broadcast into the anti-join:\n${plan.take(1500)}")
   }
+
+  // ── near-dup (MinHash-LSH) store ───────────────────────────────────
+
+  test("near store: exact and near re-arrivals drop, unrelated content passes") {
+    val db = tmpDb()
+    IncrementalDedup.registerNearBatch(db,
+      docs(1L -> "the quick brown fox jumps over the lazy dog today",
+           2L -> "completely different content about database engines"),
+      "doc_id", "text")
+    val out = IncrementalDedup.dropNearSeenBefore(db,
+        docs(
+          // exact re-arrival: identical signature, agreement = k -> drop
+          10L -> "the quick brown fox jumps over the lazy dog today",
+          // near-copy: one word changed -> most shingles shared -> drop
+          11L -> "the quick brown fox jumps over the lazy dog tonight",
+          // unrelated -> keep
+          12L -> "unrelated fresh text with nothing shared at all here"),
+        "doc_id", "text", minAgree = 4)
+      .as[(Long, String)].collect().toMap
+    assert(!out.contains(10L), "exact re-arrival must drop")
+    assert(!out.contains(11L), s"near-copy must drop: $out")
+    assert(out.contains(12L), "unrelated content must pass")
+  }
+
+  test("near store: empty store passes everything; minAgree gates the drop") {
+    val db = tmpDb()
+    val batch = docs(1L -> "some document text here")
+    assert(IncrementalDedup.dropNearSeenBefore(db, batch, "doc_id", "text")
+      .count() == 1, "empty store is a passthrough")
+    IncrementalDedup.registerNearBatch(db,
+      docs(1L -> "alpha beta gamma delta epsilon zeta"), "doc_id", "text")
+    // a doc sharing SOME shingles: candidate via a band, but below a
+    // strict agreement floor it must survive (bucket collision != dup)
+    val partial = docs(20L -> "alpha beta gamma totally different ending")
+    val strict = IncrementalDedup.dropNearSeenBefore(db, partial,
+      "doc_id", "text", minAgree = Dedup.MINHASH_K)
+    val loose = IncrementalDedup.dropNearSeenBefore(db, partial,
+      "doc_id", "text", minAgree = 1)
+    assert(strict.count() >= loose.count(),
+      "raising minAgree can only keep more documents")
+  }
+
+  test("near store: survives major compaction; ingestNearBatch registers only fresh") {
+    val db = tmpDb()
+    val first = IncrementalDedup.ingestNearBatch(db,
+      docs(1L -> "one two three four five six seven eight nine ten"),
+      "doc_id", "text")
+    assert(first.count() == 1)
+    graft.store.Compactor.major(db)
+    val second = IncrementalDedup.ingestNearBatch(db,
+      docs(2L -> "one two three four five six seven eight nine ten",
+           3L -> "an entirely new document with its own words in it"),
+      "doc_id", "text")
+    assert(second.as[(Long, String)].collect().map(_._1).toSet == Set(3L),
+      "near-seen content must stay dropped after compaction")
+    // only the fresh doc's bands registered (BANDS rows per doc)
+    val bands = graft.ops.Dedup.MINHASH_K / graft.ops.Dedup.LSH_R
+    assert(db.read("m/%").count() == 2L * bands)
+  }
+
+  test("near probe plan: store scanned + bloom-probed, never shuffled") {
+    val db = tmpDb()
+    IncrementalDedup.registerNearBatch(db,
+      docs((0L until 40L).map(i =>
+        i -> s"document number $i with some shared words"): _*),
+      "doc_id", "text")
+    val df = IncrementalDedup.dropNearSeenBefore(db,
+      docs(100L -> "document number 7 with some shared words"),
+      "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"band scan must be bloom-probed:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"matched bands must broadcast:\n${plan.take(1500)}")
+  }
 }

@@ -162,4 +162,36 @@ class StreamIngestSpec extends SparkSpec {
       "doc_id", "text").as[(Long, String)].collect().toSet
     assert(direct == Set(10L -> "delta"))
   }
+
+  test("durable streaming NEAR-dedup: band store drops near-copies across batches") {
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-neardedupstream"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val cp = tmpDir("graft-neardedupcp")
+    val forwarded = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): Unit = {
+      val q = StreamIngest.nearDedupWriter(db, stream, "doc_id", "text",
+          minAgree = 4,
+          onFresh = f => forwarded ++=
+            f.as[(Long, String)](implicitly).collect())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    }
+    mem.addData(
+      1L -> "the quick brown fox jumps over the lazy dog today")
+    run()
+    assert(forwarded.map(_._1).toSet == Set(1L))
+
+    forwarded.clear()
+    mem.addData(
+      2L -> "the quick brown fox jumps over the lazy dog tonight", // near
+      3L -> "an entirely different document about spark engines")  // fresh
+    run()
+    assert(forwarded.map(_._1).toSet == Set(3L),
+      s"near-copy must not be forwarded: ${forwarded.toSeq}")
+    // bands registered only for the two fresh docs
+    val bands = graft.ops.Dedup.MINHASH_K / graft.ops.Dedup.LSH_R
+    assert(db.read("m/%").count() == 2L * bands)
+  }
 }
