@@ -641,6 +641,14 @@ object PipelineQueries {
         Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
         "doc_id", "text").orderBy("doc_id")
     },
+    // the map-only 100 TB bucketing default: fixed nll thresholds
+    // instead of a global ntile sort — one projection, no
+    // single-partition window ([[Selection.lmBucketsByThresholds]])
+    "sel_lm_buckets_thresh" -> { (s, d) =>
+      Selection.lmBucketsByThresholds(Graft.documents(s, d),
+        Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
+        "doc_id", "text", Seq(3.45, 3.58)).orderBy("doc_id")
+    },
     // ── the capstone composition: corpus → training shards in ONE plan ─
     // [[graft.ops.Pipeline.corpusToShards]] — stages and scale notes
     // there; benchmark set = the held-out doc_id % 25 slice
@@ -1168,6 +1176,14 @@ object PipelineQueries {
       s"""SELECT doc_id, n_trans, nll, bucket
          |FROM ${Selection.sqlLmBucketsFrom("documents", "doc_id", "text",
                   "doc_id % 7 = 3")} b
+         |ORDER BY doc_id""".stripMargin,
+    "sel_lm_buckets_thresh" ->
+      s"""SELECT doc_id, n_trans, nll,
+         |       CAST(1 + len(list_filter([3.45, 3.58], t -> nll > t))
+         |         AS BIGINT) AS bucket
+         |FROM ${Selection.sqlLmScoreFrom("documents", "doc_id", "text",
+                  "doc_id % 7 = 3")} l
+         |WHERE n_trans > 0
          |ORDER BY doc_id""".stripMargin,
     "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
     // the persisted probe is value-identical to an in-query IVF+PQ over
