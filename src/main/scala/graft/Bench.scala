@@ -166,11 +166,14 @@ object Bench {
                  errs: Map[String, Int], sentMin: Double, sentSpread: Double,
                  passes: Int, attempts: Int, contaminated: Boolean,
                  sfDir: String): String = {
+    // EVERY number goes through Locale.ROOT: a default-locale f"%.3f"
+    // renders "12,345" under de_DE/fr_FR and the artifact line stops
+    // being JSON — the one formatter must be the only formatter
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def jmap(kv: Seq[(String, Double)], dec: Int): String =
-      kv.map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
-          s"%.${dec}f", Double.box(v))
-      }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + num(v, dec) }
+        .mkString("{", ",", "}")
     val clean = mins.filterNot { case (n, _) => errs.contains(n) }
     val total = if (clean.nonEmpty) clean.map(_._2).sum else 0.0
     val errJson = errs.toSeq.sorted
@@ -180,14 +183,14 @@ object Bench {
     val sP95 =
       if (sv.nonEmpty) sv(((sv.size - 1) * 0.95).toInt) else 1.0
     val noisiest = spreads.sortBy(-_._2).take(3)
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(clean, 3)},""" +
-    s""""spread_max":${f"$sMax%.2f"},"spread_p95":${f"$sP95%.2f"},""" +
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${jmap(clean, 3)},""" +
+    s""""spread_max":${num(sMax, 2)},"spread_p95":${num(sP95, 2)},""" +
     s""""spread_top":${jmap(noisiest, 2)},"errors":$errJson,""" +
-    s""""err_count":${errs.values.sum},"sentinel_sec":${f"$sentMin%.4f"},""" +
-    s""""sentinel_spread":${f"$sentSpread%.4f"},"passes":$passes,""" +
+    s""""err_count":${errs.values.sum},"sentinel_sec":${num(sentMin, 4)},""" +
+    s""""sentinel_spread":${num(sentSpread, 4)},"passes":$passes,""" +
     s""""attempts":$attempts,"contaminated":$contaminated,"sf":"$sfDir",""" +
     // duplicated at the TAIL: the r8 recorder kept only the line's last
     // ~2 KB, losing the head — the headline number must survive that
-    s""""total_sec":${f"$total%.3f"},"n_queries":${clean.size}}"""
+    s""""total_sec":${num(total, 3)},"n_queries":${clean.size}}"""
   }
 }

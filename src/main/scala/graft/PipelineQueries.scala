@@ -959,10 +959,16 @@ object PipelineQueries {
 
   /** Shared CTE chain ending in `mpairs(id1, id2, sig1, sig2)` — the LSH
     * candidate pairs (used by both the pair query and the cluster query).
+    * `src` parameterizes the corpus relation so compositions (the e2e
+    * pipeline) can form pairs over a FILTERED corpus — pairing against
+    * gate-rejected documents would drop the kept copy of a pair whose
+    * canonical never ships.
     */
-  private def minhashCtes: String =
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  private def minhashCtesFrom(src: String): String =
     s"""shing AS (
-       |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh FROM documents),
+       |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh FROM $src),
        |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
        |bands AS (${bandsUnion("sigs")}),
        |mpairs AS (
@@ -1043,7 +1049,13 @@ object PipelineQueries {
     // standalone row (clean/verified-dedup/decontaminate/budget/pack),
     // chained on the kept ids
     "tp_e2e_pipeline" ->
-      s"""WITH $minhashCtes,
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text, $sqlQuality AS quality,
+         |         $sqlLangPred AS lang_pred
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+         |${minhashCtesFrom("kept")},
          |inter AS (
          |  SELECT id1, id2,
          |         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
@@ -1054,17 +1066,11 @@ object PipelineQueries {
          |neardrop AS (
          |  SELECT DISTINCT id2 AS doc_id FROM inter
          |  WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= 0.4),
-         |scored AS (
-         |  SELECT doc_id, lang, text, $sqlQuality AS quality,
-         |         $sqlLangPred AS lang_pred
-         |  FROM documents),
-         |kept AS (
-         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
          |canon AS (
          |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
          |cg AS (
          |  SELECT doc_id, unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
-         |  FROM documents),
+         |  FROM kept),
          |bg AS (
          |  SELECT doc_id AS bench_id,
          |         unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
@@ -1092,7 +1098,13 @@ object PipelineQueries {
     // text so the importance model can target `source = 'src0'`; sel is
     // the Gumbel-top-k keep set, applied before budgeting
     "tp_e2e_selected" ->
-      s"""WITH $minhashCtes,
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source, text, $sqlQuality AS quality,
+         |         $sqlLangPred AS lang_pred
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
+         |${minhashCtesFrom("kept")},
          |inter AS (
          |  SELECT id1, id2,
          |         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
@@ -1103,17 +1115,11 @@ object PipelineQueries {
          |neardrop AS (
          |  SELECT DISTINCT id2 AS doc_id FROM inter
          |  WHERE round(CAST(i AS DOUBLE) / (sz1 + sz2 - i), 6) >= 0.4),
-         |scored AS (
-         |  SELECT doc_id, lang, source, text, $sqlQuality AS quality,
-         |         $sqlLangPred AS lang_pred
-         |  FROM documents),
-         |kept AS (
-         |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang),
          |canon AS (
          |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
          |cg AS (
          |  SELECT doc_id, unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g
-         |  FROM documents),
+         |  FROM kept),
          |bg AS (
          |  SELECT doc_id AS bench_id,
          |         unnest(${Dedup.sqlShingleHashes("text", 3)}) AS g

@@ -516,8 +516,17 @@ object Dedup {
     * pass). The per-document rebuild is the one real shuffle, keyed by
     * doc_id and carrying only kept segments.
     */
+  /** @param hintBroadcast force-broadcast the duplicate-segment drop
+    *        list (default). With a low `maxDup` on a web corpus the drop
+    *        list is NOT guaranteed tiny — every segment repeated anywhere
+    *        enters it — so at corpus scale where it may outgrow the
+    *        driver, pass `false` to let AQE pick the join (the anti-join
+    *        degrades to shuffle instead of OOMing the driver; same
+    *        escape hatch as [[Decontaminate.overlaps]]).
+    */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                width: Int = 10, maxDup: Int = 1): DataFrame = {
+                width: Int = 10, maxDup: Int = 1,
+                hintBroadcast: Boolean = true): DataFrame = {
     val segs = graft.core.Graft.rebalance(df)
       .select(col(idCol).as("doc_id"),
         posexplode(lineSegments(col(textCol), width))
@@ -527,7 +536,9 @@ object Dedup {
       .groupBy(col("seg_h")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > maxDup)
       .select("seg_h")
-    val kept = segs.join(broadcast(dropList), Seq("seg_h"), "left_anti")
+    val kept = segs.join(
+        if (hintBroadcast) broadcast(dropList) else dropList,
+        Seq("seg_h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -56,8 +56,13 @@ object IncrementalDedup {
                      textCol: String, fpp: Double = 0.01): DataFrame = {
     val b = hashed(batch, idCol, textCol)
     val snap = db.snapshot()
-    val seen = snap.read("h/%")
     if (snap.manifest.dataTxids.isEmpty) return b.drop("_h")
+    val seen = snap.read("h/%")
+    // a warehouse can hold the near store (or other data) without one
+    // exact fingerprint ever registered — the merged schema then lacks
+    // the `h` column and the probe must be a passthrough, not an
+    // unresolved-column error
+    if (!seen.columns.contains("h")) return b.drop("_h")
     // tiny: one long per distinct batch content
     val batchHashes = b.select(col("_h").as("h")).distinct()
     val nBatch = batchHashes.count()
@@ -157,6 +162,11 @@ object IncrementalDedup {
       s"minAgree must be in [1, $SIG_K]")
     val snap = db.snapshot()
     if (snap.manifest.dataTxids.isEmpty) return batch
+    val seen0 = snap.read("m/%")
+    // mixed warehouse, no near rows yet: the merged schema has no
+    // bh/sig columns — passthrough instead of an unresolved-column error
+    if (!seen0.columns.contains("bh") || !seen0.columns.contains("sig"))
+      return batch
     val b = bandRows(batch, idCol, textCol, n)
     val probes = b.select(col("bh")).distinct()
     val nProbes = probes.count()
@@ -165,7 +175,7 @@ object IncrementalDedup {
     // store side: slim (bh, sig) scan, bloom-probed at scan speed; the
     // exact bh join below removes bloom false positives before any
     // signature math
-    val matched = snap.read("m/%")
+    val matched = seen0
       .filter(graft.functions.BloomMightContain.probe(col("bh"), bloom))
       .select(col("bh"), col("sig").as("seen_sig"))
     val agree = aggregate(

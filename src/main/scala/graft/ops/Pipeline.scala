@@ -71,15 +71,21 @@ object Pipeline {
             "empty-seed NB model would silently gate out the corpus")
         val lbl = Selection.nbScore(hk, pos, neg, "doc_id", "text")
           .filter(col("nb_label") === 1L).select("doc_id")
-        hk.join(lbl, "doc_id")
+        // the NB-gated corpus now also feeds the near-dup and contam
+        // stages below — checkpoint so nbScore runs once, not per consumer
+        hk.join(lbl, "doc_id").localCheckpoint(false)
       case None => heuristicKept
     }
     val canon = kept.groupBy(md5(col("text")).as("_h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val nearDrop = Dedup.verifiedNearDups(docs, "doc_id", "text",
+    // near-dup pairs form over the GATE-PASSING corpus, not the raw one:
+    // a pair (A rejected, B kept) computed over raw docs would drop B as
+    // A's near-dup while A never reaches the shards — both copies
+    // silently lost instead of deduplicated to one survivor
+    val nearDrop = Dedup.verifiedNearDups(kept, "doc_id", "text",
         nearDupJaccard)
       .select(col("id2").as("doc_id")).distinct()
-    val contamDrop = Decontaminate.overlaps(docs, bench, "doc_id",
+    val contamDrop = Decontaminate.overlaps(kept, bench, "doc_id",
         "text", "doc_id", "text", n = 3, minOverlap = 3)
       .filter(col("doc_id") =!= col("bench_id"))
       .select("doc_id").distinct()

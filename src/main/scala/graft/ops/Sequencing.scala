@@ -134,8 +134,14 @@ object Sequencing {
     */
   def writeShards(df: DataFrame, idCol: String, tokCol: String,
                   window: Long, shards: Int, dir: String): Unit =
+    // the leading `shard` column makes the partition-local sort SATISFY
+    // the ordering partitionBy() requires — without it Spark inserts its
+    // own [shard]-only sort above this one, and SortExec is not
+    // stability-guaranteed once a partition spills to multiple runs: the
+    // merge would interleave equal-shard rows and break the bin-ordered
+    // file contract exactly at the scale it exists for
     binned(df, idCol, tokCol, window, shards, preShuffle = true)
-      .sortWithinPartitions(col("bin"), col(idCol))
+      .sortWithinPartitions(col("shard"), col("bin"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
   /** DuckDB twin of [[packBins]] (adjacent so they cannot drift). */

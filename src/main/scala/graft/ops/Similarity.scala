@@ -1085,9 +1085,14 @@ object Similarity {
         (r.getLong(0), probed, r.getSeq[Long](1).toArray)
       }
       .sortBy(_._1)
-    require(qcells.length <= MAX_LITERAL_QUERIES,
-      s"ivfPqKnnWith embeds per-query literal LUTs in the plan: got " +
-        s"${qcells.length} queries (cap $MAX_LITERAL_QUERIES); use " +
+    // the LUT literal is embedded once per (query, probe) struct in the
+    // expression tree, so the plan-size guard must bound the PRODUCT —
+    // 1024 queries × nProbe 16 would sail past a queries-only cap into
+    // exactly the codegen blowup it exists to prevent
+    require(qcells.length * nProbe <= MAX_LITERAL_QUERIES,
+      s"ivfPqKnnWith embeds per-(query,probe) literal LUTs in the plan: " +
+        s"got ${qcells.length} queries × nProbe $nProbe " +
+        s"(cap $MAX_LITERAL_QUERIES); use " +
         "pqAdcKnnRelational for distributed query sets")
     if (qcells.isEmpty)
       return codes.select(lit(0L).as("query_id"), col("nn_id"),
@@ -1181,9 +1186,10 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
         r.getSeq[Double](2).toArray))
       .sortBy(_._1)
-    require(qrows.length <= MAX_LITERAL_QUERIES,
+    require(qrows.length * nProbe <= MAX_LITERAL_QUERIES,
       s"ivfPqKnnResidual embeds per-(query,probe) literal LUTs in the " +
-        s"plan: got ${qrows.length} queries (cap $MAX_LITERAL_QUERIES); " +
+        s"plan: got ${qrows.length} queries × nProbe $nProbe " +
+        s"(cap $MAX_LITERAL_QUERIES); " +
         "use the persisted relational path for distributed query sets")
     if (qrows.isEmpty)
       return codes.select(lit(0L).as("query_id"), col("nn_id"),
@@ -1979,10 +1985,11 @@ object Similarity {
         (r.getLong(0), cells, qv)
       }
       .sortBy(_._1)
-    require(qcells.length <= MAX_LITERAL_QUERIES,
-      s"ivfPqProbePersisted embeds per-query literal LUTs in the plan: " +
-        s"got ${qcells.length} queries (cap $MAX_LITERAL_QUERIES); use " +
-        "pqAdcKnnRelational for distributed query sets")
+    require(qcells.length * nProbe <= MAX_LITERAL_QUERIES,
+      s"ivfPqProbePersisted embeds per-(query,probe) literal LUTs in the " +
+        s"plan: got ${qcells.length} queries × nProbe $nProbe " +
+        s"(cap $MAX_LITERAL_QUERIES); use " +
+        "ivfPqProbePersistedRelational for distributed query sets")
     val probed = qcells.flatMap(_._2).distinct.sorted
     if (probed.isEmpty)
       return queries.sparkSession.range(0)

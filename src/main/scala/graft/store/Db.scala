@@ -349,15 +349,25 @@ object Db {
     * (re-listing is one readdir).
     */
   private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), java.util.Set[java.lang.Long]]()
+    (String, Long, Long), java.util.Set[java.lang.Long]]()
 
   private[store] def txBuckets(spark: SparkSession, warehouse: String,
                                dataDir: String,
                                txid: Long): java.util.Set[java.lang.Long] = {
     if (bucketCache.size > 16384) bucketCache.clear()
-    bucketCache.computeIfAbsent((warehouse, txid), _ => {
-      val path = new org.apache.hadoop.fs.Path(s"$dataDir/txid=$txid")
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val path = new org.apache.hadoop.fs.Path(s"$dataDir/txid=$txid")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // tx dirs are immutable once published, so (warehouse, txid) alone
+    // would be a valid key — EXCEPT when a warehouse is deleted and
+    // recreated at the same path (txids restart at 0): the stale listing
+    // would then root scans at dirs that no longer exist or silently skip
+    // buckets the new tx has. One cheap getFileStatus (vs the listStatus
+    // this cache avoids) keys the entry to the directory's identity; on
+    // stores with no directory mtime the key degrades to the old one.
+    val stamp =
+      try fs.getFileStatus(path).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    bucketCache.computeIfAbsent((warehouse, txid, stamp), _ => {
       val out = new java.util.HashSet[java.lang.Long]()
       fs.listStatus(path).foreach { st =>
         val n = st.getPath.getName

@@ -56,8 +56,27 @@ final case class ManifestState(
       * overlap, before any file listing. Missing entries (pre-stats
       * manifests) are conservatively included by readers.
       */
-    txStats: Map[Long, TxStats] = Map.empty
+    txStats: Map[Long, TxStats] = Map.empty,
+    /** Per-sink streaming batch cursors. Each named streaming sink
+      * (dedup, near-dedup, index maintenance, or a caller-chosen id)
+      * tracks its own highest committed batch id: Structured Streaming
+      * numbers batches per QUERY from 0, so two sinks sharing the single
+      * [[streamBatch]] scalar would silently skip each other's batches —
+      * the exact one-warehouse-two-stores layout IncrementalDedup
+      * documents. The legacy scalar remains the cursor of the unnamed
+      * plain-ingest writer.
+      */
+    streamBatches: Map[String, Long] = Map.empty
 ) {
+  /** The replay cursor for a named sink ("" = the legacy scalar). */
+  def streamBatchFor(sink: String): Long =
+    if (sink.isEmpty) streamBatch else streamBatches.getOrElse(sink, -1L)
+
+  /** Monotonically advance a sink's replay cursor. */
+  def withStreamBatch(sink: String, id: Long): ManifestState =
+    if (sink.isEmpty) copy(streamBatch = math.max(streamBatch, id))
+    else copy(streamBatches = streamBatches
+      .updated(sink, math.max(streamBatchFor(sink), id)))
   def json: String = {
     def arr(v: Vector[Long]) = v.mkString("[", ",", "]")
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(
@@ -67,7 +86,12 @@ final case class ManifestState(
     val stats = txStats.toVector.sortBy(_._1).map { case (t, s) =>
       s"$t ${b64(s.minKey)} ${b64(s.maxKey)} ${s.minTs} ${s.maxTs}"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}"}"""
+    // per-sink cursors: one "b64(sink) batch" line each (sink names
+    // base64'd so arbitrary UTF-8 ids survive the round trip)
+    val sinks = streamBatches.toVector.sortBy(_._1).map { case (k, v) =>
+      s"${b64(k)} $v"
+    }.mkString("\n")
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
   }
 }
 
@@ -165,11 +189,16 @@ object Manifest {
         val Array(t, lo, hi, t0, t1) = line.split(' ')
         t.toLong -> TxStats(dec64(lo), dec64(hi), t0.toLong, t1.toLong)
       }.toMap
+    val sinks = b64Field("streamB64").split('\n').filter(_.nonEmpty)
+      .map { line =>
+        val Array(k, v) = line.split(' ')
+        dec64(k) -> v.toLong
+      }.toMap
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
       longField("timeBucket"), longField("bucketMajor") == 1L,
-      b64Field("schemaB64"), stats)
+      b64Field("schemaB64"), stats, sinks)
   }
 
   /** Merge a newly committed transaction's data schema into the tracked

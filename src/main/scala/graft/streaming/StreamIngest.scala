@@ -77,18 +77,22 @@ object StreamIngest {
     */
   def dedupWriter(db: Db, stream: DataFrame, idCol: String, textCol: String,
                   onFresh: DataFrame => Unit = _ => (),
-                  trigger: Trigger = Trigger.AvailableNow())
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  sinkId: String = "dedup")
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-sink cursor: Structured Streaming numbers batches per
+        // QUERY from 0, so sinks sharing one warehouse must not share
+        // one scalar — a sibling sink's commit would make this one's
+        // guard silently drop its own batch 0
         val mft = Manifest.current(db.warehouse)
-        if (batchId > mft.streamBatch && !batch.isEmpty) {
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestBatch(db, batch, idCol, textCol,
             onFresh)
-          Manifest.update(db.warehouse)(cur =>
-            cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
         }
         ()
       }
@@ -105,18 +109,18 @@ object StreamIngest {
                       textCol: String,
                       minAgree: Int = graft.ops.Dedup.MINHASH_K / 2,
                       onFresh: DataFrame => Unit = _ => (),
-                      trigger: Trigger = Trigger.AvailableNow())
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      sinkId: String = "neardedup")
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mft = Manifest.current(db.warehouse)
-        if (batchId > mft.streamBatch && !batch.isEmpty) {
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestNearBatch(db, batch, idCol,
             textCol, minAgree, onFresh)
-          Manifest.update(db.warehouse)(cur =>
-            cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
         }
         ()
       }
@@ -132,17 +136,17 @@ object StreamIngest {
     */
   def indexWriter(db: Db, stream: DataFrame, idCol: String, embCol: String,
                   m: Int = graft.ops.Similarity.PQ_M, dim: Int = 64,
-                  trigger: Trigger = Trigger.AvailableNow())
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  sinkId: String = "index")
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mft = Manifest.current(db.warehouse)
-        if (batchId > mft.streamBatch && !batch.isEmpty) {
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.Similarity.appendToIndex(db, batch, idCol, embCol, m, dim)
-          Manifest.update(db.warehouse)(cur =>
-            cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
         }
         ()
       }

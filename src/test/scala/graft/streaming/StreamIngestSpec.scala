@@ -194,4 +194,37 @@ class StreamIngestSpec extends SparkSpec {
     val bands = graft.ops.Dedup.MINHASH_K / graft.ops.Dedup.LSH_R
     assert(db.read("m/%").count() == 2L * bands)
   }
+
+  test("two streaming sinks on ONE warehouse keep independent batch cursors") {
+    // the advertised layout: exact ("h/") and near ("m/") stores in the
+    // same warehouse. Each query numbers its batches from 0 — with a
+    // shared cursor, whichever sink commits batch 0 first would make the
+    // OTHER sink's batch 0 fail the replay guard and vanish.
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-twosinks"))
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    memA.addData(1L -> "exact content one")
+    val qa = StreamIngest.dedupWriter(db, memA.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .option("checkpointLocation", tmpDir("graft-twosinks-cpa")).start()
+    qa.awaitTermination()
+    assert(db.read("h/%").count() == 1, "exact sink committed its batch 0")
+
+    // the near sink's OWN batch 0 must still commit
+    memB.addData(2L -> "near content two with more words")
+    val qb = StreamIngest.nearDedupWriter(db,
+        memB.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .option("checkpointLocation", tmpDir("graft-twosinks-cpb")).start()
+    qb.awaitTermination()
+    val bands = graft.ops.Dedup.MINHASH_K / graft.ops.Dedup.LSH_R
+    assert(db.read("m/%").count() == bands.toLong,
+      "near sink's batch 0 must not be skipped by the exact sink's cursor")
+    // Manifest.current re-parses the published JSON, so these assertions
+    // also prove the per-sink cursors survive the round trip
+    val m = graft.store.Manifest.current(db.warehouse)
+    assert(m.streamBatchFor("dedup") == 0L)
+    assert(m.streamBatchFor("neardedup") == 0L)
+    assert(m.streamBatch == -1L, "legacy scalar untouched by named sinks")
+  }
 }
