@@ -310,6 +310,28 @@ object Selection {
       .withColumn("bucket", bucket)
   }
 
+  /** The train-offline half of [[lmBucketsByThresholds]]: estimate the
+    * nll thresholds that split a (sample of the) corpus into `nBuckets`
+    * equal terciles/quantiles — `approxQuantile` over the slim
+    * (doc_id, nll) relation, one pass, no global sort. The production
+    * loop is: run this once on a sample, freeze the thresholds, bucket
+    * the full corpus map-only — the same train-offline / apply-online
+    * split as IVF centroids, PQ codebooks and SQ8 ranges.
+    *
+    * @param relErr approxQuantile's relative error target (Greenwald-
+    *        Khanna); 0.001 keeps tercile boundaries within ~0.1% of
+    *        exact on the sample.
+    */
+  def nllThresholds(corpus: DataFrame, train: DataFrame,
+                    idCol: String, textCol: String, nBuckets: Int = 3,
+                    relErr: Double = 0.001): Seq[Double] = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    lmScore(corpus, train, idCol, textCol)
+      .filter(col("n_trans") > 0)
+      .stat.approxQuantile("nll", probs, relErr).toSeq
+  }
+
   /** DuckDB twin of [[lmBuckets]] (adjacent so they cannot drift). */
   def sqlLmBucketsFrom(table: String, idCol: String, textCol: String,
                        trainPred: String, nBuckets: Int = 3): String =

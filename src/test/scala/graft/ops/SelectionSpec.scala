@@ -112,6 +112,31 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("nllThresholds: offline quantile estimate feeds the map-only bucketing") {
+    val train = corpus.filter(col("doc_id") < 40)
+    val ts = Selection.nllThresholds(corpus, train, "doc_id", "text",
+      nBuckets = 3)
+    assert(ts.size == 2 && ts == ts.sorted, s"two ascending cuts: $ts")
+    // the estimated cuts must sit inside the observed nll range...
+    val nlls = Selection.lmScore(corpus, train, "doc_id", "text")
+      .filter(col("n_trans") > 0)
+      .select("doc_id", "nll").as[(Long, Double)].collect()
+    val (lo, hi) = (nlls.map(_._2).min, nlls.map(_._2).max)
+    ts.foreach(t => assert(t >= lo && t <= hi, s"cut $t outside [$lo, $hi]"))
+    // ...and bucketing by them preserves the domain order: every aa-doc
+    // (in-domain, lower nll) lands in a bucket <= every zz-doc's. (This
+    // corpus has only TWO nll levels, so 3 buckets legitimately collapse
+    // to 2 under `>` cuts — exact tercile sizes are the ntile variant's
+    // contract, not the threshold variant's.)
+    val b = Selection.lmBucketsByThresholds(corpus, train, "doc_id", "text",
+        ts)
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+    assert(b.length == nlls.length)
+    val aaMax = b.filter(_._1 < 40).map(_._2).max
+    val zzMin = b.filter(_._1 >= 40).map(_._2).min
+    assert(aaMax <= zzMin, s"in-domain bucket must not exceed tail: $aaMax vs $zzMin")
+  }
+
   test("gumbelMicro is deterministic, finite, and id-sensitive") {
     val ids = (0L until 500L).toDF("id")
     val g = ids.select(Selection.gumbelMicro(col("id")).as("g"))
