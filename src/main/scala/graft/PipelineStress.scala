@@ -45,7 +45,12 @@ object PipelineStress {
     }
     def storageMB: Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
+    // arg 2: optional case-insensitive substring filter on stage names —
+    // lets a deep-scale run (1M+ docs) measure ONE family without paying
+    // for the whole suite (e.g. `PipelineStress 1000000 incr`)
+    val only = args.drop(1).headOption.map(_.toLowerCase)
     def timed[A](name: String)(f: => Long): Unit = {
+      if (!only.forall(name.toLowerCase.contains(_))) return
       val g0 = gcMillis
       val t0 = System.nanoTime()
       val out = f
