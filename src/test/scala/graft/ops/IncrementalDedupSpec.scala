@@ -154,6 +154,55 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(db.read("m/%").count() == 2L * bands)
   }
 
+  test("near probe equals the direct cross-batch definition on randomized corpora") {
+    // the store is an optimization, not a semantic: for any registered
+    // set A and probe batch B, dropNearSeenBefore(register(A), B) must
+    // equal B minus {b : exists a in A sharing a band with >= minAgree
+    // signature agreement} computed directly on the DataFrames
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    for (trial <- 1 to 3) {
+      val a = (0L until 12L).map(i => i -> doc())
+      // probe batch: a mix of exact copies, mutations, fresh docs
+      val b = (100L until 112L).map { i =>
+        val r = rnd.nextInt(3)
+        i -> (if (r == 0) a(rnd.nextInt(a.size))._2
+              else if (r == 1) a(rnd.nextInt(a.size))._2 + " " + doc()
+              else doc())
+      }
+      val db = tmpDb()
+      IncrementalDedup.registerNearBatch(db, docs(a: _*), "doc_id", "text")
+      val got = IncrementalDedup.dropNearSeenBefore(db, docs(b: _*),
+          "doc_id", "text", minAgree = 4)
+        .select("doc_id").as[Long].collect().toSet
+      // direct definition via the SAME public band/signature primitives
+      def sigs(rows: Seq[(Long, String)]) = docs(rows: _*)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(
+            Dedup.shingleHashes(col("text"), 3)).as("sig"),
+          posexplode(Dedup.bandKeys(
+            Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3)))))
+        .select(col("doc_id"), col("sig"), col("pos").as("band"),
+          col("col").as("bk"))
+      val agree = aggregate(
+        zip_with(col("sig"), col("seen_sig"),
+          (x, y) => (x === y).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val dropIds = sigs(b).join(
+          sigs(a).select(col("band"), col("bk"),
+            col("sig").as("seen_sig")),
+          Seq("band", "bk"))
+        .filter(agree >= 4)
+        .select("doc_id").as[Long].collect().toSet
+      val want = b.map(_._1).toSet -- dropIds
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("near probe plan: store scanned + bloom-probed, never shuffled") {
     val db = tmpDb()
     IncrementalDedup.registerNearBatch(db,
