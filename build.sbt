@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for the 94-query bench/verify mains at sf0.1 on a
+  // local[32] session (the index-lifecycle rows build whole warehouses
+  // per invocation; at 8g their cost was GC, not plan) — override with
+  // SPARK_DRIVER_MEM for constrained machines
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
