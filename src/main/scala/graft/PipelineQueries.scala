@@ -214,6 +214,12 @@ object PipelineQueries {
     "tp_vocab_topk" -> { (s, d) =>
       TextAnalysis.vocabTopK(Graft.documents(s, d), "doc_id", "text", 20)
     },
+    // the BPE-merge counting kernel: top-k adjacent token pairs (each
+    // tokenizer-training round = count pairs, merge the argmax, recount;
+    // the count is the distributed 99% of the loop)
+    "tp_bpe_pairs" -> { (s, d) =>
+      TextAnalysis.pairTopK(Graft.documents(s, d), "doc_id", "text", 20)
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -1250,6 +1256,7 @@ object PipelineQueries {
     "tp_repetition" -> TextAnalysis.sqlRepetition,
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
     "tp_vocab_topk" -> TextAnalysis.sqlVocabTopK(20),
+    "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

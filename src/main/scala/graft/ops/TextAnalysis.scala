@@ -192,6 +192,47 @@ object TextAnalysis {
        |      FROM documents)
        |GROUP BY token ORDER BY n_occ DESC, token LIMIT $k""".stripMargin
 
+  /** The BPE-merge counting kernel: corpus-wide adjacent-token-pair
+    * frequencies, top-k with deterministic tie-break — each round of BPE
+    * tokenizer training is exactly "find the most frequent adjacent
+    * pair, merge it, recount" (Sennrich et al. 2016), and the count is
+    * the distributed 99% of that loop (the merge itself is a bounded
+    * driver-side vocabulary edit). One explode of (n_tokens − 1) slim
+    * pair rows per doc → one hash aggregation; the same inverted-list
+    * shape as every other corpus-statistics op here, so it scales the
+    * same way.
+    */
+  def pairTopK(df: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val perRow = transform(array(split(col(textCol), " ")), w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("doc_id"),
+        explode(element_at(perRow, 1)).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[pairTopK]] (adjacent so they cannot drift). */
+  def sqlPairTopK(k: Int): String = {
+    val w = "string_split(text, ' ')"
+    s"""SELECT pair, count(*) AS n_occ,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM (SELECT doc_id, unnest(
+       |        CASE WHEN len($w) >= 2 THEN list_transform(
+       |          range(1, len($w)),
+       |          i -> ($w)[i] || ' ' || ($w)[i+1])
+       |        ELSE []::VARCHAR[] END) AS pair
+       |      FROM documents)
+       |GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k""".stripMargin
+  }
+
   // ── PII scrubbing ──────────────────────────────────────────────────
 
   /** (pattern, replacement) table for PII redaction. Patterns stay inside
