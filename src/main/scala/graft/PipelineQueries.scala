@@ -44,6 +44,31 @@ object PipelineQueries {
     dir.toString
   }
 
+  /** One fingerprint store per (session, sf dir, kind): the corpus first
+    * half registers once; every `dedup_incremental[_near]_probe`
+    * invocation then pays only the recurring probe — registration is
+    * deterministic, so sharing cannot change any value.
+    */
+  private val incStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+
+  private def incStoreFor(s: org.apache.spark.sql.SparkSession, d: String,
+                          near: Boolean): graft.store.Db = {
+    val wh = incStoreCache.computeIfAbsent((d, near), _ => {
+      val w = tempWarehouse()
+      val db = graft.store.Db(s, w)
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val firstHalf = docs.filter(col("doc_id") < mid)
+      if (near)
+        IncrementalDedup.registerNearBatch(db, firstHalf, "doc_id", "text")
+      else IncrementalDedup.registerBatch(db, firstHalf, "doc_id", "text")
+      w
+    })
+    graft.store.Db(s, wh)
+  }
+
   /** One persisted ANN index per (session, sf dir): built on first use,
     * probed by every later `ann_ivf_pq_probe_only` invocation — the
     * build-once/probe-many steady state the index design exists for
@@ -255,6 +280,27 @@ object PipelineQueries {
       val db = graft.store.Db(s, tempWarehouse())
       IncrementalDedup.registerNearBatch(db,
         docs.filter(col("doc_id") < mid), "doc_id", "text")
+      IncrementalDedup.dropNearSeenBefore(db, docs, "doc_id", "text",
+          minAgree = 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // the steady-state probe the incremental design exists for: the
+    // fingerprint store (first half registered) is session-cached OUTSIDE
+    // this query's timing — each invocation pays only the recurring
+    // per-batch cost: bloom build + one store scan + broadcast anti-join
+    // (dedup_incremental keeps measuring the full register+probe
+    // lifecycle; same split as ann_ivf_pq_persisted vs probe_only)
+    "dedup_incremental_probe" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val db = incStoreFor(s, d, near = false)
+      IncrementalDedup.dropSeenBefore(db, docs, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    "dedup_incremental_near_probe" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val db = incStoreFor(s, d, near = true)
       IncrementalDedup.dropNearSeenBefore(db, docs, "doc_id", "text",
           minAgree = 4)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -972,6 +1018,44 @@ object PipelineQueries {
     */
   private def minhashCtes: String = minhashCtesFrom("documents")
 
+  /** Oracle for the incremental-dedup rows (lifecycle AND probe-only —
+    * both produce the same result set; only what the timing covers
+    * differs).
+    */
+  private def sqlIncrementalDedup: String =
+    s"""WITH m AS (
+       |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS mid
+       |  FROM documents)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d, m
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM documents e
+       |  WHERE e.doc_id < m.mid
+       |    AND ${PortableHash.sqlH60("e.text")} =
+       |        ${PortableHash.sqlH60("d.text")})
+       |ORDER BY doc_id""".stripMargin
+
+  private def sqlIncrementalNearDedup: String =
+    s"""WITH m AS (
+       |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS mid
+       |  FROM documents),
+       |shing AS (
+       |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
+       |bands AS (${bandsUnion("sigs")}),
+       |seenb AS (SELECT b.* FROM bands b, m WHERE b.doc_id < m.mid),
+       |drops AS (
+       |  SELECT DISTINCT l.doc_id AS did
+       |  FROM bands l JOIN seenb r
+       |    ON l.band = r.band AND l.band_key = r.band_key
+       |  WHERE len(list_filter(range(${Dedup.MINHASH_K}),
+       |          i -> l.sig[i+1] = r.sig[i+1])) >= 4)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE did = d.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private def minhashCtesFrom(src: String): String =
     s"""shing AS (
        |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh FROM $src),
@@ -1262,38 +1346,12 @@ object PipelineQueries {
         |       count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "dedup_lines" -> Dedup.sqlLineDedup(width = 10, maxDup = 1),
-    "dedup_incremental" ->
-      s"""WITH m AS (
-         |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS mid
-         |  FROM documents)
-         |SELECT d.doc_id, d.lang, d.n_chars
-         |FROM documents d, m
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM documents e
-         |  WHERE e.doc_id < m.mid
-         |    AND ${PortableHash.sqlH60("e.text")} =
-         |        ${PortableHash.sqlH60("d.text")})
-         |ORDER BY doc_id""".stripMargin,
-    "dedup_incremental_near" ->
-      s"""WITH m AS (
-         |  SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS mid
-         |  FROM documents),
-         |shing AS (
-         |  SELECT doc_id, ${Dedup.sqlShingleHashes("text")} AS sh
-         |  FROM documents),
-         |sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM shing),
-         |bands AS (${bandsUnion("sigs")}),
-         |seenb AS (SELECT b.* FROM bands b, m WHERE b.doc_id < m.mid),
-         |drops AS (
-         |  SELECT DISTINCT l.doc_id AS did
-         |  FROM bands l JOIN seenb r
-         |    ON l.band = r.band AND l.band_key = r.band_key
-         |  WHERE len(list_filter(range(${Dedup.MINHASH_K}),
-         |          i -> l.sig[i+1] = r.sig[i+1])) >= 4)
-         |SELECT d.doc_id, d.lang, d.n_chars
-         |FROM documents d
-         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE did = d.doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> sqlIncrementalDedup,
+    // the probe-only rows are value-identical to the lifecycle rows (the
+    // session-cached store registers the same first half) — same oracle
+    "dedup_incremental_probe" -> sqlIncrementalDedup,
+    "dedup_incremental_near" -> sqlIncrementalNearDedup,
+    "dedup_incremental_near_probe" -> sqlIncrementalNearDedup,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT id1, id2, $minhashEstSql AS est_jaccard
