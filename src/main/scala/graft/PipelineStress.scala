@@ -158,9 +158,15 @@ object PipelineStress {
         col("id").as("doc_id"),
         concat(lit("fresh "), col("id").cast("string")).as("text")))
       .localCheckpoint(true)
-    timed("incr probe (5k batch)")(
+    timed("incr probe (5k batch)") {
+      // a probe against an empty store is a passthrough — a filtered run
+      // that skipped the register stage must fail loudly, not print a
+      // throughput number that never touched the store
+      require(incDb.snapshot().manifest.dataTxids.nonEmpty,
+        "incr probe needs 'incr register' in the same run — widen the filter")
       graft.ops.IncrementalDedup.dropSeenBefore(incDb, probeBatch,
-        "doc_id", "text").count())
+        "doc_id", "text").count()
+    }
     // incremental NEAR-dup steady state: same register/probe split over
     // the "m/" band store (4 rows + one 8-long signature per doc); the
     // probe adds the signature-agreement verify on bloom survivors
@@ -169,9 +175,12 @@ object PipelineStress {
     timed("near register (full corpus)")(
       graft.ops.IncrementalDedup.registerNearBatch(nearDb, docs,
         "doc_id", "text"))
-    timed("near probe (5k batch)")(
+    timed("near probe (5k batch)") {
+      require(nearDb.snapshot().manifest.dataTxids.nonEmpty,
+        "near probe needs 'near register' in the same run — widen the filter")
       graft.ops.IncrementalDedup.dropNearSeenBefore(nearDb, probeBatch,
-        "doc_id", "text").count())
+        "doc_id", "text").count()
+    }
     timed("token budget mix")(
       Sampling.tokenBudget(
         docs.withColumn("w", length(col("text"))).withColumn("stratum",

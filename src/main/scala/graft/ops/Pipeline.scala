@@ -74,7 +74,10 @@ object Pipeline {
         // the NB-gated corpus now also feeds the near-dup and contam
         // stages below — checkpoint so nbScore runs once, not per consumer
         hk.join(lbl, "doc_id").localCheckpoint(false)
-      case None => heuristicKept
+      // kept feeds FOUR consumers (canon, near-dup pairs, contam,
+      // clean-join) and Catalyst does not CSE across join branches —
+      // without the checkpoint the quality/lang-id scoring scan runs 4×
+      case None => heuristicKept.localCheckpoint(false)
     }
     val canon = kept.groupBy(md5(col("text")).as("_h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")

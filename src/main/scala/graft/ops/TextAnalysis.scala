@@ -204,6 +204,11 @@ object TextAnalysis {
     */
   def pairTopK(df: DataFrame, idCol: String, textCol: String,
                k: Int): DataFrame = {
+    // bind the split array ONCE per row via the single-element-transform
+    // scope (the same device as Dedup.shingleHashes / Selection
+    // .featureBuckets, with the rationale there): referencing split(...)
+    // directly inside the pair lambda would copy the split expression
+    // into every element_at — one split per PAIR instead of per row
     val perRow = transform(array(split(col(textCol), " ")), w =>
       when(size(w) >= 2,
         transform(sequence(lit(1), size(w) - 1),

@@ -165,7 +165,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         if (w > 0) {
           val dirs = for {
             t <- txids
-            bs = Db.txBuckets(spark, warehouse, dataDir, t)
+            bs = Db.txBuckets(spark, warehouse, dataDir, t,
+              manifest.version)
             b <- neededBuckets if bs.contains(b)
           } yield s"$dataDir/txid=$t/tbucket=$b"
           if (dirs.isEmpty) return emptyResult()
@@ -341,33 +342,52 @@ object Db {
     * for the driver's life: a published transaction directory is
     * immutable (writes claim fresh txids; compaction publishes new txids
     * and only [[Compactor.vacuum]] removes dead dirs, which no live
-    * manifest references), so the listing can never go stale. This is
-    * what makes [[Db.Snapshot.readInstants]] O(probed cells) instead of
+    * manifest references), so within one warehouse lifetime the listing
+    * cannot go stale. The one way it CAN: the warehouse is deleted and
+    * recreated at the same path — detected by the manifest-version
+    * watermark below (versions restart on recreation), which purges the
+    * warehouse's entries. This is what makes
+    * [[Db.Snapshot.readInstants]] O(probed cells) instead of
     * O(all cells): the per-cell directory layout is discovered once per
     * (warehouse, txid), not re-walked on every probe. Bounded: entries
     * are one Long set per txid; cleared wholesale past a generous cap
     * (re-listing is one readdir).
     */
   private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), java.util.Set[java.lang.Long]]()
+    (String, Long), java.util.Set[java.lang.Long]]()
+
+  /** Highest manifest version observed per warehouse — a REGRESSION
+    * (current version below the watermark) means the warehouse was
+    * deleted and recreated at the same path, so every cached listing for
+    * it is purged. Detection is free (the version is already in memory
+    * with the snapshot); the residual blind spot — a recreation that
+    * reuses txids AND fast-forwards past the old version before any
+    * read — requires deliberately replaying more commits than the old
+    * warehouse ever had.
+    */
+  private val versionWatermark =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[store] def txBuckets(spark: SparkSession, warehouse: String,
-                               dataDir: String,
-                               txid: Long): java.util.Set[java.lang.Long] = {
+                               dataDir: String, txid: Long,
+                               manifestVersion: Long)
+      : java.util.Set[java.lang.Long] = {
     if (bucketCache.size > 16384) bucketCache.clear()
-    val path = new org.apache.hadoop.fs.Path(s"$dataDir/txid=$txid")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    // tx dirs are immutable once published, so (warehouse, txid) alone
-    // would be a valid key — EXCEPT when a warehouse is deleted and
-    // recreated at the same path (txids restart at 0): the stale listing
-    // would then root scans at dirs that no longer exist or silently skip
-    // buckets the new tx has. One cheap getFileStatus (vs the listStatus
-    // this cache avoids) keys the entry to the directory's identity; on
-    // stores with no directory mtime the key degrades to the old one.
-    val stamp =
-      try fs.getFileStatus(path).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
-    bucketCache.computeIfAbsent((warehouse, txid, stamp), _ => {
+    // tx dirs are immutable once published, so (warehouse, txid) is a
+    // valid key for the driver's life — EXCEPT when a warehouse is
+    // deleted and recreated at the same path (txids AND manifest
+    // versions restart): the version watermark detects the restart (no
+    // extra RPC — the version rode in with the snapshot) and purges the
+    // warehouse's listings, so steady-state probes stay ONE readdir per
+    // (warehouse, txid) total, not one stat per call
+    val seen = versionWatermark.get(warehouse)
+    if (seen != null && manifestVersion < seen)
+      bucketCache.keySet.removeIf(_._1 == warehouse)
+    versionWatermark.merge(warehouse, manifestVersion,
+      (a, b) => if (a >= b) a else b)
+    bucketCache.computeIfAbsent((warehouse, txid), _ => {
+      val path = new org.apache.hadoop.fs.Path(s"$dataDir/txid=$txid")
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       val out = new java.util.HashSet[java.lang.Long]()
       fs.listStatus(path).foreach { st =>
         val n = st.getPath.getName

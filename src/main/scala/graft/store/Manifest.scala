@@ -68,13 +68,29 @@ final case class ManifestState(
       */
     streamBatches: Map[String, Long] = Map.empty
 ) {
-  /** The replay cursor for a named sink ("" = the legacy scalar). */
+  /** The replay cursor for a named sink ("" = the legacy scalar).
+    *
+    * Migration: a warehouse written before per-sink cursors existed has
+    * an EMPTY `streamBatches` map and its one writer's cursor in the
+    * legacy scalar — falling back to the scalar there preserves the
+    * crash-replay guard across the upgrade (a replayed batch must not
+    * commit twice just because the cursor moved fields). Once ANY named
+    * sink has committed, the map is authoritative and new sinks start at
+    * -1 — the fixed multi-sink behavior. The plain ingest writer records
+    * under both the scalar and its own named entry, so a fresh warehouse
+    * it touches is recognizably post-migration.
+    */
   def streamBatchFor(sink: String): Long =
-    if (sink.isEmpty) streamBatch else streamBatches.getOrElse(sink, -1L)
+    if (sink.isEmpty) math.max(streamBatch, streamBatches.getOrElse("", -1L))
+    else streamBatches.getOrElse(sink,
+      if (streamBatches.isEmpty) streamBatch else -1L)
 
   /** Monotonically advance a sink's replay cursor. */
   def withStreamBatch(sink: String, id: Long): ManifestState =
-    if (sink.isEmpty) copy(streamBatch = math.max(streamBatch, id))
+    if (sink.isEmpty)
+      copy(streamBatch = math.max(streamBatch, id),
+        streamBatches = streamBatches
+          .updated("", math.max(streamBatchFor(""), id)))
     else copy(streamBatches = streamBatches
       .updated(sink, math.max(streamBatchFor(sink), id)))
   def json: String = {
