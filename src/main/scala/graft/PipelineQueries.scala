@@ -359,6 +359,16 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // contrastive-training data prep: per query, the most-similar
+    // vectors of a DIFFERENT label (close-but-wrong = hard negative)
+    "mine_hard_negatives" -> { (s, d) =>
+      val emb = Graft.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", 10)
+        .select(col("query_id"), col("q_label"), col("nn_id"),
+          col("nn_label"), col("cos"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
     "ann_ivf" -> { (s, d) =>
       val emb = Graft.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
@@ -1494,6 +1504,23 @@ object PipelineQueries {
          |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
          |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
     "knn_cosine" -> sqlKnnExact,
+    "mine_hard_negatives" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         ${Similarity.sqlVeci("embedding")} AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+         |      FROM v WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, q_label, c.vec_id AS nn_id,
+         |         c.label AS nn_label,
+         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+         |  FROM q CROSS JOIN v c
+         |  WHERE c.vec_id <> query_id AND c.label <> q_label)
+         |SELECT query_id, q_label, nn_id, nn_label, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nn_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_bucket" -> sqlAnnLsh,
     "ann_ivf" -> {
       val cosAssign = Similarity.sqlCosineGuardedParts(

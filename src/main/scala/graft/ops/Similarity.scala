@@ -102,6 +102,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step
+    * (dense retrieval, e.g. DPR, Karpukhin et al. 2020, arXiv:
+    * 2004.04906): for each query the top-k most-SIMILAR corpus vectors
+    * whose `labelCol` DIFFERS — semantically close but labeled apart,
+    * the negatives that actually teach an embedding model its margin.
+    * Same broadcast-queries one-corpus-scan shape as [[bruteForceKnn]]
+    * with the label anti-filter fused into the join condition (rows of
+    * the query's own class never reach the scorer); at warehouse scale
+    * substitute the persisted-index probe as the scorer and keep the
+    * filter.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"),
+        col(labelCol).cast("long").as("nn_label"), veci(col(embCol)).as("cv"))
+      .withColumn("cn", dotInt(col("cv"), col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("q_label"), veci(col(embCol)).as("qv"))
+      .withColumn("qn", dotInt(col("qv"), col("qv")))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("nn_id") && col("q_label") =!= col("nn_label"))
+      .withColumn("dot", dotInt(col("qv"), col("cv")))
+      .select(col("query_id"), col("q_label"), col("nn_id"), col("nn_label"),
+        round(cosineFromParts(col("dot"), col("qn"), col("cn")), 9).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** FAISS-style refinement stage (the `IndexRefineFlat` pattern): re-rank
     * an ANN shortlist with EXACT cosine against the raw vectors and keep
     * the true top-k. `cand` carries (query_id, nn_id) — typically an
