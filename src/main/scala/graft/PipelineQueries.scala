@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -244,6 +244,20 @@ object PipelineQueries {
     // the count is the distributed 99% of the loop)
     "tp_bpe_pairs" -> { (s, d) =>
       TextAnalysis.pairTopK(Graft.documents(s, d), "doc_id", "text", 20)
+    },
+    // deterministic sketches: per-source KMV vocabulary-size estimate
+    // (exact count alongside so the error is visible) and count-min
+    // frequency estimates for the exact top-20 tokens (est_cm >=
+    // n_exact always; the grid is 4x1024 counters whatever the corpus)
+    "sk_kmv_distinct" -> { (s, d) =>
+      val docs = graft.core.Graft.rebalance(Graft.documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      Sketches.kmvDistinctBy(docs, "source", col("token"))
+    },
+    "sk_countmin" -> { (s, d) =>
+      val toks = graft.core.Graft.rebalance(Graft.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("token"))
+      Sketches.countMinTopK(toks, col("token"), 20)
     },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
@@ -1351,6 +1365,8 @@ object PipelineQueries {
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
     "tp_vocab_topk" -> TextAnalysis.sqlVocabTopK(20),
     "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
+    "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
+    "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

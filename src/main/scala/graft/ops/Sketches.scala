@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic streaming sketches — the cardinality / frequency
+  * estimators a 100 TB corpus pipeline leans on when exact aggregation
+  * is the bottleneck (vocabulary size across a crawl, token frequencies
+  * without a full `groupBy token`). Built on [[PortableHash]]'s MD5
+  * reductions, so unlike HLL/CMS libraries seeded with engine-private
+  * RNG these sketches produce *identical* estimates in Spark and DuckDB
+  * — every estimator here has an exact oracle, not a tolerance check.
+  *
+  * - KMV (k-minimum-values, Bar-Yossef et al. 2002): keep the k smallest
+  *   distinct hash values; the k-th smallest estimates the distinct
+  *   count as `(k-1)·2^60 / h_(k)`. Mergeable (union = k smallest of the
+  *   concatenation), so per-partition partial top-k composes.
+  * - Count-min (Cormode & Muthukrishnan 2005): d×w counter grid, point
+  *   frequency = min over the d hashed counters; always an over-estimate,
+  *   error bounded by N·e/w at confidence 1−e^−d.
+  */
+object Sketches {
+  /** KMV sketch width: estimate stddev ≈ N/√(k−2) ≈ 13% at 64; the
+    * driver row carries the exact count next to it so the error is
+    * visible, not hidden.
+    */
+  val KMV_K = 64
+
+  /** Count-min geometry: 4 affine-independent rows × 1024 buckets —
+    * 4096 int64 counters (32 KB) regardless of corpus size.
+    */
+  val CM_D = 4
+  val CM_W = 1024L
+
+  // ── KMV distinct-count ─────────────────────────────────────────────
+
+  /** Global KMV sketch: the k smallest distinct h60 values of `elem`,
+    * one slim (h) column. Plan shape is the optimal distributed one:
+    * `distinct` is a hash aggregation with map-side partials on the
+    * hash alone, and `orderBy(h).limit(k)` becomes TakeOrdered —
+    * per-partition top-k heaps merged on the driver, no global sort.
+    */
+  def kmvSketch(df: DataFrame, elem: Column, k: Int = KMV_K): DataFrame =
+    df.select(PortableHash.h60(elem).as("h"))
+      .distinct()
+      .orderBy("h")
+      .limit(k)
+
+  /** Fold a sketch (≤ k rows of `h`) to the one-row estimate:
+    * `n_sketch` (how many survived — below k the sketch IS the exact
+    * distinct set), `kth_hash`, and `est_distinct`. The estimate's
+    * float path is IEEE-identical cross-engine: `(k−1)·2^60` is exactly
+    * representable (≤ 6 significand bits shifted), one double divide,
+    * then floor — no rounding-mode ambiguity.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int = KMV_K): DataFrame =
+    sketch.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .select(col("n_sketch"), col("kth_hash"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
+            / col("kth_hash").cast("double")))
+          .cast("long").as("est_distinct"))
+
+  /** Per-group KMV estimates. The per-group top-k runs in TWO window
+    * stages: first within (group, h % salt) — `salt` sub-partitions
+    * that each sort 1/salt of the group's distinct hashes — then a
+    * final top-k over the ≤ salt·k survivors. Semantics-preserving
+    * (the k global minima are each within their salt bucket's k minima)
+    * and it bounds every sort to a shard of the group, which is what a
+    * skewed 100 TB group needs. `exact` adds the true distinct count
+    * alongside, making the sketch error visible in the driver row.
+    */
+  def kmvDistinctBy(df: DataFrame, grpCol: String, elem: Column,
+                    k: Int = KMV_K, salt: Int = 16,
+                    exact: Boolean = true): DataFrame = {
+    val hashed = df.select(col(grpCol).as("grp"), PortableHash.h60(elem).as("h"))
+      .distinct()
+    val wSalt = Window.partitionBy(col("grp"), col("h") % salt).orderBy("h")
+    val wGrp = Window.partitionBy(col("grp")).orderBy("h")
+    val topK = hashed
+      .withColumn("rk", row_number().over(wSalt)).filter(col("rk") <= k)
+      .withColumn("rk", row_number().over(wGrp)).filter(col("rk") <= k)
+    val est = topK.groupBy("grp")
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .select(col("grp"), col("n_sketch"), col("kth_hash"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
+            / col("kth_hash").cast("double")))
+          .cast("long").as("est_distinct"))
+    if (!exact) est.orderBy("grp")
+    else {
+      val ex = hashed.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+      est.join(ex, "grp")
+        .select(col("grp"), col("n_exact"), col("n_sketch"), col("kth_hash"),
+          col("est_distinct"))
+        .orderBy("grp")
+    }
+  }
+
+  /** DuckDB twin of [[kmvDistinctBy]] over `documents` tokens grouped by
+    * `source` (adjacent so they cannot drift). The oracle collapses the
+    * two-stage window to one — provably the same rows.
+    */
+  def sqlKmvTokensBySource(k: Int = KMV_K): String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT source AS grp, ${PortableHash.sqlH60("token")} AS h
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)),
+       |topk AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+       |  FROM hashed)
+       |SELECT grp, count(*) AS n_exact,
+       |       (SELECT count(*) FROM topk t WHERE t.grp = hashed.grp
+       |          AND t.rk <= $k) AS n_sketch,
+       |       (SELECT max(h) FROM topk t WHERE t.grp = hashed.grp
+       |          AND t.rk <= $k) AS kth_hash,
+       |       CAST(CASE WHEN count(*) < $k THEN count(*)
+       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
+       |                       / (SELECT CAST(max(h) AS DOUBLE) FROM topk t
+       |                          WHERE t.grp = hashed.grp AND t.rk <= $k))
+       |            END AS BIGINT) AS est_distinct
+       |FROM hashed GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ── count-min frequency ────────────────────────────────────────────
+
+  /** The d bucket columns for one hashed element: row i's bucket is
+    * `affine_i(h30(elem)) mod w` — [[PortableHash.affine]]'s fixed
+    * coefficient family, no RNG.
+    */
+  private def cmBuckets(h: Column, d: Int, w: Long): Seq[Column] =
+    (0 until d).map(i => PortableHash.affine(h, i) % w)
+
+  /** Build the count-min counter grid for `elem` occurrences: a
+    * (sk_row, bucket, c) DataFrame of at most d×w rows. One projection
+    * fans each element into its d (row, bucket) cells via a generator,
+    * then a single hash aggregation over ≤ d·w keys — map-side combine
+    * reduces the shuffle to the grid size, so the cost is one corpus
+    * scan regardless of N. This is the whole point over `groupBy(elem)`:
+    * the shuffle never carries per-element state.
+    */
+  def countMinSketch(df: DataFrame, elem: Column, d: Int = CM_D,
+                     w: Long = CM_W): DataFrame = {
+    val h = PortableHash.h30(elem)
+    val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
+      struct(lit(i).as("sk_row"), b.as("bucket"))
+    }: _*)
+    df.select(explode(cells).as("cell"))
+      .groupBy(col("cell.sk_row").as("sk_row"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for each row of `items` (an (`elemCol`)
+    * DataFrame): estimate = min over the d counters. The sketch side is
+    * ≤ d·w rows — broadcast, so probing any number of items is one
+    * map-side join + a d-row min per item.
+    */
+  def countMinProbe(items: DataFrame, sketch: DataFrame, elemCol: String,
+                    d: Int = CM_D, w: Long = CM_W): DataFrame = {
+    val h = PortableHash.h30(col(elemCol))
+    val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
+      struct(lit(i).as("sk_row"), b.as("bucket"))
+    }: _*)
+    val probes = items.withColumn("cell", explode(cells))
+      .select(items.columns.map(col) :+ col("cell.sk_row").as("sk_row")
+        :+ col("cell.bucket").as("bucket"): _*)
+    probes.join(broadcast(sketch), Seq("sk_row", "bucket"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .groupBy(items.columns.map(col): _*)
+      .agg(min(col("c")).as("est_cm"))
+  }
+
+  /** The driver-row composition: exact top-k `elem` frequencies with the
+    * count-min estimate alongside (est_cm ≥ n_exact always; equality
+    * means no collision in any of the d rows). The exact side exists to
+    * expose the sketch's error — the sketch itself never touches it.
+    */
+  def countMinTopK(df: DataFrame, elem: Column, k: Int, d: Int = CM_D,
+                   w: Long = CM_W): DataFrame = {
+    val sk = countMinSketch(df, elem, d, w)
+    val top = df.select(elem.as("token")).groupBy("token")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(k)
+    countMinProbe(top, sk, "token", d, w)
+      .select(col("token"), col("n_exact"), col("est_cm"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** DuckDB twin of [[countMinTopK]] over `documents` tokens (adjacent
+    * so they cannot drift). The d bucket expressions are generated from
+    * the same [[PortableHash.affineCoeffs]] table.
+    */
+  def sqlCountMinTokens(k: Int, d: Int = CM_D, w: Long = CM_W): String = {
+    val sketchCells = (0 until d).map { i =>
+      s"SELECT $i AS sk_row, ${PortableHash.sqlAffine("h", i)} % $w AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    val probeCells = (0 until d).map { i =>
+      s"SELECT token, n_exact, $i AS sk_row, ${PortableHash.sqlAffine("h", i)} % $w AS bucket FROM th"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT ${PortableHash.sqlH30("token")} AS h FROM tok),
+       |cells AS (
+       |  $sketchCells),
+       |sketch AS (
+       |  SELECT sk_row, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, count(*) AS n_exact FROM tok
+       |  GROUP BY token ORDER BY n_exact DESC, token LIMIT $k),
+       |th AS (SELECT token, n_exact, ${PortableHash.sqlH30("token")} AS h
+       |       FROM top),
+       |pcells AS (
+       |  $probeCells),
+       |melted AS (
+       |  SELECT p.token, p.n_exact, s.c
+       |  FROM pcells p JOIN sketch s
+       |    ON s.sk_row = p.sk_row AND s.bucket = p.bucket)
+       |SELECT token, n_exact, min(c) AS est_cm
+       |FROM melted GROUP BY token, n_exact
+       |ORDER BY n_exact DESC, token""".stripMargin
+  }
+}
