@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pca, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -372,6 +372,15 @@ object PipelineQueries {
         .select(col("query_id"), col("nn_id"), col("cos"),
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+    // PCA sufficient statistics (the cluster side of Pca.fit): exact
+    // int64 Gram upper triangle + per-dim first moments on the veci
+    // grid — one scan each, shuffles bounded by d(d+1)/2 and d cells
+    "emb_gram" -> { (s, d) =>
+      Pca.gramMatrix(Graft.embeddings(s, d), "embedding")
+    },
+    "emb_dim_stats" -> { (s, d) =>
+      Pca.dimStats(Graft.embeddings(s, d), "embedding")
     },
     // contrastive-training data prep: per query, the most-similar
     // vectors of a DIFFERENT label (close-but-wrong = hard negative)
@@ -1520,6 +1529,8 @@ object PipelineQueries {
          |  FROM pre l JOIN pre r ON l.bucket = r.bucket AND l.id < r.id)
          |WHERE jaccard >= 0.2 ORDER BY id1, id2""".stripMargin,
     "knn_cosine" -> sqlKnnExact,
+    "emb_gram" -> Pca.sqlGramMatrix(),
+    "emb_dim_stats" -> Pca.sqlDimStats(),
     "mine_hard_negatives" ->
       s"""WITH v AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,
