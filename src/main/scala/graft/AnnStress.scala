@@ -130,6 +130,86 @@ object AnnStress {
         println(f"ANNSTRESS refined recall@10 nProbe=$nProbe raw=$rawR%.3f residual=$resR%.3f")
       }
     }
+    // PCA-16 pre-reduction: fit on the 5% sample (one moments scan +
+    // 64×64 driver solve), project corpus+queries map-only, search in
+    // the reduced space — recall against full-space exact shows what
+    // 4× fewer dims costs, and the projected brute force shows the
+    // speedup it buys
+    {
+      val model = timed("PCA fit r=16 (5% sample)") {
+        graft.ops.Pca.fit(Sampling.hashSample(corpus, "vec_id", 0.05),
+          "embedding", 16)
+      }
+      val projC = timed("PCA project corpus (map-only)") {
+        val p = graft.ops.Pca.project(corpus, "embedding", model)
+          .select(col("vec_id"), col("pca").as("embedding"))
+          .localCheckpoint(true)
+        p.count(); p
+      }
+      val projQ = graft.ops.Pca.project(queries, "embedding", model)
+        .select(col("vec_id"), col("pca").as("embedding"))
+        .localCheckpoint(true)
+      val exact = Similarity
+        .bruteForceKnn(corpus, queries, "vec_id", "embedding", 10)
+        .select("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = timed("brute kNN in PCA-16 space") {
+        Similarity.bruteForceKnn(projC, projQ, "vec_id", "embedding", 10)
+          .select("query_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      println(f"ANNSTRESS PCA-16 recall@10 ${(got & exact).size.toDouble / exact.size}%.3f  (isotropic corpus: variance spread over all 64 dims — PCA's worst case, kept as the honest floor)")
+    }
+    // the regime PCA is FOR: rank-8 data (x = U·z + noise) — the top-16
+    // components capture ~everything, so reduced-space search matches
+    // full-space results at a quarter of the dimensions
+    {
+      val rnd = new scala.util.Random(7)
+      val uFlat = Seq.fill(64 * 8)(rnd.nextGaussian() * 0.1)
+      def genLowRank(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i => {
+          val z = transform(sequence(lit(0), lit(7)), r =>
+            (pmod(hash(col("id"), r), lit(2001)) - 1000).cast("double")
+              / 1000.0)
+          (aggregate(
+            zip_with(z, slice(typedLit(uFlat), i * 8 + 1, lit(8)),
+              (zr, ur) => zr * ur),
+            lit(0.0d), (acc, x) => acc + x)
+            + (pmod(hash(col("id"), i, lit(99)), lit(201)) - 100)
+              .cast("double") / 20000.0).cast("float")
+        }).as("embedding"))
+      val lrCorpus = genLowRank(spark.range(n).toDF("id")).localCheckpoint(true)
+      val lrQueries = genLowRank(spark.range(0, 64 * 997, 997).toDF("id"))
+        .localCheckpoint(true)
+      val lrModel = timed("PCA fit r=16 (low-rank corpus)") {
+        graft.ops.Pca.fit(Sampling.hashSample(lrCorpus, "vec_id", 0.05),
+          "embedding", 16)
+      }
+      val projC = graft.ops.Pca.project(lrCorpus, "embedding", lrModel)
+        .select(col("vec_id"), col("pca").as("embedding")).localCheckpoint(true)
+      val projQ = graft.ops.Pca.project(lrQueries, "embedding", lrModel)
+        .select(col("vec_id"), col("pca").as("embedding")).localCheckpoint(true)
+      val exact = Similarity
+        .bruteForceKnn(lrCorpus, lrQueries, "vec_id", "embedding", 10)
+        .select("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = timed("brute kNN in PCA-16 (low-rank)") {
+        Similarity.bruteForceKnn(projC, projQ, "vec_id", "embedding", 10)
+          .select("query_id", "nn_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      println(f"ANNSTRESS PCA-16 low-rank recall@10 ${(got & exact).size.toDouble / exact.size}%.3f")
+    }
+    // hard-negative mining at corpus scale: label = the generating
+    // cluster, so negatives are near-cluster vectors of another cluster
+    // — same broadcast+scan shape as brute kNN plus the label filter
+    timed("hard negatives (64 queries)") {
+      val labeled = corpus.withColumn("label", pmod(col("vec_id"), lit(1024L)))
+      Similarity.hardNegatives(labeled,
+        labeled.filter(col("vec_id") % 997 === 0 && col("vec_id") < 64 * 997),
+        "vec_id", "embedding", "label", 10).count()
+    }
     // the batch path: 10k queries as a DataFrame — 10× past the literal
     // path's cap, no literals, no collect
     val batch = gen(spark.range(0, 10000).toDF("id")).localCheckpoint(true)

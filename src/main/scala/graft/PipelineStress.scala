@@ -145,6 +145,34 @@ object PipelineStress {
             .otherwise(col("text")))
         .select(TextAnalysis.piiCount(col("t")).cast("long").as("n"))
         .agg(sum("n")).as[Long](spark.implicits.newLongEncoder).head())
+    // deterministic sketches over the exploded token stream (~40·n
+    // tokens): KMV distinct vs the exact count it replaces, and the
+    // count-min grid build (shuffle bounded at 4×1024 cells however
+    // large the corpus) + a 20-token broadcast probe
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    timed("kmv vocab estimate")(
+      graft.ops.Sketches.kmvEstimate(
+          graft.ops.Sketches.kmvSketch(toks, col("token")))
+        .select("est_distinct")
+        .as[Long](spark.implicits.newLongEncoder).head())
+    timed("exact distinct (kmv's foil)")(
+      toks.distinct().count())
+    timed("countmin build+probe top20")(
+      graft.ops.Sketches.countMinTopK(toks, col("token"), 20).count())
+    // the regime the sketch exists for: ~38 mostly-unique shingles per
+    // doc → distinct cardinality ≈ the stream itself. Exact distinct
+    // must shuffle every distinct value; KMV still shuffles 64 longs
+    // per partition
+    val shingles = docs
+      .select(explode(Dedup.shingleHashes(col("text"))).as("gh"))
+      .select(col("gh").cast("string").as("g"))
+    timed("kmv distinct shingles")(
+      graft.ops.Sketches.kmvEstimate(
+          graft.ops.Sketches.kmvSketch(shingles, col("g")))
+        .select("est_distinct")
+        .as[Long](spark.implicits.newLongEncoder).head())
+    timed("exact distinct shingles")(
+      shingles.distinct().count())
     // incremental dedup steady state: one-time register of the whole
     // corpus, then per-batch probes (the recurring cost at ingest time) —
     // half the probe batch repeats registered content, half is fresh

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic streaming sketches — the cardinality / frequency
@@ -36,16 +35,18 @@ object Sketches {
   // ── KMV distinct-count ─────────────────────────────────────────────
 
   /** Global KMV sketch: the k smallest distinct h60 values of `elem`,
-    * one slim (h) column. Plan shape is the optimal distributed one:
-    * `distinct` is a hash aggregation with map-side partials on the
-    * hash alone, and `orderBy(h).limit(k)` becomes TakeOrdered —
-    * per-partition top-k heaps merged on the driver, no global sort.
+    * one slim (h) column. One [[graft.functions.KmvAgg]] aggregation:
+    * each partition folds its rows into a ≤ k-long sorted buffer and the
+    * shuffle carries one buffer per partition — unlike a
+    * `distinct().limit(k)` formulation, nothing proportional to the
+    * distinct cardinality ever moves, which is the entire point of the
+    * sketch at corpus scale.
     */
   def kmvSketch(df: DataFrame, elem: Column, k: Int = KMV_K): DataFrame =
     df.select(PortableHash.h60(elem).as("h"))
-      .distinct()
+      .agg(graft.functions.KmvAgg.kmv(k)(col("h")).as("hs"))
+      .select(explode(col("hs")).as("h"))
       .orderBy("h")
-      .limit(k)
 
   /** Fold a sketch (≤ k rows of `h`) to the one-row estimate:
     * `n_sketch` (how many survived — below k the sketch IS the exact
@@ -62,45 +63,39 @@ object Sketches {
             / col("kth_hash").cast("double")))
           .cast("long").as("est_distinct"))
 
-  /** Per-group KMV estimates. The per-group top-k runs in TWO window
-    * stages: first within (group, h % salt) — `salt` sub-partitions
-    * that each sort 1/salt of the group's distinct hashes — then a
-    * final top-k over the ≤ salt·k survivors. Semantics-preserving
-    * (the k global minima are each within their salt bucket's k minima)
-    * and it bounds every sort to a shard of the group, which is what a
-    * skewed 100 TB group needs. `exact` adds the true distinct count
-    * alongside, making the sketch error visible in the driver row.
+  /** Per-group KMV estimates: one grouped [[graft.functions.KmvAgg]]
+    * aggregation — per-partition partial buffers merge map-side, so a
+    * group's shuffle traffic is k longs per partition touching it, never
+    * its distinct cardinality (the skewed-group failure mode of the
+    * exact count). `exact` adds the true distinct count alongside,
+    * making the sketch error visible in the driver row — it is the
+    * expensive path the sketch exists to replace, kept for the oracle's
+    * sake, not part of the estimator.
     */
   def kmvDistinctBy(df: DataFrame, grpCol: String, elem: Column,
-                    k: Int = KMV_K, salt: Int = 16,
-                    exact: Boolean = true): DataFrame = {
+                    k: Int = KMV_K, exact: Boolean = true): DataFrame = {
     val hashed = df.select(col(grpCol).as("grp"), PortableHash.h60(elem).as("h"))
-      .distinct()
-    val wSalt = Window.partitionBy(col("grp"), col("h") % salt).orderBy("h")
-    val wGrp = Window.partitionBy(col("grp")).orderBy("h")
-    val topK = hashed
-      .withColumn("rk", row_number().over(wSalt)).filter(col("rk") <= k)
-      .withColumn("rk", row_number().over(wGrp)).filter(col("rk") <= k)
-    val est = topK.groupBy("grp")
-      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
-      .select(col("grp"), col("n_sketch"), col("kth_hash"),
+    val aggs = graft.functions.KmvAgg.kmv(k)(col("h")).as("hs") +:
+      (if (exact) Seq(countDistinct(col("h")).as("n_exact")) else Nil)
+    val est = hashed.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_sketch", size(col("hs")).cast("long"))
+      .withColumn("kth_hash", element_at(col("hs"), size(col("hs"))))
+      .withColumn("est_distinct",
         when(col("n_sketch") < k, col("n_sketch"))
           .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
             / col("kth_hash").cast("double")))
-          .cast("long").as("est_distinct"))
-    if (!exact) est.orderBy("grp")
-    else {
-      val ex = hashed.groupBy("grp").agg(count(lit(1)).as("n_exact"))
-      est.join(ex, "grp")
-        .select(col("grp"), col("n_exact"), col("n_sketch"), col("kth_hash"),
-          col("est_distinct"))
-        .orderBy("grp")
-    }
+          .cast("long"))
+    val cols = Seq(col("grp")) ++
+      (if (exact) Seq(col("n_exact")) else Nil) ++
+      Seq(col("n_sketch"), col("kth_hash"), col("est_distinct"))
+    est.select(cols: _*).orderBy("grp")
   }
 
   /** DuckDB twin of [[kmvDistinctBy]] over `documents` tokens grouped by
-    * `source` (adjacent so they cannot drift). The oracle collapses the
-    * two-stage window to one — provably the same rows.
+    * `source` (adjacent so they cannot drift). The oracle states the
+    * sketch SEMANTICS — k smallest distinct hashes per group, via a
+    * plain window — which the bounded-buffer aggregation provably
+    * computes (order-insensitive sorted-set fold).
     */
   def sqlKmvTokensBySource(k: Int = KMV_K): String =
     s"""WITH hashed AS (
