@@ -108,4 +108,69 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"pii scrub should be map-only (+1 result sort):\n${plan.take(2000)}")
   }
+
+  test("sk_kmv_distinct: the sketch is a partial-folding ObjectHashAggregate") {
+    val df = SparkEntry.queries("sk_kmv_distinct")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the typed KmvAgg buffer plans as ObjectHashAggregate with a
+    // partial stage — the shape that shuffles k longs per partition.
+    // (countDistinct rides along for the visible-error column; the
+    // sketch itself must never depend on it)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"KMV buffer not object-agg'd (no map-side fold?):\n${plan.take(2000)}")
+  }
+
+  test("sk_countmin: grid agg map-side-combines; probe broadcasts the grid") {
+    val df = SparkEntry.queries("sk_countmin")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the counter grid (≤ 4×1024 keys) must reach the probe through a
+    // broadcast join — a shuffled join here would shuffle the probe side
+    // by grid cell for no reason
+    assert(plan.contains("BroadcastHashJoin"),
+      s"count-min probe not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"count-min probe degraded to a shuffled join:\n${plan.take(2000)}")
+  }
+
+  test("emb_gram / emb_dim_stats: one aggregation, no join, no extra exchange") {
+    for (name <- Seq("emb_gram", "emb_dim_stats")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), s"$name lost its agg")
+      assert(!plan.contains("Join"),
+        s"$name grew a join — the moments are one scan:\n${plan.take(2000)}")
+      // exactly one hash exchange kind: generator → partial agg →
+      // exchange(d² cells) → final agg (+ the result range sort)
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"$name lost partial aggregation:\n${plan.take(2000)}")
+    }
+  }
+
+  test("mine_hard_negatives broadcasts the query side into the label theta join") {
+    val df = SparkEntry.queries("mine_hard_negatives")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the ≠-label condition makes this a theta join; with the bounded
+    // query set broadcast it is one corpus scan (BroadcastNestedLoop),
+    // never a shuffle of the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"hard-negative join must broadcast the queries:\n${plan.take(2000)}")
+  }
+
+  test("PCA projection is map-only: no exchange in the projected plan") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Graft.embeddings(spark, "/root/testdata/sf0.001")
+    val model = graft.ops.Pca.fit(emb, "embedding", 8)
+    val proj = graft.ops.Pca.project(emb, "embedding", model)
+      .select(col("vec_id"), col("pca"))
+    proj.collect()
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection must be scan-speed (basis rides as literals):\n${plan.take(2000)}")
+  }
 }
