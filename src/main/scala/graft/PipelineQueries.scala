@@ -245,6 +245,12 @@ object PipelineQueries {
     "tp_bpe_pairs" -> { (s, d) =>
       TextAnalysis.pairTopK(Graft.documents(s, d), "doc_id", "text", 20)
     },
+    // the full BPE merge-learning loop: 6 rounds of count->argmax->
+    // re-segment on the word-frequency table (corpus scanned once;
+    // rounds are vocab-sized jobs)
+    "tp_bpe_learn" -> { (s, d) =>
+      TextAnalysis.bpeLearn(Graft.documents(s, d), "text", 6, s)
+    },
     // deterministic sketches: per-source KMV vocabulary-size estimate
     // (exact count alongside so the error is visible) and count-min
     // frequency estimates for the exact top-20 tokens (est_cm >=
@@ -1374,6 +1380,7 @@ object PipelineQueries {
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
     "tp_vocab_topk" -> TextAnalysis.sqlVocabTopK(20),
     "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
+    "tp_bpe_learn" -> TextAnalysis.sqlBpeLearn(6),
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->

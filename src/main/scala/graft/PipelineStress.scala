@@ -159,6 +159,11 @@ object PipelineStress {
       toks.distinct().count())
     timed("countmin build+probe top20")(
       graft.ops.Sketches.countMinTopK(toks, col("token"), 20).count())
+    // BPE merge learning: one corpus scan to the word-frequency table,
+    // then 6 vocab-sized rounds — round cost must track the VOCAB, not
+    // the corpus
+    timed("bpe learn 6 merges")(
+      TextAnalysis.bpeLearn(docs, "text", 6, spark).count())
     // the regime the sketch exists for: ~38 mostly-unique shingles per
     // doc → distinct cardinality ≈ the stream itself. Exact distinct
     // must shuffle every distinct value; KMV still shuffles 64 longs

@@ -238,6 +238,115 @@ object TextAnalysis {
        |GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k""".stripMargin
   }
 
+  /** The full BPE merge-learning loop (Sennrich et al. 2016): `nMerges`
+    * rounds of count-adjacent-pairs → merge the argmax → recount, each
+    * returning (rank, left, right, n_occ). The scalable decomposition is
+    * the point: ONE corpus scan folds the text into a word-frequency
+    * table, and every round after that touches only the vocab relation
+    * (tens of thousands of rows at any corpus size) — pair counts weight
+    * by word frequency, the argmax is a 1-row bounded collect, and the
+    * merge is a pure projection rewriting the symbol spelling. Corpus
+    * size prices exactly one aggregation; merge count prices vocab-sized
+    * jobs.
+    *
+    * Merge application = TWO passes of plain (non-regex) `replace` of
+    * `" left right "` with `" leftright "` over the boundary-padded
+    * spelling. One pass misses a pair whose leading separator was
+    * consumed by the preceding match; the second catches it, because
+    * after pass one every remaining occurrence is flanked by merged or
+    * non-matching symbols. Deviation from textbook greedy BPE: inside a
+    * same-symbol run of length ≥ 3 (`a a a a` under merge `a a`) the
+    * two-pass result can group differently and merge one fewer pair —
+    * deterministic, engine-identical (both engines scan-replace
+    * left-to-right), just documented. Tie-break: highest count, then
+    * lexicographically smallest pair.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int,
+               spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val spell = trim(regexp_replace(col("word"), "(.)", "$1 "))
+    var vocab = graft.core.Graft.rebalance(df)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(spell.as("seq"), col("cnt"))
+      .localCheckpoint(true) // one corpus scan; rounds run on the vocab
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val perRow = transform(array(split(col("seq"), " ")), w =>
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>")))
+      val top = vocab
+        .select(col("cnt"), explode(element_at(perRow, 1)).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val pair = top.head.getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((rank, l, r, top.head.getLong(1)))
+        val merged = s" ${l}${r} "
+        val one = replace(concat(lit(" "), col("seq"), lit(" ")),
+          lit(s" $pair "), lit(merged))
+        vocab = vocab
+          .select(trim(replace(one, lit(s" $pair "), lit(merged))).as("seq"),
+            col("cnt"))
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "n_occ")
+      .select(col("rank").cast("long"), col("left"), col("right"),
+        col("n_occ"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB twin of [[bpeLearn]] (adjacent so they cannot drift): the
+    * same loop unrolled into a v0→p1→v1→…→pN CTE chain over the same
+    * word-frequency table, scalar subqueries carrying each round's
+    * argmax into the next round's two-pass replace.
+    */
+  def sqlBpeLearn(nMerges: Int): String = {
+    // every CTE is MATERIALIZED and referenced through exactly one
+    // derived table per consumer: v(k-1) feeds p_k and v_k, p_k feeds
+    // v_k via a 1-row cross join carrying the pre-built search/replace
+    // strings. Without this, CTE inlining re-evaluates the whole round
+    // chain once per scalar-subquery reference (4 per round → 4^N).
+    val pairsOf = (v: String) =>
+      s"""SELECT pr AS pair, sum(cnt) AS n FROM (
+         |  SELECT cnt, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i + 1])
+         |    ELSE []::VARCHAR[] END) AS pr
+         |  FROM (SELECT cnt, string_split(seq, ' ') AS w FROM $v))
+         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 1""".stripMargin
+    val rounds = (1 to nMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS MATERIALIZED (${pairsOf(prev)}),
+         |v$k AS MATERIALIZED (
+         |  SELECT trim(replace(replace(' ' || seq || ' ', m.pat, m.mrg),
+         |                      m.pat, m.mrg)) AS seq, cnt
+         |  FROM $prev CROSS JOIN (
+         |    SELECT ' ' || pair || ' ' AS pat,
+         |           ' ' || replace(pair, ' ', '') || ' ' AS mrg
+         |    FROM p$k) m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map { k =>
+      s"""SELECT $k AS rank, split_part(pair, ' ', 1) AS "left",
+         |  split_part(pair, ' ', 2) AS "right",
+         |  CAST(n AS BIGINT) AS n_occ FROM p$k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+       |         count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   // ── PII scrubbing ──────────────────────────────────────────────────
 
   /** (pattern, replacement) table for PII redaction. Patterns stay inside
