@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pca, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pca, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, SketchStore, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -264,6 +264,43 @@ object PipelineQueries {
       val toks = graft.core.Graft.rebalance(Graft.documents(s, d))
         .select(explode(split(col("text"), " ")).as("token"))
       Sketches.countMinTopK(toks, col("token"), 20)
+    },
+    // warehouse-backed incremental sketches, registered in two half-
+    // corpus batches: by mergeability the stored estimates must equal
+    // the single full-corpus sketch EXACTLY — which is what the oracle
+    // states (KMV union law; count-min cell sums add). The count-min
+    // row also folds between batches, proving folds preserve the sums.
+    "sk_kmv_incremental" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) =
+        f.select(explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerKmv(db, toks(docs.filter(col("doc_id") < mid)),
+        col("token"))
+      SketchStore.registerKmv(db, toks(docs.filter(col("doc_id") >= mid)),
+        col("token"))
+      SketchStore.storedKmvEstimate(db)
+    },
+    "sk_countmin_incremental" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) =
+        f.select(explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerCountMin(db,
+        toks(docs.filter(col("doc_id") < mid)), col("token"), batchId = 0L)
+      SketchStore.foldCountMin(db)
+      SketchStore.registerCountMin(db,
+        toks(docs.filter(col("doc_id") >= mid)), col("token"), batchId = 1L)
+      val top = toks(docs).groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      SketchStore.probeStoredCountMin(db, top, "token")
+        .select(col("token"), col("n_exact"), col("est_cm"))
+        .orderBy(col("n_exact").desc, col("token"))
     },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
@@ -1383,6 +1420,8 @@ object PipelineQueries {
     "tp_bpe_learn" -> TextAnalysis.sqlBpeLearn(6),
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
+    "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
+    "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

@@ -159,6 +159,26 @@ object PipelineStress {
       toks.distinct().count())
     timed("countmin build+probe top20")(
       graft.ops.Sketches.countMinTopK(toks, col("token"), 20).count())
+    // warehouse-backed sketch store steady state: register the corpus
+    // once, then the recurring cost is a 5k-doc batch registration +
+    // a stored estimate/probe — both must stay flat in the store size
+    val skDb = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-skstress").toString)
+    val skBatch = docs.filter(col("doc_id") < 2500)
+      .select(explode(split(col("text"), " ")).as("token"))
+    timed("sketch register (full corpus)") {
+      graft.ops.SketchStore.registerKmv(skDb, toks, col("token"))
+      graft.ops.SketchStore.registerCountMin(skDb, toks, col("token"), 0L)
+    }
+    timed("sketch register (5k batch)") {
+      graft.ops.SketchStore.registerKmv(skDb, skBatch, col("token"))
+      graft.ops.SketchStore.registerCountMin(skDb, skBatch, col("token"), 1L)
+    }
+    timed("sketch stored estimate+probe") {
+      graft.ops.SketchStore.storedKmvEstimate(skDb).count()
+      graft.ops.SketchStore.probeStoredCountMin(skDb,
+        toks.limit(20), "token").count()
+    }
     // BPE merge learning: one corpus scan to the word-frequency table,
     // then 6 vocab-sized rounds — round cost must track the VOCAB, not
     // the corpus

@@ -117,6 +117,24 @@ object Sketches {
        |            END AS BIGINT) AS est_distinct
        |FROM hashed GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** DuckDB twin of the GLOBAL token-KMV estimate (what
+    * [[SketchStore.storedKmvEstimate]] must equal after registering any
+    * partition of the corpus, by the union law — adjacent so they
+    * cannot drift).
+    */
+  def sqlKmvTokensGlobal(k: Int = KMV_K): String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT ${PortableHash.sqlH60("token")} AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents)),
+       |topk AS (SELECT h FROM hashed ORDER BY h LIMIT $k)
+       |SELECT count(*) AS n_sketch, max(h) AS kth_hash,
+       |       CAST(CASE WHEN count(*) < $k THEN count(*)
+       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
+       |                       / CAST(max(h) AS DOUBLE))
+       |            END AS BIGINT) AS est_distinct
+       |FROM topk""".stripMargin
+
   // ── count-min frequency ────────────────────────────────────────────
 
   /** The d bucket columns for one hashed element: row i's bucket is

@@ -150,4 +150,33 @@ object StreamIngest {
         }
         ()
       }
+
+  /** Streaming sketch maintenance: each micro-batch's tokens fold into
+    * the warehouse-backed KMV + count-min stores
+    * ([[graft.ops.SketchStore]]) as one transaction each. Count-min
+    * registration keys its cells on the micro-batch id, so a replayed
+    * batch rewrites the same (key, ts) rows — the sketch's own
+    * idempotency law lines up with the sink's exactly-once batch-id
+    * guard, and a crash between the two registrations replays into
+    * last-wins overwrites, never double counts.
+    */
+  def sketchWriter(db: Db, stream: DataFrame, elemCol: String,
+                   tag: String = "t",
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   sinkId: String = "sketch")
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerKmv(db, batch,
+            org.apache.spark.sql.functions.col(elemCol), tag)
+          graft.ops.SketchStore.registerCountMin(db, batch,
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag)
+          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+        }
+        ()
+      }
 }

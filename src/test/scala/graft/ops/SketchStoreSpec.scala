@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.store.Db
+import org.apache.spark.sql.functions._
+
+/** Warehouse-backed incremental sketches ([[SketchStore]]): the
+  * mergeability laws (stored == batch-on-union, exactly), idempotent
+  * re-registration, fold supersede, and compaction survival.
+  */
+class SketchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDb(): Db =
+    Db(spark, java.nio.file.Files.createTempDirectory("graft-sketchstore").toString)
+
+  private def toks(xs: String*) = xs.toDF("t")
+
+  test("KMV: two registered batches == one sketch of the union, exactly") {
+    val db = tmpDb()
+    val a = (1 to 300).map(i => s"a$i")
+    val b = (200 to 500).map(i => s"a$i") // overlap: shared minima collapse
+    SketchStore.registerKmv(db, toks(a: _*), col("t"), k = 32)
+    SketchStore.registerKmv(db, toks(b: _*), col("t"), k = 32)
+    val stored = SketchStore.storedKmvSketch(db, k = 32)
+      .as[Long].collect().toSeq
+    val direct = Sketches.kmvSketch(toks((a ++ b): _*), col("t"), 32)
+      .as[Long].collect().toSeq
+    assert(stored == direct, "union law violated")
+    // duplicate minima across batches are single store rows (last-wins
+    // on (key, ts=h)), so the prefix read stays tight
+    val allRows = db.snapshot().read("k/t").count()
+    assert(allRows < 64, s"shared minima must collapse: $allRows rows")
+  }
+
+  test("count-min: sums add across batches; re-register of a batchId is idempotent") {
+    val db = tmpDb()
+    val b0 = toks(Seq.fill(5)("x") ++ Seq("y"): _*)
+    val b1 = toks(Seq.fill(3)("x") ++ Seq("z"): _*)
+    SketchStore.registerCountMin(db, b0, col("t"), batchId = 0L)
+    SketchStore.registerCountMin(db, b1, col("t"), batchId = 1L)
+    // a streaming retry re-delivers batch 1: same (key, ts) rows,
+    // last-wins — counts must NOT double
+    SketchStore.registerCountMin(db, b1, col("t"), batchId = 1L)
+    val est = SketchStore.probeStoredCountMin(db,
+        Seq("x", "y", "z").toDF("t"), "t")
+      .as[(String, Long)].collect().toMap
+    assert(est("x") == 8 && est("y") >= 1 && est("z") >= 1,
+      s"additive + idempotent: $est")
+  }
+
+  test("fold supersedes history, preserves sums, and bounds the store") {
+    val db = tmpDb()
+    for (i <- 0 until 5)
+      SketchStore.registerCountMin(db, toks(Seq.fill(i + 1)("w"): _*),
+        col("t"), batchId = i.toLong)
+    val before = SketchStore.probeStoredCountMin(db, toks("w"), "t")
+      .as[(String, Long)].head()._2
+    SketchStore.foldCountMin(db)
+    val after = SketchStore.probeStoredCountMin(db, toks("w"), "t")
+      .as[(String, Long)].head()._2
+    assert(after == before && after == 15, s"fold changed sums: $before -> $after")
+    // after compaction the superseded per-batch rows are physically gone
+    graft.store.Compactor.major(db)
+    val rows = db.snapshot().read("c/t/%").count()
+    val afterCompact = SketchStore.probeStoredCountMin(db, toks("w"), "t")
+      .as[(String, Long)].head()._2
+    assert(afterCompact == 15, "compaction must not change the grid")
+    // 'w' hits d distinct cells; only the folded generation remains
+    assert(rows == Sketches.CM_D, s"history not purged: $rows rows")
+    // registration continues after a fold
+    SketchStore.registerCountMin(db, toks("w"), col("t"), batchId = 99L)
+    val more = SketchStore.probeStoredCountMin(db, toks("w"), "t")
+      .as[(String, Long)].head()._2
+    assert(more == 16, s"post-fold registration lost: $more")
+  }
+
+  test("empty store: 0-row KMV sketch, zero estimates, empty grid") {
+    val db = tmpDb()
+    assert(SketchStore.storedKmvSketch(db).isEmpty)
+    val est = SketchStore.storedKmvEstimate(db)
+      .select("n_sketch", "est_distinct").as[(Long, Long)].head()
+    assert(est == ((0L, 0L)), s"empty estimate: $est")
+    assert(SketchStore.storedCountMin(db).isEmpty)
+    val probe = SketchStore.probeStoredCountMin(db, toks("q"), "t")
+      .as[(String, Long)].collect().toMap
+    assert(probe("q") == 0, "unseen-on-empty must read zero")
+  }
+
+  test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
+    val db = tmpDb()
+    IncrementalDedup.registerBatch(db,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+    SketchStore.registerKmv(db, toks("alpha", "beta"), col("t"))
+    SketchStore.registerCountMin(db, toks("alpha"), col("t"), batchId = 0L)
+    // each store reads only its prefix
+    assert(SketchStore.storedKmvSketch(db).count() == 2)
+    assert(SketchStore.storedCountMin(db).count() == Sketches.CM_D)
+    val fresh = IncrementalDedup.dropSeenBefore(db,
+      Seq((2L, "alpha beta"), (3L, "new one")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(fresh.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+}

@@ -227,4 +227,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(m.streamBatchFor("neardedup") == 0L)
     assert(m.streamBatch == -1L, "legacy scalar untouched by named sinks")
   }
+
+  test("streaming sketch maintenance: running estimates one batch behind the stream") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-sketchstream"))
+    val mem = MemoryStream[String]
+    val writer = StreamIngest.sketchWriter(db, mem.toDF().toDF("t"), "t")
+      .option("checkpointLocation", tmpDir("graft-sketchcp"))
+
+    mem.addData((1 to 100).map(i => s"w$i"): _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData((50 to 150).map(i => s"w$i"): _*) // overlaps batch 0
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    // the stored KMV equals one sketch of everything that ever streamed
+    val streamed = ((1 to 100) ++ (50 to 150)).map(i => s"w$i").toDF("t")
+    val stored = SketchStore.storedKmvSketch(db).as[Long].collect().toSeq
+    val direct = Sketches.kmvSketch(streamed, col("t")).as[Long].collect().toSeq
+    assert(stored == direct, "streamed KMV drifted from the batch sketch")
+    // count-min: w50..w100 arrived twice — estimates reflect the sum
+    val est = SketchStore.probeStoredCountMin(db,
+        Seq("w75", "w10", "w150").toDF("t"), "t")
+      .as[(String, Long)].collect().toMap
+    assert(est("w75") >= 2 && est("w10") >= 1 && est("w150") >= 1,
+      s"cross-batch sums missing: $est")
+    // 2 sketch txs per micro-batch, replay-guarded
+    assert(Manifest.current(db.warehouse).streamBatchFor("sketch") == 1L)
+  }
 }
