@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Graft
-import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pca, Pipeline, PortableHash, Sampling, Selection, Sequencing, Similarity, SketchStore, Sketches, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pca, Pipeline, PortableHash, Sampling, Selection, Retrieval, Sequencing, Similarity, SketchStore, Sketches, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with exact
   * DuckDB oracles (dedup family, similarity search, text analysis).
@@ -15,6 +15,14 @@ import graft.ops.{Decontaminate, Dedup, IncrementalDedup, Pca, Pipeline, Portabl
   */
 object PipelineQueries {
   private val P = PortableHash.P
+
+  /** Literal query set for the BM25 row — one list feeding both the
+    * Spark plan and the generated oracle.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark merge join", 1L -> "window batch stream",
+    2L -> "customer order table scan", 3L -> "data quality filter",
+    4L -> "the slow query")
 
   /** Temp warehouses registered for recursive delete at JVM exit — Bench's
     * interleaved passes and every correctness run must not leak
@@ -244,6 +252,14 @@ object PipelineQueries {
     // the count is the distributed 99% of the loop)
     "tp_bpe_pairs" -> { (s, d) =>
       TextAnalysis.pairTopK(Graft.documents(s, d), "doc_id", "text", 20)
+    },
+    // BM25 lexical retrieval: top-10 docs per query, scores micro-
+    // quantized per term contribution so ln() drift can't break the
+    // hash compare (the Selection device)
+    "ret_bm25" -> { (s, d) =>
+      import s.implicits._
+      Retrieval.bm25TopK(Graft.documents(s, d), "doc_id", "text",
+        bm25Queries.toDF("query_id", "qtext"), 10)
     },
     // the full BPE merge-learning loop: 6 rounds of count->argmax->
     // re-segment on the word-frequency table (corpus scanned once;
@@ -1417,6 +1433,7 @@ object PipelineQueries {
     "tp_gram_df" -> TextAnalysis.sqlGramDocFreqScore(),
     "tp_vocab_topk" -> TextAnalysis.sqlVocabTopK(20),
     "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
+    "ret_bm25" -> Retrieval.sqlBm25(bm25Queries, 10),
     "tp_bpe_learn" -> TextAnalysis.sqlBpeLearn(6),
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),

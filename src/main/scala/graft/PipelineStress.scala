@@ -179,6 +179,15 @@ object PipelineStress {
       graft.ops.SketchStore.probeStoredCountMin(skDb,
         toks.limit(20), "token").count()
     }
+    // BM25: postings + doc lengths from one corpus scan, query terms
+    // broadcast in — per-query top-10 over a 5-query set
+    timed("bm25 top10 (5 queries)") {
+      import spark.implicits._
+      graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(0L -> "w1 w2 t3", 1L -> "w10 w20", 2L -> "w5 t77",
+            3L -> "w100 w200 w300", 4L -> "w7").toDF("query_id", "qtext"),
+        10).count()
+    }
     // BPE merge learning: one corpus scan to the word-frequency table,
     // then 6 vocab-sized rounds — round cost must track the VOCAB, not
     // the corpus

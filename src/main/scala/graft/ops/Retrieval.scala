@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — BM25 (Robertson et al., the
+  * Lucene `k1/b` variant with the +1 idf floor), the standard baseline
+  * for query-driven training-data selection and for the lexical side of
+  * hybrid (BM25 + dense) retrieval next to [[Similarity]]'s ANN stack.
+  *
+  * Score(D,Q) = Σ_{t∈Q} idf(t) · f·(k1+1) / (f + k1·(1−b+b·|D|/avgdl)),
+  * idf(t) = ln((N − n_t + 0.5)/(n_t + 0.5) + 1).
+  *
+  * Cross-engine determinism: each per-term contribution is quantized to
+  * integer MICRO units before summing (the [[Selection]] device) — `ln`
+  * is the one float op with no IEEE cross-libm guarantee, and micro-
+  * rounding absorbs sub-ULP drift while integer sums stay exact, so the
+  * driver row hash-matches DuckDB.
+  *
+  * Plan shape at 100 TB: one corpus scan builds postings and doc
+  * lengths; the query terms broadcast into the postings (never the
+  * reverse); per-term document frequencies aggregate over the MATCHED
+  * postings only and broadcast back; the only wide operations are the
+  * postings aggregation and the per-query top-k window.
+  */
+object Retrieval {
+  val K1 = 1.2
+  val B = 0.75
+  val MICRO = 1000000L
+
+  /** Top-k BM25 documents per query. `queries` carries (query_id: Long,
+    * qtext: String); terms tokenize like the corpus (single-space
+    * split).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int): DataFrame = {
+    val toks = graft.core.Graft.rebalance(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val postings = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("f"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val termDf = postings
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("nt"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(
+      (col("n_docs") - col("nt") + 0.5) / (col("nt") + 0.5) + 1.0)
+    val tfn = col("f") * (K1 + 1.0) /
+      (col("f") + (col("dl") / avgdl * B + (1.0 - B)) * K1)
+    val contrib = round(idf * tfn * MICRO.toDouble, 0).cast("long")
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(termDf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[bm25TopK]] over `documents` for a literal query
+    * list (adjacent so they cannot drift — same constants, same
+    * micro-quantization point).
+    */
+  def sqlBm25(queries: Seq[(Long, String)], k: Int): String = {
+    val qvals = queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+      }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) WHERE len(term) > 0),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS f FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |q(query_id, term) AS (VALUES $qvals),
+       |tdf AS (
+       |  SELECT term, count(*) AS nt FROM postings
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(round(
+       |      ln((s.n_docs - t.nt + 0.5) / (t.nt + 0.5) + 1.0)
+       |      * (p.f * ${K1 + 1.0})
+       |      / (p.f + $K1 * (1.0 - $B + $B * d.dl
+       |                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+       |      * ${MICRO}.0, 0) AS BIGINT) AS c
+       |  FROM postings p
+       |  JOIN q ON p.term = q.term
+       |  JOIN tdf t ON p.term = t.term
+       |  JOIN dl d ON p.doc_id = d.doc_id
+       |  CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+       |       rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score_micro DESC, doc_id) AS rank
+       |  FROM agg)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval ([[Retrieval.bm25TopK]]): the formula checked against
+  * a by-hand computation, plus the ranking properties that make BM25
+  * BM25 — rare-term weighting, tf saturation, length normalization.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], qs: Seq[(Long, String)],
+                  k: Int = 10) =
+    Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+        qs.toDF("query_id", "qtext"), k)
+      .select("query_id", "doc_id", "score_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("score matches the hand-computed Lucene-variant BM25") {
+    // corpus: d0 = "cat dog", d1 = "cat cat cat", d2 = "bird"
+    // N=3, avgdl = 6/3 = 2; query "cat": nt=2, idf = ln((3-2+.5)/(2+.5)+1)
+    val got = run(
+      Seq(0L -> "cat dog", 1L -> "cat cat cat", 2L -> "bird"),
+      Seq(0L -> "cat")).map(r => (r._2, r._3)).toMap
+    def score(f: Double, dl: Double): Long = {
+      val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+      val tfn = f * 2.2 / (f + (dl / 2.0 * 0.75 + 0.25) * 1.2)
+      math.round(idf * tfn * 1e6)
+    }
+    assert(got == Map(0L -> score(1, 2), 1L -> score(3, 3)),
+      s"hand check failed: $got")
+  }
+
+  test("rare terms dominate; matching nothing yields no row") {
+    // 'rare' appears in one doc, 'common' in all four
+    val docs = Seq(
+      0L -> "common rare", 1L -> "common alpha", 2L -> "common beta",
+      3L -> "common gamma")
+    val got = run(docs, Seq(0L -> "rare common", 1L -> "absent"))
+    assert(got.filter(_._1 == 1L).isEmpty, "no match, no row")
+    val top = got.filter(_._1 == 0L).minBy(_._4)
+    assert(top._2 == 0L, s"rare-term doc must rank first: $got")
+  }
+
+  test("tf saturates and length normalization penalizes padding") {
+    val docs = Seq(
+      0L -> "term",
+      1L -> ("term " * 10).trim,                   // more tf, same content
+      2L -> ("term " + "pad " * 20).trim)          // padded long doc
+    val got = run(docs, Seq(0L -> "term")).map(r => (r._2, r._3)).toMap
+    // saturation: 10x the tf is far less than 10x the score
+    assert(got(1L) < got(0L) * 3, s"tf must saturate: $got")
+    // length norm: the padded doc scores below the 1-token doc
+    assert(got(2L) < got(0L), s"padding must cost: $got")
+  }
+}
