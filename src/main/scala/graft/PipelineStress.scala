@@ -188,6 +188,20 @@ object PipelineStress {
             3L -> "w100 w200 w300", 4L -> "w7").toDF("query_id", "qtext"),
         10).count()
     }
+    // BM25 register-once/probe-many: the index build is the one-time
+    // postings materialization; the probe must stay term-pruned and
+    // beat the direct path that re-aggregates the corpus per query set
+    locally {
+      import spark.implicits._
+      val bmDb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-bm25stress").toString)
+      val qdf = Seq(0L -> "w1 w2 t3", 1L -> "w10 w20", 2L -> "w5 t77",
+        3L -> "w100 w200 w300", 4L -> "w7").toDF("query_id", "qtext")
+      timed("bm25 index register")(
+        graft.ops.Retrieval.buildBm25Index(bmDb, docs, "doc_id", "text"))
+      timed("bm25 probe-only (5 queries)")(
+        graft.ops.Retrieval.bm25ProbeIndex(bmDb, qdf, 10).count())
+    }
     // BPE merge learning: one corpus scan to the word-frequency table,
     // then 6 vocab-sized rounds — round cost must track the VOCAB, not
     // the corpus

@@ -71,6 +71,100 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  // ── persisted postings index (register once, probe many) ───────────
+  //
+  // bm25TopK re-aggregates postings per call; a deployment answering
+  // many query sets materializes the inverted index once in the
+  // warehouse and pays only the probe per query set — the same
+  // register-once/probe-many split as the dedup fingerprint and sketch
+  // stores, with the same free-rider benefits (compaction, time travel,
+  // transactional publish). Layout:
+  //
+  //   key = "p/<term>"  ts = doc_id  →  term, f          (postings)
+  //   key = "pd/"       ts = doc_id  →  dl               (doc lengths)
+  //   key = "ps/"       ts = 0       →  n_docs, sum_dl   (stats)
+  //
+  // The probe never scans the postings store blind: the query terms
+  // become key-prefix reads ("p/<term>" per term — the store is
+  // key-sorted, so tx stats + row-group pruning cut the scan to the
+  // touched terms), and everything joined after that is bounded by the
+  // matched postings.
+
+  /** Materializes postings + doc lengths + stats as one transaction
+    * each. Re-registration overwrites (last-wins on (key, ts)) — call
+    * once per corpus version.
+    */
+  def buildBm25Index(db: graft.store.Db, docs: DataFrame, idCol: String,
+                     textCol: String): Long = {
+    val toks = graft.core.Graft.rebalance(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val postings = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("f"))
+      .select(concat(lit("p/"), col("term")).as("key"),
+        col("doc_id").as("ts"), col("term"), col("f"))
+    // the slim (doc_id, dl) relation feeds its own tx AND the stats row
+    // — materialize once instead of scanning the corpus a third time
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    graft.store.TxWriter.write(db, postings)
+    graft.store.TxWriter.write(db,
+      dl.select(lit("pd/").as("key"), col("doc_id").as("ts"), col("dl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      .select(lit("ps/").as("key"), lit(0L).as("ts"),
+        col("n_docs"), col("sum_dl"))
+    graft.store.TxWriter.write(db, stats)
+  }
+
+  /** Top-k BM25 per query against the PERSISTED index: per-term
+    * key-range reads of the postings store (pruned, never a full scan),
+    * the same broadcast shape as [[bm25TopK]] after that. Identical
+    * scores to the direct path — spec-asserted.
+    */
+  def bm25ProbeIndex(db: graft.store.Db, queries: DataFrame,
+                     k: Int): DataFrame = {
+    val snap = db.snapshot()
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (terms.isEmpty)
+      return queries.sparkSession.range(0)
+        .select(col("id").as("query_id"), col("id").as("doc_id"),
+          col("id").as("score_micro"), col("id").as("rank"))
+    val postings = terms.map(t => snap.read(s"p/$t"))
+      .reduce(_ unionByName _)
+      .select(col("ts").as("doc_id"), col("term"), col("f"))
+    val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
+    val statsRow = snap.read("ps/").select("n_docs", "sum_dl").head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    val termDf = postings.groupBy("term").agg(count(lit(1)).as("nt"))
+    val avgdl = sumDl.toDouble / nDocs
+    val idf = log((lit(nDocs.toDouble) - col("nt") + 0.5)
+      / (col("nt") + 0.5) + 1.0)
+    val tfn = col("f") * (K1 + 1.0) /
+      (col("f") + (col("dl") / avgdl * B + (1.0 - B)) * K1)
+    val contrib = round(idf * tfn * MICRO.toDouble, 0).cast("long")
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(termDf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB twin of [[bm25TopK]] over `documents` for a literal query
     * list (adjacent so they cannot drift — same constants, same
     * micro-quantization point).

@@ -43,6 +43,24 @@ class RetrievalSpec extends SparkSpec {
     assert(top._2 == 0L, s"rare-term doc must rank first: $got")
   }
 
+  test("persisted postings index: probe equals the direct path exactly") {
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25").toString)
+    val docs = (0L until 200L).map(i =>
+      i -> s"w${i % 7} w${i % 13} w${i % 29} common")
+    val qs = Seq(0L -> "w3 w12", 1L -> "common w28", 2L -> "absent")
+    Retrieval.buildBm25Index(db, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val direct = run(docs, qs, k = 5)
+    val probed = Retrieval.bm25ProbeIndex(db, qs.toDF("query_id", "qtext"), 5)
+      .select("query_id", "doc_id", "score_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probed == direct, s"index drifted from direct:\n$probed\n$direct")
+    // term-less query set degrades to an empty result, not an error
+    assert(Retrieval.bm25ProbeIndex(db,
+      Seq((9L, "")).toDF("query_id", "qtext"), 5).isEmpty)
+  }
+
   test("tf saturates and length normalization penalizes padding") {
     val docs = Seq(
       0L -> "term",
