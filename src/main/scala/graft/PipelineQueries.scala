@@ -278,6 +278,19 @@ object PipelineQueries {
       Retrieval.bm25TopK(Graft.documents(s, d), "doc_id", "text",
         bm25Queries.toDF("query_id", "qtext"), 10)
     },
+    // hybrid retrieval: RRF fusion of the BM25 lexical list and the
+    // dense cosine-kNN list (embeddings as the documents' vectors) —
+    // fusion is a pure rank-list join, no corpus access
+    "ret_hybrid_rrf" -> { (s, d) =>
+      import s.implicits._
+      val lex = Retrieval.bm25TopK(Graft.documents(s, d), "doc_id", "text",
+        bm25Queries.toDF("query_id", "qtext"), 20)
+      val emb = Graft.embeddings(s, d)
+      val dense = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, 10)
+    },
     // steady-state BM25: probe the session-cached persisted postings
     // index (built once, outside timing) — per-term key-pruned reads,
     // identical scores to the direct path (same oracle)
@@ -1460,6 +1473,22 @@ object PipelineQueries {
     "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
     "ret_bm25" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_probe_only" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_hybrid_rrf" -> Retrieval.sqlRrfFuse(
+      Retrieval.sqlBm25(bm25Queries, 20),
+      s"""WITH v AS (
+         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS doc_id,
+         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+         |  FROM q CROSS JOIN v c WHERE c.vec_id <> query_id)
+         |SELECT query_id, doc_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 20""".stripMargin,
+      10),
     "tp_bpe_learn" -> TextAnalysis.sqlBpeLearn(6),
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),

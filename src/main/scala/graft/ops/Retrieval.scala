@@ -165,6 +165,54 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  // ── hybrid fusion ──────────────────────────────────────────────────
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-search combiner for BM25 × dense ANN: score =
+    * Σ_lists 1/(k0 + rank), missing-from-one-list contributes nothing.
+    * Rank lists in, rank list out: a pure full-outer join + two-term
+    * add + window, no corpus access at all — fusion costs what the two
+    * retrievers cost. Exactly two addends in a fixed order keep the
+    * float path engine-identical; `round(…, 9)` guards the hash like
+    * the cosine rows.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              k0: Int = 60): DataFrame = {
+    val ar = a.select(col("query_id"), col("doc_id"), col("rank").as("ra"))
+    val br = b.select(col("query_id"), col("doc_id"), col("rank").as("rb"))
+    val contrib = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (r + k0.toDouble), lit(0.0))
+    val fused = ar.join(br, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(contrib(col("ra")) + contrib(col("rb")), 9).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[rrfFuse]] over two rank-list subqueries (adjacent
+    * so they cannot drift).
+    */
+  def sqlRrfFuse(sqlA: String, sqlB: String, k: Int, k0: Int = 60): String =
+    s"""WITH la AS ($sqlA),
+       |lb AS ($sqlB),
+       |fused AS (
+       |  SELECT COALESCE(la.query_id, lb.query_id) AS query_id,
+       |         COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+       |         round(COALESCE(1.0 / (la.rank + ${k0}.0), 0.0)
+       |             + COALESCE(1.0 / (lb.rank + ${k0}.0), 0.0), 9) AS rrf
+       |  FROM la FULL OUTER JOIN lb
+       |    ON la.query_id = lb.query_id AND la.doc_id = lb.doc_id)
+       |SELECT query_id, doc_id, rrf, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB twin of [[bm25TopK]] over `documents` for a literal query
     * list (adjacent so they cannot drift — same constants, same
     * micro-quantization point).

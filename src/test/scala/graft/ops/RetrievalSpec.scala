@@ -61,6 +61,20 @@ class RetrievalSpec extends SparkSpec {
       Seq((9L, "")).toDF("query_id", "qtext"), 5).isEmpty)
   }
 
+  test("RRF fusion: both-list docs beat single-list docs; missing side adds zero") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, 10)
+      .select("doc_id", "rrf", "rank")
+      .as[(Long, Double, Long)].collect().toSeq
+    // doc 11 appears in both (ranks 2 and 1): 1/62 + 1/61 — first
+    assert(got.map(_._1) == Seq(11L, 10L, 12L), s"fusion order: $got")
+    val r11 = got.find(_._1 == 11L).get._2
+    assert(math.abs(r11 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    val r10 = got.find(_._1 == 10L).get._2
+    assert(math.abs(r10 - 1.0 / 61) < 1e-9, "single-list doc: one term only")
+  }
+
   test("tf saturates and length normalization penalizes padding") {
     val docs = Seq(
       0L -> "term",
