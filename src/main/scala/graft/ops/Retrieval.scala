@@ -91,11 +91,19 @@ object Retrieval {
   // matched postings.
 
   /** Materializes postings + doc lengths + stats as one transaction
-    * each. Re-registration overwrites (last-wins on (key, ts)) — call
-    * once per corpus version.
+    * each. A REBUILD (non-empty warehouse) first drops the index
+    * keyspace with delete markers scoped to its prefixes — last-wins
+    * alone would leave stale postings for documents the new corpus no
+    * longer contains (the [[Similarity.buildIndex]] rebuild-supersede
+    * pattern; other stores sharing the warehouse are untouched).
     */
   def buildBm25Index(db: graft.store.Db, docs: DataFrame, idCol: String,
                      textCol: String): Long = {
+    if (db.snapshot().manifest.dataTxids.nonEmpty)
+      Seq("p/%", "pd/%", "ps/%").foreach { w =>
+        graft.store.TxWriter.delete(db, t0 = Long.MinValue,
+          t1 = Long.MaxValue, wildcard = w)
+      }
     val toks = graft.core.Graft.rebalance(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -126,6 +134,9 @@ object Retrieval {
   def bm25ProbeIndex(db: graft.store.Db, queries: DataFrame,
                      k: Int): DataFrame = {
     val snap = db.snapshot()
+    require(snap.manifest.dataTxids.nonEmpty &&
+      snap.read("ps/").columns.contains("n_docs"),
+      s"no BM25 index registered in ${db.warehouse} — run buildBm25Index first")
     val qterms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .filter(length(col("term")) > 0)

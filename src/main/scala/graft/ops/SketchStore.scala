@@ -128,6 +128,10 @@ object SketchStore {
     * deleted history physically.
     */
   def foldCountMin(db: graft.store.Db, tag: String = "t"): Long = {
+    // single-writer maintenance op (like compaction): a registration
+    // racing between the read below and the delete would be lost —
+    // schedule folds from the one maintenance job, not the ingest path
+    if (storedCountMin(db, tag).isEmpty) return -1L // nothing to fold
     val folded = storedCountMin(db, tag)
       .select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))

@@ -170,6 +170,8 @@ object Sketches {
     */
   def countMinProbe(items: DataFrame, sketch: DataFrame, elemCol: String,
                     d: Int = CM_D, w: Long = CM_W): DataFrame = {
+    require(!items.columns.exists(Set("sk_row", "bucket", "c", "cell")),
+      "items must not carry sketch-internal column names")
     val h = PortableHash.h30(col(elemCol))
     val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
       struct(lit(i).as("sk_row"), b.as("bucket"))

@@ -293,6 +293,10 @@ object TextAnalysis {
         vocab = vocab
           .select(trim(replace(one, lit(s" $pair "), lit(merged))).as("seq"),
             col("cnt"))
+        // bound the lazy plan at 2 replaces × 4 rounds between
+        // materializations — a large nMerges must not accrete an
+        // unboundedly deep expression tree over the vocab relation
+        if (rank % 4 == 0) vocab = vocab.localCheckpoint(true)
       }
     }
     merges.result().toDF("rank", "left", "right", "n_occ")

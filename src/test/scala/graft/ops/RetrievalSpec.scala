@@ -61,6 +61,20 @@ class RetrievalSpec extends SparkSpec {
       Seq((9L, "")).toDF("query_id", "qtext"), 5).isEmpty)
   }
 
+  test("index rebuild supersedes: vanished documents stop matching") {
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25rb").toString)
+    Retrieval.buildBm25Index(db,
+      Seq(0L -> "gone term", 1L -> "kept term").toDF("doc_id", "text"),
+      "doc_id", "text")
+    Retrieval.buildBm25Index(db, // rebuild without doc 0
+      Seq(1L -> "kept term").toDF("doc_id", "text"), "doc_id", "text")
+    val got = Retrieval.bm25ProbeIndex(db,
+        Seq(0L -> "term gone").toDF("query_id", "qtext"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), s"stale postings survived the rebuild: $got")
+  }
+
   test("RRF fusion: both-list docs beat single-list docs; missing side adds zero") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
