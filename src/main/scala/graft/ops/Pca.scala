@@ -37,10 +37,9 @@ object Pca {
     * One generator of d(d+1)/2 slim cells per row into one hash
     * aggregation — partial aggregation shrinks the shuffle to the
     * d(d+1)/2 key space regardless of corpus size. Products stay well
-    * inside int64: |veci| < 2^20, so a cell sum overflows only past
-    * ~2^23 ≈ 8M rows per… per nothing — 2^40 per product × 2^23 rows
-    * hits 2^63; beyond that scale, swap the sum to decimal(38,0)
-    * (DuckDB's HUGEINT accumulator already is).
+    * inside int64: |veci| < 2^20 ⇒ |v_i·v_j| < 2^40, so a cell sum
+    * stays exact to ~2^23 ≈ 8M rows; past that scale swap the sum to
+    * decimal(38,0) (DuckDB's HUGEINT accumulator already is).
     */
   def gramMatrix(df: DataFrame, embCol: String, dim: Int = 64): DataFrame = {
     // bind the veci array ONCE per row (single-element lambda scope —
