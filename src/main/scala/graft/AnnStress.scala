@@ -129,6 +129,32 @@ object AnnStress {
         }
         println(f"ANNSTRESS refined recall@10 nProbe=$nProbe raw=$rawR%.3f residual=$resR%.3f")
       }
+      // OPQ-lite: product-quantize the PCA-ROTATED coordinates (pure
+      // rotation, norms preserved → the true neighbor set is identical)
+      // so the m-way subspace split aligns with variance directions —
+      // same coarse/codebook budget as the raw arm above
+      val rotModel = timed("PCA full-rank fit (5% sample)") {
+        graft.ops.Pca.fit(sample, "embedding", 64)
+      }
+      val rotC = graft.ops.Pca.rotate(corpus, "embedding", rotModel)
+        .select(col("vec_id"), col("pca").as("embedding"))
+        .localCheckpoint(true)
+      val rotQ = graft.ops.Pca.rotate(queries, "embedding", rotModel)
+        .select(col("vec_id"), col("pca").as("embedding"))
+        .localCheckpoint(true)
+      val rotSample = Sampling.hashSample(rotC, "vec_id", 0.05)
+      val rotCents = Similarity.collectKmeansCentroids(rotSample, "vec_id",
+        "embedding", nCells.min(64), 2)
+      val rotCb = Similarity.pqTrainedCodebook(rotSample, "vec_id",
+        "embedding")
+      for (nProbe <- Seq(1, 2)) {
+        val opq = timed(f"OPQ-rotated IVF+PQ probe, nProbe=$nProbe") {
+          recall(Similarity.ivfPqKnnWith(rotC, rotQ, "vec_id", "embedding",
+            10, rotCb, nCells.min(64), nProbe = nProbe,
+            coarse = Some(rotCents)))
+        }
+        println(f"ANNSTRESS OPQ recall@10 nProbe=$nProbe rotated=$opq%.3f")
+      }
     }
     // PCA-16 pre-reduction: fit on the 5% sample (one moments scan +
     // 64×64 driver solve), project corpus+queries map-only, search in

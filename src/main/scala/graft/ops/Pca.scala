@@ -204,4 +204,26 @@ object Pca {
     df.withColumn(outCol,
       array((0 until model.r).map(c => projectCol(col(embCol), model, c)): _*)
         .cast("array<float>"))
+
+  /** Pure rotation onto the eigenbasis — NO mean subtraction, so dot
+    * products and norms are preserved exactly and the cosine-neighbor
+    * structure is untouched; only the coordinate system changes. This
+    * is the OPQ-lite preprocessing (Ge et al. 2013's R, taken from PCA
+    * instead of the iterated Procrustes solve): product-quantize the
+    * rotated coordinates so the subspace split aligns with the
+    * variance directions, then search as usual. Requires a full-rank
+    * model (`r == d`) — a truncated basis would silently drop norm.
+    */
+  def rotate(df: DataFrame, embCol: String, model: PcaModel,
+             outCol: String = "pca"): DataFrame = {
+    require(model.r == model.d,
+      s"rotation needs the full basis (r=${model.r}, d=${model.d})")
+    val cols = (0 until model.r).map { c =>
+      val prods = zip_with(Similarity.veci(col(embCol)).cast("array<double>"),
+        typedLit(model.basis(c).toSeq), (x, b) => x * b)
+      aggregate(prods, lit(0.0d), (acc, x) => acc + x) /
+        Similarity.SCALE.toDouble
+    }
+    df.withColumn(outCol, array(cols: _*).cast("array<float>"))
+  }
 }
