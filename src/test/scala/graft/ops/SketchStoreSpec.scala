@@ -87,6 +87,34 @@ class SketchStoreSpec extends SparkSpec {
     assert(probe("q") == 0, "unseen-on-empty must read zero")
   }
 
+  test("concurrent registrations: 8 racing writers, stored KMV == union sketch") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val db = tmpDb()
+    val batches = (0 until 8).map(b =>
+      (0 until 60).map(i => s"w${b * 40 + i}")) // overlapping ranges
+    Await.result(Future.sequence(batches.zipWithIndex.map { case (xs, b) =>
+      Future {
+        SketchStore.registerKmv(db, toks(xs: _*), col("t"), k = 32)
+        SketchStore.registerCountMin(db, toks(xs: _*), col("t"),
+          batchId = b.toLong)
+      }
+    }), 300.seconds)
+    // KMV: append-only last-wins rows — any interleaving lands on the
+    // same union sketch
+    val stored = SketchStore.storedKmvSketch(db, k = 32)
+      .as[Long].collect().toSeq
+    val direct = Sketches.kmvSketch(toks(batches.flatten: _*), col("t"), 32)
+      .as[Long].collect().toSeq
+    assert(stored == direct, "racing KMV writers corrupted the union")
+    // count-min: distinct batchIds never collide — sums equal the
+    // sequential outcome ('w40'..'w59' overlap batches 0 and 1, etc.)
+    val est = SketchStore.probeStoredCountMin(db, toks("w45"), "t")
+      .as[(String, Long)].head()._2
+    assert(est >= 2, s"overlapping batches must both count: $est")
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,
