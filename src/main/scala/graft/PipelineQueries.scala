@@ -305,6 +305,12 @@ object PipelineQueries {
     "tp_bpe_learn" -> { (s, d) =>
       TextAnalysis.bpeLearn(Graft.documents(s, d), "text", 6, s)
     },
+    // the encode half of the tokenizer loop: re-segment every document
+    // under the 6 learned merges (word->spelling dictionary broadcast
+    // onto one corpus explode) and count words vs subwords
+    "tp_bpe_encode" -> { (s, d) =>
+      TextAnalysis.bpeEncode(Graft.documents(s, d), "doc_id", "text", 6)
+    },
     // deterministic sketches: per-source KMV vocabulary-size estimate
     // (exact count alongside so the error is visible) and count-min
     // frequency estimates for the exact top-20 tokens (est_cm >=
@@ -1490,6 +1496,7 @@ object PipelineQueries {
          |WHERE rank <= 20""".stripMargin,
       10),
     "tp_bpe_learn" -> TextAnalysis.sqlBpeLearn(6),
+    "tp_bpe_encode" -> TextAnalysis.sqlBpeEncode(6),
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),

@@ -261,17 +261,20 @@ object TextAnalysis {
     * left-to-right), just documented. Tie-break: highest count, then
     * lexicographically smallest pair.
     */
-  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int,
-               spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
+  /** The shared loop behind [[bpeLearn]] and [[bpeEncode]]: returns the
+    * merge table AND the final per-word spelling relation
+    * (word, seq, cnt) after `nMerges` rounds.
+    */
+  private def bpeVocabChain(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val spell = trim(regexp_replace(col("word"), "(.)", "$1 "))
     var vocab = graft.core.Graft.rebalance(df)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(spell.as("seq"), col("cnt"))
+      .select(col("word"), spell.as("seq"), col("cnt"))
       .localCheckpoint(true) // one corpus scan; rounds run on the vocab
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (rank <- 1 to nMerges) {
       val perRow = transform(array(split(col("seq"), " ")), w =>
         when(size(w) >= 2,
@@ -286,12 +289,13 @@ object TextAnalysis {
       if (top.nonEmpty) {
         val pair = top.head.getString(0)
         val Array(l, r) = pair.split(" ", 2)
-        merges += ((rank, l, r, top.head.getLong(1)))
+        merges += ((rank.toLong, l, r, top.head.getLong(1)))
         val merged = s" ${l}${r} "
         val one = replace(concat(lit(" "), col("seq"), lit(" ")),
           lit(s" $pair "), lit(merged))
         vocab = vocab
-          .select(trim(replace(one, lit(s" $pair "), lit(merged))).as("seq"),
+          .select(col("word"),
+            trim(replace(one, lit(s" $pair "), lit(merged))).as("seq"),
             col("cnt"))
         // bound the lazy plan at 2 replaces × 4 rounds between
         // materializations — a large nMerges must not accrete an
@@ -299,10 +303,38 @@ object TextAnalysis {
         if (rank % 4 == 0) vocab = vocab.localCheckpoint(true)
       }
     }
-    merges.result().toDF("rank", "left", "right", "n_occ")
-      .select(col("rank").cast("long"), col("left"), col("right"),
-        col("n_occ"))
+    (merges.result(), vocab)
+  }
+
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int,
+               spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    bpeVocabChain(df, textCol, nMerges)._1
+      .toDF("rank", "left", "right", "n_occ")
       .orderBy("rank")
+  }
+
+  /** Applies the learned merges back to the corpus — the encode half of
+    * the tokenizer loop: per document, the word count and the subword
+    * count under the `nMerges`-round vocabulary. The per-word spelling
+    * relation is vocab-sized and broadcasts onto one corpus explode;
+    * a real deployment would persist it (a word → spelling dictionary)
+    * and skip the re-derivation.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                nMerges: Int): DataFrame = {
+    val (_, vocab) = bpeVocabChain(df, textCol, nMerges)
+    val enc = vocab.select(col("word"),
+      size(split(col("seq"), " ")).as("n_sub"))
+    graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
   }
 
   /** DuckDB twin of [[bpeLearn]] (adjacent so they cannot drift): the
@@ -310,12 +342,15 @@ object TextAnalysis {
     * word-frequency table, scalar subqueries carrying each round's
     * argmax into the next round's two-pass replace.
     */
-  def sqlBpeLearn(nMerges: Int): String = {
-    // every CTE is MATERIALIZED and referenced through exactly one
-    // derived table per consumer: v(k-1) feeds p_k and v_k, p_k feeds
-    // v_k via a 1-row cross join carrying the pre-built search/replace
-    // strings. Without this, CTE inlining re-evaluates the whole round
-    // chain once per scalar-subquery reference (4 per round → 4^N).
+  /** The shared MATERIALIZED v0→p1→v1→… CTE chain (with the word
+    * carried through, so both the merge table and the final spelling
+    * are selectable). Every CTE is referenced through exactly one
+    * derived table per consumer: v(k-1) feeds p_k and v_k, p_k feeds
+    * v_k via a 1-row cross join carrying the pre-built search/replace
+    * strings. Without this, CTE inlining re-evaluates the whole round
+    * chain once per scalar-subquery reference (4 per round → 4^N).
+    */
+  private def sqlBpeChain(nMerges: Int): String = {
     val pairsOf = (v: String) =>
       s"""SELECT pr AS pair, sum(cnt) AS n FROM (
          |  SELECT cnt, unnest(CASE WHEN len(w) >= 2
@@ -328,28 +363,47 @@ object TextAnalysis {
       val prev = s"v${k - 1}"
       s"""p$k AS MATERIALIZED (${pairsOf(prev)}),
          |v$k AS MATERIALIZED (
-         |  SELECT trim(replace(replace(' ' || seq || ' ', m.pat, m.mrg),
+         |  SELECT word,
+         |         trim(replace(replace(' ' || seq || ' ', m.pat, m.mrg),
          |                      m.pat, m.mrg)) AS seq, cnt
          |  FROM $prev CROSS JOIN (
          |    SELECT ' ' || pair || ' ' AS pat,
          |           ' ' || replace(pair, ' ', '') || ' ' AS mrg
          |    FROM p$k) m)""".stripMargin
     }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
+       |         count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
+  def sqlBpeLearn(nMerges: Int): String = {
     val out = (1 to nMerges).map { k =>
       s"""SELECT $k AS rank, split_part(pair, ' ', 1) AS "left",
          |  split_part(pair, ' ', 2) AS "right",
          |  CAST(n AS BIGINT) AS n_occ FROM p$k""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (
-       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
-       |         count(*) AS cnt
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |        FROM documents)
-       |  WHERE len(word) > 0 GROUP BY 1),
-       |$rounds
+    s"""WITH ${sqlBpeChain(nMerges)}
        |$out
        |ORDER BY rank""".stripMargin
   }
+
+  /** DuckDB twin of [[bpeEncode]] (adjacent so they cannot drift). */
+  def sqlBpeEncode(nMerges: Int): String =
+    s"""WITH ${sqlBpeChain(nMerges)},
+       |enc AS (SELECT word, len(string_split(seq, ' ')) AS n_sub
+       |        FROM v$nMerges),
+       |docw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents) WHERE len(word) > 0)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM docw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ── PII scrubbing ──────────────────────────────────────────────────
 

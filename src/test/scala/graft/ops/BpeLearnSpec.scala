@@ -38,6 +38,18 @@ class BpeLearnSpec extends SparkSpec {
       s"run handling drifted: $got")
   }
 
+  test("encode re-segments under the learned merges: words vs subwords") {
+    // low/lower corpus after 4 merges: low → [low] (1), lower → [lower]
+    // (1), newest → n e w e s t (6)
+    val docs = Seq(
+      (0L, "low low low"), (1L, "lower lower"), (2L, "newest low"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 3L), (1L, 2L, 2L), (2L, 2L, 7L)),
+      s"encode counts: $got")
+  }
+
   test("stops cleanly when the vocabulary runs out of pairs") {
     val docs = Seq("ab ab", "cd").toDF("text")
     // r1 (a,b)=2, r2 (c,d)=1, r3+: every word is one symbol — no pairs
