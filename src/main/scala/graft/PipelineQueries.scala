@@ -777,6 +777,13 @@ object PipelineQueries {
       Sequencing.packBins(docs, "doc_id", "n_tok", 256L, 8)
         .orderBy("shard", "bin")
     },
+    // intra-bin token offsets: the block-diagonal-attention metadata of
+    // the packed layout — one extra window on the binned relation
+    "tp_pack_offsets" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      Sequencing.packOffsets(docs, "doc_id", "n_tok", 256L, 8)
+    },
     // source-mixture reweighting: per-source totals + flatten-to-uniform
     // sampling weight, one tiny aggregation
     "tp_source_mix" -> { (s, d) =>
@@ -1271,6 +1278,8 @@ object PipelineQueries {
          |FROM ${Sequencing.sqlPackBinsFrom("documents", "doc_id",
                   sqlNTokens, 256L, 8)} t
          |ORDER BY shard, bin""".stripMargin,
+    "tp_pack_offsets" -> Sequencing.sqlPackOffsetsFrom("documents",
+      "doc_id", sqlNTokens, 256L, 8),
     // the capstone pipeline: each CTE is the oracle of the corresponding
     // standalone row (clean/verified-dedup/decontaminate/budget/pack),
     // chained on the kept ids

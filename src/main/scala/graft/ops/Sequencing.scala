@@ -120,6 +120,28 @@ object Sequencing {
                  window: Long, shards: Int): DataFrame =
     binned(df, idCol, tokCol, window, shards, preShuffle = false)
 
+  /** Per-document intra-bin token offsets — the block-diagonal-attention
+    * metadata a trainer needs when several documents pack into one
+    * context window: within (shard, bin) in id order, `tok_start` is the
+    * cumulative token count of the preceding documents (and
+    * `tok_start + n_tok` the exclusive end). One additional window over
+    * the already-clustered binned relation — (shard, bin) refines the
+    * pack window's own `shard` clustering, so no new shuffle shape is
+    * introduced at scale.
+    */
+  def packOffsets(df: DataFrame, idCol: String, tokCol: String,
+                  window: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard", "bin").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assignBins(df.select(col(idCol), col(tokCol)), idCol, tokCol,
+        window, shards)
+      .withColumn("tok_start",
+        coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)))
+      .select(col("shard"), col("bin"), col(idCol).as("doc_id"),
+        col(tokCol).cast("long").as("n_tok"), col("tok_start"))
+      .orderBy("shard", "bin", "doc_id")
+  }
+
   /** Materialize packed training shards: one parquet file per shard under
     * `dir/shard=N/`, rows sorted by (bin, id) inside the file so a
     * trainer streams bins in order without any read-side sort. The write
@@ -145,23 +167,41 @@ object Sequencing {
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
   /** DuckDB twin of [[packBins]] (adjacent so they cannot drift). */
+  /** The per-document binned relation as a DuckDB derived table:
+    * ($idCol, shard, tok, bin) — shared by the pack aggregate and the
+    * offsets twin so the bin math cannot drift between them.
+    */
+  def sqlBinnedFrom(table: String, idCol: String, tokExpr: String,
+                    window: Long, shards: Int): String =
+    s"""(SELECT $idCol, shard, tok,
+       |        CAST(floor(CAST(cum - tok AS DOUBLE) / $window) AS BIGINT)
+       |          AS bin
+       | FROM (
+       |   SELECT $idCol, tok, shard,
+       |          CAST(sum(tok) OVER (PARTITION BY shard ORDER BY $idCol
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |   FROM (SELECT $idCol, CAST($tokExpr AS BIGINT) AS tok,
+       |                (${Sampling.sqlHashBucket(idCol)}) % $shards AS shard
+       |         FROM $table)))""".stripMargin
+
   def sqlPackBinsFrom(table: String, idCol: String, tokExpr: String,
                       window: Long, shards: Int): String =
     s"""(SELECT shard, bin, count(*) AS n_docs,
        |        CAST(sum(tok) AS BIGINT) AS tokens,
        |        round(CAST(sum(tok) AS DOUBLE) / $window, 6) AS fill
-       | FROM (
-       |   SELECT shard, tok,
-       |          CAST(floor(CAST(cum - tok AS DOUBLE) / $window) AS BIGINT)
-       |            AS bin
-       |   FROM (
-       |     SELECT $idCol, tok, shard,
-       |            CAST(sum(tok) OVER (PARTITION BY shard ORDER BY $idCol
-       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |     FROM (SELECT $idCol, CAST($tokExpr AS BIGINT) AS tok,
-       |                  (${Sampling.sqlHashBucket(idCol)}) % $shards AS shard
-       |           FROM $table)))
+       | FROM ${sqlBinnedFrom(table, idCol, tokExpr, window, shards)}
        | GROUP BY shard, bin)""".stripMargin
+
+  /** DuckDB twin of [[packOffsets]] (adjacent so they cannot drift). */
+  def sqlPackOffsetsFrom(table: String, idCol: String, tokExpr: String,
+                         window: Long, shards: Int): String =
+    s"""SELECT shard, bin, $idCol AS doc_id, tok AS n_tok,
+       |       CAST(COALESCE(sum(tok) OVER (PARTITION BY shard, bin
+       |         ORDER BY $idCol
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS BIGINT) AS tok_start
+       |FROM ${sqlBinnedFrom(table, idCol, tokExpr, window, shards)}
+       |ORDER BY shard, bin, doc_id""".stripMargin
 
   /** Source-mixture reweighting: per-source document/token totals plus the
     * sampling weight that would flatten the mixture to uniform across

@@ -69,6 +69,30 @@ class SequencingSpec extends SparkSpec {
     assert(agg == direct)
   }
 
+  test("packOffsets: contiguous block-diagonal layout within every bin") {
+    val docs = (0L until 200L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
+    val rows = Sequencing.packOffsets(docs, "doc_id", "n_tok", 256L, 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    rows.groupBy(r => (r._1, r._2)).foreach { case (bin, ds) =>
+      val sorted = ds.sortBy(_._3)
+      assert(sorted.head._5 == 0L, s"$bin first doc must start at 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._5 == a._5 + a._4,
+            s"$bin: doc ${b._3} starts at ${b._5}, expected ${a._5 + a._4}")
+        case _ =>
+      }
+    }
+    // totals agree with the pack aggregate
+    val ends = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(ds => ds.map(_._4).sum).toMap
+    val packed = Sequencing.packBins(docs, "doc_id", "n_tok", 256L, 4)
+      .select("shard", "bin", "tokens")
+      .as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(ends == packed, "offset ends must sum to the bin token totals")
+  }
+
   test("writeShards' sink plan has exactly one exchange (pre-shuffle feeds window AND sort)") {
     val docs = (0L until 200L).map(i => (i, 10L + i % 37)).toDF("doc_id", "n_tok")
     val sink = Sequencing.binned(docs, "doc_id", "n_tok", 256L, 4,
