@@ -299,6 +299,19 @@ object PipelineQueries {
       Retrieval.bm25ProbeIndex(bm25IndexFor(s, d),
         bm25Queries.toDF("query_id", "qtext"), 10)
     },
+    // the full hybrid steady state: BOTH persisted indexes probed (BM25
+    // postings + IVF-PQ ANN, each session-cached and built outside
+    // timing) and RRF-fused — the serving-path composition
+    "ret_hybrid_probe_only" -> { (s, d) =>
+      import s.implicits._
+      val lex = Retrieval.bm25ProbeIndex(bm25IndexFor(s, d),
+        bm25Queries.toDF("query_id", "qtext"), 20)
+      val emb = Graft.embeddings(s, d)
+      val dense = Similarity.ivfPqProbePersisted(annIndexFor(s, d),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", topK = 20)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, 10)
+    },
     // the full BPE merge-learning loop: 6 rounds of count->argmax->
     // re-segment on the word-frequency table (corpus scanned once;
     // rounds are vocab-sized jobs)
@@ -1488,6 +1501,12 @@ object PipelineQueries {
     "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
     "ret_bm25" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_probe_only" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_hybrid_probe_only" -> Retrieval.sqlRrfFuse(
+      Retrieval.sqlBm25(bm25Queries, 20),
+      s"""SELECT query_id, nn_id AS doc_id, rank
+         |FROM (${Similarity.sqlIvfPqTrained(20, "vec_id < 5")}) t"""
+        .stripMargin,
+      10),
     "ret_hybrid_rrf" -> Retrieval.sqlRrfFuse(
       Retrieval.sqlBm25(bm25Queries, 20),
       s"""WITH v AS (
