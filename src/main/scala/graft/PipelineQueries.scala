@@ -299,6 +299,22 @@ object PipelineQueries {
       Retrieval.bm25ProbeIndex(bm25IndexFor(s, d),
         bm25Queries.toDF("query_id", "qtext"), 10)
     },
+    // incremental index maintenance: build on the first half, APPEND
+    // the second — every probe statistic is a sum over per-document
+    // rows, so the incremental index must equal the full-corpus oracle
+    // exactly
+    "ret_bm25_incremental" -> { (s, d) =>
+      import s.implicits._
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val db = graft.store.Db(s, tempWarehouse())
+      Retrieval.buildBm25Index(db, docs.filter(col("doc_id") < mid),
+        "doc_id", "text")
+      Retrieval.appendBm25Batch(db, docs.filter(col("doc_id") >= mid),
+        "doc_id", "text")
+      Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
+    },
     // the full hybrid steady state: BOTH persisted indexes probed (BM25
     // postings + IVF-PQ ANN, each session-cached and built outside
     // timing) and RRF-fused — the serving-path composition
@@ -1501,6 +1517,7 @@ object PipelineQueries {
     "tp_bpe_pairs" -> TextAnalysis.sqlPairTopK(20),
     "ret_bm25" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_probe_only" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_bm25_incremental" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_hybrid_probe_only" -> Retrieval.sqlRrfFuse(
       Retrieval.sqlBm25(bm25Queries, 20),
       s"""SELECT query_id, nn_id AS doc_id, rank

@@ -199,6 +199,11 @@ object PipelineStress {
         3L -> "w100 w200 w300", 4L -> "w7").toDF("query_id", "qtext")
       timed("bm25 index register")(
         graft.ops.Retrieval.buildBm25Index(bmDb, docs, "doc_id", "text"))
+      timed("bm25 append (5k new docs)")(
+        graft.ops.Retrieval.appendBm25Batch(bmDb,
+          docs.filter(col("doc_id") < 2500)
+            .select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
+          "doc_id", "text"))
       timed("bm25 probe-only (5 queries)")(
         graft.ops.Retrieval.bm25ProbeIndex(bmDb, qdf, 10).count())
     }

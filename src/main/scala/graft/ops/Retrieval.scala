@@ -82,28 +82,24 @@ object Retrieval {
   //
   //   key = "p/<term>"  ts = doc_id  →  term, f          (postings)
   //   key = "pd/"       ts = doc_id  →  dl               (doc lengths)
-  //   key = "ps/"       ts = 0       →  n_docs, sum_dl   (stats)
+  //
+  // Both relations are PER-DOCUMENT rows, so the index is incrementally
+  // maintainable for free: a new batch appends its own postings and
+  // lengths ([[appendBm25Batch]]) and every corpus statistic the score
+  // needs (N, avgdl, per-term df) is derived at probe time from what is
+  // stored — nothing global is cached that an append could invalidate.
   //
   // The probe never scans the postings store blind: the query terms
   // become key-prefix reads ("p/<term>" per term — the store is
   // key-sorted, so tx stats + row-group pruning cut the scan to the
   // touched terms), and everything joined after that is bounded by the
-  // matched postings.
+  // matched postings (plus one slim aggregate over the pd/ lengths).
 
-  /** Materializes postings + doc lengths + stats as one transaction
-    * each. A REBUILD (non-empty warehouse) first drops the index
-    * keyspace with delete markers scoped to its prefixes — last-wins
-    * alone would leave stale postings for documents the new corpus no
-    * longer contains (the [[Similarity.buildIndex]] rebuild-supersede
-    * pattern; other stores sharing the warehouse are untouched).
+  /** Writes one batch's postings + doc lengths as one transaction each
+    * — the shared kernel of build and append.
     */
-  def buildBm25Index(db: graft.store.Db, docs: DataFrame, idCol: String,
-                     textCol: String): Long = {
-    if (db.snapshot().manifest.dataTxids.nonEmpty)
-      Seq("p/%", "pd/%", "ps/%").foreach { w =>
-        graft.store.TxWriter.delete(db, t0 = Long.MinValue,
-          t1 = Long.MaxValue, wildcard = w)
-      }
+  private def writeBatch(db: graft.store.Db, docs: DataFrame, idCol: String,
+                         textCol: String): Long = {
     val toks = graft.core.Graft.rebalance(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -112,19 +108,41 @@ object Retrieval {
       .agg(count(lit(1)).as("f"))
       .select(concat(lit("p/"), col("term")).as("key"),
         col("doc_id").as("ts"), col("term"), col("f"))
-    // the slim (doc_id, dl) relation feeds its own tx AND the stats row
-    // — materialize once instead of scanning the corpus a third time
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true)
+      .select(lit("pd/").as("key"), col("doc_id").as("ts"), col("dl"))
     graft.store.TxWriter.write(db, postings)
-    graft.store.TxWriter.write(db,
-      dl.select(lit("pd/").as("key"), col("doc_id").as("ts"), col("dl")))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl"))
-      .select(lit("ps/").as("key"), lit(0L).as("ts"),
-        col("n_docs"), col("sum_dl"))
-    graft.store.TxWriter.write(db, stats)
+    graft.store.TxWriter.write(db, dl)
   }
+
+  /** Materializes the full index. A REBUILD (non-empty warehouse) first
+    * drops the index keyspace with delete markers scoped to its
+    * prefixes — last-wins alone would leave stale postings for
+    * documents the new corpus no longer contains (the
+    * [[Similarity.buildIndex]] rebuild-supersede pattern; other stores
+    * sharing the warehouse are untouched).
+    */
+  def buildBm25Index(db: graft.store.Db, docs: DataFrame, idCol: String,
+                     textCol: String): Long = {
+    if (db.snapshot().manifest.dataTxids.nonEmpty)
+      Seq("p/%", "pd/%").foreach { w =>
+        graft.store.TxWriter.delete(db, t0 = Long.MinValue,
+          t1 = Long.MaxValue, wildcard = w)
+      }
+    writeBatch(db, docs, idCol, textCol)
+  }
+
+  /** Incremental maintenance — the FAISS-`add` analogue for the lexical
+    * side: append a batch of NEW documents' postings and lengths (cost
+    * = the batch's own aggregation + two tx commits; index size and
+    * history never enter). Correct because every statistic the probe
+    * uses (N, avgdl, per-term df, tf) is a sum over per-document rows.
+    * For CHANGED documents use [[buildBm25Index]]'s rebuild path — an
+    * append would leave the old text's rows for terms the new text no
+    * longer contains.
+    */
+  def appendBm25Batch(db: graft.store.Db, batch: DataFrame, idCol: String,
+                      textCol: String): Long =
+    writeBatch(db, batch, idCol, textCol)
 
   /** Top-k BM25 per query against the PERSISTED index: per-term
     * key-range reads of the postings store (pruned, never a full scan),
@@ -135,7 +153,7 @@ object Retrieval {
                      k: Int): DataFrame = {
     val snap = db.snapshot()
     require(snap.manifest.dataTxids.nonEmpty &&
-      snap.read("ps/").columns.contains("n_docs"),
+      snap.read("pd/").columns.contains("dl"),
       s"no BM25 index registered in ${db.warehouse} — run buildBm25Index first")
     val qterms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
@@ -151,7 +169,9 @@ object Retrieval {
       .reduce(_ unionByName _)
       .select(col("ts").as("doc_id"), col("term"), col("f"))
     val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
-    val statsRow = snap.read("ps/").select("n_docs", "sum_dl").head()
+    // corpus stats derived from the per-document store at probe time —
+    // one slim aggregate, and appends can never leave them stale
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
     val nDocs = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
     val termDf = postings.groupBy("term").agg(count(lit(1)).as("nt"))

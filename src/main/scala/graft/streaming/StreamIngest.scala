@@ -151,6 +151,30 @@ object StreamIngest {
         ()
       }
 
+  /** Streaming BM25-index maintenance: each micro-batch of NEW
+    * (`idCol`, `textCol`) documents appends its postings + doc lengths
+    * ([[graft.ops.Retrieval.appendBm25Batch]]) under the exactly-once
+    * batch-id guard — newly ingested documents become retrievable one
+    * micro-batch behind the stream, and every probe-time statistic
+    * (N, avgdl, df) is derived from the per-document rows, so appends
+    * can never leave the index stale.
+    */
+  def bm25Writer(db: Db, stream: DataFrame, idCol: String, textCol: String,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 sinkId: String = "bm25")
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.Retrieval.appendBm25Batch(db, batch, idCol, textCol)
+          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+        }
+        ()
+      }
+
   /** Streaming sketch maintenance: each micro-batch's tokens fold into
     * the warehouse-backed KMV + count-min stores
     * ([[graft.ops.SketchStore]]) as one transaction each. Count-min

@@ -61,6 +61,28 @@ class RetrievalSpec extends SparkSpec {
       Seq((9L, "")).toDF("query_id", "qtext"), 5).isEmpty)
   }
 
+  test("append == rebuild: incremental index equals the from-scratch one") {
+    val all = (0L until 120L).map(i => i -> s"w${i % 5} w${i % 11} tail$i")
+    val db1 = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25a").toString)
+    Retrieval.buildBm25Index(db1, all.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val db2 = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25b").toString)
+    Retrieval.buildBm25Index(db2, all.take(50).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Retrieval.appendBm25Batch(db2, all.slice(50, 90).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Retrieval.appendBm25Batch(db2, all.drop(90).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val qs = Seq(0L -> "w3 w10", 1L -> "tail77 w2")
+    def probe(db: graft.store.Db) =
+      Retrieval.bm25ProbeIndex(db, qs.toDF("query_id", "qtext"), 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probe(db2) == probe(db1),
+      "two appends must land on the same index as one build")
+  }
+
   test("index rebuild supersedes: vanished documents stop matching") {
     val db = graft.store.Db(spark,
       java.nio.file.Files.createTempDirectory("graft-bm25rb").toString)

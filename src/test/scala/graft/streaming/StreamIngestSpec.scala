@@ -228,6 +228,28 @@ class StreamIngestSpec extends SparkSpec {
     assert(m.streamBatch == -1L, "legacy scalar untouched by named sinks")
   }
 
+  test("streaming BM25 maintenance: new documents retrievable per batch") {
+    import graft.ops.Retrieval
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-bm25stream"))
+    Retrieval.buildBm25Index(db,
+      Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val writer = StreamIngest.bm25Writer(db,
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .option("checkpointLocation", tmpDir("graft-bm25cp"))
+    mem.addData((2L, "alpha zeta"))
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData((3L, "zeta zeta eta"))
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+    val got = Retrieval.bm25ProbeIndex(db,
+        Seq((0L, "zeta")).toDF("query_id", "qtext"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), s"streamed docs not retrievable: $got")
+    assert(Manifest.current(db.warehouse).streamBatchFor("bm25") == 1L)
+  }
+
   test("streaming sketch maintenance: running estimates one batch behind the stream") {
     import graft.ops.{Sketches, SketchStore}
     implicit val sc = spark.sqlContext
