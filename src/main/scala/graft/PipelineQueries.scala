@@ -806,6 +806,12 @@ object PipelineQueries {
       Sequencing.packBins(docs, "doc_id", "n_tok", 256L, 8)
         .orderBy("shard", "bin")
     },
+    // Lee et al. span REMOVAL (not just the tp_dup_spans measurement):
+    // duplicated k-token windows keep their first occurrence, every
+    // other document loses those positions; only affected docs rebuild
+    "tp_scrub_spans" -> { (s, d) =>
+      Dedup.scrubDupSpans(Graft.documents(s, d), "doc_id", "text", k = 8)
+    },
     // intra-bin token offsets: the block-diagonal-attention metadata of
     // the packed layout — one extra window on the binned relation
     "tp_pack_offsets" -> { (s, d) =>
@@ -1493,6 +1499,7 @@ object PipelineQueries {
         sqlEmbExactPairs, EMB_LSH_RECALL_FLOOR))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY variant")),
     "tp_dup_spans" -> Dedup.sqlDupSpanCoverage(8),
+    "tp_scrub_spans" -> Dedup.sqlScrubDupSpans(8),
     "tp_decontaminate" ->
       Decontaminate.sqlOverlaps("doc_id % 25 = 0", n = 3, minOverlap = 3),
     // the bloom variant is exact by construction — same oracle

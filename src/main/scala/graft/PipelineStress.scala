@@ -267,6 +267,10 @@ object PipelineStress {
         docs.withColumn("w", length(col("text"))).withColumn("stratum",
           pmod(col("doc_id"), lit(8))),
         "stratum", "doc_id", "w", (n / 8) * 30).count())
+    timed("scrub spans k=8")(
+      Dedup.scrubDupSpans(docs, "doc_id", "text", k = 8)
+        .agg(sum(col("n_removed")))
+        .as[Long](spark.implicits.newLongEncoder).head())
     timed("dup spans k=8")(
       Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
         .agg(sum("dup_windows")).as[Long](spark.implicits.newLongEncoder)

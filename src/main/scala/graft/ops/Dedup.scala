@@ -386,6 +386,102 @@ object Dedup {
        |ORDER BY $idCol""".stripMargin
   }
 
+  /** Exact-substring span REMOVAL — the cleanup step of Lee et al. 2022,
+    * not just the measurement: every k-token window occurring in ≥ 2
+    * distinct documents keeps its first occurrence (the minimum doc id
+    * holding the window) and is scrubbed from every other document; a
+    * document's kept tokens re-concatenate in order. Returns every input
+    * row with (n_tokens, n_removed, text) where untouched documents pass
+    * their text through unchanged.
+    *
+    * Scale design on top of [[dupSpanCoverage]]'s window relation: the
+    * removal set is slim (id, token-position) rows bounded by the
+    * duplicated spans, and ONLY affected documents re-explode their
+    * tokens for the rebuild — the untouched majority of a deduplicated
+    * corpus never shuffles at all. The rebuild's per-document order is a
+    * `sort_array(collect_list(struct(pos, tok)))` — deterministic, no
+    * reliance on collect order.
+    */
+  def scrubDupSpans(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 2, "window length must be ≥ 2")
+    val base = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("id"), col(textCol).as("_text"),
+        split(col(textCol), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")))
+    val toks = base.filter(col("n_tokens") >= k)
+    val wins = toks
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => PortableHash.h60(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
+      .toDF("id", "pos", "wh")
+      .repartition(col("wh"))
+    val canon = wins.groupBy("wh")
+      .agg(min(col("id")).as("_mn"), max(col("id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select(col("wh"), col("_mn"))
+    val rm = wins.join(canon, "wh")
+      .filter(col("id") =!= col("_mn"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+    val rebuilt = toks
+      .join(rm.select("id").distinct(), Seq("id")) // affected docs only
+      .select(col("id"), posexplode(col("w")).as(Seq("tp", "tok")))
+      .join(rm, Seq("id", "tp"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok"))).as("_scrubbed"))
+    base.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("_kept"), col("n_tokens")))
+          .cast("long").as("n_removed"),
+        coalesce(col("_scrubbed"), col("_text")).as(textCol))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB oracle equal to [[scrubDupSpans]] (kept adjacent so the two
+    * can never drift).
+    */
+  def sqlScrubDupSpans(k: Int = 8, table: String = "documents",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): String = {
+    val win = s"array_to_string(w[i+1:i+$k], ' ')"
+    s"""WITH base AS (
+       |  SELECT $idCol AS id, $textCol AS _text,
+       |         string_split($textCol, ' ') AS w,
+       |         len(string_split($textCol, ' ')) AS n_tokens
+       |  FROM $table),
+       |t AS (SELECT id, w, n_tokens FROM base WHERE n_tokens >= $k),
+       |wins AS (
+       |  SELECT id, i AS pos, ${PortableHash.sqlH60(win)} AS wh
+       |  FROM (SELECT id, w, unnest(range(n_tokens - $k + 1)) AS i FROM t)),
+       |canon AS (SELECT wh, min(id) AS mn FROM wins GROUP BY wh
+       |          HAVING min(id) <> max(id)),
+       |rm AS (SELECT DISTINCT id, pos + u AS tp
+       |       FROM (SELECT id, pos, unnest(range($k)) AS u
+       |             FROM wins JOIN canon USING (wh) WHERE id <> mn)),
+       |rebuilt AS (
+       |  SELECT id, count(*) AS kept,
+       |         array_to_string(list(tok ORDER BY tp), ' ') AS scrubbed
+       |  FROM (
+       |    SELECT p.id, p.tp, p.tok FROM (
+       |      SELECT id, u - 1 AS tp, w[u] AS tok FROM (
+       |        SELECT id, w, unnest(range(1, len(w) + 1)) AS u FROM t
+       |        WHERE id IN (SELECT DISTINCT id FROM rm))) p
+       |    ANTI JOIN rm ON p.id = rm.id AND p.tp = rm.tp)
+       |  GROUP BY id)
+       |SELECT base.id AS $idCol, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_tokens - COALESCE(kept, n_tokens) AS BIGINT)
+       |         AS n_removed,
+       |       COALESCE(scrubbed, _text) AS $textCol
+       |FROM base LEFT JOIN rebuilt ON base.id = rebuilt.id
+       |ORDER BY $idCol""".stripMargin
+  }
+
   // ── duplicate clusters ─────────────────────────────────────────────
 
   /** Connected components over candidate-pair edges: every node mapped to

@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     assert(r(2L)._5 == 9L)
   }
 
+  test("scrubDupSpans: first occurrence keeps, later docs lose the span, rest intact") {
+    val docs = Seq(
+      (1L, "a1 a2 S1 S2 S3 S4 S5 S6 S7 S8"),       // canonical holder
+      (2L, "S1 S2 S3 S4 S5 S6 S7 S8 b1 b2"),       // loses S1..S8
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),      // untouched
+      (5L, "s1 s2")                                 // below the window
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDupSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 10L, 0L, "a1 a2 S1 S2 S3 S4 S5 S6 S7 S8")),
+      s"canonical doc must keep its copy: ${r(1L)}")
+    assert(r(2L) == ((2L, 10L, 8L, "b1 b2")), s"span not scrubbed: ${r(2L)}")
+    assert(r(3L) == ((3L, 10L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    assert(r(5L) == ((5L, 2L, 0L, "s1 s2")), "short docs pass through")
+  }
+
   test("lineSegments: non-overlapping width-word windows, short tail kept") {
     val r = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7"), // 7 words, width 3 -> 3 segments
