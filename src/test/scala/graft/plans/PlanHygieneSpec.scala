@@ -162,6 +162,19 @@ class PlanHygieneSpec extends SparkSpec {
       s"hard-negative join must broadcast the queries:\n${plan.take(2000)}")
   }
 
+  test("tp_scrub_spans reuses the window-hash exchange like tp_dup_spans") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("tp_scrub_spans")(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"window relation recomputed in the no-broadcast regime:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("PCA projection is map-only: no exchange in the projected plan") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Graft.embeddings(spark, "/root/testdata/sf0.001")
