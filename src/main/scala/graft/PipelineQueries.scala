@@ -969,6 +969,14 @@ object PipelineQueries {
       Sampling.shuffleShards(Graft.documents(s, d), "doc_id", 8)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("doc_id")
+    },
+    // weighted sampling without replacement (Efraimidis-Spirakis keys
+    // on deterministic hash-uniforms): 50 docs weight-proportional to
+    // n_chars — the quality-weighted subsampler uniform sa1 can't be
+    "sa6_weighted_sample" -> { (s, d) =>
+      Sampling.weightedSample(Graft.documents(s, d), "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1645,6 +1653,11 @@ object PipelineQueries {
     "sa5_shuffle_shards" ->
       s"""SELECT doc_id, shard, pos
          |FROM ${Sampling.sqlShuffleShardsFrom("documents", "doc_id", 8)} t
+         |ORDER BY doc_id""".stripMargin,
+    "sa6_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars
+         |FROM ${Sampling.sqlWeightedSampleFrom("documents", "doc_id",
+                  "n_chars", 50)} t
          |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH hs AS (

@@ -50,6 +50,40 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * the A-ES one-pass scheme): each row draws a deterministic uniform
+    * u = (h60(id)+1)/2^60 ∈ (0,1] and keeps key ln(u)/w — the k largest
+    * keys are a weight-proportional sample, the standard
+    * quality-weighted corpus subsampler ([[hashSample]]'s uniform rate
+    * can't express "prefer high-quality documents"). Deterministic and
+    * engine-portable: the only float ops are one ln, one divide and the
+    * 9-dp round guarding the hash compare; ties break on id. The plan
+    * is a TakeOrdered — per-partition top-k heaps, no global sort.
+    * Zero/negative weights are excluded (their key would be −∞).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (PortableHash.h60(col(idCol).cast("string")) + 1).cast("double") /
+      math.pow(2.0, 60)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_key", round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(k)
+      .drop("_key")
+  }
+
+  /** DuckDB twin of [[weightedSample]]'s selection predicate — the same
+    * ordered-key subquery (adjacent so they cannot drift).
+    */
+  def sqlWeightedSampleFrom(table: String, idCol: String, wExpr: String,
+                            k: Int): String =
+    s"""(SELECT * EXCLUDE (_key) FROM (
+       |  SELECT *, round(ln((${PortableHash.sqlH60(s"CAST($idCol AS VARCHAR)")} + 1)::DOUBLE
+       |                     / pow(2.0, 60)) / CAST($wExpr AS DOUBLE), 9)
+       |            AS _key
+       |  FROM $table WHERE $wExpr > 0)
+       | ORDER BY _key DESC, $idCol LIMIT $k)""".stripMargin
+
   /** Train/val/test assignment by hash bucket: `[0, pTrain)` → train,
     * `[pTrain, pTrain+pVal)` → val, rest → test.
     */

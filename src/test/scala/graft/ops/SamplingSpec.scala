@@ -60,6 +60,29 @@ class SamplingSpec extends SparkSpec {
     assert(tight == Map("en" -> 6L, "de" -> 6L))
   }
 
+  test("weightedSample: weight-proportional, zero weights excluded, partition-stable") {
+    import org.apache.spark.sql.functions._
+    // 200 light rows (w=1) vs 200 heavy rows (w=50): the heavy half must
+    // dominate a 40-row sample far beyond its 50% population share
+    val df = ((0L until 200L).map(i => (i, 1.0)) ++
+      (200L until 400L).map(i => (i, 50.0)) ++
+      Seq((999L, 0.0))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 40)
+      .select("id").as[Long].collect().toSet
+    assert(!got.contains(999L), "zero weight must be excluded")
+    val heavy = got.count(_ >= 200L)
+    assert(heavy >= 30, s"heavy rows under-represented: $heavy/40")
+    // deterministic across partitionings
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", 40)
+      .select("id").as[Long].collect().toSet
+    assert(again == got, "sample must not depend on partitioning")
+    // distributed top-k, not a global sort
+    val plan = Sampling.weightedSample(df, "id", "w", 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must plan as TakeOrdered:\n${plan.take(1200)}")
+  }
+
   test("connectedComponents finds min-id clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain {1,2,3}
