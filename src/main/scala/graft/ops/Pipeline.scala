@@ -34,6 +34,12 @@ object Pipeline {
     * [[Sequencing.packBins]] rows (shard, bin, n_docs, tokens, fill)
     * over the cleaned, selected, budgeted corpus.
     *
+    * @param scrubSpansK when > 0, cross-document duplicate spans of this
+    *        window length are REMOVED from the cleaned corpus before
+    *        token counting ([[Dedup.scrubDupSpans]] — Lee et al.'s
+    *        cleanup): budgets and bins then price the text that will
+    *        actually train. Runs after the drop-stages (scrubbing only
+    *        survivors) and re-prices n_tok from the scrubbed text.
     * @param nbSeeds when set to (positivePred, negativePred), a
     *        closed-form NB classifier ([[Selection.nbScore]]) trains on
     *        the matching slices of the heuristic-kept corpus and the gate
@@ -52,7 +58,8 @@ object Pipeline {
                      shards: Int = 8,
                      dsirTargetPred: Option[Column] = None,
                      dsirK: Int = 0,
-                     nbSeeds: Option[(Column, Column)] = None): DataFrame = {
+                     nbSeeds: Option[(Column, Column)] = None,
+                     scrubSpansK: Int = 0): DataFrame = {
     val scored = docs
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("lang_pred", TextAnalysis.langPredict(col("text")))
@@ -112,7 +119,17 @@ object Pipeline {
         ct.join(keep, "doc_id")
       case _ => cleanText
     }
-    val clean = selected.select(col("doc_id"), col("lang"),
+    val priced =
+      if (scrubSpansK <= 0) selected
+      else {
+        // scrub over the SURVIVORS only (a span shared with a dropped
+        // near-dup shouldn't scrub the keeper); lang rides back via the
+        // id join, text is replaced by the scrubbed rebuild
+        val scrubbed = Dedup.scrubDupSpans(
+          selected.select("doc_id", "text"), "doc_id", "text", scrubSpansK)
+        selected.drop("text").join(scrubbed.select("doc_id", "text"), "doc_id")
+      }
+    val clean = priced.select(col("doc_id"), col("lang"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
     val bud = Sampling.tokenBudget(clean, "lang", "doc_id", "n_tok",
       budgetPerLang)

@@ -50,6 +50,24 @@ class PipelineSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("scrub stage re-prices tokens downward, never adds docs") {
+    val base = Pipeline.corpusToShards(docs, bench)
+    val scrubbed = Pipeline.corpusToShards(docs, bench, scrubSpansK = 8)
+    val tokBase = base.agg(sum("tokens")).as[Long].head()
+    val tokScrub = scrubbed.agg(sum("tokens")).as[Long].head()
+    assert(tokScrub <= tokBase,
+      s"scrubbing cannot create tokens: $tokScrub > $tokBase")
+    // documents survive scrubbing (spans are removed, docs are not) up
+    // to budget-boundary effects: lighter docs can let MORE docs fit
+    val nBase = base.agg(sum("n_docs")).as[Long].head()
+    val nScrub = scrubbed.agg(sum("n_docs")).as[Long].head()
+    assert(nScrub >= nBase,
+      s"cheaper docs must not reduce the budget-kept count: $nScrub < $nBase")
+    // disabled stage is a no-op
+    val off = Pipeline.corpusToShards(docs, bench, scrubSpansK = 0)
+    assert(off.collect().toSet == base.collect().toSet)
+  }
+
   test("NB gate shrinks the corpus; disabled gate is a no-op") {
     val base = Pipeline.corpusToShards(docs, bench)
     val gated = Pipeline.corpusToShards(docs, bench,
