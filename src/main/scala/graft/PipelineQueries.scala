@@ -102,6 +102,34 @@ object PipelineQueries {
     graft.store.Db(s, wh)
   }
 
+  /** Half-built BM25 index cached per sf dir: `ret_bm25_append_only`
+    * re-appends the second half each invocation — idempotent (same
+    * (key, ts=doc_id) rows, last-wins), so the index state is stable
+    * across passes while the timed work is EXACTLY the steady-state
+    * ingest cost: one batch aggregation + two tx commits + the probe.
+    */
+  private val bm25HalfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25HalfIndexFor(s: SparkSession, d: String): graft.store.Db = {
+    val wh = bm25HalfIndexCache.computeIfAbsent(d, _ => {
+      val w = tempWarehouse()
+      val docs = Graft.documents(s, d)
+      val cut = bm25AppendCut(docs)
+      Retrieval.buildBm25Index(graft.store.Db(s, w),
+        docs.filter(col("doc_id") < cut), "doc_id", "text")
+      w
+    })
+    graft.store.Db(s, wh)
+  }
+
+  /** The steady-state append batch boundary: the last ~5% of doc ids —
+    * a BATCH-sized arrival, not a second half-build.
+    */
+  private def bm25AppendCut(docs: DataFrame): Long =
+    docs.agg(floor(max(col("doc_id")) * 0.95).cast("long"))
+      .head().getLong(0)
+
   private def annIndexFor(s: SparkSession, d: String): graft.store.Db = {
     val wh = annIndexCache.computeIfAbsent(d, _ => {
       val w = tempWarehouse()
@@ -312,6 +340,19 @@ object PipelineQueries {
       Retrieval.buildBm25Index(db, docs.filter(col("doc_id") < mid),
         "doc_id", "text")
       Retrieval.appendBm25Batch(db, docs.filter(col("doc_id") >= mid),
+        "doc_id", "text")
+      Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
+    },
+    // the append-side steady state (mirrors ann_ivf_pq_append_only):
+    // the half-built index is session-cached; the timed work is one
+    // idempotent re-append of the second half + the probe — what a
+    // steady-state ingest actually pays, build outside timing
+    "ret_bm25_append_only" -> { (s, d) =>
+      import s.implicits._
+      val docs = Graft.documents(s, d)
+      val cut = bm25AppendCut(docs)
+      val db = bm25HalfIndexFor(s, d)
+      Retrieval.appendBm25Batch(db, docs.filter(col("doc_id") >= cut),
         "doc_id", "text")
       Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
     },
@@ -1533,6 +1574,7 @@ object PipelineQueries {
     "ret_bm25" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_probe_only" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_incremental" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_bm25_append_only" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_hybrid_probe_only" -> Retrieval.sqlRrfFuse(
       Retrieval.sqlBm25(bm25Queries, 20),
       s"""SELECT query_id, nn_id AS doc_id, rank
