@@ -71,6 +71,10 @@ object Graft {
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        // key-set probes (BM25 terms, sketch tags) routinely carry a few
+        // dozen values; the default threshold (10) silently downgrades
+        // their parquet row-group pruning to a min/max range
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "64")
         .getOrCreate()
     )
 

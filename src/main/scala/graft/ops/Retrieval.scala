@@ -165,15 +165,17 @@ object Retrieval {
       return queries.sparkSession.range(0)
         .select(col("id").as("query_id"), col("id").as("doc_id"),
           col("id").as("score_micro"), col("id").as("rank"))
-    // ONE postings read with the term set pushed into the scan: the
-    // store is key-sorted (= term-sorted), so the isin predicate prunes
-    // row groups down to the touched terms, and the single subtree
-    // avoids |terms| separate scan plans (measured 2× on the probe).
-    // At extreme store sizes per-term key reads would add FILE-level
-    // pruning on top — swap `snap.read(s"p/$t")` back in if footer
-    // listing ever dominates.
+    // ONE postings read with the term set pushed into the scan — as a
+    // KEY predicate, not a term predicate: the last-wins merge windows
+    // on (key, ts), so only key filters push through it to the parquet
+    // scan (plan-asserted in PlanHygieneSpec), where the key-sorted
+    // store prunes row groups to the touched terms. The single subtree
+    // also avoids |terms| separate scan plans (measured 2× on the
+    // probe). At extreme store sizes per-term key reads would add
+    // FILE-level pruning on top — swap `snap.read(s"p/$t")` back in if
+    // footer listing ever dominates.
     val postings = snap.read("p/%")
-      .filter(col("term").isin(terms: _*))
+      .filter(col("key").isin(terms.map("p/" + _): _*))
       .select(col("ts").as("doc_id"), col("term"), col("f"))
     val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
     // corpus stats derived from the per-document store at probe time —

@@ -175,6 +175,21 @@ class PlanHygieneSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("ret_bm25_probe_only: term set reaches the postings scan as a pushed filter") {
+    val df = SparkEntry.queries("ret_bm25_probe_only")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one postings subtree with the query terms as an In(key) SCAN
+    // filter — the probe must filter on key (the last-wins window's
+    // partition key, so the predicate pushes through the merge), never
+    // on term (stuck above the window), and never |terms| separate scans
+    assert(plan.contains("In(key,") && plan.contains("p/batch"),
+      s"term-key set not pushed into the postings scan:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe joins must broadcast the bounded sides:\n${plan.take(2000)}")
+  }
+
   test("PCA projection is map-only: no exchange in the projected plan") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Graft.embeddings(spark, "/root/testdata/sf0.001")
