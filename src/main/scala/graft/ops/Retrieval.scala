@@ -95,8 +95,15 @@ object Retrieval {
   // touched terms), and everything joined after that is bounded by the
   // matched postings (plus one slim aggregate over the pd/ lengths).
 
-  /** Writes one batch's postings + doc lengths as one transaction each
-    * — the shared kernel of build and append.
+  /** Writes one batch's postings + doc lengths as ONE transaction — the
+    * shared kernel of build and append. Atomicity matters: the probe
+    * inner-joins postings to lengths on `doc_id`, so a snapshot holding
+    * one relation without the other would silently drop the missing
+    * documents from scoring while `termDf` still counted their postings
+    * — a transiently inconsistent score. One tx = one logical publish,
+    * the engine's standard everywhere else (Serve PUT, sketch
+    * register). The two keyspaces share a schema by union (each row
+    * carries only its own columns, the other side's are null).
     */
   private def writeBatch(db: graft.store.Db, docs: DataFrame, idCol: String,
                          textCol: String): Long = {
@@ -110,8 +117,8 @@ object Retrieval {
         col("doc_id").as("ts"), col("term"), col("f"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .select(lit("pd/").as("key"), col("doc_id").as("ts"), col("dl"))
-    graft.store.TxWriter.write(db, postings)
-    graft.store.TxWriter.write(db, dl)
+    graft.store.TxWriter.write(db,
+      postings.unionByName(dl, allowMissingColumns = true))
   }
 
   /** Materializes the full index. A REBUILD (non-empty warehouse) first
@@ -179,14 +186,15 @@ object Retrieval {
       .select(col("ts").as("doc_id"), col("term"), col("f"))
     val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
     // corpus stats derived from the per-document store at probe time —
-    // one slim aggregate, and appends can never leave them stale
-    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
-    val nDocs = statsRow.getLong(0)
-    val sumDl = statsRow.getLong(1)
+    // appends can never leave them stale. Kept RELATIONAL (one-row agg
+    // broadcast-crossed into the scored postings, the bm25TopK shape)
+    // so the probe never runs a driver-side stats job: the steady-state
+    // serving path stays one Spark job per probe, not two.
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val termDf = postings.groupBy("term").agg(count(lit(1)).as("nt"))
-    val avgdl = sumDl.toDouble / nDocs
-    val idf = log((lit(nDocs.toDouble) - col("nt") + 0.5)
-      / (col("nt") + 0.5) + 1.0)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(
+      (col("n_docs") - col("nt") + 0.5) / (col("nt") + 0.5) + 1.0)
     val tfn = col("f") * (K1 + 1.0) /
       (col("f") + (col("dl") / avgdl * B + (1.0 - B)) * K1)
     val contrib = round(idf * tfn * MICRO.toDouble, 0).cast("long")
@@ -194,6 +202,7 @@ object Retrieval {
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(termDf), Seq("term"))
       .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(sum(contrib).as("score_micro"))
     val w = Window.partitionBy("query_id")

@@ -97,6 +97,81 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Set(1L), s"stale postings survived the rebuild: $got")
   }
 
+  test("index publish is atomic: every snapshot sees postings and lengths together") {
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25atomic").toString)
+    val docs = (0L until 60L).map(i => i -> s"w${i % 4} w${i % 9} common")
+    Retrieval.buildBm25Index(db, docs.take(40).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val txAfterBuild = db.snapshot().manifest.dataTxids.size
+    Retrieval.appendBm25Batch(db, docs.drop(40).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // one logical publish = ONE transaction (a crash or concurrent probe
+    // can never land between postings and lengths)
+    assert(db.snapshot().manifest.dataTxids.size == txAfterBuild + 1,
+      "append must commit postings + lengths as a single transaction")
+    // and at EVERY historical version the two relations cover the same
+    // documents — the invariant the probe's inner dl join relies on
+    graft.store.Manifest.versions(db.warehouse).foreach { v =>
+      val snap = db.snapshotAt(v)
+      if (snap.manifest.dataTxids.nonEmpty) {
+        val pDocs = snap.read("p/%").select(col("ts")).distinct()
+          .as[Long].collect().toSet
+        val dlDocs = snap.read("pd/").select(col("ts")).distinct()
+          .as[Long].collect().toSet
+        assert(pDocs == dlDocs,
+          s"version $v: postings/lengths doc sets diverge " +
+            s"(${pDocs.size} vs ${dlDocs.size})")
+      }
+    }
+  }
+
+  test("probe runs no driver-side stats job: corpus stats stay relational") {
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25jobs").toString)
+    val docs = (0L until 80L).map(i => i -> s"w${i % 6} w${i % 11} common")
+    Retrieval.buildBm25Index(db, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val qs = Seq(0L -> "w3 common").toDF("query_id", "qtext")
+    Retrieval.bm25ProbeIndex(db, qs, 5).collect() // warm plans/codegen
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE materializes each query stage as its own job, which would blur
+    // the count; off, the one permitted collect is exactly one job
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // CONSTRUCTING the probe plan may only run the bounded query-term
+      // collect (needed for the key-pushdown In predicate) — never a
+      // store-scanning stats action: N/avgdl ride inside the plan as a
+      // broadcast one-row aggregate
+      val probe = Retrieval.bm25ProbeIndex(db, qs, 5)
+      // the listener bus is FIFO: once a marker job's event arrives,
+      // every construction-time job event is already counted
+      val beforeMarker = {
+        spark.range(1).count()
+        val deadline = System.nanoTime() + 5000000000L
+        var last = -1
+        while (jobs.get() != last && System.nanoTime() < deadline) {
+          last = jobs.get(); Thread.sleep(100)
+        }
+        jobs.get()
+      }
+      val constructionJobs = beforeMarker - 1 // minus the marker's own job
+      assert(constructionJobs <= 1,
+        s"probe construction ran $constructionJobs jobs — a driver-side " +
+          "stats action leaked back into the serving path")
+      assert(probe.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("RRF fusion: both-list docs beat single-list docs; missing side adds zero") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
