@@ -425,15 +425,25 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
       .distinct()
-    val rebuilt = toks
-      .join(rm.select("id").distinct(), Seq("id")) // affected docs only
+    val affected = rm.select("id").distinct()
+    val survivors = toks
+      .join(affected, Seq("id")) // affected docs only
       .select(col("id"), posexplode(col("w")).as(Seq("tp", "tok")))
       .join(rm, Seq("id", "tp"), "left_anti")
       .groupBy("id")
-      .agg(count(lit(1)).as("_kept"),
+      .agg(count(lit(1)).as("_surv_kept"),
         concat_ws(" ", transform(
           sort_array(collect_list(struct(col("tp"), col("tok")))),
-          s => s.getField("tok"))).as("_scrubbed"))
+          s => s.getField("tok"))).as("_surv_text"))
+    // anchored on the AFFECTED set, not the survivor groups: a document
+    // whose every token sits under a duplicated window (e.g. an exact
+    // duplicate of >= k tokens) has NO surviving token rows, so the
+    // groupBy alone would emit nothing and the outer coalesce would
+    // silently restore its original text with n_removed = 0 — it must
+    // come back fully scrubbed (kept = 0, empty text) instead
+    val rebuilt = affected.join(survivors, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_surv_kept"), lit(0L)).as("_kept"),
+        coalesce(col("_surv_text"), lit("")).as("_scrubbed"))
     base.join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         col("n_tokens").cast("long").as("n_tokens"),
@@ -464,7 +474,7 @@ object Dedup {
        |rm AS (SELECT DISTINCT id, pos + u AS tp
        |       FROM (SELECT id, pos, unnest(range($k)) AS u
        |             FROM wins JOIN canon USING (wh) WHERE id <> mn)),
-       |rebuilt AS (
+       |survivors AS (
        |  SELECT id, count(*) AS kept,
        |         array_to_string(list(tok ORDER BY tp), ' ') AS scrubbed
        |  FROM (
@@ -473,7 +483,14 @@ object Dedup {
        |        SELECT id, w, unnest(range(1, len(w) + 1)) AS u FROM t
        |        WHERE id IN (SELECT DISTINCT id FROM rm))) p
        |    ANTI JOIN rm ON p.id = rm.id AND p.tp = rm.tp)
-       |  GROUP BY id)
+       |  GROUP BY id),
+       |rebuilt AS (
+       |  -- anchored on the affected set: a fully-scrubbed doc has no
+       |  -- survivor group and must come back (kept=0, ''), not original
+       |  SELECT a.id, COALESCE(s.kept, 0) AS kept,
+       |         COALESCE(s.scrubbed, '') AS scrubbed
+       |  FROM (SELECT DISTINCT id FROM rm) a
+       |  LEFT JOIN survivors s ON a.id = s.id)
        |SELECT base.id AS $idCol, CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(n_tokens - COALESCE(kept, n_tokens) AS BIGINT)
        |         AS n_removed,

@@ -97,6 +97,27 @@ class DedupSpec extends SparkSpec {
     assert(r(5L) == ((5L, 2L, 0L, "s1 s2")), "short docs pass through")
   }
 
+  test("scrubDupSpans: a fully-duplicated doc comes back EMPTY, not restored") {
+    // doc 2 is an exact k-token duplicate of doc 1: every one of its
+    // token positions sits under a duplicated window, so the rebuild has
+    // no surviving tokens to group — the regression was coalescing back
+    // to the ORIGINAL text with n_removed = 0
+    val docs = Seq(
+      (1L, "S1 S2 S3 S4 S5 S6 S7 S8"),               // canonical holder
+      (2L, "S1 S2 S3 S4 S5 S6 S7 S8"),               // exact duplicate
+      (3L, "S1 S2 S3 S4 S5 S6 S7 S8 tail1 tail2"),   // superstring: loses span
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8")                // untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDupSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 8L, 0L, "S1 S2 S3 S4 S5 S6 S7 S8")),
+      s"canonical doc keeps its copy: ${r(1L)}")
+    assert(r(2L) == ((2L, 8L, 8L, "")),
+      s"fully-duplicated doc must be fully scrubbed: ${r(2L)}")
+    assert(r(3L) == ((3L, 10L, 8L, "tail1 tail2")), s"superstring: ${r(3L)}")
+    assert(r(4L) == ((4L, 8L, 0L, "x1 x2 x3 x4 x5 x6 x7 x8")))
+  }
+
   test("lineSegments: non-overlapping width-word windows, short tail kept") {
     val r = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7"), // 7 words, width 3 -> 3 segments
