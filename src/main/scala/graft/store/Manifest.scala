@@ -74,16 +74,24 @@ final case class ManifestState(
     * an EMPTY `streamBatches` map and its one writer's cursor in the
     * legacy scalar — falling back to the scalar there preserves the
     * crash-replay guard across the upgrade (a replayed batch must not
-    * commit twice just because the cursor moved fields). Once ANY named
-    * sink has committed, the map is authoritative and new sinks start at
-    * -1 — the fixed multi-sink behavior. The plain ingest writer records
-    * under both the scalar and its own named entry, so a fresh warehouse
-    * it touches is recognizably post-migration.
+    * commit twice just because the cursor moved fields). The fallback is
+    * restricted to the sink ids that EXISTED pre-migration
+    * ([[ManifestState.LegacySinks]]): a sink kind introduced after the
+    * cursor map (bm25, sketch, neardedup, caller-chosen ids) can never
+    * have written the scalar, so inheriting it would make the new sink
+    * silently skip its own batches 0..streamBatch on a pre-upgrade
+    * warehouse — new kinds always start at -1. Once ANY named sink has
+    * committed, the map is authoritative for every sink. The plain
+    * ingest writer records under both the scalar and its own named
+    * entry, so a fresh warehouse it touches is recognizably
+    * post-migration.
     */
   def streamBatchFor(sink: String): Long =
     if (sink.isEmpty) math.max(streamBatch, streamBatches.getOrElse("", -1L))
     else streamBatches.getOrElse(sink,
-      if (streamBatches.isEmpty) streamBatch else -1L)
+      if (streamBatches.isEmpty && ManifestState.LegacySinks(sink))
+        streamBatch
+      else -1L)
 
   /** Monotonically advance a sink's replay cursor. */
   def withStreamBatch(sink: String, id: Long): ManifestState =
@@ -109,6 +117,15 @@ final case class ManifestState(
     }.mkString("\n")
     s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
   }
+}
+
+object ManifestState {
+  /** The sink ids that existed BEFORE the per-sink cursor map — the only
+    * ones whose cursor can legitimately live in the legacy `streamBatch`
+    * scalar of a pre-upgrade warehouse. Frozen: sinks added later must
+    * never join this set (they'd inherit a cursor they never wrote).
+    */
+  val LegacySinks: Set[String] = Set("", "dedup", "index")
 }
 
 /** Per-transaction bounds: min/max key (UTF-8 byte order, matching

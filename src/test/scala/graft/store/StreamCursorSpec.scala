@@ -19,6 +19,19 @@ class StreamCursorSpec extends AnyFunSuite {
     assert(legacy.streamBatchFor("") == 12L)
   }
 
+  test("pre-upgrade manifest: POST-migration sink kinds never inherit the scalar") {
+    // bm25/sketch/neardedup writers postdate the cursor map — none of
+    // them can have written the legacy scalar, so inheriting it on a
+    // pre-upgrade warehouse would make a newly-attached sink silently
+    // skip its own batches 0..streamBatch
+    val legacy = base.copy(streamBatch = 12L)
+    for (sink <- Seq("bm25", "sketch", "neardedup", "my-custom-sink"))
+      assert(legacy.streamBatchFor(sink) == -1L,
+        s"new sink kind '$sink' must start at -1, not at the old writer's cursor")
+    assert(ManifestState.LegacySinks == Set("", "dedup", "index"),
+      "the legacy set is frozen — never add post-migration sinks to it")
+  }
+
   test("post-migration: named sinks are independent; new sinks start at -1") {
     val m = base.withStreamBatch("dedup", 5L)
     assert(m.streamBatchFor("dedup") == 5L)
