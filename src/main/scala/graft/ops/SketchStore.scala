@@ -128,18 +128,30 @@ object SketchStore {
     * deleted history physically.
     */
   def foldCountMin(db: graft.store.Db, tag: String = "t"): Long = {
-    // single-writer maintenance op (like compaction): a registration
-    // racing between the read below and the delete would be lost —
-    // schedule folds from the one maintenance job, not the ingest path
-    if (storedCountMin(db, tag).isEmpty) return -1L // nothing to fold
-    val folded = storedCountMin(db, tag)
-      .select(
-        format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
-          .as("key"),
-        lit(FOLD_TS).as("ts"), col("sk_row"), col("bucket"), col("c"))
-      .localCheckpoint(true) // materialize the sums BEFORE the delete
-    graft.store.TxWriter.delete(db, t0 = Long.MinValue, t1 = Long.MaxValue,
-      wildcard = cmPrefix(tag) + "%")
-    graft.store.TxWriter.write(db, folded)
+    // safe against concurrent registrations via the conditional-claim
+    // fence: the range-delete claims its txid ONLY if no transaction
+    // landed since the sums below were read (TxWriter.deleteIf) — a
+    // registration racing into that window makes the claim fail and the
+    // fold re-reads (its counts then INCLUDED in the refold); one
+    // landing after the claim gets a higher txid and survives the
+    // marker by construction. No registration can be erased either way.
+    var attempts = 0
+    while (attempts < 16) {
+      val expected = graft.store.Manifest.current(db.warehouse).nextTxid
+      if (storedCountMin(db, tag).isEmpty) return -1L // nothing to fold
+      val folded = storedCountMin(db, tag)
+        .select(
+          format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
+            .as("key"),
+          lit(FOLD_TS).as("ts"), col("sk_row"), col("bucket"), col("c"))
+        .localCheckpoint(true) // materialize the sums BEFORE the delete
+      graft.store.TxWriter.deleteIf(db, expected, t0 = Long.MinValue,
+          t1 = Long.MaxValue, wildcard = cmPrefix(tag) + "%") match {
+        case Some(_) => return graft.store.TxWriter.write(db, folded)
+        case None    => attempts += 1 // a commit raced in — refold over it
+      }
+    }
+    throw new IllegalStateException(
+      s"foldCountMin($tag): persistent registration contention")
   }
 }

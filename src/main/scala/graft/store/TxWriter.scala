@@ -135,8 +135,36 @@ object TxWriter {
     */
   def delete(db: Db, firstKey: String = "", lastKey: String = "",
              t0: Long = 0L, t1: Long = Long.MaxValue,
-             wildcard: String = "%"): Long = {
-    val txid = claimTxid(db)
+             wildcard: String = "%"): Long =
+    writeDeleteMarker(db, claimTxid(db), firstKey, lastKey, t0, t1, wildcard)
+
+  /** [[delete]], but the txid claim is CONDITIONAL on `expectedNextTxid`
+    * still being the warehouse's next txid — the fence read-supersede
+    * maintenance ops need ([[graft.ops.SketchStore.foldCountMin]]):
+    * the marker suppresses `txid < claimed`, so a concurrent commit
+    * landing between "read the state I'm superseding" and "claim the
+    * delete's txid" would be silently erased. With the conditional
+    * claim that interleaving cannot claim at all (`None` — the caller
+    * re-reads and retries); a commit landing AFTER the claim gets a
+    * higher txid and survives the marker by construction.
+    */
+  def deleteIf(db: Db, expectedNextTxid: Long, firstKey: String = "",
+               lastKey: String = "", t0: Long = 0L, t1: Long = Long.MaxValue,
+               wildcard: String = "%"): Option[Long] = {
+    var claimed = false
+    while (!claimed) {
+      val cur = Manifest.current(db.warehouse)
+      if (cur.nextTxid != expectedNextTxid) return None
+      claimed = Manifest.commit(db.warehouse, cur,
+        cur.copy(version = cur.version + 1, nextTxid = expectedNextTxid + 1))
+    }
+    Some(writeDeleteMarker(db, expectedNextTxid, firstKey, lastKey, t0, t1,
+      wildcard))
+  }
+
+  private def writeDeleteMarker(db: Db, txid: Long, firstKey: String,
+                                lastKey: String, t0: Long, t1: Long,
+                                wildcard: String): Long = {
     val row = Row(firstKey, lastKey, t0, t1, wildcard)
     db.spark.createDataFrame(
         java.util.List.of(row), Db.deleteSchema)

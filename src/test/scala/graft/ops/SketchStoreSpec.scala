@@ -115,6 +115,48 @@ class SketchStoreSpec extends SparkSpec {
     assert(est >= 2, s"overlapping batches must both count: $est")
   }
 
+  test("deleteIf fence: a commit in the window voids the claim") {
+    val db = tmpDb()
+    SketchStore.registerCountMin(db, toks("a"), col("t"), batchId = 0L)
+    val expected = graft.store.Manifest.current(db.warehouse).nextTxid
+    // a registration races in AFTER the state was read
+    SketchStore.registerCountMin(db, toks("b"), col("t"), batchId = 1L)
+    assert(graft.store.TxWriter.deleteIf(db, expected,
+        t0 = Long.MinValue, t1 = Long.MaxValue, wildcard = "c/t/%").isEmpty,
+      "stale claim must be refused — the marker would erase the racer")
+    // with the CURRENT next txid the claim lands and the marker applies
+    val now = graft.store.Manifest.current(db.warehouse).nextTxid
+    assert(graft.store.TxWriter.deleteIf(db, now,
+      t0 = Long.MinValue, t1 = Long.MaxValue, wildcard = "c/t/%").nonEmpty)
+    assert(SketchStore.storedCountMin(db).isEmpty,
+      "the granted marker must suppress everything below it")
+  }
+
+  test("folds racing 8 registering writers never lose a count") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val db = tmpDb()
+    // 8 writers × 3 batches each, while a maintenance thread folds
+    // continuously — the conditional-claim fence means every registered
+    // count survives whatever interleaving the scheduler produces
+    val writers = (0 until 8).map { wtr =>
+      Future {
+        for (b <- 0 until 3)
+          SketchStore.registerCountMin(db,
+            toks(Seq.fill(wtr + 1)("hot"): _*), col("t"),
+            batchId = (wtr * 3 + b).toLong)
+      }
+    }
+    val folder = Future { for (_ <- 0 until 6) SketchStore.foldCountMin(db) }
+    Await.result(Future.sequence(writers :+ folder), 300.seconds)
+    SketchStore.foldCountMin(db) // quiesced: one final fold
+    val got = SketchStore.probeStoredCountMin(db, toks("hot"), "t")
+      .as[(String, Long)].head()._2
+    val exact = (0 until 8).map(w => (w + 1) * 3).sum
+    assert(got == exact, s"counts lost to a fold race: $got != $exact")
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,
