@@ -356,35 +356,53 @@ object Db {
   private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), java.util.Set[java.lang.Long]]()
 
-  /** Highest manifest version observed per warehouse — a REGRESSION
-    * (current version below the watermark) means the warehouse was
-    * deleted and recreated at the same path, so every cached listing for
-    * it is purged. Detection is free (the version is already in memory
-    * with the snapshot); the residual blind spot — a recreation that
-    * reuses txids AND fast-forwards past the old version before any
-    * read — requires deliberately replaying more commits than the old
-    * warehouse ever had.
+  /** Highest manifest version observed per warehouse. A version BELOW
+    * the watermark is only a trigger to look closer: it is either a
+    * harmless time-travel read (`snapshotAt` of an old version — the
+    * same warehouse, every cached listing still valid) or a warehouse
+    * deleted and recreated at the same path (txids AND manifest versions
+    * restart — every cached listing poisoned). The two are told apart by
+    * [[Manifest.creationId]] — the filesystem identity of the oldest
+    * manifest file, which only a recreation replaces — so historical
+    * snapshots no longer thrash the cache for every concurrent reader,
+    * and the recreation purge stays correct. The id check costs one
+    * readdir + stat and runs ONLY on regression (steady-state probes
+    * never pay it). Residual blind spot unchanged from the watermark
+    * design: a recreation that fast-forwards past the old version
+    * before any read is only caught once a regression exposes it.
     */
   private val versionWatermark =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** [[Manifest.creationId]] as of the first cached listing — the
+    * baseline the regression check compares against.
+    */
+  private val creationIds =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[store] def txBuckets(spark: SparkSession, warehouse: String,
                                dataDir: String, txid: Long,
                                manifestVersion: Long)
       : java.util.Set[java.lang.Long] = {
-    if (bucketCache.size > 16384) bucketCache.clear()
+    if (bucketCache.size > 16384) { bucketCache.clear(); creationIds.clear() }
     // tx dirs are immutable once published, so (warehouse, txid) is a
     // valid key for the driver's life — EXCEPT when a warehouse is
-    // deleted and recreated at the same path (txids AND manifest
-    // versions restart): the version watermark detects the restart (no
-    // extra RPC — the version rode in with the snapshot) and purges the
-    // warehouse's listings, so steady-state probes stay ONE readdir per
-    // (warehouse, txid) total, not one stat per call
+    // deleted and recreated at the same path; see versionWatermark
     val seen = versionWatermark.get(warehouse)
-    if (seen != null && manifestVersion < seen)
-      bucketCache.keySet.removeIf(_._1 == warehouse)
+    if (seen != null && manifestVersion < seen) {
+      val cur = Manifest.creationId(warehouse)
+      val known = creationIds.get(warehouse)
+      if (known == null || known.isEmpty || cur.isEmpty || cur != known) {
+        // recreated (or identity unknowable): purge and rebase
+        bucketCache.keySet.removeIf(_._1 == warehouse)
+        creationIds.put(warehouse, cur)
+        versionWatermark.put(warehouse, manifestVersion)
+      }
+      // else: time travel within the same warehouse — caches stay
+    }
     versionWatermark.merge(warehouse, manifestVersion,
       (a, b) => if (a >= b) a else b)
+    creationIds.computeIfAbsent(warehouse, Manifest.creationId)
     bucketCache.computeIfAbsent((warehouse, txid), _ => {
       val path = new org.apache.hadoop.fs.Path(s"$dataDir/txid=$txid")
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

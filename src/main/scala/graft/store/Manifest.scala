@@ -176,6 +176,35 @@ object Manifest {
     manifestFiles(d).map(versionOf).foldLeft(0L)(math.max)
   }
 
+  /** A warehouse-lifetime identity: the filesystem identity (inode) of
+    * the OLDEST manifest version file on disk. Deleting and recreating a
+    * warehouse at the same path replaces every manifest file, so the id
+    * changes; committing, time-travel reads, and history pruning of
+    * NEWER versions never touch the oldest file, so the id is stable for
+    * the warehouse's life. Used by [[Db.txBuckets]] to tell "this is an
+    * older snapshot of the same warehouse" (keep caches) from "the path
+    * was recreated" (purge). "" when no manifest exists or the
+    * filesystem exposes no file key.
+    */
+  def creationId(warehouse: String): String = {
+    val d = dir(warehouse)
+    if (!Files.isDirectory(d)) return ""
+    val files = manifestFiles(d)
+    if (files.isEmpty) return ""
+    try {
+      val attrs = Files.readAttributes(files.minBy(versionOf),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      // inode + birth time: an inode number can be recycled by a
+      // recreation, but not with the same creation instant
+      val k = attrs.fileKey()
+      val born = attrs.creationTime.toMillis
+      // both parts degenerate = this filesystem can't identify files;
+      // "" tells the caller to fall back to conservative purging
+      if (k == null && born <= 0L) ""
+      else s"${if (k == null) "" else k.toString}@$born"
+    } catch { case _: java.io.IOException => "" }
+  }
+
   /** All manifest versions present on disk, ascending. Every commit is a
     * new immutable version file, so this is the warehouse's full history
     * (until an explicit history prune).

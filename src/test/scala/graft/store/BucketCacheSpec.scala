@@ -1,0 +1,80 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The per-(warehouse, txid) `tbucket=` listing cache behind
+  * [[Db.Snapshot.readInstants]]: time-travel reads of OLD manifest
+  * versions must NOT purge it (the snapshotAt cache-thrash bug — every
+  * historical probe invalidated every concurrent reader's listings),
+  * while a genuine delete-and-recreate at the same path still must.
+  */
+class BucketCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WIDTH = 1000L
+
+  private def freshWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("graft-bucketcache").toString
+
+  private def writeBucketed(db: Db, n: Int): Long = {
+    val rows = (0 until n).map(i => (s"k$i", i.toLong * 500L, i.toLong))
+      .toDF("key", "ts", "v")
+    TxWriter.write(db, rows, timeBucketNanos = Some(WIDTH))
+  }
+
+  private def buckets(db: Db, txid: Long, version: Long) =
+    Db.txBuckets(spark, db.warehouse, db.dataDir, txid, version)
+
+  test("time travel keeps the listing cache; recreation purges it") {
+    val wh = freshWarehouse()
+    val db = Db(spark, wh)
+    val tx0 = writeBucketed(db, 8)
+    // a few more commits so the current version sits well above v1
+    TxWriter.delete(db, wildcard = "nomatch%")
+    TxWriter.delete(db, wildcard = "nomatch2%")
+    val headVersion = Manifest.current(wh).version
+    val cached = buckets(db, tx0, headVersion)
+    assert(!cached.isEmpty, "bucketed write must produce tbucket dirs")
+
+    // ── time travel: an older version of the SAME warehouse ──────────
+    val timeTravel = buckets(db, tx0, headVersion - 2)
+    assert(timeTravel eq cached,
+      "a historical snapshot must reuse the cached listing, not purge it")
+    // and the cache still serves the head version afterwards
+    assert(buckets(db, tx0, headVersion) eq cached)
+
+    // ── recreation: same path, fresh manifest history ─────────────────
+    import java.util.Comparator
+    java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val db2 = Db(spark, wh)
+    val tx0b = writeBucketed(db2, 4) // txids restart: same txid number
+    assert(tx0b == tx0, "recreated warehouse must reuse txid numbering")
+    val newVersion = Manifest.current(wh).version
+    assert(newVersion < headVersion, "recreation must present a regression")
+    val recreated = buckets(db2, tx0b, newVersion)
+    assert(!(recreated eq cached),
+      "a recreated warehouse must purge the stale listings")
+    // the fresh listing reflects the NEW data layout (4 rows -> 2 buckets)
+    assert(recreated.size == 2, s"stale listing served: $recreated")
+  }
+
+  test("readInstants on a historical snapshot returns that version's rows") {
+    val wh = freshWarehouse()
+    val db = Db(spark, wh)
+    writeBucketed(db, 6)
+    val v1 = Manifest.current(wh).version
+    // second generation of the same keys at later instants
+    TxWriter.write(db,
+      (0 until 6).map(i => (s"k$i", 10000L + i * 500L, 100L + i))
+        .toDF("key", "ts", "v"))
+    val head = db.snapshot().readInstants(Seq(0L, 500L, 10000L))
+      .select("key").as[String].collect().toSet
+    assert(head == Set("k0", "k1"), s"head read: $head")
+    val old = db.snapshotAt(v1).readInstants(Seq(0L, 500L, 10000L))
+      .select("key").as[String].collect().toSet
+    assert(old == Set("k0", "k1"), s"historical read: $old")
+  }
+}
