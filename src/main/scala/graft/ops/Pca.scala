@@ -32,16 +32,28 @@ object Pca {
 
   // ── distributed moment accumulation (exact, oracle-backed) ─────────
 
+  /** Int64 exactness envelope of [[gramMatrix]]: |veci| < 2^20 ⇒
+    * |v_i·v_j| < 2^40, so a cell sum stays exact to 2^23 ≈ 8.4M rows.
+    * [[fit]] is meant for SAMPLES; the envelope is ENFORCED (not just
+    * documented) so a full-corpus call past the bound fails loudly
+    * instead of silently wrapping.
+    */
+  val MAX_EXACT_ROWS: Long = 1L << 23
+
   /** Upper-triangle Gram matrix of the veci-grid embeddings:
     * (dim_i, dim_j, s) with s = Σ_rows v_i·v_j for i ≤ j, 0-based.
     * One generator of d(d+1)/2 slim cells per row into one hash
     * aggregation — partial aggregation shrinks the shuffle to the
     * d(d+1)/2 key space regardless of corpus size. Products stay well
-    * inside int64: |veci| < 2^20 ⇒ |v_i·v_j| < 2^40, so a cell sum
-    * stays exact to ~2^23 ≈ 8M rows; past that scale swap the sum to
-    * decimal(38,0) (DuckDB's HUGEINT accumulator already is).
+    * inside int64 up to [[MAX_EXACT_ROWS]]; the bound rides INSIDE the
+    * plan for free (every row feeds every cell, so any cell's row count
+    * IS the corpus row count — an `assert_true` filter over the d²
+    * output cells, no extra job or shuffle). Past that scale swap the
+    * sum to decimal(38,0) (DuckDB's HUGEINT accumulator already is)
+    * and raise `maxRows` accordingly.
     */
-  def gramMatrix(df: DataFrame, embCol: String, dim: Int = 64): DataFrame = {
+  def gramMatrix(df: DataFrame, embCol: String, dim: Int = 64,
+                 maxRows: Long = MAX_EXACT_ROWS): DataFrame = {
     // bind the veci array ONCE per row (single-element lambda scope —
     // the device of Dedup.shingleHashes, rationale there)
     val perRow = transform(array(Similarity.veci(col(embCol))), v =>
@@ -52,7 +64,16 @@ object Pca {
     graft.core.Graft.rebalance(df)
       .select(explode(element_at(perRow, 1)).as("cell"))
       .groupBy(col("cell.dim_i").as("dim_i"), col("cell.dim_j").as("dim_j"))
-      .agg(sum(col("cell.p")).as("s"))
+      .agg(sum(col("cell.p")).as("s"), count(lit(1)).as("_n"))
+      // envelope guard: assert_true throws at runtime when the corpus
+      // exceeds the exact-int64 bound; as a filter predicate (null on
+      // pass = keep) it cannot be pruned away, and it costs one compare
+      // per OUTPUT cell, not per input row
+      .filter(assert_true(col("_n") <= maxRows,
+        lit(s"gramMatrix int64 exactness envelope exceeded (> $maxRows " +
+          "rows) — fit on a sample, or switch the sums to decimal(38,0)"))
+        .isNull)
+      .drop("_n")
       .orderBy("dim_i", "dim_j")
   }
 
@@ -114,6 +135,9 @@ object Pca {
     val gram = gramMatrix(df, embCol, dim).collect()
     val stats = dimStats(df, embCol, dim).collect()
     require(stats.nonEmpty, "PCA fit over an empty corpus")
+    require(stats.head.getLong(2) <= MAX_EXACT_ROWS,
+      s"PCA fit over ${stats.head.getLong(2)} rows exceeds the int64 " +
+        s"exactness envelope ($MAX_EXACT_ROWS) — fit on a sample")
     val n = stats.head.getLong(2).toDouble
     val mean = Array.ofDim[Double](dim)
     stats.foreach(row => mean(row.getInt(0)) = row.getLong(1) / n)

@@ -72,6 +72,26 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("exactness envelope is enforced: over-bound corpora fail loudly") {
+    // at the real 2^23 bound the guard is the same expression — the
+    // lowered maxRows exercises it without materializing 8.4M rows
+    val e = intercept[Exception] {
+      Pca.gramMatrix(corpus, "embedding", maxRows = 100).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && c != c.getCause) c = c.getCause
+      Option(c.getMessage).getOrElse("") + Option(t.getMessage).getOrElse("")
+    }
+    assert(rootMsg(e).contains("exactness envelope"),
+      s"wrong failure: ${rootMsg(e)}")
+    // within the bound the guard is invisible: same cells as unguarded
+    assert(Pca.gramMatrix(corpus, "embedding", maxRows = 400).count() ==
+      D.toLong * (D + 1) / 2)
+    // fit checks the row count against the documented bound as well
+    assert(Pca.MAX_EXACT_ROWS == (1L << 23))
+  }
+
   test("fit is deterministic across invocations and repartitionings") {
     val again = Pca.fit(corpus.repartition(7), "embedding", r = 16)
     assert(model.basis.flatMap(_.toSeq).sameElements(again.basis.flatMap(_.toSeq)),
