@@ -356,6 +356,29 @@ object PipelineQueries {
         "doc_id", "text")
       Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
     },
+    // the full maintenance lifecycle against ONE store: build on a 60%
+    // prefix, append the next 30%, REBUILD on the full corpus (the
+    // rebuild issues full-range delete markers that supersede every
+    // earlier generation), then MAJOR-COMPACT the deleted history away
+    // physically. The probe over the compacted store must equal the
+    // fresh-build oracle exactly — delete markers, last-wins precedence
+    // and compaction all invisible to scores. This is the row that
+    // proves index stores are ordinary warehouse citizens under the
+    // full storage lifecycle, not just append-only ones.
+    "ret_bm25_lifecycle" -> { (s, d) =>
+      import s.implicits._
+      val docs = Graft.documents(s, d)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val db = graft.store.Db(s, tempWarehouse())
+      Retrieval.buildBm25Index(db,
+        docs.filter(col("doc_id") < mx * 6 / 10), "doc_id", "text")
+      Retrieval.appendBm25Batch(db,
+        docs.filter(col("doc_id") >= mx * 6 / 10 &&
+          col("doc_id") < mx * 9 / 10), "doc_id", "text")
+      Retrieval.buildBm25Index(db, docs, "doc_id", "text") // rebuild
+      graft.store.Compactor.major(db)
+      Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
+    },
     // the full hybrid steady state: BOTH persisted indexes probed (BM25
     // postings + IVF-PQ ANN, each session-cached and built outside
     // timing) and RRF-fused — the serving-path composition
@@ -1575,6 +1598,7 @@ object PipelineQueries {
     "ret_bm25_probe_only" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_incremental" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_append_only" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_bm25_lifecycle" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_hybrid_probe_only" -> Retrieval.sqlRrfFuse(
       Retrieval.sqlBm25(bm25Queries, 20),
       s"""SELECT query_id, nn_id AS doc_id, rank

@@ -28,6 +28,38 @@ class ChunkedCompactSpec extends SparkSpec {
     (0 to 6).foreach(i => assert(byKey(s"only$i") == 100L + i))
   }
 
+  test("persisted index store: live appends + rebuild markers + chunked compaction keep scores") {
+    import graft.ops.Retrieval
+    val all = (0L until 100L).map(i => i -> s"w${i % 5} w${i % 11} t$i")
+    val db = Db(spark, tmpDir("graft-chunk-bm25"))
+    // build → append → REBUILD (issues full-range delete markers over
+    // the index keyspace) → another live append ON TOP of the active
+    // markers → compact in bounded passes; probing the compacted store
+    // must equal the from-scratch index of the same corpus
+    Retrieval.buildBm25Index(db, all.take(60).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Retrieval.appendBm25Batch(db, all.slice(60, 80).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Retrieval.buildBm25Index(db, all.take(90).toDF("doc_id", "text"),
+      "doc_id", "text") // rebuild: markers + full write
+    Retrieval.appendBm25Batch(db, all.drop(90).toDF("doc_id", "text"),
+      "doc_id", "text") // live append above the markers
+    assert(db.snapshot().manifest.deleteTxids.nonEmpty,
+      "rebuild must leave active delete markers for the compactor")
+    Compactor.minorChunked(db, maxTxPerPass = 2)
+    val fresh = Db(spark, tmpDir("graft-chunk-bm25-fresh"))
+    Retrieval.buildBm25Index(fresh, all.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val qs = Seq(0L -> "w3 w10", 1L -> "t77 w2").toDF("query_id", "qtext")
+    def probe(d: Db) = Retrieval.bm25ProbeIndex(d, qs, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probe(db) == probe(fresh),
+      "compacted lifecycle store drifted from the fresh-build index")
+    // and the deleted history is physically gone after a major pass
+    Compactor.major(db)
+    assert(probe(db) == probe(fresh))
+  }
+
   test("chunked result equals one-pass minor result") {
     def build(): Db = {
       val db = Db(spark, tmpDir("graft-chunk-eq"))
