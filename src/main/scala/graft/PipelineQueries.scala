@@ -150,6 +150,25 @@ object PipelineQueries {
   private val annAppendIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Steady-state cached warehouses must stay steady: every
+    * `*_append_only` invocation commits fresh (idempotent-by-value)
+    * transactions to its session-cached warehouse, so pass N would
+    * otherwise probe a store with ~N more transactions than pass 1 —
+    * bounded drift the last-wins merge absorbs, but the "steady state"
+    * slowly stops being steady. Once the tx count passes the bound, the
+    * history is major-compacted back to one transaction — amortized
+    * maintenance, exactly what a real steady-state ingest schedules
+    * (compaction correctness over index stores: PersistedIndexSpec,
+    * ChunkedCompactSpec).
+    */
+  private[graft] val DriftBound = 16
+
+  private[graft] def boundDrift(db: graft.store.Db): graft.store.Db = {
+    if (db.snapshot().manifest.dataTxids.size > DriftBound)
+      graft.store.Compactor.major(db)
+    db
+  }
+
   private def annAppendIndexFor(s: SparkSession, d: String): graft.store.Db = {
     val wh = annAppendIndexCache.computeIfAbsent(d, _ => {
       val w = tempWarehouse()
@@ -351,7 +370,7 @@ object PipelineQueries {
       import s.implicits._
       val docs = Graft.documents(s, d)
       val cut = bm25AppendCut(docs)
-      val db = bm25HalfIndexFor(s, d)
+      val db = boundDrift(bm25HalfIndexFor(s, d))
       Retrieval.appendBm25Batch(db, docs.filter(col("doc_id") >= cut),
         "doc_id", "text")
       Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
@@ -764,7 +783,7 @@ object PipelineQueries {
     // same cell) plus the probe that proves the batch is searchable
     "ann_ivf_pq_append_only" -> { (s, d) =>
       val emb = Graft.embeddings(s, d)
-      val db = annAppendIndexFor(s, d)
+      val db = boundDrift(annAppendIndexFor(s, d))
       Similarity.appendToIndex(db,
         emb.filter(col("vec_id") % 2 === 1 && col("vec_id") % 17 === 0),
         "vec_id", "embedding")
