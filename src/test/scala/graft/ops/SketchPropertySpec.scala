@@ -39,6 +39,75 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("KMV union law: batch-wise minima == single-pass minima, 1000 adversarial splits") {
+    // the law the warehouse store stands on ([[SketchStore.registerKmv]]):
+    // the store keeps the distinct union of every batch's own <= k minima
+    // (last-wins on ts = h) and the read takes the k smallest — which
+    // must equal the k smallest distinct of the WHOLE corpus for ANY
+    // batch split, any overlap (same element in many batches), any k.
+    // Hash values are modeled by the elements themselves: the law is
+    // about sets of ordered values, whatever injection produced them.
+    val gen = for {
+      nBatch <- Gen.choose(1, 10)
+      batches <- Gen.listOfN(nBatch,
+        Gen.listOf(Gen.choose(0L, 120L))) // heavy cross-batch overlap
+      k <- Gen.choose(1, 32)
+    } yield (batches, k)
+    samples(gen, 1000, 20260816L).foreach { case (batches, k) =>
+      val stored = batches.flatMap(_.distinct.sorted.take(k))
+        .distinct.sorted.take(k)
+      val single = batches.flatten.distinct.sorted.take(k)
+      assert(stored == single, s"k=$k batches=$batches")
+    }
+  }
+
+  test("stored KMV == single-pass sketch across random overlapping batch splits") {
+    val gen = for {
+      nBatch <- Gen.choose(1, 5)
+      batches <- Gen.listOfN(nBatch, Gen.nonEmptyListOf(
+        Gen.choose(0, 150).map(i => s"w$i")))
+      k <- Gen.oneOf(4, 16, 32)
+    } yield (batches, k)
+    samples(gen, 12, 20260817L).foreach { case (batches, k) =>
+      val db = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-skprop").toString)
+      batches.foreach(b =>
+        SketchStore.registerKmv(db, b.toDF("t"), col("t"), k = k))
+      val stored = SketchStore.storedKmvSketch(db, k = k)
+        .as[Long].collect().toSeq
+      val single = Sketches.kmvSketch(batches.flatten.toDF("t"), col("t"), k)
+        .as[Long].collect().toSeq
+      assert(stored == single, s"k=$k split=${batches.map(_.size)}")
+    }
+  }
+
+  test("stored count-min == single-pass grid across random splits with interleaved folds") {
+    val gen = for {
+      nBatch <- Gen.choose(1, 4)
+      batches <- Gen.listOfN(nBatch, Gen.nonEmptyListOf(
+        Gen.choose(0, 25).map(i => s"e$i")))
+      foldAfter <- Gen.choose(0, 3) // fold mid-stream: sums must not move
+    } yield (batches, foldAfter)
+    samples(gen, 8, 20260818L).foreach { case (batches, foldAfter) =>
+      val db = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-cmprop").toString)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        SketchStore.registerCountMin(db, b.toDF("t"), col("t"),
+          batchId = i.toLong)
+        if (i == foldAfter) SketchStore.foldCountMin(db)
+      }
+      val all = batches.flatten
+      val items = all.distinct.toDF("t")
+      val stored = SketchStore.probeStoredCountMin(db, items, "t")
+        .as[(String, Long)].collect().toMap
+      val single = Sketches.countMinProbe(items,
+          Sketches.countMinSketch(all.toDF("t"), col("t")), "t")
+        .as[(String, Long)].collect().toMap
+      assert(stored == single,
+        s"split=${batches.map(_.size)} foldAfter=$foldAfter")
+    }
+  }
+
   test("count-min estimate >= exact count for every element present") {
     val gen = for {
       n <- Gen.choose(1, 200)
