@@ -411,6 +411,20 @@ object PipelineQueries {
         .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(lex, dense, 10)
     },
+    // fusion has to EARN its keep: recall of the hybrid list and of each
+    // retriever alone against the best answer the query mix can express
+    // (RRF of the FULL rankings, top-10) — hybrid must clear an absolute
+    // floor AND beat both singles, each pinned as a 0/1 hash-gated column
+    "ret_hybrid_recall" -> { (s, d) =>
+      import s.implicits._
+      val lexFull = Retrieval.bm25TopK(Graft.documents(s, d), "doc_id",
+        "text", bm25Queries.toDF("query_id", "qtext"), Int.MaxValue)
+      val emb = Graft.embeddings(s, d)
+      val denseFull = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", Int.MaxValue)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      Retrieval.hybridRecallRows(lexFull, denseFull, k = 10, cutK = 100)
+    },
     // the full BPE merge-learning loop: 6 rounds of count->argmax->
     // re-segment on the word-frequency table (corpus scanned once;
     // rounds are vocab-sized jobs)
@@ -1618,6 +1632,24 @@ object PipelineQueries {
     "ret_bm25_incremental" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_append_only" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_lifecycle" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_hybrid_recall" -> Retrieval.sqlHybridRecall(
+      s"""SELECT query_id, doc_id, rank
+         |FROM (${Retrieval.sqlBm25(bm25Queries, 2000000000)}) lx"""
+        .stripMargin,
+      s"""SELECT query_id, nn_id AS doc_id, rank FROM (
+         |WITH v AS (
+         |  SELECT vec_id, ${Similarity.sqlVeci("embedding")} AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS nn_id,
+         |         round(${Similarity.sqlCosine("qv", "c.v")}, 9) AS cos
+         |  FROM q CROSS JOIN v c WHERE c.vec_id <> query_id)
+         |SELECT query_id, nn_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, nn_id) AS rank
+         |  FROM scored)) dn""".stripMargin,
+      k = 10, cutK = 100),
     "ret_hybrid_probe_only" -> Retrieval.sqlRrfFuse(
       Retrieval.sqlBm25(bm25Queries, 20),
       s"""SELECT query_id, nn_id AS doc_id, rank

@@ -262,6 +262,114 @@ object Retrieval {
        |  FROM fused)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ── hybrid recall gate ─────────────────────────────────────────────
+
+  /** Absolute recall@10 floor for the fused list in
+    * [[hybridRecallRows]] at cutK = 100. Measured 0.70 / 0.86 / 0.80 at
+    * sf0.1 / 0.01 / 0.001 (the ideal list rewards docs ranked
+    * moderately in BOTH retrievers, some beyond any practical fetch-K);
+    * 0.65 sits under the measured minimum with margin while still
+    * catching a broken fusion — the beat-both-singles gates beside it
+    * carry the sharper semantics.
+    */
+  val HYBRID_RECALL_FLOOR = 0.65
+
+  /** The row set that proves fusion EARNS its keep — RRF exists to beat
+    * either retriever alone, and hash-matching the fusion arithmetic
+    * (`ret_hybrid_rrf`) can't show that. Ground truth: the RRF of the
+    * two FULL rankings cut to top-k (the best answer this query mix can
+    * express). Three (variant, hits, expected, recall, pass) rows
+    * against it: the fused top-`cutK` lists, and each retriever's own
+    * top-k. Pass gates: the hybrid row pins `recall >= floor` AND
+    * `hits >= each single's hits`; each single's row pins
+    * `hybrid hits >= its hits` — so a regression in EITHER direction
+    * (fusion broken, or one retriever silently dominating) flips a 0/1
+    * column and fails the hash-exact driver gate, the
+    * [[Similarity.recallRow]] device.
+    *
+    * `lexFull`/`denseFull` carry (query_id, doc_id, rank) FULL rankings;
+    * the plan cuts them relationally, so both the truth and every
+    * candidate derive from one ranking computation per retriever.
+    */
+  def hybridRecallRows(lexFull: DataFrame, denseFull: DataFrame,
+                       k: Int, cutK: Int): DataFrame = {
+    val truth = rrfFuse(lexFull, denseFull, k).select("query_id", "doc_id")
+    val hyb = rrfFuse(lexFull.filter(col("rank") <= cutK),
+        denseFull.filter(col("rank") <= cutK), k)
+      .select("query_id", "doc_id")
+    def hits(df: DataFrame, as: String) =
+      df.select("query_id", "doc_id").join(truth, Seq("query_id", "doc_id"))
+        .agg(count(lit(1)).as(as))
+    val one = hits(hyb, "h_h")
+      .crossJoin(hits(lexFull.filter(col("rank") <= k), "h_l"))
+      .crossJoin(hits(denseFull.filter(col("rank") <= k), "h_d"))
+      .crossJoin(truth.agg(count(lit(1)).as("expected")))
+    def ratio(c: org.apache.spark.sql.Column) =
+      c.cast("double") / col("expected")
+    def row(name: String, h: org.apache.spark.sql.Column,
+            pass: org.apache.spark.sql.Column) =
+      one.select(lit(name).as("variant"), h.as("hits"), col("expected"),
+        round(ratio(h), 6).as("recall"), pass.cast("long").as("pass"))
+    row("hybrid_rrf", col("h_h"),
+        ratio(col("h_h")) >= HYBRID_RECALL_FLOOR &&
+          col("h_h") >= col("h_l") && col("h_h") >= col("h_d"))
+      .unionByName(row("lexical_only", col("h_l"), col("h_h") >= col("h_l")))
+      .unionByName(row("dense_only", col("h_d"), col("h_h") >= col("h_d")))
+      .orderBy("variant")
+  }
+
+  /** DuckDB twin of [[hybridRecallRows]] (adjacent so they cannot
+    * drift). `lexFullSql`/`denseFullSql` are full-ranking SELECTs with
+    * (query_id, doc_id, rank) columns; MATERIALIZED CTEs keep DuckDB
+    * from inlining the multiply-referenced rankings exponentially.
+    */
+  def sqlHybridRecall(lexFullSql: String, denseFullSql: String,
+                      k: Int, cutK: Int, k0: Int = 60): String = {
+    def fuse(lexFilter: String, denFilter: String) =
+      s"""SELECT query_id, doc_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM (
+         |    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         |           COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |           round(COALESCE(1.0 / (a.rank + ${k0}.0), 0.0)
+         |               + COALESCE(1.0 / (b.rank + ${k0}.0), 0.0), 9) AS rrf
+         |    FROM (SELECT * FROM lexfull $lexFilter) a
+         |    FULL OUTER JOIN (SELECT * FROM denfull $denFilter) b
+         |      ON a.query_id = b.query_id AND a.doc_id = b.doc_id))
+         |WHERE rank <= $k""".stripMargin
+    s"""WITH lexfull AS MATERIALIZED ($lexFullSql),
+       |denfull AS MATERIALIZED ($denseFullSql),
+       |tr AS MATERIALIZED (${fuse("", "")}),
+       |hyb AS (${fuse(s"WHERE rank <= $cutK", s"WHERE rank <= $cutK")}),
+       |r AS (SELECT
+       |  (SELECT count(*) FROM hyb h
+       |     JOIN tr ON h.query_id = tr.query_id AND h.doc_id = tr.doc_id)
+       |    AS h_h,
+       |  (SELECT count(*) FROM lexfull l
+       |     JOIN tr ON l.query_id = tr.query_id AND l.doc_id = tr.doc_id
+       |   WHERE l.rank <= $k) AS h_l,
+       |  (SELECT count(*) FROM denfull d
+       |     JOIN tr ON d.query_id = tr.query_id AND d.doc_id = tr.doc_id
+       |   WHERE d.rank <= $k) AS h_d,
+       |  (SELECT count(*) FROM tr) AS expected)
+       |SELECT * FROM (
+       |  SELECT 'hybrid_rrf' AS variant, h_h AS hits, expected,
+       |    round(CAST(h_h AS DOUBLE) / expected, 6) AS recall,
+       |    CAST(CAST(h_h AS DOUBLE) / expected >= $HYBRID_RECALL_FLOOR
+       |         AND h_h >= h_l AND h_h >= h_d AS BIGINT) AS pass
+       |  FROM r
+       |  UNION ALL
+       |  SELECT 'lexical_only', h_l, expected,
+       |    round(CAST(h_l AS DOUBLE) / expected, 6),
+       |    CAST(h_h >= h_l AS BIGINT) FROM r
+       |  UNION ALL
+       |  SELECT 'dense_only', h_d, expected,
+       |    round(CAST(h_d AS DOUBLE) / expected, 6),
+       |    CAST(h_h >= h_d AS BIGINT) FROM r
+       |) ORDER BY variant""".stripMargin
+  }
+
   /** DuckDB twin of [[bm25TopK]] over `documents` for a literal query
     * list (adjacent so they cannot drift — same constants, same
     * micro-quantization point).
