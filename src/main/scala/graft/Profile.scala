@@ -13,7 +13,7 @@ import graft.ops.Dedup
   */
 object ServeLatency {
   def main(args: Array[String]): Unit = {
-    val spark = Graft.localSession(cores = 8)
+    val spark = Graft.localSession(cores = 32)
     spark.sparkContext.setLogLevel("WARN")
     import graft.store.{Db, TxWriter}
     import graft.serve.Serve
@@ -46,12 +46,13 @@ object ServeLatency {
     }
     println(s"SERVE snapshot loads: ${srv.snapshotLoads}")
     // concurrent amortization: N client threads × sequential varying-key
-    // GETs against the 4-worker pool — the claim under test is that the
+    // GETs against the CORE-SIZED worker pool (one worker per core, the
+    // reference's serving-tier shape) — the claim under test is that the
     // Spark job-launch floor amortizes across concurrent requests (many
     // point-lookup jobs in flight share the scheduler), so per-request
-    // p50 at 8 clients should sit well under 8× the serial latency and
-    // aggregate QPS should rise with concurrency
-    for (clients <- Seq(1, 2, 4, 8)) {
+    // p50 should stay flat toward the core count and amortized
+    // ms/lookup should keep falling with concurrency
+    for (clients <- Seq(1, 2, 4, 8, 16, 32)) {
       val perClient = 25
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val rnd = new java.util.concurrent.atomic.AtomicLong(12345)
