@@ -206,6 +206,21 @@ object PipelineStress {
           "doc_id", "text"))
       timed("bm25 probe-only (5 queries)")(
         graft.ops.Retrieval.bm25ProbeIndex(bmDb, qdf, 10).count())
+      // the rest of the lifecycle (ret_bm25_lifecycle): a REBUILD lays
+      // full-range delete markers over the keyspace, major compaction
+      // purges the superseded generations physically, and the probe must
+      // cost the same before and after — marker application is a
+      // broadcast anti-join, compaction one bounded rewrite
+      timed("bm25 rebuild (markers+write)")(
+        graft.ops.Retrieval.buildBm25Index(bmDb, docs, "doc_id", "text"))
+      timed("bm25 probe over markers")(
+        graft.ops.Retrieval.bm25ProbeIndex(bmDb, qdf, 10).count())
+      timed("bm25 major compaction") {
+        graft.store.Compactor.major(bmDb)
+        bmDb.snapshot().manifest.dataTxids.size.toLong
+      }
+      timed("bm25 probe post-compact")(
+        graft.ops.Retrieval.bm25ProbeIndex(bmDb, qdf, 10).count())
     }
     // BPE merge learning: one corpus scan to the word-frequency table,
     // then 6 vocab-sized rounds — round cost must track the VOCAB, not

@@ -115,6 +115,11 @@ object Retrieval {
       .agg(count(lit(1)).as("f"))
       .select(concat(lit("p/"), col("term")).as("key"),
         col("doc_id").as("ts"), col("term"), col("f"))
+    // doc lengths aggregate the token stream directly (map-side combine
+    // collapses each partition to its doc count before the shuffle);
+    // deriving them from the postings aggregate instead was measured
+    // SLOWER — the union's branches do not share the postings exchange
+    // across the range-sampling and shuffle phases
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .select(lit("pd/").as("key"), col("doc_id").as("ts"), col("dl"))
     graft.store.TxWriter.write(db,
