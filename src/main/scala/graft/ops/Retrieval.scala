@@ -296,8 +296,16 @@ object Retrieval {
     * the plan cuts them relationally, so both the truth and every
     * candidate derive from one ranking computation per retriever.
     */
-  def hybridRecallRows(lexFull: DataFrame, denseFull: DataFrame,
+  def hybridRecallRows(lexFull0: DataFrame, denseFull0: DataFrame,
                        k: Int, cutK: Int): DataFrame = {
+    // each full ranking feeds three consumers (truth, the cut fusion,
+    // its own hits row); materialize once instead of re-running the
+    // ranking computation per reference — the lists are slim
+    // (query_id, doc_id, rank), bounded by queries × corpus
+    val lexFull = lexFull0.select("query_id", "doc_id", "rank")
+      .localCheckpoint(true)
+    val denseFull = denseFull0.select("query_id", "doc_id", "rank")
+      .localCheckpoint(true)
     val truth = rrfFuse(lexFull, denseFull, k).select("query_id", "doc_id")
     val hyb = rrfFuse(lexFull.filter(col("rank") <= cutK),
         denseFull.filter(col("rank") <= cutK), k)
