@@ -58,6 +58,14 @@ class ChunkedCompactSpec extends SparkSpec {
     // and the deleted history is physically gone after a major pass
     Compactor.major(db)
     assert(probe(db) == probe(fresh))
+    // the compacted layout must still take the probe's term-set as an
+    // In(key) SCAN predicate (the PlanHygieneSpec shape) — compaction
+    // rewrites files, it must not cost the probe its pushdown
+    val postProbe = Retrieval.bm25ProbeIndex(db, qs, 10)
+    postProbe.collect()
+    val plan = postProbe.queryExecution.executedPlan.toString
+    assert(plan.contains("In(key,") && plan.contains("p/w"),
+      s"term-key pushdown lost after compaction:\n${plan.take(2000)}")
   }
 
   test("chunked result equals one-pass minor result") {
