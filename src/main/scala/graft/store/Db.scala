@@ -244,7 +244,13 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         }
       }
       if (txids.isEmpty) emptyResult()
-      else pipeline(readData(txids).filter(col("key") === key), after, before)
+      else pipeline(readData(txids).filter(col("key") === key), after, before,
+        // ONE key's records: a global range sort would pay a sampling
+        // job + shuffle as pure fixed cost per lookup — a coalesced
+        // single-partition sort yields the identical order without
+        // either (spill-safe for outsized series; the parallel path for
+        // wide results remains read(pattern))
+        pointLookup = true)
     }
 
     /** One committed transaction's records, (key, ts) ordered — the
@@ -296,7 +302,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
     }
 
     private def pipeline(filtered0: DataFrame, after: Option[Long],
-                         before: Option[Long]): DataFrame = {
+                         before: Option[Long],
+                         pointLookup: Boolean = false): DataFrame = {
       // time-bucketed warehouse: derive the partition-column predicate so
       // time ranges prune whole tbucket= directories before any IO
       val w = manifest.timeBucket
@@ -310,7 +317,10 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       val filtered = SeriesOps.timeRange(bucketed, after, before)
       val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
       val visible = SeriesOps.applyDeletes(merged, deletes)
-      SeriesOps.ordered(visible.drop("txid").drop("tbucket"))
+        .drop("txid").drop("tbucket")
+      if (pointLookup)
+        visible.coalesce(1).sortWithinPartitions(col("key"), col("ts"))
+      else SeriesOps.ordered(visible)
     }
   }
 
