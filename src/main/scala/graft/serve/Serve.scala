@@ -110,6 +110,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def doGet(ex: HttpExchange): Unit = {
     // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")
     val pattern = ex.getRequestURI.getPath.stripPrefix("/")
+    if (pattern == "_query/bm25") return doBm25(ex)
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
@@ -128,6 +129,39 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
     lines.toLocalIterator().forEachRemaining { l => out.write(l); out.write('\n') }
     out.flush()
+  }
+
+  /** Lexical retrieval over the warehouse's persisted BM25 postings
+    * index: `GET /_query/bm25?q=<terms>&k=<n>` → one
+    * `doc_id score_micro rank` line per hit. The path prefix `_query/`
+    * is RESERVED by the server (an exact key of that name stays
+    * readable through any non-shadowing wildcard); the probe is
+    * [[graft.ops.Retrieval.bm25ProbeIndex]] — per-term key-pruned
+    * reads against whatever index generation the current snapshot
+    * holds, so index appends/rebuilds are visible atomically, exactly
+    * like data reads. This is the register-once/probe-many steady
+    * state served over HTTP: build/append from the ingest side,
+    * probe-only cost per request.
+    */
+  private def doBm25(ex: HttpExchange): Unit = {
+    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val terms = params.getOrElse("q", "").trim
+    if (terms.isEmpty) return respond(ex, 400, "missing q=<terms>\n")
+    val k = params.get("k").flatMap(_.toIntOption).getOrElse(10)
+    if (k <= 0 || k > 10000) return respond(ex, 400, "k out of range\n")
+    val spark = db.spark
+    import spark.implicits._
+    val hits = graft.ops.Retrieval
+      .bm25ProbeIndex(db, Seq((0L, terms)).toDF("query_id", "qtext"), k)
+      .select("doc_id", "score_micro", "rank")
+      .as[(Long, Long, Long)].collect()
+    val body = hits.map { case (d, s, r) => s"$d $s $r" }
+      .mkString("", "\n", if (hits.isEmpty) "" else "\n")
+    respond(ex, 200, body)
   }
 
   private def doPut(ex: HttpExchange): Unit = {

@@ -58,6 +58,46 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /_query/bm25 serves the persisted postings index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val db = Db(spark, tmpDir("graft-serve-bm25"))
+    val docs = (0L until 50L).map(i => i -> s"w${i % 4} w${i % 9} common")
+    graft.ops.Retrieval.buildBm25Index(db, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val (code, bodyText) = http("GET", s"$base/_query/bm25?q=w3%20common&k=5")
+      assert(code == 200)
+      val want = graft.ops.Retrieval.bm25ProbeIndex(db,
+          Seq((0L, "w3 common")).toDF("query_id", "qtext"), 5)
+        .select("doc_id", "score_micro", "rank")
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, s, r) => s"$d $s $r" }.mkString("", "\n", "\n")
+      assert(bodyText == want, s"served list drifted from the probe:\n$bodyText")
+      // an APPEND is visible to the very next query — snapshot-atomic,
+      // like data reads
+      graft.ops.Retrieval.appendBm25Batch(db,
+        Seq(100L -> "w3 w3 w3").toDF("doc_id", "text"),
+        "doc_id", "text")
+      val (_, after) = http("GET", s"$base/_query/bm25?q=w3%20common&k=5")
+      assert(after.linesIterator.exists(_.startsWith("100 ")),
+        s"appended doc must be served: $after")
+      // parameter validation
+      assert(http("GET", s"$base/_query/bm25")._1 == 400)
+      assert(http("GET", s"$base/_query/bm25?q=w3&k=0")._1 == 400)
+      // an index-less warehouse answers 500 with the require message
+      val db2 = Db(spark, tmpDir("graft-serve-nobm25"))
+      val srv2 = new Serve(db2).start()
+      try {
+        val (c2, b2) = http("GET",
+          s"http://localhost:${srv2.boundPort}/_query/bm25?q=w3")
+        assert(c2 == 500 && b2.contains("no BM25 index"), s"$c2 $b2")
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
   test("snapshot cache: GETs within the TTL share one snapshot; a commit invalidates it") {
     val db = Db(spark, tmpDir("graft-serve3"))
     val srv = new Serve(db).start() // default TTL 10s >> test duration
