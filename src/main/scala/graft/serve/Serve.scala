@@ -2,6 +2,8 @@ package graft.serve
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
+import org.apache.spark.sql.functions.col
+
 import graft.store.{Db, Manifest, TxWriter}
 import graft.text.TextIngest
 
@@ -111,6 +113,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")
     val pattern = ex.getRequestURI.getPath.stripPrefix("/")
     if (pattern == "_query/bm25") return doBm25(ex)
+    if (pattern == "_query/ann") return doAnn(ex)
+    if (pattern == "_query/hybrid") return doHybrid(ex)
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
@@ -144,15 +148,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * probe-only cost per request.
     */
   private def doBm25(ex: HttpExchange): Unit = {
-    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      .split('&').filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
-    val terms = params.getOrElse("q", "").trim
+    val p = params(ex)
+    val terms = p.getOrElse("q", "").trim
     if (terms.isEmpty) return respond(ex, 400, "missing q=<terms>\n")
-    val k = params.get("k").flatMap(_.toIntOption).getOrElse(10)
-    if (k <= 0 || k > 10000) return respond(ex, 400, "k out of range\n")
+    val k = kOf(p).getOrElse(return respond(ex, 400, "k out of range\n"))
     val spark = db.spark
     import spark.implicits._
     val hits = graft.ops.Retrieval
@@ -162,6 +161,101 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val body = hits.map { case (d, s, r) => s"$d $s $r" }
       .mkString("", "\n", if (hits.isEmpty) "" else "\n")
     respond(ex, 200, body)
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def kOf(p: Map[String, String]): Option[Int] = p.get("k") match {
+    case None    => Some(10)
+    case Some(s) => s.toIntOption.filter(k => k > 0 && k <= 10000)
+  }
+
+  /** PQ geometry overrides for non-default indexes: `m=<subquantizers>`,
+    * `dim=<dimensions>` (defaults [[graft.ops.Similarity.PQ_M]] / 64 —
+    * the engine-wide embedding shape).
+    */
+  private def geometry(p: Map[String, String]): (Int, Int) = (
+    p.get("m").flatMap(_.toIntOption).getOrElse(graft.ops.Similarity.PQ_M),
+    p.get("dim").flatMap(_.toIntOption).getOrElse(64))
+
+  /** `vec=f1,f2,…` → the one-row literal query frame the persisted ANN
+    * probe takes; query_id = -1 so the self-match filter (query_id =!=
+    * nn_id) can never collide with a corpus id.
+    */
+  private def vecQueries(p: Map[String, String]) =
+    p.get("vec").flatMap { s =>
+      val xs = s.split(',').map(x => x.trim.toFloatOption)
+      if (xs.isEmpty || xs.exists(_.isEmpty)) None
+      else {
+        val spark = db.spark
+        import spark.implicits._
+        Some(Seq((-1L, xs.flatten)).toDF("vec_id", "embedding"))
+      }
+    }
+
+  /** Dense retrieval over the warehouse's persisted IVF-PQ index:
+    * `GET /_query/ann?vec=<f,f,…>&k=<n>&nprobe=<n>` → one
+    * `nn_id adist rank` line per hit — the FAISS-style serving path
+    * ([[graft.ops.Similarity.ivfPqProbePersisted]]: centroid ranking on
+    * the query, one cell-pruned codes read, native ADC kernel).
+    */
+  private def doAnn(ex: HttpExchange): Unit = {
+    val p = params(ex)
+    val q = vecQueries(p).getOrElse(
+      return respond(ex, 400, "missing/invalid vec=<f,f,...>\n"))
+    val k = kOf(p).getOrElse(return respond(ex, 400, "k out of range\n"))
+    val nProbe = p.get("nprobe").flatMap(_.toIntOption).getOrElse(1)
+    if (nProbe <= 0 || nProbe > 64) return respond(ex, 400, "nprobe out of range\n")
+    val (m, dim) = geometry(p)
+    val spark = db.spark
+    import spark.implicits._
+    val hits = graft.ops.Similarity
+      .ivfPqProbePersisted(db, q, "vec_id", "embedding", k, m = m,
+        dim = dim, nProbe = nProbe)
+      .select(col("nn_id"), col("adist"), col("rank").cast("long"))
+      .orderBy("rank")
+      .as[(Long, Long, Long)].collect()
+    respond(ex, 200, hits.map { case (d, a, r) => s"$d $a $r" }
+      .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
+  }
+
+  /** Hybrid search: `GET /_query/hybrid?q=<terms>&vec=<f,…>&k=<n>
+    * [&fetch=<n>&nprobe=<n>]` — RRF fusion
+    * ([[graft.ops.Retrieval.rrfFuse]]) of the BM25 postings probe and
+    * the IVF-PQ probe, each fetching `fetch` (default 100) candidates,
+    * fused to top-k `doc_id rrf rank` lines. Both indexes live in ONE
+    * warehouse under disjoint key prefixes; the snapshot makes the pair
+    * atomically consistent.
+    */
+  private def doHybrid(ex: HttpExchange): Unit = {
+    val p = params(ex)
+    val terms = p.getOrElse("q", "").trim
+    if (terms.isEmpty) return respond(ex, 400, "missing q=<terms>\n")
+    val qv = vecQueries(p).getOrElse(
+      return respond(ex, 400, "missing/invalid vec=<f,f,...>\n"))
+    val k = kOf(p).getOrElse(return respond(ex, 400, "k out of range\n"))
+    val fetch = p.get("fetch").flatMap(_.toIntOption).getOrElse(100)
+    if (fetch < k || fetch > 10000) return respond(ex, 400, "fetch out of range\n")
+    val nProbe = p.get("nprobe").flatMap(_.toIntOption).getOrElse(1)
+    val (m, dim) = geometry(p)
+    val spark = db.spark
+    import spark.implicits._
+    val lex = graft.ops.Retrieval
+      .bm25ProbeIndex(db, Seq((-1L, terms)).toDF("query_id", "qtext"), fetch)
+    val dense = graft.ops.Similarity
+      .ivfPqProbePersisted(db, qv, "vec_id", "embedding", fetch, m = m,
+        dim = dim, nProbe = nProbe)
+      .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+    val hits = graft.ops.Retrieval.rrfFuse(lex, dense, k)
+      .select(col("doc_id"), col("rrf"), col("rank"))
+      .as[(Long, Double, Long)].collect()
+    respond(ex, 200, hits.map { case (d, s, r) => s"$d $s $r" }
+      .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 
   private def doPut(ex: HttpExchange): Unit = {

@@ -58,6 +58,57 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /_query/ann and /_query/hybrid serve both indexes from ONE warehouse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)),
+      (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1)),
+      (4L, vec(0.8, 0, 0.1, 0, 0, 0.1, 0, 0.8))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(0L -> "alpha beta", 1L -> "beta gamma", 2L -> "alpha alpha",
+      3L -> "gamma delta", 4L -> "alpha delta").toDF("doc_id", "text")
+    val db = Db(spark, tmpDir("graft-serve-hybrid"))
+    // ANN first (fixes the bucket-major cell layout), BM25 second —
+    // disjoint key prefixes share the warehouse and its snapshots
+    graft.ops.Similarity.buildIndex(db, emb, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 8)
+    graft.ops.Retrieval.buildBm25Index(db, docs, "doc_id", "text")
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val q = "0.9,0.1,0,0,0,0,0.1,0.9"
+      // dense verb == the direct persisted probe with query_id = -1
+      val (ac, ab) = http("GET", s"$base/_query/ann?vec=$q&k=3&m=2&dim=8")
+      assert(ac == 200, ab)
+      val wantAnn = graft.ops.Similarity.ivfPqProbePersisted(db,
+          Seq((-1L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)))
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding", 3, m = 2, dim = 8)
+        .select("nn_id", "adist", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(_._3)
+        .map { case (d, a, r) => s"$d $a $r" }.mkString("", "\n", "\n")
+      assert(ab == wantAnn, s"ann verb drifted:\n$ab\nvs\n$wantAnn")
+      // hybrid verb: RRF of both probes, served atop the same snapshot
+      val (hc, hb) = http("GET",
+        s"$base/_query/hybrid?q=alpha&vec=$q&k=3&fetch=5&m=2&dim=8")
+      assert(hc == 200, hb)
+      val hits = hb.trim.linesIterator.map(_.split(' ')).toSeq
+      assert(hits.size == 3 && hits.head.length == 3, s"hybrid shape: $hb")
+      // the fused winner must score contributions from BOTH lists: doc 2
+      // is top lexically ("alpha alpha") AND densest to the query vector
+      assert(hits.head(0) == "2", s"both-list doc must fuse first:\n$hb")
+      // parameter validation
+      assert(http("GET", s"$base/_query/ann?vec=not,numbers")._1 == 400)
+      assert(http("GET", s"$base/_query/hybrid?q=alpha")._1 == 400)
+      assert(http("GET",
+        s"$base/_query/hybrid?q=alpha&vec=$q&k=20&fetch=5")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("GET /_query/bm25 serves the persisted postings index") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
