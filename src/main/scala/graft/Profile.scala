@@ -78,6 +78,76 @@ object ServeLatency {
         f"amortized=${wall * 1000 / sorted.length}%6.1f ms/lookup")
     }
     srv.stop()
+
+    // ── index-serving latency: the /_query verbs under concurrency ────
+    // one warehouse PER STORE (the ANN index's width-1 bucket-per-cell
+    // layout is warehouse-sticky; a co-located dense-ts BM25 store would
+    // mint one tbucket dir per document — measured pathological at 100k
+    // docs); requests pay probe-only cost
+    {
+      import spark.implicits._
+      import graft.ops.{Retrieval, Similarity}
+      val idxDb = Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-servix").toString)
+      val annIdxDb = Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-servix-ann").toString)
+      val nDocs = 100000L
+      val emb = spark.range(nDocs).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          (pmod(hash(col("id"), i), lit(2000)) - 1000)
+            .cast("float") / 1000f).as("embedding"))
+      Similarity.buildIndex(annIdxDb, emb, "vec_id", "embedding")
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(14)),
+          i => concat(lit("w"), pmod(hash(col("id"), i), lit(997)))))
+          .as("text"))
+      Retrieval.buildBm25Index(idxDb, docs, "doc_id", "text")
+      val qvec = (1 to 64).map(i => ((i * 37 % 2000) - 1000) / 1000.0)
+        .mkString(",")
+      val srv2 = new Serve(idxDb, annDb = Some(annIdxDb)).start()
+      def qget(path: String): Unit = {
+        val c = new java.net.URL(s"http://localhost:${srv2.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        scala.io.Source.fromInputStream(c.getInputStream, "UTF-8").mkString
+        c.disconnect()
+      }
+      val terms = Seq("w3 w17 w101", "w7 w500", "w42 w43 w44", "w900 w11")
+      qget(s"/_query/bm25?q=w1%20w2") // warm plans
+      qget(s"/_query/ann?vec=$qvec&k=10")
+      qget(s"/_query/hybrid?q=w1%20w2&vec=$qvec&k=10")
+      for (verb <- Seq("bm25", "ann", "hybrid"); clients <- Seq(1, 8, 32)) {
+        val perClient = 10
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val rnd = new java.util.concurrent.atomic.AtomicLong(777)
+        val t0 = System.nanoTime()
+        val threads = (1 to clients).map { _ =>
+          val th = new Thread(() =>
+            (1 to perClient).foreach { _ =>
+              val t = terms((rnd.incrementAndGet() % terms.length).toInt)
+                .replace(" ", "%20")
+              val path = verb match {
+                case "bm25"   => s"/_query/bm25?q=$t&k=10"
+                case "ann"    => s"/_query/ann?vec=$qvec&k=10"
+                case "hybrid" => s"/_query/hybrid?q=$t&vec=$qvec&k=10"
+              }
+              val r0 = System.nanoTime()
+              qget(path)
+              lat.add(System.nanoTime() - r0)
+            })
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val sorted = lat.asScala.toArray.sorted
+        def pct(p: Double) = sorted((p * (sorted.length - 1)).toInt) / 1e6
+        println(f"SERVE query=$verb%-6s c=$clients%2d n=${sorted.length}%4d " +
+          f"p50=${pct(0.50)}%7.1f ms p99=${pct(0.99)}%7.1f ms " +
+          f"qps=${sorted.length / wall}%6.1f " +
+          f"amortized=${wall * 1000 / sorted.length}%6.1f ms/query")
+      }
+      srv2.stop()
+    }
     spark.stop()
   }
 }

@@ -37,9 +37,19 @@ import graft.text.TextIngest
   *   amortize the per-job scheduling floor across the full machine
   *   instead of queueing behind an arbitrary small pool (measured: the
   *   old fixed-4 pool doubled p50 at 8 clients while cores sat idle).
+  * @param annDb the warehouse holding the persisted IVF-PQ index for
+  *   `/_query/ann` and `/_query/hybrid`. A SEPARATE warehouse from the
+  *   data/BM25 one by design, not convenience: the ANN index fixes a
+  *   width-1 bucket-per-cell layout at its first write, and that layout
+  *   is warehouse-sticky — co-locating a dense-ts store (BM25 rows key
+  *   ts = doc_id) would explode one `tbucket=` directory PER DOCUMENT
+  *   (measured: 100k docs → 100k partition dirs, planning-cache
+  *   eviction, unusable). One store per warehouse is also the scale
+  *   shape: each store compacts, buckets and snapshots on its own
+  *   schedule. None = the verbs answer 500.
   */
 final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
-                  workers: Int = 0) {
+                  workers: Int = 0, annDb: Option[Db] = None) {
 
   /** (manifest version, snapshot, loadedAt nanos). */
   private val cachedSnap = new java.util.concurrent.atomic.AtomicReference[
@@ -205,6 +215,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * the query, one cell-pruned codes read, native ADC kernel).
     */
   private def doAnn(ex: HttpExchange): Unit = {
+    val ann = annDb.getOrElse(
+      return respond(ex, 500, "no ANN warehouse attached to this server\n"))
     val p = params(ex)
     val q = vecQueries(p).getOrElse(
       return respond(ex, 400, "missing/invalid vec=<f,f,...>\n"))
@@ -215,7 +227,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val spark = db.spark
     import spark.implicits._
     val hits = graft.ops.Similarity
-      .ivfPqProbePersisted(db, q, "vec_id", "embedding", k, m = m,
+      .ivfPqProbePersisted(ann, q, "vec_id", "embedding", k, m = m,
         dim = dim, nProbe = nProbe)
       .select(col("nn_id"), col("adist"), col("rank").cast("long"))
       .orderBy("rank")
@@ -226,13 +238,15 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
 
   /** Hybrid search: `GET /_query/hybrid?q=<terms>&vec=<f,…>&k=<n>
     * [&fetch=<n>&nprobe=<n>]` — RRF fusion
-    * ([[graft.ops.Retrieval.rrfFuse]]) of the BM25 postings probe and
-    * the IVF-PQ probe, each fetching `fetch` (default 100) candidates,
-    * fused to top-k `doc_id rrf rank` lines. Both indexes live in ONE
-    * warehouse under disjoint key prefixes; the snapshot makes the pair
-    * atomically consistent.
+    * ([[graft.ops.Retrieval.rrfFuse]]) of the BM25 postings probe
+    * (this server's data warehouse) and the IVF-PQ probe (the attached
+    * `annDb` warehouse — see the constructor note on why the two
+    * stores must not share one warehouse), each fetching `fetch`
+    * (default 100) candidates, fused to top-k `doc_id rrf rank` lines.
     */
   private def doHybrid(ex: HttpExchange): Unit = {
+    val ann = annDb.getOrElse(
+      return respond(ex, 500, "no ANN warehouse attached to this server\n"))
     val p = params(ex)
     val terms = p.getOrElse("q", "").trim
     if (terms.isEmpty) return respond(ex, 400, "missing q=<terms>\n")
@@ -248,7 +262,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val lex = graft.ops.Retrieval
       .bm25ProbeIndex(db, Seq((-1L, terms)).toDF("query_id", "qtext"), fetch)
     val dense = graft.ops.Similarity
-      .ivfPqProbePersisted(db, qv, "vec_id", "embedding", fetch, m = m,
+      .ivfPqProbePersisted(ann, qv, "vec_id", "embedding", fetch, m = m,
         dim = dim, nProbe = nProbe)
       .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
     val hits = graft.ops.Retrieval.rrfFuse(lex, dense, k)

@@ -58,7 +58,7 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("GET /_query/ann and /_query/hybrid serve both indexes from ONE warehouse") {
+  test("GET /_query/ann and /_query/hybrid serve per-store warehouses") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
@@ -71,20 +71,23 @@ class ServeSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val docs = Seq(0L -> "alpha beta", 1L -> "beta gamma", 2L -> "alpha alpha",
       3L -> "gamma delta", 4L -> "alpha delta").toDF("doc_id", "text")
+    // one warehouse PER STORE: the ANN index fixes a width-1 bucket-per-
+    // cell layout at first write (warehouse-sticky), so co-locating the
+    // BM25 store (ts = doc_id) would mint one tbucket dir per DOCUMENT —
+    // measured pathological at 100k docs
     val db = Db(spark, tmpDir("graft-serve-hybrid"))
-    // ANN first (fixes the bucket-major cell layout), BM25 second —
-    // disjoint key prefixes share the warehouse and its snapshots
-    graft.ops.Similarity.buildIndex(db, emb, "vec_id", "embedding",
+    val annDb = Db(spark, tmpDir("graft-serve-hybrid-ann"))
+    graft.ops.Similarity.buildIndex(annDb, emb, "vec_id", "embedding",
       nCells = 2, m = 2, k = 4, dim = 8)
     graft.ops.Retrieval.buildBm25Index(db, docs, "doc_id", "text")
-    val srv = new Serve(db).start()
+    val srv = new Serve(db, annDb = Some(annDb)).start()
     try {
       val base = s"http://localhost:${srv.boundPort}"
       val q = "0.9,0.1,0,0,0,0,0.1,0.9"
       // dense verb == the direct persisted probe with query_id = -1
       val (ac, ab) = http("GET", s"$base/_query/ann?vec=$q&k=3&m=2&dim=8")
       assert(ac == 200, ab)
-      val wantAnn = graft.ops.Similarity.ivfPqProbePersisted(db,
+      val wantAnn = graft.ops.Similarity.ivfPqProbePersisted(annDb,
           Seq((-1L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)))
             .toDF("vec_id", "embedding"),
           "vec_id", "embedding", 3, m = 2, dim = 8)
@@ -106,6 +109,11 @@ class ServeSpec extends SparkSpec {
       assert(http("GET", s"$base/_query/hybrid?q=alpha")._1 == 400)
       assert(http("GET",
         s"$base/_query/hybrid?q=alpha&vec=$q&k=20&fetch=5")._1 == 400)
+      // a server without an attached ANN warehouse refuses the verbs
+      val bare = new Serve(db).start()
+      try assert(http("GET",
+        s"http://localhost:${bare.boundPort}/_query/ann?vec=$q")._1 == 500)
+      finally bare.stop()
     } finally srv.stop()
   }
 
