@@ -36,9 +36,13 @@ object ServeLatency {
       (1 to n).foreach(_ => f)
       println(f"SERVE $label%-40s ${(System.nanoTime() - t0) / 1e6 / n}%9.2f ms/op")
     }
+    // SPARK_GRAFT_SERVE_ONLY=query skips the point-lookup battery (it
+    // is stable round to round) and measures only the /_query verbs
+    val queryOnly = sys.env.get("SPARK_GRAFT_SERVE_ONLY").contains("query")
     get("/k0000001") // JVM/codegen warmup for the read path itself
     srv.stop()
     srv = new Serve(db).start() // fresh cache, warm JVM
+    if (!queryOnly) {
     ms("GET exact key, cold snapshot", 1)(get("/k0000042"))
     ms("GET exact key, cached snapshot", 50)(get("/k0000042"))
     ms("GET exact key, varying keys (cached)", 50) {
@@ -76,6 +80,7 @@ object ServeLatency {
         f"p50=${pct(0.50)}%7.1f ms p99=${pct(0.99)}%7.1f ms " +
         f"qps=${sorted.length / wall}%6.1f " +
         f"amortized=${wall * 1000 / sorted.length}%6.1f ms/lookup")
+    }
     }
     srv.stop()
 

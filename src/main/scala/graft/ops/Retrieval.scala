@@ -163,18 +163,41 @@ object Retrieval {
     */
   def bm25ProbeIndex(db: graft.store.Db, queries: DataFrame,
                      k: Int): DataFrame = {
-    val snap = db.snapshot()
-    require(snap.manifest.dataTxids.nonEmpty &&
-      snap.read("pd/").columns.contains("dl"),
-      s"no BM25 index registered in ${db.warehouse} — run buildBm25Index first")
     val qterms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .distinct()
     val terms = qterms.select("term").distinct()
       .collect().map(_.getString(0)).sorted
+    probeWithTerms(db, qterms, terms, k)
+  }
+
+  /** [[bm25ProbeIndex]] for a LITERAL query list — the serving path
+    * ([[graft.serve.Serve]]'s `/_query` verbs): the term set is derived
+    * driver-side from strings the caller already holds, so a probe
+    * launches NO discovery job before its one scoring job. Identical
+    * plan and scores to the DataFrame path (spec-asserted).
+    */
+  def bm25ProbeLiteral(db: graft.store.Db, queries: Seq[(Long, String)],
+                       k: Int): DataFrame = {
+    val spark = db.spark
+    import spark.implicits._
+    val pairs = queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+      }.distinct
+    val qterms = pairs.toDF("query_id", "term")
+    probeWithTerms(db, qterms, pairs.map(_._2).distinct.sorted.toArray, k)
+  }
+
+  private def probeWithTerms(db: graft.store.Db, qterms: DataFrame,
+                             terms: Array[String], k: Int): DataFrame = {
+    val snap = db.snapshot()
+    require(snap.manifest.dataTxids.nonEmpty &&
+      snap.read("pd/").columns.contains("dl"),
+      s"no BM25 index registered in ${db.warehouse} — run buildBm25Index first")
     if (terms.isEmpty)
-      return queries.sparkSession.range(0)
+      return qterms.sparkSession.range(0)
         .select(col("id").as("query_id"), col("id").as("doc_id"),
           col("id").as("score_micro"), col("id").as("rank"))
     // ONE postings read with the term set pushed into the scan — as a

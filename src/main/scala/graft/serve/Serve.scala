@@ -165,7 +165,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val spark = db.spark
     import spark.implicits._
     val hits = graft.ops.Retrieval
-      .bm25ProbeIndex(db, Seq((0L, terms)).toDF("query_id", "qtext"), k)
+      .bm25ProbeLiteral(db, Seq((0L, terms)), k)
       .select("doc_id", "score_micro", "rank")
       .as[(Long, Long, Long)].collect()
     val body = hits.map { case (d, s, r) => s"$d $s $r" }
@@ -259,8 +259,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val (m, dim) = geometry(p)
     val spark = db.spark
     import spark.implicits._
-    val lex = graft.ops.Retrieval
-      .bm25ProbeIndex(db, Seq((-1L, terms)).toDF("query_id", "qtext"), fetch)
+    val lex = graft.ops.Retrieval.bm25ProbeLiteral(db, Seq((-1L, terms)), fetch)
     val dense = graft.ops.Similarity
       .ivfPqProbePersisted(ann, qv, "vec_id", "embedding", fetch, m = m,
         dim = dim, nProbe = nProbe)

@@ -59,6 +59,13 @@ class RetrievalSpec extends SparkSpec {
     // term-less query set degrades to an empty result, not an error
     assert(Retrieval.bm25ProbeIndex(db,
       Seq((9L, "")).toDF("query_id", "qtext"), 5).isEmpty)
+    // the literal (serving-path) probe is value-identical to the
+    // DataFrame path — and launches no term-discovery job
+    val lit = Retrieval.bm25ProbeLiteral(db, qs, 5)
+      .select("query_id", "doc_id", "score_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(lit == probed, s"literal probe drifted:\n$lit\n$probed")
+    assert(Retrieval.bm25ProbeLiteral(db, Seq(9L -> ""), 5).isEmpty)
   }
 
   test("append == rebuild: incremental index equals the from-scratch one") {
