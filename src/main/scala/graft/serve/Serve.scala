@@ -119,12 +119,47 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     */
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 
+  /** Version-keyed result cache for the `/_query` verbs: a warehouse's
+    * contents are IMMUTABLE per manifest version (commits mint new
+    * versions), so an entry keyed by (data version, ann version, full
+    * request) can never serve a stale answer — a commit changes the key
+    * and the old entry ages out of the LRU. Hot repeated queries then
+    * cost a directory stat instead of a Spark job; this is the honest
+    * cache the reference's 10-second reader cache approximates with a
+    * staleness window.
+    */
+  private val QUERY_CACHE_MAX = 1024
+  private val queryCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Long, Long, String), String](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Long, String), String]): Boolean =
+          size() > QUERY_CACHE_MAX
+      })
+  private val qcHits = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Served-from-cache count — observable for ServeSpec. */
+  def queryCacheHits: Long = qcHits.get()
+
+  private def cachedQuery(ex: HttpExchange)(compute: => (Int, String)): Unit = {
+    val key = (Manifest.currentVersion(db.warehouse),
+      annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse)),
+      ex.getRequestURI.toString)
+    val hit = queryCache.get(key)
+    if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
+    val (status, body) = compute
+    if (status == 200) queryCache.put(key, body)
+    respond(ex, status, body)
+  }
+
   private def doGet(ex: HttpExchange): Unit = {
     // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")
     val pattern = ex.getRequestURI.getPath.stripPrefix("/")
-    if (pattern == "_query/bm25") return doBm25(ex)
-    if (pattern == "_query/ann") return doAnn(ex)
-    if (pattern == "_query/hybrid") return doHybrid(ex)
+    if (pattern == "_query/bm25") return cachedQuery(ex)(doBm25(params(ex)))
+    if (pattern == "_query/ann") return cachedQuery(ex)(doAnn(params(ex)))
+    if (pattern == "_query/hybrid")
+      return cachedQuery(ex)(doHybrid(params(ex)))
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
@@ -157,20 +192,18 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * state served over HTTP: build/append from the ingest side,
     * probe-only cost per request.
     */
-  private def doBm25(ex: HttpExchange): Unit = {
-    val p = params(ex)
+  private def doBm25(p: Map[String, String]): (Int, String) = {
     val terms = p.getOrElse("q", "").trim
-    if (terms.isEmpty) return respond(ex, 400, "missing q=<terms>\n")
-    val k = kOf(p).getOrElse(return respond(ex, 400, "k out of range\n"))
+    if (terms.isEmpty) return (400, "missing q=<terms>\n")
+    val k = kOf(p).getOrElse(return (400, "k out of range\n"))
     val spark = db.spark
     import spark.implicits._
     val hits = graft.ops.Retrieval
       .bm25ProbeLiteral(db, Seq((0L, terms)), k)
       .select("doc_id", "score_micro", "rank")
       .as[(Long, Long, Long)].collect()
-    val body = hits.map { case (d, s, r) => s"$d $s $r" }
-      .mkString("", "\n", if (hits.isEmpty) "" else "\n")
-    respond(ex, 200, body)
+    (200, hits.map { case (d, s, r) => s"$d $s $r" }
+      .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 
   private def params(ex: HttpExchange): Map[String, String] =
@@ -214,15 +247,14 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * ([[graft.ops.Similarity.ivfPqProbePersisted]]: centroid ranking on
     * the query, one cell-pruned codes read, native ADC kernel).
     */
-  private def doAnn(ex: HttpExchange): Unit = {
+  private def doAnn(p: Map[String, String]): (Int, String) = {
     val ann = annDb.getOrElse(
-      return respond(ex, 500, "no ANN warehouse attached to this server\n"))
-    val p = params(ex)
+      return (500, "no ANN warehouse attached to this server\n"))
     val q = vecQueries(p).getOrElse(
-      return respond(ex, 400, "missing/invalid vec=<f,f,...>\n"))
-    val k = kOf(p).getOrElse(return respond(ex, 400, "k out of range\n"))
+      return (400, "missing/invalid vec=<f,f,...>\n"))
+    val k = kOf(p).getOrElse(return (400, "k out of range\n"))
     val nProbe = p.get("nprobe").flatMap(_.toIntOption).getOrElse(1)
-    if (nProbe <= 0 || nProbe > 64) return respond(ex, 400, "nprobe out of range\n")
+    if (nProbe <= 0 || nProbe > 64) return (400, "nprobe out of range\n")
     val (m, dim) = geometry(p)
     val spark = db.spark
     import spark.implicits._
@@ -232,7 +264,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       .select(col("nn_id"), col("adist"), col("rank").cast("long"))
       .orderBy("rank")
       .as[(Long, Long, Long)].collect()
-    respond(ex, 200, hits.map { case (d, a, r) => s"$d $a $r" }
+    (200, hits.map { case (d, a, r) => s"$d $a $r" }
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 
@@ -244,17 +276,16 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * stores must not share one warehouse), each fetching `fetch`
     * (default 100) candidates, fused to top-k `doc_id rrf rank` lines.
     */
-  private def doHybrid(ex: HttpExchange): Unit = {
+  private def doHybrid(p: Map[String, String]): (Int, String) = {
     val ann = annDb.getOrElse(
-      return respond(ex, 500, "no ANN warehouse attached to this server\n"))
-    val p = params(ex)
+      return (500, "no ANN warehouse attached to this server\n"))
     val terms = p.getOrElse("q", "").trim
-    if (terms.isEmpty) return respond(ex, 400, "missing q=<terms>\n")
+    if (terms.isEmpty) return (400, "missing q=<terms>\n")
     val qv = vecQueries(p).getOrElse(
-      return respond(ex, 400, "missing/invalid vec=<f,f,...>\n"))
-    val k = kOf(p).getOrElse(return respond(ex, 400, "k out of range\n"))
+      return (400, "missing/invalid vec=<f,f,...>\n"))
+    val k = kOf(p).getOrElse(return (400, "k out of range\n"))
     val fetch = p.get("fetch").flatMap(_.toIntOption).getOrElse(100)
-    if (fetch < k || fetch > 10000) return respond(ex, 400, "fetch out of range\n")
+    if (fetch < k || fetch > 10000) return (400, "fetch out of range\n")
     val nProbe = p.get("nprobe").flatMap(_.toIntOption).getOrElse(1)
     val (m, dim) = geometry(p)
     val spark = db.spark
@@ -267,7 +298,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val hits = graft.ops.Retrieval.rrfFuse(lex, dense, k)
       .select(col("doc_id"), col("rrf"), col("rank"))
       .as[(Long, Double, Long)].collect()
-    respond(ex, 200, hits.map { case (d, s, r) => s"$d $s $r" }
+    (200, hits.map { case (d, s, r) => s"$d $s $r" }
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 

@@ -143,6 +143,19 @@ class ServeSpec extends SparkSpec {
       val (_, after) = http("GET", s"$base/_query/bm25?q=w3%20common&k=5")
       assert(after.linesIterator.exists(_.startsWith("100 ")),
         s"appended doc must be served: $after")
+      // version-keyed result cache: a repeat serves from cache, a
+      // commit (new manifest version) recomputes — never stale
+      val hits0 = srv.queryCacheHits
+      val (_, again) = http("GET", s"$base/_query/bm25?q=w3%20common&k=5")
+      assert(srv.queryCacheHits == hits0 + 1 && again == after,
+        "identical request under an unchanged version must hit the cache")
+      graft.ops.Retrieval.appendBm25Batch(db,
+        Seq(101L -> "w3 w3 w3 w3").toDF("doc_id", "text"), "doc_id", "text")
+      val (_, fresh) = http("GET", s"$base/_query/bm25?q=w3%20common&k=5")
+      assert(srv.queryCacheHits == hits0 + 1,
+        "a commit must change the cache key")
+      assert(fresh.linesIterator.exists(_.startsWith("101 ")),
+        s"post-commit answer must be recomputed: $fresh")
       // parameter validation
       assert(http("GET", s"$base/_query/bm25")._1 == 400)
       assert(http("GET", s"$base/_query/bm25?q=w3&k=0")._1 == 400)
