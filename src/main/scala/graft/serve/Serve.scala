@@ -149,7 +149,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val hit = queryCache.get(key)
     if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
     val (status, body) = compute
-    if (status == 200) queryCache.put(key, body)
+    // entry-size bound: 1024 entries × an unbounded k=10000 body would
+    // quietly grow the server heap; oversized answers just recompute
+    if (status == 200 && body.length <= 256 * 1024)
+      queryCache.put(key, body)
     respond(ex, status, body)
   }
 
