@@ -58,6 +58,31 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("two server instances over one warehouse stay consistent") {
+    // the serving-tier scale shape: N processes (here: instances) share
+    // a warehouse with no coordination beyond the manifest — a PUT
+    // through one is visible to a GET through the other immediately
+    // (each GET's snapshot probe reads the current manifest version)
+    val db = Db(spark, tmpDir("graft-serve-pair"))
+    val a = new Serve(db).start()
+    val b = new Serve(db).start()
+    try {
+      val (pc, _) = http("PUT", s"http://localhost:${a.boundPort}/",
+        Some("k1 5 u 42\n"))
+      assert(pc == 201)
+      val (gc, gb) = http("GET", s"http://localhost:${b.boundPort}/k1")
+      assert(gc == 200 && gb == "k1\t5\t42\n",
+        s"second instance must see the first's commit: $gb")
+      // and writes interleave safely: the manifest CAS serializes them
+      val (p2, _) = http("PUT", s"http://localhost:${b.boundPort}/",
+        Some("k1 5 u 43\n"))
+      assert(p2 == 201)
+      val (_, ga) = http("GET", s"http://localhost:${a.boundPort}/k1")
+      assert(ga == "k1\t5\t43\n", s"last-wins across instances: $ga")
+      assert(db.snapshot().manifest.dataTxids.size == 2)
+    } finally { a.stop(); b.stop() }
+  }
+
   test("GET /_query/ann and /_query/hybrid serve per-store warehouses") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
