@@ -120,7 +120,11 @@ object ServeLatency {
       qget(s"/_query/bm25?q=w1%20w2") // warm plans
       qget(s"/_query/ann?vec=$qvec&k=10")
       qget(s"/_query/hybrid?q=w1%20w2&vec=$qvec&k=10")
-      for (verb <- Seq("bm25", "ann", "hybrid"); clients <- Seq(1, 8, 32)) {
+      // two regimes: miss (a nonce per request defeats the version-keyed
+      // result cache — the probe-compute path) and hit (a small hot query
+      // set — after the first computations, requests serve from cache)
+      for (verb <- Seq("bm25", "ann", "hybrid"); regime <- Seq("miss", "hit");
+           clients <- Seq(1, 8, 32)) {
         val perClient = 10
         val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
         val rnd = new java.util.concurrent.atomic.AtomicLong(777)
@@ -128,12 +132,13 @@ object ServeLatency {
         val threads = (1 to clients).map { _ =>
           val th = new Thread(() =>
             (1 to perClient).foreach { _ =>
-              val t = terms((rnd.incrementAndGet() % terms.length).toInt)
-                .replace(" ", "%20")
+              val i = rnd.incrementAndGet()
+              val t = terms((i % terms.length).toInt).replace(" ", "%20")
+              val bust = if (regime == "miss") s"&nonce=$i" else ""
               val path = verb match {
-                case "bm25"   => s"/_query/bm25?q=$t&k=10"
-                case "ann"    => s"/_query/ann?vec=$qvec&k=10"
-                case "hybrid" => s"/_query/hybrid?q=$t&vec=$qvec&k=10"
+                case "bm25"   => s"/_query/bm25?q=$t&k=10$bust"
+                case "ann"    => s"/_query/ann?vec=$qvec&k=10$bust"
+                case "hybrid" => s"/_query/hybrid?q=$t&vec=$qvec&k=10$bust"
               }
               val r0 = System.nanoTime()
               qget(path)
@@ -146,7 +151,8 @@ object ServeLatency {
         import scala.jdk.CollectionConverters._
         val sorted = lat.asScala.toArray.sorted
         def pct(p: Double) = sorted((p * (sorted.length - 1)).toInt) / 1e6
-        println(f"SERVE query=$verb%-6s c=$clients%2d n=${sorted.length}%4d " +
+        println(f"SERVE query=$verb%-6s $regime%-4s c=$clients%2d " +
+          f"n=${sorted.length}%4d " +
           f"p50=${pct(0.50)}%7.1f ms p99=${pct(0.99)}%7.1f ms " +
           f"qps=${sorted.length / wall}%6.1f " +
           f"amortized=${wall * 1000 / sorted.length}%6.1f ms/query")

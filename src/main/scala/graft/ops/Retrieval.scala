@@ -271,6 +271,33 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Driver-side twin of [[rrfFuse]] for SERVING: RRF is a pure
+    * function of two rank lists, each bounded by fetch-K — once both
+    * sides are collected, fusing relationally would spend a whole
+    * Spark job (full-outer join + window) on ≤ 2·fetch rows. Inputs
+    * are (query_id, doc_id, rank); output (query_id, doc_id, rrf,
+    * rank) tuples ordered like [[rrfFuse]]. Value-identical —
+    * spec-pinned, same contribution arithmetic and rounding.
+    */
+  def rrfFuseLocal(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)],
+                   k: Int, k0: Int = 60): Seq[(Long, Long, Double, Long)] = {
+    def contribs(xs: Seq[(Long, Long, Long)]) =
+      xs.map { case (q, d, r) => (q, d) -> 1.0 / (r + k0.toDouble) }.toMap
+    val ca = contribs(a)
+    val cb = contribs(b)
+    (ca.keySet ++ cb.keySet).toSeq
+      .map { case (q, d) =>
+        val raw = ca.getOrElse((q, d), 0.0) + cb.getOrElse((q, d), 0.0)
+        (q, d, BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        xs.sortBy { case (_, d, s) => (-s, d) }.take(k).zipWithIndex
+          .map { case ((q, d, s), i) => (q, d, s, (i + 1).toLong) }
+      }
+      .sortBy { case (q, _, _, r) => (q, r) }
+  }
+
   /** DuckDB twin of [[rrfFuse]] over two rank-list subqueries (adjacent
     * so they cannot drift).
     */

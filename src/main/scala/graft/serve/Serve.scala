@@ -293,15 +293,29 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val (m, dim) = geometry(p)
     val spark = db.spark
     import spark.implicits._
-    val lex = graft.ops.Retrieval.bm25ProbeLiteral(db, Seq((-1L, terms)), fetch)
-    val dense = graft.ops.Similarity
-      .ivfPqProbePersisted(ann, qv, "vec_id", "embedding", fetch, m = m,
-        dim = dim, nProbe = nProbe)
-      .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
-    val hits = graft.ops.Retrieval.rrfFuse(lex, dense, k)
-      .select(col("doc_id"), col("rrf"), col("rank"))
-      .as[(Long, Double, Long)].collect()
-    (200, hits.map { case (d, s, r) => s"$d $s $r" }
+    // the two probes are independent Spark jobs — run them CONCURRENTLY
+    // (halves the serial stage chain) and fuse the two bounded rank
+    // lists driver-side (rrfFuseLocal == rrfFuse, spec-pinned): a
+    // relational fusion would spend a whole job on <= 2*fetch rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lexF = Future {
+      graft.ops.Retrieval.bm25ProbeLiteral(db, Seq((-1L, terms)), fetch)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val denseF = Future {
+      graft.ops.Similarity
+        .ivfPqProbePersisted(ann, qv, "vec_id", "embedding", fetch, m = m,
+          dim = dim, nProbe = nProbe)
+        .select(col("query_id"), col("nn_id").as("doc_id"),
+          col("rank").cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val hits = graft.ops.Retrieval.rrfFuseLocal(
+      Await.result(lexF, 600.seconds), Await.result(denseF, 600.seconds), k)
+    (200, hits.map { case (_, d, s, r) => s"$d $s $r" }
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 

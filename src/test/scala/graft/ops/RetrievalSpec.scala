@@ -193,6 +193,20 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r10 - 1.0 / 61) < 1e-9, "single-list doc: one term only")
   }
 
+  test("rrfFuseLocal == rrfFuse on overlapping, disjoint and tied lists") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L))
+    val b = Seq((0L, 11L, 1L), (0L, 13L, 2L),
+      (1L, 21L, 1L), (1L, 20L, 2L)) // q1: symmetric ranks -> rrf tie
+    val rel = Retrieval.rrfFuse(
+        a.toDF("query_id", "doc_id", "rank"),
+        b.toDF("query_id", "doc_id", "rank"), 10)
+      .select("query_id", "doc_id", "rrf", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val loc = Retrieval.rrfFuseLocal(a, b, 10)
+    assert(loc == rel, s"local fusion drifted:\n$loc\n$rel")
+  }
+
   test("tf saturates and length normalization penalizes padding") {
     val docs = Seq(
       0L -> "term",
