@@ -136,10 +136,15 @@ object Cli {
             tsMode = TextIngest.TsNanos)
           .toLocalIterator().forEachRemaining(l => stdout(l))
 
-      // reference sonnerie-serve: blocks serving GET/PUT until killed
+      // reference sonnerie-serve: blocks serving GET/PUT until killed.
+      // --ann-dir attaches a second warehouse holding the persisted
+      // IVF-PQ index, enabling /_query/ann and /_query/hybrid (one
+      // warehouse per store — see the Serve constructor note)
       case "serve" :: Nil =>
         val srv = new graft.serve.Serve(db,
-          flags.get("--port").map(_.toInt).getOrElse(5555)).start()
+          flags.get("--port").map(_.toInt).getOrElse(5555),
+          annDb = flags.get("--ann-dir")
+            .map(d => graft.store.Db(db.spark, d))).start()
         stdout(s"# serving on port ${srv.boundPort}")
         Thread.currentThread().join() // serve until the process is killed
 
