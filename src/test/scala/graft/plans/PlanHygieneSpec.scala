@@ -19,6 +19,29 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("point lookup plans no range-sort exchange: one key pays no sampling job") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-planpt").toString)
+    graft.store.TxWriter.write(db,
+      (1 to 500).map(i => (f"k$i%04d", i.toLong, i.toLong))
+        .toDF("key", "ts", "v"))
+    graft.store.TxWriter.delete(db, wildcard = "nomatch%")
+    val df = db.snapshot().get("k0042")
+    assert(df.select("v").as[Long].collect().toSeq == Seq(42L))
+    val plan = df.queryExecution.executedPlan.toString
+    // the r10 optimization under guard: a global orderBy here would
+    // re-introduce a range-sampling job + shuffle as pure per-lookup
+    // fixed cost (serial GET p50 regressed ~20% with it)
+    assert(!plan.contains("rangepartitioning"),
+      s"point lookup re-grew a range sort:\n${plan.take(2000)}")
+    // the one remaining wide op is the last-wins aggregate
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges <= 1, s"unexpected exchanges ($exchanges):\n${plan.take(2000)}")
+  }
+
   test("tp_dup_spans reuses the window-hash exchange in the no-broadcast regime") {
     // at 100 TB neither side of the dup-window join broadcasts; the two
     // branches over the exploded window relation must collapse into one
