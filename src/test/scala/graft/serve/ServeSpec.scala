@@ -129,6 +129,22 @@ class ServeSpec extends SparkSpec {
       // the fused winner must score contributions from BOTH lists: doc 2
       // is top lexically ("alpha alpha") AND densest to the query vector
       assert(hits.head(0) == "2", s"both-list doc must fuse first:\n$hb")
+      // and the verb equals the RELATIONAL fusion of the same probes
+      // end to end (the driver-fusion fast path may not drift)
+      val lex = graft.ops.Retrieval.bm25ProbeLiteral(db, Seq((-1L, "alpha")), 5)
+      val dense = graft.ops.Similarity.ivfPqProbePersisted(annDb,
+          Seq((-1L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)))
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding", 5, m = 2, dim = 8)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      val wantHyb = graft.ops.Retrieval.rrfFuse(lex, dense, 3)
+        .select("doc_id", "rrf", "rank")
+        .as[(Long, Double, Long)].collect()
+        .map { case (d, s, r) => s"$d $s $r" }.mkString("", "\n", "\n")
+      val (hc2, hb2) = http("GET",
+        s"$base/_query/hybrid?q=alpha&vec=$q&k=3&fetch=5&m=2&dim=8")
+      assert(hc2 == 200 && hb2 == wantHyb,
+        s"hybrid verb drifted from relational fusion:\n$hb2\nvs\n$wantHyb")
       // parameter validation
       assert(http("GET", s"$base/_query/ann?vec=not,numbers")._1 == 400)
       assert(http("GET", s"$base/_query/hybrid?q=alpha")._1 == 400)
