@@ -66,7 +66,14 @@ final case class ManifestState(
       * documents. The legacy scalar remains the cursor of the unnamed
       * plain-ingest writer.
       */
-    streamBatches: Map[String, Long] = Map.empty
+    streamBatches: Map[String, Long] = Map.empty,
+    /** Warehouse-lifetime identity, minted once when version 1 commits
+      * and carried forward by every later version (case-class copy), so
+      * it survives history pruning and needs no filesystem introspection.
+      * "" on warehouses created before the field existed — readers fall
+      * back to [[Manifest.creationId]]'s file-identity heuristic.
+      */
+    created: String = ""
 ) {
   /** The replay cursor for a named sink ("" = the legacy scalar).
     *
@@ -115,7 +122,7 @@ final case class ManifestState(
     val sinks = streamBatches.toVector.sortBy(_._1).map { case (k, v) =>
       s"${b64(k)} $v"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"created":"$created","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
   }
 }
 
