@@ -398,6 +398,15 @@ object PipelineQueries {
       graft.store.Compactor.major(db)
       Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
     },
+    // the BATCH probe: a DISTRIBUTED query set (here: documents querying
+    // with their own text) against the same session-cached index via the
+    // relational twin — no driver term collect, no isin literal, bounded
+    // plan size at any query count; scores must equal the direct oracle
+    "ret_bm25_batch" -> { (s, d) =>
+      val q = Graft.documents(s, d).filter(col("doc_id") < 16)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      Retrieval.bm25ProbeRelational(bm25IndexFor(s, d), q, 10)
+    },
     // the full hybrid steady state: BOTH persisted indexes probed (BM25
     // postings + IVF-PQ ANN, each session-cached and built outside
     // timing) and RRF-fused — the serving-path composition
@@ -1632,6 +1641,9 @@ object PipelineQueries {
     "ret_bm25_incremental" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_append_only" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_lifecycle" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_bm25_batch" -> Retrieval.sqlBm25From(
+      "SELECT doc_id AS query_id, text AS qtext FROM documents " +
+        "WHERE doc_id < 16", 10),
     "ret_hybrid_recall" -> Retrieval.sqlHybridRecall(
       s"""SELECT query_id, doc_id, rank
          |FROM (${Retrieval.sqlBm25(bm25Queries, 2000000000)}) lx"""

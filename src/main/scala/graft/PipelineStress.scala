@@ -221,6 +221,23 @@ object PipelineStress {
       }
       timed("bm25 probe post-compact")(
         graft.ops.Retrieval.bm25ProbeIndex(bmDb, qdf, 10).count())
+      // the BATCH regime (10k queries over the full w/t vocabulary):
+      // the literal path must collect the distinct term set and plant
+      // ~11k isin literals in the plan — driver state and plan size
+      // growing with the batch; the relational twin keeps the term set
+      // in a semi-join and must win here (and not lose the small-set
+      // serving regime above)
+      val batchQs = spark.range(10000).select(
+        col("id").as("query_id"),
+        concat_ws(" ",
+          concat(lit("w"), pmod(hash(col("id"), lit(11)), lit(997))),
+          concat(lit("t"), pmod(hash(col("id"), lit(13)), lit(9973))),
+          concat(lit("w"), pmod(hash(col("id"), lit(17)), lit(997)))
+        ).as("qtext")).localCheckpoint(true)
+      timed("bm25 batch 10k literal")(
+        graft.ops.Retrieval.bm25ProbeIndex(bmDb, batchQs, 10).count())
+      timed("bm25 batch 10k relational")(
+        graft.ops.Retrieval.bm25ProbeRelational(bmDb, batchQs, 10).count())
     }
     // BPE merge learning: one corpus scan to the word-frequency table,
     // then 6 vocab-sized rounds — round cost must track the VOCAB, not

@@ -81,6 +81,16 @@ object ServeLatency {
         f"qps=${sorted.length / wall}%6.1f " +
         f"amortized=${wall * 1000 / sorted.length}%6.1f ms/lookup")
     }
+    // ── deep history: the per-GET freshness probe must stay O(1) as
+    // commits accumulate (the `latest` pointer; before it, every cached
+    // GET paid a full _manifest readdir — the latency floor at 10⁴
+    // commits on a long-lived warehouse)
+    ms("currentVersion @ shallow history", 2000)(
+      graft.store.Manifest.currentVersion(wh))
+    (1 to 10000).foreach(_ => graft.store.Manifest.update(wh)(m => m))
+    ms("currentVersion @ 10k versions", 2000)(
+      graft.store.Manifest.currentVersion(wh))
+    ms("GET exact key, cached snapshot @ 10k versions", 50)(get("/k0000042"))
     }
     srv.stop()
 

@@ -190,12 +190,51 @@ object Retrieval {
     probeWithTerms(db, qterms, pairs.map(_._2).distinct.sorted.toArray, k)
   }
 
-  private def probeWithTerms(db: graft.store.Db, qterms: DataFrame,
-                             terms: Array[String], k: Int): DataFrame = {
+  /** [[bm25ProbeIndex]] for DISTRIBUTED query sets — the batch-probe
+    * twin with BOUNDED driver state, mirroring
+    * [[Similarity.ivfPqProbePersistedRelational]]: the literal path
+    * collects the distinct term set to the driver and plants it in the
+    * plan as an `isin` literal, which is the right shape for
+    * serving-sized query lists but a driver-memory and plan-size cliff
+    * at a 10⁵-query batch (e.g. mining queries for every document of a
+    * corpus). Here the term set never leaves the cluster: the postings
+    * keyspace is prefix-pruned by the scan (`key ∈ ["p/", succ)`), then
+    * a LEFT-SEMI join on `key` against the batch's derived term keys
+    * keeps only the touched terms — Spark broadcasts or bloom-prunes the
+    * slim build side as it sizes it (the term set is vocabulary-bounded
+    * regardless of query count). Identical scores to the literal path
+    * (same scoring kernel, RetrievalBatchSpec value-equality).
+    */
+  def bm25ProbeRelational(db: graft.store.Db, queries: DataFrame,
+                          k: Int): DataFrame = {
+    val snap = requireIndex(db)
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val qkeys = qterms.select(concat(lit("p/"), col("term")).as("key"))
+      .distinct()
+    val postings = snap.read("p/%")
+      .join(qkeys, Seq("key"), "left_semi")
+      .select(col("ts").as("doc_id"), col("term"), col("f"))
+    val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
+    // plain (AQE-planned) joins on the query side: a batch's qterms can
+    // be arbitrarily large, so the broadcast decision belongs to the
+    // runtime, not the plan
+    scoreProbe(qterms, postings, dl, k, broadcastQ = false)
+  }
+
+  private def requireIndex(db: graft.store.Db): graft.store.Db#Snapshot = {
     val snap = db.snapshot()
     require(snap.manifest.dataTxids.nonEmpty &&
       snap.read("pd/").columns.contains("dl"),
       s"no BM25 index registered in ${db.warehouse} — run buildBm25Index first")
+    snap
+  }
+
+  private def probeWithTerms(db: graft.store.Db, qterms: DataFrame,
+                             terms: Array[String], k: Int): DataFrame = {
+    val snap = requireIndex(db)
     if (terms.isEmpty)
       return qterms.sparkSession.range(0)
         .select(col("id").as("query_id"), col("id").as("doc_id"),
@@ -213,13 +252,26 @@ object Retrieval {
       .filter(col("key").isin(terms.map("p/" + _): _*))
       .select(col("ts").as("doc_id"), col("term"), col("f"))
     val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
-    // corpus stats derived from the per-document store at probe time —
-    // appends can never leave them stale. Kept RELATIONAL (one-row agg
-    // broadcast-crossed into the scored postings, the bm25TopK shape)
-    // so the probe never runs a driver-side stats job: the steady-state
-    // serving path stays one Spark job per probe, not two.
+    scoreProbe(qterms, postings, dl, k, broadcastQ = true)
+  }
+
+  /** The shared probe scoring kernel — ONE implementation, so the
+    * literal and relational probe paths cannot drift in arithmetic:
+    * corpus stats derived from the per-document store at probe time
+    * (appends can never leave them stale), kept RELATIONAL (one-row agg
+    * broadcast-crossed into the scored postings, the bm25TopK shape) so
+    * the probe never runs a driver-side stats job — the steady-state
+    * serving path stays one Spark job per probe, not two. `broadcastQ`
+    * pins the broadcast for serving-sized query sets; batch probes leave
+    * the join strategy to AQE.
+    */
+  private def scoreProbe(qterms: DataFrame, postings: DataFrame,
+                         dl: DataFrame, k: Int,
+                         broadcastQ: Boolean): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val termDf = postings.groupBy("term").agg(count(lit(1)).as("nt"))
+    val bq = if (broadcastQ) broadcast(qterms) else qterms
+    val btd = if (broadcastQ) broadcast(termDf) else termDf
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(
       (col("n_docs") - col("nt") + 0.5) / (col("nt") + 0.5) + 1.0)
@@ -227,8 +279,8 @@ object Retrieval {
       (col("f") + (col("dl") / avgdl * B + (1.0 - B)) * K1)
     val contrib = round(idf * tfn * MICRO.toDouble, 0).cast("long")
     val scored = postings
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(termDf), Seq("term"))
+      .join(bq, Seq("term"))
+      .join(btd, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
@@ -443,6 +495,23 @@ object Retrieval {
         text.split(" ").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
       }
       .mkString(", ")
+    sqlBm25Body(s"q(query_id, term) AS (VALUES $qvals)", k)
+  }
+
+  /** [[sqlBm25]] for a DERIVED query set — the oracle twin of
+    * [[bm25ProbeRelational]]: `querySql` is any SELECT producing
+    * (query_id, qtext), tokenized exactly like the Spark side
+    * (single-space split, empties dropped, per-query distinct terms).
+    */
+  def sqlBm25From(querySql: String, k: Int): String =
+    sqlBm25Body(
+      s"""q AS (
+         |  SELECT DISTINCT query_id, term FROM (
+         |    SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+         |    FROM ($querySql))
+         |  WHERE len(term) > 0)""".stripMargin, k)
+
+  private def sqlBm25Body(qCte: String, k: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, term FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -451,7 +520,7 @@ object Retrieval {
        |  SELECT doc_id, term, count(*) AS f FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-       |q(query_id, term) AS (VALUES $qvals),
+       |$qCte,
        |tdf AS (
        |  SELECT term, count(*) AS nt FROM postings
        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
@@ -477,5 +546,4 @@ object Retrieval {
        |            ORDER BY score_micro DESC, doc_id) AS rank
        |  FROM agg)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 }

@@ -1880,6 +1880,45 @@ object Similarity {
       timeBucketNanos = Some(1L), bucketMajor = true)
   }
 
+  /** PQ geometry cache for [[indexGeometry]] — version-keyed like
+    * [[indexMetaCache]] (and evicted the same way), so serving-tier
+    * validation costs zero jobs in steady state.
+    */
+  private val geometryCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[(Int, Int)]]()
+
+  /** The PQ geometry a [[buildIndex]] warehouse actually persists —
+    * (m, dim) derived from its reserved meta rows in ONE bounded job:
+    * `m` = the number of distinct codebook subspaces, `dim` = the coarse
+    * centroid length. None when the warehouse holds no index meta.
+    * Serving callers validate request geometry against this instead of
+    * trusting query parameters — a mismatched `m`/`dim` would otherwise
+    * score garbage ADC distances without any error.
+    */
+  def indexGeometry(db: graft.store.Db): Option[(Int, Int)] = {
+    val snap = db.snapshot()
+    if (snap.manifest.dataTxids.isEmpty) return None
+    val key = (db.warehouse, snap.manifest.version)
+    val out = geometryCache.computeIfAbsent(key, _ => {
+      val meta = snap.readInstants(Seq(CELL_CENTROIDS, CELL_CODEBOOK),
+        ordered = false)
+      if (!meta.columns.contains("sub") || !meta.columns.contains("codes"))
+        None // not an index warehouse at all
+      else {
+        val r = meta.agg(
+            countDistinct(when(col("ts") === CELL_CODEBOOK, col("sub")))
+              .as("m"),
+            max(when(col("ts") === CELL_CENTROIDS, size(col("codes"))))
+              .as("dim"))
+          .head()
+        if (r.isNullAt(1) || r.getLong(0) == 0L) None
+        else Some((r.getLong(0).toInt, r.getInt(1)))
+      }
+    })
+    geometryCache.keySet.removeIf(k => k._1 == key._1 && k._2 < key._2)
+    out
+  }
+
   /** Train-artifact cache for probe-many steady state: keyed by
     * (warehouse, manifest version, m), so an append or rebuild — which
     * always advances the manifest — naturally invalidates. Entries are a

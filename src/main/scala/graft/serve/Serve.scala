@@ -221,13 +221,40 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     case Some(s) => s.toIntOption.filter(k => k > 0 && k <= 10000)
   }
 
-  /** PQ geometry overrides for non-default indexes: `m=<subquantizers>`,
-    * `dim=<dimensions>` (defaults [[graft.ops.Similarity.PQ_M]] / 64 —
+  /** PQ geometry for a probe — read from the INDEX's own persisted meta
+    * rows ([[graft.ops.Similarity.indexGeometry]], version-cached so the
+    * steady state costs zero jobs), not trusted from the request: a
+    * caller-asserted `m`/`dim` that disagrees with the stored codes
+    * would score garbage ADC distances with no error at all. `m=`/`dim=`
+    * params must AGREE with the meta when present (Left = the 400 body
+    * on mismatch); they act as overrides only when the warehouse carries
+    * no readable geometry (defaults [[graft.ops.Similarity.PQ_M]] / 64 —
     * the engine-wide embedding shape).
     */
-  private def geometry(p: Map[String, String]): (Int, Int) = (
-    p.get("m").flatMap(_.toIntOption).getOrElse(graft.ops.Similarity.PQ_M),
-    p.get("dim").flatMap(_.toIntOption).getOrElse(64))
+  private def geometry(p: Map[String, String],
+                       ann: Db): Either[String, (Int, Int)] = {
+    val pm = p.get("m").flatMap(_.toIntOption)
+    val pd = p.get("dim").flatMap(_.toIntOption)
+    graft.ops.Similarity.indexGeometry(ann) match {
+      case Some((im, idim)) =>
+        if (pm.exists(_ != im))
+          Left(s"m=${pm.get} does not match index geometry m=$im\n")
+        else if (pd.exists(_ != idim))
+          Left(s"dim=${pd.get} does not match index geometry dim=$idim\n")
+        else Right((im, idim))
+      case None =>
+        Right((pm.getOrElse(graft.ops.Similarity.PQ_M), pd.getOrElse(64)))
+    }
+  }
+
+  /** A wrong-arity query vector answers 400, not a garbage probe — the
+    * geometry validation's companion check (the stored codes expect
+    * exactly `dim` components).
+    */
+  private def vecDimError(p: Map[String, String], dim: Int): Option[String] = {
+    val n = p.get("vec").map(_.split(',').count(_.trim.nonEmpty)).getOrElse(0)
+    if (n != dim) Some(s"vec has $n dims, index expects $dim\n") else None
+  }
 
   /** `vec=f1,f2,…` → the one-row literal query frame the persisted ANN
     * probe takes; query_id = -1 so the self-match filter (query_id =!=
@@ -258,7 +285,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val k = kOf(p).getOrElse(return (400, "k out of range\n"))
     val nProbe = p.get("nprobe").flatMap(_.toIntOption).getOrElse(1)
     if (nProbe <= 0 || nProbe > 64) return (400, "nprobe out of range\n")
-    val (m, dim) = geometry(p)
+    val (m, dim) = geometry(p, ann) match {
+      case Left(err) => return (400, err)
+      case Right(g)  => g
+    }
+    vecDimError(p, dim).foreach(err => return (400, err))
     val spark = db.spark
     import spark.implicits._
     val hits = graft.ops.Similarity
@@ -290,7 +321,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val fetch = p.get("fetch").flatMap(_.toIntOption).getOrElse(100)
     if (fetch < k || fetch > 10000) return (400, "fetch out of range\n")
     val nProbe = p.get("nprobe").flatMap(_.toIntOption).getOrElse(1)
-    val (m, dim) = geometry(p)
+    val (m, dim) = geometry(p, ann) match {
+      case Left(err) => return (400, err)
+      case Right(g)  => g
+    }
+    vecDimError(p, dim).foreach(err => return (400, err))
     val spark = db.spark
     import spark.implicits._
     // the two probes are independent Spark jobs — run them CONCURRENTLY
@@ -319,14 +354,39 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 
+  private val spooled = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bytes PUT bodies have spooled through temp files since start —
+    * observable for ServeSpec's never-on-the-driver-heap case.
+    */
+  def putBytesSpooled: Long = spooled.get()
+
+  /** PUT ingest, reference parity with sonnerie-serve's tempfile external
+    * sort (`src/bin/sonnerie-serve.rs:114-185`): the request body streams
+    * to a TEMP FILE in bounded chunks — the driver never materializes it
+    * on the heap, so a multi-GB PUT degrades to disk instead of OOMing
+    * the server — then parses as a Spark text source feeding
+    * [[TxWriter]]'s range-shuffle sort. Semantics unchanged: the whole
+    * body is ONE transaction, committed atomically, `201 ok`. (The spool
+    * lives on the driver's local disk; a multi-executor serving tier
+    * would point it at storage the executors share — batch ingest at
+    * that scale goes through [[graft.streaming.StreamIngest]] anyway.)
+    */
   private def doPut(ex: HttpExchange): Unit = {
     val spark = db.spark
-    import spark.implicits._
-    val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8")
-      .getLines().filter(_.trim.nonEmpty).toSeq
-    val recs = TextIngest.parseWithFmt(spark, spark.createDataset(body))
-    TxWriter.write(db, recs.toDF())
-    respond(ex, 201, "ok")
+    val tmp = java.nio.file.Files.createTempFile("graft-put-spool", ".txt")
+    try {
+      val n = java.nio.file.Files.copy(ex.getRequestBody, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      spooled.addAndGet(n)
+      val lines = spark.read.textFile(tmp.toString)
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.trim(col("value"))) > 0)
+        .as(org.apache.spark.sql.Encoders.STRING)
+      val recs = TextIngest.parseWithFmt(spark, lines)
+      TxWriter.write(db, recs.toDF()) // forces the read; spool freed below
+      respond(ex, 201, "ok")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {

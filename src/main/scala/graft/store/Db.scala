@@ -372,8 +372,9 @@ object Db {
     * same warehouse, every cached listing still valid) or a warehouse
     * deleted and recreated at the same path (txids AND manifest versions
     * restart — every cached listing poisoned). The two are told apart by
-    * [[Manifest.creationId]] — the filesystem identity of the oldest
-    * manifest file, which only a recreation replaces — so historical
+    * [[Manifest.identity]] — the manifest-minted warehouse UUID, with
+    * the oldest-file identity heuristic as the pre-field fallback; only
+    * a recreation changes either — so historical
     * snapshots no longer thrash the cache for every concurrent reader,
     * and the recreation purge stays correct. The id check costs one
     * readdir + stat and runs ONLY on regression (steady-state probes
@@ -384,7 +385,7 @@ object Db {
   private val versionWatermark =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** [[Manifest.creationId]] as of the first cached listing — the
+  /** [[Manifest.identity]] as of the first cached listing — the
     * baseline the regression check compares against.
     */
   private val creationIds =
@@ -400,7 +401,7 @@ object Db {
     // deleted and recreated at the same path; see versionWatermark
     val seen = versionWatermark.get(warehouse)
     if (seen != null && manifestVersion < seen) {
-      val cur = Manifest.creationId(warehouse)
+      val cur = Manifest.identity(warehouse)
       val known = creationIds.get(warehouse)
       if (known == null || known.isEmpty || cur.isEmpty || cur != known) {
         // recreated (or identity unknowable): purge and rebase
@@ -412,7 +413,7 @@ object Db {
     }
     versionWatermark.merge(warehouse, manifestVersion,
       (a, b) => if (a >= b) a else b)
-    creationIds.computeIfAbsent(warehouse, Manifest.creationId)
+    creationIds.computeIfAbsent(warehouse, Manifest.identity)
     bucketCache.computeIfAbsent((warehouse, txid), _ => {
       val path = new org.apache.hadoop.fs.Path(s"$dataDir/txid=$txid")
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

@@ -67,11 +67,15 @@ final case class ManifestState(
       * plain-ingest writer.
       */
     streamBatches: Map[String, Long] = Map.empty,
-    /** Warehouse-lifetime identity, minted once when version 1 commits
-      * and carried forward by every later version (case-class copy), so
-      * it survives history pruning and needs no filesystem introspection.
-      * "" on warehouses created before the field existed — readers fall
-      * back to [[Manifest.creationId]]'s file-identity heuristic.
+    /** Warehouse-lifetime identity: a UUID minted by [[Manifest.update]]/
+      * [[Manifest.commit]]-callers at the version-0→1 commit and carried
+      * forward by every later version (case-class copy), so it survives
+      * history pruning and needs no filesystem introspection. Deleting
+      * and recreating a warehouse at the same path mints a DIFFERENT id,
+      * which is how [[Db.txBuckets]] tells recreation (purge caches) from
+      * time travel (keep them). "" on warehouses written before the field
+      * existed — readers fall back to [[Manifest.creationId]]'s
+      * file-identity heuristic via [[Manifest.identity]].
       */
     created: String = ""
 ) {
@@ -122,7 +126,7 @@ final case class ManifestState(
     val sinks = streamBatches.toVector.sortBy(_._1).map { case (k, v) =>
       s"${b64(k)} $v"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"created":"$created","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
   }
 }
 
@@ -166,20 +170,66 @@ object Manifest {
     val d = dir(warehouse)
     if (!Files.isDirectory(d))
       return ManifestState(0L, 0L, Vector.empty, Vector.empty)
-    val files = manifestFiles(d)
-    if (files.isEmpty) ManifestState(0L, 0L, Vector.empty, Vector.empty)
-    else parse(Files.readString(files.maxBy(versionOf)))
+    val v = currentVersion(warehouse)
+    if (v == 0L) return ManifestState(0L, 0L, Vector.empty, Vector.empty)
+    try parse(Files.readString(d.resolve(f"v$v%012d.json")))
+    catch {
+      // lost a race with concurrent history maintenance between the
+      // version probe and the read — the listing is authoritative
+      case _: java.io.IOException =>
+        val files = manifestFiles(d)
+        if (files.isEmpty) ManifestState(0L, 0L, Vector.empty, Vector.empty)
+        else parse(Files.readString(files.maxBy(versionOf)))
+    }
   }
 
-  /** Highest manifest version on disk WITHOUT reading any file — one
-    * directory listing. The cheap invalidation probe for cached snapshots
-    * ([[graft.serve.Serve]]'s reader cache): a commit bumps the version,
-    * so `currentVersion != cached.version` ⟺ the cache is stale. 0 when
-    * nothing was ever committed (matching [[current]]'s empty state).
+  /** The `latest` version-pointer HINT — O(1) commit discovery for
+    * histories of any depth. Every commit best-effort rewrites it; it is
+    * only ever a lower bound (written AFTER its own version file exists,
+    * and a racing older committer can at worst re-publish an older
+    * number), so readers trust it exactly one direction: start there and
+    * walk FORWARD over whatever it missed. The version files stay
+    * authoritative — a missing/corrupt/ahead-of-disk hint falls back to
+    * the full listing, so correctness never depends on it.
+    */
+  private def hintPath(d: Path): Path = d.resolve("latest")
+
+  private def readHint(d: Path): Long =
+    try {
+      val s = Files.readString(hintPath(d)).trim
+      if (s.matches("\\d+")) s.toLong else 0L
+    } catch { case _: java.io.IOException => 0L }
+
+  private def writeHint(d: Path, version: Long): Unit =
+    try {
+      if (readHint(d) < version) {
+        val tmp = Files.createTempFile(d, ".tmp-latest", "")
+        Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, hintPath(d), StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case _: java.io.IOException => () } // a hint may fail silently
+
+  /** Highest manifest version on disk WITHOUT reading any manifest — the
+    * cheap invalidation probe for cached snapshots ([[graft.serve.Serve]]'s
+    * reader cache): a commit bumps the version, so
+    * `currentVersion != cached.version` ⟺ the cache is stale. O(1) in
+    * history depth via the `latest` pointer (one small-file read + an
+    * existence probe per commit the pointer missed — normally zero); a
+    * full directory listing only when the hint is absent or stale-high
+    * (e.g. pre-pointer warehouses), so a 10⁵-commit history no longer
+    * pays a 10⁵-entry readdir per request. 0 when nothing was ever
+    * committed (matching [[current]]'s empty state).
     */
   def currentVersion(warehouse: String): Long = {
     val d = dir(warehouse)
     if (!Files.isDirectory(d)) return 0L
+    val hinted = readHint(d)
+    if (hinted > 0L && Files.exists(d.resolve(f"v$hinted%012d.json"))) {
+      var v = hinted
+      while (Files.exists(d.resolve(f"v${v + 1}%012d.json"))) v += 1
+      return v
+    }
     manifestFiles(d).map(versionOf).foldLeft(0L)(math.max)
   }
 
@@ -193,6 +243,18 @@ object Manifest {
     * was recreated" (purge). "" when no manifest exists or the
     * filesystem exposes no file key.
     */
+  /** The warehouse-lifetime identity readers should compare: the minted
+    * [[ManifestState.created]] UUID when the warehouse has one (every
+    * warehouse first committed since the field existed), else the
+    * [[creationId]] file-identity heuristic for pre-field warehouses.
+    * Recreating a warehouse at the same path changes the value under
+    * either source.
+    */
+  def identity(warehouse: String): String = {
+    val minted = current(warehouse).created
+    if (minted.nonEmpty) minted else creationId(warehouse)
+  }
+
   def creationId(warehouse: String): String = {
     val d = dir(warehouse)
     if (!Files.isDirectory(d)) return ""
@@ -267,7 +329,7 @@ object Manifest {
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
       longField("timeBucket"), longField("bucketMajor") == 1L,
-      b64Field("schemaB64"), stats, sinks)
+      b64Field("schemaB64"), stats, sinks, b64Field("createdB64"))
   }
 
   /** Merge a newly committed transaction's data schema into the tracked
@@ -307,6 +369,7 @@ object Manifest {
       // tmp first, so the version appears atomically complete.
       Files.createLink(target, tmp)
       Files.deleteIfExists(tmp)
+      writeHint(d, next.version) // O(1) discovery for the next reader
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |
@@ -315,12 +378,25 @@ object Manifest {
     }
   }
 
+  /** Genesis identity: the version-0→1 commit mints the warehouse-lifetime
+    * [[ManifestState.created]] id; every later commit carries it forward
+    * untouched (case-class copy), so it never changes for the warehouse's
+    * life. A warehouse first written before the field existed keeps ""
+    * forever — minting later would make it look recreated to cache
+    * rebasing — and is identified by [[creationId]] instead.
+    */
+  private[store] def withCreated(expected: ManifestState,
+                                 next: ManifestState): ManifestState =
+    if (expected.version == 0L && next.created.isEmpty)
+      next.copy(created = java.util.UUID.randomUUID().toString)
+    else next
+
   /** Run `mutate` under optimistic concurrency until the commit lands. */
   def update(warehouse: String)(mutate: ManifestState => ManifestState): ManifestState = {
     var attempts = 0
     while (true) {
       val cur = current(warehouse)
-      val next = mutate(cur).copy(version = cur.version + 1)
+      val next = withCreated(cur, mutate(cur).copy(version = cur.version + 1))
       if (commit(warehouse, cur, next)) return next
       attempts += 1
       if (attempts > 100) throw new IllegalStateException("manifest commit contention")

@@ -32,6 +32,22 @@ object TxWriter {
 
   final class OrderingViolation(msg: String) extends RuntimeException(msg)
 
+  /** Loud failure for the bucket-explosion misuse. */
+  final class BucketExplosion(msg: String) extends RuntimeException(msg)
+
+  /** Default cap on `tbucket=` partition directories ONE transaction may
+    * mint. The hazard it guards (measured, see [[graft.serve.Serve]]'s
+    * constructor note): a time-bucketed warehouse whose bucket width is
+    * dense in the data's ts domain — e.g. co-locating a ts=doc_id store
+    * in a width-1 ANN-index warehouse — mints one directory per distinct
+    * ts (100k docs → 100k dirs), which evicts planning caches and makes
+    * every later read list the world. Legitimate layouts sit far below
+    * it (ANN indexes: nCells ≤ 4096 cell dirs; time series: one dir per
+    * bucket in the batch's time range); a genuine multi-year backfill
+    * that needs more raises `maxNewBuckets` explicitly per write.
+    */
+  val DefaultMaxNewBuckets = 16384
+
   /** Append one data transaction; returns its txid.
     *
     * @param strict reject duplicate (key, ts) pairs within the transaction —
@@ -53,10 +69,18 @@ object TxWriter {
     *        bucket IS the IVF cell, writes 256 cells × 32 tasks = one
     *        file per cell instead of a task×cell small-file explosion.
     */
+  /** @param maxNewBuckets refuse (loudly, [[BucketExplosion]]) a write
+    *        that minted more than this many `tbucket=` dirs — the
+    *        write-time guard for the warehouse-sticky layout hazard
+    *        ([[DefaultMaxNewBuckets]]). The refused transaction is never
+    *        published (readers cannot see it; [[Compactor.vacuum]] cleans
+    *        the orphan directory).
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
             rangePartitions: Option[Int] = None,
             timeBucketNanos: Option[Long] = None,
-            bucketMajor: Boolean = false): Long = {
+            bucketMajor: Boolean = false,
+            maxNewBuckets: Int = DefaultMaxNewBuckets): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -83,9 +107,6 @@ object TxWriter {
       if (fresh) bucketMajor && width > 0 else pre.bucketMajor
 
     val txid = claimTxid(db)
-    if (width > 0 && pre.timeBucket == 0L)
-      Manifest.update(db.warehouse)(m =>
-        m.copy(timeBucket = width, bucketMajor = major))
 
     // no explicit partition count unless the caller pins one: an
     // AQE-coalescible range exchange sizes output files to the shuffle
@@ -110,6 +131,31 @@ object TxWriter {
       .option("compression", "zstd")
     val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
     writer.parquet(s"${db.dataDir}/txid=$txid")
+    // bucket-explosion guard: one readdir of the just-written tx BEFORE
+    // publish, so a misconfigured layout fails loudly while the tx is
+    // still invisible instead of poisoning the warehouse's layout forever
+    if (width > 0) {
+      val path = new org.apache.hadoop.fs.Path(s"${db.dataDir}/txid=$txid")
+      val fs = path.getFileSystem(db.spark.sessionState.newHadoopConf())
+      val minted = fs.listStatus(path).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("tbucket="))
+      if (minted > maxNewBuckets)
+        throw new BucketExplosion(
+          s"transaction $txid minted $minted tbucket= dirs (cap " +
+            s"$maxNewBuckets): the warehouse's bucket width ($width ns) is " +
+            "dense in this data's ts domain — give this store its own " +
+            "warehouse with a suitable width (one store per warehouse), or " +
+            "raise maxNewBuckets explicitly for a legitimate backfill. The " +
+            "transaction was NOT published.")
+    }
+    // the sticky width/layout commits only once a write SURVIVES the
+    // guard — a refused first write must not poison the warehouse's
+    // layout for every later one (conditional: a racing first writer
+    // that already set a width wins, matching `pre`-resolution above)
+    if (width > 0 && pre.timeBucket == 0L)
+      Manifest.update(db.warehouse)(m =>
+        if (m.timeBucket == 0L) m.copy(timeBucket = width, bucketMajor = major)
+        else m)
     publishData(db, txid, sorted.schema)
     txid
   }
@@ -156,7 +202,8 @@ object TxWriter {
       val cur = Manifest.current(db.warehouse)
       if (cur.nextTxid != expectedNextTxid) return None
       claimed = Manifest.commit(db.warehouse, cur,
-        cur.copy(version = cur.version + 1, nextTxid = expectedNextTxid + 1))
+        Manifest.withCreated(cur,
+          cur.copy(version = cur.version + 1, nextTxid = expectedNextTxid + 1)))
     }
     Some(writeDeleteMarker(db, expectedNextTxid, firstKey, lastKey, t0, t1,
       wildcard))

@@ -68,6 +68,38 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25ProbeLiteral(db, Seq(9L -> ""), 5).isEmpty)
   }
 
+  test("relational batch probe == literal probe, with no term literals in the plan") {
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25rel").toString)
+    val docs = (0L until 200L).map(i =>
+      i -> s"w${i % 7} w${i % 13} w${i % 29} common")
+    Retrieval.buildBm25Index(db, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val qs = Seq(0L -> "w3 w12", 1L -> "common w28", 2L -> "absent",
+      3L -> "w3 w3 w12") // duplicate terms must collapse like the literal path
+    val lit = Retrieval.bm25ProbeIndex(db, qs.toDF("query_id", "qtext"), 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val rel = Retrieval.bm25ProbeRelational(db,
+      qs.toDF("query_id", "qtext"), 5)
+    val got = rel.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == lit, s"relational probe drifted:\n$got\n$lit")
+    // bounded driver state: the term set must NOT be collected into the
+    // plan as isin literals (the batch path's whole reason to exist)
+    val plan = rel.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("p/w3"),
+      s"query terms leaked into the plan as literals:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"expected a semi-join term prune in the plan:\n$plan")
+    // empty / term-less query sets degrade to empty results, not errors
+    val empty = Retrieval.bm25ProbeRelational(db,
+      Seq.empty[(Long, String)].toDF("query_id", "qtext"), 5)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "doc_id", "score_micro", "rank"))
+    assert(Retrieval.bm25ProbeRelational(db,
+      Seq((9L, "")).toDF("query_id", "qtext"), 5).collect().isEmpty)
+  }
+
   test("append == rebuild: incremental index equals the from-scratch one") {
     val all = (0L until 120L).map(i => i -> s"w${i % 5} w${i % 11} tail$i")
     val db1 = graft.store.Db(spark,

@@ -239,6 +239,191 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("PUT bodies spool through a temp file, never the driver heap") {
+    val db = Db(spark, tmpDir("graft-serve-spool"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      // a body big enough that heap-buffering would be visible as a
+      // design, while staying test-fast: 60k lines (~1.2 MB) — the
+      // reference external-sorts PUT bodies through a tempfile
+      // (sonnerie-serve.rs:114-185); this server must spool likewise
+      val n = 60000
+      val body = (0 until n).map(i => f"k$i%06d ${i.toLong} u $i").mkString("\n")
+      val spooled0 = srv.putBytesSpooled
+      val (code, resp) = http("PUT", s"$base/", Some(body))
+      assert(code == 201 && resp == "ok")
+      assert(srv.putBytesSpooled - spooled0 == body.getBytes("UTF-8").length,
+        "the whole body must pass through the spool file")
+      assert(db.snapshot().manifest.dataTxids.size == 1,
+        "spooled PUT is still ONE atomic transaction")
+      assert(db.read("%").count() == n)
+      // point read through the same server to close the loop
+      val (gc, gb) = http("GET", s"$base/k000042")
+      assert(gc == 200 && gb == "k000042\t42\t42\n")
+      // empty body degrades like before: one empty tx, not an error
+      val (ec, _) = http("PUT", s"$base/", Some(""))
+      assert(ec == 201)
+    } finally srv.stop()
+  }
+
+  test("ANN probe geometry comes from the index meta; mismatched params answer 400") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)),
+      (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1))
+    ).toDF("vec_id", "embedding")
+    val db = Db(spark, tmpDir("graft-serve-geom"))
+    val annDb = Db(spark, tmpDir("graft-serve-geom-ann"))
+    graft.ops.Similarity.buildIndex(annDb, emb, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 8)
+    // the stored geometry is discoverable without any caller assertion
+    assert(graft.ops.Similarity.indexGeometry(annDb).contains((2, 8)))
+    val srv = new Serve(db, annDb = Some(annDb)).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val q = "0.9,0.1,0,0,0,0,0.1,0.9"
+      // params are OPTIONAL now: the index's own meta drives the probe
+      val (c0, b0) = http("GET", s"$base/_query/ann?vec=$q&k=3")
+      assert(c0 == 200, b0)
+      // agreeing params still work
+      assert(http("GET", s"$base/_query/ann?vec=$q&k=3&m=2&dim=8")._1 == 200)
+      // DISAGREEING params are a 400 with the stored geometry named —
+      // before this guard they scored garbage ADC distances silently
+      val (cm, bm) = http("GET", s"$base/_query/ann?vec=$q&k=3&m=4")
+      assert(cm == 400 && bm.contains("index geometry m=2"), s"$cm $bm")
+      val (cd, bd) = http("GET", s"$base/_query/ann?vec=$q&k=3&dim=16")
+      assert(cd == 400 && bd.contains("index geometry dim=8"), s"$cd $bd")
+      // a wrong-arity vector is a 400 too, not a garbage probe
+      val (cv, bv) = http("GET", s"$base/_query/ann?vec=1,2,3&k=3")
+      assert(cv == 400 && bv.contains("expects 8"), s"$cv $bv")
+      // hybrid validates identically
+      graft.ops.Retrieval.buildBm25Index(db,
+        Seq(0L -> "alpha beta").toDF("doc_id", "text"), "doc_id", "text")
+      val (ch, bh) = http("GET",
+        s"$base/_query/hybrid?q=alpha&vec=$q&k=3&fetch=5&m=4")
+      assert(ch == 400 && bh.contains("index geometry m=2"), s"$ch $bh")
+    } finally srv.stop()
+  }
+
+  test("hybrid verb under a concurrent writer: every response is ONE committed generation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb0 = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)),
+      (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1))
+    ).toDF("vec_id", "embedding")
+    val docs0 = Seq(0L -> "alpha beta", 1L -> "beta gamma",
+      2L -> "alpha alpha", 3L -> "gamma delta").toDF("doc_id", "text")
+    // appended generations are designed to CHANGE the fused top-3, so
+    // distinct index generations give distinct response bodies
+    val docAppends = Seq(
+      Seq(10L -> "alpha alpha alpha"),
+      Seq(11L -> "alpha alpha alpha alpha"))
+    val annAppend = Seq((12L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)))
+
+    val qv = vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)
+    def lexList(d: Db): Seq[(Long, Long, Long)] =
+      graft.ops.Retrieval.bm25ProbeLiteral(d, Seq((-1L, "alpha")), 5)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSeq
+    def denseList(a: Db): Seq[(Long, Long, Long)] =
+      graft.ops.Similarity.ivfPqProbePersisted(a,
+          Seq((-1L, qv)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", 5, m = 2, dim = 8)
+        .select(col("query_id"), col("nn_id"), col("rank").cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq
+    def fuse(lex: Seq[(Long, Long, Long)],
+             den: Seq[(Long, Long, Long)]): String =
+      graft.ops.Retrieval.rrfFuseLocal(lex, den, 3)
+        .map { case (_, d, s, r) => s"$d $s $r" }
+        .mkString("", "\n", "\n")
+
+    // twin replay: capture each committed generation's rank lists by
+    // running the SAME commit sequence on twin warehouses up front
+    val twinDb = Db(spark, tmpDir("graft-serve-race-twin"))
+    val twinAnn = Db(spark, tmpDir("graft-serve-race-twinann"))
+    graft.ops.Retrieval.buildBm25Index(twinDb, docs0, "doc_id", "text")
+    graft.ops.Similarity.buildIndex(twinAnn, emb0, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 8)
+    val lexGens = scala.collection.mutable.ArrayBuffer(lexList(twinDb))
+    docAppends.foreach { batch =>
+      graft.ops.Retrieval.appendBm25Batch(twinDb,
+        batch.toDF("doc_id", "text"), "doc_id", "text")
+      lexGens += lexList(twinDb)
+    }
+    val denseGens = scala.collection.mutable.ArrayBuffer(denseList(twinAnn))
+    graft.ops.Similarity.appendToIndex(twinAnn,
+      annAppend.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      m = 2, dim = 8)
+    denseGens += denseList(twinAnn)
+    // every (data generation, ann generation) combination is a valid
+    // atomic answer; anything else means a response mixed generations
+    val valid = (for (l <- lexGens; d <- denseGens) yield fuse(l, d)).toSet
+    assert(valid.size >= 4, s"generations must be distinguishable: $valid")
+
+    val db = Db(spark, tmpDir("graft-serve-race"))
+    val annDb = Db(spark, tmpDir("graft-serve-race-ann"))
+    graft.ops.Retrieval.buildBm25Index(db, docs0, "doc_id", "text")
+    graft.ops.Similarity.buildIndex(annDb, emb0, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 8)
+    val srv = new Serve(db, annDb = Some(annDb)).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val qs = qv.mkString(",")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val bodies = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val readers = (1 to 4).map { r =>
+        Future {
+          var i = 0
+          while (!done.get()) {
+            // nonce busts the version-keyed result cache so each probe
+            // really races the writer
+            val (c, b) = http("GET",
+              s"$base/_query/hybrid?q=alpha&vec=$qs&k=3&fetch=5&nonce=$r-$i")
+            assert(c == 200, s"$c $b")
+            bodies.add(b)
+            i += 1
+          }
+        }
+      }
+      val writer = Future {
+        docAppends.foreach { batch =>
+          Thread.sleep(150)
+          graft.ops.Retrieval.appendBm25Batch(db,
+            batch.toDF("doc_id", "text"), "doc_id", "text")
+        }
+        Thread.sleep(150)
+        graft.ops.Similarity.appendToIndex(annDb,
+          annAppend.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          m = 2, dim = 8)
+        Thread.sleep(150)
+        done.set(true)
+      }
+      Await.result(Future.sequence(readers :+ writer), 300.seconds)
+      import scala.jdk.CollectionConverters._
+      val observed = bodies.asScala.toSet
+      assert(observed.nonEmpty)
+      val rogue = observed -- valid
+      assert(rogue.isEmpty,
+        s"responses mixing index generations observed:\n${rogue.mkString("---\n")}")
+      // after the writer settles, the served answer is the FINAL generation
+      val (_, settled) = http("GET",
+        s"$base/_query/hybrid?q=alpha&vec=$qs&k=3&fetch=5&nonce=final")
+      assert(settled == fuse(lexGens.last, denseGens.last),
+        s"settled answer must be the last generation:\n$settled")
+    } finally srv.stop()
+  }
+
   test("concurrent PUTs each commit atomically (manifest CAS under load)") {
     val db = Db(spark, tmpDir("graft-serve2"))
     val srv = new Serve(db).start()

@@ -61,6 +61,48 @@ class BucketCacheSpec extends SparkSpec {
     assert(recreated.size == 2, s"stale listing served: $recreated")
   }
 
+  test("warehouse identity is manifest-minted, stable, parsed back, and recreation-sensitive") {
+    val wh = freshWarehouse()
+    val db = Db(spark, wh)
+    writeBucketed(db, 4)
+    val minted = Manifest.current(wh).created
+    assert(minted.nonEmpty, "the version-0→1 commit must mint an identity")
+    assert(Manifest.identity(wh) == minted,
+      "identity must prefer the minted id over the file heuristic")
+    // carried forward untouched by later commits (and round-trips the
+    // JSON parse — the field must survive re-serialization)
+    TxWriter.delete(db, wildcard = "nomatch%")
+    writeBucketed(Db(spark, wh), 2)
+    assert(Manifest.current(wh).created == minted,
+      "every later commit must carry the same identity")
+    // historical versions of the same warehouse carry it too
+    assert(Manifest.at(wh, 1L).created == minted)
+    // a recreation at the same path mints a DIFFERENT identity
+    import java.util.Comparator
+    java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    writeBucketed(Db(spark, wh), 2)
+    val reminted = Manifest.current(wh).created
+    assert(reminted.nonEmpty && reminted != minted,
+      "recreation must mint a fresh identity")
+    // pre-field warehouses (created = "") fall back to the file
+    // heuristic: strip the field from every manifest on disk
+    val d = java.nio.file.Paths.get(wh, "_manifest")
+    java.nio.file.Files.list(d).forEach { p =>
+      if (p.getFileName.toString.matches("v\\d+\\.json")) {
+        val s = java.nio.file.Files.readString(p)
+        java.nio.file.Files.writeString(p,
+          s.replaceAll("\"createdB64\":\"[^\"]*\",", ""))
+      }
+    }
+    assert(Manifest.current(wh).created == "",
+      "legacy manifests parse with an empty identity")
+    val fallback = Manifest.identity(wh)
+    assert(fallback == Manifest.creationId(wh),
+      "identity must fall back to the file heuristic on legacy warehouses")
+  }
+
   test("readInstants on a historical snapshot returns that version's rows") {
     val wh = freshWarehouse()
     val db = Db(spark, wh)

@@ -47,6 +47,36 @@ class RobustnessSpec extends SparkSpec {
     assert(after.nextTxid == 2 && after.version == a.version + 1)
   }
 
+  test("latest pointer is a hint: stale, corrupt, missing or ahead never change currentVersion") {
+    val db = Db(spark, tmpDir("graft-hint"))
+    TxWriter.write(db, Seq(("a", 1L, 10L)).toDF("key", "ts", "v"))
+    TxWriter.write(db, Seq(("b", 2L, 20L)).toDF("key", "ts", "v"))
+    val wh = db.warehouse
+    val truth = Manifest.versions(wh).max // the listing is authoritative
+    assert(Manifest.currentVersion(wh) == truth)
+    val hint = Paths.get(wh, "_manifest", "latest")
+    assert(Files.exists(hint), "commits must maintain the pointer")
+    assert(Files.readString(hint).trim.toLong == truth)
+    // stale-LOW hint (a lagging racer): forward-walk recovers the head
+    Files.writeString(hint, "1")
+    assert(Manifest.currentVersion(wh) == truth, "stale hint must be walked")
+    assert(Manifest.current(wh).version == truth)
+    // corrupt hint: fall back to the listing
+    Files.writeString(hint, "not-a-number")
+    assert(Manifest.currentVersion(wh) == truth)
+    // ahead-of-disk hint (no such version file): fall back to the listing
+    Files.writeString(hint, (truth + 40).toString)
+    assert(Manifest.currentVersion(wh) == truth)
+    // missing hint (pre-pointer warehouse): fall back to the listing
+    Files.deleteIfExists(hint)
+    assert(Manifest.currentVersion(wh) == truth)
+    // the next commit repairs the pointer
+    TxWriter.write(db, Seq(("c", 3L, 30L)).toDF("key", "ts", "v"))
+    val truth2 = Manifest.versions(wh).max
+    assert(Files.readString(hint).trim.toLong == truth2)
+    assert(Manifest.currentVersion(wh) == truth2)
+  }
+
   test("manifest CAS under a true race: every claimant gets a unique txid") {
     // POSIX rename silently REPLACES an existing target, so a rename-based
     // "CAS" lets racing committers all win and share txids (found by the

@@ -92,6 +92,31 @@ class WarehouseSpec extends SparkSpec {
     assert(db.read().count() == 0)
   }
 
+  test("bucket-explosion guard: a dense-ts write refuses loudly and publishes nothing") {
+    val db = freshDb()
+    // a width-1 bucketed warehouse with dense ts (the ANN-index layout)
+    // being fed a ts=doc_id store: one tbucket dir per row — the
+    // warehouse-sticky misuse the guard exists for
+    val dense = (0L until 20L).map(i => (f"k$i%03d", i, i))
+      .toDF("key", "ts", "v")
+    val boom = intercept[TxWriter.BucketExplosion] {
+      TxWriter.write(db, dense, timeBucketNanos = Some(1L),
+        maxNewBuckets = 8)
+    }
+    assert(boom.getMessage.contains("minted 20 tbucket= dirs"), boom.getMessage)
+    // the refused transaction is invisible: nothing published, the
+    // orphan dir is vacuumable, and the warehouse layout is NOT poisoned
+    val m = Manifest.current(db.warehouse)
+    assert(m.dataTxids.isEmpty, "refused tx must not publish")
+    assert(m.timeBucket == 0L,
+      "a refused first write must not poison the sticky layout")
+    Compactor.vacuum(db, graceMs = 0L) // the orphan dir is reclaimable
+    // a layout under the cap (or an explicitly raised cap) still works
+    TxWriter.write(db, dense, timeBucketNanos = Some(1L),
+      maxNewBuckets = 20)
+    assert(rows(db).size == 20)
+  }
+
   test("minor compaction preserves read results, fewer dirs (main.rs:397-499)") {
     val db = freshDb()
     tx(db, ("a", 1L, 1L), ("b", 1L, 2L))        // txid 0 = base, untouched
