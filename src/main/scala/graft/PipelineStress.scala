@@ -238,6 +238,19 @@ object PipelineStress {
         graft.ops.Retrieval.bm25ProbeIndex(bmDb, batchQs, 10).count())
       timed("bm25 batch 10k relational")(
         graft.ops.Retrieval.bm25ProbeRelational(bmDb, batchQs, 10).count())
+      // the 1k-term SINGLE-query edge: parquet In-pushdown range-converts
+      // above spark.sql.parquet.pushdown.inFilterThreshold (default 10),
+      // so the literal path's scan predicate degrades to the
+      // [min-term, max-term] key range — measure whether the isin plan
+      // still beats the semi-join there or the relational path wins
+      val q1k = Seq(0L ->
+        ((0 until 500).map(i => s"w$i") ++
+          (0 until 500).map(i => s"t${i * 19 % 9973}")).mkString(" "))
+        .toDF("query_id", "qtext").localCheckpoint(true)
+      timed("bm25 probe 1kterm literal")(
+        graft.ops.Retrieval.bm25ProbeIndex(bmDb, q1k, 10).count())
+      timed("bm25 probe 1kterm relational")(
+        graft.ops.Retrieval.bm25ProbeRelational(bmDb, q1k, 10).count())
     }
     // BPE merge learning: one corpus scan to the word-frequency table,
     // then 6 vocab-sized rounds — round cost must track the VOCAB, not
