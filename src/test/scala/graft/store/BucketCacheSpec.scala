@@ -103,6 +103,23 @@ class BucketCacheSpec extends SparkSpec {
       "identity must fall back to the file heuristic on legacy warehouses")
   }
 
+  test("history pruning preserves the minted identity and the O(1) head") {
+    val wh = freshWarehouse()
+    val db = Db(spark, wh)
+    writeBucketed(db, 4)
+    (1 to 5).foreach(_ => TxWriter.delete(db, wildcard = "nomatch%"))
+    val id0 = Manifest.identity(wh)
+    Compactor.pruneHistory(db, keep = 2)
+    assert(Manifest.versions(wh).size == 2)
+    // the created id rides in EVERY version, so dropping v1 cannot
+    // change it (the file-inode heuristic would have — that was the
+    // field's reason to exist)
+    assert(Manifest.identity(wh) == id0,
+      "pruning history must not change the warehouse identity")
+    assert(Manifest.currentVersion(wh) == Manifest.versions(wh).max)
+    assert(Manifest.current(wh).created == id0)
+  }
+
   test("readInstants on a historical snapshot returns that version's rows") {
     val wh = freshWarehouse()
     val db = Db(spark, wh)
