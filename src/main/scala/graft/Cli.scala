@@ -157,6 +157,11 @@ object Cli {
             else Compactor.minor(db)
         }
         Compactor.vacuum(db)
+        // deep-history maintenance: bound the manifest version history
+        // (time travel then reaches only retained versions; the minted
+        // warehouse identity survives pruning by construction)
+        flags.get("--prune-history")
+          .foreach(k => Compactor.pruneHistory(db, k.toInt))
 
       case other =>
         sys.error(s"unknown verb: ${other.mkString(" ")}")
@@ -166,7 +171,8 @@ object Cli {
   private val valueFlags = Set("-d", "--format", "--after-time",
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
-    "--since-txid", "--port", "--after-key", "--before-key")
+    "--since-txid", "--port", "--after-key", "--before-key",
+    "--prune-history")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format")
 

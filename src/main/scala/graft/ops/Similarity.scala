@@ -1949,6 +1949,17 @@ object Similarity {
     * pay ZERO metadata jobs (the reference's 10 s reader cache, made
     * exact by version keying).
     */
+  /** Companion geometry guard to [[readIndexMeta]]'s subspace check: a
+    * caller-asserted `dim` that disagrees with the stored centroids
+    * would zip-truncate the query against them — garbage distances with
+    * no error. Every meta consumer calls it right after the read.
+    */
+  private def requireStoredDim(db: graft.store.Db,
+                               cents: Array[Array[Long]], dim: Int): Unit =
+    require(cents.isEmpty || cents(0).length == dim,
+      s"index geometry mismatch in ${db.warehouse}: stored " +
+        s"dim=${cents.headOption.fold(0)(_.length)}, caller requested dim=$dim")
+
   private def readIndexMeta(db: graft.store.Db,
                             snap: graft.store.Db#Snapshot, m: Int)
       : (Array[Array[Long]], Array[Array[(Array[Long], Long)]], Boolean) = {
@@ -1962,6 +1973,13 @@ object Similarity {
           val rows = snap.readInstants(Seq(CELL_CODEBOOK), ordered = false)
             .select(col("sub"), col("nn_id"), col("codes")).collect()
           val byM = rows.groupBy(_.getLong(0))
+          // geometry guard: a caller-asserted m SMALLER than the stored
+          // subspace count would silently score with half a codebook
+          // (garbage distances, no error); larger threw a bare
+          // NoSuchElementException. One loud message for both.
+          require(byM.keySet == (0L until m.toLong).toSet,
+            s"index geometry mismatch in ${db.warehouse}: stored " +
+              s"m=${byM.size} codebook subspaces, caller requested m=$m")
           (0 until m).map { mm =>
             byM(mm.toLong).sortBy(_.getLong(1)).map { r =>
               val cv = r.getSeq[Long](2).toArray
@@ -2000,6 +2018,7 @@ object Similarity {
                     embCol: String, m: Int = PQ_M, dim: Int = 64): Long = {
     val subDim = dim / m
     val (cents, cb, byResidual) = readIndexMeta(db, db.snapshot(), m)
+    requireStoredDim(db, cents, dim)
     val withCell = vectors
       .select(col(idCol).as("nn_id"), veci(col(embCol)).as("v"))
       .withColumn("cell", ivfCellLit(col("v"), cents))
@@ -2038,6 +2057,7 @@ object Similarity {
     val subDim = dim / m
     val snap = db.snapshot()
     val (cents, cb, byResidual) = readIndexMeta(db, snap, m)
+    requireStoredDim(db, cents, dim)
     // cell ranking calls the SAME static kernel the stored assignment ran
     // ([[graft.functions.IvfCell.cosArray]]) on the collected query
     // vectors, so multi-probe selection can't drift from the stored cells
@@ -2147,6 +2167,7 @@ object Similarity {
     val subDim = dim / m
     val snap = db.snapshot()
     val (cents, cb, byResidual) = readIndexMeta(db, snap, m)
+    requireStoredDim(db, cents, dim)
     val qv0 = queries
       .select(col(idCol).as("query_id"), veci(col(embCol)).as("qv"))
     val qcells = qv0.select(col("query_id"),

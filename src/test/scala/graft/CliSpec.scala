@@ -39,6 +39,14 @@ class CliSpec extends SparkSpec {
     cli("-d", wh, "compact", "--major")()
     assert(cli("-d", wh, "read", "%", "--human")().head ==
       "fibonacci\t2020-01-02T00:00:00\t1")
+
+    // deep-history maintenance from the CLI: keep the newest 2 versions;
+    // reads and the warehouse identity are unaffected
+    val id0 = graft.store.Manifest.identity(wh)
+    cli("-d", wh, "compact", "--prune-history", "2")()
+    assert(graft.store.Manifest.versions(wh).size == 2)
+    assert(graft.store.Manifest.identity(wh) == id0)
+    assert(cli("-d", wh, "read", "%")().size == 3)
   }
 
   test("tail verb: change feed with a resumable cursor") {

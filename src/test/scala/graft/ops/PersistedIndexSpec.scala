@@ -92,6 +92,31 @@ class PersistedIndexSpec extends SparkSpec {
     assert(cells == Set(0L), s"PartitionFilters not pinned to cell 0: $pf")
   }
 
+  test("caller-asserted geometry that disagrees with the stored index fails loudly") {
+    val db = Db(spark, tmpDir("graft-pidx-geom"))
+    build(db, corpusA) // stored geometry: m=2, dim=8
+    assert(Similarity.indexGeometry(db).contains((2, dim)))
+    // m SMALLER than stored used to score with half the codebook —
+    // silent garbage; m larger threw a bare NoSuchElementException
+    for (badM <- Seq(1, 4)) {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqProbePersisted(db,
+          corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+          topK = 3, m = badM, dim = dim).collect()
+      }
+      assert(e.getMessage.contains("stored m=2"), e.getMessage)
+    }
+    // wrong dim used to zip-truncate the query against the centroids
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqProbePersisted(db,
+        corpusA.filter(col("vec_id") === 2L), "vec_id", "embedding",
+        topK = 3, m = 2, dim = 16).collect()
+    }
+    assert(e2.getMessage.contains("stored dim=8"), e2.getMessage)
+    // agreeing geometry still probes fine after the failed attempts
+    assert(rows(probe(db, corpusA, queryId = 2L)).nonEmpty)
+  }
+
   test("rebuild supersedes the old index even when cells change") {
     val db = Db(spark, tmpDir("graft-pidx"))
     build(db, corpusA)
