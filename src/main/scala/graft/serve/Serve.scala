@@ -142,9 +142,19 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   /** Served-from-cache count — observable for ServeSpec. */
   def queryCacheHits: Long = qcHits.get()
 
-  private def cachedQuery(ex: HttpExchange)(compute: => (Int, String)): Unit = {
-    val key = (Manifest.currentVersion(db.warehouse),
-      annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse)),
+  /** @param usesData/usesAnn which warehouse versions the verb's answer
+    *   depends on — the cache key carries ONLY those, so a commit to the
+    *   ANN store no longer evicts every cached BM25 answer (and vice
+    *   versa); an irrelevant version can never make an entry stale
+    *   because the verb never reads that warehouse.
+    */
+  private def cachedQuery(ex: HttpExchange, usesData: Boolean = true,
+                          usesAnn: Boolean = false)
+                         (compute: => (Int, String)): Unit = {
+    val key = (
+      if (usesData) Manifest.currentVersion(db.warehouse) else -1L,
+      if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
+      else -1L,
       ex.getRequestURI.toString)
     val hit = queryCache.get(key)
     if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
@@ -160,9 +170,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")
     val pattern = ex.getRequestURI.getPath.stripPrefix("/")
     if (pattern == "_query/bm25") return cachedQuery(ex)(doBm25(params(ex)))
-    if (pattern == "_query/ann") return cachedQuery(ex)(doAnn(params(ex)))
+    if (pattern == "_query/ann")
+      return cachedQuery(ex, usesData = false, usesAnn = true)(
+        doAnn(params(ex)))
     if (pattern == "_query/hybrid")
-      return cachedQuery(ex)(doHybrid(params(ex)))
+      return cachedQuery(ex, usesAnn = true)(doHybrid(params(ex)))
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)

@@ -204,9 +204,11 @@ object Manifest {
     try {
       if (readHint(d) < version) {
         val tmp = Files.createTempFile(d, ".tmp-latest", "")
-        Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, hintPath(d), StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE)
+        try {
+          Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, hintPath(d), StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(tmp) // no-op after a successful move
       }
     } catch { case _: java.io.IOException => () } // a hint may fail silently
 

@@ -306,6 +306,24 @@ class ServeSpec extends SparkSpec {
       val (ch, bh) = http("GET",
         s"$base/_query/hybrid?q=alpha&vec=$q&k=3&fetch=5&m=4")
       assert(ch == 400 && bh.contains("index geometry m=2"), s"$ch $bh")
+      // result-cache isolation: each verb's key carries only the
+      // versions it READS, so a commit to the other store cannot evict
+      val h0 = srv.queryCacheHits
+      http("GET", s"$base/_query/ann?vec=$q&k=2&nonce=iso") // compute
+      http("GET", s"$base/_query/ann?vec=$q&k=2&nonce=iso") // hit
+      assert(srv.queryCacheHits == h0 + 1)
+      graft.ops.Retrieval.appendBm25Batch(db, // a DATA-store commit
+        Seq(9L -> "beta beta").toDF("doc_id", "text"), "doc_id", "text")
+      http("GET", s"$base/_query/ann?vec=$q&k=2&nonce=iso") // still a hit
+      assert(srv.queryCacheHits == h0 + 2,
+        "a data commit must not evict cached ANN answers")
+      http("GET", s"$base/_query/bm25?q=alpha&k=2&nonce=iso") // compute
+      graft.ops.Similarity.appendToIndex(annDb, // an ANN-store commit
+        Seq((7L, vec(0.7, 0, 0, 0, 0, 0, 0, 0.7))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", m = 2, dim = 8)
+      http("GET", s"$base/_query/bm25?q=alpha&k=2&nonce=iso") // still a hit
+      assert(srv.queryCacheHits == h0 + 3,
+        "an ANN commit must not evict cached BM25 answers")
     } finally srv.stop()
   }
 
