@@ -166,14 +166,38 @@ object Manifest {
     finally s.close()
   }
 
+  /** Parsed-manifest cache: a version file is IMMUTABLE once linked, so
+    * its parse can be shared by every snapshot of that version — at 10k
+    * live transactions a parse costs ~7 ms (50k: ~42 ms, measured) and
+    * `current` runs on every snapshot, claim and publish. The key
+    * carries the file's identity (inode when the filesystem exposes one)
+    * and full-precision mtime, NOT just (warehouse, version): a
+    * warehouse deleted and recreated at the same path restarts version
+    * numbering, and a bare version key would serve the dead warehouse's
+    * state. Keep-latest per warehouse bounds growth; a global cap guards
+    * many-warehouse drivers.
+    */
+  private val parseCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String, java.nio.file.attribute.FileTime), ManifestState]()
+
   def current(warehouse: String): ManifestState = {
     val d = dir(warehouse)
     if (!Files.isDirectory(d))
       return ManifestState(0L, 0L, Vector.empty, Vector.empty)
     val v = currentVersion(warehouse)
     if (v == 0L) return ManifestState(0L, 0L, Vector.empty, Vector.empty)
-    try parse(Files.readString(d.resolve(f"v$v%012d.json")))
-    catch {
+    val p = d.resolve(f"v$v%012d.json")
+    try {
+      val a = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      if (parseCache.size > 4096) parseCache.clear()
+      val key = (warehouse, v,
+        Option(a.fileKey()).fold("")(_.toString), a.lastModifiedTime())
+      val out = parseCache.computeIfAbsent(key,
+        _ => parse(Files.readString(p)))
+      parseCache.keySet.removeIf(k => k._1 == warehouse && k._2 < v)
+      out
+    } catch {
       // lost a race with concurrent history maintenance between the
       // version probe and the read — the listing is authoritative
       case _: java.io.IOException =>

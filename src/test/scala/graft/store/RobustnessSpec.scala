@@ -77,6 +77,30 @@ class RobustnessSpec extends SparkSpec {
     assert(Manifest.currentVersion(wh) == truth2)
   }
 
+  test("manifest parse cache never serves a recreated warehouse's dead state") {
+    val db = Db(spark, tmpDir("graft-parsecache"))
+    val wh = db.warehouse
+    TxWriter.write(db, Seq(("a", 1L, 10L)).toDF("key", "ts", "v"))
+    val before = Manifest.current(wh)
+    assert(before.created.nonEmpty)
+    // same-version reads share one parse (the cache's reason to exist):
+    // immutable file, so identity equality is safe to assert
+    assert(Manifest.current(wh) eq Manifest.current(wh))
+    // delete + recreate at the same path: version numbers RESTART, so a
+    // bare (warehouse, version) cache key would serve the dead state —
+    // the file-identity + mtime key must not
+    import java.util.Comparator
+    java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val db2 = Db(spark, wh)
+    TxWriter.write(db2, Seq(("b", 2L, 20L)).toDF("key", "ts", "v"))
+    val after = Manifest.current(wh)
+    assert(after.created.nonEmpty && after.created != before.created,
+      "recreation must be visible through the parse cache")
+    assert(db2.read("%").select("key").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("manifest CAS under a true race: every claimant gets a unique txid") {
     // POSIX rename silently REPLACES an existing target, so a rename-based
     // "CAS" lets racing committers all win and share txids (found by the
