@@ -178,10 +178,38 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
+    // data reads go through the version-keyed RESULT cache like the
+    // /_query verbs — never stale (warehouse contents are immutable per
+    // manifest version), so a hot key costs a directory stat instead of
+    // a Spark job: the repeated point-lookup regime the reference
+    // answers from its 10 s reader cache, made exact. Oversized answers
+    // (a wildcard over much of the store, a key with very many instants)
+    // overflow to the streaming path below and stay uncached, so the
+    // driver never buffers more than the entry cap.
+    val cacheKey = (Manifest.currentVersion(db.warehouse), -1L,
+      ex.getRequestURI.toString)
+    locally {
+      val hit = queryCache.get(cacheKey)
+      if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
+    }
     val snap = snapshot()
     val df = if (w.isExact) snap.get(w.pattern) else snap.read(pattern)
     val lines = TextIngest.print(db.spark, TextIngest.asRecords(df),
       tsMode = if (human) TextIngest.TsHuman else TextIngest.TsNanos)
+    val it = lines.toLocalIterator()
+    // accumulate up to the entry cap BEFORE committing to a transfer
+    // mode: under it → one Content-Length response, cacheable; over it →
+    // chunked streaming of what's buffered plus the rest
+    val cap = 256 * 1024
+    val sb = new java.lang.StringBuilder
+    while (it.hasNext && sb.length <= cap) {
+      sb.append(it.next()); sb.append('\n')
+    }
+    if (!it.hasNext && sb.length <= cap) {
+      val body = sb.toString
+      queryCache.put(cacheKey, body)
+      return respond(ex, 200, body)
+    }
     ex.getResponseHeaders.set("Content-Type", "text/plain")
     // materialize the first partition lazily BEFORE committing the 200?
     // No — planning errors throw before this point; runtime errors can
@@ -191,7 +219,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       .asInstanceOf[java.util.concurrent.atomic.AtomicBoolean].set(true)
     val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
-    lines.toLocalIterator().forEachRemaining { l => out.write(l); out.write('\n') }
+    out.write(sb.toString)
+    it.forEachRemaining { l => out.write(l); out.write('\n') }
     out.flush()
   }
 

@@ -239,6 +239,30 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("point-lookup GETs serve from the version-keyed result cache") {
+    val db = Db(spark, tmpDir("graft-serve-ptcache"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      http("PUT", s"$base/", Some("k1 5 u 42\n"))
+      val h0 = srv.queryCacheHits
+      val (c1, b1) = http("GET", s"$base/k1")
+      val (c2, b2) = http("GET", s"$base/k1")
+      assert(c1 == 200 && b1 == "k1\t5\t42\n" && c2 == 200 && b2 == b1)
+      assert(srv.queryCacheHits == h0 + 1,
+        "a repeated point lookup must serve from the result cache")
+      // never stale: a commit mints a new version → new cache key
+      http("PUT", s"$base/", Some("k1 6 u 43\n"))
+      val (_, b3) = http("GET", s"$base/k1")
+      assert(b3 == "k1\t5\t42\nk1\t6\t43\n", s"stale answer served: $b3")
+      assert(srv.queryCacheHits == h0 + 1,
+        "a commit must change the cache key")
+      // ?human is part of the key (different rendering, same version)
+      val (_, bh) = http("GET", s"$base/k1?human")
+      assert(bh.startsWith("k1\t1970-01-01T"), bh)
+    } finally srv.stop()
+  }
+
   test("PUT bodies spool through a temp file, never the driver heap") {
     val db = Db(spark, tmpDir("graft-serve-spool"))
     val srv = new Serve(db).start()
@@ -261,6 +285,15 @@ class ServeSpec extends SparkSpec {
       // point read through the same server to close the loop
       val (gc, gb) = http("GET", s"$base/k000042")
       assert(gc == 200 && gb == "k000042\t42\t42\n")
+      // a result bigger than the cache entry cap (60k lines ≈ 1.2 MB)
+      // overflows to the chunked streaming path — complete and uncached
+      val hits0 = srv.queryCacheHits
+      val (wc, wb) = http("GET", s"$base/k%25")
+      assert(wc == 200 && wb.linesIterator.size == n, s"got ${wb.length} bytes")
+      val (_, wb2) = http("GET", s"$base/k%25")
+      assert(wb2 == wb)
+      assert(srv.queryCacheHits == hits0,
+        "oversized bodies must not enter the result cache")
       // empty body degrades like before: one empty tx, not an error
       val (ec, _) = http("PUT", s"$base/", Some(""))
       assert(ec == 201)
