@@ -78,22 +78,42 @@ object Retrieval {
   // warehouse and pays only the probe per query set — the same
   // register-once/probe-many split as the dedup fingerprint and sketch
   // stores, with the same free-rider benefits (compaction, time travel,
-  // transactional publish). Layout:
+  // transactional publish). Layout v2 (manifest table property
+  // `bm25.layout` = "2"):
   //
-  //   key = "p/<term>"  ts = doc_id  →  term, f          (postings)
-  //   key = "pd/"       ts = doc_id  →  dl               (doc lengths)
+  //   key = "p/<term>"  ts = doc_id   →  term, f, dl     (postings,
+  //                                      doc length DENORMALIZED)
+  //   key = "pd/"       ts = doc_id   →  dl              (doc lengths)
+  //   key = "ps/"       ts = max doc  →  n_docs, sum_dl  (per-BATCH
+  //                                      corpus-stat partials)
   //
-  // Both relations are PER-DOCUMENT rows, so the index is incrementally
-  // maintainable for free: a new batch appends its own postings and
-  // lengths ([[appendBm25Batch]]) and every corpus statistic the score
-  // needs (N, avgdl, per-term df) is derived at probe time from what is
-  // stored — nothing global is cached that an append could invalidate.
+  // All relations are per-document (or per-batch-of-documents) rows, so
+  // the index is incrementally maintainable for free: a new batch
+  // appends its own rows ([[appendBm25Batch]]) and every corpus
+  // statistic the score needs (N, avgdl, per-term df) derives at probe
+  // time from what is stored — nothing global is cached that an append
+  // could invalidate. The ps/ row's ts is the batch's max doc id, a
+  // CONTENT-derived key, so the idempotent re-append of a batch lands
+  // on the same (key, ts) and last-wins dedups it instead of
+  // double-counting the partials.
+  //
+  // Why denormalize dl into the postings (the v2 change): the v1 probe
+  // joined the MATCHED postings against the corpus-sized pd/ relation
+  // to fetch each candidate's length, and aggregated the same relation
+  // for (N, Σdl) — two full slim-column corpus scans + one shuffle per
+  // probe regardless of how few postings matched. v2 probes touch ONLY
+  // the term-pruned postings plus the O(batches) ps/ partials: probe
+  // cost is now independent of corpus size. Build pays the dl join
+  // once; storage grows by one long per posting (zstd'd repetitive).
+  // v1 stores (no `bm25.layout` property) keep the join path — and
+  // because v2 still writes pd/, a v1-plan read of v2 data is correct,
+  // so the layout flag only ever switches between two correct plans.
   //
   // The probe never scans the postings store blind: the query terms
   // become key-prefix reads ("p/<term>" per term — the store is
   // key-sorted, so tx stats + row-group pruning cut the scan to the
   // touched terms), and everything joined after that is bounded by the
-  // matched postings (plus one slim aggregate over the pd/ lengths).
+  // matched postings.
 
   /** Writes one batch's postings + doc lengths as ONE transaction — the
     * shared kernel of build and append. Atomicity matters: the probe
@@ -105,26 +125,60 @@ object Retrieval {
     * register). The two keyspaces share a schema by union (each row
     * carries only its own columns, the other side's are null).
     */
+  /** The manifest property carrying the index's physical layout
+    * generation; absent = v1 (pre-denormalization stores).
+    */
+  val LayoutProp = "bm25.layout"
+
   private def writeBatch(db: graft.store.Db, docs: DataFrame, idCol: String,
-                         textCol: String): Long = {
+                         textCol: String, v2: Boolean): Long = {
     val toks = graft.core.Graft.rebalance(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val postings = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("f"))
-      .select(concat(lit("p/"), col("term")).as("key"),
-        col("doc_id").as("ts"), col("term"), col("f"))
     // doc lengths aggregate the token stream directly (map-side combine
     // collapses each partition to its doc count before the shuffle);
     // deriving them from the postings aggregate instead was measured
     // SLOWER — the union's branches do not share the postings exchange
     // across the range-sampling and shuffle phases
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl0 = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val postings0 = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("f"))
+    val postings =
+      (if (v2) postings0.join(dl0, Seq("doc_id")) // dl denormalized once
+       else postings0)
+        .select(Seq(concat(lit("p/"), col("term")).as("key"),
+          col("doc_id").as("ts"), col("term"), col("f")) ++
+          (if (v2) Seq(col("dl")) else Nil): _*)
+    val dl = dl0
       .select(lit("pd/").as("key"), col("doc_id").as("ts"), col("dl"))
-    graft.store.TxWriter.write(db,
-      postings.unionByName(dl, allowMissingColumns = true))
+    val body = postings.unionByName(dl, allowMissingColumns = true)
+    val all =
+      if (!v2) body
+      else {
+        // one corpus-stat partial per batch; ts = max doc id (content-
+        // derived → idempotent re-appends dedupe under last-wins).
+        // Empty batches contribute no row (null max filtered).
+        val stats = dl0.agg(max(col("doc_id")).as("ts"),
+            count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .filter(col("ts").isNotNull)
+          .select(lit("ps/").as("key"), col("ts"), col("n_docs"),
+            col("sum_dl"))
+        body.unionByName(stats, allowMissingColumns = true)
+      }
+    graft.store.TxWriter.write(db, all)
   }
+
+  /** Record the v2 layout property (idempotent; one extra manifest
+    * commit only when it isn't already set). Ordered AFTER the data
+    * commit: a reader between the two sees v2 rows under the v1 plan,
+    * which is correct — pd/ is still written — just not yet fast.
+    */
+  private def markV2(db: graft.store.Db): Unit =
+    if (!graft.store.Manifest.current(db.warehouse).props.get(LayoutProp)
+        .contains("2"))
+      graft.store.Manifest.update(db.warehouse)(m =>
+        m.copy(props = m.props.updated(LayoutProp, "2")))
 
   /** Materializes the full index. A REBUILD (non-empty warehouse) first
     * drops the index keyspace with delete markers scoped to its
@@ -136,11 +190,13 @@ object Retrieval {
   def buildBm25Index(db: graft.store.Db, docs: DataFrame, idCol: String,
                      textCol: String): Long = {
     if (db.snapshot().manifest.dataTxids.nonEmpty)
-      Seq("p/%", "pd/%").foreach { w =>
+      Seq("p/%", "pd/%", "ps/%").foreach { w =>
         graft.store.TxWriter.delete(db, t0 = Long.MinValue,
           t1 = Long.MaxValue, wildcard = w)
       }
-    writeBatch(db, docs, idCol, textCol)
+    val tx = writeBatch(db, docs, idCol, textCol, v2 = true)
+    markV2(db)
+    tx
   }
 
   /** Incremental maintenance — the FAISS-`add` analogue for the lexical
@@ -153,8 +209,16 @@ object Retrieval {
     * longer contains.
     */
   def appendBm25Batch(db: graft.store.Db, batch: DataFrame, idCol: String,
-                      textCol: String): Long =
-    writeBatch(db, batch, idCol, textCol)
+                      textCol: String): Long = {
+    // match the STORE's layout: a pre-upgrade (v1) store keeps receiving
+    // v1 rows — mixing layouts would leave null dl on some postings. A
+    // fresh/empty store starts at v2.
+    val m = graft.store.Manifest.current(db.warehouse)
+    val v2 = m.props.get(LayoutProp).contains("2") || m.dataTxids.isEmpty
+    val tx = writeBatch(db, batch, idCol, textCol, v2)
+    if (v2) markV2(db)
+    tx
+  }
 
   /** Top-k BM25 per query against the PERSISTED index: per-term
     * key-range reads of the postings store (pruned, never a full scan),
@@ -214,14 +278,15 @@ object Retrieval {
       .distinct()
     val qkeys = qterms.select(concat(lit("p/"), col("term")).as("key"))
       .distinct()
+    val v2 = layoutV2(snap)
     val postings = snap.read("p/%")
       .join(qkeys, Seq("key"), "left_semi")
-      .select(col("ts").as("doc_id"), col("term"), col("f"))
-    val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
+      .select(Seq(col("ts").as("doc_id"), col("term"), col("f")) ++
+        (if (v2) Seq(col("dl")) else Nil): _*)
     // plain (AQE-planned) joins on the query side: a batch's qterms can
     // be arbitrarily large, so the broadcast decision belongs to the
     // runtime, not the plan
-    scoreProbe(qterms, postings, dl, k, broadcastQ = false)
+    scoreProbe(snap, qterms, postings, v2, k, broadcastQ = false)
   }
 
   private def requireIndex(db: graft.store.Db): graft.store.Db#Snapshot = {
@@ -231,6 +296,14 @@ object Retrieval {
       s"no BM25 index registered in ${db.warehouse} — run buildBm25Index first")
     snap
   }
+
+  /** The snapshot's OWN manifest decides the plan (time-travel-correct:
+    * an old snapshot of a since-upgraded store reads with the plan its
+    * version supported — and a v1 plan over v2 rows is correct anyway,
+    * pd/ is still written).
+    */
+  private def layoutV2(snap: graft.store.Db#Snapshot): Boolean =
+    snap.manifest.props.get(LayoutProp).contains("2")
 
   private def probeWithTerms(db: graft.store.Db, qterms: DataFrame,
                              terms: Array[String], k: Int): DataFrame = {
@@ -248,27 +321,35 @@ object Retrieval {
     // probe). At extreme store sizes per-term key reads would add
     // FILE-level pruning on top — swap `snap.read(s"p/$t")` back in if
     // footer listing ever dominates.
+    val v2 = layoutV2(snap)
     val postings = snap.read("p/%")
       .filter(col("key").isin(terms.map("p/" + _): _*))
-      .select(col("ts").as("doc_id"), col("term"), col("f"))
-    val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
-    scoreProbe(qterms, postings, dl, k, broadcastQ = true)
+      .select(Seq(col("ts").as("doc_id"), col("term"), col("f")) ++
+        (if (v2) Seq(col("dl")) else Nil): _*)
+    scoreProbe(snap, qterms, postings, v2, k, broadcastQ = true)
   }
 
   /** The shared probe scoring kernel — ONE implementation, so the
     * literal and relational probe paths cannot drift in arithmetic:
-    * corpus stats derived from the per-document store at probe time
-    * (appends can never leave them stale), kept RELATIONAL (one-row agg
+    * corpus stats derived from the stored rows at probe time (appends
+    * can never leave them stale), kept RELATIONAL (one-row agg
     * broadcast-crossed into the scored postings, the bm25TopK shape) so
     * the probe never runs a driver-side stats job — the steady-state
-    * serving path stays one Spark job per probe, not two. `broadcastQ`
-    * pins the broadcast for serving-sized query sets; batch probes leave
-    * the join strategy to AQE.
+    * serving path stays one Spark job per probe, not two. On a v2
+    * layout the postings already carry `dl` and (N, Σdl) sum over the
+    * O(batches) ps/ partials — nothing corpus-sized is scanned or
+    * joined; v1 falls back to the pd/ join. `broadcastQ` pins the
+    * broadcast for serving-sized query sets; batch probes leave the
+    * join strategy to AQE.
     */
-  private def scoreProbe(qterms: DataFrame, postings: DataFrame,
-                         dl: DataFrame, k: Int,
+  private def scoreProbe(snap: graft.store.Db#Snapshot, qterms: DataFrame,
+                         postings: DataFrame, v2: Boolean, k: Int,
                          broadcastQ: Boolean): DataFrame = {
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val stats =
+      if (v2) snap.read("ps/")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      else snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val termDf = postings.groupBy("term").agg(count(lit(1)).as("nt"))
     val bq = if (broadcastQ) broadcast(qterms) else qterms
     val btd = if (broadcastQ) broadcast(termDf) else termDf
@@ -278,10 +359,14 @@ object Retrieval {
     val tfn = col("f") * (K1 + 1.0) /
       (col("f") + (col("dl") / avgdl * B + (1.0 - B)) * K1)
     val contrib = round(idf * tfn * MICRO.toDouble, 0).cast("long")
-    val scored = postings
-      .join(bq, Seq("term"))
-      .join(btd, Seq("term"))
-      .join(dl, Seq("doc_id"))
+    val joined =
+      if (v2) postings.join(bq, Seq("term")).join(btd, Seq("term"))
+      else {
+        val dl = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
+        postings.join(bq, Seq("term")).join(btd, Seq("term"))
+          .join(dl, Seq("doc_id"))
+      }
+    val scored = joined
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(sum(contrib).as("score_micro"))

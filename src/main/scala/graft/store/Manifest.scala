@@ -67,6 +67,15 @@ final case class ManifestState(
       * plain-ingest writer.
       */
     streamBatches: Map[String, Long] = Map.empty,
+    /** Table properties — small, named metadata carried by every version
+      * (the standard table-format mechanism): writers record facts
+      * readers need BEFORE touching data, e.g. `bm25.layout` = the
+      * postings-index physical layout generation, so a probe can pick
+      * its plan from the (already-cached) manifest with zero extra
+      * jobs. Carried forward by case-class copy; set via
+      * [[withStreamBatch]]-style copy in the writer that owns the key.
+      */
+    props: Map[String, String] = Map.empty,
     /** Warehouse-lifetime identity: a UUID minted by [[Manifest.update]]/
       * [[Manifest.commit]]-callers at the version-0→1 commit and carried
       * forward by every later version (case-class copy), so it survives
@@ -126,7 +135,11 @@ final case class ManifestState(
     val sinks = streamBatches.toVector.sortBy(_._1).map { case (k, v) =>
       s"${b64(k)} $v"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}"}"""
+    // table properties: one "b64(key) b64(value)" line each
+    val propLines = props.toVector.sortBy(_._1).map { case (k, v) =>
+      s"${b64(k)} ${b64(v)}"
+    }.mkString("\n")
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}","propsB64":"${b64(propLines)}"}"""
   }
 }
 
@@ -351,11 +364,16 @@ object Manifest {
         val Array(k, v) = line.split(' ')
         dec64(k) -> v.toLong
       }.toMap
+    val props = b64Field("propsB64").split('\n').filter(_.nonEmpty)
+      .map { line =>
+        val Array(k, v) = line.split(' ')
+        dec64(k) -> dec64(v)
+      }.toMap
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
       longField("timeBucket"), longField("bucketMajor") == 1L,
-      b64Field("schemaB64"), stats, sinks, b64Field("createdB64"))
+      b64Field("schemaB64"), stats, sinks, props, b64Field("createdB64"))
   }
 
   /** Merge a newly committed transaction's data schema into the tracked

@@ -120,6 +120,56 @@ class RetrievalSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().toSeq
     assert(probe(db2) == probe(db1),
       "two appends must land on the same index as one build")
+    // idempotent re-append: the per-batch ps/ stat partial keys on the
+    // batch's max doc id (content-derived), so the same batch landing
+    // twice dedupes under last-wins instead of double-counting N / Σdl
+    Retrieval.appendBm25Batch(db2, all.drop(90).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(probe(db2) == probe(db1),
+      "an idempotent re-append must not change any statistic")
+  }
+
+  test("v2 probes touch no corpus-sized relation; v1 stores keep the join path") {
+    val docs = (0L until 150L).map(i => i -> s"w${i % 5} w${i % 11} common")
+    val qs = Seq(0L -> "w3 common")
+    // v2 (current builds): the plan reads the O(batches) ps/ partials
+    // and the dl rides inside the matched postings — the corpus-sized
+    // pd/ lengths relation appears NOWHERE in the probe plan
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25v2").toString)
+    Retrieval.buildBm25Index(db, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(graft.store.Manifest.current(db.warehouse).props
+      .get(Retrieval.LayoutProp).contains("2"))
+    val probe = Retrieval.bm25ProbeIndex(db, qs.toDF("query_id", "qtext"), 5)
+    val got = probe.as[(Long, Long, Long, Long)].collect().toSeq
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("ps/"), s"stats must come from the partials:\n$plan")
+    assert(!plan.contains("pd/"),
+      "a v2 probe must not scan the corpus-sized lengths relation")
+    // legacy v1 store (pre-upgrade writer): postings without dl, no ps/,
+    // no layout property — the probe must take the join path and score
+    // identically to the direct computation
+    val legacy = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25v1").toString)
+    val toks = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map(id -> _)
+    }
+    val pRows = toks.groupBy(identity).map { case ((id, t), xs) =>
+      (s"p/$t", id, t, xs.size.toLong)
+    }.toSeq.toDF("key", "ts", "term", "f")
+    val dlRows = toks.groupBy(_._1).map { case (id, xs) =>
+      ("pd/", id, xs.size.toLong)
+    }.toSeq.toDF("key", "ts", "dl")
+    graft.store.TxWriter.write(legacy,
+      pRows.unionByName(dlRows, allowMissingColumns = true))
+    assert(graft.store.Manifest.current(legacy.warehouse).props.isEmpty)
+    val legacyProbe = Retrieval.bm25ProbeIndex(legacy,
+      qs.toDF("query_id", "qtext"), 5)
+    assert(legacyProbe.as[(Long, Long, Long, Long)].collect().toSeq == got,
+      "a pre-upgrade store must score identically through the join path")
+    assert(legacyProbe.queryExecution.executedPlan.toString.contains("pd/"),
+      "the v1 fallback must join the lengths relation")
   }
 
   test("index rebuild supersedes: vanished documents stop matching") {
