@@ -1876,9 +1876,27 @@ object Similarity {
         org.apache.spark.sql.types.StructField("codes",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))))
-    graft.store.TxWriter.write(db, codes.unionByName(meta),
+    val tx = graft.store.TxWriter.write(db, codes.unionByName(meta),
       timeBucketNanos = Some(1L), bucketMajor = true)
+    // record the geometry as manifest table properties AFTER the data
+    // commit (a reader between the two falls back to the meta-row job
+    // path — correct, just not yet free). Serving validation then reads
+    // the already-cached manifest: zero Spark jobs.
+    graft.store.Manifest.update(db.warehouse)(st =>
+      st.copy(props = st.props ++ Map(
+        GeomMProp -> m.toString, GeomDimProp -> dim.toString,
+        ResidualProp -> (if (byResidual) "1" else "0"))))
+    tx
   }
+
+  /** Manifest table properties a [[buildIndex]] records for its probes:
+    * PQ geometry and the residual-encoding flag. Absent on pre-props
+    * indexes — readers fall back to deriving them from the reserved
+    * meta rows (one bounded job, version-cached).
+    */
+  val GeomMProp = "ann.m"
+  val GeomDimProp = "ann.dim"
+  val ResidualProp = "ann.residual"
 
   /** PQ geometry cache for [[indexGeometry]] — version-keyed like
     * [[indexMetaCache]] (and evicted the same way), so serving-tier
@@ -1898,6 +1916,14 @@ object Similarity {
   def indexGeometry(db: graft.store.Db): Option[(Int, Int)] = {
     val snap = db.snapshot()
     if (snap.manifest.dataTxids.isEmpty) return None
+    // fast path: geometry rides in the manifest (already parsed and
+    // cached) — zero jobs, the steady state for every index built since
+    // the props existed
+    (snap.manifest.props.get(GeomMProp).flatMap(_.toIntOption),
+        snap.manifest.props.get(GeomDimProp).flatMap(_.toIntOption)) match {
+      case (Some(m), Some(d)) => return Some((m, d))
+      case _                  => ()
+    }
     val key = (db.warehouse, snap.manifest.version)
     val out = geometryCache.computeIfAbsent(key, _ => {
       val meta = snap.readInstants(Seq(CELL_CENTROIDS, CELL_CODEBOOK),
@@ -1987,10 +2013,14 @@ object Similarity {
             }
           }.toArray
         }
-        // flags row is absent on raw indexes (readInstants of a bucket no
-        // tx carries returns an empty frame)
-        val byResidual = snap.readInstants(Seq(CELL_FLAGS), ordered = false)
-          .select(col("nn_id")).collect().exists(_.getLong(0) == 1L)
+        // encoding flag: the manifest property when the build recorded
+        // one (zero jobs); else the flags row — absent on raw pre-props
+        // indexes (readInstants of a bucket no tx carries is empty)
+        val byResidual = snap.manifest.props.get(ResidualProp) match {
+          case Some(v) => v == "1"
+          case None => snap.readInstants(Seq(CELL_FLAGS), ordered = false)
+            .select(col("nn_id")).collect().exists(_.getLong(0) == 1L)
+        }
         (cents, cb, byResidual)
       })
     // keep-latest: a concurrent probe of an older snapshot at worst

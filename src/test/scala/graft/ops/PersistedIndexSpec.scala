@@ -95,7 +95,20 @@ class PersistedIndexSpec extends SparkSpec {
   test("caller-asserted geometry that disagrees with the stored index fails loudly") {
     val db = Db(spark, tmpDir("graft-pidx-geom"))
     build(db, corpusA) // stored geometry: m=2, dim=8
+    // the build records geometry as manifest table properties — the
+    // zero-job fast path for serving-tier validation
+    val props = graft.store.Manifest.current(db.warehouse).props
+    assert(props.get(Similarity.GeomMProp).contains("2") &&
+      props.get(Similarity.GeomDimProp).contains("8") &&
+      props.get(Similarity.ResidualProp).contains("0"), props.toString)
     assert(Similarity.indexGeometry(db).contains((2, dim)))
+    // a pre-props index (properties stripped) falls back to deriving
+    // geometry from the reserved meta rows
+    graft.store.Manifest.update(db.warehouse)(s => s.copy(props =
+      s.props -- Seq(Similarity.GeomMProp, Similarity.GeomDimProp,
+        Similarity.ResidualProp)))
+    assert(Similarity.indexGeometry(db).contains((2, dim)),
+      "meta-row fallback must still derive the stored geometry")
     // m SMALLER than stored used to score with half the codebook —
     // silent garbage; m larger threw a bare NoSuchElementException
     for (badM <- Seq(1, 4)) {
