@@ -172,11 +172,11 @@ object Cli {
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
-    "--prune-history")
+    "--prune-history", "--ann-dir")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format")
 
-  private def parseArgs(args: List[String]): (Map[String, String], List[String]) =
+  private[graft] def parseArgs(args: List[String]): (Map[String, String], List[String]) =
     args match {
       case f :: v :: rest if valueFlags(f) =>
         val (m, p) = parseArgs(rest); (m + (f -> v), p)

@@ -166,19 +166,12 @@ object Retrieval {
             col("sum_dl"))
         body.unionByName(stats, allowMissingColumns = true)
       }
-    graft.store.TxWriter.write(db, all)
+    // the layout property rides IN the publishing commit — atomic with
+    // the rows becoming visible, so no reader can ever observe the flag
+    // without the layout (or crash-strand a stale flag)
+    graft.store.TxWriter.write(db, all,
+      props = if (v2) Map(LayoutProp -> "2") else Map.empty)
   }
-
-  /** Record the v2 layout property (idempotent; one extra manifest
-    * commit only when it isn't already set). Ordered AFTER the data
-    * commit: a reader between the two sees v2 rows under the v1 plan,
-    * which is correct — pd/ is still written — just not yet fast.
-    */
-  private def markV2(db: graft.store.Db): Unit =
-    if (!graft.store.Manifest.current(db.warehouse).props.get(LayoutProp)
-        .contains("2"))
-      graft.store.Manifest.update(db.warehouse)(m =>
-        m.copy(props = m.props.updated(LayoutProp, "2")))
 
   /** Materializes the full index. A REBUILD (non-empty warehouse) first
     * drops the index keyspace with delete markers scoped to its
@@ -194,9 +187,7 @@ object Retrieval {
         graft.store.TxWriter.delete(db, t0 = Long.MinValue,
           t1 = Long.MaxValue, wildcard = w)
       }
-    val tx = writeBatch(db, docs, idCol, textCol, v2 = true)
-    markV2(db)
-    tx
+    writeBatch(db, docs, idCol, textCol, v2 = true)
   }
 
   /** Incremental maintenance — the FAISS-`add` analogue for the lexical
@@ -215,9 +206,7 @@ object Retrieval {
     // fresh/empty store starts at v2.
     val m = graft.store.Manifest.current(db.warehouse)
     val v2 = m.props.get(LayoutProp).contains("2") || m.dataTxids.isEmpty
-    val tx = writeBatch(db, batch, idCol, textCol, v2)
-    if (v2) markV2(db)
-    tx
+    writeBatch(db, batch, idCol, textCol, v2)
   }
 
   /** Top-k BM25 per query against the PERSISTED index: per-term

@@ -1876,17 +1876,14 @@ object Similarity {
         org.apache.spark.sql.types.StructField("codes",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))))
-    val tx = graft.store.TxWriter.write(db, codes.unionByName(meta),
-      timeBucketNanos = Some(1L), bucketMajor = true)
-    // record the geometry as manifest table properties AFTER the data
-    // commit (a reader between the two falls back to the meta-row job
-    // path — correct, just not yet free). Serving validation then reads
-    // the already-cached manifest: zero Spark jobs.
-    graft.store.Manifest.update(db.warehouse)(st =>
-      st.copy(props = st.props ++ Map(
-        GeomMProp -> m.toString, GeomDimProp -> dim.toString,
-        ResidualProp -> (if (byResidual) "1" else "0"))))
-    tx
+    // geometry + encoding flag ride IN the publishing commit (atomic
+    // with the index becoming visible — a rebuild can never strand
+    // yesterday's geometry against today's codes). Serving validation
+    // then reads the already-cached manifest: zero Spark jobs.
+    graft.store.TxWriter.write(db, codes.unionByName(meta),
+      timeBucketNanos = Some(1L), bucketMajor = true,
+      props = Map(GeomMProp -> m.toString, GeomDimProp -> dim.toString,
+        ResidualProp -> (if (byResidual) "1" else "0")))
   }
 
   /** Manifest table properties a [[buildIndex]] records for its probes:

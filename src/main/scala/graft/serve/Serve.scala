@@ -423,7 +423,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       val lines = spark.read.textFile(tmp.toString)
         .filter(org.apache.spark.sql.functions.length(
           org.apache.spark.sql.functions.trim(col("value"))) > 0)
-        .as(org.apache.spark.sql.Encoders.STRING)
       val recs = TextIngest.parseWithFmt(spark, lines)
       TxWriter.write(db, recs.toDF()) // forces the read; spool freed below
       respond(ex, 201, "ok")

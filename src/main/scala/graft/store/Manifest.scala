@@ -191,7 +191,8 @@ object Manifest {
     * many-warehouse drivers.
     */
   private val parseCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String, java.nio.file.attribute.FileTime), ManifestState]()
+    (String, Long, String, java.nio.file.attribute.FileTime, Long),
+    ManifestState]()
 
   def current(warehouse: String): ManifestState = {
     val d = dir(warehouse)
@@ -204,8 +205,12 @@ object Manifest {
       val a = Files.readAttributes(p,
         classOf[java.nio.file.attribute.BasicFileAttributes])
       if (parseCache.size > 4096) parseCache.clear()
+      // size joins the key so a no-fileKey filesystem (null inode) with
+      // coarse mtimes still tells recreated same-version states apart
+      // unless they also match byte-for-byte in length
       val key = (warehouse, v,
-        Option(a.fileKey()).fold("")(_.toString), a.lastModifiedTime())
+        Option(a.fileKey()).fold("")(_.toString), a.lastModifiedTime(),
+        a.size())
       val out = parseCache.computeIfAbsent(key,
         _ => parse(Files.readString(p)))
       parseCache.keySet.removeIf(k => k._1 == warehouse && k._2 < v)

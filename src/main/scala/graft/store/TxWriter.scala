@@ -76,11 +76,18 @@ object TxWriter {
     *        published (readers cannot see it; [[Compactor.vacuum]] cleans
     *        the orphan directory).
     */
+  /** @param props table properties merged into the manifest IN the
+    *        publishing commit — atomic with the transaction becoming
+    *        visible, so index writers' layout/geometry facts can never
+    *        be observed stale or half-applied (no second commit to crash
+    *        before).
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
             rangePartitions: Option[Int] = None,
             timeBucketNanos: Option[Long] = None,
             bucketMajor: Boolean = false,
-            maxNewBuckets: Int = DefaultMaxNewBuckets): Long = {
+            maxNewBuckets: Int = DefaultMaxNewBuckets,
+            props: Map[String, String] = Map.empty): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -107,6 +114,17 @@ object TxWriter {
       if (fresh) bucketMajor && width > 0 else pre.bucketMajor
 
     val txid = claimTxid(db)
+    // the sticky width/layout commits immediately after the claim —
+    // BEFORE the (possibly long) write job — so a concurrent writer
+    // starting mid-job inherits the bucketed layout instead of
+    // publishing an unbucketed tx that bucket-pruned reads would never
+    // see. A guard refusal below reverts it (conditionally) so a
+    // refused first write cannot poison the warehouse's layout.
+    val setWidth = width > 0 && pre.timeBucket == 0L
+    if (setWidth)
+      Manifest.update(db.warehouse)(m =>
+        if (m.timeBucket == 0L) m.copy(timeBucket = width, bucketMajor = major)
+        else m)
 
     // no explicit partition count unless the caller pins one: an
     // AQE-coalescible range exchange sizes output files to the shuffle
@@ -139,7 +157,16 @@ object TxWriter {
       val fs = path.getFileSystem(db.spark.sessionState.newHadoopConf())
       val minted = fs.listStatus(path).count(st =>
         st.isDirectory && st.getPath.getName.startsWith("tbucket="))
-      if (minted > maxNewBuckets)
+      if (minted > maxNewBuckets) {
+        // un-poison the layout a refused FIRST write just set —
+        // conditional: if a concurrent writer already published data
+        // under this width (or set a different one), leave it alone
+        if (setWidth)
+          Manifest.update(db.warehouse)(m =>
+            if (m.dataTxids.isEmpty && m.timeBucket == width &&
+                m.bucketMajor == major)
+              m.copy(timeBucket = 0L, bucketMajor = false)
+            else m)
         throw new BucketExplosion(
           s"transaction $txid minted $minted tbucket= dirs (cap " +
             s"$maxNewBuckets): the warehouse's bucket width ($width ns) is " +
@@ -147,16 +174,9 @@ object TxWriter {
             "warehouse with a suitable width (one store per warehouse), or " +
             "raise maxNewBuckets explicitly for a legitimate backfill. The " +
             "transaction was NOT published.")
+      }
     }
-    // the sticky width/layout commits only once a write SURVIVES the
-    // guard — a refused first write must not poison the warehouse's
-    // layout for every later one (conditional: a racing first writer
-    // that already set a width wins, matching `pre`-resolution above)
-    if (width > 0 && pre.timeBucket == 0L)
-      Manifest.update(db.warehouse)(m =>
-        if (m.timeBucket == 0L) m.copy(timeBucket = width, bucketMajor = major)
-        else m)
-    publishData(db, txid, sorted.schema)
+    publishData(db, txid, sorted.schema, props)
     txid
   }
 
@@ -238,11 +258,13 @@ object TxWriter {
   }
 
   private def publishData(db: Db, txid: Long,
-                          schema: org.apache.spark.sql.types.StructType): Unit = {
+                          schema: org.apache.spark.sql.types.StructType,
+                          props: Map[String, String] = Map.empty): Unit = {
     val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
     Manifest.update(db.warehouse)(m => m.copy(
       dataTxids = m.dataTxids :+ txid,
       schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
-      txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s))))
+      txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s)),
+      props = m.props ++ props))
   }
 }

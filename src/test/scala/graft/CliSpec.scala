@@ -140,6 +140,18 @@ class CliSpec extends SparkSpec {
       cli("-d", wh, "read", "%", "--after-key", "alpha")())
   }
 
+  test("every documented serve/compact flag parses as a value flag") {
+    // --ann-dir was documented for the serve verb but missing from
+    // valueFlags, so `serve --ann-dir /x` died with "unknown verb" —
+    // pin the whole documented flag surface against that regression
+    val (flags, pos) = Cli.parseArgs(List("serve", "--port", "7070",
+      "--ann-dir", "/tmp/ann"))
+    assert(pos == List("serve"), s"flags leaked into positionals: $pos")
+    assert(flags == Map("--port" -> "7070", "--ann-dir" -> "/tmp/ann"))
+    val (f2, p2) = Cli.parseArgs(List("compact", "--prune-history", "5"))
+    assert(p2 == List("compact") && f2 == Map("--prune-history" -> "5"))
+  }
+
   test("parseColumns handles ranges") {
     assert(Cli.parseColumns("1,3,5-7") == Seq(1, 3, 5, 6, 7))
   }
