@@ -49,7 +49,8 @@ import graft.text.TextIngest
   *   schedule. None = the verbs answer 500.
   */
 final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
-                  workers: Int = 0, annDb: Option[Db] = None) {
+                  workers: Int = 0, annDb: Option[Db] = None,
+                  queryCacheMaxBytes: Long = 64L * 1024 * 1024) {
 
   /** (manifest version, snapshot, loadedAt nanos). */
   private val cachedSnap = new java.util.concurrent.atomic.AtomicReference[
@@ -128,15 +129,32 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * cache the reference's 10-second reader cache approximates with a
     * staleness window.
     */
-  private val QUERY_CACHE_MAX = 1024
+  /** BYTE-budget LRU (not entry-count): 1024 max-sized entries would
+    * have been 256 MB of driver heap under an adversarial distinct-query
+    * load; the budget caps the cache's worst case while holding far
+    * more small entries (point lookups are tens of bytes) than a count
+    * bound would.
+    */
   private val queryCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(Long, Long, String), String](
-        64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Long, Long, String), String]): Boolean =
-          size() > QUERY_CACHE_MAX
-      })
+    new java.util.LinkedHashMap[(Long, Long, String), String](64, 0.75f, true)
+  private var queryCacheBytes = 0L
+  private def cacheGet(k: (Long, Long, String)): String =
+    queryCache.synchronized(queryCache.get(k))
+  private def cachePut(k: (Long, Long, String), v: String): Unit =
+    queryCache.synchronized {
+      val prev = queryCache.put(k, v)
+      queryCacheBytes += v.length.toLong -
+        (if (prev == null) 0L else prev.length.toLong)
+      val it = queryCache.entrySet().iterator()
+      while (queryCacheBytes > queryCacheMaxBytes && it.hasNext) {
+        val e = it.next()
+        queryCacheBytes -= e.getValue.length.toLong
+        it.remove()
+      }
+    }
+
+  /** Cached bytes right now — observable for ServeSpec's budget case. */
+  def queryCacheByteSize: Long = queryCache.synchronized(queryCacheBytes)
   private val qcHits = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Served-from-cache count — observable for ServeSpec. */
@@ -156,13 +174,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
       else -1L,
       ex.getRequestURI.toString)
-    val hit = queryCache.get(key)
+    val hit = cacheGet(key)
     if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
     val (status, body) = compute
     // entry-size bound: 1024 entries × an unbounded k=10000 body would
     // quietly grow the server heap; oversized answers just recompute
     if (status == 200 && body.length <= 256 * 1024)
-      queryCache.put(key, body)
+      cachePut(key, body)
     respond(ex, status, body)
   }
 
@@ -189,7 +207,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val cacheKey = (Manifest.currentVersion(db.warehouse), -1L,
       ex.getRequestURI.toString)
     locally {
-      val hit = queryCache.get(cacheKey)
+      val hit = cacheGet(cacheKey)
       if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
     }
     val snap = snapshot()
@@ -207,7 +225,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     }
     if (!it.hasNext && sb.length <= cap) {
       val body = sb.toString
-      queryCache.put(cacheKey, body)
+      cachePut(cacheKey, body)
       return respond(ex, 200, body)
     }
     ex.getResponseHeaders.set("Content-Type", "text/plain")

@@ -263,6 +263,25 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("result cache evicts by byte budget, oldest first") {
+    val db = Db(spark, tmpDir("graft-serve-budget"))
+    // tiny budget: each answer is ~10 bytes, so 5 lookups overflow it
+    val srv = new Serve(db, queryCacheMaxBytes = 25).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      http("PUT", s"$base/", Some(
+        (1 to 5).map(i => s"k$i ${i}000 u $i").mkString("\n")))
+      (1 to 5).foreach(i => http("GET", s"$base/k$i"))
+      assert(srv.queryCacheByteSize <= 25,
+        s"budget exceeded: ${srv.queryCacheByteSize}")
+      val h0 = srv.queryCacheHits
+      http("GET", s"$base/k5") // newest still cached
+      assert(srv.queryCacheHits == h0 + 1, "newest entry must survive")
+      http("GET", s"$base/k1") // oldest evicted → recompute
+      assert(srv.queryCacheHits == h0 + 1, "oldest entry must be evicted")
+    } finally srv.stop()
+  }
+
   test("PUT bodies spool through a temp file, never the driver heap") {
     val db = Db(spark, tmpDir("graft-serve-spool"))
     val srv = new Serve(db).start()
