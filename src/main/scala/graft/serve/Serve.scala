@@ -187,6 +187,19 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def doGet(ex: HttpExchange): Unit = {
     // URI.getPath is already percent-decoded ("/fib%25" arrives as "/fib%")
     val pattern = ex.getRequestURI.getPath.stripPrefix("/")
+    // operational introspection — a serving tier is blind without it:
+    // the bound warehouse versions (what generation answers are coming
+    // from), cache effectiveness, and ingest counters, one JSON line,
+    // never cached (it IS the freshness probe)
+    if (pattern == "_status")
+      return respond(ex, 200,
+        s"""{"version":${Manifest.currentVersion(db.warehouse)}""" +
+          s""","annVersion":${annDb.fold(-1L)(a =>
+            Manifest.currentVersion(a.warehouse))}""" +
+          s""","snapshotLoads":$snapshotLoads""" +
+          s""","queryCacheHits":$queryCacheHits""" +
+          s""","queryCacheBytes":$queryCacheByteSize""" +
+          s""","putBytesSpooled":$putBytesSpooled}""" + "\n")
     if (pattern == "_query/bm25") return cachedQuery(ex)(doBm25(params(ex)))
     if (pattern == "_query/ann")
       return cachedQuery(ex, usesData = false, usesAnn = true)(

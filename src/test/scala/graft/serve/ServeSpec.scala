@@ -263,6 +263,24 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /_status reports versions and cache counters") {
+    val db = Db(spark, tmpDir("graft-serve-status"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val (c0, b0) = http("GET", s"$base/_status")
+      assert(c0 == 200 && b0.contains("\"version\":0"), b0)
+      http("PUT", s"$base/", Some("k1 5 u 42\n"))
+      http("GET", s"$base/k1") // compute
+      http("GET", s"$base/k1") // cache hit
+      val (_, b1) = http("GET", s"$base/_status")
+      assert(b1.contains("\"queryCacheHits\":1") &&
+        b1.contains("\"snapshotLoads\":1") &&
+        b1.contains("\"annVersion\":-1") &&
+        !b1.contains("\"version\":0"), b1)
+    } finally srv.stop()
+  }
+
   test("result cache evicts by byte budget, oldest first") {
     val db = Db(spark, tmpDir("graft-serve-budget"))
     // tiny budget: each answer is ~10 bytes, so 5 lookups overflow it
