@@ -407,6 +407,25 @@ object PipelineQueries {
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       Retrieval.bm25ProbeRelational(bm25IndexFor(s, d), q, 10)
     },
+    // the UPGRADE path: a genuine legacy (v1, pre-denormalization)
+    // store — postings without dl, no stat partials, no layout flag —
+    // migrated in place (one index-sized tx, never re-reading the
+    // corpus), then appended to through the now-v2 writer. The probe
+    // over the migrated+appended store must equal the fresh-build
+    // oracle exactly: layout generations are a physical detail scores
+    // can never see.
+    "ret_bm25_migrated" -> { (s, d) =>
+      import s.implicits._
+      val docs = Graft.documents(s, d)
+      val cut = bm25AppendCut(docs)
+      val db = graft.store.Db(s, tempWarehouse())
+      Retrieval.buildBm25IndexLegacyV1(db,
+        docs.filter(col("doc_id") < cut), "doc_id", "text")
+      Retrieval.migrateBm25Layout(db)
+      Retrieval.appendBm25Batch(db,
+        docs.filter(col("doc_id") >= cut), "doc_id", "text")
+      Retrieval.bm25ProbeIndex(db, bm25Queries.toDF("query_id", "qtext"), 10)
+    },
     // the full hybrid steady state: BOTH persisted indexes probed (BM25
     // postings + IVF-PQ ANN, each session-cached and built outside
     // timing) and RRF-fused — the serving-path composition
@@ -459,6 +478,23 @@ object PipelineQueries {
       val toks = graft.core.Graft.rebalance(Graft.documents(s, d))
         .select(explode(split(col("text"), " ")).as("token"))
       Sketches.countMinTopK(toks, col("token"), 20)
+    },
+    // EXACT heavy hitters via Misra–Gries candidates + exact second
+    // pass, over a head+tail stream (shared vocabulary every third
+    // document, per-document variants otherwise — vocabulary ~60× the
+    // sketch capacity, so the candidate map is under real eviction
+    // pressure). The oracle states the definition (counts above
+    // n/(c+1)); the MG guarantee is what makes the sketch path compute
+    // it exactly without shuffling the tail vocabulary.
+    "sk_heavy_hitters" -> { (s, d) =>
+      val toks = graft.core.Graft.rebalance(Graft.documents(s, d))
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(when(col("doc_id") % 3 === 0, col("term"))
+          .otherwise(concat(col("term"), lit("_"), col("doc_id")))
+          .as("item"))
+      Sketches.heavyHitters(toks, col("item"))
     },
     // warehouse-backed incremental sketches, registered in two half-
     // corpus batches: by mergeability the stored estimates must equal
@@ -1641,6 +1677,7 @@ object PipelineQueries {
     "ret_bm25_incremental" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_append_only" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_lifecycle" -> Retrieval.sqlBm25(bm25Queries, 10),
+    "ret_bm25_migrated" -> Retrieval.sqlBm25(bm25Queries, 10),
     "ret_bm25_batch" -> Retrieval.sqlBm25From(
       "SELECT doc_id AS query_id, text AS qtext FROM documents " +
         "WHERE doc_id < 16", 10),
@@ -1688,6 +1725,7 @@ object PipelineQueries {
     "tp_bpe_encode" -> TextAnalysis.sqlBpeEncode(6),
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
+    "sk_heavy_hitters" -> Sketches.sqlHeavyHittersTokens(),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->

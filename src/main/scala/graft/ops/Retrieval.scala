@@ -209,6 +209,63 @@ object Retrieval {
     writeBatch(db, batch, idCol, textCol, v2)
   }
 
+  /** Fixture writer for upgrade coverage: materializes the
+    * PRE-DENORMALIZATION (v1) layout exactly as the original builder
+    * did — postings without `dl`, no ps/ partials, no layout property —
+    * so [[migrateBm25Layout]]'s driver row and specs can exercise a
+    * genuine legacy store through the one shared tokenization kernel
+    * instead of a drifting re-implementation. Not part of the public
+    * surface: new stores always build v2.
+    */
+  private[graft] def buildBm25IndexLegacyV1(db: graft.store.Db,
+      docs: DataFrame, idCol: String, textCol: String): Long =
+    writeBatch(db, docs, idCol, textCol, v2 = false)
+
+  /** In-place layout upgrade of a pre-denormalization (v1) store — the
+    * escape hatch from the one asymmetry the layout flag leaves behind:
+    * a v1 store keeps receiving v1 rows forever ([[appendBm25Batch]]
+    * matches the store's layout), so without this op the only route to
+    * the corpus-size-independent v2 probe is a full rebuild FROM THE
+    * CORPUS. The migration instead rewrites only the INDEX: one atomic
+    * tx carrying (a) every live posting re-emitted with its document's
+    * `dl` denormalized in — same (key, ts), higher txid, so last-wins
+    * supersedes the slim row and a later major compact purges it — (b)
+    * one ps/ corpus-stat partial covering the whole migrated corpus
+    * (ts = max doc id, the same content-derived key appends use), and
+    * (c) the layout property riding in the publishing commit, so no
+    * reader can observe flag and rows apart. Cost is one index scan +
+    * one postings⋈lengths shuffle — index-sized, never corpus-sized,
+    * which is what makes upgrading a 100 TB deployment feasible at all.
+    * Pre-migration snapshots keep planning v1 (their manifest carries
+    * no flag), and post-migration appends write v2 batch partials whose
+    * ts can only collide with the migration partial by re-appending the
+    * current max doc id — already outside [[appendBm25Batch]]'s
+    * new-documents contract. Returns the committed txid; None if the
+    * store is already v2 (nothing to do — empty stores build v2).
+    */
+  def migrateBm25Layout(db: graft.store.Db): Option[Long] = {
+    val m = graft.store.Manifest.current(db.warehouse)
+    if (m.props.get(LayoutProp).contains("2") || m.dataTxids.isEmpty) None
+    else {
+      val snap = db.snapshot()
+      val dl0 = snap.read("pd/").select(col("ts").as("doc_id"), col("dl"))
+      val postings = snap.read("p/%")
+        .select(col("key"), col("ts").as("doc_id"), col("term"), col("f"))
+        .join(dl0, Seq("doc_id"))
+        .select(col("key"), col("doc_id").as("ts"), col("term"), col("f"),
+          col("dl"))
+      val stats = dl0
+        .agg(max(col("doc_id")).as("ts"), count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        .filter(col("ts").isNotNull)
+        .select(lit("ps/").as("key"), col("ts"), col("n_docs"),
+          col("sum_dl"))
+      val all = postings.unionByName(stats, allowMissingColumns = true)
+      Some(graft.store.TxWriter.write(db, all,
+        props = Map(LayoutProp -> "2")))
+    }
+  }
+
   /** Top-k BM25 per query against the PERSISTED index: per-term
     * key-range reads of the postings store (pruned, never a full scan),
     * the same broadcast shape as [[bm25TopK]] after that. Identical

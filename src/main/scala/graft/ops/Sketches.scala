@@ -135,6 +135,69 @@ object Sketches {
        |            END AS BIGINT) AS est_distinct
        |FROM topk""".stripMargin
 
+  // ── Misra–Gries exact heavy hitters ────────────────────────────────
+
+  /** Misra–Gries capacity: the frequent-items threshold is n/(c+1), so
+    * 128 finds everything above ~0.78% of the stream while the sketch
+    * state stays 128 entries per partition regardless of vocabulary.
+    */
+  val MG_C = 128
+
+  /** EXACT frequent items over an arbitrary stream — every `elem` with
+    * frequency strictly above n/(c+1), with its true count, computed
+    * without ever shuffling per-item state for the long tail. Two
+    * passes: (1) one [[graft.functions.FreqAgg]] aggregation folds the
+    * stream into a ≤ c-entry candidate map (the Misra–Gries guarantee
+    * makes the candidate set a PROVABLE superset of every item above
+    * the threshold, whatever the partitioning — see the Aggregator's
+    * doc); (2) a broadcast semi-join against the ≤ c candidates prunes
+    * the stream and an exact count + threshold filter restores true
+    * frequencies. The composition is deterministic and oracle-exact —
+    * the sketch's order-dependent tail candidates are filtered away by
+    * the exact threshold — while the full `groupBy(elem)` this
+    * replaces would shuffle the whole vocabulary (the skew-prone exact
+    * path a 100 TB token stream cannot afford). Driver state: nothing
+    * — both passes stay in one plan; the candidate map crosses the
+    * plan as a ≤ c-row broadcast, never a collect.
+    *
+    * Output: (item, f, n) for each heavy item, heaviest first.
+    */
+  def heavyHitters(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame = {
+    val toks = df.select(elem.as("item"))
+    val cand = toks
+      .agg(graft.functions.FreqAgg.mg(c)(col("item")).as("m"))
+      .select(explode(col("m")).as(Seq("item", "est")))
+      .select("item")
+    val n = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("f"))
+      .crossJoin(broadcast(n))
+      .filter(col("f") * (c + 1) > col("n"))
+      .orderBy(col("f").desc, col("item"))
+  }
+
+  /** DuckDB twin of [[heavyHitters]] over the head+tail token stream of
+    * `documents` (adjacent so they cannot drift): every third document
+    * contributes its tokens verbatim (the head — shared vocabulary),
+    * the rest contribute per-document variants (the long tail that
+    * makes the instance real: vocabulary ≫ c, so the sketch is under
+    * genuine eviction pressure and the exact `groupBy` it replaces
+    * would carry ~60× c distinct keys). The oracle states the
+    * DEFINITION — exact counts filtered at n/(c+1) — which the
+    * sketch+exact-pass composition provably computes.
+    */
+  def sqlHeavyHittersTokens(c: Int = MG_C): String =
+    s"""WITH toks AS (
+       |  SELECT CASE WHEN doc_id % 3 = 0 THEN term
+       |              ELSE term || '_' || doc_id END AS item
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE len(term) > 0),
+       |n AS (SELECT count(*) AS n FROM toks),
+       |cnt AS (SELECT item, count(*) AS f FROM toks GROUP BY 1)
+       |SELECT item, f, n FROM cnt, n WHERE f * ${c + 1} > n
+       |ORDER BY f DESC, item""".stripMargin
+
   // ── count-min frequency ────────────────────────────────────────────
 
   /** The d bucket columns for one hashed element: row i's bucket is

@@ -172,6 +172,63 @@ class RetrievalSpec extends SparkSpec {
       "the v1 fallback must join the lengths relation")
   }
 
+  test("migrateBm25Layout: index-sized upgrade flips plan, preserves scores, unlocks v2 appends") {
+    val docs = (0L until 150L).map(i => i -> s"w${i % 5} w${i % 11} common")
+    val qs = Seq(0L -> "w3 common", 1L -> "w10 w4")
+    // legacy v1 store: postings without dl, no ps/, no layout property
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25mig").toString)
+    val toks = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map(id -> _)
+    }
+    val pRows = toks.groupBy(identity).map { case ((id, t), xs) =>
+      (s"p/$t", id, t, xs.size.toLong)
+    }.toSeq.toDF("key", "ts", "term", "f")
+    val dlRows = toks.groupBy(_._1).map { case (id, xs) =>
+      ("pd/", id, xs.size.toLong)
+    }.toSeq.toDF("key", "ts", "dl")
+    graft.store.TxWriter.write(db,
+      pRows.unionByName(dlRows, allowMissingColumns = true))
+    def probe() = Retrieval.bm25ProbeIndex(db, qs.toDF("query_id", "qtext"), 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score_micro", "rank")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val before = rows(probe())
+    val preVersion = graft.store.Manifest.current(db.warehouse).version
+    val txsBefore = db.snapshot().manifest.dataTxids.size
+
+    assert(Retrieval.migrateBm25Layout(db).nonEmpty)
+    // one atomic tx; flag rides in the same commit
+    assert(db.snapshot().manifest.dataTxids.size == txsBefore + 1)
+    assert(graft.store.Manifest.current(db.warehouse).props
+      .get(Retrieval.LayoutProp).contains("2"))
+    val after = probe()
+    assert(rows(after) == before, "migration must not change any score")
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("ps/") && !plan.contains("pd/"),
+      s"post-migration probe must plan v2 (partials, no lengths join):\n$plan")
+    // idempotent: a second migration is a no-op, not a double-count
+    assert(Retrieval.migrateBm25Layout(db).isEmpty)
+    assert(rows(probe()) == before)
+    // pre-migration snapshots keep the v1 plan (time travel unharmed)
+    val old = db.snapshotAt(preVersion)
+    assert(!old.manifest.props.contains(Retrieval.LayoutProp))
+    // post-migration appends write v2 rows; the whole store must score
+    // exactly like a fresh v2 build over the union corpus
+    val extra = (150L until 200L).map(i => i -> s"w${i % 5} fresh common")
+    Retrieval.appendBm25Batch(db, extra.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val fresh = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-bm25mig2").toString)
+    Retrieval.buildBm25Index(fresh, (docs ++ extra).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val qs2 = qs :+ (2L -> "fresh w1")
+    assert(
+      rows(Retrieval.bm25ProbeIndex(db, qs2.toDF("query_id", "qtext"), 5)) ==
+        rows(Retrieval.bm25ProbeIndex(fresh, qs2.toDF("query_id", "qtext"), 5)),
+      "migrated+appended store must equal a fresh v2 build")
+  }
+
   test("index rebuild supersedes: vanished documents stop matching") {
     val db = graft.store.Db(spark,
       java.nio.file.Files.createTempDirectory("graft-bm25rb").toString)

@@ -108,6 +108,57 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra–Gries law: 1000 cases of bounded size, one-sided error, " +
+      "heavy-item containment under any partitioning and merge order") {
+    // the whole heavyHitters composition rests on three properties of
+    // the FreqAgg summary, each of which must survive ARBITRARY stream
+    // partitioning and merge trees (the Aggregator contract): the
+    // buffer never exceeds c entries; estimates never exceed the true
+    // count and undershoot by at most n/(c+1); and every item with
+    // true count STRICTLY above n/(c+1) is present in the final map.
+    // Streams mix a heavy head (few items, geometric weights) with a
+    // long uniform tail so eviction pressure is real.
+    val gen = for {
+      c <- Gen.choose(1, 24)
+      nHead <- Gen.choose(0, 120)
+      head <- Gen.listOfN(nHead,
+        Gen.frequency(8 -> Gen.const("h0"), 4 -> Gen.const("h1"),
+          2 -> Gen.const("h2"), 1 -> Gen.const("h3")))
+      nTail <- Gen.choose(0, 200)
+      tail <- Gen.listOfN(nTail, Gen.choose(0, 999).map(i => s"t$i"))
+      xs <- Gen.const(head ++ tail)
+      shuffled <- Gen.listOfN(xs.size, Gen.choose(0, 1 << 30))
+        .map(ks => ks.zip(xs).sortBy(_._1).map(_._2))
+      parts <- Gen.choose(1, 8)
+      mergeShuffle <- Gen.listOfN(parts, Gen.choose(0, 1 << 30))
+    } yield (c, shuffled, parts, mergeShuffle)
+    samples(gen, 1000, 20260816L).foreach {
+      case (c, xs, parts, mergeShuffle) =>
+        val agg = new graft.functions.FreqAgg(c)
+        val chunks = xs.zipWithIndex
+          .groupBy(_._2 % parts).values.map(_.map(_._1)).toSeq
+        val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = mergeShuffle.zipAll(partials, 0, agg.zero)
+          .sortBy(_._1).map(_._2)
+          .foldLeft(agg.zero)(agg.merge)
+        val n = xs.size.toLong
+        val exact = xs.groupBy(identity).map { case (k, o) =>
+          k -> o.size.toLong
+        }
+        assert(merged.size <= c, s"buffer exceeded c=$c: ${merged.size}")
+        exact.foreach { case (k, t) =>
+          val est = merged.getOrElse(k, 0L)
+          assert(est <= t, s"over-estimate for $k: $est > $t (c=$c)")
+          // est >= t - n/(c+1), kept in integers: (t - est)·(c+1) <= n
+          assert((t - est) * (c + 1) <= n,
+            s"undershoot beyond n/(c+1) for $k: est=$est true=$t n=$n c=$c")
+          if (t * (c + 1) > n)
+            assert(merged.contains(k),
+              s"heavy item $k (true=$t > n/(c+1), n=$n, c=$c) evicted")
+        }
+    }
+  }
+
   test("count-min estimate >= exact count for every element present") {
     val gen = for {
       n <- Gen.choose(1, 200)

@@ -66,4 +66,34 @@ class SketchesSpec extends SparkSpec {
     assert(top.map(_._1).toSeq == Seq("the", "rare"))
     assert(top.forall(r => r._3 >= r._2), s"est_cm >= n_exact: ${top.toSeq}")
   }
+
+  test("heavyHitters == exact threshold filter, any partitioning; " +
+      "candidate broadcast stays <= c") {
+    // head+tail stream: 3 heavy items over a 500-item uniform tail,
+    // vocabulary far above the capacity so MG eviction actually runs
+    val head = Seq.fill(90)("alpha") ++ Seq.fill(70)("beta") ++
+      Seq.fill(50)("gamma")
+    val tail = (0 until 500).flatMap(i => Seq(s"t$i", s"t$i")) // f=2 each
+    val xs = head ++ tail // n = 1210
+    val c = 16 // threshold n/17 ~ 71.2 -> alpha & beta qualify, gamma not
+    val exact = xs.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val n = xs.size.toLong
+    val want = exact.filter { case (_, f) => f * (c + 1) > n }.toSeq
+      .map { case (k, f) => (k, f, n) }
+      .sortBy { case (k, f, _) => (-f, k) }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketches.heavyHitters(
+          xs.toDF("item").repartition(parts), col("item"), c)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == want, s"parts=$parts: $got != $want")
+    }
+    // empty stream: no rows, not a crash
+    assert(Sketches.heavyHitters(
+      spark.range(0).select(col("id").cast("string").as("item")),
+      col("item"), c).count() == 0)
+    // capacity 1 (the degenerate majority-candidate sketch): still a
+    // correct, possibly-empty result — here no item exceeds n/2
+    assert(Sketches.heavyHitters(xs.toDF("item"), col("item"), 1)
+      .count() == 0)
+  }
 }
