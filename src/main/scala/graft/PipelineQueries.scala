@@ -514,6 +514,30 @@ object PipelineQueries {
         col("token"))
       SketchStore.storedKmvEstimate(db)
     },
+    // warehouse-backed frequent items: two half-corpus batches of the
+    // head+tail stream registered as DETERMINISTIC MG partials (exact
+    // per-batch counts + one truncation — a valid MG summary that is
+    // also a pure function of the batch multiset, so the stored rows
+    // hash-match the oracle), then the merged report: candidates with
+    // lower-bound counts and the 0/1 `certain` column (est·(c+1) > n ⇒
+    // guaranteed frequent without ever re-reading the stream)
+    "sk_mg_incremental" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def items(f: DataFrame) = f
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(when(col("doc_id") % 3 === 0, col("term"))
+          .otherwise(concat(col("term"), lit("_"), col("doc_id")))
+          .as("item"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerMg(db, items(docs.filter(col("doc_id") < mid)),
+        col("item"), batchId = 0L)
+      SketchStore.registerMg(db, items(docs.filter(col("doc_id") >= mid)),
+        col("item"), batchId = 1L)
+      SketchStore.storedHeavyHitters(db)
+    },
     "sk_countmin_incremental" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -1726,6 +1750,7 @@ object PipelineQueries {
     "sk_kmv_distinct" -> Sketches.sqlKmvTokensBySource(),
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "sk_heavy_hitters" -> Sketches.sqlHeavyHittersTokens(),
+    "sk_mg_incremental" -> SketchStore.sqlMgIncrementalTokens(),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->

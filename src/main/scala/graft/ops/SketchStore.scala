@@ -34,6 +34,8 @@ object SketchStore {
 
   private def kmvKey(tag: String) = s"k/$tag"
   private def cmPrefix(tag: String) = s"c/$tag/"
+  private def mgPrefix(tag: String) = s"m/$tag/"
+  private def mgMassKey(tag: String) = s"mn/$tag"
 
   // ── KMV ────────────────────────────────────────────────────────────
 
@@ -117,6 +119,151 @@ object SketchStore {
                           d: Int = Sketches.CM_D,
                           w: Long = Sketches.CM_W): DataFrame =
     Sketches.countMinProbe(items, storedCountMin(db, tag), elemCol, d, w)
+
+  // ── Misra–Gries frequent items ─────────────────────────────────────
+  //
+  // The third mergeable summary the warehouse folds for free. Rows:
+  //   key = "m/<tag>/<item>"   ts = batchId  →  item, est   (per-batch
+  //                                             MG partial, ≤ c rows)
+  //   key = "mn/<tag>"         ts = batchId  →  n_items     (batch mass)
+  // Partials are the DETERMINISTIC [[Sketches.mgSummary]] (exact counts
+  // + one truncation), so unlike the order-dependent streaming fold the
+  // stored rows — and everything derived from them — are a pure
+  // function of the batch multisets and hash-match a DuckDB oracle.
+  // Merging k partials in one step (sum per item, subtract the (c+1)-th
+  // largest, keep positives) is a valid MG merge tree: every truncation
+  // retires ≥ (c+1)× its own error from a total mass of n, so the
+  // global bound `true − n/(c+1) ≤ est ≤ true` survives — the 1000-case
+  // SketchPropertySpec law. Re-registering a batchId rewrites the same
+  // (key, ts) rows: idempotent under streaming retries like count-min.
+
+  /** Registers one batch's deterministic MG partial (≤ c item rows +
+    * one mass row) as ONE transaction. Cost: the batch's own exact
+    * aggregation + a ≤ (c+1)-row write; store size and history never
+    * enter.
+    */
+  def registerMg(db: graft.store.Db, batch: DataFrame, elem: Column,
+                 batchId: Long, tag: String = "t",
+                 c: Int = Sketches.MG_C): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val toks = batch.select(elem.as("item"))
+    val partial = Sketches.mgSummary(toks, col("item"), c)
+      .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
+        lit(batchId).as("ts"), col("item"), col("est"))
+    val mass = toks.agg(count(lit(1)).as("n_items"))
+      .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
+        col("n_items"))
+    graft.store.TxWriter.write(db,
+      partial.unionByName(mass, allowMissingColumns = true))
+  }
+
+  /** The merged summary of every batch ever registered: per-item sums
+    * over the stored partials (a key-pruned read of ≤ c·batches slim
+    * rows), re-truncated to ≤ c entries by the same deterministic rule.
+    * A valid MG(c) summary of the CONCATENATED stream — candidates
+    * provably contain every item above n/(c+1).
+    */
+  def storedMgCandidates(db: graft.store.Db, tag: String = "t",
+                         c: Int = Sketches.MG_C): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(0)
+      .select(col("id").cast("string").as("item"), col("id").as("est"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(mgPrefix(tag) + "%")
+      if (!rows.columns.contains("est")) empty
+      else {
+        val summed = rows.groupBy("item").agg(sum(col("est")).as("f"))
+        val cut = summed.orderBy(col("f").desc, col("item")).limit(c + 1)
+          .agg(count(lit(1)).as("k1"), min(col("f")).as("fmin"))
+          .select(when(col("k1") <= c, lit(0L))
+            .otherwise(col("fmin")).as("d"))
+        summed.crossJoin(broadcast(cut))
+          .filter(col("f") > col("d"))
+          .select(col("item"), (col("f") - col("d")).as("est"))
+      }
+    }
+  }
+
+  /** The store's frequent-items report: every merged candidate with its
+    * lower-bound count, the total registered mass `n`, and a 0/1
+    * `certain` column — `est·(c+1) > n` means even the LOWER bound
+    * clears the n/(c+1) threshold, so the item is GUARANTEED frequent
+    * (the one-sided MG bound turns the sketch into a sound certifier,
+    * not just a candidate generator; the uncertain band is where an
+    * exact pass over the raw stream would be needed — which the store,
+    * by design, never kept). Heaviest first; deterministic end to end.
+    */
+  def storedHeavyHitters(db: graft.store.Db, tag: String = "t",
+                         c: Int = Sketches.MG_C): DataFrame = {
+    val mass = {
+      val spark = db.spark
+      val snap = db.snapshot()
+      val empty = spark.range(1).select(lit(0L).as("n"))
+      if (snap.manifest.dataTxids.isEmpty) empty
+      else {
+        val rows = snap.read(mgMassKey(tag))
+        if (!rows.columns.contains("n_items")) empty
+        else rows.agg(coalesce(sum(col("n_items")), lit(0L)).as("n"))
+      }
+    }
+    storedMgCandidates(db, tag, c)
+      .crossJoin(broadcast(mass))
+      .select(col("item"), col("est"), col("n"),
+        (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
+      .orderBy(col("est").desc, col("item"))
+  }
+
+  /** DuckDB twin of the MG store over the head+tail token stream of
+    * `documents`, registered as two half-corpus batches split at
+    * `floor(max(doc_id)/2)` — the same data-derived cut the driver row
+    * computes, stated IN the SQL so the two sides cannot disagree on
+    * the batch boundary: per-batch exact counts + deterministic
+    * truncation, per-item sums, global re-truncation, certainty
+    * against the total mass — the exact relational algebra
+    * [[registerMg]] + [[storedHeavyHitters]] execute.
+    */
+  def sqlMgIncrementalTokens(c: Int = Sketches.MG_C): String = {
+    val mid = "(SELECT m FROM mid)"
+    def partial(name: String, filt: String) =
+      s"""cnt_$name AS (
+         |  SELECT item, count(*) AS f FROM toks WHERE $filt GROUP BY 1),
+         |d_$name AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM cnt_$name) <= $c THEN 0
+         |         ELSE (SELECT f FROM (
+         |             SELECT f, row_number() OVER (ORDER BY f DESC, item)
+         |               AS rn FROM cnt_$name) WHERE rn = ${c + 1}) END AS d),
+         |p_$name AS (
+         |  SELECT item, f - (SELECT d FROM d_$name) AS est FROM cnt_$name
+         |  WHERE f > (SELECT d FROM d_$name))""".stripMargin
+    s"""WITH mid AS (
+       |  SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS m FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN term
+       |              ELSE term || '_' || doc_id END AS item
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE len(term) > 0),
+       |${partial("a", s"doc_id < $mid")},
+       |${partial("b", s"doc_id >= $mid")},
+       |summed AS MATERIALIZED (
+       |  SELECT item, sum(est) AS f
+       |  FROM (SELECT * FROM p_a UNION ALL SELECT * FROM p_b)
+       |  GROUP BY 1),
+       |dg AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM summed) <= $c THEN 0
+       |         ELSE (SELECT f FROM (
+       |             SELECT f, row_number() OVER (ORDER BY f DESC, item)
+       |               AS rn FROM summed) WHERE rn = ${c + 1}) END AS d),
+       |n AS (SELECT count(*) AS n FROM toks)
+       |SELECT item, CAST(f - (SELECT d FROM dg) AS BIGINT) AS est,
+       |       (SELECT n FROM n) AS n,
+       |       CAST((f - (SELECT d FROM dg)) * ${c + 1} > (SELECT n FROM n)
+       |            AS BIGINT) AS certain
+       |FROM summed WHERE f > (SELECT d FROM dg)
+       |ORDER BY est DESC, item""".stripMargin
+  }
 
   /** Collapses the per-batch history to one folded grid: range-delete
     * the tag's cells, then rewrite the current sums at the reserved

@@ -176,6 +176,32 @@ object Sketches {
       .orderBy(col("f").desc, col("item"))
   }
 
+  /** Deterministic Misra–Gries summary of ONE bounded batch: exact
+    * per-item counts reduced by a single truncation step — subtract the
+    * (c+1)-th largest count, keep the strictly positive remainder. This
+    * is exactly "MG with unbounded capacity, then one merge-
+    * truncation", so the result is a VALID MG(c) summary (≤ c entries,
+    * `true − n_b/(c+1) ≤ est ≤ true`) — but unlike the streaming
+    * [[graft.functions.FreqAgg]] fold, the output is a pure function of
+    * the batch MULTISET: partitioning- and order-independent, which is
+    * what lets [[SketchStore.registerMg]]'s persisted partials
+    * hash-match a DuckDB oracle. The exact `groupBy` is batch-
+    * vocabulary-sized — the right trade for a bounded micro-batch; the
+    * STORE is what stays ≤ c per batch. The top-(c+1) cutoff plans as
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def mgSummary(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame = {
+    val cnt = df.select(elem.as("item"))
+      .groupBy("item").agg(count(lit(1)).as("f"))
+    val cut = cnt.orderBy(col("f").desc, col("item")).limit(c + 1)
+      .agg(count(lit(1)).as("k1"), min(col("f")).as("fmin"))
+      .select(when(col("k1") <= c, lit(0L))
+        .otherwise(col("fmin")).as("d"))
+    cnt.crossJoin(broadcast(cut))
+      .filter(col("f") > col("d"))
+      .select(col("item"), (col("f") - col("d")).as("est"))
+  }
+
   /** DuckDB twin of [[heavyHitters]] over the head+tail token stream of
     * `documents` (adjacent so they cannot drift): every third document
     * contributes its tokens verbatim (the head — shared vocabulary),

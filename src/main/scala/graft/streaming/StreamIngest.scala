@@ -176,13 +176,13 @@ object StreamIngest {
       }
 
   /** Streaming sketch maintenance: each micro-batch's tokens fold into
-    * the warehouse-backed KMV + count-min stores
+    * the warehouse-backed KMV + count-min + Misra–Gries stores
     * ([[graft.ops.SketchStore]]) as one transaction each. Count-min
-    * registration keys its cells on the micro-batch id, so a replayed
-    * batch rewrites the same (key, ts) rows — the sketch's own
-    * idempotency law lines up with the sink's exactly-once batch-id
-    * guard, and a crash between the two registrations replays into
-    * last-wins overwrites, never double counts.
+    * and MG registration key their rows on the micro-batch id, so a
+    * replayed batch rewrites the same (key, ts) rows — the sketches'
+    * own idempotency laws line up with the sink's exactly-once
+    * batch-id guard, and a crash between the registrations replays
+    * into last-wins overwrites, never double counts.
     */
   def sketchWriter(db: Db, stream: DataFrame, elemCol: String,
                    tag: String = "t",
@@ -198,6 +198,8 @@ object StreamIngest {
           graft.ops.SketchStore.registerKmv(db, batch,
             org.apache.spark.sql.functions.col(elemCol), tag)
           graft.ops.SketchStore.registerCountMin(db, batch,
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag)
+          graft.ops.SketchStore.registerMg(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag)
           Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
         }

@@ -49,6 +49,50 @@ class SketchStoreSpec extends SparkSpec {
       s"additive + idempotent: $est")
   }
 
+  test("MG store: guarantees hold over batches; deterministic under " +
+      "partitioning; idempotent re-register") {
+    val db = tmpDb()
+    val c = 8
+    // head+tail stream split into three batches: vocabulary >> c, so
+    // both the per-batch partials and the merged read actually truncate
+    val mk = (lo: Int, hi: Int) =>
+      (lo until hi).flatMap(i => Seq(s"t$i", s"t$i")) // tail, f=2 each
+    val b0 = Seq.fill(40)("alpha") ++ Seq.fill(10)("beta") ++ mk(0, 60)
+    val b1 = Seq.fill(35)("beta") ++ Seq.fill(12)("gamma") ++ mk(60, 120)
+    val b2 = Seq.fill(30)("alpha") ++ mk(120, 170)
+    val all = b0 ++ b1 ++ b2
+    SketchStore.registerMg(db, toks(b0: _*), col("t"), 0L, c = c)
+    SketchStore.registerMg(db, toks(b1: _*), col("t"), 1L, c = c)
+    SketchStore.registerMg(db, toks(b2: _*), col("t"), 2L, c = c)
+    val got = SketchStore.storedHeavyHitters(db, c = c)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val n = all.size.toLong
+    val exact = all.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    assert(got.size <= c, s"merged summary exceeded c: ${got.size}")
+    assert(got.forall(_._3 == n), s"mass must sum the batches: $got")
+    got.foreach { case (item, est, _, certain) =>
+      val t = exact(item)
+      assert(est <= t, s"over-estimate for $item: $est > $t")
+      assert((t - est) * (c + 1) <= n, s"bound broken for $item")
+      if (certain == 1L)
+        assert(t * (c + 1) > n, s"certain flag on a non-frequent $item")
+    }
+    // containment: every truly frequent item is a candidate
+    exact.foreach { case (item, t) =>
+      if (t * (c + 1) > n)
+        assert(got.exists(_._1 == item), s"frequent $item missing")
+    }
+    // alpha (70/~500) is frequent and must surface as certain
+    assert(got.exists(g => g._1 == "alpha" && g._4 == 1L), s"$got")
+    // determinism: re-registering a batchId — even from a differently
+    // partitioned DataFrame — rewrites identical rows, output unchanged
+    SketchStore.registerMg(db, toks(b1: _*).repartition(13), col("t"),
+      1L, c = c)
+    val again = SketchStore.storedHeavyHitters(db, c = c)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(again == got, "re-register must be byte-identical")
+  }
+
   test("fold supersedes history, preserves sums, and bounds the store") {
     val db = tmpDb()
     for (i <- 0 until 5)

@@ -274,7 +274,17 @@ class StreamIngestSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(est("w75") >= 2 && est("w10") >= 1 && est("w150") >= 1,
       s"cross-batch sums missing: $est")
-    // 2 sketch txs per micro-batch, replay-guarded
+    // MG: the merged summary obeys the one-sided bound over everything
+    // that ever streamed (uniform stream — nothing certain-frequent,
+    // but estimates must never exceed true counts and mass must sum)
+    val mgRows = SketchStore.storedHeavyHitters(db)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val trueCnt = ((1 to 100) ++ (50 to 150)).map(i => s"w$i")
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    assert(mgRows.forall(r => r._3 == 201L), s"MG mass drifted: $mgRows")
+    assert(mgRows.forall(r => r._2 <= trueCnt(r._1)),
+      s"MG over-estimated: $mgRows")
+    // 3 sketch txs per micro-batch, replay-guarded
     assert(Manifest.current(db.warehouse).streamBatchFor("sketch") == 1L)
   }
 }
