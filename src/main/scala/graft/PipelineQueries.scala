@@ -538,6 +538,36 @@ object PipelineQueries {
         col("item"), batchId = 1L)
       SketchStore.storedHeavyHitters(db)
     },
+    // fixed-grid histogram quantiles over per-document token counts —
+    // the sequence-length distribution a packing/chunking stage keys
+    // off. 1024 bins of width 8, pure integer arithmetic end to end:
+    // the report says "the true qm-quantile lies in [lo, hi)" with rank
+    // error 0, and the oracle replicates the identical algebra, so the
+    // row hash-matches exactly like the rest of the sketch family.
+    "sk_hist_quantiles" -> { (s, d) =>
+      val docs = graft.core.Graft.rebalance(Graft.documents(s, d))
+      Sketches.histQuantilesOf(docs,
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+    },
+    // warehouse-backed running quantiles: two half-corpus batches
+    // registered as ≤ b-row histogram partials with a fenced fold
+    // between them; histogram merge is exact counter addition, so the
+    // stored report must equal the one-shot sketch of the full stream —
+    // the same oracle SQL verbatim.
+    "sk_hist_incremental" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def tc(f: DataFrame) = f.select(
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerHist(db, tc(docs.filter(col("doc_id") < mid)),
+        col("v"), batchId = 0L)
+      SketchStore.foldHist(db)
+      SketchStore.registerHist(db, tc(docs.filter(col("doc_id") >= mid)),
+        col("v"), batchId = 1L)
+      SketchStore.storedHistQuantiles(db)
+    },
     "sk_countmin_incremental" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -1751,6 +1781,8 @@ object PipelineQueries {
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "sk_heavy_hitters" -> Sketches.sqlHeavyHittersTokens(),
     "sk_mg_incremental" -> SketchStore.sqlMgIncrementalTokens(),
+    "sk_hist_quantiles" -> Sketches.sqlHistTokenCounts(),
+    "sk_hist_incremental" -> Sketches.sqlHistTokenCounts(),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->

@@ -36,6 +36,7 @@ object SketchStore {
   private def cmPrefix(tag: String) = s"c/$tag/"
   private def mgPrefix(tag: String) = s"m/$tag/"
   private def mgMassKey(tag: String) = s"mn/$tag"
+  private def histPrefix(tag: String) = s"h/$tag/"
 
   // ── KMV ────────────────────────────────────────────────────────────
 
@@ -263,6 +264,85 @@ object SketchStore {
        |            AS BIGINT) AS certain
        |FROM summed WHERE f > (SELECT d FROM dg)
        |ORDER BY est DESC, item""".stripMargin
+  }
+
+  // ── fixed-grid histogram quantiles ─────────────────────────────────
+  //
+  // The fourth mergeable summary (cardinality / frequency / frequent
+  // items / QUANTILES). Rows: key = "h/<tag>/<bin, zero-padded>",
+  // ts = batchId → (bin, cnt) — histogram merge is plain counter
+  // addition, so like count-min the store is per-batch rows summed at
+  // read time, idempotent under replays (same (key, ts) rewritten), and
+  // the merged report is EXACTLY the one-shot sketch of the
+  // concatenated stream — which is what lets the incremental driver row
+  // share the one-shot oracle SQL verbatim. The training-pipeline use
+  // is threshold picking over running corpora: sequence-length
+  // percentiles for packing (Sequencing) and score-distribution cuts
+  // (Selection) without rescanning history.
+
+  /** Registers one batch's histogram (≤ b bin rows) as ONE transaction.
+    * Cost: the batch's own scan + a ≤ b-row write; store size and
+    * history never enter.
+    */
+  def registerHist(db: graft.store.Db, batch: DataFrame, value: Column,
+                   batchId: Long, tag: String = "t",
+                   b: Int = Sketches.HIST_B,
+                   w: Long = Sketches.HIST_W): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val rows = Sketches.histSketch(batch, value, b, w)
+      .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
+        lit(batchId).as("ts"), col("bin"), col("cnt"))
+    graft.store.TxWriter.write(db, rows)
+  }
+
+  /** The merged histogram of every batch ever registered: per-bin sums
+    * over a key-pruned read of ≤ b·batches slim rows.
+    */
+  def storedHist(db: graft.store.Db, tag: String = "t"): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(0).select(col("id").as("bin"), col("id").as("cnt"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(histPrefix(tag) + "%")
+      if (!rows.columns.contains("cnt")) empty
+      else rows.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** Quantile report over everything ever registered — identical
+    * algebra to the one-shot [[Sketches.histQuantiles]], because
+    * histogram merge is exact.
+    */
+  def storedHistQuantiles(db: graft.store.Db,
+                          qms: Seq[Int] = Sketches.HIST_QMS,
+                          tag: String = "t",
+                          w: Long = Sketches.HIST_W): DataFrame =
+    Sketches.histQuantiles(storedHist(db, tag), qms, w)
+
+  /** Collapses the per-batch histogram history to one folded grid —
+    * the [[foldCountMin]] shape verbatim (conditional-claim fence, fold
+    * written after the range-delete so its higher txid survives the
+    * marker, refold on contention). Bounds the store at
+    * b + b·(batches since last fold) rows.
+    */
+  def foldHist(db: graft.store.Db, tag: String = "t"): Long = {
+    var attempts = 0
+    while (attempts < 16) {
+      val expected = graft.store.Manifest.current(db.warehouse).nextTxid
+      if (storedHist(db, tag).isEmpty) return -1L // nothing to fold
+      val folded = storedHist(db, tag)
+        .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
+          lit(FOLD_TS).as("ts"), col("bin"), col("cnt"))
+        .localCheckpoint(true) // materialize the sums BEFORE the delete
+      graft.store.TxWriter.deleteIf(db, expected, t0 = Long.MinValue,
+          t1 = Long.MaxValue, wildcard = histPrefix(tag) + "%") match {
+        case Some(_) => return graft.store.TxWriter.write(db, folded)
+        case None    => attempts += 1 // a commit raced in — refold over it
+      }
+    }
+    throw new IllegalStateException(
+      s"foldHist($tag): persistent registration contention")
   }
 
   /** Collapses the per-batch history to one folded grid: range-delete

@@ -224,6 +224,110 @@ object Sketches {
        |SELECT item, f, n FROM cnt, n WHERE f * ${c + 1} > n
        |ORDER BY f DESC, item""".stripMargin
 
+  // ── fixed-grid histogram quantiles ─────────────────────────────────
+
+  /** Histogram geometry: 1024 bins of width 8 cover the integer domain
+    * [0, 8192) (token counts, line counts, n-gram sizes) with everything
+    * above clamped into the last bin — 1024 int64 counters regardless of
+    * corpus size, and a quantile answer whose true value provably lies
+    * inside the reported bin's [lo, hi) range (rank error 0, value error
+    * ≤ the bin width). Everything below is INTEGER arithmetic plus one
+    * shared floor-division formula, so the sketch is a pure function of
+    * the input multiset and hash-matches its DuckDB twin — no tolerance
+    * check, same as the rest of the family.
+    */
+  val HIST_B = 1024
+  val HIST_W = 8L
+
+  /** The quantile targets the driver rows report, in per-mille (kept
+    * rational so the rank computation stays integer-exact: the target
+    * rank for `qm` over mass n is `ceil(qm·n/1000)`).
+    */
+  val HIST_QMS: Seq[Int] = Seq(250, 500, 750, 900, 990)
+
+  /** One value's bin: `min(max(floor(v/w), 0), b−1)` — the double
+    * division is exact for the bounded integer magnitudes this sketch is
+    * for (< 2^52), and the identical expression is emitted into the SQL
+    * twin, so the two engines can never disagree on a bin edge.
+    */
+  private def histBin(v: Column, b: Int, w: Long): Column =
+    least(greatest(floor(v / w.toDouble).cast("long"), lit(0L)),
+      lit(b - 1L))
+
+  /** Build the histogram for `value` (an integral column): a (bin, cnt)
+    * DataFrame of at most b rows. Like [[countMinSketch]], one
+    * projection plus a single hash aggregation over ≤ b keys — map-side
+    * combine reduces the shuffle to the grid, so the cost is one corpus
+    * scan however large N is, and merging histograms is plain counter
+    * addition (what the store exploits).
+    */
+  def histSketch(df: DataFrame, value: Column, b: Int = HIST_B,
+                 w: Long = HIST_W): DataFrame =
+    df.select(histBin(value, b, w).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Fold a (bin, cnt) histogram to the quantile report: for each
+    * per-mille target, the smallest bin whose cumulative count reaches
+    * rank `ceil(qm·n/1000)`, with the bin's value envelope
+    * `[lo, hi)`. The cumulative window runs over ≤ b rows — a
+    * single-partition window on sketch-sized data, never the corpus.
+    * Output: (qm, n, r, bin, lo, hi), one row per target, ordered.
+    */
+  def histQuantiles(hist: DataFrame, qms: Seq[Int] = HIST_QMS,
+                    w: Long = HIST_W): DataFrame = {
+    val spark = hist.sparkSession
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin")).as("cum"))
+    val n = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val targets = spark.createDataFrame(qms.map(Tuple1(_))).toDF("qm")
+      .select(col("qm").cast("long").as("qm"))
+      .crossJoin(broadcast(n))
+      .select(col("qm"), col("n"),
+        floor((col("qm") * col("n") + 999) / 1000.0).cast("long").as("r"))
+    targets.join(cum, cum("cum") >= targets("r"))
+      .groupBy("qm", "n", "r").agg(min(col("bin")).as("bin"))
+      .select(col("qm"), col("n"), col("r"), col("bin"),
+        (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"))
+      .orderBy("qm")
+  }
+
+  /** The driver-row composition over an integral column. */
+  def histQuantilesOf(df: DataFrame, value: Column,
+                      qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
+                      w: Long = HIST_W): DataFrame =
+    histQuantiles(histSketch(df, value, b, w), qms, w)
+
+  /** DuckDB twin of [[histQuantilesOf]] over the per-document token
+    * counts of `documents` (adjacent so they cannot drift): the same
+    * clamped floor-division binning, cumulative sums, integer rank
+    * targets and envelope arithmetic.
+    */
+  def sqlHistTokenCounts(qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
+                         w: Long = HIST_W): String = {
+    val values = qms.map(q => s"($q)").mkString(", ")
+    s"""WITH tc AS (
+       |  SELECT len(string_split(text, ' ')) AS v FROM documents),
+       |bins AS (
+       |  SELECT least(greatest(CAST(floor(v / $w) AS BIGINT), 0),
+       |               ${b - 1}) AS bin,
+       |         count(*) AS cnt
+       |  FROM tc GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+       |n AS (SELECT count(*) AS n FROM tc),
+       |t AS (
+       |  SELECT CAST(qm AS BIGINT) AS qm, n,
+       |         CAST(floor((qm * n + 999) / 1000) AS BIGINT) AS r
+       |  FROM (VALUES $values) q(qm), n)
+       |SELECT t.qm, CAST(t.n AS BIGINT) AS n, t.r,
+       |       min(cum.bin) AS bin,
+       |       min(cum.bin) * $w AS lo, (min(cum.bin) + 1) * $w AS hi
+       |FROM t JOIN cum ON cum.cum >= t.r
+       |GROUP BY t.qm, t.n, t.r
+       |ORDER BY qm""".stripMargin
+  }
+
   // ── count-min frequency ────────────────────────────────────────────
 
   /** The d bucket columns for one hashed element: row i's bucket is

@@ -201,6 +201,28 @@ class SketchStoreSpec extends SparkSpec {
     assert(got == exact, s"counts lost to a fold race: $got != $exact")
   }
 
+  test("histogram store: merged == one-shot; idempotent re-register; " +
+      "fold supersedes; coexists under its own prefix") {
+    val db = tmpDb()
+    val b0 = (1 to 400).map(i => (i % 50 + 1).toLong)
+    val b1 = (1 to 300).map(i => (i % 200 + 1).toLong)
+    SketchStore.registerHist(db, b0.toDF("v"), col("v"), batchId = 0L)
+    SketchStore.foldHist(db)
+    SketchStore.registerHist(db, b1.toDF("v"), col("v"), batchId = 1L)
+    // a streaming retry re-delivers batch 1: same (key, ts) rows,
+    // last-wins — counts must NOT double
+    SketchStore.registerHist(db, b1.toDF("v"), col("v"), batchId = 1L)
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf((b0 ++ b1).toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"merge must be exact: $stored != $direct")
+    // the fold bounded the history: bins live at FOLD_TS + batch 1 only
+    val tss = db.snapshot().read("h/t/%").select("ts")
+      .distinct().as[Long].collect().toSet
+    assert(tss == Set(SketchStore.FOLD_TS, 1L), s"fold history: $tss")
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,

@@ -96,4 +96,36 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.heavyHitters(xs.toDF("item"), col("item"), 1)
       .count() == 0)
   }
+
+  test("histogram quantiles: rank-exact envelope, any partitioning") {
+    // a skewed integer stream (short docs dominate, a long tail of big
+    // ones) hashed across bins of width 8
+    val vals = (0 until 2000).map(i => ((i * 2654435761L) % 97 + 1).toLong) ++
+      (0 until 60).map(i => 700L + 13 * i)
+    val sorted = vals.sorted
+    val n = vals.size.toLong
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketches.histQuantilesOf(
+          vals.toDF("v").repartition(parts), col("v"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got.map(_._1) == Sketches.HIST_QMS.map(_.toLong),
+        s"one row per target: $got")
+      got.foreach { case (qm, gn, r, _, lo, hi) =>
+        assert(gn == n && r == (qm * n + 999) / 1000)
+        val truth = sorted((r - 1).toInt) // the rank-r order statistic
+        assert(truth >= lo && truth < hi,
+          s"qm=$qm: true quantile $truth outside [$lo, $hi)")
+        assert(hi - lo == Sketches.HIST_W, "envelope is one bin wide")
+      }
+    }
+  }
+
+  test("histogram clamps out-of-range values into the edge bins") {
+    val vals = Seq(-5L, 0L, 3L, 1000000L, Long.MaxValue / 4)
+    val bins = Sketches.histSketch(vals.toDF("v"), col("v"))
+      .as[(Long, Long)].collect().toMap
+    assert(bins(0L) == 3L, s"negatives and small values share bin 0: $bins")
+    assert(bins(Sketches.HIST_B - 1L) == 2L,
+      s"everything above the domain lands in the clamp bin: $bins")
+  }
 }
