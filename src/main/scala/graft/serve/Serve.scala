@@ -206,6 +206,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
         doAnn(params(ex)))
     if (pattern == "_query/hybrid")
       return cachedQuery(ex, usesAnn = true)(doHybrid(params(ex)))
+    if (pattern == "_query/stats") return cachedQuery(ex)(doStats(params(ex)))
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
@@ -424,6 +425,71 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       Await.result(lexF, 600.seconds), Await.result(denseF, 600.seconds), k)
     (200, hits.map { case (_, d, s, r) => s"$d $s $r" }
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
+  }
+
+  /** Corpus statistics at serving latency:
+    * `GET /_query/stats?tag=<t>&heavy=<n>` → ONE JSON line from the
+    * warehouse-backed sketch stores ([[graft.ops.SketchStore]]) bound
+    * to this server's data warehouse — distinct-element estimate (KMV),
+    * quantile envelopes (fixed-grid histogram) and certified frequent
+    * items (Misra–Gries + mass), i.e. the dashboard numbers an ingest
+    * pipeline watches. The stores are sketch-sized however large the
+    * corpus ever was, so the three reads are bounded key-pruned scans;
+    * the verb rides the version-keyed result cache like every data
+    * read, so the steady state costs a directory stat. Absent stores
+    * (a warehouse that never registered a sketch) answer empty
+    * sections, not errors — the verb is safe to point at any store.
+    */
+  private def doStats(p: Map[String, String]): (Int, String) = {
+    val tag = p.getOrElse("tag", "t")
+    val heavyK = p.get("heavy").flatMap(_.toIntOption).getOrElse(20)
+    if (heavyK < 0 || heavyK > 10000) return (400, "heavy out of range\n")
+    val spark = db.spark
+    import spark.implicits._
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      } + "\""
+    // three independent bounded reads — concurrent jobs like the
+    // hybrid verb, then a driver-side render of sketch-sized rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val distinctF = Future {
+      graft.ops.SketchStore.storedKmvEstimate(db, tag)
+        .select(col("n_sketch"), col("est_distinct"))
+        .as[(Long, Long)].collect().headOption.getOrElse((0L, 0L))
+    }
+    val quantF = Future {
+      graft.ops.SketchStore.storedHistQuantiles(db, tag = tag)
+        .select(col("qm"), col("n"), col("lo"), col("hi"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    val heavyF = Future {
+      graft.ops.SketchStore.storedHeavyHitters(db, tag)
+        .limit(heavyK)
+        .as[(String, Long, Long, Long)].collect().toSeq
+    }
+    val (nSketch, estDistinct) = Await.result(distinctF, 600.seconds)
+    val quants = Await.result(quantF, 600.seconds)
+    val heavy = Await.result(heavyF, 600.seconds)
+    val qJson = quants.map { case (qm, _, lo, hi) =>
+      s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
+    val hJson = heavy.map { case (item, est, _, certain) =>
+      s"""{"item":${jstr(item)},"est":$est,"certain":$certain}"""
+    }.mkString("[", ",", "]")
+    // the two masses are DIFFERENT streams (the histogram counts values
+    // registered to it, MG counts elements) — never conflate them
+    val histN = quants.headOption.map(_._2).getOrElse(0L)
+    val mgN = heavy.headOption.map(_._3).getOrElse(0L)
+    (200,
+      s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
+        s""","kmvExactBelowK":${nSketch < graft.ops.Sketches.KMV_K}""" +
+        s""","histN":$histN,"quantiles":$qJson""" +
+        s""","mgN":$mgN,"heavy":$hJson}""" + "\n")
   }
 
   private val spooled = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -205,4 +205,33 @@ object StreamIngest {
         }
         ()
       }
+
+  /** Streaming quantile maintenance: each micro-batch's integral
+    * `valueCol` folds into the warehouse-backed histogram store
+    * ([[graft.ops.SketchStore.registerHist]]) as one ≤ grid-sized
+    * transaction. Registration keys its bin rows on the micro-batch id,
+    * so a replayed batch rewrites the same (key, ts) rows — idempotent
+    * under the sink's exactly-once batch-id guard like count-min. Kept
+    * a separate sink from [[sketchWriter]] because the element sketches
+    * consume a token stream while quantiles consume a numeric one
+    * (e.g. per-document token counts); the two can share a warehouse
+    * and a tag — distinct key prefixes.
+    */
+  def histWriter(db: Db, stream: DataFrame, valueCol: String,
+                 tag: String = "t",
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 sinkId: String = "hist")
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerHist(db, batch,
+            org.apache.spark.sql.functions.col(valueCol), batchId, tag)
+          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+        }
+        ()
+      }
 }

@@ -281,6 +281,54 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /_query/stats serves the sketch stores; fresh registrations " +
+      "are visible; absent stores answer empty sections") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = Db(spark, tmpDir("graft-serve-stats"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      // an empty warehouse: the verb answers, all sections empty
+      val (c0, b0) = http("GET", s"$base/_query/stats")
+      assert(c0 == 200 && b0.contains("\"estDistinct\":0") &&
+        b0.contains("\"quantiles\":[]") && b0.contains("\"heavy\":[]"), b0)
+
+      // register the three stores: tokens (KMV + MG) + values (hist)
+      val toks = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"cold$i"))
+        .toDF("t")
+      graft.ops.SketchStore.registerKmv(db, toks, col("t"))
+      graft.ops.SketchStore.registerMg(db, toks, col("t"), batchId = 0L)
+      graft.ops.SketchStore.registerHist(db,
+        (1 to 100).map(_.toLong).toDF("v"), col("v"), batchId = 0L)
+
+      val (c1, b1) = http("GET", s"$base/_query/stats?heavy=3")
+      assert(c1 == 200, b1)
+      // 41 distinct < k=64: the KMV section is exact
+      assert(b1.contains("\"estDistinct\":41") &&
+        b1.contains("\"kmvExactBelowK\":true"), b1)
+      // "hot" is 60 of 100 MG elements — certified frequent
+      assert(b1.contains("\"item\":\"hot\",\"est\":60,\"certain\":1"), b1)
+      assert(b1.contains("\"mgN\":100"), b1)
+      // hist: 100 values 1..100, median envelope covers 50
+      assert(b1.contains("\"histN\":100"), b1)
+      val q50 = "\"qm\":500,\"lo\":(\\d+),\"hi\":(\\d+)".r
+      val m = q50.findFirstMatchIn(b1).getOrElse(fail(s"no qm=500 in $b1"))
+      assert(m.group(1).toLong <= 50 && 50 < m.group(2).toLong, b1)
+
+      // version-keyed cache: the same URI serves from cache until a
+      // commit moves the version, then recomputes against the new store
+      val h0 = srv.queryCacheHits
+      http("GET", s"$base/_query/stats?heavy=3")
+      assert(srv.queryCacheHits == h0 + 1, "stats must ride the cache")
+      graft.ops.SketchStore.registerMg(db, Seq.fill(50)("hot").toDF("t"),
+        col("t"), batchId = 1L)
+      val (_, b2) = http("GET", s"$base/_query/stats?heavy=3")
+      assert(b2.contains("\"item\":\"hot\",\"est\":110") &&
+        b2.contains("\"mgN\":150"), b2)
+    } finally srv.stop()
+  }
+
   test("result cache evicts by byte budget, oldest first") {
     val db = Db(spark, tmpDir("graft-serve-budget"))
     // tiny budget: each answer is ~10 bytes, so 5 lookups overflow it

@@ -287,4 +287,27 @@ class StreamIngestSpec extends SparkSpec {
     // 3 sketch txs per micro-batch, replay-guarded
     assert(Manifest.current(db.warehouse).streamBatchFor("sketch") == 1L)
   }
+
+  test("histogram sink: streamed quantiles == one-shot sketch of everything") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-histsink"))
+    val mem = MemoryStream[Long]
+    val writer = StreamIngest.histWriter(db, mem.toDF().toDF("v"), "v")
+      .option("checkpointLocation", tmpDir("graft-histcp"))
+
+    val b0 = (1 to 400).map(i => (i % 37 + 1).toLong)
+    val b1 = (1 to 300).map(i => (i % 250 + 3).toLong)
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf((b0 ++ b1).toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"streamed hist drifted: $stored != $direct")
+    assert(Manifest.current(db.warehouse).streamBatchFor("hist") == 1L)
+  }
 }
