@@ -271,6 +271,32 @@ object PipelineStress {
         .as[Long](spark.implicits.newLongEncoder).head())
     timed("exact distinct shingles")(
       shingles.distinct().count())
+    // quantile regimes over a high-cardinality value (character length):
+    // the histogram's state is 1024 counters whatever the cardinality;
+    // Spark's exact percentile aggregates a (value -> count) map whose
+    // size IS the distinct-value count — fine here, a heap bomb when the
+    // value is continuous at corpus scale
+    timed("exact percentiles")(
+      docs.select(length(col("text")).cast("long").as("v"))
+        .agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.9, 0.99))")
+          .as("p"))
+        .count())
+    timed("hist quantiles (sketch)")(
+      graft.ops.Sketches.histQuantilesOf(
+        docs, length(col("text")).cast("long")).count())
+    // the store's steady state: the corpus registered once (its own
+    // scan), every later quantile answer reads ≤ bins·batches slim rows
+    // — O(1) in corpus size, the regime the sketch exists for
+    val histDb = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-histstress").toString)
+    timed("hist register (full corpus)")(
+      graft.ops.SketchStore.registerHist(histDb,
+        docs.select(length(col("text")).cast("long").as("v")), col("v"),
+        batchId = 0L))
+    timed("hist stored quantiles")(
+      graft.ops.SketchStore.storedHistQuantiles(histDb).count())
+    timed("hist stored quantiles (warm)")(
+      graft.ops.SketchStore.storedHistQuantiles(histDb).count())
     // incremental dedup steady state: one-time register of the whole
     // corpus, then per-batch probes (the recurring cost at ingest time) —
     // half the probe batch repeats registered content, half is fresh

@@ -275,21 +275,26 @@ object Sketches {
     */
   def histQuantiles(hist: DataFrame, qms: Seq[Int] = HIST_QMS,
                     w: Long = HIST_W): DataFrame = {
-    val spark = hist.sparkSession
-    val cum = hist.select(col("bin"), col("cnt"),
-      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
-        .orderBy("bin")).as("cum"))
-    val n = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
-    val targets = spark.createDataFrame(qms.map(Tuple1(_))).toDF("qm")
-      .select(col("qm").cast("long").as("qm"))
-      .crossJoin(broadcast(n))
-      .select(col("qm"), col("n"),
+    // ONE reference to `hist`: cum and total mass come out of the same
+    // window stage and the targets are an exploded literal array, so
+    // the (corpus-scanning) sketch subtree is planned exactly once — a
+    // self-join formulation re-scans the corpus per reference
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.select(col("bin"),
+      sum(col("cnt")).over(Window.orderBy("bin")).as("cum"),
+      sum(col("cnt")).over(Window.partitionBy()).as("n"))
+    cum.select(col("bin"), col("cum"), col("n"),
+        explode(array(qms.map(q => lit(q.toLong)): _*)).as("qm"))
+      .select(col("qm"), col("n"), col("bin"), col("cum"),
         floor((col("qm") * col("n") + 999) / 1000.0).cast("long").as("r"))
-    targets.join(cum, cum("cum") >= targets("r"))
+      .filter(col("cum") >= col("r"))
       .groupBy("qm", "n", "r").agg(min(col("bin")).as("bin"))
       .select(col("qm"), col("n"), col("r"), col("bin"),
         (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"))
-      .orderBy("qm")
+      // total order without a range exchange: a global orderBy would
+      // spend a range-sampling job on ≤ |qms| rows (the point-lookup
+      // lesson); one partition + local sort is the same contract
+      .coalesce(1).sortWithinPartitions("qm")
   }
 
   /** The driver-row composition over an integral column. */
