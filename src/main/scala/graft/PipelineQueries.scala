@@ -549,6 +549,15 @@ object PipelineQueries {
       Sketches.histQuantilesOf(docs,
         graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
     },
+    // per-source quantile envelopes — the fully distributed grouped
+    // form (windows partitioned by group, no single-partition stage):
+    // what a source-mix planner reads before setting packing lengths
+    "sk_hist_by_source" -> { (s, d) =>
+      val docs = graft.core.Graft.rebalance(Graft.documents(s, d))
+      Sketches.histQuantilesBy(docs, col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .orderBy("grp", "qm")
+    },
     // warehouse-backed running quantiles: two half-corpus batches
     // registered as ≤ b-row histogram partials with a fenced fold
     // between them; histogram merge is exact counter addition, so the
@@ -1782,6 +1791,7 @@ object PipelineQueries {
     "sk_heavy_hitters" -> Sketches.sqlHeavyHittersTokens(),
     "sk_mg_incremental" -> SketchStore.sqlMgIncrementalTokens(),
     "sk_hist_quantiles" -> Sketches.sqlHistTokenCounts(),
+    "sk_hist_by_source" -> Sketches.sqlHistTokenCountsBySource(),
     "sk_hist_incremental" -> Sketches.sqlHistTokenCounts(),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),

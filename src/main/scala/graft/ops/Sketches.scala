@@ -303,6 +303,67 @@ object Sketches {
                       w: Long = HIST_W): DataFrame =
     histQuantiles(histSketch(df, value, b, w), qms, w)
 
+  /** Per-group quantile envelopes — the fully distributed form: one
+    * hash aggregation over ≤ b·groups keys, then windows PARTITIONED by
+    * the group, so there is no single-partition stage anywhere and a
+    * million groups cost a million × b-bounded grids spread across the
+    * cluster (per-source / per-language sequence-length percentiles —
+    * what a source-mix planner feeds on). Same integer algebra as
+    * [[histQuantiles]]; output (grp, qm, n, r, bin, lo, hi), UNORDERED —
+    * group count is data-sized, so a total order is the caller's choice,
+    * not a baked-in range exchange.
+    */
+  def histQuantilesBy(df: DataFrame, grp: Column, value: Column,
+                      qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
+                      w: Long = HIST_W): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(grp.as("grp"), histBin(value, b, w).as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("grp"), col("bin"),
+      sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin"))
+        .as("cum"),
+      sum(col("cnt")).over(Window.partitionBy("grp")).as("n"))
+    cum.select(col("grp"), col("bin"), col("cum"), col("n"),
+        explode(array(qms.map(q => lit(q.toLong)): _*)).as("qm"))
+      .select(col("grp"), col("qm"), col("n"), col("bin"), col("cum"),
+        floor((col("qm") * col("n") + 999) / 1000.0).cast("long").as("r"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("grp", "qm", "n", "r").agg(min(col("bin")).as("bin"))
+      .select(col("grp"), col("qm"), col("n"), col("r"), col("bin"),
+        (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"))
+  }
+
+  /** DuckDB twin of [[histQuantilesBy]] over per-document token counts
+    * grouped by `source` (adjacent so they cannot drift).
+    */
+  def sqlHistTokenCountsBySource(qms: Seq[Int] = HIST_QMS,
+                                 b: Int = HIST_B,
+                                 w: Long = HIST_W): String = {
+    val values = qms.map(q => s"($q)").mkString(", ")
+    s"""WITH tc AS (
+       |  SELECT source AS grp, len(string_split(text, ' ')) AS v
+       |  FROM documents),
+       |bins AS (
+       |  SELECT grp, least(greatest(CAST(floor(v / $w) AS BIGINT), 0),
+       |               ${b - 1}) AS bin,
+       |         count(*) AS cnt
+       |  FROM tc GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT grp, bin, cnt,
+       |         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+       |         sum(cnt) OVER (PARTITION BY grp) AS n
+       |  FROM bins),
+       |t AS (
+       |  SELECT grp, bin, cum, n, CAST(qm AS BIGINT) AS qm,
+       |         CAST(floor((qm * n + 999) / 1000) AS BIGINT) AS r
+       |  FROM cum, (VALUES $values) q(qm))
+       |SELECT grp, qm, CAST(n AS BIGINT) AS n, r, min(bin) AS bin,
+       |       min(bin) * $w AS lo, (min(bin) + 1) * $w AS hi
+       |FROM t WHERE cum >= r
+       |GROUP BY grp, qm, n, r
+       |ORDER BY grp, qm""".stripMargin
+  }
+
   /** DuckDB twin of [[histQuantilesOf]] over the per-document token
     * counts of `documents` (adjacent so they cannot drift): the same
     * clamped floor-division binning, cumulative sums, integer rank

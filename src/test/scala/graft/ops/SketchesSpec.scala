@@ -120,6 +120,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("grouped histogram quantiles == the ungrouped sketch per group") {
+    val df = (Seq.tabulate(500)(i => ("a", (i % 83 + 1).toLong)) ++
+      Seq.tabulate(300)(i => ("b", (i % 9 + 400).toLong)))
+      .toDF("g", "v")
+    val grouped = Sketches.histQuantilesBy(df, col("g"), col("v"))
+      .orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val perGroup = Seq("a", "b").flatMap { g =>
+      Sketches.histQuantilesOf(df.filter(col("g") === g), col("v"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+        .map { case (qm, n, r, bin, lo, hi) => (g, qm, n, r, bin, lo, hi) }
+    }
+    assert(grouped == perGroup, s"$grouped != $perGroup")
+  }
+
   test("histogram clamps out-of-range values into the edge bins") {
     val vals = Seq(-5L, 0L, 3L, 1000000L, Long.MaxValue / 4)
     val bins = Sketches.histSketch(vals.toDF("v"), col("v"))
