@@ -62,6 +62,30 @@ object AnalyticsQueries {
           "key", "ts", "value", 86400000000000L)
         .orderBy("key", "bucket_ts")
     },
+    // value-add: per-key rolling-window smoothing (last-7-rows stats),
+    // decimal-exact sums so the hash can't drift on window addition order
+    "w6_rolling" -> { (s, d) =>
+      val ev = Graft.events(s, d).select(
+        concat(col("event_type"), lit("/"), col("user_id").cast("string"))
+          .as("key"),
+        (col("ts") - col("ts") % 1000).as("ts"), // µs-floor for the oracle
+        col("event_id"), col("value"))
+      SeriesAnalytics.rollingStats(ev, "key", "ts", "value", 7,
+          Seq("event_id"))
+        .orderBy("key", "ts", "event_id")
+    },
+    // value-add: counter-rate accounting with reset detection (the
+    // PromQL `increase` contract over last-wins series)
+    "w7_counter_rate" -> { (s, d) =>
+      val ev = Graft.events(s, d).select(
+        concat(col("event_type"), lit("/"), col("user_id").cast("string"))
+          .as("key"),
+        (col("ts") - col("ts") % 1000).as("ts"),
+        col("event_id"), col("value"))
+      SeriesAnalytics.counterIncrease(ev, "key", "ts", "value",
+          Seq("event_id"))
+        .orderBy("key")
+    },
     // value-add: as-of join (absent in reference, SURVEY §2.3)
     "j2_asof_join" -> { (s, d) =>
       val ev = Graft.events(s, d)
@@ -319,6 +343,39 @@ object AnalyticsQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |       CAST(obs AS BIGINT) AS is_observed
         |FROM j ORDER BY key, bucket_ts""".stripMargin,
+    "w6_rolling" ->
+      """WITH series AS (
+        |  SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_ns(ts) AS ts, event_id, value FROM events)
+        |SELECT key, ts, event_id,
+        |       count(*) OVER w AS roll_n,
+        |       min(value) OVER w AS roll_min,
+        |       max(value) OVER w AS roll_max,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         AS roll_sum
+        |FROM series
+        |WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY key, ts, event_id""".stripMargin,
+    "w7_counter_rate" ->
+      """WITH series AS (
+        |  SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_ns(ts) AS ts, event_id, value FROM events),
+        |lagged AS (
+        |  SELECT key, CAST(value AS DECIMAL(18,2)) AS v,
+        |         lag(CAST(value AS DECIMAL(18,2))) OVER
+        |           (PARTITION BY key ORDER BY ts, event_id) AS prev
+        |  FROM series),
+        |d AS (
+        |  SELECT key,
+        |         CASE WHEN prev IS NULL THEN CAST(0 AS DECIMAL(18,2))
+        |              WHEN v >= prev THEN v - prev ELSE v END AS delta,
+        |         CASE WHEN prev IS NOT NULL AND v < prev THEN 1
+        |              ELSE 0 END AS reset
+        |  FROM lagged)
+        |SELECT key, count(*) AS n, CAST(sum(reset) AS BIGINT) AS resets,
+        |       CAST(sum(delta) AS DOUBLE) AS increase
+        |FROM d GROUP BY key ORDER BY key""".stripMargin,
     "j2_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events

@@ -109,6 +109,55 @@ object SeriesAnalytics {
         coalesce(col("_obs"), lit(0L)).as("is_observed"))
   }
 
+  /** Per-key rolling-window statistics over the last `nRows` observations
+    * (count / min / max / decimal-exact sum) — the monitoring-dashboard
+    * smoothing query. One window pass, one shuffle on key; the frame is
+    * ROW-based so the cost per row is O(1) state however dense the
+    * series, and the decimal sum keeps the result bit-identical across
+    * engines (a double sum would depend on the window implementation's
+    * addition order — DuckDB uses segment trees). `tieCols` break
+    * equal-ts ordering so the frame contents are deterministic.
+    */
+  def rollingStats(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, nRows: Int,
+                   tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)): Seq[Column]
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    df.select(
+      (Seq(col(keyCol), col(tsCol)) ++ tieCols.map(col)) ++ Seq(
+        count(lit(1)).over(w).as("roll_n"),
+        min(col(valueCol)).over(w).as("roll_min"),
+        max(col(valueCol)).over(w).as("roll_max"),
+        sum(col(valueCol).cast("decimal(18,2)")).over(w)
+          .cast("double").as("roll_sum")): _*)
+  }
+
+  /** Counter-rate accounting with reset detection (the PromQL `increase`
+    * contract): per key, consecutive deltas are summed, and a decrease is
+    * read as a counter restart — the new value counts in full, never a
+    * negative delta. One lag window + one aggregation, both on the same
+    * key shuffle. Decimal arithmetic end to end so the totals are exact.
+    * Output: (key, n, resets, increase).
+    */
+  def counterIncrease(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String,
+                      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)): Seq[Column]
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val v = col(valueCol).cast("decimal(18,2)")
+    df.select(col(keyCol), v.as("_v"), lag(v, 1).over(w).as("_prev"))
+      .select(col(keyCol),
+        when(col("_prev").isNull, lit(0).cast("decimal(18,2)"))
+          .when(col("_v") >= col("_prev"), col("_v") - col("_prev"))
+          .otherwise(col("_v")).as("_delta"),
+        when(col("_prev").isNotNull && col("_v") < col("_prev"), 1L)
+          .otherwise(0L).as("_reset"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("_reset")).as("resets"),
+        sum(col("_delta")).cast("double").as("increase"))
+  }
+
   /** Pipe rows through an external command, one subprocess per partition —
     * the reference's `read --parallel CMD` (sonnerie `src/main.rs:234-279`)
     * re-expressed as `RDD.pipe`: partitioned external consumers with the

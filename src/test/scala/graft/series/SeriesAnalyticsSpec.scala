@@ -1,0 +1,47 @@
+package graft.series
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the window-family analytics the oracle rows
+  * exercise at corpus scale — the reset/frame edge semantics are easier
+  * to read off four rows than off 10k.
+  */
+class SeriesAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollingStats: ROW frame contents, ties broken, decimal sums") {
+    val df = Seq(
+      ("a", 1L, 1L, 1.5), ("a", 2L, 2L, 2.25), ("a", 2L, 3L, 4.0),
+      ("a", 5L, 4L, 8.0), ("b", 1L, 5L, 100.0))
+      .toDF("key", "ts", "event_id", "value")
+    val got = SeriesAnalytics.rollingStats(df, "key", "ts", "value", 3,
+        Seq("event_id"))
+      .orderBy("key", "ts", "event_id")
+      .select("key", "roll_n", "roll_min", "roll_max", "roll_sum")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 1.5, 1.5, 1.5),
+      ("a", 2L, 1.5, 2.25, 3.75),      // (1.5, 2.25)
+      ("a", 3L, 1.5, 4.0, 7.75),       // (1.5, 2.25, 4.0)
+      ("a", 3L, 2.25, 8.0, 14.25),     // frame slid: (2.25, 4.0, 8.0)
+      ("b", 1L, 100.0, 100.0, 100.0)), // keys never mix
+      got.toString)
+  }
+
+  test("counterIncrease: monotone deltas sum; a decrease is a restart") {
+    val df = Seq(
+      // c: 10 -> 15 (+5) -> 3 (RESET, +3) -> 7 (+4) => increase 12, 1 reset
+      ("c", 1L, 1L, 10.0), ("c", 2L, 2L, 15.0), ("c", 3L, 3L, 3.0),
+      ("c", 4L, 4L, 7.0),
+      // d: single observation => nothing accrues
+      ("d", 1L, 5L, 42.0))
+      .toDF("key", "ts", "event_id", "value")
+    val got = SeriesAnalytics.counterIncrease(df, "key", "ts", "value",
+        Seq("event_id"))
+      .orderBy("key")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("c", 4L, 1L, 12.0), ("d", 1L, 0L, 0.0)),
+      got.toString)
+  }
+}
