@@ -86,6 +86,20 @@ object AnalyticsQueries {
           Seq("event_id"))
         .orderBy("key")
     },
+    // value-add: integer-exact EWMA (α = 1/2) — the one sequential
+    // recursion in the family, driven through the per-partition
+    // imperative tier; the recursive-CTE oracle reproduces the integer
+    // stream exactly
+    "w8_ewma" -> { (s, d) =>
+      val ev = Graft.events(s, d).select(
+        concat(col("event_type"), lit("/"), col("user_id").cast("string"))
+          .as("key"),
+        (col("ts") - col("ts") % 1000).as("ts"),
+        col("event_id"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      SeriesAnalytics.ewmaHalf(ev, "key", "ts", "event_id", "vm")
+        .orderBy("key", "ts", "event_id")
+    },
     // value-add: as-of join (absent in reference, SURVEY §2.3)
     "j2_asof_join" -> { (s, d) =>
       val ev = Graft.events(s, d)
@@ -376,6 +390,24 @@ object AnalyticsQueries {
         |SELECT key, count(*) AS n, CAST(sum(reset) AS BIGINT) AS resets,
         |       CAST(sum(delta) AS DOUBLE) AS increase
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    "w8_ewma" ->
+      """WITH RECURSIVE series AS (
+        |  SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS key,
+        |         epoch_ns(ts) AS ts, event_id,
+        |         CAST(round(value * 1000000.0, 0) AS BIGINT) AS vm,
+        |         row_number() OVER (
+        |           PARTITION BY event_type || '/' || CAST(user_id AS VARCHAR)
+        |           ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |ew AS (
+        |  SELECT key, ts, event_id, vm, rn, vm AS ewma_micro
+        |  FROM series WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.ts, o.event_id, o.vm, o.rn,
+        |         CAST(floor((o.vm + e.ewma_micro) / 2.0) AS BIGINT)
+        |  FROM series o JOIN ew e ON e.key = o.key AND o.rn = e.rn + 1)
+        |SELECT key, ts, event_id, vm, ewma_micro FROM ew
+        |ORDER BY key, ts, event_id""".stripMargin,
     "j2_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events

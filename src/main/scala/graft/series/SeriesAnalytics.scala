@@ -158,6 +158,43 @@ object SeriesAnalytics {
         sum(col("_delta")).cast("double").as("increase"))
   }
 
+  /** Exponentially-weighted moving average with α = 1/2, integer-exact:
+    * per key in (ts, tie) order, `s₀ = v₀` and `sₜ = ⌊(vₜ + sₜ₋₁)/2⌋`
+    * over micro-quantized values. EWMA is a sequential recursion — each
+    * output depends on the whole prefix, which no window frame or
+    * aggregate expresses — so this is the one series operator on the
+    * per-partition imperative tier (SURVEY §7.3's last resort, used for
+    * the one shape that needs it): repartition on key, secondary-sort
+    * within partitions, one typed pass with O(1) state per task. Keys
+    * never split across partitions, so a key's recursion always sees
+    * its own full ordered history; the floor keeps the arithmetic in
+    * integers, which is what lets a recursive-CTE oracle reproduce the
+    * stream bit-for-bit.
+    *
+    * Input columns: key (string), ts / tie / vm (long; vm = value in
+    * micro-units). Output adds `ewma_micro`.
+    */
+  def ewmaHalf(df: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, vmCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        col(tieCol).cast("long"), col(vmCol).cast("long"))
+      .as[(String, Long, Long, Long)]
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(tieCol))
+    sorted.mapPartitions { it =>
+      var curKey: String = null
+      var s = 0L
+      it.map { case (k, ts, tie, vm) =>
+        s = if (k != curKey) vm else Math.floorDiv(vm + s, 2)
+        curKey = k
+        (k, ts, tie, vm, s)
+      }
+    }.toDF(keyCol, tsCol, tieCol, vmCol, "ewma_micro")
+  }
+
   /** Pipe rows through an external command, one subprocess per partition —
     * the reference's `read --parallel CMD` (sonnerie `src/main.rs:234-279`)
     * re-expressed as `RDD.pipe`: partitioned external consumers with the

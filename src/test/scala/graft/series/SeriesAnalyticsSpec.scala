@@ -29,6 +29,24 @@ class SeriesAnalyticsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("ewmaHalf: per-key integer recursion, keys isolated, " +
+      "any input partitioning") {
+    val df = Seq(
+      ("a", 1L, 1L, 100L), ("a", 2L, 2L, 50L), ("a", 3L, 3L, 7L),
+      ("b", 1L, 4L, 9L)).toDF("key", "ts", "event_id", "vm")
+    // a: 100 -> (50+100)/2 = 75 -> (7+75)/2 = 41; b starts fresh at 9
+    val want = Seq(
+      ("a", 1L, 1L, 100L, 100L), ("a", 2L, 2L, 50L, 75L),
+      ("a", 3L, 3L, 7L, 41L), ("b", 1L, 4L, 9L, 9L))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = SeriesAnalytics.ewmaHalf(df.repartition(parts),
+          "key", "ts", "event_id", "vm")
+        .orderBy("key", "ts", "event_id")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"parts=$parts: $got")
+    }
+  }
+
   test("counterIncrease: monotone deltas sum; a decrease is a restart") {
     val df = Seq(
       // c: 10 -> 15 (+5) -> 3 (RESET, +3) -> 7 (+4) => increase 12, 1 reset
