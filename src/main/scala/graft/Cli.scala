@@ -163,6 +163,29 @@ object Cli {
         flags.get("--prune-history")
           .foreach(k => Compactor.pruneHistory(db, k.toInt))
 
+      // corpus statistics from the warehouse-backed sketch stores —
+      // the CLI twin of the server's GET /_query/stats: distinct
+      // estimate, quantile envelopes, certified frequent items, each a
+      // bounded key-pruned read however much was ever registered
+      case "stats" :: Nil =>
+        val tag = flags.getOrElse("--tag", "t")
+        val kmv = graft.ops.SketchStore.storedKmvEstimate(db, tag)
+          .select("n_sketch", "est_distinct")
+          .as[(Long, Long)].collect().headOption.getOrElse((0L, 0L))
+        stdout(s"distinct\t${kmv._2}\t" +
+          (if (kmv._1 < graft.ops.Sketches.KMV_K) "exact" else "estimated"))
+        graft.ops.SketchStore.storedHistQuantiles(db, tag = tag)
+          .select("qm", "n", "lo", "hi")
+          .as[(Long, Long, Long, Long)].toLocalIterator()
+          .forEachRemaining { case (qm, n, lo, hi) =>
+            stdout(s"quantile\tp$qm\t[$lo,$hi)\tn=$n") }
+        graft.ops.SketchStore.storedHeavyHitters(db, tag)
+          .limit(flags.get("--heavy").map(_.toInt).getOrElse(20))
+          .as[(String, Long, Long, Long)].toLocalIterator()
+          .forEachRemaining { case (item, est, n, certain) =>
+            stdout(s"heavy\t${TextProto.escape(item)}\t$est\t" +
+              (if (certain == 1L) "certain" else "candidate")) }
+
       case other =>
         sys.error(s"unknown verb: ${other.mkString(" ")}")
     }
@@ -172,7 +195,7 @@ object Cli {
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
-    "--prune-history", "--ann-dir")
+    "--prune-history", "--ann-dir", "--tag", "--heavy")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format")
 

@@ -271,6 +271,23 @@ object PipelineStress {
         .as[Long](spark.implicits.newLongEncoder).head())
     timed("exact distinct shingles")(
       shingles.distinct().count())
+    // frequent items over a head+tail stream whose vocabulary grows
+    // with the corpus (~n distinct items): the MG composition shuffles
+    // c-bounded maps + the candidate-pruned stream; the definitional
+    // groupBy shuffles the whole vocabulary
+    val hhToks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(when(col("doc_id") % 3 === 0, col("t"))
+        .otherwise(concat(col("t"), lit("_"), col("doc_id"))).as("item"))
+    timed("heavy hitters (MG+exact)")(
+      graft.ops.Sketches.heavyHitters(hhToks, col("item")).count())
+    timed("heavy hitters (groupBy all)") {
+      val c = graft.ops.Sketches.MG_C
+      val cnt = hhToks.groupBy("item").agg(count(lit(1)).as("f"))
+      val tot = hhToks.agg(count(lit(1)).as("n"))
+      cnt.crossJoin(broadcast(tot))
+        .filter(col("f") * (c + 1) > col("n")).count()
+    }
     // quantile regimes over a high-cardinality value (character length):
     // the histogram's state is 1024 counters whatever the cardinality;
     // Spark's exact percentile aggregates a (value -> count) map whose

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded Misra–Gries frequency summary (Misra & Gries 1982; merge
@@ -32,6 +32,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *   (c+1)-th largest counter value from every entry and keep the
   *   positive ones (the top c+1 entries each absorb the full
   *   subtraction, so mass again retires (c+1)·d per merge).
+  *
+  * Role: the ALGEBRAIC REFERENCE of the sketch — the 1000-case
+  * SketchPropertySpec merge law is pinned against this class. The hot
+  * path ([[graft.ops.Sketches.heavyHitters]]) runs the same fold as a
+  * mutable per-partition pass (`Sketches.mgPartials`): an Aggregator
+  * buffer must be an immutable encoded Map, and re-allocating it per
+  * row measured 3× slower than the groupBy it was meant to beat.
   */
 final class FreqAgg(c: Int) extends Aggregator[String, Map[String, Long],
     Map[String, Long]] {
@@ -73,10 +80,3 @@ final class FreqAgg(c: Int) extends Aggregator[String, Map[String, Long],
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }
 
-object FreqAgg {
-  /** Column-world handle: `mg(c)(itemCol)` aggregates to the ≤ c-entry
-    * candidate map.
-    */
-  def mg(c: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(new FreqAgg(c), Encoders.STRING)
-}

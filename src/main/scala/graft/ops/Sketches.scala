@@ -146,11 +146,12 @@ object Sketches {
   /** EXACT frequent items over an arbitrary stream — every `elem` with
     * frequency strictly above n/(c+1), with its true count, computed
     * without ever shuffling per-item state for the long tail. Two
-    * passes: (1) one [[graft.functions.FreqAgg]] aggregation folds the
-    * stream into a ≤ c-entry candidate map (the Misra–Gries guarantee
+    * passes: (1) a per-partition Misra–Gries fold ([[mgPartials]]) turns
+    * the stream into a ≤ c-entry candidate set (the Misra–Gries guarantee
     * makes the candidate set a PROVABLE superset of every item above
-    * the threshold, whatever the partitioning — see the Aggregator's
-    * doc); (2) a broadcast semi-join against the ≤ c candidates prunes
+    * the threshold, whatever the partitioning — the algebra is pinned
+    * by [[graft.functions.FreqAgg]]'s 1000-case merge-law property);
+    * (2) a broadcast semi-join against the ≤ c candidates prunes
     * the stream and an exact count + threshold filter restores true
     * frequencies. The composition is deterministic and oracle-exact —
     * the sketch's order-dependent tail candidates are filtered away by
@@ -164,16 +165,83 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame = {
     val toks = df.select(elem.as("item"))
-    val cand = toks
-      .agg(graft.functions.FreqAgg.mg(c)(col("item")).as("m"))
-      .select(explode(col("m")).as(Seq("item", "est")))
-      .select("item")
-    val n = toks.agg(count(lit(1)).as("n"))
+    // EXACTLY two stream passes: the fold (which also counts the mass,
+    // so no third scan for n) and the candidate-pruned exact count. The
+    // partials relation is sketch-sized (≤ (c+1)·partitions rows) and
+    // localCheckpointed so the two references to it below cannot re-run
+    // the fold's corpus scan.
+    val partials = mgPartials(toks, c).localCheckpoint(true)
+    val cand = mgCandidates(partials, c)
+    val n = partials.agg(sum(col("nrows")).as("n"))
     toks.join(broadcast(cand), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("f"))
       .crossJoin(broadcast(n))
       .filter(col("f") * (c + 1) > col("n"))
       .orderBy(col("f").desc, col("item"))
+  }
+
+  /** The candidate stage of [[heavyHitters]]: a per-partition MG fold
+    * with MUTABLE ≤ (c+1)-entry state (the [[graft.functions.FreqAgg]]
+    * algebra, minus the per-row immutable-Map allocation that made the
+    * UDAF formulation slower than the groupBy it was replacing —
+    * measured 9.2 s vs 3.1 s at 40M tokens before this rewrite), then
+    * one summed merge + the standard (c+1)-th-largest truncation over
+    * the ≤ c·partitions partial rows. Same guarantee as the Aggregator
+    * (each step retires ≥ (c+1)× its own error), so the output is a
+    * valid ≤ c-row MG candidate set of the whole stream; per-task
+    * memory stays O(c) however large or skewed a partition is.
+    */
+  /** One fold pass: per partition, the MG map (≤ c candidate rows, null
+    * nrows) plus ONE mass row (null item, nrows = the partition's row
+    * count) — the mass rides the same pass so the caller never rescans
+    * the stream just to learn n.
+    */
+  private[ops] def mgPartials(toks: DataFrame, c: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("item").cast("string")).as[String]
+      .mapPartitions { it =>
+        // boxed values: on a primitive-Long-valued map, a missing key's
+        // `get` would unbox null to 0 and every miss would look like a
+        // hit — the capacity bound would silently never engage
+        val m = new java.util.HashMap[String, java.lang.Long](2 * c)
+        var rows = 0L
+        it.foreach { s =>
+          rows += 1
+          val cur = m.get(s)
+          if (cur ne null) m.put(s, cur + 1L)
+          else if (m.size < c) m.put(s, 1L)
+          else { // miss when full: decrement everything, drop zeros
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue > 1L) en.setValue(en.getValue - 1L)
+              else e.remove()
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val cands = m.entrySet().asScala
+          .map(en => (en.getKey, en.getValue.longValue)).toList
+        (( null: String, 0L, rows) :: cands.map { case (i, e) =>
+          (i, e, 0L) }).iterator
+      }.toDF("item", "est", "nrows")
+  }
+
+  /** The merged ≤ c-entry candidate set of [[mgPartials]] output —
+    * per-item sums re-truncated by the (c+1)-th largest (the standard
+    * mergeable-summaries step, each truncation retiring ≥ (c+1)× its
+    * own error).
+    */
+  private[ops] def mgCandidates(partials: DataFrame, c: Int): DataFrame = {
+    val summed = partials.filter(col("item").isNotNull)
+      .groupBy("item").agg(sum(col("est")).as("f"))
+    val cut = summed.orderBy(col("f").desc, col("item")).limit(c + 1)
+      .agg(count(lit(1)).as("k1"), min(col("f")).as("fmin"))
+      .select(when(col("k1") <= c, lit(0L)).otherwise(col("fmin")).as("d"))
+    summed.crossJoin(broadcast(cut))
+      .filter(col("f") > col("d"))
+      .select(col("item"))
   }
 
   /** Deterministic Misra–Gries summary of ONE bounded batch: exact

@@ -174,4 +174,22 @@ class CliSpec extends SparkSpec {
     assert(cli("-d", wh, "read", "k", "--timestamp-format", "yyyy/MM/dd HH:mm:ss")() ==
       Seq("k\t2020/01/01 00:00:01\t7"))
   }
+
+  test("stats verb reports the sketch stores; empty warehouse is quiet") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = tmpDir("graft-cli-stats")
+    val db = graft.store.Db(spark, wh)
+    // an empty warehouse answers the zero report, never an error
+    assert(cli("-d", wh, "stats")() == Seq("distinct\t0\texact"))
+    val toks = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"c$i")).toDF("t")
+    graft.ops.SketchStore.registerKmv(db, toks, col("t"))
+    graft.ops.SketchStore.registerMg(db, toks, col("t"), batchId = 0L)
+    graft.ops.SketchStore.registerHist(db,
+      (1 to 80).map(_.toLong).toDF("v"), col("v"), batchId = 0L)
+    val out = cli("-d", wh, "stats", "--heavy", "2")()
+    assert(out.head == "distinct\t31\texact", out.toString)
+    assert(out.contains("quantile\tp500\t[40,48)\tn=80"), out.toString)
+    assert(out.contains("heavy\thot\t50\tcertain"), out.toString)
+  }
 }

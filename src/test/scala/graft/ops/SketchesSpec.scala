@@ -86,6 +86,21 @@ class SketchesSpec extends SparkSpec {
           xs.toDF("item").repartition(parts), col("item"), c)
         .as[(String, Long, Long)].collect().toSeq
       assert(got == want, s"parts=$parts: $got != $want")
+      // the candidate set must be CAPACITY-bounded, not merely correct:
+      // a fold whose eviction never engages still answers right (it is
+      // exact counting) while silently growing O(vocabulary) state —
+      // the single-partition case is the regression trap, since there
+      // the merge-side truncation can't mask an unbounded fold
+      val parted = xs.toDF("item").repartition(parts)
+      val partials = Sketches.mgPartials(parted, c)
+      val perPart = partials.filter(col("item").isNotNull)
+        .groupBy(spark_partition_id()).count()
+        .agg(max("count")).as[Long].head()
+      assert(perPart <= c, s"a partition emitted $perPart candidates > $c")
+      val nCand = Sketches.mgCandidates(partials, c).count()
+      assert(nCand <= c, s"merged candidates must stay <= $c, got $nCand")
+      // the mass rows carry the full stream count through the fold pass
+      assert(partials.agg(sum("nrows")).as[Long].head() == n)
     }
     // empty stream: no rows, not a crash
     assert(Sketches.heavyHitters(
