@@ -54,6 +54,13 @@ object Cli {
       // `read <pattern>` or, as in the reference, a pure key range via
       // `read --after-key A --before-key B` (src/main.rs:113-121)
       case "read" :: rest if rest.size <= 1 =>
+        // --at-version V: time travel — read the warehouse exactly as
+        // manifest version V committed it (versions are immutable; the
+        // reachable history is bounded by compact --prune-history)
+        def readPat(pattern: String) = flags.get("--at-version") match {
+          case Some(v) => db.snapshotAt(v.toLong).read(pattern)
+          case None    => db.read(pattern)
+        }
         val base = rest.headOption match {
           case Some(pattern) =>
             // the reference declares filter and key bounds conflicts_with
@@ -62,13 +69,13 @@ object Cli {
             require(!flags.contains("--after-key") &&
               !flags.contains("--before-key"),
               "a pattern conflicts with --after-key/--before-key")
-            db.read(pattern)
+            readPat(pattern)
           case None =>
             val from = flags.get("--after-key")
             val until = flags.get("--before-key")
             require(from.nonEmpty || until.nonEmpty,
               "read needs a pattern or --after-key/--before-key")
-            SeriesOps.keyRange(db.read("%"), from, until)
+            SeriesOps.keyRange(readPat("%"), from, until)
         }
         val df = SeriesOps.timeRange(
           base,
@@ -195,7 +202,7 @@ object Cli {
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
-    "--prune-history", "--ann-dir", "--tag", "--heavy")
+    "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format")
 

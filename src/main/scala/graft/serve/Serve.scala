@@ -174,13 +174,29 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
       else -1L,
       ex.getRequestURI.toString)
+    // the version pair IS the answer's identity: immutable-per-version
+    // contents make it a strong ETag, so a polling client holding the
+    // current generation pays a 304 and a directory stat, not a body —
+    // the HTTP spelling of the never-stale cache
+    val etag = s""""v${key._1}.${key._2}""""
+    if (Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        .contains(etag)) {
+      qcHits.incrementAndGet()
+      ex.getResponseHeaders.set("ETag", etag)
+      return ex.sendResponseHeaders(304, -1L)
+    }
     val hit = cacheGet(key)
-    if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
+    if (hit != null) {
+      qcHits.incrementAndGet()
+      ex.getResponseHeaders.set("ETag", etag)
+      return respond(ex, 200, hit)
+    }
     val (status, body) = compute
     // entry-size bound: 1024 entries × an unbounded k=10000 body would
     // quietly grow the server heap; oversized answers just recompute
     if (status == 200 && body.length <= 256 * 1024)
       cachePut(key, body)
+    if (status == 200) ex.getResponseHeaders.set("ETag", etag)
     respond(ex, status, body)
   }
 
@@ -220,9 +236,22 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // driver never buffers more than the entry cap.
     val cacheKey = (Manifest.currentVersion(db.warehouse), -1L,
       ex.getRequestURI.toString)
+    // same strong-ETag contract as the /_query verbs: the manifest
+    // version identifies the answer, a matching If-None-Match is a 304
+    val etag = s""""v${cacheKey._1}.-1""""
+    if (Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        .contains(etag)) {
+      qcHits.incrementAndGet()
+      ex.getResponseHeaders.set("ETag", etag)
+      return ex.sendResponseHeaders(304, -1L)
+    }
     locally {
       val hit = cacheGet(cacheKey)
-      if (hit != null) { qcHits.incrementAndGet(); return respond(ex, 200, hit) }
+      if (hit != null) {
+        qcHits.incrementAndGet()
+        ex.getResponseHeaders.set("ETag", etag)
+        return respond(ex, 200, hit)
+      }
     }
     val snap = snapshot()
     val df = if (w.isExact) snap.get(w.pattern) else snap.read(pattern)
@@ -240,9 +269,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     if (!it.hasNext && sb.length <= cap) {
       val body = sb.toString
       cachePut(cacheKey, body)
+      ex.getResponseHeaders.set("ETag", etag)
       return respond(ex, 200, body)
     }
     ex.getResponseHeaders.set("Content-Type", "text/plain")
+    ex.getResponseHeaders.set("ETag", etag)
     // materialize the first partition lazily BEFORE committing the 200?
     // No — planning errors throw before this point; runtime errors can
     // strike at any row, so the handler logs-and-truncates (see above)

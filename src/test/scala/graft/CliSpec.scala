@@ -175,6 +175,19 @@ class CliSpec extends SparkSpec {
       Seq("k\t2020/01/01 00:00:01\t7"))
   }
 
+  test("read --at-version time-travels to an older committed snapshot") {
+    val wh = tmpDir("graft-cli-tt")
+    cli("-d", wh, "add", "--format", "u")("k 1 10")
+    val v1 = graft.store.Manifest.currentVersion(wh) // first publish
+    cli("-d", wh, "add", "--format", "u")("k 1 99", "k2 2 20")
+    // current view: last-wins merge of both transactions
+    assert(cli("-d", wh, "read", "%")() ==
+      Seq("k\t1\t99", "k2\t2\t20"))
+    // at the first published version the overwrite never happened
+    assert(cli("-d", wh, "read", "%", "--at-version", v1.toString)() ==
+      Seq("k\t1\t10"))
+  }
+
   test("stats verb reports the sketch stores; empty warehouse is quiet") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

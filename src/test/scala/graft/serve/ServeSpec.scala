@@ -329,6 +329,40 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("ETag/If-None-Match: a client holding the current generation " +
+      "gets 304; a commit changes the tag") {
+    val db = Db(spark, tmpDir("graft-serve-etag"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      http("PUT", s"$base/", Some("k1 5 u 42\n"))
+      def getWithEtag(url: String, inm: Option[String]): (Int, String) = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        inm.foreach(c.setRequestProperty("If-None-Match", _))
+        val code = c.getResponseCode
+        val tag = Option(c.getHeaderField("ETag")).getOrElse("")
+        c.disconnect(); (code, tag)
+      }
+      val (c0, tag0) = getWithEtag(s"$base/k1", None)
+      assert(c0 == 200 && tag0.nonEmpty, s"$c0 $tag0")
+      // same generation: conditional GET answers 304, no recompute
+      val (c1, tag1) = getWithEtag(s"$base/k1", Some(tag0))
+      assert(c1 == 304 && tag1 == tag0, s"$c1 $tag1")
+      // the /_query verbs speak the same contract
+      graft.ops.Retrieval.buildBm25Index(db,
+        { import spark.implicits._
+          Seq((1L, "alpha beta")).toDF("doc_id", "text") }, "doc_id", "text")
+      val (b0, btag) = getWithEtag(s"$base/_query/bm25?q=alpha", None)
+      assert(b0 == 200 && btag.nonEmpty)
+      assert(getWithEtag(s"$base/_query/bm25?q=alpha", Some(btag))._1 == 304)
+      // a commit moves the generation: the old tag revalidates to 200
+      http("PUT", s"$base/", Some("k1 6 u 43\n"))
+      val (c2, tag2) = getWithEtag(s"$base/k1", Some(tag0))
+      assert(c2 == 200 && tag2 != tag0, s"$c2 $tag2")
+    } finally srv.stop()
+  }
+
   test("result cache evicts by byte budget, oldest first") {
     val db = Db(spark, tmpDir("graft-serve-budget"))
     // tiny budget: each answer is ~10 bytes, so 5 lookups overflow it
