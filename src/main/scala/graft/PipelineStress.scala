@@ -294,10 +294,13 @@ object PipelineStress {
     // size IS the distinct-value count — fine here, a heap bomb when the
     // value is continuous at corpus scale
     timed("exact percentiles")(
+      // consume the aggregate itself — a count() on top lets column
+      // pruning delete the percentile expression and time a bare scan
       docs.select(length(col("text")).cast("long").as("v"))
         .agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.9, 0.99))")
           .as("p"))
-        .count())
+        .selectExpr("size(p)")
+        .as[Int](spark.implicits.newIntEncoder).head().toLong)
     timed("hist quantiles (sketch)")(
       graft.ops.Sketches.histQuantilesOf(
         docs, length(col("text")).cast("long")).count())

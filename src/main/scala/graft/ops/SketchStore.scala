@@ -174,16 +174,25 @@ object SketchStore {
     else {
       val rows = snap.read(mgPrefix(tag) + "%")
       if (!rows.columns.contains("est")) empty
-      else {
-        val summed = rows.groupBy("item").agg(sum(col("est")).as("f"))
-        val cut = summed.orderBy(col("f").desc, col("item")).limit(c + 1)
-          .agg(count(lit(1)).as("k1"), min(col("f")).as("fmin"))
-          .select(when(col("k1") <= c, lit(0L))
-            .otherwise(col("fmin")).as("d"))
-        summed.crossJoin(broadcast(cut))
-          .filter(col("f") > col("d"))
-          .select(col("item"), (col("f") - col("d")).as("est"))
-      }
+      else Sketches.mgTruncate(
+        rows.groupBy("item").agg(sum(col("est")).as("f")), c)
+    }
+  }
+
+  /** Total element mass ever registered to the MG store — readable on
+    * its own so an empty candidate set (nothing certified frequent, or
+    * a tie-heavy truncation) can still report how much stream it
+    * summarizes.
+    */
+  def storedMgMass(db: graft.store.Db, tag: String = "t"): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(1).select(lit(0L).as("n"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(mgMassKey(tag))
+      if (!rows.columns.contains("n_items")) empty
+      else rows.agg(coalesce(sum(col("n_items")), lit(0L)).as("n"))
     }
   }
 
@@ -197,24 +206,12 @@ object SketchStore {
     * by design, never kept). Heaviest first; deterministic end to end.
     */
   def storedHeavyHitters(db: graft.store.Db, tag: String = "t",
-                         c: Int = Sketches.MG_C): DataFrame = {
-    val mass = {
-      val spark = db.spark
-      val snap = db.snapshot()
-      val empty = spark.range(1).select(lit(0L).as("n"))
-      if (snap.manifest.dataTxids.isEmpty) empty
-      else {
-        val rows = snap.read(mgMassKey(tag))
-        if (!rows.columns.contains("n_items")) empty
-        else rows.agg(coalesce(sum(col("n_items")), lit(0L)).as("n"))
-      }
-    }
+                         c: Int = Sketches.MG_C): DataFrame =
     storedMgCandidates(db, tag, c)
-      .crossJoin(broadcast(mass))
+      .crossJoin(broadcast(storedMgMass(db, tag)))
       .select(col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
       .orderBy(col("est").desc, col("item"))
-  }
 
   /** DuckDB twin of the MG store over the head+tail token stream of
     * `documents`, registered as two half-corpus batches split at
@@ -320,29 +317,43 @@ object SketchStore {
                           w: Long = Sketches.HIST_W): DataFrame =
     Sketches.histQuantiles(storedHist(db, tag), qms, w)
 
-  /** Collapses the per-batch histogram history to one folded grid —
-    * the [[foldCountMin]] shape verbatim (conditional-claim fence, fold
-    * written after the range-delete so its higher txid survives the
-    * marker, refold on contention). Bounds the store at
+  /** Collapses the per-batch histogram history to one folded grid (the
+    * shared [[foldStore]] fence). Bounds the store at
     * b + b·(batches since last fold) rows.
     */
-  def foldHist(db: graft.store.Db, tag: String = "t"): Long = {
+  def foldHist(db: graft.store.Db, tag: String = "t"): Long =
+    foldStore(db, s"foldHist($tag)", histPrefix(tag))(storedHist(db, tag),
+      _.select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
+        lit(FOLD_TS).as("ts"), col("bin"), col("cnt")))
+
+  /** ONE copy of the fold fence every per-batch store shares: read the
+    * current sums, range-delete the tag's history with a conditional
+    * claim ([[graft.store.TxWriter.deleteIf]] — the claim fails if any
+    * commit landed after the sums were read, and the fold re-reads so a
+    * racing registration's counts are INCLUDED), then write the folded
+    * rows at the reserved `ts = FOLD_TS` AFTER the delete so the fold's
+    * higher txid survives the marker. Subsequent folds re-fold the fold.
+    * No registration can be erased either way; concurrency pinned by
+    * SketchStoreSpec's racing-writers cases.
+    */
+  private def foldStore(db: graft.store.Db, what: String, prefix: String)
+                       (stored: => DataFrame,
+                        project: DataFrame => DataFrame): Long = {
     var attempts = 0
     while (attempts < 16) {
       val expected = graft.store.Manifest.current(db.warehouse).nextTxid
-      if (storedHist(db, tag).isEmpty) return -1L // nothing to fold
-      val folded = storedHist(db, tag)
-        .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
-          lit(FOLD_TS).as("ts"), col("bin"), col("cnt"))
+      val cur = stored
+      if (cur.isEmpty) return -1L // nothing to fold
+      val folded = project(cur)
         .localCheckpoint(true) // materialize the sums BEFORE the delete
       graft.store.TxWriter.deleteIf(db, expected, t0 = Long.MinValue,
-          t1 = Long.MaxValue, wildcard = histPrefix(tag) + "%") match {
+          t1 = Long.MaxValue, wildcard = prefix + "%") match {
         case Some(_) => return graft.store.TxWriter.write(db, folded)
         case None    => attempts += 1 // a commit raced in — refold over it
       }
     }
     throw new IllegalStateException(
-      s"foldHist($tag): persistent registration contention")
+      s"$what: persistent registration contention")
   }
 
   /** Collapses the per-batch history to one folded grid: range-delete
@@ -354,31 +365,11 @@ object SketchStore {
     * d·w + d·w·(batches since last fold) rows; compaction purges the
     * deleted history physically.
     */
-  def foldCountMin(db: graft.store.Db, tag: String = "t"): Long = {
-    // safe against concurrent registrations via the conditional-claim
-    // fence: the range-delete claims its txid ONLY if no transaction
-    // landed since the sums below were read (TxWriter.deleteIf) — a
-    // registration racing into that window makes the claim fail and the
-    // fold re-reads (its counts then INCLUDED in the refold); one
-    // landing after the claim gets a higher txid and survives the
-    // marker by construction. No registration can be erased either way.
-    var attempts = 0
-    while (attempts < 16) {
-      val expected = graft.store.Manifest.current(db.warehouse).nextTxid
-      if (storedCountMin(db, tag).isEmpty) return -1L // nothing to fold
-      val folded = storedCountMin(db, tag)
-        .select(
-          format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
-            .as("key"),
-          lit(FOLD_TS).as("ts"), col("sk_row"), col("bucket"), col("c"))
-        .localCheckpoint(true) // materialize the sums BEFORE the delete
-      graft.store.TxWriter.deleteIf(db, expected, t0 = Long.MinValue,
-          t1 = Long.MaxValue, wildcard = cmPrefix(tag) + "%") match {
-        case Some(_) => return graft.store.TxWriter.write(db, folded)
-        case None    => attempts += 1 // a commit raced in — refold over it
-      }
-    }
-    throw new IllegalStateException(
-      s"foldCountMin($tag): persistent registration contention")
-  }
+  def foldCountMin(db: graft.store.Db, tag: String = "t"): Long =
+    foldStore(db, s"foldCountMin($tag)", cmPrefix(tag))(
+      storedCountMin(db, tag),
+      _.select(
+        format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
+          .as("key"),
+        lit(FOLD_TS).as("ts"), col("sk_row"), col("bucket"), col("c")))
 }

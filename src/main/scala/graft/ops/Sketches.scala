@@ -228,21 +228,30 @@ object Sketches {
       }.toDF("item", "est", "nrows")
   }
 
-  /** The merged ≤ c-entry candidate set of [[mgPartials]] output —
-    * per-item sums re-truncated by the (c+1)-th largest (the standard
-    * mergeable-summaries step, each truncation retiring ≥ (c+1)× its
-    * own error).
+  /** The MG merge-side truncation — THE one copy of the algebra every
+    * consumer shares (one-shot candidates, deterministic batch partials,
+    * the warehouse store's merged read): over (item, f) counts, subtract
+    * the (c+1)-th largest f (0 when already within capacity) and keep
+    * the strictly positive remainder, ≤ c rows. Each application retires
+    * ≥ (c+1)× its own error, which is what preserves the global
+    * `true − n/(c+1) ≤ est ≤ true` bound through any merge tree. The
+    * top-(c+1) cutoff plans as TakeOrderedAndProject, never a global
+    * sort.
     */
-  private[ops] def mgCandidates(partials: DataFrame, c: Int): DataFrame = {
-    val summed = partials.filter(col("item").isNotNull)
-      .groupBy("item").agg(sum(col("est")).as("f"))
+  private[ops] def mgTruncate(summed: DataFrame, c: Int): DataFrame = {
     val cut = summed.orderBy(col("f").desc, col("item")).limit(c + 1)
       .agg(count(lit(1)).as("k1"), min(col("f")).as("fmin"))
       .select(when(col("k1") <= c, lit(0L)).otherwise(col("fmin")).as("d"))
     summed.crossJoin(broadcast(cut))
       .filter(col("f") > col("d"))
-      .select(col("item"))
+      .select(col("item"), (col("f") - col("d")).as("est"))
   }
+
+  /** The merged ≤ c-entry candidate set of [[mgPartials]] output. */
+  private[ops] def mgCandidates(partials: DataFrame, c: Int): DataFrame =
+    mgTruncate(partials.filter(col("item").isNotNull)
+      .groupBy("item").agg(sum(col("est")).as("f")), c)
+      .select(col("item"))
 
   /** Deterministic Misra–Gries summary of ONE bounded batch: exact
     * per-item counts reduced by a single truncation step — subtract the
@@ -258,17 +267,9 @@ object Sketches {
     * STORE is what stays ≤ c per batch. The top-(c+1) cutoff plans as
     * TakeOrderedAndProject, never a global sort.
     */
-  def mgSummary(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame = {
-    val cnt = df.select(elem.as("item"))
-      .groupBy("item").agg(count(lit(1)).as("f"))
-    val cut = cnt.orderBy(col("f").desc, col("item")).limit(c + 1)
-      .agg(count(lit(1)).as("k1"), min(col("f")).as("fmin"))
-      .select(when(col("k1") <= c, lit(0L))
-        .otherwise(col("fmin")).as("d"))
-    cnt.crossJoin(broadcast(cut))
-      .filter(col("f") > col("d"))
-      .select(col("item"), (col("f") - col("d")).as("est"))
-  }
+  def mgSummary(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame =
+    mgTruncate(df.select(elem.as("item"))
+      .groupBy("item").agg(count(lit(1)).as("f")), c)
 
   /** DuckDB twin of [[heavyHitters]] over the head+tail token stream of
     * `documents` (adjacent so they cannot drift): every third document
@@ -354,7 +355,7 @@ object Sketches {
     cum.select(col("bin"), col("cum"), col("n"),
         explode(array(qms.map(q => lit(q.toLong)): _*)).as("qm"))
       .select(col("qm"), col("n"), col("bin"), col("cum"),
-        floor((col("qm") * col("n") + 999) / 1000.0).cast("long").as("r"))
+        expr("(qm * n + 999) DIV 1000").as("r"))
       .filter(col("cum") >= col("r"))
       .groupBy("qm", "n", "r").agg(min(col("bin")).as("bin"))
       .select(col("qm"), col("n"), col("r"), col("bin"),
@@ -394,7 +395,7 @@ object Sketches {
     cum.select(col("grp"), col("bin"), col("cum"), col("n"),
         explode(array(qms.map(q => lit(q.toLong)): _*)).as("qm"))
       .select(col("grp"), col("qm"), col("n"), col("bin"), col("cum"),
-        floor((col("qm") * col("n") + 999) / 1000.0).cast("long").as("r"))
+        expr("(qm * n + 999) DIV 1000").as("r"))
       .filter(col("cum") >= col("r"))
       .groupBy("grp", "qm", "n", "r").agg(min(col("bin")).as("bin"))
       .select(col("grp"), col("qm"), col("n"), col("r"), col("bin"),
@@ -423,7 +424,7 @@ object Sketches {
        |  FROM bins),
        |t AS (
        |  SELECT grp, bin, cum, n, CAST(qm AS BIGINT) AS qm,
-       |         CAST(floor((qm * n + 999) / 1000) AS BIGINT) AS r
+       |         CAST((qm * n + 999) // 1000 AS BIGINT) AS r
        |  FROM cum, (VALUES $values) q(qm))
        |SELECT grp, qm, CAST(n AS BIGINT) AS n, r, min(bin) AS bin,
        |       min(bin) * $w AS lo, (min(bin) + 1) * $w AS hi
@@ -452,7 +453,7 @@ object Sketches {
        |n AS (SELECT count(*) AS n FROM tc),
        |t AS (
        |  SELECT CAST(qm AS BIGINT) AS qm, n,
-       |         CAST(floor((qm * n + 999) / 1000) AS BIGINT) AS r
+       |         CAST((qm * n + 999) // 1000 AS BIGINT) AS r
        |  FROM (VALUES $values) q(qm), n)
        |SELECT t.qm, CAST(t.n AS BIGINT) AS n, t.r,
        |       min(cum.bin) AS bin,

@@ -185,10 +185,15 @@ object SeriesAnalytics {
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(tsCol), col(tieCol))
     sorted.mapPartitions { it =>
+      // a null key is a legal group (e.g. concat over a null column), so
+      // a null curKey sentinel would silently treat the null group's
+      // first row as a continuation — track seeding explicitly
+      var started = false
       var curKey: String = null
       var s = 0L
       it.map { case (k, ts, tie, vm) =>
-        s = if (k != curKey) vm else Math.floorDiv(vm + s, 2)
+        s = if (!started || k != curKey) vm else Math.floorDiv(vm + s, 2)
+        started = true
         curKey = k
         (k, ts, tie, vm, s)
       }

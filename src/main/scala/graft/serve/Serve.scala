@@ -174,17 +174,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
       else -1L,
       ex.getRequestURI.toString)
-    // the version pair IS the answer's identity: immutable-per-version
-    // contents make it a strong ETag, so a polling client holding the
-    // current generation pays a 304 and a directory stat, not a body —
-    // the HTTP spelling of the never-stale cache
-    val etag = s""""v${key._1}.${key._2}""""
-    if (Option(ex.getRequestHeaders.getFirst("If-None-Match"))
-        .contains(etag)) {
-      qcHits.incrementAndGet()
-      ex.getResponseHeaders.set("ETag", etag)
-      return ex.sendResponseHeaders(304, -1L)
-    }
+    val etag = etagOf(key._1, key._2)
+    if (notModified(ex, etag)) return
     val hit = cacheGet(key)
     if (hit != null) {
       qcHits.incrementAndGet()
@@ -192,12 +183,44 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       return respond(ex, 200, hit)
     }
     val (status, body) = compute
+    // a verb's internals take their own snapshots (e.g. doStats runs
+    // three store reads, doHybrid two probes): if a commit landed while
+    // computing, the answer may span generations — still a fine response
+    // for THIS request, but it must not be cached or tagged as the
+    // entry-version answer, or pollers at that generation would 304
+    // against a body that generation never produced
+    val stable = key._1 == (if (usesData)
+      Manifest.currentVersion(db.warehouse) else -1L) &&
+      key._2 == (if (usesAnn) annDb.fold(-1L)(a =>
+        Manifest.currentVersion(a.warehouse)) else -1L)
     // entry-size bound: 1024 entries × an unbounded k=10000 body would
     // quietly grow the server heap; oversized answers just recompute
-    if (status == 200 && body.length <= 256 * 1024)
+    if (status == 200 && stable && body.length <= 256 * 1024)
       cachePut(key, body)
-    if (status == 200) ex.getResponseHeaders.set("ETag", etag)
+    if (status == 200 && stable) ex.getResponseHeaders.set("ETag", etag)
     respond(ex, status, body)
+  }
+
+  /** The version pair IS the answer's identity: immutable-per-version
+    * contents make it a strong ETag, so a polling client holding the
+    * current generation pays a 304 and a directory stat, not a body —
+    * the HTTP spelling of the never-stale cache.
+    */
+  private def etagOf(dataVer: Long, annVer: Long): String =
+    s""""v$dataVer.$annVer""""
+
+  /** Answers 304 (and returns true) when the client already holds this
+    * exact generation.
+    */
+  private def notModified(ex: HttpExchange, etag: String): Boolean = {
+    if (!Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        .contains(etag)) false
+    else {
+      qcHits.incrementAndGet()
+      ex.getResponseHeaders.set("ETag", etag)
+      ex.sendResponseHeaders(304, -1L)
+      true
+    }
   }
 
   private def doGet(ex: HttpExchange): Unit = {
@@ -238,13 +261,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       ex.getRequestURI.toString)
     // same strong-ETag contract as the /_query verbs: the manifest
     // version identifies the answer, a matching If-None-Match is a 304
-    val etag = s""""v${cacheKey._1}.-1""""
-    if (Option(ex.getRequestHeaders.getFirst("If-None-Match"))
-        .contains(etag)) {
-      qcHits.incrementAndGet()
-      ex.getResponseHeaders.set("ETag", etag)
-      return ex.sendResponseHeaders(304, -1L)
-    }
+    val etag = etagOf(cacheKey._1, -1L)
+    if (notModified(ex, etag)) return
     locally {
       val hit = cacheGet(cacheKey)
       if (hit != null) {
@@ -268,12 +286,20 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     }
     if (!it.hasNext && sb.length <= cap) {
       val body = sb.toString
-      cachePut(cacheKey, body)
-      ex.getResponseHeaders.set("ETag", etag)
+      // the snapshot the body came from may postdate the entry version
+      // (commit raced between the key read and snapshot()) — cache/tag
+      // only when the generation held still, same rule as cachedQuery
+      if (Manifest.currentVersion(db.warehouse) == cacheKey._1) {
+        cachePut(cacheKey, body)
+        ex.getResponseHeaders.set("ETag", etag)
+      }
       return respond(ex, 200, body)
     }
     ex.getResponseHeaders.set("Content-Type", "text/plain")
-    ex.getResponseHeaders.set("ETag", etag)
+    // NO ETag on the chunked path: a mid-stream failure truncates the
+    // body after the 200 commits (log-and-truncate below), and a strong
+    // tag would let that truncated answer revalidate as 304 forever —
+    // only COMPLETE bodies (cache hit / buffered) carry the tag
     // materialize the first partition lazily BEFORE committing the 200?
     // No — planning errors throw before this point; runtime errors can
     // strike at any row, so the handler logs-and-truncates (see above)
@@ -504,9 +530,16 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
         .limit(heavyK)
         .as[(String, Long, Long, Long)].collect().toSeq
     }
+    // mass comes from its own row, never from heavy.head — an empty
+    // candidate list (heavy=0, or a tie-heavy truncation) must still
+    // report how much stream the store summarizes
+    val mgMassF = Future {
+      graft.ops.SketchStore.storedMgMass(db, tag).as[Long].head()
+    }
     val (nSketch, estDistinct) = Await.result(distinctF, 600.seconds)
     val quants = Await.result(quantF, 600.seconds)
     val heavy = Await.result(heavyF, 600.seconds)
+    val mgN = Await.result(mgMassF, 600.seconds)
     val qJson = quants.map { case (qm, _, lo, hi) =>
       s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
     val hJson = heavy.map { case (item, est, _, certain) =>
@@ -515,7 +548,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // the two masses are DIFFERENT streams (the histogram counts values
     // registered to it, MG counts elements) — never conflate them
     val histN = quants.headOption.map(_._2).getOrElse(0L)
-    val mgN = heavy.headOption.map(_._3).getOrElse(0L)
     (200,
       s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
         s""","kmvExactBelowK":${nSketch < graft.ops.Sketches.KMV_K}""" +

@@ -45,6 +45,17 @@ class SeriesAnalyticsSpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long)].collect().toSeq
       assert(got == want, s"parts=$parts: $got")
     }
+    // a NULL key is a legal group (concat over a null column): its first
+    // row must SEED the recursion, not continue from the sentinel state
+    val withNull = Seq((null.asInstanceOf[String], 1L, 1L, 100L),
+      (null.asInstanceOf[String], 2L, 2L, 50L), ("a", 1L, 3L, 8L))
+      .toDF("key", "ts", "event_id", "vm")
+    val gotNull = SeriesAnalytics.ewmaHalf(withNull,
+        "key", "ts", "event_id", "vm")
+      .orderBy("ts", "event_id")
+      .select("vm", "ewma_micro").as[(Long, Long)].collect().toSet
+    assert(gotNull == Set((100L, 100L), (50L, 75L), (8L, 8L)),
+      gotNull.toString)
   }
 
   test("counterIncrease: monotone deltas sum; a decrease is a restart") {
