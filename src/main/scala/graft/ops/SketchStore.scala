@@ -284,9 +284,10 @@ object SketchStore {
   def registerHist(db: graft.store.Db, batch: DataFrame, value: Column,
                    batchId: Long, tag: String = "t",
                    b: Int = Sketches.HIST_B,
-                   w: Long = Sketches.HIST_W): Long = {
+                   w: Long = Sketches.HIST_W,
+                   origin: Long = 0L): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    val rows = Sketches.histSketch(batch, value, b, w)
+    val rows = Sketches.histSketch(batch, value, b, w, origin)
       .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(batchId).as("ts"), col("bin"), col("cnt"))
     graft.store.TxWriter.write(db, rows)
@@ -314,8 +315,9 @@ object SketchStore {
   def storedHistQuantiles(db: graft.store.Db,
                           qms: Seq[Int] = Sketches.HIST_QMS,
                           tag: String = "t",
-                          w: Long = Sketches.HIST_W): DataFrame =
-    Sketches.histQuantiles(storedHist(db, tag), qms, w)
+                          w: Long = Sketches.HIST_W,
+                          origin: Long = 0L): DataFrame =
+    Sketches.histQuantiles(storedHist(db, tag), qms, w, origin)
 
   /** Collapses the per-batch histogram history to one folded grid (the
     * shared [[foldStore]] fence). Bounds the store at

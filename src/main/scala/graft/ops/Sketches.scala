@@ -314,13 +314,16 @@ object Sketches {
     */
   val HIST_QMS: Seq[Int] = Seq(250, 500, 750, 900, 990)
 
-  /** One value's bin: `min(max(floor(v/w), 0), b−1)` — the double
-    * division is exact for the bounded integer magnitudes this sketch is
-    * for (< 2^52), and the identical expression is emitted into the SQL
-    * twin, so the two engines can never disagree on a bin edge.
+  /** One value's bin: `min(max(floor((v−origin)/w), 0), b−1)` — the
+    * double division is exact for the bounded integer magnitudes this
+    * sketch is for (< 2^52), and the identical expression is emitted
+    * into the SQL twin, so the two engines can never disagree on a bin
+    * edge. `origin` shifts the covered domain to
+    * [origin, origin + b·w) — e.g. micro-quantized ln-based scores are
+    * large negatives, so a score store uses a negative origin.
     */
-  private def histBin(v: Column, b: Int, w: Long): Column =
-    least(greatest(floor(v / w.toDouble).cast("long"), lit(0L)),
+  private def histBin(v: Column, b: Int, w: Long, origin: Long): Column =
+    least(greatest(floor((v - origin) / w.toDouble).cast("long"), lit(0L)),
       lit(b - 1L))
 
   /** Build the histogram for `value` (an integral column): a (bin, cnt)
@@ -331,8 +334,8 @@ object Sketches {
     * addition (what the store exploits).
     */
   def histSketch(df: DataFrame, value: Column, b: Int = HIST_B,
-                 w: Long = HIST_W): DataFrame =
-    df.select(histBin(value, b, w).as("bin"))
+                 w: Long = HIST_W, origin: Long = 0L): DataFrame =
+    df.select(histBin(value, b, w, origin).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
 
   /** Fold a (bin, cnt) histogram to the quantile report: for each
@@ -343,7 +346,7 @@ object Sketches {
     * Output: (qm, n, r, bin, lo, hi), one row per target, ordered.
     */
   def histQuantiles(hist: DataFrame, qms: Seq[Int] = HIST_QMS,
-                    w: Long = HIST_W): DataFrame = {
+                    w: Long = HIST_W, origin: Long = 0L): DataFrame = {
     // ONE reference to `hist`: cum and total mass come out of the same
     // window stage and the targets are an exploded literal array, so
     // the (corpus-scanning) sketch subtree is planned exactly once — a
@@ -359,7 +362,8 @@ object Sketches {
       .filter(col("cum") >= col("r"))
       .groupBy("qm", "n", "r").agg(min(col("bin")).as("bin"))
       .select(col("qm"), col("n"), col("r"), col("bin"),
-        (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"))
+        (col("bin") * w + origin).as("lo"),
+        ((col("bin") + 1) * w + origin).as("hi"))
       // total order without a range exchange: a global orderBy would
       // spend a range-sampling job on ≤ |qms| rows (the point-lookup
       // lesson); one partition + local sort is the same contract
@@ -369,8 +373,8 @@ object Sketches {
   /** The driver-row composition over an integral column. */
   def histQuantilesOf(df: DataFrame, value: Column,
                       qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
-                      w: Long = HIST_W): DataFrame =
-    histQuantiles(histSketch(df, value, b, w), qms, w)
+                      w: Long = HIST_W, origin: Long = 0L): DataFrame =
+    histQuantiles(histSketch(df, value, b, w, origin), qms, w, origin)
 
   /** Per-group quantile envelopes — the fully distributed form: one
     * hash aggregation over ≤ b·groups keys, then windows PARTITIONED by
@@ -384,9 +388,9 @@ object Sketches {
     */
   def histQuantilesBy(df: DataFrame, grp: Column, value: Column,
                       qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
-                      w: Long = HIST_W): DataFrame = {
+                      w: Long = HIST_W, origin: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.select(grp.as("grp"), histBin(value, b, w).as("bin"))
+    val hist = df.select(grp.as("grp"), histBin(value, b, w, origin).as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
     val cum = hist.select(col("grp"), col("bin"),
       sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin"))
@@ -399,7 +403,8 @@ object Sketches {
       .filter(col("cum") >= col("r"))
       .groupBy("grp", "qm", "n", "r").agg(min(col("bin")).as("bin"))
       .select(col("grp"), col("qm"), col("n"), col("r"), col("bin"),
-        (col("bin") * w).as("lo"), ((col("bin") + 1) * w).as("hi"))
+        (col("bin") * w + origin).as("lo"),
+        ((col("bin") + 1) * w + origin).as("hi"))
   }
 
   /** DuckDB twin of [[histQuantilesBy]] over per-document token counts

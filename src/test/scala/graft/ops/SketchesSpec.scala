@@ -150,6 +150,24 @@ class SketchesSpec extends SparkSpec {
     assert(grouped == perGroup, s"$grouped != $perGroup")
   }
 
+  test("histogram origin shifts the domain: signed score distributions") {
+    // micro-quantized ln-based scores are large negatives — the origin
+    // moves the grid under them; envelopes must come back in the
+    // ORIGINAL domain and stay rank-exact
+    val vals = (0 until 1000).map(i => -8000L + ((i * 2654435761L) % 7993))
+    val sorted = vals.sorted
+    val got = Sketches.histQuantilesOf(vals.toDF("v"), col("v"),
+        origin = -8192L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got.foreach { case (qm, n, r, _, lo, hi) =>
+      assert(n == 1000 && r == (qm * n + 999) / 1000)
+      val truth = sorted((r - 1).toInt)
+      assert(truth >= lo && truth < hi,
+        s"qm=$qm: true quantile $truth outside [$lo, $hi)")
+      assert(lo < 0, s"envelope must live in the signed domain: $lo")
+    }
+  }
+
   test("histogram clamps out-of-range values into the edge bins") {
     val vals = Seq(-5L, 0L, 3L, 1000000L, Long.MaxValue / 4)
     val bins = Sketches.histSketch(vals.toDF("v"), col("v"))
