@@ -1084,6 +1084,15 @@ object PipelineQueries {
         Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
         "doc_id", "text", Seq(3.45, 3.58)).orderBy("doc_id")
     },
+    // the sketch→selection composition: tercile thresholds read off the
+    // histogram sketch of the score distribution (mergeable, so at
+    // 100 TB they come from the incremental store with no rescan),
+    // bucketing stays one map-only projection
+    "sel_lm_buckets_hist" -> { (s, d) =>
+      Selection.lmBucketsByHist(Graft.documents(s, d),
+        Graft.documents(s, d).filter(col("doc_id") % 7 === 3),
+        "doc_id", "text").orderBy("doc_id")
+    },
     // ── the capstone composition: corpus → training shards in ONE plan ─
     // [[graft.ops.Pipeline.corpusToShards]] — stages and scale notes
     // there; benchmark set = the held-out doc_id % 25 slice
@@ -1673,6 +1682,11 @@ object PipelineQueries {
          |FROM ${Selection.sqlLmScoreFrom("documents", "doc_id", "text",
                   "doc_id % 7 = 3")} l
          |WHERE n_trans > 0
+         |ORDER BY doc_id""".stripMargin,
+    "sel_lm_buckets_hist" ->
+      s"""SELECT doc_id, n_trans, nll, bucket
+         |FROM ${Selection.sqlLmBucketsByHistFrom("documents", "doc_id",
+                  "text", "doc_id % 7 = 3")} h
          |ORDER BY doc_id""".stripMargin,
     "ann_ivf_pq" -> Similarity.sqlIvfPq(10, "vec_id < 5"),
     // the persisted probe is value-identical to an in-query IVF+PQ over

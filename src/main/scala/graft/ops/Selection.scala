@@ -332,6 +332,75 @@ object Selection {
       .stat.approxQuantile("nll", probs, relErr).toSeq
   }
 
+  /** Head/middle/tail bucketing with thresholds taken from the
+    * HISTOGRAM SKETCH of the score distribution
+    * ([[Sketches.histQuantilesOf]] over micro-quantized nll) instead of
+    * an offline `approxQuantile` — the sketch→selection composition:
+    * tercile thresholds are the p333/p667 envelope lower bounds, the
+    * bucketing itself stays one map-only projection. Unlike
+    * Greenwald–Khanna the histogram is mergeable and warehouse-backed,
+    * so at 100 TB the thresholds come from the INCREMENTAL store
+    * ([[SketchStore.storedHistQuantiles]] — merge-exact equal to this
+    * one-shot form) with no score rescan; and unlike `approxQuantile`
+    * the whole path is integer-deterministic, so the row hash-matches
+    * its DuckDB twin exactly. Threshold granularity = one bin width
+    * (`w` micro-nll units); the scored relation is localCheckpointed —
+    * it feeds both the sketch and the bucketing projection, and it is
+    * doc-count-sized, exactly the artifact a production loop freezes.
+    */
+  def lmBucketsByHist(corpus: DataFrame, train: DataFrame,
+                      idCol: String, textCol: String,
+                      b: Int = Sketches.HIST_B,
+                      w: Long = 16384L): DataFrame = {
+    val scored = lmScore(corpus, train, idCol, textCol)
+      .filter(col("n_trans") > 0)
+      .localCheckpoint(true)
+    val nm = round(col("nll") * MICRO.toDouble, 0).cast("long")
+    val env = Sketches.histQuantilesOf(scored.select(nm.as("v")),
+      col("v"), qms = Seq(333, 667), b = b, w = w)
+    val th = env.agg(
+      max(when(col("qm") === 333, col("lo"))).as("t1"),
+      max(when(col("qm") === 667, col("lo"))).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_trans"), col("nll"),
+        when(nm > col("t2"), lit(3L))
+          .when(nm > col("t1"), lit(2L))
+          .otherwise(lit(1L)).as("bucket"))
+  }
+
+  /** DuckDB twin of [[lmBucketsByHist]] (adjacent so they cannot
+    * drift): the identical score chain, micro-quantization, clamped
+    * binning, integral rank targets and threshold comparison.
+    */
+  def sqlLmBucketsByHistFrom(table: String, idCol: String, textCol: String,
+                             trainPred: String, b: Int = Sketches.HIST_B,
+                             w: Long = 16384L): String =
+    s"""(WITH v AS (
+       |  SELECT doc_id, n_trans, nll,
+       |         CAST(round(nll * 1000000.0, 0) AS BIGINT) AS nm
+       |  FROM ${sqlLmScoreFrom(table, idCol, textCol, trainPred)} sc
+       |  WHERE n_trans > 0),
+       |bins AS (
+       |  SELECT least(greatest(CAST(floor(nm / $w) AS BIGINT), 0),
+       |               ${b - 1}) AS bin, count(*) AS cnt
+       |  FROM v GROUP BY 1),
+       |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |t AS (
+       |  SELECT CAST(qm AS BIGINT) AS qm,
+       |         CAST((qm * n + 999) // 1000 AS BIGINT) AS r
+       |  FROM (VALUES (333), (667)) q(qm), nn),
+       |th AS (
+       |  SELECT qm, min(cum.bin) * $w AS lo
+       |  FROM t JOIN cum ON cum.cum >= t.r GROUP BY qm),
+       |tt AS (
+       |  SELECT max(CASE WHEN qm = 333 THEN lo END) AS t1,
+       |         max(CASE WHEN qm = 667 THEN lo END) AS t2 FROM th)
+       |SELECT doc_id, n_trans, nll,
+       |       CAST(CASE WHEN nm > t2 THEN 3
+       |                 WHEN nm > t1 THEN 2 ELSE 1 END AS BIGINT) AS bucket
+       |FROM v, tt)""".stripMargin
+
   /** DuckDB twin of [[lmBuckets]] (adjacent so they cannot drift). */
   def sqlLmBucketsFrom(table: String, idCol: String, textCol: String,
                        trainPred: String, nBuckets: Int = 3): String =
