@@ -380,22 +380,11 @@ object Selection {
        |         CAST(round(nll * 1000000.0, 0) AS BIGINT) AS nm
        |  FROM ${sqlLmScoreFrom(table, idCol, textCol, trainPred)} sc
        |  WHERE n_trans > 0),
-       |bins AS (
-       |  SELECT least(greatest(CAST(floor(nm / $w) AS BIGINT), 0),
-       |               ${b - 1}) AS bin, count(*) AS cnt
-       |  FROM v GROUP BY 1),
-       |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
-       |nn AS (SELECT count(*) AS n FROM v),
-       |t AS (
-       |  SELECT CAST(qm AS BIGINT) AS qm,
-       |         CAST((qm * n + 999) // 1000 AS BIGINT) AS r
-       |  FROM (VALUES (333), (667)) q(qm), nn),
-       |th AS (
-       |  SELECT qm, min(cum.bin) * $w AS lo
-       |  FROM t JOIN cum ON cum.cum >= t.r GROUP BY qm),
+       |${Sketches.sqlHistRankCtes("v", "nm", Seq(333, 667), b, w,
+            origin = 0L)},
        |tt AS (
-       |  SELECT max(CASE WHEN qm = 333 THEN lo END) AS t1,
-       |         max(CASE WHEN qm = 667 THEN lo END) AS t2 FROM th)
+       |  SELECT max(CASE WHEN qm = 333 THEN bin * $w END) AS t1,
+       |         max(CASE WHEN qm = 667 THEN bin * $w END) AS t2 FROM hth)
        |SELECT doc_id, n_trans, nll,
        |       CAST(CASE WHEN nm > t2 THEN 3
        |                 WHEN nm > t1 THEN 2 ELSE 1 END AS BIGINT) AS bucket

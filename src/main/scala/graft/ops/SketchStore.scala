@@ -37,6 +37,8 @@ object SketchStore {
   private def mgPrefix(tag: String) = s"m/$tag/"
   private def mgMassKey(tag: String) = s"mn/$tag"
   private def histPrefix(tag: String) = s"h/$tag/"
+  private def histWProp(tag: String) = s"hist.w/$tag"
+  private def histOriginProp(tag: String) = s"hist.origin/$tag"
 
   // ── KMV ────────────────────────────────────────────────────────────
 
@@ -287,10 +289,33 @@ object SketchStore {
                    w: Long = Sketches.HIST_W,
                    origin: Long = 0L): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    // the grid IS the store's geometry: bins from a different (w,
+    // origin) are not mergeable with what's stored, and a reader
+    // guessing the grid would report silently shifted envelopes — so
+    // the grid rides the publishing commit as table properties (the
+    // ANN-geometry pattern) and later registrations must agree
+    val m = graft.store.Manifest.current(db.warehouse)
+    val exW = m.props.get(histWProp(tag))
+    val exO = m.props.get(histOriginProp(tag))
+    require(exW.forall(_ == w.toString) && exO.forall(_ == origin.toString),
+      s"histogram grid mismatch for tag '$tag': stored " +
+        s"(w=${exW.getOrElse("-")}, origin=${exO.getOrElse("-")}) " +
+        s"vs registration (w=$w, origin=$origin)")
     val rows = Sketches.histSketch(batch, value, b, w, origin)
       .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(batchId).as("ts"), col("bin"), col("cnt"))
-    graft.store.TxWriter.write(db, rows)
+    graft.store.TxWriter.write(db, rows, props = Map(
+      histWProp(tag) -> w.toString, histOriginProp(tag) -> origin.toString))
+  }
+
+  /** The store's grid geometry, read back from the manifest properties
+    * the first registration committed ((w, origin); defaults when the
+    * store predates grid tracking or is empty).
+    */
+  def storedHistGrid(db: graft.store.Db, tag: String = "t"): (Long, Long) = {
+    val m = graft.store.Manifest.current(db.warehouse)
+    (m.props.get(histWProp(tag)).map(_.toLong).getOrElse(Sketches.HIST_W),
+      m.props.get(histOriginProp(tag)).map(_.toLong).getOrElse(0L))
   }
 
   /** The merged histogram of every batch ever registered: per-bin sums
@@ -310,14 +335,17 @@ object SketchStore {
 
   /** Quantile report over everything ever registered — identical
     * algebra to the one-shot [[Sketches.histQuantiles]], because
-    * histogram merge is exact.
+    * histogram merge is exact. The grid (w, origin) comes from the
+    * store's OWN properties ([[storedHistGrid]]), never from the
+    * caller: a guessed grid would decode the stored bins into the
+    * wrong value domain with no error at all.
     */
   def storedHistQuantiles(db: graft.store.Db,
                           qms: Seq[Int] = Sketches.HIST_QMS,
-                          tag: String = "t",
-                          w: Long = Sketches.HIST_W,
-                          origin: Long = 0L): DataFrame =
+                          tag: String = "t"): DataFrame = {
+    val (w, origin) = storedHistGrid(db, tag)
     Sketches.histQuantiles(storedHist(db, tag), qms, w, origin)
+  }
 
   /** Collapses the per-batch histogram history to one folded grid (the
     * shared [[foldStore]] fence). Bounds the store at

@@ -443,30 +443,44 @@ object Sketches {
     * clamped floor-division binning, cumulative sums, integer rank
     * targets and envelope arithmetic.
     */
-  def sqlHistTokenCounts(qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
-                         w: Long = HIST_W): String = {
+  /** ONE SQL copy of the ungrouped histogram rank algebra — the twin
+    * counterpart of [[histQuantiles]], shared by every oracle that
+    * derives quantile envelopes (token counts, score thresholds):
+    * emits the bins/cum/rank CTE chain over a CTE `$src($vcol)` and
+    * ends with `hth(qm, n, r, bin)`. Like the Scala side's `mgTruncate`
+    * and `foldStore`, keeping the algebra in one place means a rank-
+    * formula fix cannot silently miss a twin.
+    */
+  private[ops] def sqlHistRankCtes(src: String, vcol: String, qms: Seq[Int],
+                              b: Int, w: Long, origin: Long): String = {
     val values = qms.map(q => s"($q)").mkString(", ")
-    s"""WITH tc AS (
-       |  SELECT len(string_split(text, ' ')) AS v FROM documents),
-       |bins AS (
-       |  SELECT least(greatest(CAST(floor(v / $w) AS BIGINT), 0),
-       |               ${b - 1}) AS bin,
+    s"""hbins AS (
+       |  SELECT least(greatest(CAST(floor(($vcol - $origin) / $w) AS BIGINT),
+       |               0), ${b - 1}) AS bin,
        |         count(*) AS cnt
-       |  FROM tc GROUP BY 1),
-       |cum AS (
-       |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
-       |n AS (SELECT count(*) AS n FROM tc),
-       |t AS (
+       |  FROM $src GROUP BY 1),
+       |hcum AS (
+       |  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hbins),
+       |hn AS (SELECT count(*) AS n FROM $src),
+       |ht AS (
        |  SELECT CAST(qm AS BIGINT) AS qm, n,
        |         CAST((qm * n + 999) // 1000 AS BIGINT) AS r
-       |  FROM (VALUES $values) q(qm), n)
-       |SELECT t.qm, CAST(t.n AS BIGINT) AS n, t.r,
-       |       min(cum.bin) AS bin,
-       |       min(cum.bin) * $w AS lo, (min(cum.bin) + 1) * $w AS hi
-       |FROM t JOIN cum ON cum.cum >= t.r
-       |GROUP BY t.qm, t.n, t.r
-       |ORDER BY qm""".stripMargin
+       |  FROM (VALUES $values) q(qm), hn),
+       |hth AS (
+       |  SELECT ht.qm, ht.n, ht.r, min(hcum.bin) AS bin
+       |  FROM ht JOIN hcum ON hcum.cum >= ht.r
+       |  GROUP BY ht.qm, ht.n, ht.r)""".stripMargin
   }
+
+  def sqlHistTokenCounts(qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
+                         w: Long = HIST_W): String =
+    s"""WITH tc AS (
+       |  SELECT len(string_split(text, ' ')) AS v FROM documents),
+       |${sqlHistRankCtes("tc", "v", qms, b, w, origin = 0L)}
+       |SELECT qm, CAST(n AS BIGINT) AS n, r, bin,
+       |       bin * $w AS lo, (bin + 1) * $w AS hi
+       |FROM hth
+       |ORDER BY qm""".stripMargin
 
   // ── count-min frequency ────────────────────────────────────────────
 

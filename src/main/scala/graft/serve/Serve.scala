@@ -530,16 +530,15 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
         .limit(heavyK)
         .as[(String, Long, Long, Long)].collect().toSeq
     }
-    // mass comes from its own row, never from heavy.head — an empty
-    // candidate list (heavy=0, or a tie-heavy truncation) must still
-    // report how much stream the store summarizes
-    val mgMassF = Future {
-      graft.ops.SketchStore.storedMgMass(db, tag).as[Long].head()
-    }
     val (nSketch, estDistinct) = Await.result(distinctF, 600.seconds)
     val quants = Await.result(quantF, 600.seconds)
     val heavy = Await.result(heavyF, 600.seconds)
-    val mgN = Await.result(mgMassF, 600.seconds)
+    // mass rides every heavy row already; only an empty candidate list
+    // (heavy=0, or a tie-heavy truncation) needs the dedicated mass
+    // read — never report an occupied store as mass 0
+    val mgN = heavy.headOption.map(_._3).getOrElse(
+      graft.ops.SketchStore.storedMgMass(db, tag)
+        .as[Long].collect().headOption.getOrElse(0L))
     val qJson = quants.map { case (qm, _, lo, hi) =>
       s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
     val hJson = heavy.map { case (item, est, _, certain) =>

@@ -223,6 +223,31 @@ class SketchStoreSpec extends SparkSpec {
     assert(tss == Set(SketchStore.FOLD_TS, 1L), s"fold history: $tss")
   }
 
+  test("histogram store persists its grid: origin-registered stores " +
+      "report envelopes in the original domain; mismatched grids refuse") {
+    val db = tmpDb()
+    val vals = (0 until 500).map(i => -8000L + (i * 37) % 7993)
+    SketchStore.registerHist(db, vals.toDF("v"), col("v"), batchId = 0L,
+      origin = -8192L)
+    // the reader learns (w, origin) from the store itself — no caller
+    // guess, envelopes come back in the signed domain
+    assert(SketchStore.storedHistGrid(db) == ((Sketches.HIST_W, -8192L)))
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(vals.toDF("v"), col("v"),
+        origin = -8192L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct && stored.forall(_._5 < 0),
+      s"$stored != $direct")
+    // a registration under a different grid would store unmergeable
+    // bins — it must refuse loudly, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.registerHist(db, vals.toDF("v"), col("v"), batchId = 1L,
+        origin = 0L)
+    }
+    assert(e.getMessage.contains("grid mismatch"), e.getMessage)
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,
