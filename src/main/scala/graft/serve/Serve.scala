@@ -50,11 +50,28 @@ import graft.text.TextIngest
   */
 final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                   workers: Int = 0, annDb: Option[Db] = None,
-                  queryCacheMaxBytes: Long = 64L * 1024 * 1024) {
+                  queryCacheMaxBytes: Long = 64L * 1024 * 1024,
+                  maxPutBytes: Long = 1L << 30) {
 
-  /** (manifest version, snapshot, loadedAt nanos). */
+  /** Warehouse-lifetime identity ([[Manifest.identity]] — the minted
+    * creation UUID) folded into every ETag and cache key: manifest
+    * VERSIONS restart when a warehouse is deleted and recreated at the
+    * same path, so a version-only tag would let a client's
+    * If-None-Match from the old warehouse 304 against the new one (and
+    * revive cached bodies the new store never produced). Cost per read:
+    * [[Manifest.current]]'s stat-validated parse cache makes this one
+    * file stat in the steady state — and the stat is exactly what
+    * detects recreation (new inode → reparse → new `created` UUID), so
+    * unlike a version-keyed cache there is no same-version blind spot.
+    * 8 hex chars of the identity's hash: ETag-safe characters whatever
+    * the source (UUID, or the pre-field inode fallback's "(dev=…)").
+    */
+  private def idOf(wh: String): String =
+    f"${Manifest.identity(wh).hashCode & 0xffffffffL}%08x"
+
+  /** (manifest version, warehouse identity, snapshot, loadedAt nanos). */
   private val cachedSnap = new java.util.concurrent.atomic.AtomicReference[
-    (Long, Db#Snapshot, Long)]()
+    (Long, String, Db#Snapshot, Long)]()
   private val loads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Snapshot (re)builds since start — observable cache behavior for
@@ -65,20 +82,26 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def snapshot(): Db#Snapshot = {
     val now = System.nanoTime()
     val cur = cachedSnap.get()
-    if (cur != null && now - cur._3 < snapshotTtlMillis * 1000000L &&
-        Manifest.currentVersion(db.warehouse) == cur._1)
-      return cur._2
+    // the identity probe closes the same recreation hole as the ETags:
+    // a recreated warehouse restarts versions, so a version-only check
+    // could reuse the OLD path's snapshot at a coinciding version
+    if (cur != null && now - cur._4 < snapshotTtlMillis * 1000000L &&
+        Manifest.currentVersion(db.warehouse) == cur._1 &&
+        idOf(db.warehouse) == cur._2)
+      return cur._3
     val snap = db.snapshot()
     loads.incrementAndGet()
     // two concurrent misses race on the install; CAS so an older snapshot
     // never overwrites a newer one (versions are monotone — the probe
     // would self-heal next GET, but the miscount wouldn't)
+    val id = idOf(db.warehouse)
     var installed = false
     while (!installed) {
       val prev = cachedSnap.get()
-      if (prev != null && prev._1 > snap.manifest.version) installed = true
+      if (prev != null && prev._2 == id && prev._1 > snap.manifest.version)
+        installed = true
       else installed =
-        cachedSnap.compareAndSet(prev, (snap.manifest.version, snap, now))
+        cachedSnap.compareAndSet(prev, (snap.manifest.version, id, snap, now))
     }
     snap
   }
@@ -169,7 +192,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def cachedQuery(ex: HttpExchange, usesData: Boolean = true,
                           usesAnn: Boolean = false)
                          (compute: => (Int, String)): Unit = {
-    val key = (
+    val key = cacheKeyOf(
       if (usesData) Manifest.currentVersion(db.warehouse) else -1L,
       if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
       else -1L,
@@ -201,13 +224,32 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     respond(ex, status, body)
   }
 
-  /** The version pair IS the answer's identity: immutable-per-version
-    * contents make it a strong ETag, so a polling client holding the
-    * current generation pays a 304 and a directory stat, not a body —
-    * the HTTP spelling of the never-stale cache.
+  /** The (warehouse identity, version) pair IS the answer's identity:
+    * immutable-per-version contents make it a strong ETag, so a polling
+    * client holding the current generation pays a 304 and a directory
+    * stat, not a body — the HTTP spelling of the never-stale cache. The
+    * identity prefixes guard the delete-and-recreate-at-the-same-path
+    * case, where versions restart (see [[IdCache]]).
     */
   private def etagOf(dataVer: Long, annVer: Long): String =
-    s""""v$dataVer.$annVer""""
+    s""""v${idsOf(dataVer, annVer)}.$dataVer.$annVer""""
+
+  /** `<dataId8>-<annId8|->` for the given version pair; an unused
+    * warehouse (ver = -1) contributes "-" so its identity is never read.
+    */
+  private def idsOf(dataVer: Long, annVer: Long): String = {
+    val did = if (dataVer < 0) "-" else idOf(db.warehouse)
+    val aid =
+      if (annVer < 0) "-" else annDb.fold("-")(a => idOf(a.warehouse))
+    s"$did-$aid"
+  }
+
+  /** Query-cache key: versions + identities + full request — same
+    * staleness contract as the ETag.
+    */
+  private def cacheKeyOf(dataVer: Long, annVer: Long,
+                         uri: String): (Long, Long, String) =
+    (dataVer, annVer, s"${idsOf(dataVer, annVer)}|$uri")
 
   /** Answers 304 (and returns true) when the client already holds this
     * exact generation.
@@ -257,7 +299,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // (a wildcard over much of the store, a key with very many instants)
     // overflow to the streaming path below and stay uncached, so the
     // driver never buffers more than the entry cap.
-    val cacheKey = (Manifest.currentVersion(db.warehouse), -1L,
+    val cacheKey = cacheKeyOf(Manifest.currentVersion(db.warehouse), -1L,
       ex.getRequestURI.toString)
     // same strong-ETag contract as the /_query verbs: the manifest
     // version identifies the answer, a matching If-None-Match is a 304
@@ -576,12 +618,34 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val spark = db.spark
     val tmp = java.nio.file.Files.createTempFile("graft-put-spool", ".txt")
     try {
-      val n = java.nio.file.Files.copy(ex.getRequestBody, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // bounded copy: the spool degrades a huge PUT to disk, but the
+      // disk itself is not a quota — past maxPutBytes the body is
+      // refused with 413 BEFORE anything commits (spool deleted below),
+      // so a runaway client cannot fill the serving tier's disk
+      val in = ex.getRequestBody
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      var n = 0L
+      var over = false
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var r = in.read(buf)
+        while (r >= 0 && !over) {
+          n += r
+          if (n > maxPutBytes) over = true
+          else { out.write(buf, 0, r); r = in.read(buf) }
+        }
+      } finally out.close()
+      if (over)
+        return respond(ex, 413,
+          s"body exceeds maxPutBytes=$maxPutBytes\n")
       spooled.addAndGet(n)
+      // drop whitespace-ONLY lines with the full \s class — Spark's
+      // trim strips only ' ' (a tab/\r line would reach the parser and
+      // 500 the whole PUT), while real records keep their tabs intact
       val lines = spark.read.textFile(tmp.toString)
         .filter(org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.trim(col("value"))) > 0)
+          org.apache.spark.sql.functions.regexp_replace(
+            col("value"), "\\s", "")) > 0)
       val recs = TextIngest.parseWithFmt(spark, lines)
       TxWriter.write(db, recs.toDF()) // forces the read; spool freed below
       respond(ex, 201, "ok")

@@ -419,6 +419,94 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("PUT past maxPutBytes answers 413, commits nothing, frees the spool") {
+    val db = Db(spark, tmpDir("graft-serve-cap"))
+    val srv = new Serve(db, maxPutBytes = 1024).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val spoolsBefore = java.nio.file.Files
+        .list(java.nio.file.Path.of(System.getProperty("java.io.tmpdir")))
+        .filter(_.getFileName.toString.startsWith("graft-put-spool")).count()
+      val big = (0 until 200).map(i => s"k$i ${i}0 u $i").mkString("\n")
+      assert(big.length > 1024)
+      val spooled0 = srv.putBytesSpooled
+      val (code, body) = http("PUT", s"$base/", Some(big))
+      assert(code == 413 && body.contains("maxPutBytes"), s"$code $body")
+      assert(db.snapshot().manifest.dataTxids.isEmpty,
+        "an oversized PUT must commit nothing")
+      assert(srv.putBytesSpooled == spooled0,
+        "refused bytes must not count as spooled")
+      val spoolsAfter = java.nio.file.Files
+        .list(java.nio.file.Path.of(System.getProperty("java.io.tmpdir")))
+        .filter(_.getFileName.toString.startsWith("graft-put-spool")).count()
+      assert(spoolsAfter <= spoolsBefore, "spool file must be deleted")
+      // a body under the cap still commits
+      val (ok, _) = http("PUT", s"$base/", Some("k1 5 u 42\n"))
+      assert(ok == 201)
+      assert(db.snapshot().manifest.dataTxids.size == 1)
+    } finally srv.stop()
+  }
+
+  test("whitespace-only PUT lines (tabs, \\r) are dropped, not 500s") {
+    val db = Db(spark, tmpDir("graft-serve-ws"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      // the old driver-side String.trim dropped ALL whitespace-only
+      // lines; the Spark filter must match that (trim() alone strips
+      // only spaces — a lone "\t" line would reach the parser and 500)
+      val (code, body) = http("PUT", s"$base/",
+        Some("\t\n  \n\r\nk1 5 u 42\n\n"))
+      assert(code == 201 && body == "ok", s"$code $body")
+      val (gc, gb) = http("GET", s"$base/k1")
+      assert(gc == 200 && gb == "k1\t5\t42\n")
+    } finally srv.stop()
+  }
+
+  test("warehouse recreated at the same path: old ETags and cached " +
+      "bodies never revalidate against the new store") {
+    val dir = tmpDir("graft-serve-recreate")
+    val db = Db(spark, dir)
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      http("PUT", s"$base/", Some("k1 5 u 42\n"))
+      def getWithEtag(url: String, inm: Option[String])
+          : (Int, String, String) = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        inm.foreach(c.setRequestProperty("If-None-Match", _))
+        val code = c.getResponseCode
+        val tag = Option(c.getHeaderField("ETag")).getOrElse("")
+        val text =
+          if (code == 304) ""
+          else scala.io.Source.fromInputStream(c.getInputStream, "UTF-8")
+            .mkString
+        c.disconnect(); (code, tag, text)
+      }
+      val (c0, tag0, body0) = getWithEtag(s"$base/k1", None)
+      assert(c0 == 200 && body0 == "k1\t5\t42\n")
+      assert(getWithEtag(s"$base/k1", Some(tag0))._1 == 304)
+      val verOld = graft.store.Manifest.currentVersion(dir)
+      // delete + recreate the warehouse with the SAME number of commits
+      // so the manifest version coincides — the trap a version-only tag
+      // falls into (the recreated store would 304 old clients and serve
+      // the long-lived server's cached bodies)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Path.of(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+      val (rc, _) = http("PUT", s"$base/", Some("k1 5 u 99\n"))
+      assert(rc == 201)
+      assert(graft.store.Manifest.currentVersion(dir) == verOld,
+        "test setup: versions must coincide to exercise the trap")
+      val (c1, tag1, body1) = getWithEtag(s"$base/k1", Some(tag0))
+      assert(c1 == 200, "old-warehouse tag must NOT revalidate")
+      assert(tag1 != tag0, "identity must move the tag")
+      assert(body1 == "k1\t5\t99\n",
+        "the recreated store's data, not the cached old body")
+    } finally srv.stop()
+  }
+
   test("ANN probe geometry comes from the index meta; mismatched params answer 400") {
     import spark.implicits._
     def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
