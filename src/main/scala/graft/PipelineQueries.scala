@@ -510,6 +510,10 @@ object PipelineQueries {
       val db = graft.store.Db(s, tempWarehouse())
       SketchStore.registerKmv(db, toks(docs.filter(col("doc_id") < mid)),
         col("token"))
+      // fold between batches: keep the k smallest, drop superseded
+      // minima — lossless by the union law, so the oracle is the SAME
+      // single full-corpus sketch SQL verbatim
+      SketchStore.foldKmv(db)
       SketchStore.registerKmv(db, toks(docs.filter(col("doc_id") >= mid)),
         col("token"))
       SketchStore.storedKmvEstimate(db)
@@ -534,6 +538,11 @@ object PipelineQueries {
       val db = graft.store.Db(s, tempWarehouse())
       SketchStore.registerMg(db, items(docs.filter(col("doc_id") < mid)),
         col("item"), batchId = 0L)
+      // fold between batches: a single batch's partial re-truncates as
+      // the identity (≤ c rows ⇒ zero decrement), so the folded store's
+      // final report equals the unfolded one — the SAME oracle SQL
+      // verbatim is the losslessness proof
+      SketchStore.foldMg(db)
       SketchStore.registerMg(db, items(docs.filter(col("doc_id") >= mid)),
         col("item"), batchId = 1L)
       SketchStore.storedHeavyHitters(db)

@@ -149,7 +149,10 @@ object SketchStore {
                  batchId: Long, tag: String = "t",
                  c: Int = Sketches.MG_C): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    val toks = batch.select(elem.as("item"))
+    // nulls are excluded from the summary AND the mass, matching
+    // [[Sketches.heavyHitters]] (a null item would also become a null
+    // store key)
+    val toks = batch.select(elem.as("item")).filter(col("item").isNotNull)
     val partial = Sketches.mgSummary(toks, col("item"), c)
       .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
         lit(batchId).as("ts"), col("item"), col("est"))
@@ -292,8 +295,13 @@ object SketchStore {
     // the grid IS the store's geometry: bins from a different (w,
     // origin) are not mergeable with what's stored, and a reader
     // guessing the grid would report silently shifted envelopes — so
-    // the grid rides the publishing commit as table properties (the
-    // ANN-geometry pattern) and later registrations must agree
+    // the grid rides the publishing commit as CLAIMED table properties
+    // (the ANN-geometry pattern): the claim is checked inside the
+    // manifest CAS, so two concurrent FIRST registrations with
+    // different grids cannot both publish — the loser's tx is refused
+    // ([[graft.store.TxWriter.PropertyConflict]]), never mixed in. The
+    // early require is only the friendly pre-write error message; the
+    // claim is the authority.
     val m = graft.store.Manifest.current(db.warehouse)
     val exW = m.props.get(histWProp(tag))
     val exO = m.props.get(histOriginProp(tag))
@@ -304,7 +312,7 @@ object SketchStore {
     val rows = Sketches.histSketch(batch, value, b, w, origin)
       .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(batchId).as("ts"), col("bin"), col("cnt"))
-    graft.store.TxWriter.write(db, rows, props = Map(
+    graft.store.TxWriter.write(db, rows, propsClaim = Map(
       histWProp(tag) -> w.toString, histOriginProp(tag) -> origin.toString))
   }
 
@@ -352,34 +360,98 @@ object SketchStore {
     * b + b·(batches since last fold) rows.
     */
   def foldHist(db: graft.store.Db, tag: String = "t"): Long =
-    foldStore(db, s"foldHist($tag)", histPrefix(tag))(storedHist(db, tag),
+    foldStore(db, s"foldHist($tag)", Seq(histPrefix(tag) + "%"))(
+      storedHist(db, tag),
       _.select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(FOLD_TS).as("ts"), col("bin"), col("cnt")))
 
+  /** Collapses the KMV store's superseded minima: keep the k smallest
+    * ([[storedKmvSketch]] — by the union law, exactly the state any
+    * future merge needs), drop everything they superseded. Lossless for
+    * every report by construction; bounds the store at
+    * k + k·(batches since last fold) rows.
+    */
+  def foldKmv(db: graft.store.Db, tag: String = "t",
+              k: Int = Sketches.KMV_K): Long =
+    foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)))(
+      storedKmvSketch(db, tag, k),
+      _.select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h")))
+
+  /** Collapses the MG store's per-batch partials to ONE merged summary:
+    * the ≤ c re-truncated candidates ([[storedMgCandidates]] — the
+    * merged truncation is itself a valid MG(c) summary, so the global
+    * error bound survives the fold; the SketchPropertySpec merge law)
+    * plus one summed mass row, all at the reserved `ts = FOLD_TS`. The
+    * fold is LOSSLESS for [[storedHeavyHitters]] whenever the merged
+    * candidate set is within capacity at fold time (re-truncation is
+    * then the identity — in particular, always, after a single batch);
+    * past capacity it applies exactly one more valid truncation step.
+    * Bounds the store at (c+1) + (c+1)·(batches since last fold) rows.
+    * Both key families (candidates + mass) delete under ONE fenced
+    * marker transaction ([[graft.store.TxWriter.deleteManyIf]]) so no
+    * interleaving can observe candidates without their mass.
+    */
+  def foldMg(db: graft.store.Db, tag: String = "t",
+             c: Int = Sketches.MG_C): Long = {
+    val spark = db.spark
+    val empty = spark.range(0).select(col("id").cast("string").as("key"),
+      col("id").as("ts"))
+    foldStore(db, s"foldMg($tag)",
+      Seq(mgPrefix(tag) + "%", mgMassKey(tag)))({
+        // emptiness signal: registerMg writes one mass row per batch,
+        // so this tag has mass rows iff anything was ever registered
+        val snap = db.snapshot()
+        if (snap.manifest.dataTxids.isEmpty) empty
+        else {
+          val mass = snap.read(mgMassKey(tag))
+          if (!mass.columns.contains("n_items") || mass.isEmpty) empty
+          else {
+            val cands = storedMgCandidates(db, tag, c)
+              .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
+                lit(FOLD_TS).as("ts"), col("item"), col("est"))
+            val total = mass
+              .agg(coalesce(sum(col("n_items")), lit(0L)).as("n_items"))
+              .select(lit(mgMassKey(tag)).as("key"), lit(FOLD_TS).as("ts"),
+                col("n_items"))
+            cands.unionByName(total, allowMissingColumns = true)
+          }
+        }
+      }, identity)
+  }
+
   /** ONE copy of the fold fence every per-batch store shares: read the
     * current sums, range-delete the tag's history with a conditional
-    * claim ([[graft.store.TxWriter.deleteIf]] — the claim fails if any
-    * commit landed after the sums were read, and the fold re-reads so a
-    * racing registration's counts are INCLUDED), then write the folded
-    * rows at the reserved `ts = FOLD_TS` AFTER the delete so the fold's
-    * higher txid survives the marker. Subsequent folds re-fold the fold.
-    * No registration can be erased either way; concurrency pinned by
-    * SketchStoreSpec's racing-writers cases.
+    * claim ([[graft.store.TxWriter.deleteManyIf]] — the claim fails if
+    * any commit landed after the sums were read, and the fold re-reads
+    * so a racing registration's counts are INCLUDED), then write the
+    * folded rows at the reserved `ts = FOLD_TS` AFTER the delete so the
+    * fold's higher txid survives the marker. Subsequent folds re-fold
+    * the fold. No registration can be erased either way; concurrency
+    * pinned by SketchStoreSpec's racing-writers cases. Multi-prefix
+    * stores (MG) delete all their key families in the one marker tx.
     */
-  private def foldStore(db: graft.store.Db, what: String, prefix: String)
+  private def foldStore(db: graft.store.Db, what: String,
+                        wildcards: Seq[String])
                        (stored: => DataFrame,
                         project: DataFrame => DataFrame): Long = {
     var attempts = 0
-    while (attempts < 16) {
-      val expected = graft.store.Manifest.current(db.warehouse).nextTxid
+    while (attempts < 64) {
+      // the FULL baseline, not just nextTxid: the claim must also prove
+      // no pre-baseline claim published after our read (published sets
+      // unchanged) and none is still in flight (pending empty) — either
+      // could hold rows these sums never saw, which the marker would
+      // erase (caught by the foldKmv racing-writers case)
+      val baseline = graft.store.Manifest.current(db.warehouse)
       val cur = stored
       if (cur.isEmpty) return -1L // nothing to fold
       val folded = project(cur)
         .localCheckpoint(true) // materialize the sums BEFORE the delete
-      graft.store.TxWriter.deleteIf(db, expected, t0 = Long.MinValue,
-          t1 = Long.MaxValue, wildcard = prefix + "%") match {
+      graft.store.TxWriter.deleteManyIfUnchanged(db, baseline, wildcards,
+          t0 = Long.MinValue, t1 = Long.MaxValue) match {
         case Some(_) => return graft.store.TxWriter.write(db, folded)
-        case None    => attempts += 1 // a commit raced in — refold over it
+        case None    => // a commit raced in (or is in flight) — refold
+          attempts += 1
+          Thread.sleep(50L * math.min(attempts, 4))
       }
     }
     throw new IllegalStateException(
@@ -396,7 +468,7 @@ object SketchStore {
     * deleted history physically.
     */
   def foldCountMin(db: graft.store.Db, tag: String = "t"): Long =
-    foldStore(db, s"foldCountMin($tag)", cmPrefix(tag))(
+    foldStore(db, s"foldCountMin($tag)", Seq(cmPrefix(tag) + "%"))(
       storedCountMin(db, tag),
       _.select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))

@@ -163,8 +163,15 @@ object Sketches {
     *
     * Output: (item, f, n) for each heavy item, heaviest first.
     */
+  /** NULL elements are excluded from the stream — and from its mass `n`
+    * — before anything counts: a null is "no item", not an item. (The
+    * fold's HashMap happily keys on null, but the candidate filter and
+    * the exact semi-join pass never match null, so a counted-but-
+    * unreportable null would only inflate the n/(c+1) threshold and
+    * silently suppress genuinely frequent items.)
+    */
   def heavyHitters(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame = {
-    val toks = df.select(elem.as("item"))
+    val toks = df.select(elem.as("item")).filter(col("item").isNotNull)
     // EXACTLY two stream passes: the fold (which also counts the mass,
     // so no third scan for n) and the candidate-pruned exact count. The
     // partials relation is sketch-sized (≤ (c+1)·partitions rows) and
@@ -268,7 +275,7 @@ object Sketches {
     * TakeOrderedAndProject, never a global sort.
     */
   def mgSummary(df: DataFrame, elem: Column, c: Int = MG_C): DataFrame =
-    mgTruncate(df.select(elem.as("item"))
+    mgTruncate(df.select(elem.as("item")).filter(col("item").isNotNull)
       .groupBy("item").agg(count(lit(1)).as("f")), c)
 
   /** DuckDB twin of [[heavyHitters]] over the head+tail token stream of

@@ -283,6 +283,20 @@ object Compactor {
       }
       sweep(db.dataDir, m.dataTxids.map(t => s"txid=$t").toSet)
       sweep(db.deleteDir, m.deleteTxids.map(t => s"txid=$t").toSet)
+      // clear pending claims of crashed writers: claim older than the
+      // grace window AND no live directory left (a crashed write's
+      // partial dir was just swept above; a long-running ingest keeps
+      // its dir alive through recent mtimes and is never touched). This
+      // is what un-raises the fold fence after a writer died between
+      // claim and publish.
+      val stale = m.pending.filter { case (t, ms) =>
+        ms <= cutoff &&
+          !Files.exists(Paths.get(db.dataDir, s"txid=$t")) &&
+          !Files.exists(Paths.get(db.deleteDir, s"txid=$t"))
+      }.keySet
+      if (stale.nonEmpty)
+        Manifest.update(db.warehouse)(cur =>
+          cur.copy(pending = cur.pending -- stale))
     }
 
   /** Drop manifest versions older than the newest `keep` (history bound:

@@ -86,7 +86,19 @@ final case class ManifestState(
       * existed — readers fall back to [[Manifest.creationId]]'s
       * file-identity heuristic via [[Manifest.identity]].
       */
-    created: String = ""
+    created: String = "",
+    /** Claimed-but-unpublished txids → claim wall-clock millis. A writer
+      * claims first and publishes last, so between the two its txid is
+      * IN FLIGHT: invisible to readers, yet a read-supersede delete
+      * marker granted in that window would erase the write when it
+      * publishes (markers suppress every txid below their own). The
+      * conditional fences ([[graft.store.TxWriter.deleteManyIf]]) refuse
+      * to claim while this set is non-empty. Entries are removed at
+      * publish, on an in-process write failure, and by
+      * [[graft.store.Compactor.vacuum]] for crashed writers (claim older
+      * than the grace window with no live directory).
+      */
+    pending: Map[Long, Long] = Map.empty
 ) {
   /** The replay cursor for a named sink ("" = the legacy scalar).
     *
@@ -139,7 +151,11 @@ final case class ManifestState(
     val propLines = props.toVector.sortBy(_._1).map { case (k, v) =>
       s"${b64(k)} ${b64(v)}"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}","propsB64":"${b64(propLines)}"}"""
+    // pending claims: one "txid claimMillis" line each
+    val pend = pending.toVector.sortBy(_._1).map { case (t, ms) =>
+      s"$t $ms"
+    }.mkString("\n")
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}","propsB64":"${b64(propLines)}","pendingB64":"${b64(pend)}"}"""
   }
 }
 
@@ -374,11 +390,17 @@ object Manifest {
         val Array(k, v) = line.split(' ')
         dec64(k) -> dec64(v)
       }.toMap
+    val pending = b64Field("pendingB64").split('\n').filter(_.nonEmpty)
+      .map { line =>
+        val Array(t, ms) = line.split(' ')
+        t.toLong -> ms.toLong
+      }.toMap
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
       longField("timeBucket"), longField("bucketMajor") == 1L,
-      b64Field("schemaB64"), stats, sinks, props, b64Field("createdB64"))
+      b64Field("schemaB64"), stats, sinks, props, b64Field("createdB64"),
+      pending)
   }
 
   /** Merge a newly committed transaction's data schema into the tracked

@@ -35,6 +35,12 @@ object TxWriter {
   /** Loud failure for the bucket-explosion misuse. */
   final class BucketExplosion(msg: String) extends RuntimeException(msg)
 
+  /** Loud failure when a [[write]] `propsClaim` loses its race: another
+    * writer published a DIFFERENT value for a claimed table property
+    * first, so this transaction was never published.
+    */
+  final class PropertyConflict(msg: String) extends RuntimeException(msg)
+
   /** Default cap on `tbucket=` partition directories ONE transaction may
     * mint. The hazard it guards (measured, see [[graft.serve.Serve]]'s
     * constructor note): a time-bucketed warehouse whose bucket width is
@@ -82,12 +88,23 @@ object TxWriter {
     *        be observed stale or half-applied (no second commit to crash
     *        before).
     */
+  /** @param propsClaim table properties CLAIMED in the publishing
+    *        commit: each key must be absent or already equal — a
+    *        different existing value throws [[PropertyConflict]] inside
+    *        the manifest CAS and the transaction is never published
+    *        (orphan dir vacuumed). This is what makes first-writer-wins
+    *        geometry facts (the histogram grid, ANN geometry) atomic: a
+    *        check-then-act pre-read alone would let two concurrent first
+    *        registrations both pass and silently mix incompatible
+    *        layouts under the last writer's props.
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
             rangePartitions: Option[Int] = None,
             timeBucketNanos: Option[Long] = None,
             bucketMajor: Boolean = false,
             maxNewBuckets: Int = DefaultMaxNewBuckets,
-            props: Map[String, String] = Map.empty): Long = {
+            props: Map[String, String] = Map.empty,
+            propsClaim: Map[String, String] = Map.empty): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -114,6 +131,7 @@ object TxWriter {
       if (fresh) bucketMajor && width > 0 else pre.bucketMajor
 
     val txid = claimTxid(db)
+    try {
     // the sticky width/layout commits immediately after the claim —
     // BEFORE the (possibly long) write job — so a concurrent writer
     // starting mid-job inherits the bucketed layout instead of
@@ -160,11 +178,16 @@ object TxWriter {
       if (minted > maxNewBuckets) {
         // un-poison the layout a refused FIRST write just set —
         // conditional: if a concurrent writer already published data
-        // under this width (or set a different one), leave it alone
+        // under this width (or set a different one), leave it alone.
+        // `nextTxid == txid + 1` additionally requires that NO claim
+        // happened since ours: a concurrent writer that claimed after
+        // inheriting the width may still be mid-write (dataTxids empty,
+        // width ours) — reverting under it would publish its bucketed
+        // tx into a manifest that says unbucketed
         if (setWidth)
           Manifest.update(db.warehouse)(m =>
             if (m.dataTxids.isEmpty && m.timeBucket == width &&
-                m.bucketMajor == major)
+                m.bucketMajor == major && m.nextTxid == txid + 1)
               m.copy(timeBucket = 0L, bucketMajor = false)
             else m)
         throw new BucketExplosion(
@@ -176,8 +199,14 @@ object TxWriter {
             "transaction was NOT published.")
       }
     }
-    publishData(db, txid, sorted.schema, props)
+    publishData(db, txid, sorted.schema, props, propsClaim)
     txid
+    } catch {
+      // an in-process failure (guard refusal, write-job error, lost
+      // props claim) means this txid will never publish — drop its
+      // pending entry so the fold fence is not raised by a dead claim
+      case e: Throwable => abandonClaim(db, txid); throw e
+    }
   }
 
   /** (key, ts) bounds of a freshly written transaction directory — a
@@ -202,7 +231,8 @@ object TxWriter {
   def delete(db: Db, firstKey: String = "", lastKey: String = "",
              t0: Long = 0L, t1: Long = Long.MaxValue,
              wildcard: String = "%"): Long =
-    writeDeleteMarker(db, claimTxid(db), firstKey, lastKey, t0, t1, wildcard)
+    writeDeleteMarker(db, claimTxid(db), firstKey, lastKey, t0, t1,
+      Seq(wildcard))
 
   /** [[delete]], but the txid claim is CONDITIONAL on `expectedNextTxid`
     * still being the warehouse's next txid — the fence read-supersede
@@ -216,31 +246,85 @@ object TxWriter {
     */
   def deleteIf(db: Db, expectedNextTxid: Long, firstKey: String = "",
                lastKey: String = "", t0: Long = 0L, t1: Long = Long.MaxValue,
-               wildcard: String = "%"): Option[Long] = {
+               wildcard: String = "%"): Option[Long] =
+    deleteManyIf(db, expectedNextTxid, Seq(wildcard), firstKey, lastKey,
+      t0, t1)
+
+  /** [[deleteIf]] for SEVERAL wildcards as ONE marker transaction (one
+    * conditional claim, one txid, one marker file with a row per
+    * wildcard — [[graft.series.SeriesOps.applyDeletes]] applies each row
+    * independently). The fence a fold over a MULTI-prefix store needs
+    * ([[graft.ops.SketchStore.foldMg]]: candidate rows + the mass row):
+    * two separate deleteIf calls would leave the store half-deleted when
+    * the second claim loses a race.
+    *
+    * Both conditional forms ALSO refuse while any claim is pending
+    * ([[ManifestState.pending]]): a claimed-but-unpublished write is
+    * invisible to whatever read this marker supersedes, yet the marker
+    * would suppress it when it publishes — the fence must wait it out
+    * (the claim publishes → the caller's re-read includes it; or it
+    * died → [[Compactor.vacuum]] clears it past the grace window).
+    */
+  def deleteManyIf(db: Db, expectedNextTxid: Long, wildcards: Seq[String],
+                   firstKey: String = "", lastKey: String = "",
+                   t0: Long = 0L, t1: Long = Long.MaxValue): Option[Long] =
+    deleteFenced(db, wildcards, firstKey, lastKey, t0, t1)(cur =>
+      cur.nextTxid == expectedNextTxid)
+
+  /** The airtight fold fence: claim only if NOTHING moved since
+    * `baseline` — no new claim (`nextTxid`), no publish (`dataTxids`,
+    * `deleteTxids`), and no claim still in flight (`pending`). The
+    * `expectedNextTxid`-only form cannot see a pre-baseline claim that
+    * published after the caller's read; this form can, because the
+    * publish changes the published sets.
+    */
+  def deleteManyIfUnchanged(db: Db, baseline: ManifestState,
+                            wildcards: Seq[String],
+                            firstKey: String = "", lastKey: String = "",
+                            t0: Long = 0L, t1: Long = Long.MaxValue)
+      : Option[Long] =
+    deleteFenced(db, wildcards, firstKey, lastKey, t0, t1)(cur =>
+      cur.nextTxid == baseline.nextTxid &&
+        cur.dataTxids == baseline.dataTxids &&
+        cur.deleteTxids == baseline.deleteTxids)
+
+  private def deleteFenced(db: Db, wildcards: Seq[String], firstKey: String,
+                           lastKey: String, t0: Long, t1: Long)
+                          (unchanged: ManifestState => Boolean)
+      : Option[Long] = {
+    require(wildcards.nonEmpty, "need at least one wildcard")
+    var granted = -1L
     var claimed = false
     while (!claimed) {
       val cur = Manifest.current(db.warehouse)
-      if (cur.nextTxid != expectedNextTxid) return None
+      if (!unchanged(cur) || cur.pending.nonEmpty) return None
+      granted = cur.nextTxid
       claimed = Manifest.commit(db.warehouse, cur,
         Manifest.withCreated(cur,
-          cur.copy(version = cur.version + 1, nextTxid = expectedNextTxid + 1)))
+          cur.copy(version = cur.version + 1, nextTxid = cur.nextTxid + 1,
+            pending =
+              cur.pending + (cur.nextTxid -> System.currentTimeMillis()))))
     }
-    Some(writeDeleteMarker(db, expectedNextTxid, firstKey, lastKey, t0, t1,
-      wildcard))
+    Some(writeDeleteMarker(db, granted, firstKey, lastKey, t0, t1, wildcards))
   }
 
   private def writeDeleteMarker(db: Db, txid: Long, firstKey: String,
                                 lastKey: String, t0: Long, t1: Long,
-                                wildcard: String): Long = {
-    val row = Row(firstKey, lastKey, t0, t1, wildcard)
-    db.spark.createDataFrame(
-        java.util.List.of(row), Db.deleteSchema)
-      .coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"${db.deleteDir}/txid=$txid")
-    Manifest.update(db.warehouse)(m => m.copy(deleteTxids = m.deleteTxids :+ txid))
-    txid
-  }
+                                wildcards: Seq[String]): Long =
+    try {
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      wildcards.foreach(w => rows.add(Row(firstKey, lastKey, t0, t1, w)))
+      db.spark.createDataFrame(rows, Db.deleteSchema)
+        .coalesce(1)
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${db.deleteDir}/txid=$txid")
+      Manifest.update(db.warehouse)(m =>
+        m.copy(deleteTxids = m.deleteTxids :+ txid,
+          pending = m.pending - txid))
+      txid
+    } catch {
+      case e: Throwable => abandonClaim(db, txid); throw e
+    }
 
   /** Delete exactly one instant: `[t, t+1ns)` (reference `--time t`,
     * `src/main.rs:173-176`).
@@ -252,19 +336,42 @@ object TxWriter {
     var claimed = -1L
     Manifest.update(db.warehouse) { m =>
       claimed = m.nextTxid
-      m.copy(nextTxid = m.nextTxid + 1)
+      m.copy(nextTxid = m.nextTxid + 1,
+        pending = m.pending + (m.nextTxid -> System.currentTimeMillis()))
     }
     claimed
   }
 
+  /** Drop a claim that will never publish (in-process write failure) so
+    * the pending fence does not stay raised for a dead txid; crashed
+    * JVMs leave their entry for [[Compactor.vacuum]]'s grace window.
+    */
+  private def abandonClaim(db: Db, txid: Long): Unit =
+    Manifest.update(db.warehouse)(m => m.copy(pending = m.pending - txid))
+
   private def publishData(db: Db, txid: Long,
                           schema: org.apache.spark.sql.types.StructType,
-                          props: Map[String, String] = Map.empty): Unit = {
+                          props: Map[String, String] = Map.empty,
+                          propsClaim: Map[String, String] = Map.empty)
+      : Unit = {
     val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
-    Manifest.update(db.warehouse)(m => m.copy(
-      dataTxids = m.dataTxids :+ txid,
-      schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
-      txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s)),
-      props = m.props ++ props))
+    Manifest.update(db.warehouse) { m =>
+      // claim check runs INSIDE the CAS loop, against the state this
+      // attempt would succeed over — the throw aborts before any commit,
+      // leaving the txid directory an unpublished orphan for vacuum
+      propsClaim.foreach { case (k, v) =>
+        m.props.get(k).filter(_ != v).foreach { existing =>
+          throw new PropertyConflict(
+            s"table property '$k' already set to '$existing' (this write " +
+              s"claimed '$v'); transaction $txid NOT published")
+        }
+      }
+      m.copy(
+        dataTxids = m.dataTxids :+ txid,
+        schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
+        txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s)),
+        props = m.props ++ props ++ propsClaim,
+        pending = m.pending - txid)
+    }
   }
 }

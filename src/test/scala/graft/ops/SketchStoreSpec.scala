@@ -201,6 +201,134 @@ class SketchStoreSpec extends SparkSpec {
     assert(got == exact, s"counts lost to a fold race: $got != $exact")
   }
 
+  test("foldKmv keeps the sketch exact, drops superseded minima, and " +
+      "survives racing writers") {
+    val db = tmpDb()
+    val batches = (0 until 3).map(b => (0 until 200).map(i => s"v${b * 120 + i}"))
+    SketchStore.registerKmv(db, toks(batches(0): _*), col("t"), k = 32)
+    SketchStore.registerKmv(db, toks(batches(1): _*), col("t"), k = 32)
+    val rowsBefore = db.snapshot().read("k/t").count()
+    SketchStore.foldKmv(db, k = 32)
+    graft.store.Compactor.major(db)
+    val rowsAfter = db.snapshot().read("k/t").count()
+    assert(rowsAfter == 32 && rowsAfter < rowsBefore,
+      s"fold must keep exactly k minima: $rowsBefore -> $rowsAfter")
+    // registration continues after the fold; the sketch stays the
+    // exact union sketch (fold is lossless by the union law)
+    SketchStore.registerKmv(db, toks(batches(2): _*), col("t"), k = 32)
+    val stored = SketchStore.storedKmvSketch(db, k = 32)
+      .as[Long].collect().toSeq
+    val direct = Sketches.kmvSketch(toks(batches.flatten: _*), col("t"), 32)
+      .as[Long].collect().toSeq
+    assert(stored == direct, "foldKmv lost a minimum")
+    // a fold must not cross tags: "k/t" is an exact wildcard, so a
+    // sibling tag's minima survive this tag's fold
+    SketchStore.registerKmv(db, toks("zzz"), col("t"), tag = "t2", k = 32)
+    SketchStore.foldKmv(db, k = 32)
+    assert(SketchStore.storedKmvSketch(db, tag = "t2", k = 32).count() == 1,
+      "fold of tag t erased tag t2")
+    // racing writers: folds interleaving with registrations never lose
+    // a minimum (the fence re-reads and retries)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val extra = (0 until 6).map(b => (0 until 40).map(i => s"r${b * 25 + i}"))
+    val writers = extra.map(xs => Future {
+      SketchStore.registerKmv(db, toks(xs: _*), col("t"), k = 32)
+    })
+    val folder = Future { for (_ <- 0 until 4) SketchStore.foldKmv(db, k = 32) }
+    Await.result(Future.sequence(writers :+ folder), 300.seconds)
+    SketchStore.foldKmv(db, k = 32)
+    val storedR = SketchStore.storedKmvSketch(db, k = 32)
+      .as[Long].collect().toSeq
+    val directR = Sketches.kmvSketch(
+      toks((batches.flatten ++ extra.flatten): _*), col("t"), 32)
+      .as[Long].collect().toSeq
+    assert(storedR == directR, "racing foldKmv corrupted the union")
+  }
+
+  test("foldMg: report unchanged by the fold, store bounded, mass " +
+      "exact under racing writers") {
+    val db = tmpDb()
+    def items(b: Int) =
+      toks((0 until 100).map(i => s"i${(b * 17 + i) % 40}"): _*)
+    // twin store without folds — the fold's losslessness witness
+    val twin = tmpDb()
+    for (b <- 0 until 4) {
+      SketchStore.registerMg(db, items(b), col("t"), batchId = b.toLong)
+      SketchStore.registerMg(twin, items(b), col("t"), batchId = b.toLong)
+      if (b % 2 == 1) SketchStore.foldMg(db)
+    }
+    def report(d: Db) = SketchStore.storedHeavyHitters(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(report(db) == report(twin),
+      "folds changed the heavy-hitters report")
+    // the fold bounded the store: after compaction, ≤ c+1 rows per
+    // generation (candidates + mass) instead of per-batch history
+    SketchStore.foldMg(db)
+    graft.store.Compactor.major(db)
+    val mgRows = db.snapshot().read("m/t/%").count() +
+      db.snapshot().read("mn/t").count()
+    assert(mgRows <= Sketches.MG_C + 1, s"store not bounded: $mgRows rows")
+    assert(report(db) == report(twin), "compacted fold changed the report")
+    // racing writers: mass is additive and never truncated, so however
+    // folds interleave with registrations the total must be EXACT
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 8).map { w =>
+      Future {
+        SketchStore.registerMg(db, toks(Seq.fill(w + 1)("hot"): _*),
+          col("t"), batchId = (100 + w).toLong)
+      }
+    }
+    val folder = Future { for (_ <- 0 until 5) SketchStore.foldMg(db) }
+    Await.result(Future.sequence(writers :+ folder), 300.seconds)
+    SketchStore.foldMg(db)
+    val mass = SketchStore.storedMgMass(db).as[Long].head()
+    val exact = 4 * 100 + (1 to 8).sum
+    assert(mass == exact, s"mass lost to a fold race: $mass != $exact")
+    // 'hot' is within capacity throughout → its est is its exact count
+    val hot = SketchStore.storedMgCandidates(db)
+      .filter(col("item") === "hot").as[(String, Long)].collect()
+    assert(hot.nonEmpty && hot.head._2 == (1 to 8).sum,
+      s"hot item count lost: ${hot.toSeq}")
+  }
+
+  test("deleteManyIf: several wildcards suppress under ONE marker tx") {
+    val db = tmpDb()
+    SketchStore.registerMg(db, toks("a", "a", "b"), col("t"), batchId = 0L)
+    val expected = graft.store.Manifest.current(db.warehouse).nextTxid
+    val marked = graft.store.TxWriter.deleteManyIf(db, expected,
+      Seq("m/t/%", "mn/t"), t0 = Long.MinValue, t1 = Long.MaxValue)
+    assert(marked.nonEmpty)
+    assert(db.snapshot().manifest.deleteTxids.size == 1,
+      "one claim = one marker transaction")
+    assert(db.snapshot().read("m/t/%").isEmpty &&
+      db.snapshot().read("mn/t").isEmpty,
+      "both key families must be suppressed")
+  }
+
+  test("histogram grid claim is atomic: a conflicting propsClaim is " +
+      "refused inside the manifest CAS, not merged") {
+    val db = tmpDb()
+    SketchStore.registerHist(db, Seq(1L, 2L).toDF("v"), col("v"),
+      batchId = 0L)
+    // the check-then-act window: a writer that already passed the
+    // friendly pre-read still cannot publish a different grid — the
+    // claim re-verifies inside the publishing commit
+    val rows = Seq(("h/t/000001", 1L, 1L, 1L)).toDF("key", "ts", "bin", "cnt")
+    val e = intercept[graft.store.TxWriter.PropertyConflict] {
+      graft.store.TxWriter.write(db, rows,
+        propsClaim = Map("hist.w/t" -> "4"))
+    }
+    assert(e.getMessage.contains("hist.w/t"), e.getMessage)
+    // the refused tx is invisible: grid and report unchanged
+    assert(SketchStore.storedHistGrid(db) == ((Sketches.HIST_W, 0L)))
+    assert(SketchStore.storedHist(db).as[(Long, Long)].collect().toSet ==
+      Set((0L, 2L)), "refused write leaked rows")
+  }
+
   test("histogram store: merged == one-shot; idempotent re-register; " +
       "fold supersedes; coexists under its own prefix") {
     val db = tmpDb()
