@@ -420,15 +420,20 @@ object SketchStore {
   }
 
   /** ONE copy of the fold fence every per-batch store shares: read the
-    * current sums, range-delete the tag's history with a conditional
-    * claim ([[graft.store.TxWriter.deleteManyIf]] — the claim fails if
-    * any commit landed after the sums were read, and the fold re-reads
-    * so a racing registration's counts are INCLUDED), then write the
-    * folded rows at the reserved `ts = FOLD_TS` AFTER the delete so the
-    * fold's higher txid survives the marker. Subsequent folds re-fold
-    * the fold. No registration can be erased either way; concurrency
-    * pinned by SketchStoreSpec's racing-writers cases. Multi-prefix
-    * stores (MG) delete all their key families in the one marker tx.
+    * current sums, then publish the tag's history-superseding delete
+    * marker AND the folded replacement rows (at the reserved
+    * `ts = FOLD_TS`, one txid above the marker so they survive it) in a
+    * SINGLE manifest commit ([[graft.store.TxWriter.supersedeIf]]) —
+    * atomic, so no crash or reader can observe the history deleted
+    * without its replacement. The claim lands only if NOTHING moved
+    * since the sums were read — not just `nextTxid`: a pre-baseline
+    * claim that published after our read (published sets changed) or is
+    * still in flight (pending non-empty) holds rows these sums never
+    * saw, which the marker would erase (caught by the foldKmv
+    * racing-writers case). On refusal the fold re-reads, so a racing
+    * registration's counts are INCLUDED. Subsequent folds re-fold the
+    * fold. Multi-prefix stores (MG) delete all their key families in
+    * the one marker tx.
     */
   private def foldStore(db: graft.store.Db, what: String,
                         wildcards: Seq[String])
@@ -436,20 +441,15 @@ object SketchStore {
                         project: DataFrame => DataFrame): Long = {
     var attempts = 0
     while (attempts < 64) {
-      // the FULL baseline, not just nextTxid: the claim must also prove
-      // no pre-baseline claim published after our read (published sets
-      // unchanged) and none is still in flight (pending empty) — either
-      // could hold rows these sums never saw, which the marker would
-      // erase (caught by the foldKmv racing-writers case)
       val baseline = graft.store.Manifest.current(db.warehouse)
       val cur = stored
       if (cur.isEmpty) return -1L // nothing to fold
       val folded = project(cur)
         .localCheckpoint(true) // materialize the sums BEFORE the delete
-      graft.store.TxWriter.deleteManyIfUnchanged(db, baseline, wildcards,
-          t0 = Long.MinValue, t1 = Long.MaxValue) match {
-        case Some(_) => return graft.store.TxWriter.write(db, folded)
-        case None    => // a commit raced in (or is in flight) — refold
+      graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
+          folded) match {
+        case Some(tx) => return tx
+        case None     => // a commit raced in (or is in flight) — refold
           attempts += 1
           Thread.sleep(50L * math.min(attempts, 4))
       }

@@ -144,29 +144,7 @@ object TxWriter {
         if (m.timeBucket == 0L) m.copy(timeBucket = width, bucketMajor = major)
         else m)
 
-    // no explicit partition count unless the caller pins one: an
-    // AQE-coalescible range exchange sizes output files to the shuffle
-    // target (~64 MB) instead of hard-coding shuffle.partitions files —
-    // small transactions stay a few files, huge ones fan out
-    val base = df.drop("tbucket")
-    val rangeCols =
-      if (major && width > 0)
-        Seq(col("ts") - col("ts") % width, col("key"), col("ts"))
-      else Seq(col("key"), col("ts"))
-    val ranged = rangePartitions match {
-      case Some(n) => base.repartitionByRange(n, rangeCols: _*)
-      case None    => base.repartitionByRange(rangeCols: _*)
-    }
-    val sorted = ranged.sortWithinPartitions(rangeCols: _*)
-    val writer0 = (if (width > 0)
-      sorted.withColumn("tbucket", col("ts") - col("ts") % width)
-    else sorted)
-      .write.mode(SaveMode.ErrorIfExists)
-      // zstd: the modern analog of the reference's LZ4-level-9 segments
-      // (src/write.rs:83) — better ratio at comparable scan speed
-      .option("compression", "zstd")
-    val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
-    writer.parquet(s"${db.dataDir}/txid=$txid")
+    val written = writeDataDir(db, df, txid, width, major, rangePartitions)
     // bucket-explosion guard: one readdir of the just-written tx BEFORE
     // publish, so a misconfigured layout fails loudly while the tx is
     // still invisible instead of poisoning the warehouse's layout forever
@@ -199,7 +177,7 @@ object TxWriter {
             "transaction was NOT published.")
       }
     }
-    publishData(db, txid, sorted.schema, props, propsClaim)
+    publishData(db, txid, written, props, propsClaim)
     txid
     } catch {
       // an in-process failure (guard refusal, write-job error, lost
@@ -207,6 +185,112 @@ object TxWriter {
       // pending entry so the fold fence is not raised by a dead claim
       case e: Throwable => abandonClaim(db, txid); throw e
     }
+  }
+
+  /** The physical transaction write shared by [[write]] and
+    * [[supersedeIf]]: range-shuffle-sort on the warehouse's layout,
+    * zstd parquet into `data/txid=<n>`. Returns the written schema.
+    *
+    * No explicit partition count unless the caller pins one: an
+    * AQE-coalescible range exchange sizes output files to the shuffle
+    * target (~64 MB) instead of hard-coding shuffle.partitions files —
+    * small transactions stay a few files, huge ones fan out.
+    */
+  private def writeDataDir(db: Db, df: DataFrame, txid: Long, width: Long,
+                           major: Boolean, rangePartitions: Option[Int])
+      : org.apache.spark.sql.types.StructType = {
+    val base = df.drop("tbucket")
+    val rangeCols =
+      if (major && width > 0)
+        Seq(col("ts") - col("ts") % width, col("key"), col("ts"))
+      else Seq(col("key"), col("ts"))
+    val ranged = rangePartitions match {
+      case Some(n) => base.repartitionByRange(n, rangeCols: _*)
+      case None    => base.repartitionByRange(rangeCols: _*)
+    }
+    val sorted = ranged.sortWithinPartitions(rangeCols: _*)
+    val writer0 = (if (width > 0)
+      sorted.withColumn("tbucket", col("ts") - col("ts") % width)
+    else sorted)
+      .write.mode(SaveMode.ErrorIfExists)
+      // zstd: the modern analog of the reference's LZ4-level-9 segments
+      // (src/write.rs:83) — better ratio at comparable scan speed
+      .option("compression", "zstd")
+    val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
+    writer.parquet(s"${db.dataDir}/txid=$txid")
+    sorted.schema
+  }
+
+  /** ATOMIC read-supersede: publish a delete marker over `wildcards`
+    * AND the replacement rows in ONE manifest commit — the fold
+    * primitive ([[graft.ops.SketchStore]]). Two adjacent txids are
+    * claimed conditionally (the [[deleteManyIfUnchanged]] fence: nothing
+    * moved since `baseline`, no claim in flight), the marker and data
+    * directories are written invisibly, then a single commit makes both
+    * visible. The replacement ranks one txid above the marker, so it
+    * survives it; a crash anywhere before the commit publishes NOTHING —
+    * unlike a marker-then-write sequence, there is no window where the
+    * store's history is deleted but its replacement missing. None = the
+    * fence refused (caller re-reads and retries).
+    */
+  def supersedeIf(db: Db, baseline: ManifestState, wildcards: Seq[String],
+                  replacement: DataFrame, t0: Long = Long.MinValue,
+                  t1: Long = Long.MaxValue): Option[Long] = {
+    require(wildcards.nonEmpty, "need at least one wildcard")
+    val schema = replacement.schema
+    require(schema.fieldNames.contains("key") &&
+      schema("key").dataType == StringType, "replacement needs key: String")
+    require(schema.fieldNames.contains("ts") &&
+      schema("ts").dataType == LongType, "replacement needs ts: Long")
+    val markerTx = claimIf(db, 2)(cur =>
+      cur.nextTxid == baseline.nextTxid &&
+        cur.dataTxids == baseline.dataTxids &&
+        cur.deleteTxids == baseline.deleteTxids) match {
+      case Some(t) => t
+      case None    => return None
+    }
+    val dataTx = markerTx + 1
+    try {
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      wildcards.foreach(w => rows.add(Row("", "", t0, t1, w)))
+      db.spark.createDataFrame(rows, Db.deleteSchema)
+        .coalesce(1)
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${db.deleteDir}/txid=$markerTx")
+      val written = writeDataDir(db, replacement, dataTx,
+        baseline.timeBucket, baseline.bucketMajor, None)
+      val stats = txStatsOf(db, s"${db.dataDir}/txid=$dataTx")
+      Manifest.update(db.warehouse)(cur => cur.copy(
+        dataTxids = cur.dataTxids :+ dataTx,
+        deleteTxids = cur.deleteTxids :+ markerTx,
+        schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
+        txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
+        pending = cur.pending - markerTx - dataTx))
+      Some(dataTx)
+    } catch {
+      case e: Throwable =>
+        Manifest.update(db.warehouse)(m =>
+          m.copy(pending = m.pending - markerTx - dataTx))
+        throw e
+    }
+  }
+
+  /** Conditionally claim `n` adjacent txids in one commit (registered
+    * pending); None when `ok` fails or any other claim is in flight.
+    */
+  private def claimIf(db: Db, n: Int)(ok: ManifestState => Boolean)
+      : Option[Long] = {
+    while (true) {
+      val cur = Manifest.current(db.warehouse)
+      if (!ok(cur) || cur.pending.nonEmpty) return None
+      val now = System.currentTimeMillis()
+      val pend = (0 until n).map(i => (cur.nextTxid + i) -> now)
+      if (Manifest.commit(db.warehouse, cur, Manifest.withCreated(cur,
+          cur.copy(version = cur.version + 1, nextTxid = cur.nextTxid + n,
+            pending = cur.pending ++ pend))))
+        return Some(cur.nextTxid)
+    }
+    None // unreachable
   }
 
   /** (key, ts) bounds of a freshly written transaction directory — a
@@ -293,19 +377,8 @@ object TxWriter {
                           (unchanged: ManifestState => Boolean)
       : Option[Long] = {
     require(wildcards.nonEmpty, "need at least one wildcard")
-    var granted = -1L
-    var claimed = false
-    while (!claimed) {
-      val cur = Manifest.current(db.warehouse)
-      if (!unchanged(cur) || cur.pending.nonEmpty) return None
-      granted = cur.nextTxid
-      claimed = Manifest.commit(db.warehouse, cur,
-        Manifest.withCreated(cur,
-          cur.copy(version = cur.version + 1, nextTxid = cur.nextTxid + 1,
-            pending =
-              cur.pending + (cur.nextTxid -> System.currentTimeMillis()))))
-    }
-    Some(writeDeleteMarker(db, granted, firstKey, lastKey, t0, t1, wildcards))
+    claimIf(db, 1)(unchanged).map(granted =>
+      writeDeleteMarker(db, granted, firstKey, lastKey, t0, t1, wildcards))
   }
 
   private def writeDeleteMarker(db: Db, txid: Long, firstKey: String,

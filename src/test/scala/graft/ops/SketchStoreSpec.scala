@@ -295,6 +295,36 @@ class SketchStoreSpec extends SparkSpec {
       s"hot item count lost: ${hot.toSeq}")
   }
 
+  test("fold is atomic: marker and replacement appear in ONE manifest " +
+      "commit — no version observes a half-fold") {
+    val db = tmpDb()
+    SketchStore.registerHist(db, Seq(1L, 2L, 3L).toDF("v"), col("v"),
+      batchId = 0L)
+    SketchStore.registerHist(db, Seq(4L, 5L).toDF("v"), col("v"),
+      batchId = 1L)
+    val before = graft.store.Manifest.current(db.warehouse)
+    SketchStore.foldHist(db)
+    val after = graft.store.Manifest.current(db.warehouse)
+    assert(after.deleteTxids.size == before.deleteTxids.size + 1 &&
+      after.dataTxids.size == before.dataTxids.size + 1)
+    // every intermediate version must hold marker and replacement
+    // together or not at all: a marker-only state is exactly the crash
+    // window that would lose the store (history deleted, fold missing)
+    for (v <- before.version + 1 to after.version) {
+      val st = graft.store.Manifest.at(db.warehouse, v)
+      val hasMarker = st.deleteTxids.size > before.deleteTxids.size
+      val hasFold = st.dataTxids.size > before.dataTxids.size
+      assert(hasMarker == hasFold, s"version $v observes a half-fold")
+    }
+    // and the fold is still correct
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(Seq(1L, 2L, 3L, 4L, 5L).toDF("v"),
+        col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct)
+  }
+
   test("deleteManyIf: several wildcards suppress under ONE marker tx") {
     val db = tmpDb()
     SketchStore.registerMg(db, toks("a", "a", "b"), col("t"), batchId = 0L)
