@@ -184,10 +184,22 @@ object StreamIngest {
     * batch-id guard, and a crash between the registrations replays
     * into last-wins overwrites, never double counts.
     */
+  /** @param foldEvery > 0 = auto-fold policy: after every `foldEvery`-th
+    *   committed batch the sink folds its stores, so a year-long stream
+    *   never needs a manual maintenance call — the store stays bounded
+    *   at sketch-size + foldEvery·sketch-size rows instead of growing
+    *   one generation per batch forever. The policy is recorded as a
+    *   table property (`fold.every/<sinkId>`) in the same commit that
+    *   advances the cursor, so an operator can read the cadence off the
+    *   manifest. Folds run AFTER the cursor advances: a crash between
+    *   the two replays as a skipped fold (caught up `foldEvery` batches
+    *   later), never as a re-registration of a batch a fold already
+    *   merged — which would double-count it.
+    */
   def sketchWriter(db: Db, stream: DataFrame, elemCol: String,
                    tag: String = "t",
                    trigger: Trigger = Trigger.AvailableNow(),
-                   sinkId: String = "sketch")
+                   sinkId: String = "sketch", foldEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -201,7 +213,12 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(elemCol), batchId, tag)
           graft.ops.SketchStore.registerMg(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag)
-          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+          advanceCursor(db, sinkId, batchId, foldEvery)
+          if (shouldFold(batchId, foldEvery)) {
+            graft.ops.SketchStore.foldKmv(db, tag)
+            graft.ops.SketchStore.foldCountMin(db, tag)
+            graft.ops.SketchStore.foldMg(db, tag)
+          }
         }
         ()
       }
@@ -220,7 +237,7 @@ object StreamIngest {
   def histWriter(db: Db, stream: DataFrame, valueCol: String,
                  tag: String = "t",
                  trigger: Trigger = Trigger.AvailableNow(),
-                 sinkId: String = "hist")
+                 sinkId: String = "hist", foldEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -230,8 +247,57 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.SketchStore.registerHist(db, batch,
             org.apache.spark.sql.functions.col(valueCol), batchId, tag)
-          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+          advanceCursor(db, sinkId, batchId, foldEvery)
+          if (shouldFold(batchId, foldEvery))
+            graft.ops.SketchStore.foldHist(db, tag)
         }
         ()
       }
+
+  /** Streaming Misra–Gries maintenance on its own: the frequent-items
+    * store for a token stream that doesn't want the full
+    * [[sketchWriter]] trio. Registration keys its ≤ c+1 rows on the
+    * micro-batch id, so a replayed batch rewrites the same (key, ts)
+    * rows — idempotent under the sink's exactly-once batch-id guard,
+    * like count-min and hist. Same `foldEvery` auto-fold policy.
+    */
+  def mgWriter(db: Db, stream: DataFrame, elemCol: String,
+               tag: String = "t",
+               trigger: Trigger = Trigger.AvailableNow(),
+               sinkId: String = "mg", foldEvery: Int = 0)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerMg(db, batch,
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag)
+          advanceCursor(db, sinkId, batchId, foldEvery)
+          if (shouldFold(batchId, foldEvery))
+            graft.ops.SketchStore.foldMg(db, tag)
+        }
+        ()
+      }
+
+  /** Advance a sink's replay cursor, recording the auto-fold cadence as
+    * a table property in the SAME commit (one version, no second crash
+    * window).
+    */
+  private def advanceCursor(db: Db, sinkId: String, batchId: Long,
+                            foldEvery: Int): Unit =
+    Manifest.update(db.warehouse) { cur =>
+      val next = cur.withStreamBatch(sinkId, batchId)
+      if (foldEvery > 0)
+        next.copy(props =
+          next.props + (s"fold.every/$sinkId" -> foldEvery.toString))
+      else next
+    }
+
+  /** Fold on every `foldEvery`-th committed batch (batch ids are
+    * 0-based, so batch foldEvery−1 triggers the first fold).
+    */
+  private def shouldFold(batchId: Long, foldEvery: Int): Boolean =
+    foldEvery > 0 && (batchId + 1) % foldEvery == 0
 }

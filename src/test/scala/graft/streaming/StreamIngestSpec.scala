@@ -288,6 +288,73 @@ class StreamIngestSpec extends SparkSpec {
     assert(Manifest.current(db.warehouse).streamBatchFor("sketch") == 1L)
   }
 
+  test("MG sink: streamed report == registered twin; a re-delivered " +
+      "batch rewrites the same rows, never doubles") {
+    import graft.ops.SketchStore
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-mgsink"))
+    val mem = MemoryStream[String]
+    val writer = StreamIngest.mgWriter(db, mem.toDF().toDF("t"), "t")
+      .option("checkpointLocation", tmpDir("graft-mgcp"))
+
+    val b0 = Seq.fill(60)("x") ++ (1 to 50).map(i => s"u$i")
+    val b1 = Seq.fill(40)("x") ++ Seq.fill(30)("y")
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    def report(d: Db) = SketchStore.storedHeavyHitters(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // the streamed store equals a directly registered twin
+    val twin = Db(spark, tmpDir("graft-mgtwin"))
+    SketchStore.registerMg(twin, b0.toDF("t"), col("t"), batchId = 0L)
+    SketchStore.registerMg(twin, b1.toDF("t"), col("t"), batchId = 1L)
+    val streamed = report(db)
+    assert(streamed == report(twin), s"streamed MG drifted: $streamed")
+    assert(streamed.head._1 == "x" && streamed.head._2 == 100L)
+    // the replay contract under the batch-id guard: re-registering the
+    // same batchId rewrites the same (key, ts) rows — report and row
+    // count unchanged (last-wins keeps one copy)
+    val rowsBefore = db.read("m/t/%").count()
+    SketchStore.registerMg(db, b1.toDF("t"), col("t"), batchId = 1L)
+    assert(report(db) == streamed, "replay changed the report")
+    assert(db.read("m/t/%").count() == rowsBefore, "replay grew the store")
+    assert(Manifest.current(db.warehouse).streamBatchFor("mg") == 1L)
+  }
+
+  test("auto-fold policy: the store stays bounded across 3N batches " +
+      "and the cadence is manifest-recorded") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-autofold"))
+    val mem = MemoryStream[Long]
+    val writer = StreamIngest
+      .histWriter(db, mem.toDF().toDF("v"), "v", foldEvery = 2)
+      .option("checkpointLocation", tmpDir("graft-autofoldcp"))
+
+    val batches = (0 until 6).map(b => (1 to 100).map(i => (i % (30 + b) + 1).toLong))
+    batches.foreach { vals =>
+      mem.addData(vals: _*)
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    // cadence recorded where an operator can read it
+    assert(Manifest.current(db.warehouse).props.get("fold.every/hist")
+      .contains("2"))
+    // the last batch (id 5) triggered a fold, so the whole history is
+    // ONE folded generation — the store can never grow past
+    // grid + foldEvery·grid rows however long the stream runs
+    val gens = db.read("h/t/%").select("ts").distinct()
+      .as[Long].collect().toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded history: $gens")
+    // and folding never changed the answer
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(batches.flatten.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"auto-fold drifted: $stored != $direct")
+  }
+
   test("histogram sink: streamed quantiles == one-shot sketch of everything") {
     import graft.ops.{Sketches, SketchStore}
     implicit val sc = spark.sqlContext
