@@ -586,6 +586,26 @@ object PipelineQueries {
         col("v"), batchId = 1L)
       SketchStore.storedHistQuantiles(db)
     },
+    // warehouse-backed GROUPED quantiles: per-source token-count
+    // envelopes registered as two half-corpus batches of the grouped
+    // hist store with a fold between them — merge is exact per
+    // (grp, bin), so the stored report equals the one-shot grouped
+    // sketch and shares sk_hist_by_source's oracle verbatim. This is
+    // what `/_query/stats?by` serves.
+    "sk_hist_grouped_store" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def tc(f: DataFrame) = f.select(col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerHistBy(db, tc(docs.filter(col("doc_id") < mid)),
+        col("source"), col("v"), batchId = 0L)
+      SketchStore.foldHistBy(db)
+      SketchStore.registerHistBy(db, tc(docs.filter(col("doc_id") >= mid)),
+        col("source"), col("v"), batchId = 1L)
+      SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
+    },
     "sk_countmin_incremental" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -1815,6 +1835,9 @@ object PipelineQueries {
     "sk_mg_incremental" -> SketchStore.sqlMgIncrementalTokens(),
     "sk_hist_quantiles" -> Sketches.sqlHistTokenCounts(),
     "sk_hist_by_source" -> Sketches.sqlHistTokenCountsBySource(),
+    // the grouped STORE must equal the one-shot grouped sketch — exact
+    // per-(grp, bin) counter merge — so it shares the oracle verbatim
+    "sk_hist_grouped_store" -> Sketches.sqlHistTokenCountsBySource(),
     "sk_hist_incremental" -> Sketches.sqlHistTokenCounts(),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),

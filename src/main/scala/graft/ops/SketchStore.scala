@@ -39,6 +39,9 @@ object SketchStore {
   private def histPrefix(tag: String) = s"h/$tag/"
   private def histWProp(tag: String) = s"hist.w/$tag"
   private def histOriginProp(tag: String) = s"hist.origin/$tag"
+  private def histByPrefix(tag: String) = s"hg/$tag/"
+  private def histByWProp(tag: String) = s"histg.w/$tag"
+  private def histByOriginProp(tag: String) = s"histg.origin/$tag"
 
   // ── KMV ────────────────────────────────────────────────────────────
 
@@ -354,6 +357,84 @@ object SketchStore {
     val (w, origin) = storedHistGrid(db, tag)
     Sketches.histQuantiles(storedHist(db, tag), qms, w, origin)
   }
+
+  // ── grouped histogram store ────────────────────────────────────────
+  //
+  // The per-group twin of the histogram store — per-source / per-
+  // language sequence-length envelopes off a RUNNING corpus (what
+  // `/_query/stats?by` serves). Rows: key = "hg/<tag>/<grp>/<bin>",
+  // ts = batchId → (grp, bin, cnt). The bin is always the LAST
+  // "/"-segment (%06d), so keys are unique for any grp string — grp is
+  // carried as a column and never parsed back out of the key. Same
+  // mergeability, idempotent-replay, grid-claim and fold laws as the
+  // ungrouped store; grid props are its own (histg.*) so the two
+  // stores under one tag stay independent.
+
+  /** Registers one batch's per-group histogram (≤ b·groups rows) as ONE
+    * transaction under the grid claim.
+    */
+  def registerHistBy(db: graft.store.Db, batch: DataFrame, grp: Column,
+                     value: Column, batchId: Long, tag: String = "t",
+                     b: Int = Sketches.HIST_B,
+                     w: Long = Sketches.HIST_W,
+                     origin: Long = 0L): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
+    val rows = hist.select(
+      format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
+        .as("key"),
+      lit(batchId).as("ts"), col("grp"), col("bin"), col("cnt"))
+    graft.store.TxWriter.write(db, rows, propsClaim = Map(
+      histByWProp(tag) -> w.toString,
+      histByOriginProp(tag) -> origin.toString))
+  }
+
+  /** The grouped store's grid, from its own claimed properties. */
+  def storedHistByGrid(db: graft.store.Db, tag: String = "t"): (Long, Long) = {
+    val m = graft.store.Manifest.current(db.warehouse)
+    (m.props.get(histByWProp(tag)).map(_.toLong).getOrElse(Sketches.HIST_W),
+      m.props.get(histByOriginProp(tag)).map(_.toLong).getOrElse(0L))
+  }
+
+  /** The merged (grp, bin, cnt) histogram of every batch registered. */
+  def storedHistBy(db: graft.store.Db, tag: String = "t"): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(0).select(col("id").cast("string").as("grp"),
+      col("id").as("bin"), col("id").as("cnt"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(histByPrefix(tag) + "%")
+      if (!rows.columns.contains("grp") || !rows.columns.contains("cnt"))
+        empty
+      else rows.filter(col("grp").isNotNull)
+        .groupBy("grp", "bin").agg(sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** Per-group quantile envelopes over everything ever registered —
+    * the same distributed rank algebra as the one-shot
+    * [[Sketches.histQuantilesBy]] (windows partitioned by group, no
+    * single-partition stage), grid from the store's own properties.
+    * UNORDERED, like the one-shot form.
+    */
+  def storedHistQuantilesBy(db: graft.store.Db,
+                            qms: Seq[Int] = Sketches.HIST_QMS,
+                            tag: String = "t"): DataFrame = {
+    val (w, origin) = storedHistByGrid(db, tag)
+    Sketches.histQuantilesFromBy(storedHistBy(db, tag), qms, w, origin)
+  }
+
+  /** [[foldHist]] for the grouped store: one folded generation of
+    * ≤ b·groups rows.
+    */
+  def foldHistBy(db: graft.store.Db, tag: String = "t"): Long =
+    foldStore(db, s"foldHistBy($tag)", Seq(histByPrefix(tag) + "%"))(
+      storedHistBy(db, tag),
+      _.select(
+        format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
+          .as("key"),
+        lit(FOLD_TS).as("ts"), col("grp"), col("bin"), col("cnt")))
 
   /** Collapses the per-batch histogram history to one folded grid (the
     * shared [[foldStore]] fence). Bounds the store at

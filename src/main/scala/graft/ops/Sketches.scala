@@ -395,10 +395,29 @@ object Sketches {
     */
   def histQuantilesBy(df: DataFrame, grp: Column, value: Column,
                       qms: Seq[Int] = HIST_QMS, b: Int = HIST_B,
-                      w: Long = HIST_W, origin: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = df.select(grp.as("grp"), histBin(value, b, w, origin).as("bin"))
+                      w: Long = HIST_W, origin: Long = 0L): DataFrame =
+    histQuantilesFromBy(histSketchBy(df, grp, value, b, w, origin),
+      qms, w, origin)
+
+  /** Per-group histogram build: (grp, bin, cnt), one hash aggregation
+    * over ≤ b·groups keys. Null groups are excluded — a null is "no
+    * group", and would become a null key in the warehouse-backed store.
+    */
+  def histSketchBy(df: DataFrame, grp: Column, value: Column,
+                   b: Int = HIST_B, w: Long = HIST_W,
+                   origin: Long = 0L): DataFrame =
+    df.select(grp.as("grp"), histBin(value, b, w, origin).as("bin"))
+      .filter(col("grp").isNotNull)
       .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+
+  /** The grouped rank algebra over a PREBUILT (grp, bin, cnt) histogram
+    * — shared by [[histQuantilesBy]] and the warehouse-backed grouped
+    * store ([[SketchStore.storedHistQuantilesBy]]), so the two can
+    * never drift.
+    */
+  def histQuantilesFromBy(hist: DataFrame, qms: Seq[Int] = HIST_QMS,
+                          w: Long = HIST_W, origin: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = hist.select(col("grp"), col("bin"),
       sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin"))
         .as("cum"),

@@ -538,6 +538,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * read, so the steady state costs a directory stat. Absent stores
     * (a warehouse that never registered a sketch) answer empty
     * sections, not errors — the verb is safe to point at any store.
+    * `?by` switches to the GROUPED report: per-group quantile envelopes
+    * from the grouped hist store
+    * ([[graft.ops.SketchStore.registerHistBy]]) — the source-mix
+    * dashboard read.
     */
   private def doStats(p: Map[String, String]): (Int, String) = {
     val tag = p.getOrElse("tag", "t")
@@ -552,6 +556,22 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
         case c if c < ' '  => f"\\u${c.toInt}%04x"
         case c             => c.toString
       } + "\""
+    // ?by → the grouped report: per-group quantile envelopes from the
+    // GROUPED hist store (registerHistBy) — the source-mix dashboard
+    // read. One bounded key-pruned scan of sketch-sized rows per group.
+    if (p.contains("by")) {
+      val rows = graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
+        .select(col("grp"), col("qm"), col("n"), col("lo"), col("hi"))
+        .orderBy("grp", "qm")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      val groups = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (g, qs) =>
+          val qJson = qs.sortBy(_._2).map { case (_, qm, _, lo, hi) =>
+            s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
+          s"""{"grp":${jstr(g)},"n":${qs.head._3},"quantiles":$qJson}"""
+      }.mkString("[", ",", "]")
+      return (200, s"""{"tag":${jstr(tag)},"groups":$groups}""" + "\n")
+    }
     // three independent bounded reads — concurrent jobs like the
     // hybrid verb, then a driver-side render of sketch-sized rows
     import scala.concurrent.{Await, Future}

@@ -406,6 +406,35 @@ class SketchStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("grid mismatch"), e.getMessage)
   }
 
+  test("grouped histogram store: merged == one-shot grouped sketch; " +
+      "fold and replay preserve it") {
+    val db = tmpDb()
+    val b0 = (1 to 200).map(i => (s"s${i % 3}", (i % 40 + 1).toLong))
+    val b1 = (1 to 150).map(i => (s"s${i % 2}", (i % 90 + 1).toLong))
+    SketchStore.registerHistBy(db, b0.toDF("g", "v"), col("g"), col("v"),
+      batchId = 0L)
+    SketchStore.foldHistBy(db)
+    SketchStore.registerHistBy(db, b1.toDF("g", "v"), col("g"), col("v"),
+      batchId = 1L)
+    // a streaming retry re-delivers batch 1: same (key, ts) rows
+    SketchStore.registerHistBy(db, b1.toDF("g", "v"), col("g"), col("v"),
+      batchId = 1L)
+    val stored = SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesBy((b0 ++ b1).toDF("g", "v"),
+        col("g"), col("v")).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"grouped merge drifted: $stored != $direct")
+    // keys stay parseable whatever the group string: the bin is always
+    // the last segment, grp travels as a column
+    SketchStore.registerHistBy(db, Seq(("with/slash_and%", 5L)).toDF("g", "v"),
+      col("g"), col("v"), batchId = 2L)
+    val weird = SketchStore.storedHistBy(db)
+      .filter(col("grp") === "with/slash_and%")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(weird == Seq(("with/slash_and%", 0L, 1L)), s"weird grp: $weird")
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,

@@ -419,6 +419,33 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /_query/stats?by serves per-group envelopes from the " +
+      "grouped hist store") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = Db(spark, tmpDir("graft-serve-statsby"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val batch = (1 to 50).map(i => ("a", (i % 10 + 1).toLong)) ++
+        (1 to 80).map(i => ("b", (i % 100 + 1).toLong))
+      graft.ops.SketchStore.registerHistBy(db, batch.toDF("src", "v"),
+        col("src"), col("v"), batchId = 0L)
+      val (c, body) = http("GET", s"$base/_query/stats?by=src")
+      assert(c == 200, body)
+      assert(body.contains("\"grp\":\"a\"") && body.contains("\"grp\":\"b\""),
+        body)
+      assert(body.contains("\"n\":50") && body.contains("\"n\":80"), body)
+      // the grouped verb rides the version-keyed cache like the rest
+      val h0 = srv.queryCacheHits
+      val (_, body2) = http("GET", s"$base/_query/stats?by=src")
+      assert(body2 == body && srv.queryCacheHits > h0)
+      // and the ungrouped report still answers on the same warehouse
+      val (uc, ubody) = http("GET", s"$base/_query/stats")
+      assert(uc == 200 && ubody.contains("\"histN\":0"), ubody)
+    } finally srv.stop()
+  }
+
   test("PUT past maxPutBytes answers 413, commits nothing, frees the spool") {
     val db = Db(spark, tmpDir("graft-serve-cap"))
     val srv = new Serve(db, maxPutBytes = 1024).start()
