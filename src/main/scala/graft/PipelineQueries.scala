@@ -606,6 +606,25 @@ object PipelineQueries {
         col("source"), col("v"), batchId = 1L)
       SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
     },
+    // histogram grid evolution: batch 0 registers at the default w=8,
+    // the store migrates in place to w=16 (exact re-bin — every old bin
+    // maps whole into one new bin), batch 1 registers at the NEW grid —
+    // and the report must equal the one-shot w=16 sketch of everything:
+    // the BM25 v1→v2 migration device applied to the sketch family.
+    "sk_hist_migrated" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def tc(f: DataFrame) = f.select(
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerHist(db, tc(docs.filter(col("doc_id") < mid)),
+        col("v"), batchId = 0L)
+      SketchStore.migrateHistGrid(db, newW = 16L)
+      SketchStore.registerHist(db, tc(docs.filter(col("doc_id") >= mid)),
+        col("v"), batchId = 1L, w = 16L)
+      SketchStore.storedHistQuantiles(db)
+    },
     "sk_countmin_incremental" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -1839,6 +1858,8 @@ object PipelineQueries {
     // per-(grp, bin) counter merge — so it shares the oracle verbatim
     "sk_hist_grouped_store" -> Sketches.sqlHistTokenCountsBySource(),
     "sk_hist_incremental" -> Sketches.sqlHistTokenCounts(),
+    // the migrated store must equal the one-shot sketch AT THE NEW GRID
+    "sk_hist_migrated" -> Sketches.sqlHistTokenCounts(w = 16L),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->

@@ -500,6 +500,55 @@ object SketchStore {
       }, identity)
   }
 
+  /** Grid evolution for the histogram store: re-bin the stored grid to
+    * a COARSER width — the layout-migration device (the BM25 v1→v2
+    * in-place migration, [[Retrieval.migrateBm25Layout]]) applied to
+    * the sketch family. EXACT when `newW` is a positive multiple of the
+    * stored width (every old bin maps whole into one new bin:
+    * `newBin = oldBin DIV k`); the one caveat is mass the OLD grid
+    * already clamped into its top bin — it stays at the old clamp
+    * point, where a one-shot sketch at the new (wider-domain) grid
+    * would have resolved it higher. For in-domain data the migrated
+    * store equals the one-shot sketch at the new grid, which is what
+    * the spec pins. The re-binned rows, the history-superseding marker
+    * AND the rewritten `hist.w` property publish in ONE manifest commit
+    * ([[graft.store.TxWriter.supersedeIf]]'s props rider), so no reader
+    * can ever pair the new grid with old rows or vice versa; the
+    * operation is index-sized (≤ b rows), never corpus-sized, and later
+    * registrations must claim the NEW width.
+    */
+  def migrateHistGrid(db: graft.store.Db, newW: Long,
+                      tag: String = "t"): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      val baseline = graft.store.Manifest.current(db.warehouse)
+      val (w, origin) = storedHistGrid(db, tag)
+      require(newW >= w && newW % w == 0,
+        s"new width $newW must be a positive multiple of stored width $w")
+      val cur = storedHist(db, tag)
+      if (cur.isEmpty) return -1L // nothing stored to migrate
+      if (newW == w) return -1L   // already at this grid
+      val k = newW / w
+      val rebinned = cur
+        .select(expr(s"bin DIV $k").as("bin"), col("cnt"))
+        .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+        .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
+          lit(FOLD_TS).as("ts"), col("bin"), col("cnt"))
+        .localCheckpoint(true)
+      graft.store.TxWriter.supersedeIf(db, baseline,
+          Seq(histPrefix(tag) + "%"), rebinned,
+          props = Map(histWProp(tag) -> newW.toString,
+            histOriginProp(tag) -> origin.toString)) match {
+        case Some(tx) => return tx
+        case None     =>
+          attempts += 1
+          Thread.sleep(50L * math.min(attempts, 4))
+      }
+    }
+    throw new IllegalStateException(
+      s"migrateHistGrid($tag): persistent registration contention")
+  }
+
   /** ONE copy of the fold fence every per-batch store shares: read the
     * current sums, then publish the tag's history-superseding delete
     * marker AND the folded replacement rows (at the reserved

@@ -233,9 +233,15 @@ object TxWriter {
     * store's history is deleted but its replacement missing. None = the
     * fence refused (caller re-reads and retries).
     */
+  /** @param props table properties REWRITTEN in the publishing commit —
+    *   atomic with the supersede, for migrations that change a claimed
+    *   layout fact together with the rows recorded under it
+    *   ([[graft.ops.SketchStore.migrateHistGrid]]).
+    */
   def supersedeIf(db: Db, baseline: ManifestState, wildcards: Seq[String],
                   replacement: DataFrame, t0: Long = Long.MinValue,
-                  t1: Long = Long.MaxValue): Option[Long] = {
+                  t1: Long = Long.MaxValue,
+                  props: Map[String, String] = Map.empty): Option[Long] = {
     require(wildcards.nonEmpty, "need at least one wildcard")
     val schema = replacement.schema
     require(schema.fieldNames.contains("key") &&
@@ -265,6 +271,7 @@ object TxWriter {
         deleteTxids = cur.deleteTxids :+ markerTx,
         schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
         txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
+        props = cur.props ++ props,
         pending = cur.pending - markerTx - dataTx))
       Some(dataTx)
     } catch {

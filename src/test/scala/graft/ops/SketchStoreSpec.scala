@@ -435,6 +435,41 @@ class SketchStoreSpec extends SparkSpec {
     assert(weird == Seq(("with/slash_and%", 0L, 1L)), s"weird grp: $weird")
   }
 
+  test("migrateHistGrid: re-binned store == one-shot sketch at the new " +
+      "grid; the property flips atomically and later grids must match") {
+    val db = tmpDb()
+    val b0 = (1 to 300).map(i => (i % 60 + 1).toLong)
+    val b1 = (1 to 200).map(i => (i % 45 + 3).toLong)
+    SketchStore.registerHist(db, b0.toDF("v"), col("v"), batchId = 0L)
+    SketchStore.registerHist(db, b1.toDF("v"), col("v"), batchId = 1L)
+    SketchStore.migrateHistGrid(db, newW = 16L)
+    assert(SketchStore.storedHistGrid(db) == ((16L, 0L)))
+    def quants(d: Db) = SketchStore.storedHistQuantiles(d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct16 = Sketches.histQuantilesOf((b0 ++ b1).toDF("v"), col("v"),
+        w = 16L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(quants(db) == direct16,
+      s"migration is not the one-shot sketch: ${quants(db)} != $direct16")
+    // the old width is no longer registrable; the new one merges exactly
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.registerHist(db, b0.toDF("v"), col("v"), batchId = 2L)
+    }
+    assert(e.getMessage.contains("grid mismatch"), e.getMessage)
+    val b2 = (1 to 100).map(i => (i % 90 + 1).toLong)
+    SketchStore.registerHist(db, b2.toDF("v"), col("v"), batchId = 2L,
+      w = 16L)
+    val all16 = Sketches.histQuantilesOf((b0 ++ b1 ++ b2).toDF("v"),
+        col("v"), w = 16L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(quants(db) == all16, "post-migration registration drifted")
+    // a non-multiple target cannot re-bin exactly — refuse loudly
+    val e2 = intercept[IllegalArgumentException] {
+      SketchStore.migrateHistGrid(db, newW = 24L)
+    }
+    assert(e2.getMessage.contains("multiple"), e2.getMessage)
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,

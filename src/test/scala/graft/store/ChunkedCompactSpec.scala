@@ -85,4 +85,59 @@ class ChunkedCompactSpec extends SparkSpec {
     assert(dump(a) == dump(b))
     assert(dump(b) == Set(("k1", 1L, 5L))) // k0 deleted, k1 last write
   }
+
+  test("major compaction preserves every sketch store's report " +
+      "byte-for-byte: folds' markers purge, grid props carry forward") {
+    import graft.ops.{Sketches, SketchStore}
+    val db = Db(spark, tmpDir("graft-compact-sketch"))
+    // all five stores share the one warehouse (distinct key prefixes),
+    // each registered in two batches with a fold in between — so the
+    // compactor must purge fold markers, keep folded generations, and
+    // carry the claimed grid properties through the rewrite
+    def toks(b: Int) = (1 to 150).map(i => s"t${(b * 13 + i) % 60}").toDF("t")
+    def vals(b: Int) = (1 to 120).map(i => (i % (25 + 10 * b) + 1).toLong).toDF("v")
+    def gvals(b: Int) =
+      (1 to 100).map(i => (s"s${i % 2}", (i % (30 + b) + 1).toLong)).toDF("g", "v")
+    for (b <- 0 to 1) {
+      SketchStore.registerKmv(db, toks(b), col("t"))
+      SketchStore.registerCountMin(db, toks(b), col("t"), batchId = b.toLong)
+      SketchStore.registerMg(db, toks(b), col("t"), batchId = b.toLong)
+      SketchStore.registerHist(db, vals(b), col("v"), batchId = b.toLong)
+      SketchStore.registerHistBy(db, gvals(b), col("g"), col("v"),
+        batchId = b.toLong)
+      if (b == 0) {
+        SketchStore.foldKmv(db); SketchStore.foldCountMin(db)
+        SketchStore.foldMg(db); SketchStore.foldHist(db)
+        SketchStore.foldHistBy(db)
+      }
+    }
+    def reports(d: Db): Seq[Seq[Any]] = Seq(
+      SketchStore.storedKmvEstimate(d).collect().toSeq,
+      SketchStore.probeStoredCountMin(d,
+          (1 to 10).map(i => s"t$i").toDF("t"), "t")
+        .orderBy("t").collect().toSeq,
+      SketchStore.storedHeavyHitters(d).collect().toSeq,
+      SketchStore.storedHistQuantiles(d).collect().toSeq,
+      SketchStore.storedHistQuantilesBy(d).orderBy("grp", "qm")
+        .collect().toSeq)
+    val before = reports(db)
+    val gridsBefore = (SketchStore.storedHistGrid(db),
+      SketchStore.storedHistByGrid(db))
+    Compactor.major(db)
+    assert(db.snapshot().manifest.deleteTxids.isEmpty,
+      "major must purge the folds' markers")
+    assert(reports(db) == before,
+      "compaction changed a stored sketch report")
+    assert((SketchStore.storedHistGrid(db),
+      SketchStore.storedHistByGrid(db)) == gridsBefore,
+      "compaction dropped the claimed grid properties")
+    // and the stores keep accepting registrations afterwards
+    SketchStore.registerHist(db, vals(2), col("v"), batchId = 2L)
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(
+        (0 to 2).map(vals).reduce(_ unionAll _), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, "post-compact registration drifted")
+  }
 }
