@@ -461,6 +461,34 @@ object PipelineStress {
       graft.ops.Similarity.ivfPqKnn(embs,
         embs.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count())
 
+    // ── fold economics: what a year of unfolded batches costs a reader,
+    // and what the fold buys back. 365 registered hist batches (one per
+    // "day") vs the folded store: same report, read cost before/after.
+    {
+      import graft.ops.SketchStore
+      val db = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-folder").toString)
+      val vals = spark.range(2000L).select((col("id") % 300).as("v"))
+        .localCheckpoint(true)
+      timed("hist register 365 batches") {
+        (0 until 365).foreach(b =>
+          SketchStore.registerHist(db, vals, col("v"), batchId = b.toLong))
+        365L
+      }
+      timed("hist report, 365 gens")(
+        SketchStore.storedHistQuantiles(db).count())
+      timed("hist report, 365 gens again")(
+        SketchStore.storedHistQuantiles(db).count())
+      timed("foldHist over 365 gens")(SketchStore.foldHist(db))
+      timed("hist report, folded")(
+        SketchStore.storedHistQuantiles(db).count())
+      timed("compact folded hist store") {
+        graft.store.Compactor.major(db); 1L
+      }
+      timed("hist report, folded+compacted")(
+        SketchStore.storedHistQuantiles(db).count())
+    }
+
     spark.stop()
   }
 }

@@ -36,13 +36,13 @@ object ServeLatency {
       (1 to n).foreach(_ => f)
       println(f"SERVE $label%-40s ${(System.nanoTime() - t0) / 1e6 / n}%9.2f ms/op")
     }
-    // SPARK_GRAFT_SERVE_ONLY=query skips the point-lookup battery (it
-    // is stable round to round) and measures only the /_query verbs
-    val queryOnly = sys.env.get("SPARK_GRAFT_SERVE_ONLY").contains("query")
+    // SPARK_GRAFT_SERVE_ONLY selects one battery: "query" = the /_query
+    // verbs, "mixed" = the mixed-load regime; unset runs everything
+    val only = sys.env.get("SPARK_GRAFT_SERVE_ONLY")
     get("/k0000001") // JVM/codegen warmup for the read path itself
     srv.stop()
     srv = new Serve(db).start() // fresh cache, warm JVM
-    if (!queryOnly) {
+    if (only.isEmpty) {
     ms("GET exact key, cold snapshot", 1)(get("/k0000042"))
     ms("GET exact key, cached snapshot", 50)(get("/k0000042"))
     ms("GET exact key, varying keys (cached)", 50) {
@@ -99,7 +99,7 @@ object ServeLatency {
     // layout is warehouse-sticky; a co-located dense-ts BM25 store would
     // mint one tbucket dir per document — measured pathological at 100k
     // docs); requests pay probe-only cost
-    {
+    if (only.forall(_ == "query")) {
       import spark.implicits._
       import graft.ops.{Retrieval, Similarity}
       val idxDb = Db(spark,
@@ -168,6 +168,110 @@ object ServeLatency {
           f"amortized=${wall * 1000 / sorted.length}%6.1f ms/query")
       }
       srv2.stop()
+    }
+
+    // ── mixed load: concurrent PUT spools + point GETs + /_query ──────
+    // everything above is single-mode; a real serving tier takes ingest
+    // and reads on ONE server (and one Spark scheduler) — this battery
+    // measures per-verb p50/p95 while PUT transactions commit under the
+    // readers, plus how often the snapshot cache rebuilds (every commit
+    // moves the generation). SPARK_GRAFT_SERVE_ONLY=mixed runs only this.
+    if (only.forall(_ == "mixed")) {
+      import spark.implicits._
+      import graft.ops.{Retrieval, SketchStore}
+      val mdb = Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-servmix").toString)
+      val lines2 = (1 to 100000).map(i => f"k$i%07d $i%d u $i%d")
+      TxWriter.write(mdb, graft.text.TextIngest.parseWithFmt(spark,
+        spark.createDataset(lines2)).toDF())
+      // BM25 postings + sketch stores co-locate with the data (all
+      // unbucketed — distinct key prefixes); the ANN store would need
+      // its own warehouse, measured above, so it sits this one out
+      val docs = spark.range(50000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(14)),
+          i => concat(lit("w"), pmod(hash(col("id"), i), lit(997)))))
+          .as("text"))
+      Retrieval.buildBm25Index(mdb, docs, "doc_id", "text")
+      val toks = spark.range(200000L)
+        .select(concat(lit("w"), pmod(hash(col("id")), lit(5000)))
+          .as("t"))
+      SketchStore.registerKmv(mdb, toks, col("t"))
+      SketchStore.registerCountMin(mdb, toks, col("t"), batchId = 0L)
+      SketchStore.registerMg(mdb, toks, col("t"), batchId = 0L)
+      SketchStore.registerHist(mdb,
+        spark.range(200000L).select((col("id") % 500).as("v")), col("v"),
+        batchId = 0L)
+      val srv3 = new Serve(mdb).start()
+      def mreq(method: String, path: String, body: String = null): Unit = {
+        val c = new java.net.URL(s"http://localhost:${srv3.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        if (body != null) {
+          c.setDoOutput(true); c.getOutputStream.write(body.getBytes("UTF-8"))
+        }
+        scala.io.Source.fromInputStream(c.getInputStream, "UTF-8").mkString
+        c.disconnect()
+      }
+      // warm every verb's plan once
+      mreq("GET", "/k0000042")
+      mreq("GET", "/_query/bm25?q=w1%20w2&k=10")
+      mreq("GET", "/_query/stats?heavy=10")
+      mreq("PUT", "/", "warm 1 u 1\n")
+      val putSeq = new java.util.concurrent.atomic.AtomicLong(0)
+      for (clients <- Seq(8, 16, 32)) {
+        // 1 writer per 8 clients; readers split across the three verbs.
+        // Readers nonce-bust half their requests so the battery covers
+        // the cache-hit AND compute paths under write churn.
+        val roles = (0 until clients).map(i =>
+          if (i % 8 == 7) "put"
+          else Seq("point", "bm25", "stats")(i % 3))
+        val lat = new java.util.concurrent.ConcurrentHashMap[
+          String, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+        roles.distinct.foreach(r =>
+          lat.put(r, new java.util.concurrent.ConcurrentLinkedQueue[Long]()))
+        val loads0 = srv3.snapshotLoads
+        val rnd = new java.util.concurrent.atomic.AtomicLong(999)
+        val t0 = System.nanoTime()
+        val threads = roles.map { role =>
+          val th = new Thread(() => {
+            val ops = if (role == "put") 5 else 15
+            (1 to ops).foreach { _ =>
+              val i = rnd.incrementAndGet()
+              val bust = if (i % 2 == 0) s"&nonce=$i" else ""
+              val r0 = System.nanoTime()
+              role match {
+                case "put" =>
+                  val base = putSeq.addAndGet(500)
+                  mreq("PUT", "/", (1 to 500).map(j =>
+                    s"put${base + j} ${base + j} u $j").mkString("\n"))
+                case "point" =>
+                  mreq("GET", f"/k${(i * 2654435761L % 99999).abs + 1}%07d")
+                case "bm25" =>
+                  mreq("GET", s"/_query/bm25?q=w${i % 997}%20w${(i * 7) % 997}&k=10$bust")
+                case "stats" =>
+                  mreq("GET", s"/_query/stats?heavy=10$bust")
+              }
+              lat.get(role).add(System.nanoTime() - r0)
+            }
+          })
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val total = lat.values().asScala.map(_.size()).sum
+        println(f"SERVE mixed c=$clients%2d wall=$wall%6.1f s " +
+          f"ops=$total%4d snapshotLoads=${srv3.snapshotLoads - loads0}%3d " +
+          f"version=${graft.store.Manifest.currentVersion(mdb.warehouse)}")
+        lat.asScala.toSeq.sortBy(_._1).foreach { case (role, q) =>
+          val sorted = q.asScala.toArray.sorted
+          def pct(p: Double) = sorted((p * (sorted.length - 1)).toInt) / 1e6
+          println(f"SERVE mixed c=$clients%2d verb=$role%-5s " +
+            f"n=${sorted.length}%3d p50=${pct(0.50)}%8.1f ms " +
+            f"p95=${pct(0.95)}%8.1f ms")
+        }
+      }
+      srv3.stop()
     }
     spark.stop()
   }
