@@ -192,12 +192,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def cachedQuery(ex: HttpExchange, usesData: Boolean = true,
                           usesAnn: Boolean = false)
                          (compute: => (Int, String)): Unit = {
-    val key = cacheKeyOf(
+    val (key, etag) = keyAndTag(
       if (usesData) Manifest.currentVersion(db.warehouse) else -1L,
       if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
       else -1L,
       ex.getRequestURI.toString)
-    val etag = etagOf(key._1, key._2)
     if (notModified(ex, etag)) return
     val hit = cacheGet(key)
     if (hit != null) {
@@ -231,9 +230,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * identity prefixes guard the delete-and-recreate-at-the-same-path
     * case, where versions restart (see [[IdCache]]).
     */
-  private def etagOf(dataVer: Long, annVer: Long): String =
-    s""""v${idsOf(dataVer, annVer)}.$dataVer.$annVer""""
-
   /** `<dataId8>-<annId8|->` for the given version pair; an unused
     * warehouse (ver = -1) contributes "-" so its identity is never read.
     */
@@ -244,12 +240,14 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     s"$did-$aid"
   }
 
-  /** Query-cache key: versions + identities + full request — same
-    * staleness contract as the ETag.
+  /** Query-cache key + ETag for one request, sharing ONE identity read
+    * (the ids fold into both, same staleness contract).
     */
-  private def cacheKeyOf(dataVer: Long, annVer: Long,
-                         uri: String): (Long, Long, String) =
-    (dataVer, annVer, s"${idsOf(dataVer, annVer)}|$uri")
+  private def keyAndTag(dataVer: Long, annVer: Long, uri: String)
+      : ((Long, Long, String), String) = {
+    val ids = idsOf(dataVer, annVer)
+    ((dataVer, annVer, s"$ids|$uri"), s""""v$ids.$dataVer.$annVer"""")
+  }
 
   /** Answers 304 (and returns true) when the client already holds this
     * exact generation.
@@ -299,11 +297,12 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // (a wildcard over much of the store, a key with very many instants)
     // overflow to the streaming path below and stay uncached, so the
     // driver never buffers more than the entry cap.
-    val cacheKey = cacheKeyOf(Manifest.currentVersion(db.warehouse), -1L,
+    // same strong-ETag contract as the /_query verbs: the (identity,
+    // version) pair identifies the answer, a matching If-None-Match is
+    // a 304
+    val (cacheKey, etag) = keyAndTag(
+      Manifest.currentVersion(db.warehouse), -1L,
       ex.getRequestURI.toString)
-    // same strong-ETag contract as the /_query verbs: the manifest
-    // version identifies the answer, a matching If-None-Match is a 304
-    val etag = etagOf(cacheKey._1, -1L)
     if (notModified(ex, etag)) return
     locally {
       val hit = cacheGet(cacheKey)
