@@ -174,6 +174,43 @@ object Cli {
       // the CLI twin of the server's GET /_query/stats: distinct
       // estimate, quantile envelopes, certified frequent items, each a
       // bounded key-pruned read however much was ever registered
+      // sketch-store maintenance: fold each store's per-batch history
+      // to one generation — the CLI twin of the streaming sinks'
+      // foldEvery auto-fold policy (atomic supersede per store)
+      case "fold" :: Nil =>
+        val tag = flags.getOrElse("--tag", "t")
+        val store = flags.getOrElse("--store", "all")
+        def fold1(name: String)(f: => Long): Unit =
+          if (store == "all" || store == name) {
+            val tx = f
+            stdout(s"fold\t$name\t" + (if (tx < 0) "empty" else s"tx=$tx"))
+          }
+        fold1("kmv")(graft.ops.SketchStore.foldKmv(db, tag))
+        fold1("cm")(graft.ops.SketchStore.foldCountMin(db, tag))
+        fold1("mg")(graft.ops.SketchStore.foldMg(db, tag))
+        fold1("hist")(graft.ops.SketchStore.foldHist(db, tag))
+        fold1("histby")(graft.ops.SketchStore.foldHistBy(db, tag))
+
+      // histogram grid evolution in place (exact for multiples):
+      // graft.Cli -d DIR migrate-grid --width W [--tag T]
+      case "migrate-grid" :: Nil =>
+        val tag = flags.getOrElse("--tag", "t")
+        val w = flags.getOrElse("--width",
+          sys.error("migrate-grid needs --width <nanos>")).toLong
+        val tx = graft.ops.SketchStore.migrateHistGrid(db, w, tag)
+        stdout(if (tx < 0) "migrate\tnoop" else s"migrate\ttx=$tx")
+
+      case "stats" :: Nil if flags.contains("--by") =>
+        // grouped envelopes from the grouped hist store — the CLI twin
+        // of GET /_query/stats?by
+        val tag = flags.getOrElse("--tag", "t")
+        graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
+          .orderBy("grp", "qm")
+          .select("grp", "qm", "n", "lo", "hi")
+          .as[(String, Long, Long, Long, Long)].toLocalIterator()
+          .forEachRemaining { case (grp, qm, n, lo, hi) =>
+            stdout(s"quantile\t${TextProto.escape(grp)}\tp$qm\t[$lo,$hi)\tn=$n") }
+
       case "stats" :: Nil =>
         val tag = flags.getOrElse("--tag", "t")
         val kmv = graft.ops.SketchStore.storedKmvEstimate(db, tag)
@@ -202,9 +239,10 @@ object Cli {
     "--before-time", "--time", "--columns", "--first-key", "--last-key",
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
-    "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version")
+    "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version",
+    "--store", "--width")
   private val boolFlags = Set("--human", "--with-format", "--major",
-    "--timestamp-nanos", "--timestamp-seconds", "--print-format")
+    "--timestamp-nanos", "--timestamp-seconds", "--print-format", "--by")
 
   private[graft] def parseArgs(args: List[String]): (Map[String, String], List[String]) =
     args match {

@@ -228,10 +228,9 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * client holding the current generation pays a 304 and a directory
     * stat, not a body — the HTTP spelling of the never-stale cache. The
     * identity prefixes guard the delete-and-recreate-at-the-same-path
-    * case, where versions restart (see [[IdCache]]).
-    */
-  /** `<dataId8>-<annId8|->` for the given version pair; an unused
-    * warehouse (ver = -1) contributes "-" so its identity is never read.
+    * case, where versions restart (see [[idOf]]). Format:
+    * `<dataId8>-<annId8|->`; an unused warehouse (ver = -1) contributes
+    * "-" so its identity is never read.
     */
   private def idsOf(dataVer: Long, annVer: Long): String = {
     val did = if (dataVer < 0) "-" else idOf(db.warehouse)

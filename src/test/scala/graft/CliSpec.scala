@@ -205,4 +205,40 @@ class CliSpec extends SparkSpec {
     assert(out.contains("quantile\tp500\t[40,48)\tn=80"), out.toString)
     assert(out.contains("heavy\thot\t50\tcertain"), out.toString)
   }
+
+  test("fold / migrate-grid / stats --by maintenance verbs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = tmpDir("graft-cli-fold")
+    val db = graft.store.Db(spark, wh)
+    val toks = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"c$i")).toDF("t")
+    graft.ops.SketchStore.registerKmv(db, toks, col("t"))
+    graft.ops.SketchStore.registerMg(db, toks, col("t"), batchId = 0L)
+    graft.ops.SketchStore.registerHist(db,
+      (1 to 80).map(_.toLong).toDF("v"), col("v"), batchId = 0L)
+    graft.ops.SketchStore.registerHistBy(db,
+      (1 to 80).map(i => (s"s${i % 2}", i.toLong)).toDF("g", "v"),
+      col("g"), col("v"), batchId = 0L)
+    // fold everything: registered stores report their fold tx, the
+    // never-registered count-min store reports empty — and the stats
+    // report is unchanged by the maintenance
+    val before = cli("-d", wh, "stats", "--heavy", "2")()
+    val folded = cli("-d", wh, "fold")()
+    assert(folded.exists(_.startsWith("fold\tkmv\ttx=")), folded.toString)
+    assert(folded.contains("fold\tcm\tempty"), folded.toString)
+    assert(folded.exists(_.startsWith("fold\tmg\ttx=")), folded.toString)
+    assert(folded.exists(_.startsWith("fold\thist\ttx=")), folded.toString)
+    assert(folded.exists(_.startsWith("fold\thistby\ttx=")), folded.toString)
+    assert(cli("-d", wh, "stats", "--heavy", "2")() == before,
+      "fold changed the stats report")
+    // grouped envelopes off the grouped store
+    val by = cli("-d", wh, "stats", "--by")()
+    assert(by.exists(_.startsWith("quantile\ts0\tp500\t")), by.toString)
+    assert(by.exists(_.startsWith("quantile\ts1\tp990\t")), by.toString)
+    // grid migration rewrites the envelopes at the coarser width
+    val mig = cli("-d", wh, "migrate-grid", "--width", "16")()
+    assert(mig.exists(_.startsWith("migrate\ttx=")), mig.toString)
+    val after = cli("-d", wh, "stats")()
+    assert(after.contains("quantile\tp500\t[32,48)\tn=80"), after.toString)
+  }
 }
