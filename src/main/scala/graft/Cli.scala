@@ -180,6 +180,8 @@ object Cli {
       case "fold" :: Nil =>
         val tag = flags.getOrElse("--tag", "t")
         val store = flags.getOrElse("--store", "all")
+        if (!Set("all", "kmv", "cm", "mg", "hist", "histby")(store))
+          sys.error(s"unknown --store: $store (want kmv|cm|mg|hist|histby|all)")
         def fold1(name: String)(f: => Long): Unit =
           if (store == "all" || store == name) {
             val tx = f

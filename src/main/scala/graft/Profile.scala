@@ -37,8 +37,12 @@ object ServeLatency {
       println(f"SERVE $label%-40s ${(System.nanoTime() - t0) / 1e6 / n}%9.2f ms/op")
     }
     // SPARK_GRAFT_SERVE_ONLY selects one battery: "query" = the /_query
-    // verbs, "mixed" = the mixed-load regime; unset runs everything
+    // verbs, "mixed" = the mixed-load regime; unset runs everything.
+    // Unknown values fail loudly — a typo must not silently produce an
+    // empty report that reads as a harness failure.
     val only = sys.env.get("SPARK_GRAFT_SERVE_ONLY")
+    only.foreach(v => require(Set("query", "mixed")(v),
+      s"SPARK_GRAFT_SERVE_ONLY=$v (want query|mixed|unset)"))
     get("/k0000001") // JVM/codegen warmup for the read path itself
     srv.stop()
     srv = new Serve(db).start() // fresh cache, warm JVM

@@ -519,34 +519,47 @@ object SketchStore {
     */
   def migrateHistGrid(db: graft.store.Db, newW: Long,
                       tag: String = "t"): Long = {
-    var attempts = 0
-    while (attempts < 64) {
+    val deadline = System.nanoTime() + FOLD_WAIT_MILLIS * 1000000L
+    var attempt = 0
+    while (System.nanoTime() < deadline) {
       val baseline = graft.store.Manifest.current(db.warehouse)
       val (w, origin) = storedHistGrid(db, tag)
       require(newW >= w && newW % w == 0,
         s"new width $newW must be a positive multiple of stored width $w")
-      val cur = storedHist(db, tag)
-      if (cur.isEmpty) return -1L // nothing stored to migrate
-      if (newW == w) return -1L   // already at this grid
-      val k = newW / w
-      val rebinned = cur
-        .select(expr(s"bin DIV $k").as("bin"), col("cnt"))
-        .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
-        .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
-          lit(FOLD_TS).as("ts"), col("bin"), col("cnt"))
-        .localCheckpoint(true)
-      graft.store.TxWriter.supersedeIf(db, baseline,
-          Seq(histPrefix(tag) + "%"), rebinned,
-          props = Map(histWProp(tag) -> newW.toString,
-            histOriginProp(tag) -> origin.toString)) match {
-        case Some(tx) => return tx
-        case None     =>
-          attempts += 1
-          Thread.sleep(50L * math.min(attempts, 4))
+      if (baseline.pending.nonEmpty) {
+        attempt += 1
+        Thread.sleep(math.min(100L * attempt, 2000L))
+      } else {
+        val cur = storedHist(db, tag)
+        if (cur.isEmpty) return -1L // nothing stored to migrate
+        if (newW == w) return -1L   // already at this grid
+        val k = newW / w
+        val rebinned = cur
+          .select(expr(s"bin DIV $k").as("bin"), col("cnt"))
+          .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+          .select(format_string(histPrefix(tag) + "%06d", col("bin"))
+            .as("key"), lit(FOLD_TS).as("ts"), col("bin"), col("cnt"))
+          .localCheckpoint(true)
+        // supersedeIf's CONDITIONAL publish is what makes the property
+        // flip safe under concurrent old-grid registrations: one that
+        // publishes in our window aborts the migration (we re-read and
+        // re-bin it); one that publishes after us re-checks its grid
+        // claim inside its own publishing CAS and is refused
+        // (PropertyConflict) — no interleaving mixes widths.
+        graft.store.TxWriter.supersedeIf(db, baseline,
+            Seq(histPrefix(tag) + "%"), rebinned,
+            props = Map(histWProp(tag) -> newW.toString,
+              histOriginProp(tag) -> origin.toString)) match {
+          case Some(tx) => return tx
+          case None     =>
+            attempt += 1
+            Thread.sleep(math.min(100L * attempt, 2000L))
+        }
       }
     }
     throw new IllegalStateException(
-      s"migrateHistGrid($tag): persistent registration contention")
+      s"migrateHistGrid($tag): could not migrate within " +
+        s"${FOLD_WAIT_MILLIS / 1000} s of registration contention")
   }
 
   /** ONE copy of the fold fence every per-batch store shares: read the
@@ -565,27 +578,46 @@ object SketchStore {
     * fold. Multi-prefix stores (MG) delete all their key families in
     * the one marker tx.
     */
+  /** How long a fold (or grid migration) keeps waiting out concurrent
+    * writers before giving up loudly. Time-based, not attempt-based: the
+    * fence refuses while ANY claim is in flight, so a single bulk
+    * ingest longer than the budget is the failure mode — and a fold is
+    * maintenance, always safe to retry later, so the budget errs long.
+    */
+  val FOLD_WAIT_MILLIS: Long = 10 * 60 * 1000L
+
   private def foldStore(db: graft.store.Db, what: String,
                         wildcards: Seq[String])
                        (stored: => DataFrame,
                         project: DataFrame => DataFrame): Long = {
-    var attempts = 0
-    while (attempts < 64) {
+    val deadline = System.nanoTime() + FOLD_WAIT_MILLIS * 1000000L
+    var attempt = 0
+    while (System.nanoTime() < deadline) {
       val baseline = graft.store.Manifest.current(db.warehouse)
-      val cur = stored
-      if (cur.isEmpty) return -1L // nothing to fold
-      val folded = project(cur)
-        .localCheckpoint(true) // materialize the sums BEFORE the delete
-      graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
-          folded) match {
-        case Some(tx) => return tx
-        case None     => // a commit raced in (or is in flight) — refold
-          attempts += 1
-          Thread.sleep(50L * math.min(attempts, 4))
+      if (baseline.pending.nonEmpty) {
+        // a write is in flight — don't even price the sums read, just
+        // wait it out (publishes change the baseline; dead claims are
+        // vacuum's job)
+        attempt += 1
+        Thread.sleep(math.min(100L * attempt, 2000L))
+      } else {
+        val cur = stored
+        if (cur.isEmpty) return -1L // nothing to fold
+        val folded = project(cur)
+          .localCheckpoint(true) // materialize the sums BEFORE the delete
+        graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
+            folded) match {
+          case Some(tx) => return tx
+          case None     => // a commit raced in (or is in flight) — refold
+            attempt += 1
+            Thread.sleep(math.min(100L * attempt, 2000L))
+        }
       }
     }
     throw new IllegalStateException(
-      s"$what: persistent registration contention")
+      s"$what: could not fold within ${FOLD_WAIT_MILLIS / 1000} s of " +
+        "registration contention (a crashed writer's pending claim needs " +
+        "Compactor.vacuum)")
   }
 
   /** Collapses the per-batch history to one folded grid: range-delete

@@ -558,17 +558,32 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // GROUPED hist store (registerHistBy) — the source-mix dashboard
     // read. One bounded key-pruned scan of sketch-sized rows per group.
     if (p.contains("by")) {
+      // bounded like every other verb: the grouped store can hold a
+      // data-sized group count, and an unbounded collect would
+      // materialize it on the serving driver. `groups=` caps the report
+      // (first N groups in grp order — every group emits exactly |qms|
+      // rows, so a row limit IS a group limit); `truncated` makes the
+      // cap loud, never silent.
+      val maxGroups = p.get("groups").flatMap(_.toIntOption).getOrElse(100)
+      if (maxGroups <= 0 || maxGroups > 10000)
+        return (400, "groups out of range\n")
+      val nQms = graft.ops.Sketches.HIST_QMS.size
       val rows = graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
         .select(col("grp"), col("qm"), col("n"), col("lo"), col("hi"))
         .orderBy("grp", "qm")
+        .limit((maxGroups + 1) * nQms)
         .as[(String, Long, Long, Long, Long)].collect().toSeq
-      val groups = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      val byGrp = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      val truncated = byGrp.size > maxGroups
+      val groups = byGrp.take(maxGroups).map {
         case (g, qs) =>
           val qJson = qs.sortBy(_._2).map { case (_, qm, _, lo, hi) =>
             s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
           s"""{"grp":${jstr(g)},"n":${qs.head._3},"quantiles":$qJson}"""
       }.mkString("[", ",", "]")
-      return (200, s"""{"tag":${jstr(tag)},"groups":$groups}""" + "\n")
+      return (200,
+        s"""{"tag":${jstr(tag)},"truncated":$truncated,"groups":$groups}""" +
+          "\n")
     }
     // three independent bounded reads — concurrent jobs like the
     // hybrid verb, then a driver-side render of sketch-sized rows

@@ -266,21 +266,41 @@ object TxWriter {
       val written = writeDataDir(db, replacement, dataTx,
         baseline.timeBucket, baseline.bucketMajor, None)
       val stats = txStatsOf(db, s"${db.dataDir}/txid=$dataTx")
-      Manifest.update(db.warehouse)(cur => cur.copy(
-        dataTxids = cur.dataTxids :+ dataTx,
-        deleteTxids = cur.deleteTxids :+ markerTx,
-        schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
-        txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
-        props = cur.props ++ props,
-        pending = cur.pending - markerTx - dataTx))
+      Manifest.update(db.warehouse) { cur =>
+        // the publish itself is CONDITIONAL: a publish that landed in
+        // our claim→publish window invalidates the supersede. Writers
+        // that claimed after us are additive-safe (their txid ranks
+        // above the marker) — but a COMPACTOR cutover in the window
+        // rewrites the very history our marker supersedes into a txid
+        // above it (double count), and a props-guarded registration
+        // that published under the OLD layout must be re-read before a
+        // migration flips the property under it. Abort → the caller
+        // re-reads and retries; nothing was ever visible.
+        if (cur.dataTxids != baseline.dataTxids ||
+            cur.deleteTxids != baseline.deleteTxids)
+          throw new SupersedeAborted
+        cur.copy(
+          dataTxids = cur.dataTxids :+ dataTx,
+          deleteTxids = cur.deleteTxids :+ markerTx,
+          schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
+          txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
+          props = cur.props ++ props,
+          pending = cur.pending - markerTx - dataTx)
+      }
       Some(dataTx)
     } catch {
+      case _: SupersedeAborted =>
+        Manifest.update(db.warehouse)(m =>
+          m.copy(pending = m.pending - markerTx - dataTx))
+        None // orphan dirs vacuumed; caller refolds over the new state
       case e: Throwable =>
         Manifest.update(db.warehouse)(m =>
           m.copy(pending = m.pending - markerTx - dataTx))
         throw e
     }
   }
+
+  private final class SupersedeAborted extends RuntimeException
 
   /** Conditionally claim `n` adjacent txids in one commit (registered
     * pending); None when `ok` fails or any other claim is in flight.

@@ -325,6 +325,55 @@ class SketchStoreSpec extends SparkSpec {
     assert(stored == direct)
   }
 
+  test("supersedeIf refuses a stale baseline; folds racing a compactor " +
+      "never double-count") {
+    val db = tmpDb()
+    val batches = (0 until 6).map(b => (1 to 100).map(i => (i % (20 + 5 * b) + 1).toLong))
+    batches.zipWithIndex.foreach { case (vals, b) =>
+      SketchStore.registerHist(db, vals.toDF("v"), col("v"), batchId = b.toLong)
+    }
+    // the claim-level fence: a compaction (or any publish) after the
+    // baseline read voids the supersede — a marker granted against the
+    // stale baseline would erase the compactor's rewritten copies'
+    // originals while the rewrite survives above it (double count)
+    val stale = graft.store.Manifest.current(db.warehouse)
+    graft.store.Compactor.major(db)
+    val rows = Seq(("h/t/000000", SketchStore.FOLD_TS, 0L, 1L))
+      .toDF("key", "ts", "bin", "cnt")
+    assert(graft.store.TxWriter.supersedeIf(db, stale, Seq("h/t/%"), rows)
+      .isEmpty, "stale-baseline supersede must refuse")
+    // racing compactor: folds and major compactions interleaving freely
+    // must leave the report equal to the one-shot sketch — the
+    // conditional PUBLISH is what prevents a cutover inside the fold's
+    // claim→publish window from double-counting the history
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val extra = (6 until 10).map(b => (1 to 80).map(i => (i % (15 + b) + 1).toLong))
+    val writer = Future {
+      extra.zipWithIndex.foreach { case (vals, i) =>
+        SketchStore.registerHist(db, vals.toDF("v"), col("v"),
+          batchId = (6 + i).toLong)
+      }
+    }
+    val folder = Future { for (_ <- 0 until 4) SketchStore.foldHist(db) }
+    val compactor = Future {
+      for (_ <- 0 until 3)
+        try graft.store.Compactor.major(db)
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("aborted") => () } // legal under race
+    }
+    Await.result(Future.sequence(Seq(writer, folder, compactor)), 600.seconds)
+    SketchStore.foldHist(db)
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(
+        (batches ++ extra).flatten.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct,
+      s"fold × compactor race corrupted the store: $stored != $direct")
+  }
+
   test("deleteManyIf: several wildcards suppress under ONE marker tx") {
     val db = tmpDb()
     SketchStore.registerMg(db, toks("a", "a", "b"), col("t"), batchId = 0L)
