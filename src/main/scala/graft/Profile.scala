@@ -205,7 +205,12 @@ object ServeLatency {
       SketchStore.registerHist(mdb,
         spark.range(200000L).select((col("id") % 500).as("v")), col("v"),
         batchId = 0L)
-      val srv3 = new Serve(mdb).start()
+      val putSeq = new java.util.concurrent.atomic.AtomicLong(0)
+      // two regimes: fresh (never-stale, the default) vs a 2 s
+      // staleness window (the reference's reader-cache contract) — the
+      // knob exists precisely for this commit-heavy regime
+      for ((regime, stale) <- Seq(("fresh", 0L), ("stale2s", 2000L))) {
+      val srv3 = new Serve(mdb, staleMillis = stale).start()
       def mreq(method: String, path: String, body: String = null): Unit = {
         val c = new java.net.URL(s"http://localhost:${srv3.boundPort}$path")
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
@@ -220,8 +225,7 @@ object ServeLatency {
       mreq("GET", "/k0000042")
       mreq("GET", "/_query/bm25?q=w1%20w2&k=10")
       mreq("GET", "/_query/stats?heavy=10")
-      mreq("PUT", "/", "warm 1 u 1\n")
-      val putSeq = new java.util.concurrent.atomic.AtomicLong(0)
+      mreq("PUT", "/", s"warm${putSeq.incrementAndGet()} 1 u 1\n")
       for (clients <- Seq(8, 16, 32)) {
         // 1 writer per 8 clients; readers split across the three verbs.
         // Readers nonce-bust half their requests so the battery covers
@@ -264,18 +268,19 @@ object ServeLatency {
         val wall = (System.nanoTime() - t0) / 1e9
         import scala.jdk.CollectionConverters._
         val total = lat.values().asScala.map(_.size()).sum
-        println(f"SERVE mixed c=$clients%2d wall=$wall%6.1f s " +
+        println(f"SERVE mixed $regime%-7s c=$clients%2d wall=$wall%6.1f s " +
           f"ops=$total%4d snapshotLoads=${srv3.snapshotLoads - loads0}%3d " +
           f"version=${graft.store.Manifest.currentVersion(mdb.warehouse)}")
         lat.asScala.toSeq.sortBy(_._1).foreach { case (role, q) =>
           val sorted = q.asScala.toArray.sorted
           def pct(p: Double) = sorted((p * (sorted.length - 1)).toInt) / 1e6
-          println(f"SERVE mixed c=$clients%2d verb=$role%-5s " +
+          println(f"SERVE mixed $regime%-7s c=$clients%2d verb=$role%-5s " +
             f"n=${sorted.length}%3d p50=${pct(0.50)}%8.1f ms " +
             f"p95=${pct(0.95)}%8.1f ms")
         }
       }
       srv3.stop()
+      }
     }
     spark.stop()
   }

@@ -48,10 +48,22 @@ import graft.text.TextIngest
   *   shape: each store compacts, buckets and snapshots on its own
   *   schedule. None = the verbs answer 500.
   */
+/** @param staleMillis 0 (default) = NEVER-stale reads: every request
+  *   probes the manifest generation, so a commit is visible on the next
+  *   GET (the exactness this server chose over the reference's
+  *   10-second reader cache). > 0 = the reference's staleness contract,
+  *   opt-in: generation probes (and therefore snapshots, ETags and
+  *   cached bodies) may be reused for up to this many milliseconds
+  *   without re-checking the manifest — under a commit-heavy mixed load
+  *   this restores the flat cache-hit latency (measured in SCALE.md's
+  *   mixed-load table) at the cost of reads lagging commits by ≤ the
+  *   window, exactly like `sonnerie-serve`'s 10 s cache.
+  */
 final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                   workers: Int = 0, annDb: Option[Db] = None,
                   queryCacheMaxBytes: Long = 64L * 1024 * 1024,
-                  maxPutBytes: Long = 1L << 30) {
+                  maxPutBytes: Long = 1L << 30,
+                  staleMillis: Long = 0L) {
 
   /** Warehouse-lifetime identity ([[Manifest.identity]] — the minted
     * creation UUID) folded into every ETag and cache key: manifest
@@ -69,6 +81,27 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def idOf(wh: String): String =
     f"${Manifest.identity(wh).hashCode & 0xffffffffL}%08x"
 
+  /** One warehouse's (version, identity) generation probe. With
+    * `staleMillis > 0` the result is reused for up to the window — the
+    * single lever that makes every derived read (snapshot reuse, ETag,
+    * cached body) stale-tolerant, because they all key off this pair.
+    */
+  private final class Probe(wh: String) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[(Long, Long, String)]()
+    def get(): (Long, String) = {
+      val now = System.nanoTime()
+      val c = ref.get()
+      if (staleMillis > 0 && c != null && now - c._1 < staleMillis * 1000000L)
+        return (c._2, c._3)
+      val out = (Manifest.currentVersion(wh), idOf(wh))
+      ref.set((now, out._1, out._2))
+      out
+    }
+  }
+  private val dataProbe = new Probe(db.warehouse)
+  private val annProbe = annDb.map(a => new Probe(a.warehouse))
+
   /** (manifest version, warehouse identity, snapshot, loadedAt nanos). */
   private val cachedSnap = new java.util.concurrent.atomic.AtomicReference[
     (Long, String, Db#Snapshot, Long)]()
@@ -84,11 +117,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val cur = cachedSnap.get()
     // the identity probe closes the same recreation hole as the ETags:
     // a recreated warehouse restarts versions, so a version-only check
-    // could reuse the OLD path's snapshot at a coinciding version
-    if (cur != null && now - cur._4 < snapshotTtlMillis * 1000000L &&
-        Manifest.currentVersion(db.warehouse) == cur._1 &&
-        idOf(db.warehouse) == cur._2)
-      return cur._3
+    // could reuse the OLD path's snapshot at a coinciding version.
+    // Under staleMillis the probe itself may be reused — snapshot
+    // staleness is then bounded by the window, by construction
+    if (cur != null && now - cur._4 < snapshotTtlMillis * 1000000L) {
+      val (ver, id) = dataProbe.get()
+      if (ver == cur._1 && id == cur._2) return cur._3
+    }
     val snap = db.snapshot()
     loads.incrementAndGet()
     // two concurrent misses race on the install; CAS so an older snapshot
@@ -192,10 +227,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
   private def cachedQuery(ex: HttpExchange, usesData: Boolean = true,
                           usesAnn: Boolean = false)
                          (compute: => (Int, String)): Unit = {
-    val (key, etag) = keyAndTag(
-      if (usesData) Manifest.currentVersion(db.warehouse) else -1L,
-      if (usesAnn) annDb.fold(-1L)(a => Manifest.currentVersion(a.warehouse))
-      else -1L,
+    val (key, etag) = keyAndTag(usesData, usesAnn,
       ex.getRequestURI.toString)
     if (notModified(ex, etag)) return
     val hit = cacheGet(key)
@@ -210,11 +242,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // computing, the answer may span generations — still a fine response
     // for THIS request, but it must not be cached or tagged as the
     // entry-version answer, or pollers at that generation would 304
-    // against a body that generation never produced
-    val stable = key._1 == (if (usesData)
-      Manifest.currentVersion(db.warehouse) else -1L) &&
-      key._2 == (if (usesAnn) annDb.fold(-1L)(a =>
-        Manifest.currentVersion(a.warehouse)) else -1L)
+    // against a body that generation never produced. (Under staleMillis
+    // the probes themselves may lag — mixed-generation exposure is then
+    // bounded by the window, the contract the knob opts into.)
+    val stable = key._1 ==
+      (if (usesData) dataProbe.get()._1 else -1L) &&
+      key._2 ==
+      (if (usesAnn) annProbe.fold(-1L)(_.get()._1) else -1L)
     // entry-size bound: 1024 entries × an unbounded k=10000 body would
     // quietly grow the server heap; oversized answers just recompute
     if (status == 200 && stable && body.length <= 256 * 1024)
@@ -232,20 +266,18 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * `<dataId8>-<annId8|->`; an unused warehouse (ver = -1) contributes
     * "-" so its identity is never read.
     */
-  private def idsOf(dataVer: Long, annVer: Long): String = {
-    val did = if (dataVer < 0) "-" else idOf(db.warehouse)
-    val aid =
-      if (annVer < 0) "-" else annDb.fold("-")(a => idOf(a.warehouse))
-    s"$did-$aid"
-  }
-
-  /** Query-cache key + ETag for one request, sharing ONE identity read
-    * (the ids fold into both, same staleness contract).
+  /** Query-cache key + ETag for one request, sharing ONE generation
+    * probe per warehouse (the ids fold into both, same staleness
+    * contract). An unused warehouse contributes (-1, "-") and is never
+    * probed.
     */
-  private def keyAndTag(dataVer: Long, annVer: Long, uri: String)
+  private def keyAndTag(usesData: Boolean, usesAnn: Boolean, uri: String)
       : ((Long, Long, String), String) = {
-    val ids = idsOf(dataVer, annVer)
-    ((dataVer, annVer, s"$ids|$uri"), s""""v$ids.$dataVer.$annVer"""")
+    val (dv, did) = if (usesData) dataProbe.get() else (-1L, "-")
+    val (av, aid) =
+      if (usesAnn) annProbe.fold((-1L, "-"))(_.get()) else (-1L, "-")
+    val ids = s"$did-$aid"
+    ((dv, av, s"$ids|$uri"), s""""v$ids.$dv.$av"""")
   }
 
   /** Answers 304 (and returns true) when the client already holds this
@@ -299,8 +331,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // same strong-ETag contract as the /_query verbs: the (identity,
     // version) pair identifies the answer, a matching If-None-Match is
     // a 304
-    val (cacheKey, etag) = keyAndTag(
-      Manifest.currentVersion(db.warehouse), -1L,
+    val (cacheKey, etag) = keyAndTag(usesData = true, usesAnn = false,
       ex.getRequestURI.toString)
     if (notModified(ex, etag)) return
     locally {
@@ -329,7 +360,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       // the snapshot the body came from may postdate the entry version
       // (commit raced between the key read and snapshot()) — cache/tag
       // only when the generation held still, same rule as cachedQuery
-      if (Manifest.currentVersion(db.warehouse) == cacheKey._1) {
+      if (dataProbe.get()._1 == cacheKey._1) {
         cachePut(cacheKey, body)
         ex.getResponseHeaders.set("ETag", etag)
       }

@@ -490,6 +490,35 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("staleMillis: inside the window reads may serve the previous " +
+      "generation; past it the commit is visible") {
+    val db = Db(spark, tmpDir("graft-serve-stale"))
+    // long window: the second GET must reuse the first's generation
+    // probe even though a commit landed in between — the reference's
+    // reader-cache contract, opt-in (default stays never-stale, pinned
+    // by the snapshot-cache and ETag tests above)
+    val srv = new Serve(db, staleMillis = 600000).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      http("PUT", s"$base/", Some("k1 5 u 42\n"))
+      val (_, a) = http("GET", s"$base/k1")
+      assert(a == "k1\t5\t42\n")
+      http("PUT", s"$base/", Some("k1 5 u 99\n"))
+      val (_, b) = http("GET", s"$base/k1")
+      assert(b == a, "inside the window the old generation serves")
+    } finally srv.stop()
+    val srv2 = new Serve(db, staleMillis = 200).start()
+    try {
+      val base = s"http://localhost:${srv2.boundPort}"
+      val (_, a) = http("GET", s"$base/k1") // primes the probe
+      assert(a == "k1\t5\t99\n")
+      http("PUT", s"$base/", Some("k1 5 u 7\n"))
+      Thread.sleep(600) // the window expires
+      val (_, b) = http("GET", s"$base/k1")
+      assert(b == "k1\t5\t7\n", s"staleness must be BOUNDED: $b")
+    } finally srv2.stop()
+  }
+
   test("warehouse recreated at the same path: old ETags and cached " +
       "bodies never revalidate against the new store") {
     val dir = tmpDir("graft-serve-recreate")
