@@ -151,7 +151,11 @@ object Cli {
         val srv = new graft.serve.Serve(db,
           flags.get("--port").map(_.toInt).getOrElse(5555),
           annDb = flags.get("--ann-dir")
-            .map(d => graft.store.Db(db.spark, d))).start()
+            .map(d => graft.store.Db(db.spark, d)),
+          // 0 (default) = never-stale reads; > 0 opts into the
+          // reference's bounded reader-cache staleness (ms)
+          staleMillis = flags.get("--stale-ms").map(_.toLong).getOrElse(0L))
+          .start()
         stdout(s"# serving on port ${srv.boundPort}")
         Thread.currentThread().join() // serve until the process is killed
 
@@ -242,7 +246,7 @@ object Cli {
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
     "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version",
-    "--store", "--width")
+    "--store", "--width", "--stale-ms")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format", "--by")
 

@@ -145,9 +145,10 @@ class CliSpec extends SparkSpec {
     // valueFlags, so `serve --ann-dir /x` died with "unknown verb" —
     // pin the whole documented flag surface against that regression
     val (flags, pos) = Cli.parseArgs(List("serve", "--port", "7070",
-      "--ann-dir", "/tmp/ann"))
+      "--ann-dir", "/tmp/ann", "--stale-ms", "2000"))
     assert(pos == List("serve"), s"flags leaked into positionals: $pos")
-    assert(flags == Map("--port" -> "7070", "--ann-dir" -> "/tmp/ann"))
+    assert(flags == Map("--port" -> "7070", "--ann-dir" -> "/tmp/ann",
+      "--stale-ms" -> "2000"))
     val (f2, p2) = Cli.parseArgs(List("compact", "--prune-history", "5"))
     assert(p2 == List("compact") && f2 == Map("--prune-history" -> "5"))
   }
