@@ -487,6 +487,24 @@ object PipelineStress {
       }
       timed("hist report, folded+compacted")(
         SketchStore.storedHistQuantiles(db).count())
+      // grouped store at a data-sized group count: the windows stay
+      // partitioned by group (PlanHygieneSpec pins no SinglePartition),
+      // so registration is one grouped aggregation and the report one
+      // key-pruned scan + grouped windows — n/10 groups over n values
+      val gdb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-ghist").toString)
+      val nGroups = math.max(1L, n / 10)
+      val gvals = spark.range(n).select(
+        concat(lit("g"), pmod(hash(col("id")), lit(nGroups))).as("g"),
+        (col("id") % 500).as("v")).localCheckpoint(true)
+      timed(s"grouped hist register (${nGroups} grps)") {
+        SketchStore.registerHistBy(gdb, gvals, col("g"), col("v"),
+          batchId = 0L)
+      }
+      timed(s"grouped hist report (${nGroups} grps)")(
+        SketchStore.storedHistQuantilesBy(gdb).count())
+      timed(s"grouped hist fold (${nGroups} grps)")(
+        SketchStore.foldHistBy(gdb))
     }
 
     spark.stop()

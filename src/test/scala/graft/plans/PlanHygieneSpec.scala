@@ -19,6 +19,30 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("grouped hist quantiles plan no single-partition stage — one-shot " +
+      "AND stored forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the grouped form's whole point vs histQuantiles: windows are
+    // PARTITIONED by the group, so a million groups spread across the
+    // cluster instead of funneling into one task — pin that neither the
+    // one-shot nor the warehouse-backed plan contains a SinglePartition
+    // exchange (the ungrouped form's documented, sketch-sized exception)
+    val df = (1 to 500).map(i => (s"s${i % 7}", (i % 90).toLong)).toDF("g", "v")
+    val oneShot = graft.ops.Sketches.histQuantilesBy(df, col("g"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!oneShot.contains("SinglePartition"),
+      s"one-shot grouped plan funnels into one task:\n$oneShot")
+    val db = graft.store.Db(spark,
+      java.nio.file.Files.createTempDirectory("graft-planhist").toString)
+    graft.ops.SketchStore.registerHistBy(db, df, col("g"), col("v"),
+      batchId = 0L)
+    val stored = graft.ops.SketchStore.storedHistQuantilesBy(db)
+      .queryExecution.executedPlan.toString
+    assert(!stored.contains("SinglePartition"),
+      s"stored grouped plan funnels into one task:\n$stored")
+  }
+
   test("point lookup plans no range-sort exchange: one key pays no sampling job") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
