@@ -599,7 +599,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (maxGroups <= 0 || maxGroups > 10000)
         return (400, "groups out of range\n")
       val nQms = graft.ops.Sketches.HIST_QMS.size
-      val rows = graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
+      val all = graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
+      // grp= narrows to ONE source (the single-dashboard-panel read) —
+      // a pushed-down filter over the grouped windows' output
+      val picked = p.get("grp").fold(all)(g => all.filter(col("grp") === g))
+      val rows = picked
         .select(col("grp"), col("qm"), col("n"), col("lo"), col("hi"))
         .orderBy("grp", "qm")
         .limit((maxGroups + 1) * nQms)

@@ -254,6 +254,34 @@ object StreamIngest {
         ()
       }
 
+  /** Streaming PER-GROUP quantile maintenance: each micro-batch's
+    * (`grpCol`, `valueCol`) rows fold into the warehouse-backed GROUPED
+    * histogram store ([[graft.ops.SketchStore.registerHistBy]]) — the
+    * running per-source sequence-length envelopes `/_query/stats?by`
+    * serves. Same exactly-once batch-id guard, idempotent-replay rows,
+    * and `foldEvery` auto-fold policy as [[histWriter]].
+    */
+  def histByWriter(db: Db, stream: DataFrame, grpCol: String,
+                   valueCol: String, tag: String = "t",
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   sinkId: String = "histby", foldEvery: Int = 0)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerHistBy(db, batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(valueCol), batchId, tag)
+          advanceCursor(db, sinkId, batchId, foldEvery)
+          if (shouldFold(batchId, foldEvery))
+            nonFatalFold(graft.ops.SketchStore.foldHistBy(db, tag))
+        }
+        ()
+      }
+
   /** Streaming Misra–Gries maintenance on its own: the frequent-items
     * store for a token stream that doesn't want the full
     * [[sketchWriter]] trio. Registration keys its ≤ c+1 rows on the

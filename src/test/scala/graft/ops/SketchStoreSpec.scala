@@ -374,6 +374,37 @@ class SketchStoreSpec extends SparkSpec {
       s"fold × compactor race corrupted the store: $stored != $direct")
   }
 
+  test("a crashed writer's pending claim blocks folds until vacuum " +
+      "clears it past the grace window") {
+    val db = tmpDb()
+    SketchStore.registerHist(db, Seq(1L, 2L).toDF("v"), col("v"),
+      batchId = 0L)
+    // simulate a writer that claimed and died before writing anything:
+    // a pending entry with an old claim time and no directory
+    val dead = graft.store.Manifest.update(db.warehouse)(m =>
+      m.copy(nextTxid = m.nextTxid + 1,
+        pending = m.pending + (m.nextTxid -> 12345L))) // ancient claim
+    assert(dead.pending.nonEmpty)
+    // the fence must refuse while the claim stands — the marker would
+    // erase the write if it were still in flight
+    val baseline = graft.store.Manifest.current(db.warehouse)
+    assert(graft.store.TxWriter.deleteManyIf(db, baseline.nextTxid,
+      Seq("h/t/%"), t0 = Long.MinValue, t1 = Long.MaxValue).isEmpty,
+      "fence must refuse under a pending claim")
+    // vacuum with the default grace keeps a RECENT claim; the ancient
+    // one (no directory, past the window) is cleared
+    graft.store.Compactor.vacuum(db, graceMs = 60000)
+    assert(graft.store.Manifest.current(db.warehouse).pending.isEmpty,
+      "vacuum must clear the dead claim")
+    // and the fold works again
+    assert(SketchStore.foldHist(db) > 0)
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(Seq(1L, 2L).toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct)
+  }
+
   test("deleteManyIf: several wildcards suppress under ONE marker tx") {
     val db = tmpDb()
     SketchStore.registerMg(db, toks("a", "a", "b"), col("t"), batchId = 0L)

@@ -440,6 +440,13 @@ class ServeSpec extends SparkSpec {
       val h0 = srv.queryCacheHits
       val (_, body2) = http("GET", s"$base/_query/stats?by=src")
       assert(body2 == body && srv.queryCacheHits > h0)
+      // grp= narrows to one source; groups= bounds the report loudly
+      val (_, one) = http("GET", s"$base/_query/stats?by=src&grp=a")
+      assert(one.contains("\"grp\":\"a\"") && !one.contains("\"grp\":\"b\""),
+        one)
+      val (_, capped) = http("GET", s"$base/_query/stats?by=src&groups=1")
+      assert(capped.contains("\"truncated\":true") &&
+        !capped.contains("\"grp\":\"b\""), capped)
       // and the ungrouped report still answers on the same warehouse
       val (uc, ubody) = http("GET", s"$base/_query/stats")
       assert(uc == 200 && ubody.contains("\"histN\":0"), ubody)

@@ -355,6 +355,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(stored == direct, s"auto-fold drifted: $stored != $direct")
   }
 
+  test("grouped histogram sink: streamed per-group envelopes == the " +
+      "one-shot grouped sketch") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-ghistsink"))
+    val mem = MemoryStream[(String, Long)]
+    val writer = StreamIngest
+      .histByWriter(db, mem.toDF().toDF("g", "v"), "g", "v", foldEvery = 1)
+      .option("checkpointLocation", tmpDir("graft-ghistcp"))
+
+    val b0 = (1 to 200).map(i => (s"s${i % 3}", (i % 40 + 1).toLong))
+    val b1 = (1 to 150).map(i => (s"s${i % 2}", (i % 90 + 1).toLong))
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    val stored = SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesBy((b0 ++ b1).toDF("g", "v"),
+        col("g"), col("v")).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"grouped sink drifted: $stored != $direct")
+    // foldEvery=1 folded after every batch: one generation remains
+    val gens = db.read("hg/t/%").select("ts").distinct()
+      .as[Long].collect().toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded history: $gens")
+    assert(Manifest.current(db.warehouse).streamBatchFor("histby") == 1L)
+  }
+
   test("histogram sink: streamed quantiles == one-shot sketch of everything") {
     import graft.ops.{Sketches, SketchStore}
     implicit val sc = spark.sqlContext
