@@ -606,6 +606,26 @@ object PipelineQueries {
         col("source"), col("v"), batchId = 1L)
       SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
     },
+    // warehouse-backed GROUPED distinct counts: per-source token
+    // vocabulary registered as two half-corpus batches of the grouped
+    // KMV store with a fold between them — by the union law each
+    // group's merged sketch equals the one-shot sketch, so the report
+    // is the one-shot grouped oracle (minus the exact column the store
+    // never kept)
+    "sk_kmv_grouped_store" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) = f.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerKmvBy(db, toks(docs.filter(col("doc_id") < mid)),
+        col("source"), col("token"))
+      SketchStore.foldKmvBy(db)
+      SketchStore.registerKmvBy(db, toks(docs.filter(col("doc_id") >= mid)),
+        col("source"), col("token"))
+      SketchStore.storedKmvEstimateBy(db)
+    },
     // histogram grid evolution: batch 0 registers at the default w=8,
     // the store migrates in place to w=16 (exact re-bin — every old bin
     // maps whole into one new bin), batch 1 registers at the NEW grid —
@@ -1861,6 +1881,7 @@ object PipelineQueries {
     // the migrated store must equal the one-shot sketch AT THE NEW GRID
     "sk_hist_migrated" -> Sketches.sqlHistTokenCounts(w = 16L),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
+    "sk_kmv_grouped_store" -> SketchStore.sqlKmvBySourceStore(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

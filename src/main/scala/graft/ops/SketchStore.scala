@@ -33,6 +33,7 @@ object SketchStore {
   val FOLD_TS: Long = -1L
 
   private def kmvKey(tag: String) = s"k/$tag"
+  private def kmvByPrefix(tag: String) = s"kg/$tag/"
   private def cmPrefix(tag: String) = s"c/$tag/"
   private def mgPrefix(tag: String) = s"m/$tag/"
   private def mgMassKey(tag: String) = s"mn/$tag"
@@ -81,6 +82,111 @@ object SketchStore {
   def storedKmvEstimate(db: graft.store.Db, tag: String = "t",
                         k: Int = Sketches.KMV_K): DataFrame =
     Sketches.kmvEstimate(storedKmvSketch(db, tag, k), k)
+
+  // ── grouped KMV ────────────────────────────────────────────────────
+  //
+  // Per-group distinct-count maintenance (vocabulary per source /
+  // language off a running corpus). Rows: key = "kg/<tag>/<grp>",
+  // ts = h → (grp, h): one row per group minimum, same union-law
+  // last-wins collapse as the ungrouped store — a batch writes only
+  // its own ≤ k minima PER GROUP, duplicate minima across batches
+  // land on the same (key, ts). Null groups are excluded (a null
+  // would become part of a malformed key), matching the grouped hist
+  // store.
+
+  /** Registers a batch's per-group ≤ k hash minima as ONE transaction
+    * — a grouped [[graft.functions.KmvAgg]] aggregation (partial
+    * buffers merge map-side; a group's shuffle traffic is k longs per
+    * partition touching it, never its distinct cardinality).
+    */
+  def registerKmvBy(db: graft.store.Db, batch: DataFrame, grp: Column,
+                    elem: Column, tag: String = "t",
+                    k: Int = Sketches.KMV_K): Long = {
+    val hashed = batch
+      .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
+      .filter(col("grp").isNotNull)
+    val rows = hashed.groupBy("grp")
+      .agg(graft.functions.KmvAgg.kmv(k)(col("h")).as("hs"))
+      .select(col("grp"), explode(col("hs")).as("h"))
+      .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
+        col("h").as("ts"), col("grp"), col("h"))
+    graft.store.TxWriter.write(db, rows)
+  }
+
+  /** The merged per-group sketches: the k smallest distinct stored
+    * minima of each group — a key-pruned read plus a window
+    * PARTITIONED by group (no single-partition stage; a million groups
+    * spread across the cluster). By the union law, EXACTLY each
+    * group's sketch of everything ever registered.
+    */
+  def storedKmvSketchBy(db: graft.store.Db, tag: String = "t",
+                        k: Int = Sketches.KMV_K): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(0).select(col("id").cast("string").as("grp"),
+      col("id").as("h"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(kmvByPrefix(tag) + "%")
+      if (!rows.columns.contains("grp") || !rows.columns.contains("h"))
+        empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        rows.select(col("grp"), col("h"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("grp").orderBy("h")))
+          .filter(col("rk") <= k).drop("rk")
+      }
+    }
+  }
+
+  /** Per-group estimates from the stored sketches — the store-side
+    * twin of [[Sketches.kmvDistinctBy]] (minus the exact count the
+    * store, by design, never kept). Ordered by group.
+    */
+  def storedKmvEstimateBy(db: graft.store.Db, tag: String = "t",
+                          k: Int = Sketches.KMV_K): DataFrame =
+    storedKmvSketchBy(db, tag, k)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .select(col("grp"), col("n_sketch"), col("kth_hash"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
+            / col("kth_hash").cast("double")))
+          .cast("long").as("est_distinct"))
+      .orderBy("grp")
+
+  /** [[foldKmv]] per group: keep each group's k smallest minima, drop
+    * what they superseded (lossless by the union law), atomic like
+    * every fold.
+    */
+  def foldKmvBy(db: graft.store.Db, tag: String = "t",
+                k: Int = Sketches.KMV_K): Long =
+    foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"))(
+      storedKmvSketchBy(db, tag, k),
+      _.select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
+        col("h").as("ts"), col("grp"), col("h")))
+
+  /** DuckDB twin of the grouped store over `documents` tokens by
+    * `source` — [[Sketches.sqlKmvTokensBySource]] minus the exact
+    * count column the store never kept.
+    */
+  def sqlKmvBySourceStore(k: Int = Sketches.KMV_K): String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT source AS grp, ${PortableHash.sqlH60("token")} AS h
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)),
+       |topk AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h)
+       |    AS rk
+       |  FROM hashed)
+       |SELECT grp, count(*) AS n_sketch, max(h) AS kth_hash,
+       |       CAST(CASE WHEN count(*) < $k THEN count(*)
+       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
+       |                       / CAST(max(h) AS DOUBLE))
+       |            END AS BIGINT) AS est_distinct
+       |FROM topk WHERE rk <= $k
+       |GROUP BY grp ORDER BY grp""".stripMargin
 
   // ── count-min ──────────────────────────────────────────────────────
 

@@ -550,6 +550,31 @@ class SketchStoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("multiple"), e2.getMessage)
   }
 
+  test("grouped KMV store: per-group union law holds through folds; " +
+      "fold bounds each group at k minima") {
+    val db = tmpDb()
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "t")
+    SketchStore.registerKmvBy(db, batch(0, 300), col("g"), col("t"), k = 16)
+    SketchStore.foldKmvBy(db, k = 16)
+    SketchStore.registerKmvBy(db, batch(150, 450), col("g"), col("t"),
+      k = 16)
+    val stored = SketchStore.storedKmvEstimateBy(db, k = 16)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.kmvDistinctBy(batch(0, 450), "g", col("t"),
+        k = 16, exact = false)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"grouped union law violated: $stored")
+    // fold + compact bounds the store at groups × k rows
+    SketchStore.foldKmvBy(db, k = 16)
+    graft.store.Compactor.major(db)
+    val rows = db.snapshot().read("kg/t/%").count()
+    assert(rows <= 3 * 16, s"store not bounded: $rows rows")
+    assert(SketchStore.storedKmvEstimateBy(db, k = 16)
+      .as[(String, Long, Long, Long)].collect().toSeq == direct,
+      "compacted fold changed the estimates")
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,
