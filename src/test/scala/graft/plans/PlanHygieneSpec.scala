@@ -41,6 +41,14 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!stored.contains("SinglePartition"),
       s"stored grouped plan funnels into one task:\n$stored")
+    // the grouped KMV store's read has the same contract: the per-group
+    // top-k window is PARTITIONED by group
+    graft.ops.SketchStore.registerKmvBy(db, df, col("g"),
+      col("v").cast("string"))
+    val kmv = graft.ops.SketchStore.storedKmvEstimateBy(db)
+      .queryExecution.executedPlan.toString
+    assert(!kmv.contains("SinglePartition"),
+      s"grouped KMV read funnels into one task:\n$kmv")
   }
 
   test("point lookup plans no range-sort exchange: one key pays no sampling job") {
