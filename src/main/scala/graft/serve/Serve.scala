@@ -309,7 +309,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           s""","snapshotLoads":$snapshotLoads""" +
           s""","queryCacheHits":$queryCacheHits""" +
           s""","queryCacheBytes":$queryCacheByteSize""" +
-          s""","putBytesSpooled":$putBytesSpooled}""" + "\n")
+          s""","putBytesSpooled":$putBytesSpooled""" +
+          // staleness contract + in-flight writers: what an operator
+          // needs to interpret "reads lag commits" reports and a
+          // raised fold fence (pending > 0 persisting = vacuum time)
+          s""","staleMillis":$staleMillis""" +
+          s""","pendingClaims":${
+            Manifest.current(db.warehouse).pending.size}}""" + "\n")
     if (pattern == "_query/bm25") return cachedQuery(ex)(doBm25(params(ex)))
     if (pattern == "_query/ann")
       return cachedQuery(ex, usesData = false, usesAnn = true)(

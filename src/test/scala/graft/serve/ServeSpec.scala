@@ -277,6 +277,8 @@ class ServeSpec extends SparkSpec {
       assert(b1.contains("\"queryCacheHits\":1") &&
         b1.contains("\"snapshotLoads\":1") &&
         b1.contains("\"annVersion\":-1") &&
+        b1.contains("\"staleMillis\":0") &&
+        b1.contains("\"pendingClaims\":0") &&
         !b1.contains("\"version\":0"), b1)
     } finally srv.stop()
   }
