@@ -101,7 +101,9 @@ object SketchStore {
     */
   def registerKmvBy(db: graft.store.Db, batch: DataFrame, grp: Column,
                     elem: Column, tag: String = "t",
-                    k: Int = Sketches.KMV_K): Long = {
+                    k: Int = Sketches.KMV_K,
+                    cursor: Option[(String, Long)] = None,
+                    sinkProps: Map[String, String] = Map.empty): Long = {
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
       .filter(col("grp").isNotNull)
@@ -110,7 +112,8 @@ object SketchStore {
       .select(col("grp"), explode(col("hs")).as("h"))
       .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
         col("h").as("ts"), col("grp"), col("h"))
-    graft.store.TxWriter.write(db, rows)
+    graft.store.TxWriter.write(db, rows, props = sinkProps,
+      streamCursor = cursor)
   }
 
   /** The merged per-group sketches: the k smallest distinct stored
@@ -161,8 +164,10 @@ object SketchStore {
     * every fold.
     */
   def foldKmvBy(db: graft.store.Db, tag: String = "t",
-                k: Int = Sketches.KMV_K): Long =
-    foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"))(
+                k: Int = Sketches.KMV_K,
+                waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"),
+      waitMillis)(
       storedKmvSketchBy(db, tag, k),
       _.select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
         col("h").as("ts"), col("grp"), col("h")))
@@ -187,6 +192,104 @@ object SketchStore {
        |            END AS BIGINT) AS est_distinct
        |FROM topk WHERE rk <= $k
        |GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ── single-tx multi-store registration ─────────────────────────────
+  //
+  // The measured cost driver of sketch maintenance is the manifest
+  // commit, not the sketch math (~0.44 s/commit at micro-batch sizes,
+  // SCALE.md fold economics) — so the streaming trio must not pay it
+  // three times. The three stores' key families are disjoint prefixes
+  // in one warehouse; a batch's KMV minima, count-min cells and MG
+  // partial union into ONE transaction, and the trio becomes atomic:
+  // no interleaving (or crash) can observe a batch's counters without
+  // its minima.
+
+  /** Registers one batch into the KMV + count-min + MG stores as ONE
+    * transaction (one claim, one publish — 3× fewer commits than three
+    * registrations, and atomic across the trio). Each family's rows
+    * are exactly what its standalone registration writes, so every
+    * stored report is unchanged. `cursor`/`sinkProps` ride the
+    * publishing commit for streaming sinks
+    * ([[graft.store.TxWriter.write]]'s streamCursor rider).
+    */
+  def registerSketches(db: graft.store.Db, batch: DataFrame, elem: Column,
+                       batchId: Long, tag: String = "t",
+                       k: Int = Sketches.KMV_K, d: Int = Sketches.CM_D,
+                       w: Long = Sketches.CM_W, c: Int = Sketches.MG_C,
+                       cursor: Option[(String, Long)] = None,
+                       sinkProps: Map[String, String] = Map.empty): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val kmv = Sketches.kmvSketch(batch, elem, k)
+      .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
+    val cm = Sketches.countMinSketch(batch, elem, d, w)
+      .select(
+        format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
+          .as("key"),
+        lit(batchId).as("ts"), col("sk_row"), col("bucket"), col("c"))
+    val toks = batch.select(elem.as("item")).filter(col("item").isNotNull)
+    val mg = Sketches.mgSummary(toks, col("item"), c)
+      .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
+        lit(batchId).as("ts"), col("item"), col("est"))
+    val mass = toks.agg(count(lit(1)).as("n_items"))
+      .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
+        col("n_items"))
+    val rows = kmv
+      .unionByName(cm, allowMissingColumns = true)
+      .unionByName(mg, allowMissingColumns = true)
+      .unionByName(mass, allowMissingColumns = true)
+    graft.store.TxWriter.write(db, rows, props = sinkProps,
+      streamCursor = cursor)
+  }
+
+  /** [[foldKmv]] + [[foldCountMin]] + [[foldMg]] as ONE atomic
+    * supersede: all four key families delete under one marker and
+    * their folded replacements publish in the same manifest commit —
+    * 3× fewer fold rounds than three standalone folds, and no
+    * interleaving can see one store folded and another not. Each
+    * family's replacement rows are exactly its standalone fold's, so
+    * every report is preserved by the same laws.
+    */
+  def foldSketches(db: graft.store.Db, tag: String = "t",
+                   k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
+                   waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
+    val spark = db.spark
+    val empty = spark.range(0).select(col("id").cast("string").as("key"),
+      col("id").as("ts"))
+    foldStore(db, s"foldSketches($tag)",
+      Seq(kmvKey(tag), cmPrefix(tag) + "%", mgPrefix(tag) + "%",
+        mgMassKey(tag)), waitMillis)({
+        val snap = db.snapshot()
+        if (snap.manifest.dataTxids.isEmpty) empty
+        else {
+          val kmv = storedKmvSketch(db, tag, k)
+            .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
+          val cm = storedCountMin(db, tag)
+            .select(
+              format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"),
+                col("bucket")).as("key"),
+              lit(FOLD_TS).as("ts"), col("sk_row"), col("bucket"), col("c"))
+          val base = kmv.unionByName(cm, allowMissingColumns = true)
+          // MG's emptiness signal is its mass row (see foldMg) — a tag
+          // that never registered MG contributes nothing, rather than a
+          // spurious zero-mass row
+          val massRows = snap.read(mgMassKey(tag))
+          if (!massRows.columns.contains("n_items") || massRows.isEmpty)
+            base
+          else {
+            val cands = storedMgCandidates(db, tag, c)
+              .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
+                lit(FOLD_TS).as("ts"), col("item"), col("est"))
+            val total = massRows
+              .agg(coalesce(sum(col("n_items")), lit(0L)).as("n_items"))
+              .select(lit(mgMassKey(tag)).as("key"), lit(FOLD_TS).as("ts"),
+                col("n_items"))
+            base
+              .unionByName(cands, allowMissingColumns = true)
+              .unionByName(total, allowMissingColumns = true)
+          }
+        }
+      }, identity)
+  }
 
   // ── count-min ──────────────────────────────────────────────────────
 
@@ -256,7 +359,9 @@ object SketchStore {
     */
   def registerMg(db: graft.store.Db, batch: DataFrame, elem: Column,
                  batchId: Long, tag: String = "t",
-                 c: Int = Sketches.MG_C): Long = {
+                 c: Int = Sketches.MG_C,
+                 cursor: Option[(String, Long)] = None,
+                 sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
@@ -269,7 +374,8 @@ object SketchStore {
       .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
         col("n_items"))
     graft.store.TxWriter.write(db,
-      partial.unionByName(mass, allowMissingColumns = true))
+      partial.unionByName(mass, allowMissingColumns = true),
+      props = sinkProps, streamCursor = cursor)
   }
 
   /** The merged summary of every batch ever registered: per-item sums
@@ -399,7 +505,9 @@ object SketchStore {
                    batchId: Long, tag: String = "t",
                    b: Int = Sketches.HIST_B,
                    w: Long = Sketches.HIST_W,
-                   origin: Long = 0L): Long = {
+                   origin: Long = 0L,
+                   cursor: Option[(String, Long)] = None,
+                   sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // the grid IS the store's geometry: bins from a different (w,
     // origin) are not mergeable with what's stored, and a reader
@@ -421,8 +529,10 @@ object SketchStore {
     val rows = Sketches.histSketch(batch, value, b, w, origin)
       .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(batchId).as("ts"), col("bin"), col("cnt"))
-    graft.store.TxWriter.write(db, rows, propsClaim = Map(
-      histWProp(tag) -> w.toString, histOriginProp(tag) -> origin.toString))
+    graft.store.TxWriter.write(db, rows, props = sinkProps,
+      propsClaim = Map(histWProp(tag) -> w.toString,
+        histOriginProp(tag) -> origin.toString),
+      streamCursor = cursor)
   }
 
   /** The store's grid geometry, read back from the manifest properties
@@ -438,9 +548,12 @@ object SketchStore {
   /** The merged histogram of every batch ever registered: per-bin sums
     * over a key-pruned read of ≤ b·batches slim rows.
     */
-  def storedHist(db: graft.store.Db, tag: String = "t"): DataFrame = {
+  def storedHist(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedHistAt(db, db.snapshot(), tag)
+
+  private def storedHistAt(db: graft.store.Db, snap: graft.store.Db#Snapshot,
+                           tag: String): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").as("bin"), col("id").as("cnt"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
@@ -450,18 +563,29 @@ object SketchStore {
     }
   }
 
+  /** The grid recorded in one manifest state's properties. */
+  private def gridOf(m: graft.store.ManifestState, wProp: String,
+                     oProp: String): (Long, Long) =
+    (m.props.get(wProp).map(_.toLong).getOrElse(Sketches.HIST_W),
+      m.props.get(oProp).map(_.toLong).getOrElse(0L))
+
   /** Quantile report over everything ever registered — identical
     * algebra to the one-shot [[Sketches.histQuantiles]], because
     * histogram merge is exact. The grid (w, origin) comes from the
-    * store's OWN properties ([[storedHistGrid]]), never from the
-    * caller: a guessed grid would decode the stored bins into the
-    * wrong value domain with no error at all.
+    * store's OWN properties, never from the caller: a guessed grid
+    * would decode the stored bins into the wrong value domain with no
+    * error at all. Grid and rows come from ONE snapshot — since
+    * [[migrateHistGrid]] made the grid mutable, a two-phase read
+    * (props now, rows later) could interleave with a migration and
+    * decode re-binned rows at the stale width, silently shifting every
+    * envelope.
     */
   def storedHistQuantiles(db: graft.store.Db,
                           qms: Seq[Int] = Sketches.HIST_QMS,
                           tag: String = "t"): DataFrame = {
-    val (w, origin) = storedHistGrid(db, tag)
-    Sketches.histQuantiles(storedHist(db, tag), qms, w, origin)
+    val snap = db.snapshot()
+    val (w, origin) = gridOf(snap.manifest, histWProp(tag), histOriginProp(tag))
+    Sketches.histQuantiles(storedHistAt(db, snap, tag), qms, w, origin)
   }
 
   // ── grouped histogram store ────────────────────────────────────────
@@ -483,16 +607,19 @@ object SketchStore {
                      value: Column, batchId: Long, tag: String = "t",
                      b: Int = Sketches.HIST_B,
                      w: Long = Sketches.HIST_W,
-                     origin: Long = 0L): Long = {
+                     origin: Long = 0L,
+                     cursor: Option[(String, Long)] = None,
+                     sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
     val rows = hist.select(
       format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
         .as("key"),
       lit(batchId).as("ts"), col("grp"), col("bin"), col("cnt"))
-    graft.store.TxWriter.write(db, rows, propsClaim = Map(
-      histByWProp(tag) -> w.toString,
-      histByOriginProp(tag) -> origin.toString))
+    graft.store.TxWriter.write(db, rows, props = sinkProps,
+      propsClaim = Map(histByWProp(tag) -> w.toString,
+        histByOriginProp(tag) -> origin.toString),
+      streamCursor = cursor)
   }
 
   /** The grouped store's grid, from its own claimed properties. */
@@ -503,9 +630,13 @@ object SketchStore {
   }
 
   /** The merged (grp, bin, cnt) histogram of every batch registered. */
-  def storedHistBy(db: graft.store.Db, tag: String = "t"): DataFrame = {
+  def storedHistBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedHistByAt(db, db.snapshot(), tag)
+
+  private def storedHistByAt(db: graft.store.Db,
+                             snap: graft.store.Db#Snapshot,
+                             tag: String): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("bin"), col("id").as("cnt"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -521,21 +652,26 @@ object SketchStore {
   /** Per-group quantile envelopes over everything ever registered —
     * the same distributed rank algebra as the one-shot
     * [[Sketches.histQuantilesBy]] (windows partitioned by group, no
-    * single-partition stage), grid from the store's own properties.
-    * UNORDERED, like the one-shot form.
+    * single-partition stage). UNORDERED, like the one-shot form. Grid
+    * and rows come from ONE snapshot, same migration-interleave
+    * reasoning as [[storedHistQuantiles]].
     */
   def storedHistQuantilesBy(db: graft.store.Db,
                             qms: Seq[Int] = Sketches.HIST_QMS,
                             tag: String = "t"): DataFrame = {
-    val (w, origin) = storedHistByGrid(db, tag)
-    Sketches.histQuantilesFromBy(storedHistBy(db, tag), qms, w, origin)
+    val snap = db.snapshot()
+    val (w, origin) =
+      gridOf(snap.manifest, histByWProp(tag), histByOriginProp(tag))
+    Sketches.histQuantilesFromBy(storedHistByAt(db, snap, tag), qms, w, origin)
   }
 
   /** [[foldHist]] for the grouped store: one folded generation of
     * ≤ b·groups rows.
     */
-  def foldHistBy(db: graft.store.Db, tag: String = "t"): Long =
-    foldStore(db, s"foldHistBy($tag)", Seq(histByPrefix(tag) + "%"))(
+  def foldHistBy(db: graft.store.Db, tag: String = "t",
+                 waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    foldStore(db, s"foldHistBy($tag)", Seq(histByPrefix(tag) + "%"),
+      waitMillis)(
       storedHistBy(db, tag),
       _.select(
         format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
@@ -546,8 +682,9 @@ object SketchStore {
     * shared [[foldStore]] fence). Bounds the store at
     * b + b·(batches since last fold) rows.
     */
-  def foldHist(db: graft.store.Db, tag: String = "t"): Long =
-    foldStore(db, s"foldHist($tag)", Seq(histPrefix(tag) + "%"))(
+  def foldHist(db: graft.store.Db, tag: String = "t",
+               waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    foldStore(db, s"foldHist($tag)", Seq(histPrefix(tag) + "%"), waitMillis)(
       storedHist(db, tag),
       _.select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(FOLD_TS).as("ts"), col("bin"), col("cnt")))
@@ -559,8 +696,9 @@ object SketchStore {
     * k + k·(batches since last fold) rows.
     */
   def foldKmv(db: graft.store.Db, tag: String = "t",
-              k: Int = Sketches.KMV_K): Long =
-    foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)))(
+              k: Int = Sketches.KMV_K,
+              waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)), waitMillis)(
       storedKmvSketch(db, tag, k),
       _.select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h")))
 
@@ -579,12 +717,13 @@ object SketchStore {
     * interleaving can observe candidates without their mass.
     */
   def foldMg(db: graft.store.Db, tag: String = "t",
-             c: Int = Sketches.MG_C): Long = {
+             c: Int = Sketches.MG_C,
+             waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
       col("id").as("ts"))
     foldStore(db, s"foldMg($tag)",
-      Seq(mgPrefix(tag) + "%", mgMassKey(tag)))({
+      Seq(mgPrefix(tag) + "%", mgMassKey(tag)), waitMillis)({
         // emptiness signal: registerMg writes one mass row per batch,
         // so this tag has mass rows iff anything was ever registered
         val snap = db.snapshot()
@@ -624,12 +763,15 @@ object SketchStore {
     * registrations must claim the NEW width.
     */
   def migrateHistGrid(db: graft.store.Db, newW: Long,
-                      tag: String = "t"): Long = {
-    val deadline = System.nanoTime() + FOLD_WAIT_MILLIS * 1000000L
+                      tag: String = "t",
+                      waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
+    val deadline = System.nanoTime() + waitMillis * 1000000L
     var attempt = 0
     while (System.nanoTime() < deadline) {
       val baseline = graft.store.Manifest.current(db.warehouse)
-      val (w, origin) = storedHistGrid(db, tag)
+      // grid from the SAME manifest state the fence checks — a separate
+      // Manifest.current read could straddle a racing migration
+      val (w, origin) = gridOf(baseline, histWProp(tag), histOriginProp(tag))
       require(newW >= w && newW % w == 0,
         s"new width $newW must be a positive multiple of stored width $w")
       if (baseline.pending.nonEmpty) {
@@ -665,7 +807,7 @@ object SketchStore {
     }
     throw new IllegalStateException(
       s"migrateHistGrid($tag): could not migrate within " +
-        s"${FOLD_WAIT_MILLIS / 1000} s of registration contention")
+        s"${waitMillis / 1000} s of registration contention")
   }
 
   /** ONE copy of the fold fence every per-batch store shares: read the
@@ -693,10 +835,11 @@ object SketchStore {
   val FOLD_WAIT_MILLIS: Long = 10 * 60 * 1000L
 
   private def foldStore(db: graft.store.Db, what: String,
-                        wildcards: Seq[String])
+                        wildcards: Seq[String],
+                        waitMillis: Long = FOLD_WAIT_MILLIS)
                        (stored: => DataFrame,
                         project: DataFrame => DataFrame): Long = {
-    val deadline = System.nanoTime() + FOLD_WAIT_MILLIS * 1000000L
+    val deadline = System.nanoTime() + waitMillis * 1000000L
     var attempt = 0
     while (System.nanoTime() < deadline) {
       val baseline = graft.store.Manifest.current(db.warehouse)
@@ -721,7 +864,7 @@ object SketchStore {
       }
     }
     throw new IllegalStateException(
-      s"$what: could not fold within ${FOLD_WAIT_MILLIS / 1000} s of " +
+      s"$what: could not fold within ${waitMillis / 1000} s of " +
         "registration contention (a crashed writer's pending claim needs " +
         "Compactor.vacuum)")
   }
@@ -735,8 +878,10 @@ object SketchStore {
     * d·w + d·w·(batches since last fold) rows; compaction purges the
     * deleted history physically.
     */
-  def foldCountMin(db: graft.store.Db, tag: String = "t"): Long =
-    foldStore(db, s"foldCountMin($tag)", Seq(cmPrefix(tag) + "%"))(
+  def foldCountMin(db: graft.store.Db, tag: String = "t",
+                   waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    foldStore(db, s"foldCountMin($tag)", Seq(cmPrefix(tag) + "%"),
+      waitMillis)(
       storedCountMin(db, tag),
       _.select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))

@@ -245,10 +245,12 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // against a body that generation never produced. (Under staleMillis
     // the probes themselves may lag — mixed-generation exposure is then
     // bounded by the window, the contract the knob opts into.)
-    val stable = key._1 ==
-      (if (usesData) dataProbe.get()._1 else -1L) &&
-      key._2 ==
-      (if (usesAnn) annProbe.fold(-1L)(_.get()._1) else -1L)
+    // the full (version, identity) pair must have held still — a
+    // version-only re-check has a recreation blind spot: delete-and-
+    // recreate landing mid-compute with a coinciding version would
+    // cache the new store's body under the old identity's key
+    val stable =
+      keyAndTag(usesData, usesAnn, ex.getRequestURI.toString)._1 == key
     // entry-size bound: 1024 entries × an unbounded k=10000 body would
     // quietly grow the server heap; oversized answers just recompute
     if (status == 200 && stable && body.length <= 256 * 1024)
@@ -365,8 +367,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       val body = sb.toString
       // the snapshot the body came from may postdate the entry version
       // (commit raced between the key read and snapshot()) — cache/tag
-      // only when the generation held still, same rule as cachedQuery
-      if (dataProbe.get()._1 == cacheKey._1) {
+      // only when the full (version, identity) generation held still,
+      // same rule (and same recreation blind spot) as cachedQuery
+      if (keyAndTag(usesData = true, usesAnn = false,
+          ex.getRequestURI.toString)._1 == cacheKey) {
         cachePut(cacheKey, body)
         ex.getResponseHeaders.set("ETag", etag)
       }
@@ -709,9 +713,22 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           else { out.write(buf, 0, r); r = in.read(buf) }
         }
       } finally out.close()
-      if (over)
+      if (over) {
+        // drain (read-and-discard) what the client has in flight before
+        // responding: the JDK server resets the connection when a
+        // response goes out under an unread body, so without this the
+        // runaway client sees a broken pipe instead of the 413. Bounded
+        // — past the drain cap the reset is accepted rather than
+        // reading a malicious body forever.
+        val buf = new Array[Byte](64 * 1024)
+        var drained = 0L
+        var r = in.read(buf)
+        while (r >= 0 && drained < 64L * 1024 * 1024) {
+          drained += r; r = in.read(buf)
+        }
         return respond(ex, 413,
           s"body exceeds maxPutBytes=$maxPutBytes\n")
+      }
       spooled.addAndGet(n)
       // drop whitespace-ONLY lines with the full \s class — Spark's
       // trim strips only ' ' (a tab/\r line would reach the parser and

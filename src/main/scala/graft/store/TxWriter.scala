@@ -98,13 +98,21 @@ object TxWriter {
     *        registrations both pass and silently mix incompatible
     *        layouts under the last writer's props.
     */
+  /** @param streamCursor (sinkId, batchId): advance that streaming
+    *        sink's replay cursor IN the publishing commit — the
+    *        transaction is visible iff the cursor moved, so a streaming
+    *        sink that registers exactly one transaction per micro-batch
+    *        has NO replay window at all (and one fewer manifest commit
+    *        than a separate cursor update).
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
             rangePartitions: Option[Int] = None,
             timeBucketNanos: Option[Long] = None,
             bucketMajor: Boolean = false,
             maxNewBuckets: Int = DefaultMaxNewBuckets,
             props: Map[String, String] = Map.empty,
-            propsClaim: Map[String, String] = Map.empty): Long = {
+            propsClaim: Map[String, String] = Map.empty,
+            streamCursor: Option[(String, Long)] = None): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -177,7 +185,7 @@ object TxWriter {
             "transaction was NOT published.")
       }
     }
-    publishData(db, txid, written, props, propsClaim)
+    publishData(db, txid, written, props, propsClaim, streamCursor)
     txid
     } catch {
       // an in-process failure (guard refusal, write-job error, lost
@@ -452,7 +460,8 @@ object TxWriter {
   private def publishData(db: Db, txid: Long,
                           schema: org.apache.spark.sql.types.StructType,
                           props: Map[String, String] = Map.empty,
-                          propsClaim: Map[String, String] = Map.empty)
+                          propsClaim: Map[String, String] = Map.empty,
+                          streamCursor: Option[(String, Long)] = None)
       : Unit = {
     val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
     Manifest.update(db.warehouse) { m =>
@@ -466,12 +475,15 @@ object TxWriter {
               s"claimed '$v'); transaction $txid NOT published")
         }
       }
-      m.copy(
+      val pub = m.copy(
         dataTxids = m.dataTxids :+ txid,
         schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
         txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s)),
         props = m.props ++ props ++ propsClaim,
         pending = m.pending - txid)
+      streamCursor.fold(pub) { case (sink, batch) =>
+        pub.withStreamBatch(sink, batch)
+      }
     }
   }
 }

@@ -37,14 +37,17 @@ object StreamIngest {
         commitBatch(db, batch, batchId)
       }
 
-  /** Idempotent one-batch commit (public for tests and custom sinks). */
+  /** Idempotent one-batch commit (public for tests and custom sinks).
+    * The replay cursor rides the transaction's own publishing commit
+    * ([[TxWriter.write]]'s streamCursor rider): the batch is visible
+    * iff the cursor moved, so there is no replay window at all — and
+    * one fewer manifest commit per micro-batch.
+    */
   def commitBatch(db: Db, batch: DataFrame, batchId: Long): Unit = {
     val m = Manifest.current(db.warehouse)
     if (batchId <= m.streamBatch) return // replay of a committed batch
     if (batch.isEmpty) return            // reference: empty tx never materializes
-    TxWriter.write(db, batch)
-    Manifest.update(db.warehouse)(cur =>
-      cur.copy(streamBatch = math.max(cur.streamBatch, batchId)))
+    TxWriter.write(db, batch, streamCursor = Some(("", batchId)))
   }
 
   /** Convenience: run a stream to completion of available data (testing /
@@ -176,13 +179,15 @@ object StreamIngest {
       }
 
   /** Streaming sketch maintenance: each micro-batch's tokens fold into
-    * the warehouse-backed KMV + count-min + Misra–Gries stores
-    * ([[graft.ops.SketchStore]]) as one transaction each. Count-min
-    * and MG registration key their rows on the micro-batch id, so a
-    * replayed batch rewrites the same (key, ts) rows — the sketches'
-    * own idempotency laws line up with the sink's exactly-once
-    * batch-id guard, and a crash between the registrations replays
-    * into last-wins overwrites, never double counts.
+    * the warehouse-backed KMV + count-min + Misra–Gries stores as ONE
+    * transaction ([[graft.ops.SketchStore.registerSketches]] — the
+    * three families' rows union into a single write, so a micro-batch
+    * costs one claim + one publish instead of three of each, and the
+    * trio is atomic: no reader can observe a batch's counters without
+    * its minima). The replay cursor rides the publishing commit
+    * (batch visible ⟺ cursor advanced — no replay window), and the
+    * auto-fold is likewise ONE atomic supersede over all four key
+    * families ([[graft.ops.SketchStore.foldSketches]]).
     */
   /** @param foldEvery > 0 = auto-fold policy: after every `foldEvery`-th
     *   committed batch the sink folds its stores, so a year-long stream
@@ -207,17 +212,13 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
-          graft.ops.SketchStore.registerKmv(db, batch,
-            org.apache.spark.sql.functions.col(elemCol), tag)
-          graft.ops.SketchStore.registerCountMin(db, batch,
-            org.apache.spark.sql.functions.col(elemCol), batchId, tag)
-          graft.ops.SketchStore.registerMg(db, batch,
-            org.apache.spark.sql.functions.col(elemCol), batchId, tag)
-          advanceCursor(db, sinkId, batchId, foldEvery)
+          graft.ops.SketchStore.registerSketches(db, batch,
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery))
           if (shouldFold(batchId, foldEvery)) nonFatalFold {
-            graft.ops.SketchStore.foldKmv(db, tag)
-            graft.ops.SketchStore.foldCountMin(db, tag)
-            graft.ops.SketchStore.foldMg(db, tag)
+            graft.ops.SketchStore.foldSketches(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS)
           }
         }
         ()
@@ -246,10 +247,12 @@ object StreamIngest {
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.SketchStore.registerHist(db, batch,
-            org.apache.spark.sql.functions.col(valueCol), batchId, tag)
-          advanceCursor(db, sinkId, batchId, foldEvery)
+            org.apache.spark.sql.functions.col(valueCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldHist(db, tag))
+            nonFatalFold(graft.ops.SketchStore.foldHist(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
         }
         ()
       }
@@ -274,10 +277,12 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.SketchStore.registerHistBy(db, batch,
             org.apache.spark.sql.functions.col(grpCol),
-            org.apache.spark.sql.functions.col(valueCol), batchId, tag)
-          advanceCursor(db, sinkId, batchId, foldEvery)
+            org.apache.spark.sql.functions.col(valueCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldHistBy(db, tag))
+            nonFatalFold(graft.ops.SketchStore.foldHistBy(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
         }
         ()
       }
@@ -301,27 +306,56 @@ object StreamIngest {
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.SketchStore.registerMg(db, batch,
-            org.apache.spark.sql.functions.col(elemCol), batchId, tag)
-          advanceCursor(db, sinkId, batchId, foldEvery)
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldMg(db, tag))
+            nonFatalFold(graft.ops.SketchStore.foldMg(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
         }
         ()
       }
 
-  /** Advance a sink's replay cursor, recording the auto-fold cadence as
-    * a table property in the SAME commit (one version, no second crash
-    * window).
+  /** Streaming PER-GROUP distinct-count maintenance: each micro-batch's
+    * (`grpCol`, `elemCol`) rows fold into the warehouse-backed GROUPED
+    * KMV store ([[graft.ops.SketchStore.registerKmvBy]]) — running
+    * per-source vocabulary estimates. Replay-idempotent by the union
+    * law (a group's minima land on the same (key, ts) rows), with the
+    * cursor riding the publishing commit like every sketch sink; same
+    * `foldEvery` auto-fold policy.
     */
-  private def advanceCursor(db: Db, sinkId: String, batchId: Long,
-                            foldEvery: Int): Unit =
-    Manifest.update(db.warehouse) { cur =>
-      val next = cur.withStreamBatch(sinkId, batchId)
-      if (foldEvery > 0)
-        next.copy(props =
-          next.props + (s"fold.every/$sinkId" -> foldEvery.toString))
-      else next
-    }
+  def kmvByWriter(db: Db, stream: DataFrame, grpCol: String,
+                  elemCol: String, tag: String = "t",
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  sinkId: String = "kmvby", foldEvery: Int = 0)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerKmvBy(db, batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(elemCol), tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery))
+          if (shouldFold(batchId, foldEvery))
+            nonFatalFold(graft.ops.SketchStore.foldKmvBy(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
+        }
+        ()
+      }
+
+  /** The auto-fold cadence as a table property, ridden into the
+    * registration's OWN publishing commit (one version, no second
+    * crash window) so an operator can read the cadence off the
+    * manifest.
+    */
+  private def foldEveryProps(sinkId: String,
+                             foldEvery: Int): Map[String, String] =
+    if (foldEvery > 0) Map(s"fold.every/$sinkId" -> foldEvery.toString)
+    else Map.empty
 
   /** Fold on every `foldEvery`-th committed batch (batch ids are
     * 0-based, so batch foldEvery−1 triggers the first fold).
@@ -329,16 +363,27 @@ object StreamIngest {
   private def shouldFold(batchId: Long, foldEvery: Int): Boolean =
     foldEvery > 0 && (batchId + 1) % foldEvery == 0
 
-  /** An auto-fold that cannot fold (another warehouse client held its
-    * claim past the fold's whole wait budget) must NOT kill the
-    * streaming query: the batch itself committed exactly-once already,
-    * the store stays correct (merely unfolded), and the next cadence
-    * point retries — skipping is strictly safer than failing ingest for
-    * the sake of maintenance.
+  /** How long an AUTO-fold waits out concurrent writers before skipping:
+    * much shorter than the manual folds' 10-minute budget, because
+    * inside a streaming sink the wait stalls the micro-batch itself —
+    * a skipped fold retries at the next cadence point for free, so
+    * stalling ingest to win the fence is a bad trade.
+    */
+  val AUTO_FOLD_WAIT_MILLIS: Long = 15 * 1000L
+
+  /** An auto-fold that cannot fold must NOT kill the streaming query:
+    * the batch itself committed exactly-once already, the store stays
+    * correct (merely unfolded), and the next cadence point retries —
+    * skipping is strictly safer than failing ingest for the sake of
+    * maintenance. That argument holds for ANY failure, not just the
+    * fence timeout: a transient Spark job or filesystem error during
+    * the fold's read/checkpoint/write is equally maintenance-only, so
+    * everything non-fatal is caught (the fold either published
+    * atomically or not at all — there is no half-folded state to fear).
     */
   private def nonFatalFold(fold: => Unit): Unit =
     try fold catch {
-      case e: IllegalStateException =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"graft: auto-fold skipped: ${e.getMessage}")
     }
 }

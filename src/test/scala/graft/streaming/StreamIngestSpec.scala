@@ -260,8 +260,16 @@ class StreamIngestSpec extends SparkSpec {
 
     mem.addData((1 to 100).map(i => s"w$i"): _*)
     val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    val vBefore = Manifest.currentVersion(db.warehouse)
     mem.addData((50 to 150).map(i => s"w$i"): _*) // overlaps batch 0
     val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+    // the trio is ONE transaction per micro-batch (union write), and the
+    // cursor rides the publishing commit: exactly TWO manifest commits
+    // per micro-batch (claim + publish), not 3 tx × 2 + a cursor commit
+    assert(Manifest.current(db.warehouse).dataTxids.size == 2,
+      "one transaction per micro-batch")
+    assert(Manifest.currentVersion(db.warehouse) - vBefore == 2L,
+      "claim + publish — no separate cursor commit")
 
     // the stored KMV equals one sketch of everything that ever streamed
     val streamed = ((1 to 100) ++ (50 to 150)).map(i => s"w$i").toDF("t")
@@ -284,8 +292,84 @@ class StreamIngestSpec extends SparkSpec {
     assert(mgRows.forall(r => r._3 == 201L), s"MG mass drifted: $mgRows")
     assert(mgRows.forall(r => r._2 <= trueCnt(r._1)),
       s"MG over-estimated: $mgRows")
-    // 3 sketch txs per micro-batch, replay-guarded
     assert(Manifest.current(db.warehouse).streamBatchFor("sketch") == 1L)
+  }
+
+  test("sketch trio auto-fold: ONE atomic supersede bounds all four key " +
+      "families and preserves every report") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-triofold"))
+    val mem = MemoryStream[String]
+    val writer = StreamIngest
+      .sketchWriter(db, mem.toDF().toDF("t"), "t", foldEvery = 2)
+      .option("checkpointLocation", tmpDir("graft-triofoldcp"))
+
+    val batches = (0 until 4).map(b =>
+      Seq.fill(40)("x") ++ (1 to 60).map(i => s"w${b * 7 + i}"))
+    batches.foreach { toks =>
+      mem.addData(toks: _*)
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+    }
+    // batch 3 triggered the second fold: every family's history is ONE
+    // folded generation — the store is bounded however long the stream
+    // runs. KMV keeps ts = h (its identity), the others fold to FOLD_TS.
+    val cmGens = db.read("c/t/%").select("ts").distinct()
+      .as[Long].collect().toSet
+    assert(cmGens == Set(SketchStore.FOLD_TS), s"unfolded count-min: $cmGens")
+    val mgGens = (db.read("m/t/%").select("ts").distinct().as[Long].collect()
+      ++ db.read("mn/t").select("ts").distinct().as[Long].collect()).toSet
+    assert(mgGens == Set(SketchStore.FOLD_TS), s"unfolded MG: $mgGens")
+    assert(db.read("k/t").count() <= Sketches.KMV_K.toLong,
+      "KMV store must fold to <= k minima")
+    // and no report drifted from the one-shot sketch of everything
+    val all = batches.flatten.toDF("t")
+    val storedKmv = SketchStore.storedKmvEstimate(db)
+      .as[(Long, Long, Long)].collect().toSeq
+    val directKmv = Sketches.kmvEstimate(Sketches.kmvSketch(all, col("t")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(storedKmv == directKmv, "folded KMV drifted")
+    val est = SketchStore.probeStoredCountMin(db, Seq("x").toDF("t"), "t")
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 160L, s"folded count-min lost mass: $est")
+    val hh = SketchStore.storedHeavyHitters(db)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(hh.nonEmpty && hh.head._1 == "x" && hh.head._3 == 400L,
+      s"folded MG report drifted: $hh")
+  }
+
+  test("grouped KMV sink: streamed per-group estimates == registered " +
+      "twin; replay rewrites the same rows") {
+    import graft.ops.SketchStore
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-kmvbysink"))
+    val mem = MemoryStream[(String, String)]
+    val writer = StreamIngest
+      .kmvByWriter(db, mem.toDF().toDF("g", "t"), "g", "t")
+      .option("checkpointLocation", tmpDir("graft-kmvbycp"))
+
+    val b0 = (1 to 200).map(i => (s"s${i % 3}", s"w${i % 90}"))
+    val b1 = (1 to 150).map(i => (s"s${i % 2}", s"w${i % 140}"))
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    def report(d: Db) = SketchStore.storedKmvEstimateBy(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val twin = Db(spark, tmpDir("graft-kmvbytwin"))
+    SketchStore.registerKmvBy(twin, b0.toDF("g", "t"), col("g"), col("t"))
+    SketchStore.registerKmvBy(twin, b1.toDF("g", "t"), col("g"), col("t"))
+    val streamed = report(db)
+    assert(streamed == report(twin), s"streamed grouped KMV drifted")
+    assert(streamed.map(_._1) == Seq("s0", "s1", "s2"))
+    // a re-delivered batch rewrites the same (key, ts = h) minima —
+    // report and row count unchanged (the union law's idempotency)
+    val rowsBefore = db.read("kg/t/%").count()
+    SketchStore.registerKmvBy(db, b1.toDF("g", "t"), col("g"), col("t"))
+    assert(report(db) == streamed, "replay changed the grouped report")
+    assert(db.read("kg/t/%").count() == rowsBefore, "replay grew the store")
+    assert(Manifest.current(db.warehouse).streamBatchFor("kmvby") == 1L)
   }
 
   test("MG sink: streamed report == registered twin; a re-delivered " +
