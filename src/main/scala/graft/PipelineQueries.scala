@@ -645,6 +645,51 @@ object PipelineQueries {
         col("v"), batchId = 1L, w = 16L)
       SketchStore.storedHistQuantiles(db)
     },
+    // warehouse-backed GROUPED frequent items: per-source head+tail
+    // token streams registered as two half-corpus batches of
+    // deterministic per-group MG partials with an atomic fold between
+    // them — each group's merged report carries its own mass and
+    // certification, the exact relational algebra of the grouped twin
+    // oracle. This closes the grouped family's fourth quadrant.
+    "sk_mg_grouped_store" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def items(f: DataFrame) = f
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0, col("term"))
+            .otherwise(concat(col("term"), lit("_"), col("doc_id")))
+            .as("item"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerMgBy(db, items(docs.filter(col("doc_id") < mid)),
+        col("source"), col("item"), batchId = 0L)
+      SketchStore.foldMgBy(db)
+      SketchStore.registerMgBy(db, items(docs.filter(col("doc_id") >= mid)),
+        col("source"), col("item"), batchId = 1L)
+      SketchStore.storedHeavyHittersBy(db)
+    },
+    // GROUPED grid evolution: the per-source store migrates in place
+    // from w=8 to w=16 between two batches (per-group exact re-bin +
+    // atomic histg.w flip), and the report must equal the one-shot
+    // grouped w=16 sketch of everything — sk_hist_migrated's device
+    // applied to the grouped store.
+    "sk_histby_migrated" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def tc(f: DataFrame) = f.select(col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerHistBy(db, tc(docs.filter(col("doc_id") < mid)),
+        col("source"), col("v"), batchId = 0L)
+      SketchStore.migrateHistGridBy(db, newW = 16L)
+      SketchStore.registerHistBy(db, tc(docs.filter(col("doc_id") >= mid)),
+        col("source"), col("v"), batchId = 1L, w = 16L)
+      SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
+    },
     "sk_countmin_incremental" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -1872,6 +1917,7 @@ object PipelineQueries {
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "sk_heavy_hitters" -> Sketches.sqlHeavyHittersTokens(),
     "sk_mg_incremental" -> SketchStore.sqlMgIncrementalTokens(),
+    "sk_mg_grouped_store" -> SketchStore.sqlMgGroupedTokens(),
     "sk_hist_quantiles" -> Sketches.sqlHistTokenCounts(),
     "sk_hist_by_source" -> Sketches.sqlHistTokenCountsBySource(),
     // the grouped STORE must equal the one-shot grouped sketch — exact
@@ -1880,6 +1926,7 @@ object PipelineQueries {
     "sk_hist_incremental" -> Sketches.sqlHistTokenCounts(),
     // the migrated store must equal the one-shot sketch AT THE NEW GRID
     "sk_hist_migrated" -> Sketches.sqlHistTokenCounts(w = 16L),
+    "sk_histby_migrated" -> Sketches.sqlHistTokenCountsBySource(w = 16L),
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_kmv_grouped_store" -> SketchStore.sqlKmvBySourceStore(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),

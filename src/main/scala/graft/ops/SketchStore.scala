@@ -37,6 +37,20 @@ object SketchStore {
   private def cmPrefix(tag: String) = s"c/$tag/"
   private def mgPrefix(tag: String) = s"m/$tag/"
   private def mgMassKey(tag: String) = s"mn/$tag"
+  private def mgByPrefix(tag: String) = s"mg/$tag/"
+  private def mgByMassPrefix(tag: String) = s"mgn/$tag/"
+
+  /** Injective group escape for keys that carry BOTH a group and an
+    * arbitrary item segment (`mg/<tag>/<escGrp>/<item>`): the escaped
+    * group contains no '/', so the first '/' after the prefix is an
+    * unambiguous separator whatever characters the raw group or item
+    * hold — without it, (grp "a/b", item "c") and (grp "a", item "b/c")
+    * would collide on one key and last-wins would silently drop a cell.
+    * grp and item are ALSO stored as columns; nothing ever parses the
+    * key back.
+    */
+  private def escGrp(grp: Column): Column =
+    regexp_replace(regexp_replace(grp, "~", "~t"), "/", "~s")
   private def histPrefix(tag: String) = s"h/$tag/"
   private def histWProp(tag: String) = s"hist.w/$tag"
   private def histOriginProp(tag: String) = s"hist.origin/$tag"
@@ -483,6 +497,179 @@ object SketchStore {
        |ORDER BY est DESC, item""".stripMargin
   }
 
+  // ── grouped Misra–Gries store ──────────────────────────────────────
+  //
+  // Per-group frequent items (the per-source token watchlist) — the
+  // fourth quadrant of the grouped family (hist, KMV, MG; count-min is
+  // already grouped by construction, its cells ARE the keys). Rows:
+  //   key = "mg/<tag>/<escGrp>/<item>"  ts = batchId → grp, item, est
+  //   key = "mgn/<tag>/<escGrp>"        ts = batchId → grp, n_items
+  // Same deterministic-partial / merge-retruncate / idempotent-replay /
+  // fenced-fold laws as the ungrouped store, with every rank computed
+  // inside the group's own window ([[Sketches.mgTruncateBy]]) — no
+  // single-partition stage anywhere.
+
+  /** Registers one batch's per-group deterministic MG partials (≤ c
+    * item rows + one mass row per group) as ONE transaction.
+    */
+  def registerMgBy(db: graft.store.Db, batch: DataFrame, grp: Column,
+                   elem: Column, batchId: Long, tag: String = "t",
+                   c: Int = Sketches.MG_C,
+                   cursor: Option[(String, Long)] = None,
+                   sinkProps: Map[String, String] = Map.empty): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val toks = batch.select(grp.as("grp"), elem.as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+    val partial = Sketches.mgSummaryBy(toks, col("grp"), col("item"), c)
+      .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")), lit("/"),
+          col("item")).as("key"),
+        lit(batchId).as("ts"), col("grp"), col("item"), col("est"))
+    val mass = toks.groupBy("grp").agg(count(lit(1)).as("n_items"))
+      .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp"))).as("key"),
+        lit(batchId).as("ts"), col("grp"), col("n_items"))
+    graft.store.TxWriter.write(db,
+      partial.unionByName(mass, allowMissingColumns = true),
+      props = sinkProps, streamCursor = cursor)
+  }
+
+  /** The merged per-group candidate sets: per-(grp, item) sums over the
+    * stored partials, re-truncated to ≤ c entries inside each group's
+    * window — each group's result is a valid MG(c) summary of its
+    * concatenated stream.
+    */
+  def storedMgCandidatesBy(db: graft.store.Db, tag: String = "t",
+                           c: Int = Sketches.MG_C): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(0).select(col("id").cast("string").as("grp"),
+      col("id").cast("string").as("item"), col("id").as("est"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(mgByPrefix(tag) + "%")
+      if (!rows.columns.contains("est")) empty
+      else Sketches.mgTruncateBy(
+        rows.groupBy("grp", "item").agg(sum(col("est")).as("f")), c)
+    }
+  }
+
+  /** Per-group registered mass — (grp, n), one row per group ever
+    * registered.
+    */
+  def storedMgMassBy(db: graft.store.Db, tag: String = "t"): DataFrame = {
+    val spark = db.spark
+    val snap = db.snapshot()
+    val empty = spark.range(0).select(col("id").cast("string").as("grp"),
+      col("id").as("n"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(mgByMassPrefix(tag) + "%")
+      if (!rows.columns.contains("n_items")) empty
+      else rows.groupBy("grp").agg(sum(col("n_items")).as("n"))
+    }
+  }
+
+  /** The grouped frequent-items report: each group's merged candidates
+    * with lower-bound counts, the group's own mass `n`, and the 0/1
+    * `certain` certification against the group's n/(c+1) threshold —
+    * [[storedHeavyHitters]] per group. The mass join is keyed (and
+    * shuffled) by group — both sides are ≤ (c+1)·groups rows, never
+    * corpus-sized, and nothing is forced through one partition.
+    * Ordered (grp, heaviest first) for report stability.
+    */
+  def storedHeavyHittersBy(db: graft.store.Db, tag: String = "t",
+                           c: Int = Sketches.MG_C): DataFrame =
+    storedMgCandidatesBy(db, tag, c)
+      .join(storedMgMassBy(db, tag), Seq("grp"))
+      .select(col("grp"), col("item"), col("est"), col("n"),
+        (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
+      .orderBy(col("grp"), col("est").desc, col("item"))
+
+  /** [[foldMg]] per group: candidates + per-group mass rewrite as ONE
+    * folded generation under one atomic supersede over both key
+    * families.
+    */
+  def foldMgBy(db: graft.store.Db, tag: String = "t",
+               c: Int = Sketches.MG_C,
+               waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
+    val spark = db.spark
+    val empty = spark.range(0).select(col("id").cast("string").as("key"),
+      col("id").as("ts"))
+    foldStore(db, s"foldMgBy($tag)",
+      Seq(mgByPrefix(tag) + "%", mgByMassPrefix(tag) + "%"), waitMillis)({
+        val snap = db.snapshot()
+        if (snap.manifest.dataTxids.isEmpty) empty
+        else {
+          val mass = snap.read(mgByMassPrefix(tag) + "%")
+          if (!mass.columns.contains("n_items") || mass.isEmpty) empty
+          else {
+            val cands = storedMgCandidatesBy(db, tag, c)
+              .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
+                  lit("/"), col("item")).as("key"),
+                lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
+            val total = mass.groupBy("grp")
+              .agg(sum(col("n_items")).as("n_items"))
+              .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp")))
+                  .as("key"),
+                lit(FOLD_TS).as("ts"), col("grp"), col("n_items"))
+            cands.unionByName(total, allowMissingColumns = true)
+          }
+        }
+      }, identity)
+  }
+
+  /** DuckDB twin of the grouped MG store over the head+tail token
+    * stream of `documents` grouped by `source`, registered as two
+    * half-corpus batches — [[sqlMgIncrementalTokens]] with every count,
+    * truncation threshold, re-truncation and mass computed inside the
+    * group's own partition: the exact relational algebra
+    * [[registerMgBy]] + [[storedHeavyHittersBy]] execute.
+    */
+  def sqlMgGroupedTokens(c: Int = Sketches.MG_C): String = {
+    val mid = "(SELECT m FROM mid)"
+    def partial(name: String, filt: String) =
+      s"""cnt_$name AS (
+         |  SELECT grp, item, count(*) AS f FROM toks WHERE $filt
+         |  GROUP BY 1, 2),
+         |d_$name AS (
+         |  SELECT grp, coalesce(max(CASE WHEN rn = ${c + 1} THEN f END), 0)
+         |    AS d
+         |  FROM (SELECT grp, f, row_number() OVER (PARTITION BY grp
+         |          ORDER BY f DESC, item) AS rn FROM cnt_$name)
+         |  GROUP BY grp),
+         |p_$name AS (
+         |  SELECT cnt.grp, cnt.item, cnt.f - d.d AS est
+         |  FROM cnt_$name cnt JOIN d_$name d ON cnt.grp = d.grp
+         |  WHERE cnt.f > d.d)""".stripMargin
+    s"""WITH mid AS (
+       |  SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS m FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, source AS grp,
+       |         CASE WHEN doc_id % 3 = 0 THEN term
+       |              ELSE term || '_' || doc_id END AS item
+       |  FROM (SELECT doc_id, source,
+       |               unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE len(term) > 0),
+       |${partial("a", s"doc_id < $mid")},
+       |${partial("b", s"doc_id >= $mid")},
+       |summed AS MATERIALIZED (
+       |  SELECT grp, item, sum(est) AS f
+       |  FROM (SELECT * FROM p_a UNION ALL SELECT * FROM p_b)
+       |  GROUP BY 1, 2),
+       |dg AS (
+       |  SELECT grp, coalesce(max(CASE WHEN rn = ${c + 1} THEN f END), 0)
+       |    AS d
+       |  FROM (SELECT grp, f, row_number() OVER (PARTITION BY grp
+       |          ORDER BY f DESC, item) AS rn FROM summed)
+       |  GROUP BY grp),
+       |n AS (SELECT grp, count(*) AS n FROM toks GROUP BY grp)
+       |SELECT s.grp, s.item, CAST(s.f - dg.d AS BIGINT) AS est, n.n,
+       |       CAST((s.f - dg.d) * ${c + 1} > n.n AS BIGINT) AS certain
+       |FROM summed s JOIN dg ON s.grp = dg.grp JOIN n ON s.grp = n.grp
+       |WHERE s.f > dg.d
+       |ORDER BY s.grp, est DESC, s.item""".stripMargin
+  }
+
   // ── fixed-grid histogram quantiles ─────────────────────────────────
   //
   // The fourth mergeable summary (cardinality / frequency / frequent
@@ -611,6 +798,15 @@ object SketchStore {
                      cursor: Option[(String, Long)] = None,
                      sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    // friendly pre-write mismatch error (the propsClaim inside the CAS
+    // is the authority — this just refuses before pricing the write job)
+    val m = graft.store.Manifest.current(db.warehouse)
+    val exW = m.props.get(histByWProp(tag))
+    val exO = m.props.get(histByOriginProp(tag))
+    require(exW.forall(_ == w.toString) && exO.forall(_ == origin.toString),
+      s"histogram grid mismatch for grouped tag '$tag': stored " +
+        s"(w=${exW.getOrElse("-")}, origin=${exO.getOrElse("-")}) " +
+        s"vs registration (w=$w, origin=$origin)")
     val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
     val rows = hist.select(
       format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
@@ -807,6 +1003,56 @@ object SketchStore {
     }
     throw new IllegalStateException(
       s"migrateHistGrid($tag): could not migrate within " +
+        s"${waitMillis / 1000} s of registration contention")
+  }
+
+  /** [[migrateHistGrid]] for the GROUPED store: re-bin every group's
+    * grid to a coarser width in place (`newBin = oldBin DIV k` inside
+    * each group — exact for multiples, same clamped-top-bin caveat),
+    * flipping `histg.w` in the SAME atomic supersede so no reader can
+    * pair the new grid with old rows. Index-sized (≤ b·groups rows),
+    * never corpus-sized; later registrations must claim the NEW width.
+    */
+  def migrateHistGridBy(db: graft.store.Db, newW: Long,
+                        tag: String = "t",
+                        waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
+    val deadline = System.nanoTime() + waitMillis * 1000000L
+    var attempt = 0
+    while (System.nanoTime() < deadline) {
+      val baseline = graft.store.Manifest.current(db.warehouse)
+      val (w, origin) =
+        gridOf(baseline, histByWProp(tag), histByOriginProp(tag))
+      require(newW >= w && newW % w == 0,
+        s"new width $newW must be a positive multiple of stored width $w")
+      if (baseline.pending.nonEmpty) {
+        attempt += 1
+        Thread.sleep(math.min(100L * attempt, 2000L))
+      } else {
+        val cur = storedHistBy(db, tag)
+        if (cur.isEmpty) return -1L // nothing stored to migrate
+        if (newW == w) return -1L   // already at this grid
+        val k = newW / w
+        val rebinned = cur
+          .select(col("grp"), expr(s"bin DIV $k").as("bin"), col("cnt"))
+          .groupBy("grp", "bin").agg(sum(col("cnt")).as("cnt"))
+          .select(
+            format_string(histByPrefix(tag) + "%s/%06d", col("grp"),
+              col("bin")).as("key"),
+            lit(FOLD_TS).as("ts"), col("grp"), col("bin"), col("cnt"))
+          .localCheckpoint(true)
+        graft.store.TxWriter.supersedeIf(db, baseline,
+            Seq(histByPrefix(tag) + "%"), rebinned,
+            props = Map(histByWProp(tag) -> newW.toString,
+              histByOriginProp(tag) -> origin.toString)) match {
+          case Some(tx) => return tx
+          case None     =>
+            attempt += 1
+            Thread.sleep(math.min(100L * attempt, 2000L))
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"migrateHistGridBy($tag): could not migrate within " +
         s"${waitMillis / 1000} s of registration contention")
   }
 

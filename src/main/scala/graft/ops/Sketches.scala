@@ -260,6 +260,39 @@ object Sketches {
       .groupBy("item").agg(sum(col("est")).as("f")), c)
       .select(col("item"))
 
+  /** The PER-GROUP MG merge-side truncation — [[mgTruncate]] with every
+    * rank and threshold computed inside the group's own window
+    * (partitioned by `grp`, so a million groups spread across the
+    * cluster with no single-partition stage): over (grp, item, f)
+    * counts, subtract each group's (c+1)-th largest f (0 when the group
+    * is within capacity) and keep the strictly positive remainder —
+    * ≤ c rows per group, each a valid MG(c) summary of ITS group's
+    * stream by the same retire-(c+1)×-error argument.
+    */
+  private[ops] def mgTruncateBy(summed: DataFrame, c: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGrp = Window.partitionBy("grp")
+    summed
+      .withColumn("rn", row_number().over(
+        byGrp.orderBy(col("f").desc, col("item"))))
+      .withColumn("d", coalesce(
+        max(when(col("rn") === c + 1, col("f"))).over(byGrp), lit(0L)))
+      .filter(col("f") > col("d"))
+      .select(col("grp"), col("item"), (col("f") - col("d")).as("est"))
+  }
+
+  /** Deterministic per-group MG summary of ONE bounded batch — the
+    * grouped twin of [[mgSummary]]: exact (grp, item) counts reduced by
+    * one per-group truncation. Null groups and null items are excluded
+    * (neither is a countable cell, and both would become malformed
+    * store keys).
+    */
+  def mgSummaryBy(df: DataFrame, grp: Column, elem: Column,
+                  c: Int = MG_C): DataFrame =
+    mgTruncateBy(df.select(grp.as("grp"), elem.as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+      .groupBy("grp", "item").agg(count(lit(1)).as("f")), c)
+
   /** Deterministic Misra–Gries summary of ONE bounded batch: exact
     * per-item counts reduced by a single truncation step — subtract the
     * (c+1)-th largest count, keep the strictly positive remainder. This

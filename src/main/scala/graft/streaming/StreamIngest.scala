@@ -347,6 +347,37 @@ object StreamIngest {
         ()
       }
 
+  /** Streaming PER-GROUP frequent-items maintenance: each micro-batch's
+    * (`grpCol`, `elemCol`) rows fold into the warehouse-backed GROUPED
+    * MG store ([[graft.ops.SketchStore.registerMgBy]]) — running
+    * per-source token watchlists. Registration keys its ≤ (c+1)·groups
+    * rows on the micro-batch id (replay-idempotent like the ungrouped
+    * sink), cursor rides the publishing commit, same `foldEvery`
+    * policy.
+    */
+  def mgByWriter(db: Db, stream: DataFrame, grpCol: String,
+                 elemCol: String, tag: String = "t",
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 sinkId: String = "mgby", foldEvery: Int = 0)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerMgBy(db, batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery))
+          if (shouldFold(batchId, foldEvery))
+            nonFatalFold(graft.ops.SketchStore.foldMgBy(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
+        }
+        ()
+      }
+
   /** The auto-fold cadence as a table property, ridden into the
     * registration's OWN publishing commit (one version, no second
     * crash window) so an operator can read the cadence off the

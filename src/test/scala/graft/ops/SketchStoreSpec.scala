@@ -575,6 +575,106 @@ class SketchStoreSpec extends SparkSpec {
       "compacted fold changed the estimates")
   }
 
+  test("grouped MG store: each group's report == the ungrouped store of " +
+      "its own substream; fold and replay preserve it") {
+    val db = tmpDb()
+    // skewed per-group streams under real eviction pressure (c = 8)
+    def batch(b: Int) = (1 to 300).map { i =>
+      val g = s"g${i % 3}"
+      (g, if (i % 5 == 0) s"heavy_$g" else s"tail${b}_$i")
+    }
+    val (b0, b1) = (batch(0), batch(1))
+    SketchStore.registerMgBy(db, b0.toDF("g", "t"), col("g"), col("t"),
+      batchId = 0L, c = 8)
+    SketchStore.foldMgBy(db, c = 8)
+    SketchStore.registerMgBy(db, b1.toDF("g", "t"), col("g"), col("t"),
+      batchId = 1L, c = 8)
+    def report(d: Db) = SketchStore.storedHeavyHittersBy(d, c = 8)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val got = report(db)
+    // partition equivalence: the grouped algebra restricted to one group
+    // IS the ungrouped algebra on that group's substream — build the
+    // ungrouped twin per group and compare exactly
+    (0 until 3).foreach { gi =>
+      val g = s"g$gi"
+      val twin = tmpDb()
+      def sub(b: Seq[(String, String)]) =
+        b.filter(_._1 == g).map(_._2).toDF("t")
+      SketchStore.registerMg(twin, sub(b0), col("t"), batchId = 0L, c = 8)
+      SketchStore.registerMg(twin, sub(b1), col("t"), batchId = 1L, c = 8)
+      val expect = SketchStore.storedHeavyHitters(twin, c = 8)
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .map { case (item, est, n, cert) => (g, item, est, n, cert) }
+      assert(got.filter(_._1 == g) == expect,
+        s"group $g drifted from its ungrouped twin")
+    }
+    // every group certifies its heavy item
+    assert((0 until 3).forall(gi =>
+      got.exists(r => r._1 == s"g$gi" && r._2 == s"heavy_g$gi" &&
+        r._5 == 1L)), s"heavy items not certified: $got")
+    // replay of batch 1 rewrites the same (key, ts) rows
+    val rowsBefore = db.snapshot().read("mg/t/%").count()
+    SketchStore.registerMgBy(db, b1.toDF("g", "t"), col("g"), col("t"),
+      batchId = 1L, c = 8)
+    assert(report(db) == got, "replay changed the grouped report")
+    assert(db.snapshot().read("mg/t/%").count() == rowsBefore,
+      "replay grew the store")
+    // fold + compact bounds the store at (c+1)·groups rows
+    SketchStore.foldMgBy(db, c = 8)
+    graft.store.Compactor.major(db)
+    assert(report(db) == got, "post-compact fold changed the report")
+    val rows = db.snapshot().read("mg/t/%").count() +
+      db.snapshot().read("mgn/t/%").count()
+    assert(rows <= 3L * 9, s"store not bounded: $rows rows")
+  }
+
+  test("grouped MG keys: groups with '/' and '~' never collide with " +
+      "item segments") {
+    val db = tmpDb()
+    // the classic ambiguity: (grp "a/b", item "c") vs (grp "a", item
+    // "b/c") — unescaped they'd share key mg/t/a/b/c and one cell would
+    // silently vanish under last-wins; '~' exercises the escape's own
+    // escape
+    val cells = Seq(("a/b", "c"), ("a", "b/c"), ("a~b", "c"), ("a", "~b/c"))
+    val rows = cells.flatMap { case (g, i) => Seq.fill(4)((g, i)) }
+    SketchStore.registerMgBy(db, rows.toDF("g", "t"), col("g"), col("t"),
+      batchId = 0L, c = 8)
+    val got = SketchStore.storedHeavyHittersBy(db, c = 8)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2, r._3))
+    assert(got.toSet == cells.map { case (g, i) => (g, i, 4L) }.toSet,
+      s"cells collided or vanished: $got")
+  }
+
+  test("migrateHistGridBy: per-group re-bin == one-shot grouped sketch " +
+      "at the new grid; histg.w flips atomically") {
+    val db = tmpDb()
+    val b0 = (1 to 300).map(i => (s"s${i % 3}", (i % 60 + 1).toLong))
+    val b1 = (1 to 200).map(i => (s"s${i % 2}", (i % 45 + 3).toLong))
+    SketchStore.registerHistBy(db, b0.toDF("g", "v"), col("g"), col("v"),
+      batchId = 0L)
+    SketchStore.migrateHistGridBy(db, newW = 16L)
+    assert(SketchStore.storedHistByGrid(db) == ((16L, 0L)))
+    // old-width registrations refuse; the new width merges exactly
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.registerHistBy(db, b1.toDF("g", "v"), col("g"), col("v"),
+        batchId = 1L)
+    }
+    assert(e.getMessage.contains("grid mismatch"), e.getMessage)
+    SketchStore.registerHistBy(db, b1.toDF("g", "v"), col("g"), col("v"),
+      batchId = 1L, w = 16L)
+    val stored = SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesBy((b0 ++ b1).toDF("g", "v"),
+        col("g"), col("v"), w = 16L).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct,
+      s"grouped migration drifted: $stored != $direct")
+    // the UNGROUPED store's grid under the same tag is untouched — the
+    // two stores' geometries are independent properties
+    assert(SketchStore.storedHistGrid(db) == ((Sketches.HIST_W, 0L)))
+  }
+
   test("sketch stores coexist with a dedup fingerprint store in one warehouse") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,

@@ -49,6 +49,15 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!kmv.contains("SinglePartition"),
       s"grouped KMV read funnels into one task:\n$kmv")
+    // grouped MG: every rank/threshold window and the mass join are
+    // partitioned by group — the report's total orderBy is the one
+    // permitted range exchange, never a SinglePartition funnel
+    graft.ops.SketchStore.registerMgBy(db, df, col("g"),
+      col("v").cast("string"), batchId = 0L)
+    val mg = graft.ops.SketchStore.storedHeavyHittersBy(db)
+      .queryExecution.executedPlan.toString
+    assert(!mg.contains("SinglePartition"),
+      s"grouped MG read funnels into one task:\n$mg")
   }
 
   test("point lookup plans no range-sort exchange: one key pays no sampling job") {

@@ -407,6 +407,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(Manifest.current(db.warehouse).streamBatchFor("mg") == 1L)
   }
 
+  test("grouped MG sink: streamed per-group reports == registered twin " +
+      "through an auto-fold") {
+    import graft.ops.SketchStore
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-mgbysink"))
+    val mem = MemoryStream[(String, String)]
+    val writer = StreamIngest
+      .mgByWriter(db, mem.toDF().toDF("g", "t"), "g", "t", foldEvery = 1)
+      .option("checkpointLocation", tmpDir("graft-mgbycp"))
+
+    def batch(b: Int) = (1 to 200).map { i =>
+      val g = s"s${i % 2}"
+      // i%10 ∈ {0,1} hits both parities, so EACH group gets its hot item
+      (g, if (i % 10 < 2) s"hot_$g" else s"tail${b}_$i")
+    }
+    val (b0, b1) = (batch(0), batch(1))
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+
+    def report(d: Db) = SketchStore.storedHeavyHittersBy(d)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val twin = Db(spark, tmpDir("graft-mgbytwin"))
+    SketchStore.registerMgBy(twin, b0.toDF("g", "t"), col("g"), col("t"),
+      batchId = 0L)
+    SketchStore.registerMgBy(twin, b1.toDF("g", "t"), col("g"), col("t"),
+      batchId = 1L)
+    val streamed = report(db)
+    assert(streamed == report(twin), s"streamed grouped MG drifted")
+    assert(Seq("s0", "s1").forall(g =>
+      streamed.exists(r => r._1 == g && r._2 == s"hot_$g" && r._5 == 1L)),
+      s"hot items not certified per group: $streamed")
+    assert(Manifest.current(db.warehouse).streamBatchFor("mgby") == 1L)
+    // foldEvery=1: both families folded to one generation
+    val gens = (db.read("mg/t/%").select("ts").distinct().as[Long].collect()
+      ++ db.read("mgn/t/%").select("ts").distinct().as[Long].collect()).toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded history: $gens")
+  }
+
   test("auto-fold policy: the store stays bounded across 3N batches " +
       "and the cadence is manifest-recorded") {
     import graft.ops.{Sketches, SketchStore}
