@@ -184,8 +184,10 @@ object Cli {
       case "fold" :: Nil =>
         val tag = flags.getOrElse("--tag", "t")
         val store = flags.getOrElse("--store", "all")
-        if (!Set("all", "kmv", "cm", "mg", "hist", "histby")(store))
-          sys.error(s"unknown --store: $store (want kmv|cm|mg|hist|histby|all)")
+        if (!Set("all", "kmv", "cm", "mg", "hist", "histby", "kmvby",
+            "mgby")(store))
+          sys.error(s"unknown --store: $store " +
+            "(want kmv|cm|mg|hist|histby|kmvby|mgby|all)")
         def fold1(name: String)(f: => Long): Unit =
           if (store == "all" || store == name) {
             val tx = f
@@ -196,6 +198,8 @@ object Cli {
         fold1("mg")(graft.ops.SketchStore.foldMg(db, tag))
         fold1("hist")(graft.ops.SketchStore.foldHist(db, tag))
         fold1("histby")(graft.ops.SketchStore.foldHistBy(db, tag))
+        fold1("kmvby")(graft.ops.SketchStore.foldKmvBy(db, tag))
+        fold1("mgby")(graft.ops.SketchStore.foldMgBy(db, tag))
 
       // histogram grid evolution in place (exact for multiples):
       // graft.Cli -d DIR migrate-grid --width W [--tag T]
@@ -203,19 +207,54 @@ object Cli {
         val tag = flags.getOrElse("--tag", "t")
         val w = flags.getOrElse("--width",
           sys.error("migrate-grid needs --width <nanos>")).toLong
-        val tx = graft.ops.SketchStore.migrateHistGrid(db, w, tag)
+        val tx =
+          if (flags.contains("--by"))
+            graft.ops.SketchStore.migrateHistGridBy(db, w, tag)
+          else graft.ops.SketchStore.migrateHistGrid(db, w, tag)
         stdout(if (tx < 0) "migrate\tnoop" else s"migrate\ttx=$tx")
 
       case "stats" :: Nil if flags.contains("--by") =>
-        // grouped envelopes from the grouped hist store — the CLI twin
-        // of GET /_query/stats?by
+        // grouped reports from the grouped sketch stores — the CLI twin
+        // of GET /_query/stats?by&kind=: hist (default) quantile
+        // envelopes, kmv distinct estimates, mg certified frequent items
         val tag = flags.getOrElse("--tag", "t")
-        graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
-          .orderBy("grp", "qm")
-          .select("grp", "qm", "n", "lo", "hi")
-          .as[(String, Long, Long, Long, Long)].toLocalIterator()
-          .forEachRemaining { case (grp, qm, n, lo, hi) =>
-            stdout(s"quantile\t${TextProto.escape(grp)}\tp$qm\t[$lo,$hi)\tn=$n") }
+        flags.getOrElse("--kind", "hist") match {
+          case "hist" =>
+            graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
+              .orderBy("grp", "qm")
+              .select("grp", "qm", "n", "lo", "hi")
+              .as[(String, Long, Long, Long, Long)].toLocalIterator()
+              .forEachRemaining { case (grp, qm, n, lo, hi) =>
+                stdout(s"quantile\t${TextProto.escape(grp)}\tp$qm\t" +
+                  s"[$lo,$hi)\tn=$n") }
+          case "kmv" =>
+            graft.ops.SketchStore.storedKmvEstimateBy(db, tag = tag)
+              .select("grp", "n_sketch", "est_distinct")
+              .as[(String, Long, Long)].toLocalIterator()
+              .forEachRemaining { case (grp, ns, est) =>
+                stdout(s"distinct\t${TextProto.escape(grp)}\t$est\t" +
+                  (if (ns < graft.ops.Sketches.KMV_K) "exact"
+                   else "estimated")) }
+          case "mg" =>
+            import org.apache.spark.sql.functions.{col, row_number}
+            val heavyK = flags.get("--heavy").map(_.toInt).getOrElse(20)
+            graft.ops.SketchStore.storedHeavyHittersBy(db, tag = tag)
+              .withColumn("rk",
+                row_number().over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy("grp")
+                    .orderBy(col("est").desc, col("item"))))
+              .filter(col("rk") <= heavyK)
+              .orderBy("grp", "rk")
+              .select("grp", "item", "est", "certain")
+              .as[(String, String, Long, Long)].toLocalIterator()
+              .forEachRemaining { case (grp, item, est, certain) =>
+                stdout(s"heavy\t${TextProto.escape(grp)}\t" +
+                  s"${TextProto.escape(item)}\t$est\t" +
+                  (if (certain == 1L) "certain" else "candidate")) }
+          case other =>
+            sys.error(s"unknown --kind: $other (want hist|kmv|mg)")
+        }
 
       case "stats" :: Nil =>
         val tag = flags.getOrElse("--tag", "t")
@@ -246,7 +285,7 @@ object Cli {
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
     "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version",
-    "--store", "--width", "--stale-ms")
+    "--store", "--width", "--stale-ms", "--kind")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format", "--by")
 

@@ -599,37 +599,102 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // GROUPED hist store (registerHistBy) — the source-mix dashboard
     // read. One bounded key-pruned scan of sketch-sized rows per group.
     if (p.contains("by")) {
-      // bounded like every other verb: the grouped store can hold a
+      // bounded like every other verb: the grouped stores can hold a
       // data-sized group count, and an unbounded collect would
       // materialize it on the serving driver. `groups=` caps the report
-      // (first N groups in grp order — every group emits exactly |qms|
-      // rows, so a row limit IS a group limit); `truncated` makes the
-      // cap loud, never silent.
+      // (first N groups in grp order — each kind emits a FIXED per-group
+      // row bound, so a row limit IS a group limit); `truncated` makes
+      // the cap loud, never silent. `kind=` picks the grouped store:
+      // hist (quantile envelopes, default), kmv (distinct estimates),
+      // mg (certified frequent items).
       val maxGroups = p.get("groups").flatMap(_.toIntOption).getOrElse(100)
       if (maxGroups <= 0 || maxGroups > 10000)
         return (400, "groups out of range\n")
-      val nQms = graft.ops.Sketches.HIST_QMS.size
-      val all = graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag)
+      val kind = p.getOrElse("kind", "hist")
       // grp= narrows to ONE source (the single-dashboard-panel read) —
       // a pushed-down filter over the grouped windows' output
-      val picked = p.get("grp").fold(all)(g => all.filter(col("grp") === g))
-      val rows = picked
-        .select(col("grp"), col("qm"), col("n"), col("lo"), col("hi"))
-        .orderBy("grp", "qm")
-        .limit((maxGroups + 1) * nQms)
-        .as[(String, Long, Long, Long, Long)].collect().toSeq
-      val byGrp = rows.groupBy(_._1).toSeq.sortBy(_._1)
-      val truncated = byGrp.size > maxGroups
-      val groups = byGrp.take(maxGroups).map {
-        case (g, qs) =>
-          val qJson = qs.sortBy(_._2).map { case (_, qm, _, lo, hi) =>
-            s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
-          s"""{"grp":${jstr(g)},"n":${qs.head._3},"quantiles":$qJson}"""
-      }.mkString("[", ",", "]")
-      return (200,
-        s"""{"tag":${jstr(tag)},"truncated":$truncated,"groups":$groups}""" +
-          "\n")
-    }
+      def pick(all: org.apache.spark.sql.DataFrame) =
+        p.get("grp").fold(all)(g => all.filter(col("grp") === g))
+      kind match {
+        case "hist" =>
+          val nQms = graft.ops.Sketches.HIST_QMS.size
+          val rows = pick(
+              graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag))
+            .select(col("grp"), col("qm"), col("n"), col("lo"), col("hi"))
+            .orderBy("grp", "qm")
+            .limit((maxGroups + 1) * nQms)
+            .as[(String, Long, Long, Long, Long)].collect().toSeq
+          val byGrp = rows.groupBy(_._1).toSeq.sortBy(_._1)
+          val truncated = byGrp.size > maxGroups
+          val groups = byGrp.take(maxGroups).map {
+            case (g, qs) =>
+              val qJson = qs.sortBy(_._2).map { case (_, qm, _, lo, hi) =>
+                s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
+              s"""{"grp":${jstr(g)},"n":${qs.head._3},"quantiles":$qJson}"""
+          }.mkString("[", ",", "]")
+          (200,
+            s"""{"tag":${jstr(tag)},"kind":"hist","truncated":$truncated""" +
+              s""","groups":$groups}""" + "\n")
+        case "kmv" =>
+          // one row per group — the limit is directly the group cap
+          val rows = pick(
+              graft.ops.SketchStore.storedKmvEstimateBy(db, tag = tag))
+            .select(col("grp"), col("n_sketch"), col("est_distinct"))
+            .orderBy("grp")
+            .limit(maxGroups + 1)
+            .as[(String, Long, Long)].collect().toSeq
+          val truncated = rows.size > maxGroups
+          val groups = rows.take(maxGroups).map { case (g, ns, est) =>
+            s"""{"grp":${jstr(g)},"estDistinct":$est""" +
+              s""","exactBelowK":${ns < graft.ops.Sketches.KMV_K}}"""
+          }.mkString("[", ",", "]")
+          (200,
+            s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
+              s""","groups":$groups}""" + "\n")
+        case "mg" =>
+          // ≤ heavy= items per group (rank window partitioned by group,
+          // never a data-sized collect), heaviest first within a group
+          import org.apache.spark.sql.expressions.Window
+          val perGrp = math.max(heavyK, 1)
+          val rows = pick(
+              graft.ops.SketchStore.storedHeavyHittersBy(db, tag = tag))
+            .withColumn("rk", org.apache.spark.sql.functions.row_number()
+              .over(Window.partitionBy("grp")
+                .orderBy(col("est").desc, col("item"))))
+            .filter(col("rk") <= perGrp)
+            .select(col("grp"), col("item"), col("est"), col("n"),
+              col("certain"), col("rk"))
+            .orderBy("grp", "rk")
+            .limit((maxGroups + 1) * perGrp)
+            .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+          val byGrp = rows.groupBy(_._1).toSeq.sortBy(_._1)
+          val truncated = byGrp.size > maxGroups
+          val groups = byGrp.take(maxGroups).map { case (g, hs) =>
+            val hJson = hs.sortBy(_._6).map { case (_, item, est, _, cert, _) =>
+              s"""{"item":${jstr(item)},"est":$est,"certain":$cert}"""
+            }.mkString("[", ",", "]")
+            s"""{"grp":${jstr(g)},"n":${hs.head._4},"heavy":$hJson}"""
+          }.mkString("[", ",", "]")
+          (200,
+            s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
+              s""","groups":$groups}""" + "\n")
+        case other => (400, s"kind=$other not one of hist|kmv|mg\n")
+      }
+    } else doStatsUngrouped(p, tag, heavyK)
+  }
+
+  /** The ungrouped (default) stats report — see [[doStats]]. */
+  private def doStatsUngrouped(p: Map[String, String], tag: String,
+                               heavyK: Int): (Int, String) = {
+    val spark = db.spark
+    import spark.implicits._
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      } + "\""
     // three independent bounded reads — concurrent jobs like the
     // hybrid verb, then a driver-side render of sketch-sized rows
     import scala.concurrent.{Await, Future}

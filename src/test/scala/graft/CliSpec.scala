@@ -220,6 +220,13 @@ class CliSpec extends SparkSpec {
     graft.ops.SketchStore.registerHistBy(db,
       (1 to 80).map(i => (s"s${i % 2}", i.toLong)).toDF("g", "v"),
       col("g"), col("v"), batchId = 0L)
+    graft.ops.SketchStore.registerKmvBy(db,
+      (1 to 40).map(i => (s"s${i % 2}", s"w${i % 9}")).toDF("g", "t"),
+      col("g"), col("t"))
+    graft.ops.SketchStore.registerMgBy(db,
+      (Seq.fill(30)(("s0", "hot0")) ++ Seq.fill(20)(("s1", "hot1")) ++
+        (1 to 10).map(i => ("s1", s"c$i"))).toDF("g", "t"),
+      col("g"), col("t"), batchId = 0L)
     // fold everything: registered stores report their fold tx, the
     // never-registered count-min store reports empty — and the stats
     // report is unchanged by the maintenance
@@ -230,16 +237,31 @@ class CliSpec extends SparkSpec {
     assert(folded.exists(_.startsWith("fold\tmg\ttx=")), folded.toString)
     assert(folded.exists(_.startsWith("fold\thist\ttx=")), folded.toString)
     assert(folded.exists(_.startsWith("fold\thistby\ttx=")), folded.toString)
+    assert(folded.exists(_.startsWith("fold\tkmvby\ttx=")), folded.toString)
+    assert(folded.exists(_.startsWith("fold\tmgby\ttx=")), folded.toString)
     assert(cli("-d", wh, "stats", "--heavy", "2")() == before,
       "fold changed the stats report")
     // grouped envelopes off the grouped store
     val by = cli("-d", wh, "stats", "--by")()
     assert(by.exists(_.startsWith("quantile\ts0\tp500\t")), by.toString)
     assert(by.exists(_.startsWith("quantile\ts1\tp990\t")), by.toString)
-    // grid migration rewrites the envelopes at the coarser width
+    // grouped distinct estimates and frequent items off their stores
+    val byKmv = cli("-d", wh, "stats", "--by", "--kind", "kmv")()
+    assert(byKmv == Seq("distinct\ts0\t9\texact", "distinct\ts1\t9\texact"),
+      byKmv.toString)
+    val byMg = cli("-d", wh, "stats", "--by", "--kind", "mg", "--heavy", "1")()
+    assert(byMg == Seq("heavy\ts0\thot0\t30\tcertain",
+      "heavy\ts1\thot1\t20\tcertain"), byMg.toString)
+    // grid migration rewrites the envelopes at the coarser width — the
+    // grouped store migrates independently of the ungrouped one
     val mig = cli("-d", wh, "migrate-grid", "--width", "16")()
     assert(mig.exists(_.startsWith("migrate\ttx=")), mig.toString)
     val after = cli("-d", wh, "stats")()
     assert(after.contains("quantile\tp500\t[32,48)\tn=80"), after.toString)
+    val migBy = cli("-d", wh, "migrate-grid", "--by", "--width", "16")()
+    assert(migBy.exists(_.startsWith("migrate\ttx=")), migBy.toString)
+    val afterBy = cli("-d", wh, "stats", "--by")()
+    assert(afterBy.exists(_.startsWith("quantile\ts0\tp500\t[")),
+      afterBy.toString)
   }
 }

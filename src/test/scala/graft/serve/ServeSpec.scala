@@ -449,6 +449,38 @@ class ServeSpec extends SparkSpec {
       val (_, capped) = http("GET", s"$base/_query/stats?by=src&groups=1")
       assert(capped.contains("\"truncated\":true") &&
         !capped.contains("\"grp\":\"b\""), capped)
+      // kind=kmv serves the grouped distinct estimates (same cap/ETag
+      // contract — the kind is part of the URI so the cache keys differ)
+      graft.ops.SketchStore.registerKmvBy(db,
+        (1 to 40).map(i => (s"g${i % 2}", s"w${i % 9}")).toDF("src", "t"),
+        col("src"), col("t"))
+      val (kc, kbody) = http("GET", s"$base/_query/stats?by=src&kind=kmv")
+      assert(kc == 200, kbody)
+      assert(kbody.contains("\"kind\":\"kmv\"") &&
+        kbody.contains("\"grp\":\"g0\",\"estDistinct\":9") &&
+        kbody.contains("\"grp\":\"g1\",\"estDistinct\":9"), kbody)
+      val (_, kcap) =
+        http("GET", s"$base/_query/stats?by=src&kind=kmv&groups=1")
+      assert(kcap.contains("\"truncated\":true") &&
+        !kcap.contains("\"grp\":\"g1\""), kcap)
+      // kind=mg serves the grouped certified frequent items, heavy= per
+      // group
+      graft.ops.SketchStore.registerMgBy(db,
+        (Seq.fill(30)(("g0", "hot0")) ++ Seq.fill(20)(("g1", "hot1")) ++
+          (1 to 10).map(i => ("g1", s"c$i"))).toDF("src", "t"),
+        col("src"), col("t"), batchId = 0L)
+      val (mc, mbody) =
+        http("GET", s"$base/_query/stats?by=src&kind=mg&heavy=1")
+      assert(mc == 200, mbody)
+      assert(mbody.contains("\"kind\":\"mg\"") &&
+        mbody.contains(
+          """{"grp":"g0","n":30,"heavy":[{"item":"hot0","est":30,"certain":1}]}""") &&
+        mbody.contains(
+          """{"grp":"g1","n":30,"heavy":[{"item":"hot1","est":20,"certain":1}]}"""),
+        mbody)
+      // an unknown kind answers 400, not a silent hist fallback
+      val (bc, bbody) = http("GET", s"$base/_query/stats?by=src&kind=nope")
+      assert(bc == 400, s"$bc $bbody")
       // and the ungrouped report still answers on the same warehouse
       val (uc, ubody) = http("GET", s"$base/_query/stats")
       assert(uc == 200 && ubody.contains("\"histN\":0"), ubody)
