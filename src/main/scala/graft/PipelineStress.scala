@@ -505,6 +505,50 @@ object PipelineStress {
         SketchStore.storedHistQuantilesBy(gdb).count())
       timed(s"grouped hist fold (${nGroups} grps)")(
         SketchStore.foldHistBy(gdb))
+
+      // ── trio commit cost: the measured driver of sketch maintenance
+      // is the manifest commit, so the streaming trio's 3-transactions-
+      // per-batch vs the single-tx union registration is the number
+      // that matters. 50 micro-batches each way, same token stream.
+      val toks = spark.range(2000L)
+        .select(concat(lit("w"), col("id") % 500).as("t"))
+        .localCheckpoint(true)
+      val db3 = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-trio3").toString)
+      timed("trio 50 batches, 3-tx way") {
+        (0 until 50).foreach { b =>
+          SketchStore.registerKmv(db3, toks, col("t"))
+          SketchStore.registerCountMin(db3, toks, col("t"), b.toLong)
+          SketchStore.registerMg(db3, toks, col("t"), b.toLong)
+        }
+        graft.store.Manifest.currentVersion(db3.warehouse)
+      }
+      val db1 = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-trio1").toString)
+      timed("trio 50 batches, 1-tx union") {
+        (0 until 50).foreach(b =>
+          SketchStore.registerSketches(db1, toks, col("t"), b.toLong))
+        graft.store.Manifest.currentVersion(db1.warehouse)
+      }
+      timed("trio foldSketches (1 supersede)")(SketchStore.foldSketches(db1))
+
+      // ── auto-maintenance steady state: the year-long stream with
+      // foldEvery=30 + compactEvery=30 — directory count and report
+      // cost must hold at the folded+compacted floor unattended
+      val adb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-auto").toString)
+      timed("auto: 365 batches, maintain/30") {
+        (0 until 365).foreach { b =>
+          SketchStore.registerHist(adb, vals, col("v"), batchId = b.toLong)
+          if ((b + 1) % 30 == 0) {
+            SketchStore.foldHist(adb)
+            graft.store.Compactor.major(adb)
+          }
+        }
+        graft.store.Manifest.current(adb.warehouse).dataTxids.size.toLong
+      }
+      timed("auto: report after a year")(
+        SketchStore.storedHistQuantiles(adb).count())
     }
 
     spark.stop()

@@ -201,10 +201,19 @@ object StreamIngest {
     *   later), never as a re-registration of a batch a fold already
     *   merged — which would double-count it.
     */
+  /** @param compactEvery > 0 = auto-compact policy, the other half of
+    *   the maintenance pair: after every `compactEvery`-th committed
+    *   batch the sink major-compacts its (sketch-sized) warehouse and
+    *   vacuums retired directories, so a year-long stream bounds BOTH
+    *   live rows (the fold) and transaction-directory count (the
+    *   compact) unattended. Recorded as `compact.every/<sinkId>` next
+    *   to the fold cadence.
+    */
   def sketchWriter(db: Db, stream: DataFrame, elemCol: String,
                    tag: String = "t",
                    trigger: Trigger = Trigger.AvailableNow(),
-                   sinkId: String = "sketch", foldEvery: Int = 0)
+                   sinkId: String = "sketch", foldEvery: Int = 0,
+                   compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -215,11 +224,12 @@ object StreamIngest {
           graft.ops.SketchStore.registerSketches(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery)) nonFatalFold {
             graft.ops.SketchStore.foldSketches(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS)
           }
+          autoCompact(db, batchId, compactEvery)
         }
         ()
       }
@@ -238,7 +248,8 @@ object StreamIngest {
   def histWriter(db: Db, stream: DataFrame, valueCol: String,
                  tag: String = "t",
                  trigger: Trigger = Trigger.AvailableNow(),
-                 sinkId: String = "hist", foldEvery: Int = 0)
+                 sinkId: String = "hist", foldEvery: Int = 0,
+                 compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -249,10 +260,11 @@ object StreamIngest {
           graft.ops.SketchStore.registerHist(db, batch,
             org.apache.spark.sql.functions.col(valueCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(graft.ops.SketchStore.foldHist(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery)
         }
         ()
       }
@@ -267,7 +279,8 @@ object StreamIngest {
   def histByWriter(db: Db, stream: DataFrame, grpCol: String,
                    valueCol: String, tag: String = "t",
                    trigger: Trigger = Trigger.AvailableNow(),
-                   sinkId: String = "histby", foldEvery: Int = 0)
+                   sinkId: String = "histby", foldEvery: Int = 0,
+                   compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -279,10 +292,11 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(valueCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(graft.ops.SketchStore.foldHistBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery)
         }
         ()
       }
@@ -297,7 +311,8 @@ object StreamIngest {
   def mgWriter(db: Db, stream: DataFrame, elemCol: String,
                tag: String = "t",
                trigger: Trigger = Trigger.AvailableNow(),
-               sinkId: String = "mg", foldEvery: Int = 0)
+               sinkId: String = "mg", foldEvery: Int = 0,
+               compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -308,10 +323,11 @@ object StreamIngest {
           graft.ops.SketchStore.registerMg(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(graft.ops.SketchStore.foldMg(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery)
         }
         ()
       }
@@ -327,7 +343,8 @@ object StreamIngest {
   def kmvByWriter(db: Db, stream: DataFrame, grpCol: String,
                   elemCol: String, tag: String = "t",
                   trigger: Trigger = Trigger.AvailableNow(),
-                  sinkId: String = "kmvby", foldEvery: Int = 0)
+                  sinkId: String = "kmvby", foldEvery: Int = 0,
+                  compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -339,10 +356,11 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(graft.ops.SketchStore.foldKmvBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery)
         }
         ()
       }
@@ -358,7 +376,8 @@ object StreamIngest {
   def mgByWriter(db: Db, stream: DataFrame, grpCol: String,
                  elemCol: String, tag: String = "t",
                  trigger: Trigger = Trigger.AvailableNow(),
-                 sinkId: String = "mgby", foldEvery: Int = 0)
+                 sinkId: String = "mgby", foldEvery: Int = 0,
+                 compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -370,29 +389,53 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(graft.ops.SketchStore.foldMgBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery)
         }
         ()
       }
 
-  /** The auto-fold cadence as a table property, ridden into the
-    * registration's OWN publishing commit (one version, no second
-    * crash window) so an operator can read the cadence off the
+  /** The auto-fold / auto-compact cadences as table properties, ridden
+    * into the registration's OWN publishing commit (one version, no
+    * second crash window) so an operator can read the cadences off the
     * manifest.
     */
-  private def foldEveryProps(sinkId: String,
-                             foldEvery: Int): Map[String, String] =
-    if (foldEvery > 0) Map(s"fold.every/$sinkId" -> foldEvery.toString)
-    else Map.empty
+  private def foldEveryProps(sinkId: String, foldEvery: Int,
+                             compactEvery: Int = 0): Map[String, String] =
+    (if (foldEvery > 0)
+       Map(s"fold.every/$sinkId" -> foldEvery.toString)
+     else Map.empty[String, String]) ++
+      (if (compactEvery > 0)
+        Map(s"compact.every/$sinkId" -> compactEvery.toString)
+       else Map.empty[String, String])
 
   /** Fold on every `foldEvery`-th committed batch (batch ids are
     * 0-based, so batch foldEvery−1 triggers the first fold).
     */
   private def shouldFold(batchId: Long, foldEvery: Int): Boolean =
     foldEvery > 0 && (batchId + 1) % foldEvery == 0
+
+  /** The auto-compact half of the maintenance pair (SCALE.md's fold
+    * economics: a fold bounds the LIVE rows but the superseded
+    * generations stay listed in the manifest and on disk until a
+    * compaction folds them physically — dirs, footers and delete
+    * markers otherwise grow one per batch/fold forever). On the
+    * cadence: a MAJOR compact (the store's warehouse is sketch-sized
+    * by design — one store family per warehouse, the engine-wide
+    * layout rule — so the full rewrite is sketch-sized too, and major
+    * is what purges the fold markers minor would retain), then a
+    * vacuum pass whose grace window removes dirs retired by EARLIER
+    * cadence points. Same non-fatal contract as the auto-fold: the
+    * batch already committed; skipping maintenance is always safe.
+    */
+  private def autoCompact(db: Db, batchId: Long, compactEvery: Int): Unit =
+    if (shouldFold(batchId, compactEvery)) nonFatalFold {
+      graft.store.Compactor.major(db)
+      graft.store.Compactor.vacuum(db)
+    }
 
   /** How long an AUTO-fold waits out concurrent writers before skipping:
     * much shorter than the manual folds' 10-minute budget, because

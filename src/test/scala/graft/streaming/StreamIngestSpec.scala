@@ -479,6 +479,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(stored == direct, s"auto-fold drifted: $stored != $direct")
   }
 
+  test("auto-compact policy: transaction-directory count stays bounded " +
+      "across 3N batches and the report never drifts") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-autocompact"))
+    val mem = MemoryStream[Long]
+    val writer = StreamIngest
+      .histWriter(db, mem.toDF().toDF("v"), "v", foldEvery = 2,
+        compactEvery = 2)
+      .option("checkpointLocation", tmpDir("graft-autocompactcp"))
+
+    val batches = (0 until 8).map(b =>
+      (1 to 100).map(i => (i % (25 + 3 * b) + 1).toLong))
+    batches.foreach { vals =>
+      mem.addData(vals: _*)
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+      // the maintenance pair holds at EVERY point, not just the end:
+      // between cadence hits at most (reg, reg, fold-replacement) txs
+      // sit on top of the compacted base, and at most one fold marker
+      val m = Manifest.current(db.warehouse)
+      assert(m.dataTxids.size <= 4,
+        s"dataTxids unbounded: ${m.dataTxids}")
+      assert(m.deleteTxids.size <= 1,
+        s"markers unbounded: ${m.deleteTxids}")
+    }
+    // batch 7 hit both cadences: ONE folded+compacted transaction, zero
+    // markers — the steady state a year-long stream converges to
+    val end = Manifest.current(db.warehouse)
+    assert(end.dataTxids.size == 1, s"not compacted: ${end.dataTxids}")
+    assert(end.deleteTxids.isEmpty, s"markers survive: ${end.deleteTxids}")
+    assert(end.props.get("compact.every/hist").contains("2"))
+    // and the whole maintenance history never changed an answer
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(batches.flatten.toDF("v"),
+        col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"auto-compact drifted: $stored != $direct")
+  }
+
   test("grouped histogram sink: streamed per-group envelopes == the " +
       "one-shot grouped sketch") {
     import graft.ops.{Sketches, SketchStore}
