@@ -690,6 +690,31 @@ object PipelineQueries {
         col("source"), col("v"), batchId = 1L, w = 16L)
       SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
     },
+    // the single-tx trio registration (KMV + count-min + MG rows
+    // unioned into ONE transaction — the streaming sketchWriter's
+    // micro-batch shape) with the atomic all-family fold between
+    // batches: the MG report must equal the standalone incremental
+    // store's, i.e. the two-batch oracle verbatim — proof at the
+    // driver gate that neither the union write nor the one-supersede
+    // fold perturbs any family's rows
+    "sk_trio_store" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def items(f: DataFrame) = f
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(when(col("doc_id") % 3 === 0, col("term"))
+          .otherwise(concat(col("term"), lit("_"), col("doc_id")))
+          .as("item"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerSketches(db,
+        items(docs.filter(col("doc_id") < mid)), col("item"), batchId = 0L)
+      SketchStore.foldSketches(db)
+      SketchStore.registerSketches(db,
+        items(docs.filter(col("doc_id") >= mid)), col("item"), batchId = 1L)
+      SketchStore.storedHeavyHitters(db)
+    },
     "sk_countmin_incremental" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -1917,6 +1942,9 @@ object PipelineQueries {
     "sk_countmin" -> Sketches.sqlCountMinTokens(20),
     "sk_heavy_hitters" -> Sketches.sqlHeavyHittersTokens(),
     "sk_mg_incremental" -> SketchStore.sqlMgIncrementalTokens(),
+    // the trio store's MG report is the SAME two-batch algebra — the
+    // union write and one-supersede fold must be invisible to it
+    "sk_trio_store" -> SketchStore.sqlMgIncrementalTokens(),
     "sk_mg_grouped_store" -> SketchStore.sqlMgGroupedTokens(),
     "sk_hist_quantiles" -> Sketches.sqlHistTokenCounts(),
     "sk_hist_by_source" -> Sketches.sqlHistTokenCountsBySource(),

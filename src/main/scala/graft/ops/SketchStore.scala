@@ -960,40 +960,51 @@ object SketchStore {
     */
   def migrateHistGrid(db: graft.store.Db, newW: Long,
                       tag: String = "t",
-                      waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
+                      waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    migrateGrid(db, s"migrateHistGrid($tag)", newW, histPrefix(tag) + "%",
+      histWProp(tag), histOriginProp(tag), waitMillis)(
+      storedHist(db, tag),
+      (cur, k) => cur
+        .select(expr(s"bin DIV $k").as("bin"), col("cnt"))
+        .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+        .select(format_string(histPrefix(tag) + "%06d", col("bin"))
+          .as("key"), lit(FOLD_TS).as("ts"), col("bin"), col("cnt")))
+
+  /** ONE copy of the grid-migration fence both histogram stores share
+    * (the [[foldStore]] factoring applied to migrations): read the grid
+    * from the SAME manifest state the fence checks, re-bin via the
+    * store's own `rebin`, and publish rows + flipped props in one
+    * conditional supersede. supersedeIf's CONDITIONAL publish is what
+    * makes the property flip safe under concurrent old-grid
+    * registrations: one that publishes in our window aborts the
+    * migration (we re-read and re-bin it); one that publishes after us
+    * re-checks its grid claim inside its own publishing CAS and is
+    * refused (PropertyConflict) — no interleaving mixes widths.
+    */
+  private def migrateGrid(db: graft.store.Db, what: String, newW: Long,
+                          wildcard: String, wProp: String, oProp: String,
+                          waitMillis: Long)
+                         (stored: => DataFrame,
+                          rebin: (DataFrame, Long) => DataFrame): Long = {
     val deadline = System.nanoTime() + waitMillis * 1000000L
     var attempt = 0
     while (System.nanoTime() < deadline) {
       val baseline = graft.store.Manifest.current(db.warehouse)
-      // grid from the SAME manifest state the fence checks — a separate
-      // Manifest.current read could straddle a racing migration
-      val (w, origin) = gridOf(baseline, histWProp(tag), histOriginProp(tag))
+      val (w, origin) = gridOf(baseline, wProp, oProp)
       require(newW >= w && newW % w == 0,
         s"new width $newW must be a positive multiple of stored width $w")
       if (baseline.pending.nonEmpty) {
         attempt += 1
         Thread.sleep(math.min(100L * attempt, 2000L))
       } else {
-        val cur = storedHist(db, tag)
+        val cur = stored
         if (cur.isEmpty) return -1L // nothing stored to migrate
         if (newW == w) return -1L   // already at this grid
-        val k = newW / w
-        val rebinned = cur
-          .select(expr(s"bin DIV $k").as("bin"), col("cnt"))
-          .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
-          .select(format_string(histPrefix(tag) + "%06d", col("bin"))
-            .as("key"), lit(FOLD_TS).as("ts"), col("bin"), col("cnt"))
-          .localCheckpoint(true)
-        // supersedeIf's CONDITIONAL publish is what makes the property
-        // flip safe under concurrent old-grid registrations: one that
-        // publishes in our window aborts the migration (we re-read and
-        // re-bin it); one that publishes after us re-checks its grid
-        // claim inside its own publishing CAS and is refused
-        // (PropertyConflict) — no interleaving mixes widths.
-        graft.store.TxWriter.supersedeIf(db, baseline,
-            Seq(histPrefix(tag) + "%"), rebinned,
-            props = Map(histWProp(tag) -> newW.toString,
-              histOriginProp(tag) -> origin.toString)) match {
+        val rebinned = rebin(cur, newW / w).localCheckpoint(true)
+        graft.store.TxWriter.supersedeIf(db, baseline, Seq(wildcard),
+            rebinned,
+            props = Map(wProp -> newW.toString,
+              oProp -> origin.toString)) match {
           case Some(tx) => return tx
           case None     =>
             attempt += 1
@@ -1002,7 +1013,7 @@ object SketchStore {
       }
     }
     throw new IllegalStateException(
-      s"migrateHistGrid($tag): could not migrate within " +
+      s"$what: could not migrate within " +
         s"${waitMillis / 1000} s of registration contention")
   }
 
@@ -1015,46 +1026,18 @@ object SketchStore {
     */
   def migrateHistGridBy(db: graft.store.Db, newW: Long,
                         tag: String = "t",
-                        waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
-    val deadline = System.nanoTime() + waitMillis * 1000000L
-    var attempt = 0
-    while (System.nanoTime() < deadline) {
-      val baseline = graft.store.Manifest.current(db.warehouse)
-      val (w, origin) =
-        gridOf(baseline, histByWProp(tag), histByOriginProp(tag))
-      require(newW >= w && newW % w == 0,
-        s"new width $newW must be a positive multiple of stored width $w")
-      if (baseline.pending.nonEmpty) {
-        attempt += 1
-        Thread.sleep(math.min(100L * attempt, 2000L))
-      } else {
-        val cur = storedHistBy(db, tag)
-        if (cur.isEmpty) return -1L // nothing stored to migrate
-        if (newW == w) return -1L   // already at this grid
-        val k = newW / w
-        val rebinned = cur
-          .select(col("grp"), expr(s"bin DIV $k").as("bin"), col("cnt"))
-          .groupBy("grp", "bin").agg(sum(col("cnt")).as("cnt"))
-          .select(
-            format_string(histByPrefix(tag) + "%s/%06d", col("grp"),
-              col("bin")).as("key"),
-            lit(FOLD_TS).as("ts"), col("grp"), col("bin"), col("cnt"))
-          .localCheckpoint(true)
-        graft.store.TxWriter.supersedeIf(db, baseline,
-            Seq(histByPrefix(tag) + "%"), rebinned,
-            props = Map(histByWProp(tag) -> newW.toString,
-              histByOriginProp(tag) -> origin.toString)) match {
-          case Some(tx) => return tx
-          case None     =>
-            attempt += 1
-            Thread.sleep(math.min(100L * attempt, 2000L))
-        }
-      }
-    }
-    throw new IllegalStateException(
-      s"migrateHistGridBy($tag): could not migrate within " +
-        s"${waitMillis / 1000} s of registration contention")
-  }
+                        waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    migrateGrid(db, s"migrateHistGridBy($tag)", newW,
+      histByPrefix(tag) + "%", histByWProp(tag), histByOriginProp(tag),
+      waitMillis)(
+      storedHistBy(db, tag),
+      (cur, k) => cur
+        .select(col("grp"), expr(s"bin DIV $k").as("bin"), col("cnt"))
+        .groupBy("grp", "bin").agg(sum(col("cnt")).as("cnt"))
+        .select(
+          format_string(histByPrefix(tag) + "%s/%06d", col("grp"),
+            col("bin")).as("key"),
+          lit(FOLD_TS).as("ts"), col("grp"), col("bin"), col("cnt")))
 
   /** ONE copy of the fold fence every per-batch store shares: read the
     * current sums, then publish the tag's history-superseding delete

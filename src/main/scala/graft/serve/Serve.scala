@@ -582,19 +582,21 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * ([[graft.ops.SketchStore.registerHistBy]]) — the source-mix
     * dashboard read.
     */
+  /** ONE copy of the JSON string escape every stats body shares. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
   private def doStats(p: Map[String, String]): (Int, String) = {
     val tag = p.getOrElse("tag", "t")
     val heavyK = p.get("heavy").flatMap(_.toIntOption).getOrElse(20)
     if (heavyK < 0 || heavyK > 10000) return (400, "heavy out of range\n")
     val spark = db.spark
     import spark.implicits._
-    def jstr(s: String) =
-      "\"" + s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => f"\\u${c.toInt}%04x"
-        case c             => c.toString
-      } + "\""
     // ?by → the grouped report: per-group quantile envelopes from the
     // GROUPED hist store (registerHistBy) — the source-mix dashboard
     // read. One bounded key-pruned scan of sketch-sized rows per group.
@@ -651,21 +653,34 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           (200,
             s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
               s""","groups":$groups}""" + "\n")
+        case "mg" if heavyK == 0 =>
+          // heavy=0 honors the cap like the ungrouped path: per-group
+          // masses only, no items (the dedicated mass read — a rank
+          // window capped at 0 would drop the groups themselves)
+          val rows = pick(graft.ops.SketchStore.storedMgMassBy(db, tag))
+            .orderBy("grp").limit(maxGroups + 1)
+            .as[(String, Long)].collect().toSeq
+          val truncated = rows.size > maxGroups
+          val groups = rows.take(maxGroups).map { case (g, n) =>
+            s"""{"grp":${jstr(g)},"n":$n,"heavy":[]}"""
+          }.mkString("[", ",", "]")
+          (200,
+            s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
+              s""","groups":$groups}""" + "\n")
         case "mg" =>
           // ≤ heavy= items per group (rank window partitioned by group,
           // never a data-sized collect), heaviest first within a group
           import org.apache.spark.sql.expressions.Window
-          val perGrp = math.max(heavyK, 1)
           val rows = pick(
               graft.ops.SketchStore.storedHeavyHittersBy(db, tag = tag))
             .withColumn("rk", org.apache.spark.sql.functions.row_number()
               .over(Window.partitionBy("grp")
                 .orderBy(col("est").desc, col("item"))))
-            .filter(col("rk") <= perGrp)
+            .filter(col("rk") <= heavyK)
             .select(col("grp"), col("item"), col("est"), col("n"),
               col("certain"), col("rk"))
             .orderBy("grp", "rk")
-            .limit((maxGroups + 1) * perGrp)
+            .limit((maxGroups + 1) * heavyK)
             .as[(String, String, Long, Long, Long, Long)].collect().toSeq
           val byGrp = rows.groupBy(_._1).toSeq.sortBy(_._1)
           val truncated = byGrp.size > maxGroups
@@ -688,13 +703,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                                heavyK: Int): (Int, String) = {
     val spark = db.spark
     import spark.implicits._
-    def jstr(s: String) =
-      "\"" + s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => f"\\u${c.toInt}%04x"
-        case c             => c.toString
-      } + "\""
     // three independent bounded reads — concurrent jobs like the
     // hybrid verb, then a driver-side render of sketch-sized rows
     import scala.concurrent.{Await, Future}

@@ -102,21 +102,60 @@ object Compactor {
   // and don't take this lock: they claim txids later than the compacted
   // output's, so last-wins and delete precedence stay correct.
   private val localLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
 
-  private def withCompactionLock[A](warehouse: String)(body: => A): A = {
-    val monitor = localLocks.computeIfAbsent(warehouse, _ => new Object)
-    monitor.synchronized {
+  private def withCompactionLock[A](warehouse: String)(body: => A): A =
+    withLock(warehouse, blocking = true)(body).get
+
+  /** [[withCompactionLock]], but give up immediately when another
+    * compactor (thread or process) holds the lock — None. The streaming
+    * sinks' auto-compact needs this: a blocked lock wait would stall
+    * the micro-batch for the other compaction's full duration, and
+    * compaction is maintenance — always safe to retry at the next
+    * cadence point (the same argument as the auto-fold's bounded wait).
+    */
+  private def withCompactionLockTry[A](warehouse: String)(body: => A)
+      : Option[A] =
+    withLock(warehouse, blocking = false)(body)
+
+  private def withLock[A](warehouse: String, blocking: Boolean)(body: => A)
+      : Option[A] = {
+    val monitor = localLocks.computeIfAbsent(warehouse,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+    if (blocking) monitor.lock()
+    else if (!monitor.tryLock()) return None
+    try {
       val lockPath = Paths.get(warehouse, "_compact.lock")
       Files.createDirectories(lockPath.getParent)
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
-      val lock = ch.lock() // blocks until the other process finishes
-      try body
+      val lock =
+        if (blocking) ch.lock() // blocks until the other process finishes
+        else {
+          val l = ch.tryLock()
+          if (l == null) { ch.close(); return None }
+          l
+        }
+      try Some(body)
       finally { lock.release(); ch.close() }
-    }
+    } finally monitor.unlock()
   }
+
+  /** Non-blocking [[major]]: false (and untouched state) when another
+    * compactor holds the lock.
+    */
+  def tryMajor(db: Db): Boolean =
+    withCompactionLockTry(db.warehouse) {
+      compactLocked(db, major = true, identity)
+    }.isDefined
+
+  /** Non-blocking [[vacuum]]: false when another compactor holds the
+    * lock.
+    */
+  def tryVacuum(db: Db, graceMs: Long = 15 * 60 * 1000L): Boolean =
+    withCompactionLockTry(db.warehouse)(vacuumLocked(db, graceMs)).isDefined
 
   private def compact(db: Db, major: Boolean,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
@@ -257,7 +296,9 @@ object Compactor {
     * uses). `graceMs = 0` is for tests and known-quiescent warehouses.
     */
   def vacuum(db: Db, graceMs: Long = 15 * 60 * 1000L): Unit =
-    withCompactionLock(db.warehouse) {
+    withCompactionLock(db.warehouse)(vacuumLocked(db, graceMs))
+
+  private def vacuumLocked(db: Db, graceMs: Long): Unit = {
       val m = Manifest.current(db.warehouse)
       val cutoff = System.currentTimeMillis() - graceMs
       // Newest mtime anywhere UNDER the directory: a long-running write

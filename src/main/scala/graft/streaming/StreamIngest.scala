@@ -429,12 +429,20 @@ object StreamIngest {
     * is what purges the fold markers minor would retain), then a
     * vacuum pass whose grace window removes dirs retired by EARLIER
     * cadence points. Same non-fatal contract as the auto-fold: the
-    * batch already committed; skipping maintenance is always safe.
+    * batch already committed; skipping maintenance is always safe —
+    * and the same BOUNDED-wait contract too: the try-variants give up
+    * instantly when another compactor holds the lock, because a
+    * blocking lock wait would stall the micro-batch for that
+    * compaction's full duration (the auto-fold's 15 s argument,
+    * sharpened to zero).
     */
   private def autoCompact(db: Db, batchId: Long, compactEvery: Int): Unit =
     if (shouldFold(batchId, compactEvery)) nonFatalFold {
-      graft.store.Compactor.major(db)
-      graft.store.Compactor.vacuum(db)
+      if (graft.store.Compactor.tryMajor(db))
+        graft.store.Compactor.tryVacuum(db)
+      else
+        System.err.println(
+          "graft: auto-compact skipped: another compactor holds the lock")
     }
 
   /** How long an AUTO-fold waits out concurrent writers before skipping:

@@ -478,6 +478,12 @@ class ServeSpec extends SparkSpec {
         mbody.contains(
           """{"grp":"g1","n":30,"heavy":[{"item":"hot1","est":20,"certain":1}]}"""),
         mbody)
+      // heavy=0 honors the cap like the ungrouped path: masses only
+      val (zc, zbody) =
+        http("GET", s"$base/_query/stats?by=src&kind=mg&heavy=0")
+      assert(zc == 200 && zbody.contains("\"heavy\":[]") &&
+        zbody.contains("\"grp\":\"g0\",\"n\":30") &&
+        !zbody.contains("hot0"), zbody)
       // an unknown kind answers 400, not a silent hist fallback
       val (bc, bbody) = http("GET", s"$base/_query/stats?by=src&kind=nope")
       assert(bc == 400, s"$bc $bbody")
