@@ -506,6 +506,27 @@ object PipelineStress {
       timed(s"grouped hist fold (${nGroups} grps)")(
         SketchStore.foldHistBy(gdb))
 
+      // grouped MG at the same data-sized group count: every rank /
+      // threshold window partitioned by group, the store write is the
+      // cost like the grouped hist — n/10 groups over n items, with a
+      // hot item per group so the report is non-trivial
+      val mdb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-gmg").toString)
+      val mvals = spark.range(n).select(
+        concat(lit("g"), pmod(hash(col("id")), lit(nGroups))).as("g"),
+        when(col("id") % 4 === 0,
+            concat(lit("hot"), pmod(hash(col("id")), lit(nGroups))))
+          .otherwise(concat(lit("t"), col("id") % 5000)).as("t"))
+        .localCheckpoint(true)
+      timed(s"grouped mg register (${nGroups} grps)") {
+        SketchStore.registerMgBy(mdb, mvals, col("g"), col("t"),
+          batchId = 0L)
+      }
+      timed(s"grouped mg report (${nGroups} grps)")(
+        SketchStore.storedHeavyHittersBy(mdb).count())
+      timed(s"grouped mg fold (${nGroups} grps)")(
+        SketchStore.foldMgBy(mdb))
+
       // ── trio commit cost: the measured driver of sketch maintenance
       // is the manifest commit, so the streaming trio's 3-transactions-
       // per-batch vs the single-tx union registration is the number

@@ -159,6 +159,41 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped MG truncation == the ungrouped rule applied inside " +
+      "every group, random streams") {
+    // mgTruncateBy is the load-bearing algebra of the grouped store:
+    // each group's (c+1)-th-largest threshold, strictly-positive
+    // remainder and est arithmetic must equal the ungrouped
+    // deterministic rule applied to that group's substream alone —
+    // pinned against a from-first-principles Scala model (not the
+    // production code) over random heavy-head + uniform-tail streams.
+    import spark.implicits._
+    val gen = for {
+      c <- Gen.choose(2, 10)
+      nGrp <- Gen.choose(1, 6)
+      n <- Gen.choose(0, 300)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nGrp - 1)
+        it <- Gen.frequency(6 -> Gen.const("h0"), 3 -> Gen.const("h1"),
+          4 -> Gen.choose(0, 400).map(i => s"t$i"))
+      } yield (s"g$g", it))
+    } yield (c, rows)
+    samples(gen, 20, 20260815L).foreach { case (c, rows) =>
+      val got = Sketches.mgSummaryBy(rows.toDF("g", "t"), col("g"),
+          col("t"), c)
+        .as[(String, String, Long)].collect().toSet
+      val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val counts = rs.groupBy(_._2).map { case (it, o) =>
+          (it, o.size.toLong) }.toSeq
+        val sorted = counts.sortBy { case (it, f) => (-f, it) }
+        val d = if (sorted.size <= c) 0L else sorted(c)._2
+        sorted.filter(_._2 > d).map { case (it, f) => (g, it, f - d) }
+      }.toSet
+      assert(got == expect,
+        s"grouped truncation drifted (c=$c): got=$got expect=$expect")
+    }
+  }
+
   test("count-min estimate >= exact count for every element present") {
     val gen = for {
       n <- Gen.choose(1, 200)
