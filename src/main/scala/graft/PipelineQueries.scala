@@ -671,6 +671,33 @@ object PipelineQueries {
         col("source"), col("item"), batchId = 1L)
       SketchStore.storedHeavyHittersBy(db)
     },
+    // the GROUPED trio: per-source KMV minima + MG partials registered
+    // as ONE transaction per batch (the sketchByWriter micro-batch
+    // shape) with the one-supersede grouped fold between batches — the
+    // per-group report must equal the standalone grouped store's, so
+    // it shares the grouped twin oracle verbatim
+    "sk_trio_grouped" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def items(f: DataFrame) = f
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0, col("term"))
+            .otherwise(concat(col("term"), lit("_"), col("doc_id")))
+            .as("item"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerSketchesBy(db,
+        items(docs.filter(col("doc_id") < mid)), col("source"),
+        col("item"), batchId = 0L)
+      SketchStore.foldSketchesBy(db)
+      SketchStore.registerSketchesBy(db,
+        items(docs.filter(col("doc_id") >= mid)), col("source"),
+        col("item"), batchId = 1L)
+      SketchStore.storedHeavyHittersBy(db)
+    },
     // GROUPED grid evolution: the per-source store migrates in place
     // from w=8 to w=16 between two batches (per-group exact re-bin +
     // atomic histg.w flip), and the report must equal the one-shot
@@ -1946,6 +1973,9 @@ object PipelineQueries {
     // union write and one-supersede fold must be invisible to it
     "sk_trio_store" -> SketchStore.sqlMgIncrementalTokens(),
     "sk_mg_grouped_store" -> SketchStore.sqlMgGroupedTokens(),
+    // the grouped trio's MG report is the same grouped two-batch
+    // algebra — the union write and one-supersede fold are invisible
+    "sk_trio_grouped" -> SketchStore.sqlMgGroupedTokens(),
     "sk_hist_quantiles" -> Sketches.sqlHistTokenCounts(),
     "sk_hist_by_source" -> Sketches.sqlHistTokenCountsBySource(),
     // the grouped STORE must equal the one-shot grouped sketch — exact

@@ -305,6 +305,81 @@ object SketchStore {
       }, identity)
   }
 
+  /** The GROUPED trio counterpart of [[registerSketches]]: one batch's
+    * per-group KMV minima AND per-group MG partials (+ masses) union
+    * into ONE transaction — the grouped sketch sink's micro-batch shape
+    * (the grouped hist store consumes a numeric stream and stays its
+    * own sink, the same split as [[registerSketches]] vs
+    * `registerHist`). Each family's rows are exactly its standalone
+    * registration's, so every stored report is unchanged.
+    */
+  def registerSketchesBy(db: graft.store.Db, batch: DataFrame, grp: Column,
+                         elem: Column, batchId: Long, tag: String = "t",
+                         k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
+                         cursor: Option[(String, Long)] = None,
+                         sinkProps: Map[String, String] = Map.empty)
+      : Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val toks = batch.select(grp.as("grp"), elem.as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+    val kmv = toks
+      .select(col("grp"), PortableHash.h60(col("item")).as("h"))
+      .groupBy("grp")
+      .agg(graft.functions.KmvAgg.kmv(k)(col("h")).as("hs"))
+      .select(col("grp"), explode(col("hs")).as("h"))
+      .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
+        col("h").as("ts"), col("grp"), col("h"))
+    val mg = Sketches.mgSummaryBy(toks, col("grp"), col("item"), c)
+      .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")), lit("/"),
+          col("item")).as("key"),
+        lit(batchId).as("ts"), col("grp"), col("item"), col("est"))
+    val mass = toks.groupBy("grp").agg(count(lit(1)).as("n_items"))
+      .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp"))).as("key"),
+        lit(batchId).as("ts"), col("grp"), col("n_items"))
+    graft.store.TxWriter.write(db,
+      kmv.unionByName(mg, allowMissingColumns = true)
+        .unionByName(mass, allowMissingColumns = true),
+      props = sinkProps, streamCursor = cursor)
+  }
+
+  /** [[foldKmvBy]] + [[foldMgBy]] as ONE atomic supersede over all
+    * three grouped key families — the grouped twin of
+    * [[foldSketches]].
+    */
+  def foldSketchesBy(db: graft.store.Db, tag: String = "t",
+                     k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
+                     waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
+    val spark = db.spark
+    val empty = spark.range(0).select(col("id").cast("string").as("key"),
+      col("id").as("ts"))
+    foldStore(db, s"foldSketchesBy($tag)",
+      Seq(kmvByPrefix(tag) + "%", mgByPrefix(tag) + "%",
+        mgByMassPrefix(tag) + "%"), waitMillis)({
+        val snap = db.snapshot()
+        if (snap.manifest.dataTxids.isEmpty) empty
+        else {
+          val kmv = storedKmvSketchBy(db, tag, k)
+            .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
+              col("h").as("ts"), col("grp"), col("h"))
+          val mass = snap.read(mgByMassPrefix(tag) + "%")
+          if (!mass.columns.contains("n_items") || mass.isEmpty) kmv
+          else {
+            val cands = storedMgCandidatesBy(db, tag, c)
+              .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
+                  lit("/"), col("item")).as("key"),
+                lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
+            val total = mass.groupBy("grp")
+              .agg(sum(col("n_items")).as("n_items"))
+              .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp")))
+                  .as("key"),
+                lit(FOLD_TS).as("ts"), col("grp"), col("n_items"))
+            kmv.unionByName(cands, allowMissingColumns = true)
+              .unionByName(total, allowMissingColumns = true)
+          }
+        }
+      }, identity)
+  }
+
   // ── count-min ──────────────────────────────────────────────────────
 
   /** Registers a batch's counter grid (≤ d·w cells) as ONE transaction

@@ -365,6 +365,39 @@ object StreamIngest {
         ()
       }
 
+  /** The GROUPED trio sink — [[sketchWriter]] for per-group streams:
+    * each micro-batch's (`grpCol`, `elemCol`) rows fold into the
+    * grouped KMV AND grouped MG stores as ONE transaction
+    * ([[graft.ops.SketchStore.registerSketchesBy]]), with the cursor
+    * riding the publishing commit and a ONE-supersede auto-fold
+    * ([[graft.ops.SketchStore.foldSketchesBy]]). Same `foldEvery` /
+    * `compactEvery` policies.
+    */
+  def sketchByWriter(db: Db, stream: DataFrame, grpCol: String,
+                     elemCol: String, tag: String = "t",
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     sinkId: String = "sketchby", foldEvery: Int = 0,
+                     compactEvery: Int = 0)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerSketchesBy(db, batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+          if (shouldFold(batchId, foldEvery))
+            nonFatalFold(graft.ops.SketchStore.foldSketchesBy(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery)
+        }
+        ()
+      }
+
   /** Streaming PER-GROUP frequent-items maintenance: each micro-batch's
     * (`grpCol`, `elemCol`) rows fold into the warehouse-backed GROUPED
     * MG store ([[graft.ops.SketchStore.registerMgBy]]) — running

@@ -479,6 +479,58 @@ class StreamIngestSpec extends SparkSpec {
     assert(stored == direct, s"auto-fold drifted: $stored != $direct")
   }
 
+  test("grouped trio sink: ONE transaction per micro-batch feeds both " +
+      "grouped stores; reports == standalone twins") {
+    import graft.ops.SketchStore
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-sketchbysink"))
+    val mem = MemoryStream[(String, String)]
+    val writer = StreamIngest
+      .sketchByWriter(db, mem.toDF().toDF("g", "t"), "g", "t",
+        foldEvery = 2)
+      .option("checkpointLocation", tmpDir("graft-sketchbycp"))
+
+    def batch(b: Int) = (1 to 200).map { i =>
+      val g = s"s${i % 2}"
+      (g, if (i % 10 < 2) s"hot_$g" else s"w${b * 130 + i % 150}")
+    }
+    val (b0, b1) = (batch(0), batch(1))
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    val vBefore = Manifest.currentVersion(db.warehouse)
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+    // one union transaction per micro-batch, cursor in the publish —
+    // batch 1 additionally folded (foldEvery=2): 2 write commits + the
+    // fold's 2 (supersedeIf = claim + conditional publish); a per-store
+    // fold pair would have been 2 + 2×2
+    assert(Manifest.currentVersion(db.warehouse) - vBefore == 4L,
+      "write claim + publish + ONE fold supersede (claim + publish)")
+    // both grouped reports equal their standalone-store twins
+    val twin = Db(spark, tmpDir("graft-sketchbytwin"))
+    SketchStore.registerKmvBy(twin, b0.toDF("g", "t"), col("g"), col("t"))
+    SketchStore.registerKmvBy(twin, b1.toDF("g", "t"), col("g"), col("t"))
+    SketchStore.registerMgBy(twin, b0.toDF("g", "t"), col("g"), col("t"),
+      batchId = 0L)
+    SketchStore.registerMgBy(twin, b1.toDF("g", "t"), col("g"), col("t"),
+      batchId = 1L)
+    val kmvGot = SketchStore.storedKmvEstimateBy(db)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(kmvGot == SketchStore.storedKmvEstimateBy(twin)
+      .as[(String, Long, Long, Long)].collect().toSeq,
+      "grouped-trio KMV drifted from the standalone store")
+    val mgGot = SketchStore.storedHeavyHittersBy(db)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(mgGot == SketchStore.storedHeavyHittersBy(twin)
+      .as[(String, String, Long, Long, Long)].collect().toSeq,
+      "grouped-trio MG drifted from the standalone store")
+    // the batch-1 fold collapsed every family to one generation
+    val gens = (db.read("mg/t/%").select("ts").distinct().as[Long].collect()
+      ++ db.read("mgn/t/%").select("ts").distinct().as[Long].collect()).toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded MG history: $gens")
+    assert(Manifest.current(db.warehouse).streamBatchFor("sketchby") == 1L)
+  }
+
   test("auto-compact policy: transaction-directory count stays bounded " +
       "across 3N batches and the report never drifts") {
     import graft.ops.{Sketches, SketchStore}
