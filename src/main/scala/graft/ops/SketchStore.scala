@@ -233,14 +233,21 @@ object SketchStore {
                        cursor: Option[(String, Long)] = None,
                        sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    val kmv = Sketches.kmvSketch(batch, elem, k)
+    // the three families aggregate the SAME element stream; left as
+    // three subtrees over `batch` they would re-run its whole lineage
+    // three times (Spark guarantees no exchange reuse across a union's
+    // branches) — materialize the one projected column once, then every
+    // branch reads batch-sized local blocks instead of re-scanning the
+    // source
+    val elems = batch.select(elem.as("item")).localCheckpoint(true)
+    val kmv = Sketches.kmvSketch(elems, col("item"), k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
-    val cm = Sketches.countMinSketch(batch, elem, d, w)
+    val cm = Sketches.countMinSketch(elems, col("item"), d, w)
       .select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
           .as("key"),
         lit(batchId).as("ts"), col("sk_row"), col("bucket"), col("c"))
-    val toks = batch.select(elem.as("item")).filter(col("item").isNotNull)
+    val toks = elems.filter(col("item").isNotNull)
     val mg = Sketches.mgSummary(toks, col("item"), c)
       .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
         lit(batchId).as("ts"), col("item"), col("est"))
@@ -320,8 +327,11 @@ object SketchStore {
                          sinkProps: Map[String, String] = Map.empty)
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    // one materialized (grp, item) projection feeds all three branches
+    // — same three-subtree re-scan reasoning as [[registerSketches]]
     val toks = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
+      .localCheckpoint(true)
     val kmv = toks
       .select(col("grp"), PortableHash.h60(col("item")).as("h"))
       .groupBy("grp")
@@ -454,8 +464,10 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
-    // store key)
+    // store key); materialized once — the partial and the mass row are
+    // two subtrees that would otherwise re-run the batch lineage twice
     val toks = batch.select(elem.as("item")).filter(col("item").isNotNull)
+      .localCheckpoint(true)
     val partial = Sketches.mgSummary(toks, col("item"), c)
       .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
         lit(batchId).as("ts"), col("item"), col("est"))
@@ -593,8 +605,10 @@ object SketchStore {
                    cursor: Option[(String, Long)] = None,
                    sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    // materialized once — partial + per-group mass are two subtrees
     val toks = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
+      .localCheckpoint(true)
     val partial = Sketches.mgSummaryBy(toks, col("grp"), col("item"), c)
       .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")), lit("/"),
           col("item")).as("key"),
