@@ -238,7 +238,7 @@ object Cli {
           case "mg" =>
             import org.apache.spark.sql.functions.{col, row_number}
             val heavyK = flags.get("--heavy").map(_.toInt).getOrElse(20)
-            graft.ops.SketchStore.storedHeavyHittersBy(db, tag = tag)
+            graft.ops.SketchStore.heavyHittersByUnordered(db, tag = tag)
               .withColumn("rk",
                 row_number().over(
                   org.apache.spark.sql.expressions.Window

@@ -667,11 +667,22 @@ object SketchStore {
     */
   def storedHeavyHittersBy(db: graft.store.Db, tag: String = "t",
                            c: Int = Sketches.MG_C): DataFrame =
+    heavyHittersByUnordered(db, tag, c)
+      .orderBy(col("grp"), col("est").desc, col("item"))
+
+  /** [[storedHeavyHittersBy]] without the total order — for consumers
+    * that impose their own (the serving tier's per-group rank window):
+    * stacking a range exchange under a hash-partitioned window would
+    * sort the report only to immediately re-shuffle it.
+    */
+  private[graft] def heavyHittersByUnordered(db: graft.store.Db,
+                                             tag: String = "t",
+                                             c: Int = Sketches.MG_C)
+      : DataFrame =
     storedMgCandidatesBy(db, tag, c)
       .join(storedMgMassBy(db, tag), Seq("grp"))
       .select(col("grp"), col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
-      .orderBy(col("grp"), col("est").desc, col("item"))
 
   /** [[foldMg]] per group: candidates + per-group mass rewrite as ONE
     * folded generation under one atomic supersede over both key

@@ -672,7 +672,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           // never a data-sized collect), heaviest first within a group
           import org.apache.spark.sql.expressions.Window
           val rows = pick(
-              graft.ops.SketchStore.storedHeavyHittersBy(db, tag = tag))
+              graft.ops.SketchStore.heavyHittersByUnordered(db, tag = tag))
             .withColumn("rk", org.apache.spark.sql.functions.row_number()
               .over(Window.partitionBy("grp")
                 .orderBy(col("est").desc, col("item"))))
