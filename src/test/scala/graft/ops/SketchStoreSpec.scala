@@ -575,6 +575,45 @@ class SketchStoreSpec extends SparkSpec {
       "compacted fold changed the estimates")
   }
 
+  test("foldSketches racing trio writers: every family's report survives " +
+      "any interleaving") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val db = tmpDb()
+    // 6 single-tx trio registrations racing a continuous all-family
+    // folder: the shared fence refuses a fold whenever anything moved,
+    // so KMV minima, count-min sums AND MG mass all survive — the
+    // union write adds nothing the fence doesn't already cover, which
+    // is exactly what this pins
+    val batches = (0 until 6).map(b =>
+      Seq.fill(10)("hot") ++ (0 until 30).map(i => s"w${b * 17 + i}"))
+    val writers = batches.zipWithIndex.map { case (xs, b) =>
+      Future {
+        SketchStore.registerSketches(db, toks(xs: _*), col("t"),
+          batchId = b.toLong, k = 32)
+      }
+    }
+    val folder = Future {
+      for (_ <- 0 until 4) SketchStore.foldSketches(db, k = 32)
+    }
+    Await.result(Future.sequence(writers :+ folder), 300.seconds)
+    SketchStore.foldSketches(db, k = 32) // quiesced: one final fold
+    val all = batches.flatten
+    val storedKmv = SketchStore.storedKmvSketch(db, k = 32)
+      .as[Long].collect().toSeq
+    val directKmv = Sketches.kmvSketch(toks(all: _*), col("t"), 32)
+      .as[Long].collect().toSeq
+    assert(storedKmv == directKmv, "racing foldSketches corrupted KMV")
+    val cm = SketchStore.probeStoredCountMin(db, toks("hot"), "t")
+      .as[(String, Long)].head()._2
+    assert(cm >= 60L, s"racing foldSketches lost count-min mass: $cm")
+    val hh = SketchStore.storedHeavyHitters(db)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(hh.nonEmpty && hh.head._1 == "hot" && hh.head._3 == all.size,
+      s"racing foldSketches corrupted MG: $hh")
+  }
+
   test("grouped MG store: each group's report == the ungrouped store of " +
       "its own substream; fold and replay preserve it") {
     val db = tmpDb()
