@@ -120,15 +120,25 @@ object SketchStore {
                     sinkProps: Map[String, String] = Map.empty): Long = {
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
-      .filter(col("grp").isNotNull)
-    val rows = hashed.groupBy("grp")
+    graft.store.TxWriter.write(db, kmvByRows(tag, hashed, k),
+      props = sinkProps, streamCursor = cursor)
+  }
+
+  /** ONE copy of the grouped-KMV row shape, shared by the standalone
+    * registration and the trio — the two must write byte-identical
+    * rows or migrating a pipeline between them silently changes the
+    * stored sketches. Null groups AND null hashes (null elements) are
+    * excluded here, the single enforcement point: a null element would
+    * otherwise unbox to a spurious h=0 minimum in the primitive-Long
+    * udaf.
+    */
+  private def kmvByRows(tag: String, hashed: DataFrame, k: Int): DataFrame =
+    hashed.filter(col("grp").isNotNull && col("h").isNotNull)
+      .groupBy("grp")
       .agg(graft.functions.KmvAgg.kmv(k)(col("h")).as("hs"))
       .select(col("grp"), explode(col("hs")).as("h"))
       .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
         col("h").as("ts"), col("grp"), col("h"))
-    graft.store.TxWriter.write(db, rows, props = sinkProps,
-      streamCursor = cursor)
-  }
 
   /** The merged per-group sketches: the k smallest distinct stored
     * minima of each group — a key-pruned read plus a window
@@ -181,10 +191,7 @@ object SketchStore {
                 k: Int = Sketches.KMV_K,
                 waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"),
-      waitMillis)(
-      storedKmvSketchBy(db, tag, k),
-      _.select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
-        col("h").as("ts"), col("grp"), col("h")))
+      waitMillis)(kmvFoldRowsBy(db, tag, k), identity)
 
   /** DuckDB twin of the grouped store over `documents` tokens by
     * `source` — [[Sketches.sqlKmvTokensBySource]] minus the exact
@@ -328,27 +335,18 @@ object SketchStore {
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // one materialized (grp, item) projection feeds all three branches
-    // — same three-subtree re-scan reasoning as [[registerSketches]]
+    // — same three-subtree re-scan reasoning as [[registerSketches]].
+    // The rows come from the SAME builders the standalone registrations
+    // use ([[kmvByRows]]/[[mgByRows]]), so trio and standalone stores
+    // are identical by construction, not by assertion.
     val toks = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .localCheckpoint(true)
-    val kmv = toks
-      .select(col("grp"), PortableHash.h60(col("item")).as("h"))
-      .groupBy("grp")
-      .agg(graft.functions.KmvAgg.kmv(k)(col("h")).as("hs"))
-      .select(col("grp"), explode(col("hs")).as("h"))
-      .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
-        col("h").as("ts"), col("grp"), col("h"))
-    val mg = Sketches.mgSummaryBy(toks, col("grp"), col("item"), c)
-      .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")), lit("/"),
-          col("item")).as("key"),
-        lit(batchId).as("ts"), col("grp"), col("item"), col("est"))
-    val mass = toks.groupBy("grp").agg(count(lit(1)).as("n_items"))
-      .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp"))).as("key"),
-        lit(batchId).as("ts"), col("grp"), col("n_items"))
+    val kmv = kmvByRows(tag,
+      toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
     graft.store.TxWriter.write(db,
-      kmv.unionByName(mg, allowMissingColumns = true)
-        .unionByName(mass, allowMissingColumns = true),
+      kmv.unionByName(mgByRows(tag, toks, batchId, c),
+        allowMissingColumns = true),
       props = sinkProps, streamCursor = cursor)
   }
 
@@ -368,27 +366,21 @@ object SketchStore {
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = storedKmvSketchBy(db, tag, k)
-            .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
-              col("h").as("ts"), col("grp"), col("h"))
-          val mass = snap.read(mgByMassPrefix(tag) + "%")
-          if (!mass.columns.contains("n_items") || mass.isEmpty) kmv
-          else {
-            val cands = storedMgCandidatesBy(db, tag, c)
-              .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
-                  lit("/"), col("item")).as("key"),
-                lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
-            val total = mass.groupBy("grp")
-              .agg(sum(col("n_items")).as("n_items"))
-              .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp")))
-                  .as("key"),
-                lit(FOLD_TS).as("ts"), col("grp"), col("n_items"))
-            kmv.unionByName(cands, allowMissingColumns = true)
-              .unionByName(total, allowMissingColumns = true)
-          }
+          val kmv = kmvFoldRowsBy(db, tag, k)
+          mgByFoldRows(db, snap, tag, c).fold(kmv)(mg =>
+            kmv.unionByName(mg, allowMissingColumns = true))
         }
       }, identity)
   }
+
+  /** The grouped-KMV FOLD replacement (each group's k smallest minima
+    * re-keyed), shared by [[foldKmvBy]] and [[foldSketchesBy]].
+    */
+  private def kmvFoldRowsBy(db: graft.store.Db, tag: String,
+                            k: Int): DataFrame =
+    storedKmvSketchBy(db, tag, k)
+      .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
+        col("h").as("ts"), col("grp"), col("h"))
 
   // ── count-min ──────────────────────────────────────────────────────
 
@@ -609,16 +601,49 @@ object SketchStore {
     val toks = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .localCheckpoint(true)
+    graft.store.TxWriter.write(db, mgByRows(tag, toks, batchId, c),
+      props = sinkProps, streamCursor = cursor)
+  }
+
+  /** ONE copy of the grouped-MG row shapes (per-group deterministic
+    * partial + per-group mass row, both at `ts`), shared by the
+    * standalone registration and the trio. `toks` must be the
+    * null-filtered (grp, item) projection, already materialized.
+    */
+  private def mgByRows(tag: String, toks: DataFrame, ts: Long,
+                       c: Int): DataFrame = {
     val partial = Sketches.mgSummaryBy(toks, col("grp"), col("item"), c)
       .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")), lit("/"),
           col("item")).as("key"),
-        lit(batchId).as("ts"), col("grp"), col("item"), col("est"))
+        lit(ts).as("ts"), col("grp"), col("item"), col("est"))
     val mass = toks.groupBy("grp").agg(count(lit(1)).as("n_items"))
       .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp"))).as("key"),
-        lit(batchId).as("ts"), col("grp"), col("n_items"))
-    graft.store.TxWriter.write(db,
-      partial.unionByName(mass, allowMissingColumns = true),
-      props = sinkProps, streamCursor = cursor)
+        lit(ts).as("ts"), col("grp"), col("n_items"))
+    partial.unionByName(mass, allowMissingColumns = true)
+  }
+
+  /** ONE copy of the grouped-MG FOLD replacement (merged candidates +
+    * summed per-group masses at FOLD_TS), shared by [[foldMgBy]] and
+    * [[foldSketchesBy]]. None = nothing registered (the mass-row
+    * emptiness signal).
+    */
+  private def mgByFoldRows(db: graft.store.Db,
+                           snap: graft.store.Db#Snapshot, tag: String,
+                           c: Int): Option[DataFrame] = {
+    val mass = snap.read(mgByMassPrefix(tag) + "%")
+    if (!mass.columns.contains("n_items") || mass.isEmpty) None
+    else {
+      val cands = storedMgCandidatesBy(db, tag, c)
+        .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
+            lit("/"), col("item")).as("key"),
+          lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
+      val total = mass.groupBy("grp")
+        .agg(sum(col("n_items")).as("n_items"))
+        .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp")))
+            .as("key"),
+          lit(FOLD_TS).as("ts"), col("grp"), col("n_items"))
+      Some(cands.unionByName(total, allowMissingColumns = true))
+    }
   }
 
   /** The merged per-group candidate sets: per-(grp, item) sums over the
@@ -698,22 +723,7 @@ object SketchStore {
       Seq(mgByPrefix(tag) + "%", mgByMassPrefix(tag) + "%"), waitMillis)({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
-        else {
-          val mass = snap.read(mgByMassPrefix(tag) + "%")
-          if (!mass.columns.contains("n_items") || mass.isEmpty) empty
-          else {
-            val cands = storedMgCandidatesBy(db, tag, c)
-              .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
-                  lit("/"), col("item")).as("key"),
-                lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
-            val total = mass.groupBy("grp")
-              .agg(sum(col("n_items")).as("n_items"))
-              .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp")))
-                  .as("key"),
-                lit(FOLD_TS).as("ts"), col("grp"), col("n_items"))
-            cands.unionByName(total, allowMissingColumns = true)
-          }
-        }
+        else mgByFoldRows(db, snap, tag, c).getOrElse(empty)
       }, identity)
   }
 

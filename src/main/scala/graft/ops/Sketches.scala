@@ -42,8 +42,14 @@ object Sketches {
     * distinct cardinality ever moves, which is the entire point of the
     * sketch at corpus scale.
     */
+  /** NULL elements are excluded before the aggregation: a null is "no
+    * element", and the udaf's primitive-Long input would otherwise
+    * unbox it to a spurious h=0 minimum that skews the estimate — the
+    * DuckDB twin excludes them for free (`md5(NULL)` is NULL).
+    */
   def kmvSketch(df: DataFrame, elem: Column, k: Int = KMV_K): DataFrame =
     df.select(PortableHash.h60(elem).as("h"))
+      .filter(col("h").isNotNull)
       .agg(graft.functions.KmvAgg.kmv(k)(col("h")).as("hs"))
       .select(explode(col("hs")).as("h"))
       .orderBy("h")
@@ -74,7 +80,10 @@ object Sketches {
     */
   def kmvDistinctBy(df: DataFrame, grpCol: String, elem: Column,
                     k: Int = KMV_K, exact: Boolean = true): DataFrame = {
+    // null elements excluded like kmvSketch (countDistinct already
+    // skips them, so the exact column is unchanged)
     val hashed = df.select(col(grpCol).as("grp"), PortableHash.h60(elem).as("h"))
+      .filter(col("h").isNotNull)
     val aggs = graft.functions.KmvAgg.kmv(k)(col("h")).as("hs") +:
       (if (exact) Seq(countDistinct(col("h")).as("n_exact")) else Nil)
     val est = hashed.groupBy("grp").agg(aggs.head, aggs.tail: _*)

@@ -565,6 +565,15 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 
+  /** ONE copy of the JSON string escape every stats body shares. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
   /** Corpus statistics at serving latency:
     * `GET /_query/stats?tag=<t>&heavy=<n>` → ONE JSON line from the
     * warehouse-backed sketch stores ([[graft.ops.SketchStore]]) bound
@@ -582,15 +591,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * ([[graft.ops.SketchStore.registerHistBy]]) — the source-mix
     * dashboard read.
     */
-  /** ONE copy of the JSON string escape every stats body shares. */
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    } + "\""
-
   private def doStats(p: Map[String, String]): (Int, String) = {
     val tag = p.getOrElse("tag", "t")
     val heavyK = p.get("heavy").flatMap(_.toIntOption).getOrElse(20)
@@ -653,42 +653,44 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           (200,
             s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
               s""","groups":$groups}""" + "\n")
-        case "mg" if heavyK == 0 =>
-          // heavy=0 honors the cap like the ungrouped path: per-group
-          // masses only, no items (the dedicated mass read — a rank
-          // window capped at 0 would drop the groups themselves)
-          val rows = pick(graft.ops.SketchStore.storedMgMassBy(db, tag))
+        case "mg" =>
+          // the GROUP SET is mass-defined at every heavy= value: a
+          // group whose merged candidates truncated to nothing (mass
+          // but no items) must not appear and disappear as the heavy
+          // knob moves, and `truncated` must count one consistent set.
+          // Read 1: the first maxGroups+1 masses (one row per group —
+          // the limit IS the group cap). Read 2: ≤ heavy items per
+          // SELECTED group via an isin-pruned, group-partitioned rank
+          // window — never a data-sized collect.
+          val masses = pick(graft.ops.SketchStore.storedMgMassBy(db, tag))
             .orderBy("grp").limit(maxGroups + 1)
             .as[(String, Long)].collect().toSeq
-          val truncated = rows.size > maxGroups
-          val groups = rows.take(maxGroups).map { case (g, n) =>
-            s"""{"grp":${jstr(g)},"n":$n,"heavy":[]}"""
-          }.mkString("[", ",", "]")
-          (200,
-            s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
-              s""","groups":$groups}""" + "\n")
-        case "mg" =>
-          // ≤ heavy= items per group (rank window partitioned by group,
-          // never a data-sized collect), heaviest first within a group
-          import org.apache.spark.sql.expressions.Window
-          val rows = pick(
-              graft.ops.SketchStore.heavyHittersByUnordered(db, tag = tag))
-            .withColumn("rk", org.apache.spark.sql.functions.row_number()
-              .over(Window.partitionBy("grp")
-                .orderBy(col("est").desc, col("item"))))
-            .filter(col("rk") <= heavyK)
-            .select(col("grp"), col("item"), col("est"), col("n"),
-              col("certain"), col("rk"))
-            .orderBy("grp", "rk")
-            .limit((maxGroups + 1) * heavyK)
-            .as[(String, String, Long, Long, Long, Long)].collect().toSeq
-          val byGrp = rows.groupBy(_._1).toSeq.sortBy(_._1)
-          val truncated = byGrp.size > maxGroups
-          val groups = byGrp.take(maxGroups).map { case (g, hs) =>
-            val hJson = hs.sortBy(_._6).map { case (_, item, est, _, cert, _) =>
-              s"""{"item":${jstr(item)},"est":$est,"certain":$cert}"""
-            }.mkString("[", ",", "]")
-            s"""{"grp":${jstr(g)},"n":${hs.head._4},"heavy":$hJson}"""
+          val truncated = masses.size > maxGroups
+          val sel = masses.take(maxGroups)
+          val items: Map[String, Seq[(String, Long, Long, Long)]] =
+            if (heavyK == 0 || sel.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.expressions.Window
+              graft.ops.SketchStore.heavyHittersByUnordered(db, tag = tag)
+                .filter(col("grp").isin(sel.map(_._1): _*))
+                .withColumn("rk",
+                  org.apache.spark.sql.functions.row_number()
+                    .over(Window.partitionBy("grp")
+                      .orderBy(col("est").desc, col("item"))))
+                .filter(col("rk") <= heavyK)
+                .select(col("grp"), col("item"), col("est"),
+                  col("certain"), col("rk"))
+                .as[(String, String, Long, Long, Long)].collect().toSeq
+                .groupBy(_._1)
+                .map { case (g, hs) => g -> hs.sortBy(_._5)
+                  .map(h => (h._2, h._3, h._4, h._5)) }
+            }
+          val groups = sel.map { case (g, n) =>
+            val hJson = items.getOrElse(g, Nil)
+              .map { case (item, est, cert, _) =>
+                s"""{"item":${jstr(item)},"est":$est,"certain":$cert}"""
+              }.mkString("[", ",", "]")
+            s"""{"grp":${jstr(g)},"n":$n,"heavy":$hJson}"""
           }.mkString("[", ",", "]")
           (200,
             s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +

@@ -131,15 +131,24 @@ object Compactor {
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
-      val lock =
-        if (blocking) ch.lock() // blocks until the other process finishes
-        else {
-          val l = ch.tryLock()
-          if (l == null) { ch.close(); return None }
-          l
-        }
-      try Some(body)
-      finally { lock.release(); ch.close() }
+      // the channel must close on EVERY exit: a lock() throw, a null
+      // tryLock, or an OverlappingFileLockException — the same-JVM case
+      // Java signals by throwing rather than returning null (reachable
+      // when two path spellings of one warehouse miss the monitor map),
+      // which for the try-variant is just "busy", i.e. None
+      var lock: java.nio.channels.FileLock = null
+      try {
+        lock =
+          if (blocking) ch.lock() // blocks until the other process finishes
+          else
+            try ch.tryLock() catch {
+              case _: java.nio.channels.OverlappingFileLockException => null
+            }
+        if (lock == null) None else Some(body)
+      } finally {
+        if (lock != null) lock.release()
+        ch.close()
+      }
     } finally monitor.unlock()
   }
 

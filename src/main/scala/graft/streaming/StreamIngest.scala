@@ -471,11 +471,15 @@ object StreamIngest {
     */
   private def autoCompact(db: Db, batchId: Long, compactEvery: Int): Unit =
     if (shouldFold(batchId, compactEvery)) nonFatalFold {
-      if (graft.store.Compactor.tryMajor(db))
-        graft.store.Compactor.tryVacuum(db)
-      else
+      if (!graft.store.Compactor.tryMajor(db))
         System.err.println(
           "graft: auto-compact skipped: another compactor holds the lock")
+      else if (!graft.store.Compactor.tryVacuum(db))
+        // vacuum is what clears crashed writers' stale pending claims
+        // (the raised-fold-fence case) — a skip must be as loud as the
+        // compact's
+        System.err.println(
+          "graft: auto-vacuum skipped: another compactor took the lock")
     }
 
   /** How long an AUTO-fold waits out concurrent writers before skipping:

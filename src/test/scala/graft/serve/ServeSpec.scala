@@ -465,9 +465,13 @@ class ServeSpec extends SparkSpec {
         !kcap.contains("\"grp\":\"g1\""), kcap)
       // kind=mg serves the grouped certified frequent items, heavy= per
       // group
+      // g2 is the candidate-less edge: 130 distinct single-count items
+      // under c=128 truncate to NOTHING (every f equals the (c+1)-th
+      // largest), leaving mass but no items
       graft.ops.SketchStore.registerMgBy(db,
         (Seq.fill(30)(("g0", "hot0")) ++ Seq.fill(20)(("g1", "hot1")) ++
-          (1 to 10).map(i => ("g1", s"c$i"))).toDF("src", "t"),
+          (1 to 10).map(i => ("g1", s"c$i")) ++
+          (1 to 130).map(i => ("g2", s"u$i"))).toDF("src", "t"),
         col("src"), col("t"), batchId = 0L)
       val (mc, mbody) =
         http("GET", s"$base/_query/stats?by=src&kind=mg&heavy=1")
@@ -478,11 +482,16 @@ class ServeSpec extends SparkSpec {
         mbody.contains(
           """{"grp":"g1","n":30,"heavy":[{"item":"hot1","est":20,"certain":1}]}"""),
         mbody)
+      // the group set is MASS-defined at every heavy= value: the
+      // candidate-less group reports its n with an empty item list
+      // instead of appearing and disappearing as the knob moves
+      assert(mbody.contains("""{"grp":"g2","n":130,"heavy":[]}"""), mbody)
       // heavy=0 honors the cap like the ungrouped path: masses only
       val (zc, zbody) =
         http("GET", s"$base/_query/stats?by=src&kind=mg&heavy=0")
       assert(zc == 200 && zbody.contains("\"heavy\":[]") &&
         zbody.contains("\"grp\":\"g0\",\"n\":30") &&
+        zbody.contains("\"grp\":\"g2\",\"n\":130") &&
         !zbody.contains("hot0"), zbody)
       // an unknown kind answers 400, not a silent hist fallback
       val (bc, bbody) = http("GET", s"$base/_query/stats?by=src&kind=nope")
