@@ -77,9 +77,13 @@ object SketchStore {
     * registered under `tag`.
     */
   def storedKmvSketch(db: graft.store.Db, tag: String = "t",
-                      k: Int = Sketches.KMV_K): DataFrame = {
+                      k: Int = Sketches.KMV_K): DataFrame =
+    storedKmvSketchAt(db, db.snapshot(), tag, k)
+
+  private def storedKmvSketchAt(db: graft.store.Db,
+                                snap: graft.store.Db#Snapshot,
+                                tag: String, k: Int): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").as("h"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
@@ -147,9 +151,13 @@ object SketchStore {
     * group's sketch of everything ever registered.
     */
   def storedKmvSketchBy(db: graft.store.Db, tag: String = "t",
-                        k: Int = Sketches.KMV_K): DataFrame = {
+                        k: Int = Sketches.KMV_K): DataFrame =
+    storedKmvSketchByAt(db, db.snapshot(), tag, k)
+
+  private def storedKmvSketchByAt(db: graft.store.Db,
+                                  snap: graft.store.Db#Snapshot,
+                                  tag: String, k: Int): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("h"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -169,7 +177,8 @@ object SketchStore {
 
   /** Per-group estimates from the stored sketches — the store-side
     * twin of [[Sketches.kmvDistinctBy]] (minus the exact count the
-    * store, by design, never kept). Ordered by group.
+    * store, by design, never kept), via THE shared estimator column
+    * [[Sketches.kmvEstimateCol]]. Ordered by group.
     */
   def storedKmvEstimateBy(db: graft.store.Db, tag: String = "t",
                           k: Int = Sketches.KMV_K): DataFrame =
@@ -177,10 +186,8 @@ object SketchStore {
       .groupBy("grp")
       .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
       .select(col("grp"), col("n_sketch"), col("kth_hash"),
-        when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
-            / col("kth_hash").cast("double")))
-          .cast("long").as("est_distinct"))
+        Sketches.kmvEstimateCol(col("n_sketch"), col("kth_hash"), k)
+          .as("est_distinct"))
       .orderBy("grp")
 
   /** [[foldKmv]] per group: keep each group's k smallest minima, drop
@@ -191,7 +198,7 @@ object SketchStore {
                 k: Int = Sketches.KMV_K,
                 waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"),
-      waitMillis)(kmvFoldRowsBy(db, tag, k), identity)
+      waitMillis)(kmvFoldRowsBy(db, db.snapshot(), tag, k), identity)
 
   /** DuckDB twin of the grouped store over `documents` tokens by
     * `source` — [[Sketches.sqlKmvTokensBySource]] minus the exact
@@ -207,10 +214,8 @@ object SketchStore {
        |    AS rk
        |  FROM hashed)
        |SELECT grp, count(*) AS n_sketch, max(h) AS kth_hash,
-       |       CAST(CASE WHEN count(*) < $k THEN count(*)
-       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
-       |                       / CAST(max(h) AS DOUBLE))
-       |            END AS BIGINT) AS est_distinct
+       |       ${Sketches.sqlKmvEstimateExpr("count(*)", "max(h)", k)}
+       |         AS est_distinct
        |FROM topk WHERE rk <= $k
        |GROUP BY grp ORDER BY grp""".stripMargin
 
@@ -286,12 +291,15 @@ object SketchStore {
     foldStore(db, s"foldSketches($tag)",
       Seq(kmvKey(tag), cmPrefix(tag) + "%", mgPrefix(tag) + "%",
         mgMassKey(tag)), waitMillis)({
+        // ONE snapshot for every family's read: all four key families
+        // fold from the same store generation (the same-generation
+        // argument of [[storedHeavyHittersAt]], applied to the fold)
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = storedKmvSketch(db, tag, k)
+          val kmv = storedKmvSketchAt(db, snap, tag, k)
             .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
-          val cm = storedCountMin(db, tag)
+          val cm = storedCountMinAt(db, snap, tag)
             .select(
               format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"),
                 col("bucket")).as("key"),
@@ -304,7 +312,7 @@ object SketchStore {
           if (!massRows.columns.contains("n_items") || massRows.isEmpty)
             base
           else {
-            val cands = storedMgCandidates(db, tag, c)
+            val cands = storedMgCandidatesAt(db, snap, tag, c)
               .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
                 lit(FOLD_TS).as("ts"), col("item"), col("est"))
             val total = massRows
@@ -366,7 +374,7 @@ object SketchStore {
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = kmvFoldRowsBy(db, tag, k)
+          val kmv = kmvFoldRowsBy(db, snap, tag, k)
           mgByFoldRows(db, snap, tag, c).fold(kmv)(mg =>
             kmv.unionByName(mg, allowMissingColumns = true))
         }
@@ -376,9 +384,10 @@ object SketchStore {
   /** The grouped-KMV FOLD replacement (each group's k smallest minima
     * re-keyed), shared by [[foldKmvBy]] and [[foldSketchesBy]].
     */
-  private def kmvFoldRowsBy(db: graft.store.Db, tag: String,
+  private def kmvFoldRowsBy(db: graft.store.Db,
+                            snap: graft.store.Db#Snapshot, tag: String,
                             k: Int): DataFrame =
-    storedKmvSketchBy(db, tag, k)
+    storedKmvSketchByAt(db, snap, tag, k)
       .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
         col("h").as("ts"), col("grp"), col("h"))
 
@@ -406,9 +415,13 @@ object SketchStore {
     * fold) — a key-pruned read of ≤ d·w·batches slim rows into a d·w
     * aggregation. Drop-in for [[Sketches.countMinProbe]]'s sketch side.
     */
-  def storedCountMin(db: graft.store.Db, tag: String = "t"): DataFrame = {
+  def storedCountMin(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedCountMinAt(db, db.snapshot(), tag)
+
+  private def storedCountMinAt(db: graft.store.Db,
+                               snap: graft.store.Db#Snapshot,
+                               tag: String): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").cast("int").as("sk_row"),
       col("id").as("bucket"), col("id").as("c"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -478,9 +491,13 @@ object SketchStore {
     * provably contain every item above n/(c+1).
     */
   def storedMgCandidates(db: graft.store.Db, tag: String = "t",
-                         c: Int = Sketches.MG_C): DataFrame = {
+                         c: Int = Sketches.MG_C): DataFrame =
+    storedMgCandidatesAt(db, db.snapshot(), tag, c)
+
+  private def storedMgCandidatesAt(db: graft.store.Db,
+                                   snap: graft.store.Db#Snapshot,
+                                   tag: String, c: Int): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0)
       .select(col("id").cast("string").as("item"), col("id").as("est"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -497,9 +514,13 @@ object SketchStore {
     * a tie-heavy truncation) can still report how much stream it
     * summarizes.
     */
-  def storedMgMass(db: graft.store.Db, tag: String = "t"): DataFrame = {
+  def storedMgMass(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedMgMassAt(db, db.snapshot(), tag)
+
+  private def storedMgMassAt(db: graft.store.Db,
+                             snap: graft.store.Db#Snapshot,
+                             tag: String): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(1).select(lit(0L).as("n"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
@@ -520,8 +541,20 @@ object SketchStore {
     */
   def storedHeavyHitters(db: graft.store.Db, tag: String = "t",
                          c: Int = Sketches.MG_C): DataFrame =
-    storedMgCandidates(db, tag, c)
-      .crossJoin(broadcast(storedMgMass(db, tag)))
+    storedHeavyHittersAt(db, db.snapshot(), tag, c)
+
+  /** [[storedHeavyHitters]] against ONE snapshot: candidates and mass
+    * must come from the same store generation — a registration
+    * committing between two independent snapshot reads could pair one
+    * generation's candidate counts with the other's mass and falsely
+    * certify an item (`est·(c+1) > n` against a stale smaller n).
+    */
+  private[graft] def storedHeavyHittersAt(db: graft.store.Db,
+                                          snap: graft.store.Db#Snapshot,
+                                          tag: String = "t",
+                                          c: Int = Sketches.MG_C): DataFrame =
+    storedMgCandidatesAt(db, snap, tag, c)
+      .crossJoin(broadcast(storedMgMassAt(db, snap, tag)))
       .select(col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
       .orderBy(col("est").desc, col("item"))
@@ -633,7 +666,7 @@ object SketchStore {
     val mass = snap.read(mgByMassPrefix(tag) + "%")
     if (!mass.columns.contains("n_items") || mass.isEmpty) None
     else {
-      val cands = storedMgCandidatesBy(db, tag, c)
+      val cands = storedMgCandidatesByAt(db, snap, tag, c)
         .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
             lit("/"), col("item")).as("key"),
           lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
@@ -652,9 +685,13 @@ object SketchStore {
     * concatenated stream.
     */
   def storedMgCandidatesBy(db: graft.store.Db, tag: String = "t",
-                           c: Int = Sketches.MG_C): DataFrame = {
+                           c: Int = Sketches.MG_C): DataFrame =
+    storedMgCandidatesByAt(db, db.snapshot(), tag, c)
+
+  private def storedMgCandidatesByAt(db: graft.store.Db,
+                                     snap: graft.store.Db#Snapshot,
+                                     tag: String, c: Int): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").cast("string").as("item"), col("id").as("est"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -669,9 +706,13 @@ object SketchStore {
   /** Per-group registered mass — (grp, n), one row per group ever
     * registered.
     */
-  def storedMgMassBy(db: graft.store.Db, tag: String = "t"): DataFrame = {
+  def storedMgMassBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedMgMassByAt(db, db.snapshot(), tag)
+
+  private[graft] def storedMgMassByAt(db: graft.store.Db,
+                                      snap: graft.store.Db#Snapshot,
+                                      tag: String): DataFrame = {
     val spark = db.spark
-    val snap = db.snapshot()
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("n"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -704,8 +745,22 @@ object SketchStore {
                                              tag: String = "t",
                                              c: Int = Sketches.MG_C)
       : DataFrame =
-    storedMgCandidatesBy(db, tag, c)
-      .join(storedMgMassBy(db, tag), Seq("grp"))
+    heavyHittersByUnorderedAt(db, db.snapshot(), tag, c)
+
+  /** The grouped report against ONE snapshot — same same-generation
+    * argument as [[storedHeavyHittersAt]], sharper here because the
+    * inconsistency would be intra-group (an item's est certified
+    * against ITS OWN group's stale n). The serving tier threads its
+    * snapshot through this so the mass list and the heavy items it
+    * renders next to each other come from one store generation.
+    */
+  private[graft] def heavyHittersByUnorderedAt(db: graft.store.Db,
+                                               snap: graft.store.Db#Snapshot,
+                                               tag: String = "t",
+                                               c: Int = Sketches.MG_C)
+      : DataFrame =
+    storedMgCandidatesByAt(db, snap, tag, c)
+      .join(storedMgMassByAt(db, snap, tag), Seq("grp"))
       .select(col("grp"), col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
 
@@ -1038,7 +1093,7 @@ object SketchStore {
           val mass = snap.read(mgMassKey(tag))
           if (!mass.columns.contains("n_items") || mass.isEmpty) empty
           else {
-            val cands = storedMgCandidates(db, tag, c)
+            val cands = storedMgCandidatesAt(db, snap, tag, c)
               .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
                 lit(FOLD_TS).as("ts"), col("item"), col("est"))
             val total = mass

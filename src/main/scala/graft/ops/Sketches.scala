@@ -64,10 +64,32 @@ object Sketches {
   def kmvEstimate(sketch: DataFrame, k: Int = KMV_K): DataFrame =
     sketch.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
       .select(col("n_sketch"), col("kth_hash"),
-        when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
-            / col("kth_hash").cast("double")))
-          .cast("long").as("est_distinct"))
+        kmvEstimateCol(col("n_sketch"), col("kth_hash"), k)
+          .as("est_distinct"))
+
+  /** THE one copy of the KMV estimator algebra: below k survivors the
+    * sketch IS the exact distinct set, otherwise
+    * `floor((k−1)·2^60 / h_(k))`. Shared by every Scala consumer
+    * (one-shot estimate, grouped estimate, the warehouse store's
+    * grouped report) so the formula exists exactly once;
+    * [[sqlKmvEstimateExpr]] is its SQL-twin counterpart.
+    */
+  def kmvEstimateCol(nSketch: Column, kthHash: Column, k: Int): Column =
+    when(nSketch < k, nSketch)
+      .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
+        / kthHash.cast("double")))
+      .cast("long")
+
+  /** The SQL-twin form of [[kmvEstimateCol]] — one fragment builder for
+    * every DuckDB oracle that states the estimator, so a formula fix
+    * cannot silently miss a twin. `nExpr`/`kthExpr` are the oracle's
+    * own expressions for the survivor count and the k-th hash.
+    */
+  def sqlKmvEstimateExpr(nExpr: String, kthExpr: String, k: Int): String =
+    s"""CAST(CASE WHEN $nExpr < $k THEN $nExpr
+       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
+       |                       / CAST($kthExpr AS DOUBLE))
+       |            END AS BIGINT)""".stripMargin
 
   /** Per-group KMV estimates: one grouped [[graft.functions.KmvAgg]]
     * aggregation — per-partition partial buffers merge map-side, so a
@@ -90,10 +112,7 @@ object Sketches {
       .withColumn("n_sketch", size(col("hs")).cast("long"))
       .withColumn("kth_hash", element_at(col("hs"), size(col("hs"))))
       .withColumn("est_distinct",
-        when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0))
-            / col("kth_hash").cast("double")))
-          .cast("long"))
+        kmvEstimateCol(col("n_sketch"), col("kth_hash"), k))
     val cols = Seq(col("grp")) ++
       (if (exact) Seq(col("n_exact")) else Nil) ++
       Seq(col("n_sketch"), col("kth_hash"), col("est_distinct"))
@@ -119,11 +138,9 @@ object Sketches {
        |          AND t.rk <= $k) AS n_sketch,
        |       (SELECT max(h) FROM topk t WHERE t.grp = hashed.grp
        |          AND t.rk <= $k) AS kth_hash,
-       |       CAST(CASE WHEN count(*) < $k THEN count(*)
-       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
-       |                       / (SELECT CAST(max(h) AS DOUBLE) FROM topk t
-       |                          WHERE t.grp = hashed.grp AND t.rk <= $k))
-       |            END AS BIGINT) AS est_distinct
+       |       ${sqlKmvEstimateExpr("count(*)",
+                  s"(SELECT max(h) FROM topk t WHERE t.grp = hashed.grp " +
+                    s"AND t.rk <= $k)", k)} AS est_distinct
        |FROM hashed GROUP BY grp ORDER BY grp""".stripMargin
 
   /** DuckDB twin of the GLOBAL token-KMV estimate (what
@@ -138,10 +155,8 @@ object Sketches {
        |        FROM documents)),
        |topk AS (SELECT h FROM hashed ORDER BY h LIMIT $k)
        |SELECT count(*) AS n_sketch, max(h) AS kth_hash,
-       |       CAST(CASE WHEN count(*) < $k THEN count(*)
-       |            ELSE floor(${(k - 1).toDouble} * pow(2.0, 60.0)
-       |                       / CAST(max(h) AS DOUBLE))
-       |            END AS BIGINT) AS est_distinct
+       |       ${sqlKmvEstimateExpr("count(*)", "max(h)", k)}
+       |         AS est_distinct
        |FROM topk""".stripMargin
 
   // ── Misra–Gries exact heavy hitters ────────────────────────────────

@@ -661,8 +661,15 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           // Read 1: the first maxGroups+1 masses (one row per group —
           // the limit IS the group cap). Read 2: ≤ heavy items per
           // SELECTED group via an isin-pruned, group-partitioned rank
-          // window — never a data-sized collect.
-          val masses = pick(graft.ops.SketchStore.storedMgMassBy(db, tag))
+          // window — never a data-sized collect. BOTH reads derive
+          // from ONE snapshot: a commit landing between them would
+          // otherwise render heavy items certified against a DIFFERENT
+          // generation's n for the same group — intra-group
+          // inconsistency, sharper than the cross-store mixing single
+          // responses tolerate.
+          val snap = db.snapshot()
+          val masses = pick(
+              graft.ops.SketchStore.storedMgMassByAt(db, snap, tag))
             .orderBy("grp").limit(maxGroups + 1)
             .as[(String, Long)].collect().toSeq
           val truncated = masses.size > maxGroups
@@ -671,7 +678,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             if (heavyK == 0 || sel.isEmpty) Map.empty
             else {
               import org.apache.spark.sql.expressions.Window
-              graft.ops.SketchStore.heavyHittersByUnordered(db, tag = tag)
+              graft.ops.SketchStore
+                .heavyHittersByUnorderedAt(db, snap, tag = tag)
                 .filter(col("grp").isin(sel.map(_._1): _*))
                 .withColumn("rk",
                   org.apache.spark.sql.functions.row_number()

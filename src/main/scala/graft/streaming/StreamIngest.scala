@@ -225,7 +225,7 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
-          if (shouldFold(batchId, foldEvery)) nonFatalFold {
+          if (shouldFold(batchId, foldEvery)) nonFatalFold(db) {
             graft.ops.SketchStore.foldSketches(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS)
           }
@@ -262,7 +262,7 @@ object StreamIngest {
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldHist(db, tag,
+            nonFatalFold(db)(graft.ops.SketchStore.foldHist(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
           autoCompact(db, batchId, compactEvery)
         }
@@ -294,7 +294,7 @@ object StreamIngest {
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldHistBy(db, tag,
+            nonFatalFold(db)(graft.ops.SketchStore.foldHistBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
           autoCompact(db, batchId, compactEvery)
         }
@@ -325,7 +325,7 @@ object StreamIngest {
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldMg(db, tag,
+            nonFatalFold(db)(graft.ops.SketchStore.foldMg(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
           autoCompact(db, batchId, compactEvery)
         }
@@ -358,7 +358,7 @@ object StreamIngest {
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldKmvBy(db, tag,
+            nonFatalFold(db)(graft.ops.SketchStore.foldKmvBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
           autoCompact(db, batchId, compactEvery)
         }
@@ -391,7 +391,7 @@ object StreamIngest {
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldSketchesBy(db, tag,
+            nonFatalFold(db)(graft.ops.SketchStore.foldSketchesBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
           autoCompact(db, batchId, compactEvery)
         }
@@ -424,7 +424,7 @@ object StreamIngest {
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))
-            nonFatalFold(graft.ops.SketchStore.foldMgBy(db, tag,
+            nonFatalFold(db)(graft.ops.SketchStore.foldMgBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
           autoCompact(db, batchId, compactEvery)
         }
@@ -470,7 +470,7 @@ object StreamIngest {
     * sharpened to zero).
     */
   private def autoCompact(db: Db, batchId: Long, compactEvery: Int): Unit =
-    if (shouldFold(batchId, compactEvery)) nonFatalFold {
+    if (shouldFold(batchId, compactEvery)) nonFatalFold(db) {
       if (!graft.store.Compactor.tryMajor(db))
         System.err.println(
           "graft: auto-compact skipped: another compactor holds the lock")
@@ -499,10 +499,43 @@ object StreamIngest {
     * the fold's read/checkpoint/write is equally maintenance-only, so
     * everything non-fatal is caught (the fold either published
     * atomically or not at all — there is no half-folded state to fear).
+    *
+    * Skips are COUNTED per warehouse so a SYSTEMATIC failure (schema
+    * drift, misconfigured tag, persistent filesystem error) is
+    * distinguishable from transient contention: transient skips reset
+    * on the next success, while `MAINT_ESCALATE` straight failures
+    * escalate to a loud warning carrying the streak — the signal a
+    * monitoring system tails for, because unfolded/uncompacted state
+    * grows unbounded exactly when maintenance fails EVERY cadence
+    * point. [[consecutiveMaintenanceFailures]] exposes the live streak.
     */
-  private def nonFatalFold(fold: => Unit): Unit =
-    try fold catch {
+  private[streaming] def nonFatalFold(db: Db)(fold: => Unit): Unit =
+    try { fold; maintFailures.remove(db.warehouse); () } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"graft: auto-fold skipped: ${e.getMessage}")
+        val streak = maintFailures.merge(db.warehouse, 1,
+          (a, b) => Integer.valueOf(a + b)).intValue
+        System.err.println(s"graft: auto-maintenance skipped: ${e.getMessage}")
+        if (streak >= MAINT_ESCALATE)
+          System.err.println(
+            s"graft: WARNING: auto-maintenance has failed $streak " +
+              s"consecutive cadence points on ${db.warehouse} — live rows " +
+              "and transaction directories are growing unbounded; " +
+              "investigate (schema drift? crashed writer's pending claim " +
+              "needing Compactor.vacuum? filesystem errors?)")
     }
+
+  /** Consecutive failed maintenance cadence points before the skip
+    * lines escalate to an explicit unbounded-growth warning.
+    */
+  val MAINT_ESCALATE: Int = 3
+
+  private val maintFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The current consecutive auto-maintenance failure streak for a
+    * warehouse (0 after any success) — the counter a health check
+    * polls instead of scraping stderr.
+    */
+  def consecutiveMaintenanceFailures(warehouse: String): Int =
+    Option(maintFailures.get(warehouse)).fold(0)(_.intValue)
 }

@@ -601,6 +601,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(Manifest.current(db.warehouse).streamBatchFor("histby") == 1L)
   }
 
+  test("maintenance-failure streak: counted per warehouse, escalates at " +
+      "MAINT_ESCALATE, resets on the first success") {
+    val db = Db(spark, tmpDir("graft-maintfail"))
+    assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == 0)
+    // a systematic failure (every cadence point throws) must be visible
+    // as a growing streak — the signal that distinguishes it from
+    // transient contention, which the next cadence point clears
+    (1 to StreamIngest.MAINT_ESCALATE + 1).foreach { i =>
+      StreamIngest.nonFatalFold(db)(
+        throw new IllegalStateException(s"systematic failure $i"))
+      assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == i)
+    }
+    // ...and never kills the caller (the catch IS the contract)
+    // one success resets the streak: transient skips don't accumulate
+    StreamIngest.nonFatalFold(db)(())
+    assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == 0)
+    // streaks are per warehouse — a healthy sibling sink stays at 0
+    val other = Db(spark, tmpDir("graft-maintok"))
+    StreamIngest.nonFatalFold(db)(throw new RuntimeException("again"))
+    assert(StreamIngest.consecutiveMaintenanceFailures(other.warehouse) == 0)
+    assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == 1)
+  }
+
   test("histogram sink: streamed quantiles == one-shot sketch of everything") {
     import graft.ops.{Sketches, SketchStore}
     implicit val sc = spark.sqlContext
