@@ -166,6 +166,14 @@ object Compactor {
   def tryVacuum(db: Db, graceMs: Long = 15 * 60 * 1000L): Boolean =
     withCompactionLockTry(db.warehouse)(vacuumLocked(db, graceMs)).isDefined
 
+  /** Non-blocking [[pruneHistory]]: false when another compactor holds
+    * the lock — the streaming sinks' auto-maintenance rider (the same
+    * skip-and-retry contract as [[tryMajor]]/[[tryVacuum]]).
+    */
+  def tryPruneHistory(db: Db, keep: Int = 100): Boolean =
+    withCompactionLockTry(db.warehouse)(pruneHistoryLocked(db, keep))
+      .isDefined
+
   private def compact(db: Db, major: Boolean,
                       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                       limitTx: Option[Int] = None): Unit =
@@ -224,13 +232,23 @@ object Compactor {
 
     // Write straight into the claimed txid's (new) directory — no live
     // directory is touched; a crash here leaves an invisible orphan.
+    // The rewrite honors the warehouse's sticky layout exactly like
+    // TxWriter.writeDataDir: a bucket-major warehouse (ANN index —
+    // bucket = IVF cell) range-partitions by (tbucket, key, ts) so each
+    // task writes into FEW bucket dirs; compacting it key-major would
+    // re-create the task×cell small-file explosion the layout exists to
+    // avoid, exactly once per compaction.
     val parts = db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val w = m.timeBucket
+    val rangeCols =
+      if (m.bucketMajor && w > 0)
+        Seq(col("ts") - col("ts") % w, col("key"), col("ts"))
+      else Seq(col("key"), col("ts"))
     val sorted = out.drop("tbucket")
-      .repartitionByRange(parts, col("key"), col("ts"))
-      .sortWithinPartitions(col("key"), col("ts"))
+      .repartitionByRange(parts, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
     // preserve the warehouse's time bucketing, recomputed from ts so a
     // gegnum/transform that rewrote timestamps stays consistent
-    val w = m.timeBucket
     val writer0 = (if (w > 0)
       sorted.withColumn("tbucket", col("ts") - col("ts") % w)
     else sorted)
@@ -350,12 +368,20 @@ object Compactor {
     }
 
   /** Drop manifest versions older than the newest `keep` (history bound:
-    * a long-lived warehouse accretes one version file per commit, which
-    * eventually slows the listing in `Manifest.current`). Time travel
-    * reaches only retained versions afterwards. The current version is
-    * always retained.
+    * a long-lived warehouse accretes one version file per commit — the
+    * LAST unbounded growth once folds bound live rows and compaction
+    * bounds directories; on an object store that listing eventually
+    * dominates maintenance even though reads stay O(1) via the `latest`
+    * hint). Time travel reaches only retained versions afterwards. The
+    * current version is always retained. Runs under the compaction lock
+    * like every other maintenance verb; racing READERS are safe
+    * regardless — `Manifest.current` falls back to the authoritative
+    * listing when a version file vanishes between probe and read.
     */
-  def pruneHistory(db: Db, keep: Int = 100): Unit = {
+  def pruneHistory(db: Db, keep: Int = 100): Unit =
+    withCompactionLock(db.warehouse)(pruneHistoryLocked(db, keep))
+
+  private def pruneHistoryLocked(db: Db, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val vs = Manifest.versions(db.warehouse)
     vs.dropRight(keep).foreach { v =>

@@ -77,11 +77,18 @@ object StreamIngest {
     * re-forward of the same fresh rows (at-least-once `onFresh`), never
     * as content marked seen but never delivered; a crash after register
     * replays as an empty forward. Store state is exactly-once either way.
+    *
+    * `compactEvery` > 0 extends the sketch sinks' auto-compact policy to
+    * this index sink: the fingerprint store grows one transaction
+    * directory per micro-batch forever without it (the fold half of the
+    * maintenance pair doesn't apply — fingerprints are already one row
+    * per document — so the compaction IS the whole policy here).
     */
   def dedupWriter(db: Db, stream: DataFrame, idCol: String, textCol: String,
                   onFresh: DataFrame => Unit = _ => (),
                   trigger: Trigger = Trigger.AvailableNow(),
-                  sinkId: String = "dedup")
+                  sinkId: String = "dedup", compactEvery: Int = 0,
+                  keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -95,7 +102,8 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestBatch(db, batch, idCol, textCol,
             onFresh)
-          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+          cursorCommit(db, sinkId, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -113,7 +121,8 @@ object StreamIngest {
                       minAgree: Int = graft.ops.Dedup.MINHASH_K / 2,
                       onFresh: DataFrame => Unit = _ => (),
                       trigger: Trigger = Trigger.AvailableNow(),
-                      sinkId: String = "neardedup")
+                      sinkId: String = "neardedup", compactEvery: Int = 0,
+                      keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -123,7 +132,8 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestNearBatch(db, batch, idCol,
             textCol, minAgree, onFresh)
-          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+          cursorCommit(db, sinkId, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -140,7 +150,8 @@ object StreamIngest {
   def indexWriter(db: Db, stream: DataFrame, idCol: String, embCol: String,
                   m: Int = graft.ops.Similarity.PQ_M, dim: Int = 64,
                   trigger: Trigger = Trigger.AvailableNow(),
-                  sinkId: String = "index")
+                  sinkId: String = "index", compactEvery: Int = 0,
+                  keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -149,7 +160,11 @@ object StreamIngest {
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.Similarity.appendToIndex(db, batch, idCol, embCol, m, dim)
-          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+          cursorCommit(db, sinkId, batchId, compactEvery)
+          // the index warehouse is bucket-major (bucket = IVF cell);
+          // the compactor's rewrite honors that layout, so the major
+          // pass stays one-file-per-cell instead of task×cell
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -164,7 +179,8 @@ object StreamIngest {
     */
   def bm25Writer(db: Db, stream: DataFrame, idCol: String, textCol: String,
                  trigger: Trigger = Trigger.AvailableNow(),
-                 sinkId: String = "bm25")
+                 sinkId: String = "bm25", compactEvery: Int = 0,
+                 keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -173,7 +189,11 @@ object StreamIngest {
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.Retrieval.appendBm25Batch(db, batch, idCol, textCol)
-          Manifest.update(db.warehouse)(_.withStreamBatch(sinkId, batchId))
+          cursorCommit(db, sinkId, batchId, compactEvery)
+          // the postings warehouse is index-sized, so the major rewrite
+          // is too — same non-blocking skip-and-retry contract as the
+          // sketch sinks
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -213,7 +233,8 @@ object StreamIngest {
                    tag: String = "t",
                    trigger: Trigger = Trigger.AvailableNow(),
                    sinkId: String = "sketch", foldEvery: Int = 0,
-                   compactEvery: Int = 0)
+                   compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -229,7 +250,7 @@ object StreamIngest {
             graft.ops.SketchStore.foldSketches(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS)
           }
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -249,7 +270,8 @@ object StreamIngest {
                  tag: String = "t",
                  trigger: Trigger = Trigger.AvailableNow(),
                  sinkId: String = "hist", foldEvery: Int = 0,
-                 compactEvery: Int = 0)
+                 compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -264,7 +286,7 @@ object StreamIngest {
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldHist(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -280,7 +302,8 @@ object StreamIngest {
                    valueCol: String, tag: String = "t",
                    trigger: Trigger = Trigger.AvailableNow(),
                    sinkId: String = "histby", foldEvery: Int = 0,
-                   compactEvery: Int = 0)
+                   compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -296,7 +319,7 @@ object StreamIngest {
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldHistBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -312,7 +335,8 @@ object StreamIngest {
                tag: String = "t",
                trigger: Trigger = Trigger.AvailableNow(),
                sinkId: String = "mg", foldEvery: Int = 0,
-               compactEvery: Int = 0)
+               compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -327,7 +351,7 @@ object StreamIngest {
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldMg(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -344,7 +368,8 @@ object StreamIngest {
                   elemCol: String, tag: String = "t",
                   trigger: Trigger = Trigger.AvailableNow(),
                   sinkId: String = "kmvby", foldEvery: Int = 0,
-                  compactEvery: Int = 0)
+                  compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -360,7 +385,7 @@ object StreamIngest {
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldKmvBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -377,7 +402,8 @@ object StreamIngest {
                      elemCol: String, tag: String = "t",
                      trigger: Trigger = Trigger.AvailableNow(),
                      sinkId: String = "sketchby", foldEvery: Int = 0,
-                     compactEvery: Int = 0)
+                     compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -393,7 +419,7 @@ object StreamIngest {
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldSketchesBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -410,7 +436,8 @@ object StreamIngest {
                  elemCol: String, tag: String = "t",
                  trigger: Trigger = Trigger.AvailableNow(),
                  sinkId: String = "mgby", foldEvery: Int = 0,
-                 compactEvery: Int = 0)
+                 compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS)
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
@@ -426,7 +453,7 @@ object StreamIngest {
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldMgBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
-          autoCompact(db, batchId, compactEvery)
+          autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
       }
@@ -437,7 +464,8 @@ object StreamIngest {
     * manifest.
     */
   private def foldEveryProps(sinkId: String, foldEvery: Int,
-                             compactEvery: Int = 0): Map[String, String] =
+                             compactEvery: Int = 0,
+                   keepVersions: Int = KEEP_VERSIONS): Map[String, String] =
     (if (foldEvery > 0)
        Map(s"fold.every/$sinkId" -> foldEvery.toString)
      else Map.empty[String, String]) ++
@@ -450,6 +478,24 @@ object StreamIngest {
     */
   private def shouldFold(batchId: Long, foldEvery: Int): Boolean =
     foldEvery > 0 && (batchId + 1) % foldEvery == 0
+
+  /** The index sinks' cursor advance — one manifest commit that also
+    * records the auto-compact cadence as a table property (the sketch
+    * sinks ride theirs into the registration's publishing commit; these
+    * sinks' index writers commit internally, so the cursor commit is
+    * where the cadence can ride for free).
+    */
+  private def cursorCommit(db: Db, sinkId: String, batchId: Long,
+                           compactEvery: Int): Unit = {
+    Manifest.update(db.warehouse) { m =>
+      val cur = m.withStreamBatch(sinkId, batchId)
+      if (compactEvery > 0)
+        cur.copy(props = cur.props +
+          (s"compact.every/$sinkId" -> compactEvery.toString))
+      else cur
+    }
+    ()
+  }
 
   /** The auto-compact half of the maintenance pair (SCALE.md's fold
     * economics: a fold bounds the LIVE rows but the superseded
@@ -469,7 +515,8 @@ object StreamIngest {
     * compaction's full duration (the auto-fold's 15 s argument,
     * sharpened to zero).
     */
-  private def autoCompact(db: Db, batchId: Long, compactEvery: Int): Unit =
+  private def autoCompact(db: Db, batchId: Long, compactEvery: Int,
+                          keepVersions: Int = KEEP_VERSIONS): Unit =
     if (shouldFold(batchId, compactEvery)) nonFatalFold(db) {
       if (!graft.store.Compactor.tryMajor(db))
         System.err.println(
@@ -480,7 +527,24 @@ object StreamIngest {
         // compact's
         System.err.println(
           "graft: auto-vacuum skipped: another compactor took the lock")
+      // manifest-history prune rides the same cadence: folds bound the
+      // live rows, compaction bounds the data directories, and this
+      // bounds the LAST unbounded curve — one _manifest/v<seq>.json per
+      // commit (2 per micro-batch), whose listing eventually dominates
+      // on an object store. keepVersions is the time-travel window an
+      // operator retains (versions inside it stay readable by
+      // `read --at-version`).
+      else if (!graft.store.Compactor.tryPruneHistory(db, keepVersions))
+        System.err.println(
+          "graft: auto-prune skipped: another compactor took the lock")
     }
+
+  /** Default manifest-history window the auto-maintenance prune keeps:
+    * deep enough that a human debugging a stream has days of versions
+    * to time-travel over at typical cadences, small enough that the
+    * `_manifest` listing stays O(1)-ish forever.
+    */
+  val KEEP_VERSIONS: Int = 100
 
   /** How long an AUTO-fold waits out concurrent writers before skipping:
     * much shorter than the manual folds' 10-minute budget, because

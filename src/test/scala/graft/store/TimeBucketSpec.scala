@@ -86,4 +86,34 @@ class TimeBucketSpec extends SparkSpec {
     TxWriter.write(flat, data, bucketMajor = true) // no width → ignored
     assert(!Manifest.current(flat.warehouse).bucketMajor)
   }
+
+  test("major compaction REWRITES in the bucket-major layout: a task " +
+      "writes few buckets, not one file per task x cell") {
+    // the ANN-index shape: 4 cells (buckets) x 200 keys each. A key-major
+    // rewrite would hand every range task all 4 buckets of its key range
+    // (task x cell files — the explosion the layout exists to avoid); the
+    // bucket-major rewrite keeps each task inside at most ~2 buckets, so
+    // the compacted tx holds about one file per task, not per task-cell.
+    val db = Db(spark, tmpDir("graft-bmajorfiles"))
+    val data = (for {
+      day <- 0L until 4L; k <- 0 until 200
+    } yield (f"k$k%03d", day * DAY + k, day)).toDF("key", "ts", "v")
+    TxWriter.write(db, data, timeBucketNanos = Some(DAY), bucketMajor = true)
+    TxWriter.write(db, data.withColumn("v",
+      org.apache.spark.sql.functions.col("v") + 1))
+    Compactor.major(db)
+    val m = Manifest.current(db.warehouse)
+    assert(m.bucketMajor && m.dataTxids.size == 1)
+    val dir = java.nio.file.Paths.get(db.dataDir, s"txid=${m.dataTxids.head}")
+    val files = java.nio.file.Files.walk(dir)
+    val nParquet = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    } finally files.close()
+    // 32 range partitions, each contiguous in (bucket, key): ≤ 1 file per
+    // partition + ≤ 1 straddle per bucket boundary. Key-major would be
+    // ~4x the partition count.
+    assert(nParquet <= 48, s"bucket-major compaction wrote $nParquet files")
+    assert(db.read().count() == 800)
+  }
 }

@@ -571,6 +571,81 @@ class StreamIngestSpec extends SparkSpec {
     assert(stored == direct, s"auto-compact drifted: $stored != $direct")
   }
 
+  test("auto-prune policy: manifest version files stay bounded across 3N " +
+      "batches and in-window time travel keeps working") {
+    import graft.ops.{Sketches, SketchStore}
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-autoprune"))
+    val mem = MemoryStream[Long]
+    val keep = 5
+    val writer = StreamIngest
+      .histWriter(db, mem.toDF().toDF("v"), "v", foldEvery = 2,
+        compactEvery = 2, keepVersions = keep)
+      .option("checkpointLocation", tmpDir("graft-autoprunecp"))
+    val batches = (0 until 8).map(b =>
+      (1 to 80).map(i => (i % (20 + b) + 1).toLong))
+    batches.foreach { vals =>
+      mem.addData(vals: _*)
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+      // between cadence points at most one batch's commits (claim +
+      // publish) plus a fold/compact round sit on top of the pruned
+      // window — the count can never grow with stream length
+      assert(Manifest.versions(db.warehouse).size <= keep + 8,
+        s"manifest history unbounded: ${Manifest.versions(db.warehouse)}")
+    }
+    // batch 7 hit the cadence and the prune runs LAST: exactly the
+    // newest `keep` versions remain on disk
+    val end = Manifest.versions(db.warehouse)
+    assert(end.size <= keep, s"history not pruned: $end")
+    assert(end.max == Manifest.currentVersion(db.warehouse))
+    // time travel inside the retained window still works (what the CLI's
+    // --at-version resolves through)
+    val snapOld = db.snapshotAt(end.min)
+    assert(snapOld.manifest.version == end.min)
+    // ...and the maintenance history never changed an answer
+    val stored = SketchStore.storedHistQuantiles(db)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val direct = Sketches.histQuantilesOf(batches.flatten.toDF("v"),
+        col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == direct, s"auto-prune drifted: $stored != $direct")
+  }
+
+  test("bm25 sink auto-compact: transaction directories stay bounded and " +
+      "probes never drift") {
+    import graft.ops.Retrieval
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-bm25auto"))
+    Retrieval.buildBm25Index(db,
+      Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val base = Manifest.current(db.warehouse).dataTxids.size
+    val mem = MemoryStream[(Long, String)]
+    val writer = StreamIngest.bm25Writer(db,
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        compactEvery = 2)
+      .option("checkpointLocation", tmpDir("graft-bm25autocp"))
+    (0 until 6).foreach { b =>
+      mem.addData((10L + b, s"zeta doc$b"))
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+      val m = Manifest.current(db.warehouse)
+      // between cadence points: the compacted base + at most
+      // compactEvery batch appends
+      assert(m.dataTxids.size <= base + 2,
+        s"index tx dirs unbounded: ${m.dataTxids}")
+    }
+    val end = Manifest.current(db.warehouse)
+    assert(end.dataTxids.size == 1, s"not compacted: ${end.dataTxids}")
+    assert(end.props.get("compact.every/bm25").contains("2"))
+    assert(end.streamBatchFor("bm25") == 5L)
+    // every streamed document retrievable through the compacted index
+    val got = Retrieval.bm25ProbeIndex(db,
+        Seq((0L, "zeta")).toDF("query_id", "qtext"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (0 until 6).map(b => 10L + b).toSet,
+      s"post-compaction probe drifted: $got")
+  }
+
   test("grouped histogram sink: streamed per-group envelopes == the " +
       "one-shot grouped sketch") {
     import graft.ops.{Sketches, SketchStore}
