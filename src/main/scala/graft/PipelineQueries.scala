@@ -761,6 +761,36 @@ object PipelineQueries {
         .select(col("token"), col("n_exact"), col("est_cm"))
         .orderBy(col("n_exact").desc, col("token"))
     },
+    // warehouse-backed GROUPED count-min: per-source counter grids
+    // registered as two half-corpus batches with a fenced per-group fold
+    // between them — counter addition is exact, so the stored grids
+    // equal the one-shot per-group sketch of the whole corpus, probed by
+    // each source's top-3 exact tokens. This closes the grouped family's
+    // point-frequency quadrant (MG certifies heavy items; the grid
+    // answers ANY item at the group's own error bound).
+    "sk_cm_grouped_store" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) = f.select(col("source").as("grp"),
+        explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerCountMinBy(db, toks(docs.filter(col("doc_id") < mid)),
+        col("grp"), col("token"), batchId = 0L)
+      SketchStore.foldCountMinBy(db)
+      SketchStore.registerCountMinBy(db,
+        toks(docs.filter(col("doc_id") >= mid)), col("grp"), col("token"),
+        batchId = 1L)
+      val top = toks(docs).groupBy("grp", "token")
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rk", row_number().over(Window.partitionBy("grp")
+          .orderBy(col("n_exact").desc, col("token"))))
+        .filter(col("rk") <= 3).drop("rk")
+      SketchStore.probeStoredCountMinBy(db, top, "grp", "token")
+        .select(col("grp"), col("token"), col("n_exact"), col("est_cm"))
+        .orderBy(col("grp"), col("n_exact").desc, col("token"))
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -1988,6 +2018,9 @@ object PipelineQueries {
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_kmv_grouped_store" -> SketchStore.sqlKmvBySourceStore(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
+    // the grouped grid store must equal the one-shot per-group sketch
+    // (counter addition is exact through registration AND fold)
+    "sk_cm_grouped_store" -> SketchStore.sqlCountMinGroupedTokens(3),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

@@ -35,6 +35,7 @@ object SketchStore {
   private def kmvKey(tag: String) = s"k/$tag"
   private def kmvByPrefix(tag: String) = s"kg/$tag/"
   private def cmPrefix(tag: String) = s"c/$tag/"
+  private def cmByPrefix(tag: String) = s"cg/$tag/"
   private def mgPrefix(tag: String) = s"m/$tag/"
   private def mgMassKey(tag: String) = s"mn/$tag"
   private def mgByPrefix(tag: String) = s"mg/$tag/"
@@ -438,6 +439,136 @@ object SketchStore {
                           d: Int = Sketches.CM_D,
                           w: Long = Sketches.CM_W): DataFrame =
     Sketches.countMinProbe(items, storedCountMin(db, tag), elemCol, d, w)
+
+  // ── grouped count-min ──────────────────────────────────────────────
+  //
+  // Per-group frequency probes — the quadrant that closes the grouped
+  // family (hist = quantiles, KMV = cardinality, MG = frequent items,
+  // count-min = POINT frequency of ANY item, not just the heavy ones;
+  // MG certifies per-group frequent items but cannot answer "how often
+  // did THIS token appear in THIS source" for an arbitrary token — the
+  // per-group grid can, with the group's own N_grp·e/w error bound).
+  // Rows: key = "cg/<tag>/<escGrp>/<row>/<bucket>", ts = batchId →
+  // (grp, sk_row, bucket, c). escGrp keeps the group segment
+  // '/'-free so the fixed row/bucket tail parses unambiguously — grp
+  // is ALSO a column; nothing ever parses the key back. Counters add
+  // across batches like the ungrouped grid: per-batch rows summed at
+  // read, idempotent under replays, folded by per-(grp, cell) sums.
+
+  /** Registers one batch's per-group counter grids (≤ d·w·groups cells)
+    * as ONE transaction under `batchId` — idempotent under streaming
+    * retries like [[registerCountMin]].
+    */
+  def registerCountMinBy(db: graft.store.Db, batch: DataFrame, grp: Column,
+                         elem: Column, batchId: Long, tag: String = "t",
+                         d: Int = Sketches.CM_D, w: Long = Sketches.CM_W,
+                         cursor: Option[(String, Long)] = None,
+                         sinkProps: Map[String, String] = Map.empty): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    val rows = Sketches.countMinSketchBy(batch, grp, elem, d, w)
+      .select(
+        concat(lit(cmByPrefix(tag)), escGrp(col("grp")),
+          format_string("/%d/%06d", col("sk_row"), col("bucket"))).as("key"),
+        lit(batchId).as("ts"), col("grp"), col("sk_row"), col("bucket"),
+        col("c"))
+    graft.store.TxWriter.write(db, rows, props = sinkProps,
+      streamCursor = cursor)
+  }
+
+  /** The running per-group grids: per-(grp, cell) sums over a
+    * key-pruned read — drop-in for [[Sketches.countMinProbeBy]]'s
+    * sketch side.
+    */
+  def storedCountMinBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedCountMinByAt(db, db.snapshot(), tag)
+
+  private def storedCountMinByAt(db: graft.store.Db,
+                                 snap: graft.store.Db#Snapshot,
+                                 tag: String): DataFrame = {
+    val spark = db.spark
+    val empty = spark.range(0).select(col("id").cast("string").as("grp"),
+      col("id").cast("int").as("sk_row"), col("id").as("bucket"),
+      col("id").as("c"))
+    if (snap.manifest.dataTxids.isEmpty) empty
+    else {
+      val rows = snap.read(cmByPrefix(tag) + "%")
+      if (!rows.columns.contains("grp") || !rows.columns.contains("c")) empty
+      else rows.groupBy("grp", "sk_row", "bucket").agg(sum(col("c")).as("c"))
+    }
+  }
+
+  /** Frequency estimates for (`grpCol`, `elemCol`) items against the
+    * running grouped grids — a (grp, cell)-keyed join, never a
+    * broadcast of the data-sized grid relation.
+    */
+  def probeStoredCountMinBy(db: graft.store.Db, items: DataFrame,
+                            grpCol: String, elemCol: String,
+                            tag: String = "t", d: Int = Sketches.CM_D,
+                            w: Long = Sketches.CM_W): DataFrame =
+    Sketches.countMinProbeBy(items, storedCountMinBy(db, tag), grpCol,
+      elemCol, d, w)
+
+  /** [[foldCountMin]] per group: one folded generation of per-(grp,
+    * cell) sums — counter addition is exact, so every probe is
+    * preserved verbatim.
+    */
+  def foldCountMinBy(db: graft.store.Db, tag: String = "t",
+                     waitMillis: Long = FOLD_WAIT_MILLIS): Long =
+    foldStore(db, s"foldCountMinBy($tag)", Seq(cmByPrefix(tag) + "%"),
+      waitMillis)(
+      storedCountMinBy(db, tag),
+      _.select(
+        concat(lit(cmByPrefix(tag)), escGrp(col("grp")),
+          format_string("/%d/%06d", col("sk_row"), col("bucket"))).as("key"),
+        lit(FOLD_TS).as("ts"), col("grp"), col("sk_row"), col("bucket"),
+        col("c")))
+
+  /** DuckDB twin of the grouped count-min store over `documents` tokens
+    * by `source`: per-source grids summed over the whole corpus (two
+    * half-corpus registrations + a fold = plain counter addition, so
+    * the stored grid equals the one-shot per-group sketch), probed by
+    * each source's top-`k` exact tokens — (grp, token, n_exact, est_cm)
+    * with est = min over the d per-group cells.
+    */
+  def sqlCountMinGroupedTokens(k: Int, d: Int = Sketches.CM_D,
+                               w: Long = Sketches.CM_W): String = {
+    val sketchCells = (0 until d).map { i =>
+      s"SELECT grp, $i AS sk_row, " +
+        s"${PortableHash.sqlAffine("h", i)} % $w AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    val probeCells = (0 until d).map { i =>
+      s"SELECT grp, token, n_exact, $i AS sk_row, " +
+        s"${PortableHash.sqlAffine("h", i)} % $w AS bucket FROM th"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT source AS grp, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |h AS (SELECT grp, ${PortableHash.sqlH30("token")} AS h FROM tok),
+       |cells AS (
+       |  $sketchCells),
+       |sketch AS (
+       |  SELECT grp, sk_row, bucket, count(*) AS c FROM cells
+       |  GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT grp, token, n_exact FROM (
+       |    SELECT grp, token, count(*) AS n_exact,
+       |           row_number() OVER (PARTITION BY grp
+       |             ORDER BY count(*) DESC, token) AS rk
+       |    FROM tok GROUP BY grp, token)
+       |  WHERE rk <= $k),
+       |th AS (SELECT grp, token, n_exact,
+       |              ${PortableHash.sqlH30("token")} AS h FROM top),
+       |pcells AS (
+       |  $probeCells),
+       |melted AS (
+       |  SELECT p.grp, p.token, p.n_exact, s.c
+       |  FROM pcells p JOIN sketch s
+       |    ON s.grp = p.grp AND s.sk_row = p.sk_row
+       |   AND s.bucket = p.bucket)
+       |SELECT grp, token, n_exact, min(c) AS est_cm
+       |FROM melted GROUP BY grp, token, n_exact
+       |ORDER BY grp, n_exact DESC, token""".stripMargin
+  }
 
   // ── Misra–Gries frequent items ─────────────────────────────────────
   //

@@ -615,6 +615,57 @@ object Sketches {
       .agg(min(col("c")).as("est_cm"))
   }
 
+  /** PER-GROUP count-min grid: one d×w counter grid per group —
+    * (grp, sk_row, bucket, c), ≤ d·w·groups rows from ONE projection +
+    * one hash aggregation (map-side combine bounds the shuffle at the
+    * grids, never the element stream). The per-source frequency-probe
+    * twin of the grouped KMV/MG/hist sketches: each group's grid is an
+    * independent count-min sketch of ITS stream, so the standard
+    * `true ≤ est ≤ true + N_grp·e/w` bound applies per group with the
+    * GROUP's own mass, not the corpus's. Null groups are excluded (a
+    * null is "no group", and would become a malformed store key).
+    */
+  def countMinSketchBy(df: DataFrame, grp: Column, elem: Column,
+                       d: Int = CM_D, w: Long = CM_W): DataFrame = {
+    val h = PortableHash.h30(elem)
+    val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
+      struct(lit(i).as("sk_row"), b.as("bucket"))
+    }: _*)
+    df.select(grp.as("grp"), explode(cells).as("cell"))
+      .filter(col("grp").isNotNull)
+      .groupBy(col("grp"), col("cell.sk_row").as("sk_row"),
+        col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query a GROUPED grid: each `items` row (carrying `grpCol` +
+    * `elemCol`) fans into its d cells and joins the sketch on
+    * (grp, sk_row, bucket) — a key-partitioned join, NOT a broadcast:
+    * the grouped grid is d·w·groups rows, data-sized in the group
+    * count, so forcing it through the driver would be the scale
+    * mistake. Estimate = min over the d matched counters (0 when the
+    * group or cell was never seen).
+    */
+  def countMinProbeBy(items: DataFrame, sketch: DataFrame, grpCol: String,
+                      elemCol: String, d: Int = CM_D,
+                      w: Long = CM_W): DataFrame = {
+    require(!items.columns.exists(Set("sk_row", "bucket", "c", "cell")),
+      "items must not carry sketch-internal column names")
+    val h = PortableHash.h30(col(elemCol))
+    val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
+      struct(lit(i).as("sk_row"), b.as("bucket"))
+    }: _*)
+    val probes = items.withColumn("cell", explode(cells))
+      .select(items.columns.map(col) :+ col("cell.sk_row").as("sk_row")
+        :+ col("cell.bucket").as("bucket"): _*)
+    probes.join(
+        sketch.withColumnRenamed("grp", grpCol),
+        Seq(grpCol, "sk_row", "bucket"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .groupBy(items.columns.map(col): _*)
+      .agg(min(col("c")).as("est_cm"))
+  }
+
   /** The driver-row composition: exact top-k `elem` frequencies with the
     * count-min estimate alongside (est_cm ≥ n_exact always; equality
     * means no collision in any of the d rows). The exact side exists to

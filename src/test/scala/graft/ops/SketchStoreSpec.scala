@@ -49,6 +49,45 @@ class SketchStoreSpec extends SparkSpec {
       s"additive + idempotent: $est")
   }
 
+  test("grouped count-min store: per-group grids == one-shot grouped " +
+      "sketch through registration, replay and fold") {
+    val db = tmpDb()
+    def gt(xs: (String, String)*) = xs.toDF("g", "t")
+    val b0 = gt(Seq.fill(5)("s0" -> "x") ++ Seq("s0" -> "y", "s1" -> "x"): _*)
+    val b1 = gt(Seq.fill(3)("s0" -> "x") ++
+      Seq("s1" -> "z", "s1" -> "z", "s1" -> "x"): _*)
+    SketchStore.registerCountMinBy(db, b0, col("g"), col("t"), batchId = 0L)
+    SketchStore.foldCountMinBy(db)
+    SketchStore.registerCountMinBy(db, b1, col("g"), col("t"), batchId = 1L)
+    // streaming retry: same (key, ts) rows, last-wins — no double count
+    SketchStore.registerCountMinBy(db, b1, col("g"), col("t"), batchId = 1L)
+    val items = Seq(("s0", "x"), ("s0", "y"), ("s1", "x"), ("s1", "z"),
+      ("s1", "y")).toDF("g", "t")
+    val est = SketchStore.probeStoredCountMinBy(db, items, "g", "t")
+      .as[(String, String, Long)].collect()
+      .map { case (g, t, e) => (g, t) -> e }.toMap
+    // the grid is an over-estimator bounded below by the true counts —
+    // and per GROUP: s0 saw x 8 times, s1 only twice
+    assert(est(("s0", "x")) >= 8 && est(("s1", "x")) >= 2)
+    assert(est(("s0", "x")) == 8, s"d-row min should dodge collisions: $est")
+    assert(est(("s1", "z")) == 2 && est(("s0", "y")) == 1)
+    // a (grp, item) the group never saw estimates 0 unless colliding
+    assert(est(("s1", "y")) <= 1, s"cross-group leak: $est")
+    // the stored grid equals the one-shot grouped sketch of everything
+    val stored = SketchStore.storedCountMinBy(db)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val oneShot = Sketches.countMinSketchBy(
+        b0.unionByName(b1), col("g"), col("t"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(stored == oneShot, "stored grouped grid drifted from one-shot")
+    // null groups are excluded, not stored under a malformed key
+    SketchStore.registerCountMinBy(db,
+      Seq((null.asInstanceOf[String], "x")).toDF("g", "t"),
+      col("g"), col("t"), batchId = 2L)
+    assert(SketchStore.storedCountMinBy(db)
+      .filter(col("grp").isNull).isEmpty)
+  }
+
   test("MG store: guarantees hold over batches; deterministic under " +
       "partitioning; idempotent re-register") {
     val db = tmpDb()

@@ -58,6 +58,17 @@ class PlanHygieneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!mg.contains("SinglePartition"),
       s"grouped MG read funnels into one task:\n$mg")
+    // grouped count-min: the grid read is one hash aggregation and the
+    // probe a (grp, cell)-keyed join — no SinglePartition anywhere, and
+    // the data-sized grid relation is never broadcast
+    graft.ops.SketchStore.registerCountMinBy(db, df, col("g"),
+      col("v").cast("string"), batchId = 0L)
+    val items = Seq(("s0", "1"), ("s1", "2"), ("s2", "3")).toDF("g", "t")
+    val probe = graft.ops.SketchStore
+      .probeStoredCountMinBy(db, items, "g", "t")
+      .queryExecution.executedPlan.toString
+    assert(!probe.contains("SinglePartition"),
+      s"grouped count-min probe funnels into one task:\n$probe")
   }
 
   test("point lookup plans no range-sort exchange: one key pays no sampling job") {
