@@ -671,11 +671,13 @@ object PipelineQueries {
         col("source"), col("item"), batchId = 1L)
       SketchStore.storedHeavyHittersBy(db)
     },
-    // the GROUPED trio: per-source KMV minima + MG partials registered
-    // as ONE transaction per batch (the sketchByWriter micro-batch
-    // shape) with the one-supersede grouped fold between batches — the
-    // per-group report must equal the standalone grouped store's, so
-    // it shares the grouped twin oracle verbatim
+    // the GROUPED trio: per-source KMV minima + MG partials + grouped
+    // histogram bins (the valueCol rider — token lengths) registered as
+    // ONE transaction per batch under one grid claim (the sketchByWriter
+    // micro-batch shape) with the one-supersede grouped fold between
+    // batches — the per-group MG report must equal the standalone
+    // grouped store's, so it shares the grouped twin oracle verbatim
+    // (the hist family's trio==standalone identity is spec-pinned)
     "sk_trio_grouped" -> { (s, d) =>
       val docs = Graft.documents(s, d)
       val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
@@ -691,11 +693,13 @@ object PipelineQueries {
       val db = graft.store.Db(s, tempWarehouse())
       SketchStore.registerSketchesBy(db,
         items(docs.filter(col("doc_id") < mid)), col("source"),
-        col("item"), batchId = 0L)
+        col("item"), batchId = 0L,
+        valueCol = Some(length(col("item")).cast("long")))
       SketchStore.foldSketchesBy(db)
       SketchStore.registerSketchesBy(db,
         items(docs.filter(col("doc_id") >= mid)), col("source"),
-        col("item"), batchId = 1L)
+        col("item"), batchId = 1L,
+        valueCol = Some(length(col("item")).cast("long")))
       SketchStore.storedHeavyHittersBy(db)
     },
     // GROUPED grid evolution: the per-source store migrates in place

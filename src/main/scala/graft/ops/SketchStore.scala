@@ -330,38 +330,71 @@ object SketchStore {
 
   /** The GROUPED trio counterpart of [[registerSketches]]: one batch's
     * per-group KMV minima AND per-group MG partials (+ masses) union
-    * into ONE transaction — the grouped sketch sink's micro-batch shape
-    * (the grouped hist store consumes a numeric stream and stays its
-    * own sink, the same split as [[registerSketches]] vs
-    * `registerHist`). Each family's rows are exactly its standalone
-    * registration's, so every stored report is unchanged.
+    * into ONE transaction — the grouped sketch sink's micro-batch shape.
+    * A stream that ALSO carries a numeric column can ride its grouped
+    * histogram rows under the SAME transaction and grid claim via
+    * `valueCol` (one claim + one publish for all three grouped families,
+    * instead of paying a second sink's commits); without it the grouped
+    * hist store stays its own sink, the same split as
+    * [[registerSketches]] vs `registerHist`. Each family's rows come
+    * from the same builders the standalone registrations use
+    * ([[kmvByRows]]/[[mgByRows]]/[[histByRowsOf]]), so every stored
+    * report is unchanged either way.
     */
   def registerSketchesBy(db: graft.store.Db, batch: DataFrame, grp: Column,
                          elem: Column, batchId: Long, tag: String = "t",
                          k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
+                         valueCol: Option[Column] = None,
+                         b: Int = Sketches.HIST_B,
+                         w: Long = Sketches.HIST_W, origin: Long = 0L,
                          cursor: Option[(String, Long)] = None,
                          sinkProps: Map[String, String] = Map.empty)
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    // one materialized (grp, item) projection feeds all three branches
-    // — same three-subtree re-scan reasoning as [[registerSketches]].
-    // The rows come from the SAME builders the standalone registrations
-    // use ([[kmvByRows]]/[[mgByRows]]), so trio and standalone stores
-    // are identical by construction, not by assertion.
-    val toks = batch.select(grp.as("grp"), elem.as("item"))
-      .filter(col("grp").isNotNull && col("item").isNotNull)
-      .localCheckpoint(true)
-    val kmv = kmvByRows(tag,
-      toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
-    graft.store.TxWriter.write(db,
-      kmv.unionByName(mgByRows(tag, toks, batchId, c),
-        allowMissingColumns = true),
-      props = sinkProps, streamCursor = cursor)
+    valueCol match {
+      case None =>
+        // one materialized (grp, item) projection feeds both branches
+        // — same three-subtree re-scan reasoning as [[registerSketches]]
+        val toks = batch.select(grp.as("grp"), elem.as("item"))
+          .filter(col("grp").isNotNull && col("item").isNotNull)
+          .localCheckpoint(true)
+        val kmv = kmvByRows(tag,
+          toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
+        graft.store.TxWriter.write(db,
+          kmv.unionByName(mgByRows(tag, toks, batchId, c),
+            allowMissingColumns = true),
+          props = sinkProps, streamCursor = cursor)
+      case Some(v) =>
+        requireHistByGrid(db, tag, w, origin)
+        // one materialized (grp, item, v) projection feeds all THREE
+        // families; KMV/MG take the null-filtered token view, the hist
+        // branch bins exactly what the standalone registerHistBy would
+        // (null groups excluded inside histSketchBy)
+        val base = batch.select(grp.as("grp"), elem.as("item"), v.as("v"))
+          .localCheckpoint(true)
+        val toks = base.select(col("grp"), col("item"))
+          .filter(col("grp").isNotNull && col("item").isNotNull)
+        val kmv = kmvByRows(tag,
+          toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
+        val hist = Sketches.histSketchBy(base, col("grp"), col("v"),
+          b, w, origin)
+        graft.store.TxWriter.write(db,
+          kmv.unionByName(mgByRows(tag, toks, batchId, c),
+              allowMissingColumns = true)
+            .unionByName(histByRowsOf(tag, hist, batchId),
+              allowMissingColumns = true),
+          props = sinkProps,
+          propsClaim = histByGridClaim(tag, w, origin),
+          streamCursor = cursor)
+    }
   }
 
-  /** [[foldKmvBy]] + [[foldMgBy]] as ONE atomic supersede over all
-    * three grouped key families — the grouped twin of
-    * [[foldSketches]].
+  /** [[foldKmvBy]] + [[foldMgBy]] + [[foldHistBy]] as ONE atomic
+    * supersede over all four grouped key families — the grouped twin of
+    * [[foldSketches]]. The hg/ family folds whenever it has rows under
+    * the tag (whether they came from the trio's `valueCol` rider or a
+    * sibling [[registerHistBy]] sink sharing the tag — the fold is the
+    * same lossless per-(grp, bin) sum either way).
     */
   def foldSketchesBy(db: graft.store.Db, tag: String = "t",
                      k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
@@ -371,13 +404,17 @@ object SketchStore {
       col("id").as("ts"))
     foldStore(db, s"foldSketchesBy($tag)",
       Seq(kmvByPrefix(tag) + "%", mgByPrefix(tag) + "%",
-        mgByMassPrefix(tag) + "%"), waitMillis)({
+        mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%"), waitMillis)({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
           val kmv = kmvFoldRowsBy(db, snap, tag, k)
-          mgByFoldRows(db, snap, tag, c).fold(kmv)(mg =>
+          val withMg = mgByFoldRows(db, snap, tag, c).fold(kmv)(mg =>
             kmv.unionByName(mg, allowMissingColumns = true))
+          val hist = storedHistByAt(db, snap, tag)
+          if (hist.isEmpty) withMg
+          else withMg.unionByName(histByRowsOf(tag, hist, FOLD_TS),
+            allowMissingColumns = true)
         }
       }, identity)
   }
@@ -1094,8 +1131,41 @@ object SketchStore {
                      cursor: Option[(String, Long)] = None,
                      sinkProps: Map[String, String] = Map.empty): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    // friendly pre-write mismatch error (the propsClaim inside the CAS
-    // is the authority — this just refuses before pricing the write job)
+    requireHistByGrid(db, tag, w, origin)
+    val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
+    graft.store.TxWriter.write(db, histByRowsOf(tag, hist, batchId),
+      props = sinkProps,
+      propsClaim = histByGridClaim(tag, w, origin),
+      streamCursor = cursor)
+  }
+
+  /** ONE copy of the grouped-hist row shape (over a prebuilt
+    * (grp, bin, cnt) histogram at `ts`), shared by the standalone
+    * registration and the trio's `valueCol` rider — same
+    * identical-by-construction contract as [[kmvByRows]]/[[mgByRows]].
+    */
+  private def histByRowsOf(tag: String, hist: DataFrame,
+                           ts: Long): DataFrame =
+    hist.select(
+      format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
+        .as("key"),
+      lit(ts).as("ts"), col("grp"), col("bin"), col("cnt"))
+
+  /** The grouped store's first-writer-wins grid claim (checked inside
+    * the publishing CAS — see [[registerHist]]'s geometry note).
+    */
+  private def histByGridClaim(tag: String, w: Long,
+                              origin: Long): Map[String, String] =
+    Map(histByWProp(tag) -> w.toString,
+      histByOriginProp(tag) -> origin.toString)
+
+  /** Friendly pre-write grid-mismatch error for the grouped store (the
+    * propsClaim inside the CAS is the authority — this just refuses
+    * before pricing the write job), shared by [[registerHistBy]] and
+    * the trio's `valueCol` rider.
+    */
+  private def requireHistByGrid(db: graft.store.Db, tag: String, w: Long,
+                                origin: Long): Unit = {
     val m = graft.store.Manifest.current(db.warehouse)
     val exW = m.props.get(histByWProp(tag))
     val exO = m.props.get(histByOriginProp(tag))
@@ -1103,15 +1173,6 @@ object SketchStore {
       s"histogram grid mismatch for grouped tag '$tag': stored " +
         s"(w=${exW.getOrElse("-")}, origin=${exO.getOrElse("-")}) " +
         s"vs registration (w=$w, origin=$origin)")
-    val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
-    val rows = hist.select(
-      format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
-        .as("key"),
-      lit(batchId).as("ts"), col("grp"), col("bin"), col("cnt"))
-    graft.store.TxWriter.write(db, rows, props = sinkProps,
-      propsClaim = Map(histByWProp(tag) -> w.toString,
-        histByOriginProp(tag) -> origin.toString),
-      streamCursor = cursor)
   }
 
   /** The grouped store's grid, from its own claimed properties. */

@@ -395,11 +395,17 @@ object StreamIngest {
     * grouped KMV AND grouped MG stores as ONE transaction
     * ([[graft.ops.SketchStore.registerSketchesBy]]), with the cursor
     * riding the publishing commit and a ONE-supersede auto-fold
-    * ([[graft.ops.SketchStore.foldSketchesBy]]). Same `foldEvery` /
-    * `compactEvery` policies.
+    * ([[graft.ops.SketchStore.foldSketchesBy]]). A stream that also
+    * carries a numeric column names it via `valueCol` and its grouped
+    * histogram rows ride the SAME transaction and grid claim — three
+    * grouped families for one claim + one publish per micro-batch,
+    * instead of paying a second [[histByWriter]] sink's commits. Same
+    * `foldEvery` / `compactEvery` policies (the fold supersedes all
+    * four grouped key families atomically).
     */
   def sketchByWriter(db: Db, stream: DataFrame, grpCol: String,
                      elemCol: String, tag: String = "t",
+                     valueCol: Option[String] = None,
                      trigger: Trigger = Trigger.AvailableNow(),
                      sinkId: String = "sketchby", foldEvery: Int = 0,
                      compactEvery: Int = 0,
@@ -414,6 +420,7 @@ object StreamIngest {
           graft.ops.SketchStore.registerSketchesBy(db, batch,
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            valueCol = valueCol.map(org.apache.spark.sql.functions.col),
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
           if (shouldFold(batchId, foldEvery))

@@ -479,20 +479,21 @@ class StreamIngestSpec extends SparkSpec {
     assert(stored == direct, s"auto-fold drifted: $stored != $direct")
   }
 
-  test("grouped trio sink: ONE transaction per micro-batch feeds both " +
-      "grouped stores; reports == standalone twins") {
+  test("grouped trio sink: ONE transaction per micro-batch feeds all " +
+      "THREE grouped stores (valueCol rider); reports == standalone twins") {
     import graft.ops.SketchStore
     implicit val sc = spark.sqlContext
     val db = Db(spark, tmpDir("graft-sketchbysink"))
-    val mem = MemoryStream[(String, String)]
+    val mem = MemoryStream[(String, String, Long)]
     val writer = StreamIngest
-      .sketchByWriter(db, mem.toDF().toDF("g", "t"), "g", "t",
-        foldEvery = 2)
+      .sketchByWriter(db, mem.toDF().toDF("g", "t", "v"), "g", "t",
+        valueCol = Some("v"), foldEvery = 2)
       .option("checkpointLocation", tmpDir("graft-sketchbycp"))
 
     def batch(b: Int) = (1 to 200).map { i =>
       val g = s"s${i % 2}"
-      (g, if (i % 10 < 2) s"hot_$g" else s"w${b * 130 + i % 150}")
+      (g, if (i % 10 < 2) s"hot_$g" else s"w${b * 130 + i % 150}",
+        (i % (40 + 7 * b) + 1).toLong)
     }
     val (b0, b1) = (batch(0), batch(1))
     mem.addData(b0: _*)
@@ -500,20 +501,25 @@ class StreamIngestSpec extends SparkSpec {
     val vBefore = Manifest.currentVersion(db.warehouse)
     mem.addData(b1: _*)
     val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
-    // one union transaction per micro-batch, cursor in the publish —
-    // batch 1 additionally folded (foldEvery=2): 2 write commits + the
-    // fold's 2 (supersedeIf = claim + conditional publish); a per-store
-    // fold pair would have been 2 + 2×2
+    // one union transaction per micro-batch even WITH the hist rider,
+    // cursor in the publish — batch 1 additionally folded (foldEvery=2):
+    // 2 write commits + the fold's 2 (supersedeIf = claim + conditional
+    // publish); a separate histByWriter would have paid its own 2 per
+    // batch, a per-store fold trio 2 + 3×2
     assert(Manifest.currentVersion(db.warehouse) - vBefore == 4L,
       "write claim + publish + ONE fold supersede (claim + publish)")
-    // both grouped reports equal their standalone-store twins
+    // all three grouped reports equal their standalone-store twins
     val twin = Db(spark, tmpDir("graft-sketchbytwin"))
-    SketchStore.registerKmvBy(twin, b0.toDF("g", "t"), col("g"), col("t"))
-    SketchStore.registerKmvBy(twin, b1.toDF("g", "t"), col("g"), col("t"))
-    SketchStore.registerMgBy(twin, b0.toDF("g", "t"), col("g"), col("t"),
+    SketchStore.registerKmvBy(twin, b0.toDF("g", "t", "v"), col("g"), col("t"))
+    SketchStore.registerKmvBy(twin, b1.toDF("g", "t", "v"), col("g"), col("t"))
+    SketchStore.registerMgBy(twin, b0.toDF("g", "t", "v"), col("g"), col("t"),
       batchId = 0L)
-    SketchStore.registerMgBy(twin, b1.toDF("g", "t"), col("g"), col("t"),
+    SketchStore.registerMgBy(twin, b1.toDF("g", "t", "v"), col("g"), col("t"),
       batchId = 1L)
+    SketchStore.registerHistBy(twin, b0.toDF("g", "t", "v"), col("g"),
+      col("v"), batchId = 0L)
+    SketchStore.registerHistBy(twin, b1.toDF("g", "t", "v"), col("g"),
+      col("v"), batchId = 1L)
     val kmvGot = SketchStore.storedKmvEstimateBy(db)
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(kmvGot == SketchStore.storedKmvEstimateBy(twin)
@@ -524,10 +530,18 @@ class StreamIngestSpec extends SparkSpec {
     assert(mgGot == SketchStore.storedHeavyHittersBy(twin)
       .as[(String, String, Long, Long, Long)].collect().toSeq,
       "grouped-trio MG drifted from the standalone store")
-    // the batch-1 fold collapsed every family to one generation
+    val histGot = SketchStore.storedHistQuantilesBy(db).orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(histGot == SketchStore.storedHistQuantilesBy(twin)
+      .orderBy("grp", "qm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq,
+      "grouped-trio hist drifted from the standalone store")
+    // the batch-1 fold collapsed every family — hist included — to one
+    // generation under ONE supersede
     val gens = (db.read("mg/t/%").select("ts").distinct().as[Long].collect()
-      ++ db.read("mgn/t/%").select("ts").distinct().as[Long].collect()).toSet
-    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded MG history: $gens")
+      ++ db.read("mgn/t/%").select("ts").distinct().as[Long].collect()
+      ++ db.read("hg/t/%").select("ts").distinct().as[Long].collect()).toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded history: $gens")
     assert(Manifest.current(db.warehouse).streamBatchFor("sketchby") == 1L)
   }
 
