@@ -199,7 +199,7 @@ object SketchStore {
                 k: Int = Sketches.KMV_K,
                 waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"),
-      waitMillis)(kmvFoldRowsBy(db, db.snapshot(), tag, k), identity)
+      waitMillis, foldProp = Some(foldLastProp("kmvby", tag)))(kmvFoldRowsBy(db, db.snapshot(), tag, k), identity)
 
   /** DuckDB twin of the grouped store over `documents` tokens by
     * `source` — [[Sketches.sqlKmvTokensBySource]] minus the exact
@@ -291,7 +291,8 @@ object SketchStore {
       col("id").as("ts"))
     foldStore(db, s"foldSketches($tag)",
       Seq(kmvKey(tag), cmPrefix(tag) + "%", mgPrefix(tag) + "%",
-        mgMassKey(tag)), waitMillis)({
+        mgMassKey(tag)), waitMillis,
+      foldProp = Some(foldLastProp("sketches", tag)))({
         // ONE snapshot for every family's read: all four key families
         // fold from the same store generation (the same-generation
         // argument of [[storedHeavyHittersAt]], applied to the fold)
@@ -404,7 +405,8 @@ object SketchStore {
       col("id").as("ts"))
     foldStore(db, s"foldSketchesBy($tag)",
       Seq(kmvByPrefix(tag) + "%", mgByPrefix(tag) + "%",
-        mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%"), waitMillis)({
+        mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%"), waitMillis,
+      foldProp = Some(foldLastProp("sketchesby", tag)))({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
@@ -552,7 +554,7 @@ object SketchStore {
   def foldCountMinBy(db: graft.store.Db, tag: String = "t",
                      waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldCountMinBy($tag)", Seq(cmByPrefix(tag) + "%"),
-      waitMillis)(
+      waitMillis, foldProp = Some(foldLastProp("cmby", tag)))(
       storedCountMinBy(db, tag),
       _.select(
         concat(lit(cmByPrefix(tag)), escGrp(col("grp")),
@@ -943,7 +945,8 @@ object SketchStore {
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
       col("id").as("ts"))
     foldStore(db, s"foldMgBy($tag)",
-      Seq(mgByPrefix(tag) + "%", mgByMassPrefix(tag) + "%"), waitMillis)({
+      Seq(mgByPrefix(tag) + "%", mgByMassPrefix(tag) + "%"), waitMillis,
+      foldProp = Some(foldLastProp("mgby", tag)))({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else mgByFoldRows(db, snap, tag, c).getOrElse(empty)
@@ -1224,7 +1227,7 @@ object SketchStore {
   def foldHistBy(db: graft.store.Db, tag: String = "t",
                  waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldHistBy($tag)", Seq(histByPrefix(tag) + "%"),
-      waitMillis)(
+      waitMillis, foldProp = Some(foldLastProp("histby", tag)))(
       storedHistBy(db, tag),
       _.select(
         format_string(histByPrefix(tag) + "%s/%06d", col("grp"), col("bin"))
@@ -1237,7 +1240,8 @@ object SketchStore {
     */
   def foldHist(db: graft.store.Db, tag: String = "t",
                waitMillis: Long = FOLD_WAIT_MILLIS): Long =
-    foldStore(db, s"foldHist($tag)", Seq(histPrefix(tag) + "%"), waitMillis)(
+    foldStore(db, s"foldHist($tag)", Seq(histPrefix(tag) + "%"), waitMillis,
+      foldProp = Some(foldLastProp("hist", tag)))(
       storedHist(db, tag),
       _.select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(FOLD_TS).as("ts"), col("bin"), col("cnt")))
@@ -1251,7 +1255,8 @@ object SketchStore {
   def foldKmv(db: graft.store.Db, tag: String = "t",
               k: Int = Sketches.KMV_K,
               waitMillis: Long = FOLD_WAIT_MILLIS): Long =
-    foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)), waitMillis)(
+    foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)), waitMillis,
+      foldProp = Some(foldLastProp("kmv", tag)))(
       storedKmvSketch(db, tag, k),
       _.select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h")))
 
@@ -1276,7 +1281,8 @@ object SketchStore {
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
       col("id").as("ts"))
     foldStore(db, s"foldMg($tag)",
-      Seq(mgPrefix(tag) + "%", mgMassKey(tag)), waitMillis)({
+      Seq(mgPrefix(tag) + "%", mgMassKey(tag)), waitMillis,
+      foldProp = Some(foldLastProp("mg", tag)))({
         // emptiness signal: registerMg writes one mass row per batch,
         // so this tag has mass rows iff anything was ever registered
         val snap = db.snapshot()
@@ -1420,9 +1426,19 @@ object SketchStore {
     */
   val FOLD_WAIT_MILLIS: Long = 10 * 60 * 1000L
 
+  /** The key under which a fold records ITS OWN published txid as a
+    * table property (via supersedeIf's dynProps rider, so provenance
+    * lands in the SAME commit as the fold): `fold.last/<family>/<tag>`.
+    * A serving tier reads these off the manifest to report which fold
+    * generation a stats body reflects — zero extra jobs.
+    */
+  private[graft] def foldLastProp(family: String, tag: String): String =
+    s"fold.last/$family/$tag"
+
   private def foldStore(db: graft.store.Db, what: String,
                         wildcards: Seq[String],
-                        waitMillis: Long = FOLD_WAIT_MILLIS)
+                        waitMillis: Long = FOLD_WAIT_MILLIS,
+                        foldProp: Option[String] = None)
                        (stored: => DataFrame,
                         project: DataFrame => DataFrame): Long = {
     val deadline = System.nanoTime() + waitMillis * 1000000L
@@ -1441,7 +1457,8 @@ object SketchStore {
         val folded = project(cur)
           .localCheckpoint(true) // materialize the sums BEFORE the delete
         graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
-            folded) match {
+            folded,
+            dynProps = tx => foldProp.map(_ -> tx.toString).toMap) match {
           case Some(tx) => return tx
           case None     => // a commit raced in (or is in flight) — refold
             attempt += 1
@@ -1467,7 +1484,7 @@ object SketchStore {
   def foldCountMin(db: graft.store.Db, tag: String = "t",
                    waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldCountMin($tag)", Seq(cmPrefix(tag) + "%"),
-      waitMillis)(
+      waitMillis, foldProp = Some(foldLastProp("cm", tag)))(
       storedCountMin(db, tag),
       _.select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))

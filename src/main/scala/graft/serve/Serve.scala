@@ -565,6 +565,27 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       .mkString("", "\n", if (hits.isEmpty) "" else "\n"))
   }
 
+  /** Freshness fields every stats body carries: the manifest version it
+    * derives from, each streaming sink's replay cursor (which batchId
+    * the store reflects), and the last-fold txid per sketch family
+    * under this tag ([[graft.ops.SketchStore.foldLastProp]] — recorded
+    * IN the fold's own publishing commit). All manifest fields: zero
+    * extra jobs, and version-keyed like the result cache, so a cached
+    * body's freshness claims stay true for exactly as long as the body
+    * is served.
+    */
+  private def freshnessJson(m: graft.store.ManifestState,
+                            tag: String): String = {
+    val cursors = m.streamBatches.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"${jstr(s)}:$b" }.mkString("{", ",", "}")
+    val folds = m.props.toSeq.collect {
+      case (k, v) if k.startsWith("fold.last/") && k.endsWith(s"/$tag") =>
+        k.stripPrefix("fold.last/").stripSuffix(s"/$tag") -> v
+    }.sortBy(_._1).map { case (f, tx) => s"${jstr(f)}:$tx" }
+      .mkString("{", ",", "}")
+    s""""version":${m.version},"cursors":$cursors,"folds":$folds"""
+  }
+
   /** ONE copy of the JSON string escape every stats body shares. */
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -634,9 +655,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                 s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
               s"""{"grp":${jstr(g)},"n":${qs.head._3},"quantiles":$qJson}"""
           }.mkString("[", ",", "]")
+          val fresh = freshnessJson(
+            graft.store.Manifest.current(db.warehouse), tag)
           (200,
             s"""{"tag":${jstr(tag)},"kind":"hist","truncated":$truncated""" +
-              s""","groups":$groups}""" + "\n")
+              s""","groups":$groups,$fresh}""" + "\n")
         case "kmv" =>
           // one row per group — the limit is directly the group cap
           val rows = pick(
@@ -650,9 +673,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             s"""{"grp":${jstr(g)},"estDistinct":$est""" +
               s""","exactBelowK":${ns < graft.ops.Sketches.KMV_K}}"""
           }.mkString("[", ",", "]")
+          val fresh = freshnessJson(
+            graft.store.Manifest.current(db.warehouse), tag)
           (200,
             s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
-              s""","groups":$groups}""" + "\n")
+              s""","groups":$groups,$fresh}""" + "\n")
         case "mg" =>
           // the GROUP SET is mass-defined at every heavy= value: a
           // group whose merged candidates truncated to nothing (mass
@@ -702,7 +727,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           }.mkString("[", ",", "]")
           (200,
             s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
-              s""","groups":$groups}""" + "\n")
+              s""","groups":$groups,${freshnessJson(snap.manifest, tag)}}""" +
+              "\n")
         case other => (400, s"kind=$other not one of hist|kmv|mg\n")
       }
     } else doStatsUngrouped(p, tag, heavyK)
@@ -750,11 +776,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // the two masses are DIFFERENT streams (the histogram counts values
     // registered to it, MG counts elements) — never conflate them
     val histN = quants.headOption.map(_._2).getOrElse(0L)
+    val fresh = freshnessJson(
+      graft.store.Manifest.current(db.warehouse), tag)
     (200,
       s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
         s""","kmvExactBelowK":${nSketch < graft.ops.Sketches.KMV_K}""" +
         s""","histN":$histN,"quantiles":$qJson""" +
-        s""","mgN":$mgN,"heavy":$hJson}""" + "\n")
+        s""","mgN":$mgN,"heavy":$hJson,$fresh}""" + "\n")
   }
 
   private val spooled = new java.util.concurrent.atomic.AtomicLong(0L)

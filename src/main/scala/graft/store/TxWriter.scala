@@ -246,10 +246,19 @@ object TxWriter {
     *   layout fact together with the rows recorded under it
     *   ([[graft.ops.SketchStore.migrateHistGrid]]).
     */
+  /** @param dynProps properties computed FROM the replacement's txid and
+    *   published in the same commit — the fold-provenance rider
+    *   ([[graft.ops.SketchStore]] records `fold.last/<family>/<tag>` so
+    *   a serving tier can report which fold generation a stats body
+    *   reflects, for free: the txid isn't known until the claim, and a
+    *   follow-up commit would break the one-commit supersede).
+    */
   def supersedeIf(db: Db, baseline: ManifestState, wildcards: Seq[String],
                   replacement: DataFrame, t0: Long = Long.MinValue,
                   t1: Long = Long.MaxValue,
-                  props: Map[String, String] = Map.empty): Option[Long] = {
+                  props: Map[String, String] = Map.empty,
+                  dynProps: Long => Map[String, String] = _ => Map.empty)
+      : Option[Long] = {
     require(wildcards.nonEmpty, "need at least one wildcard")
     val schema = replacement.schema
     require(schema.fieldNames.contains("key") &&
@@ -292,7 +301,7 @@ object TxWriter {
           deleteTxids = cur.deleteTxids :+ markerTx,
           schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
           txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
-          props = cur.props ++ props,
+          props = cur.props ++ props ++ dynProps(dataTx),
           pending = cur.pending - markerTx - dataTx)
       }
       Some(dataTx)

@@ -1,7 +1,7 @@
 package graft.serve
 
 import graft.SparkSpec
-import graft.store.Db
+import graft.store.{Db, Manifest}
 
 /** The reference's PUT-then-GET lifecycle over HTTP
   * (`src/bin/sonnerie-serve.rs`): PUT text-protocol lines commits one
@@ -328,6 +328,24 @@ class ServeSpec extends SparkSpec {
       val (_, b2) = http("GET", s"$base/_query/stats?heavy=3")
       assert(b2.contains("\"item\":\"hot\",\"est\":110") &&
         b2.contains("\"mgN\":150"), b2)
+
+      // freshness fields: the body says which manifest version it
+      // derives from, which batch each sink cursor reflects, and — after
+      // a fold — which fold txid the report includes (fold.last prop,
+      // recorded IN the fold's own publishing commit)
+      assert(b2.contains(
+        s""""version":${Manifest.currentVersion(db.warehouse)}"""), b2)
+      assert(b2.contains("\"folds\":{}"), s"no fold ran yet: $b2")
+      val foldTx = graft.ops.SketchStore.foldMg(db)
+      val (_, b3) = http("GET", s"$base/_query/stats?heavy=3")
+      assert(b3.contains(s""""folds":{"mg":$foldTx}"""), b3)
+      assert(b3.contains(
+        s""""version":${Manifest.currentVersion(db.warehouse)}"""), b3)
+      // a cursor-riding registration surfaces in the cursors map
+      graft.ops.SketchStore.registerMg(db, Seq.fill(5)("hot").toDF("t"),
+        col("t"), batchId = 2L, cursor = Some(("mgsink", 2L)))
+      val (_, b4) = http("GET", s"$base/_query/stats?heavy=3")
+      assert(b4.contains("\"cursors\":{\"mgsink\":2}"), b4)
     } finally srv.stop()
   }
 
