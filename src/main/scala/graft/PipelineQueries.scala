@@ -742,8 +742,13 @@ object PipelineQueries {
       SketchStore.registerSketches(db,
         items(docs.filter(col("doc_id") < mid)), col("item"), batchId = 0L)
       SketchStore.foldSketches(db)
+      // batch 1 commits through the FUSED claim-and-publish protocol
+      // (one manifest commit) — the report must be byte-identical to the
+      // claim-first batch 0's oracle, pinning the protocols' equivalence
+      // at the driver gate
       SketchStore.registerSketches(db,
-        items(docs.filter(col("doc_id") >= mid)), col("item"), batchId = 1L)
+        items(docs.filter(col("doc_id") >= mid)), col("item"), batchId = 1L,
+        fuse = true)
       SketchStore.storedHeavyHitters(db)
     },
     "sk_countmin_incremental" -> { (s, d) =>

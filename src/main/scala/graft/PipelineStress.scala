@@ -552,6 +552,19 @@ object PipelineStress {
         graft.store.Manifest.currentVersion(db1.warehouse)
       }
       timed("trio foldSketches (1 supersede)")(SketchStore.foldSketches(db1))
+      // ── fused claim-and-publish: the 1-tx union still paid claim +
+      // publish (2 manifest commits); the fused protocol folds the claim
+      // INTO the publish CAS — the uncontended single-writer sink case
+      // pays ONE commit per micro-batch. Same 50 batches; the out= value
+      // proves it: 50 versions, vs 100 for claim-first.
+      val dbf = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-triofuse").toString)
+      timed("trio 50 batches, fused 1-commit") {
+        (0 until 50).foreach(b =>
+          SketchStore.registerSketches(dbf, toks, col("t"), b.toLong,
+            fuse = true))
+        graft.store.Manifest.currentVersion(dbf.warehouse)
+      }
 
       // ── auto-maintenance steady state: the year-long stream with
       // foldEvery=30 + compactEvery=30 — directory count and report
@@ -570,6 +583,48 @@ object PipelineStress {
       }
       timed("auto: report after a year")(
         SketchStore.storedHistQuantiles(adb).count())
+
+      // ── the GROUPED trio's year at a data-sized group count: batch 0
+      // seeds every group (n rows, n/10 groups), then 364 daily batches
+      // through the sketchByWriter shape — fused 1-commit registrations
+      // carrying KMV + MG + hist (valueCol) rows, and every 30th batch
+      // the FULL maintenance set: one 4-family fold supersede, a major
+      // compact, vacuum, and the manifest-history prune (keep 100). The
+      // end state proves a year of unattended grouped maintenance is
+      // bounded in rows, directories AND manifest files.
+      val gt = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-gtrio").toString)
+      val gseed = spark.range(n).select(
+        concat(lit("g"), pmod(hash(col("id")), lit(nGroups))).as("g"),
+        when(col("id") % 4 === 0,
+            concat(lit("hot"), pmod(hash(col("id")), lit(nGroups))))
+          .otherwise(concat(lit("t"), col("id") % 5000)).as("t"),
+        (col("id") % 500).as("v")).localCheckpoint(true)
+      val gday = gseed.limit(2000).localCheckpoint(true)
+      timed(s"gtrio: year@${nGroups}g, maint/30") {
+        (0 until 365).foreach { b =>
+          SketchStore.registerSketchesBy(gt,
+            if (b == 0) gseed else gday, col("g"), col("t"), b.toLong,
+            valueCol = Some(col("v")), fuse = true)
+          if ((b + 1) % 30 == 0) {
+            SketchStore.foldSketchesBy(gt)
+            graft.store.Compactor.tryMajor(gt)
+            graft.store.Compactor.tryVacuum(gt, graceMs = 0L)
+            graft.store.Compactor.tryPruneHistory(gt, keep = 100)
+          }
+        }
+        graft.store.Manifest.current(gt.warehouse).dataTxids.size.toLong
+      }
+      println(f"PSTRESS   gtrio end state: " +
+        f"${graft.store.Manifest.current(gt.warehouse).dataTxids.size} data txids, " +
+        f"${graft.store.Manifest.current(gt.warehouse).deleteTxids.size} markers, " +
+        f"${graft.store.Manifest.versions(gt.warehouse).size} manifest files")
+      timed(s"gtrio: MG report (${nGroups}g)")(
+        SketchStore.storedHeavyHittersBy(gt).count())
+      timed(s"gtrio: hist report (${nGroups}g)")(
+        SketchStore.storedHistQuantilesBy(gt).count())
+      timed(s"gtrio: kmv report (${nGroups}g)")(
+        SketchStore.storedKmvEstimateBy(gt).count())
     }
 
     spark.stop()

@@ -122,11 +122,12 @@ object SketchStore {
                     elem: Column, tag: String = "t",
                     k: Int = Sketches.KMV_K,
                     cursor: Option[(String, Long)] = None,
-                    sinkProps: Map[String, String] = Map.empty): Long = {
+                    sinkProps: Map[String, String] = Map.empty,
+                    fuse: Boolean = false): Long = {
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
     graft.store.TxWriter.write(db, kmvByRows(tag, hashed, k),
-      props = sinkProps, streamCursor = cursor)
+      props = sinkProps, streamCursor = cursor, fuse = fuse)
   }
 
   /** ONE copy of the grouped-KMV row shape, shared by the standalone
@@ -244,7 +245,8 @@ object SketchStore {
                        k: Int = Sketches.KMV_K, d: Int = Sketches.CM_D,
                        w: Long = Sketches.CM_W, c: Int = Sketches.MG_C,
                        cursor: Option[(String, Long)] = None,
-                       sinkProps: Map[String, String] = Map.empty): Long = {
+                       sinkProps: Map[String, String] = Map.empty,
+                       fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // the three families aggregate the SAME element stream; left as
     // three subtrees over `batch` they would re-run its whole lineage
@@ -272,7 +274,7 @@ object SketchStore {
       .unionByName(mg, allowMissingColumns = true)
       .unionByName(mass, allowMissingColumns = true)
     graft.store.TxWriter.write(db, rows, props = sinkProps,
-      streamCursor = cursor)
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** [[foldKmv]] + [[foldCountMin]] + [[foldMg]] as ONE atomic
@@ -349,7 +351,8 @@ object SketchStore {
                          b: Int = Sketches.HIST_B,
                          w: Long = Sketches.HIST_W, origin: Long = 0L,
                          cursor: Option[(String, Long)] = None,
-                         sinkProps: Map[String, String] = Map.empty)
+                         sinkProps: Map[String, String] = Map.empty,
+                         fuse: Boolean = false)
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     valueCol match {
@@ -364,7 +367,7 @@ object SketchStore {
         graft.store.TxWriter.write(db,
           kmv.unionByName(mgByRows(tag, toks, batchId, c),
             allowMissingColumns = true),
-          props = sinkProps, streamCursor = cursor)
+          props = sinkProps, streamCursor = cursor, fuse = fuse)
       case Some(v) =>
         requireHistByGrid(db, tag, w, origin)
         // one materialized (grp, item, v) projection feeds all THREE
@@ -386,7 +389,7 @@ object SketchStore {
               allowMissingColumns = true),
           props = sinkProps,
           propsClaim = histByGridClaim(tag, w, origin),
-          streamCursor = cursor)
+          streamCursor = cursor, fuse = fuse)
     }
   }
 
@@ -502,7 +505,8 @@ object SketchStore {
                          elem: Column, batchId: Long, tag: String = "t",
                          d: Int = Sketches.CM_D, w: Long = Sketches.CM_W,
                          cursor: Option[(String, Long)] = None,
-                         sinkProps: Map[String, String] = Map.empty): Long = {
+                         sinkProps: Map[String, String] = Map.empty,
+                         fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     val rows = Sketches.countMinSketchBy(batch, grp, elem, d, w)
       .select(
@@ -511,7 +515,7 @@ object SketchStore {
         lit(batchId).as("ts"), col("grp"), col("sk_row"), col("bucket"),
         col("c"))
     graft.store.TxWriter.write(db, rows, props = sinkProps,
-      streamCursor = cursor)
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** The running per-group grids: per-(grp, cell) sums over a
@@ -635,7 +639,8 @@ object SketchStore {
                  batchId: Long, tag: String = "t",
                  c: Int = Sketches.MG_C,
                  cursor: Option[(String, Long)] = None,
-                 sinkProps: Map[String, String] = Map.empty): Long = {
+                 sinkProps: Map[String, String] = Map.empty,
+                 fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
@@ -651,7 +656,7 @@ object SketchStore {
         col("n_items"))
     graft.store.TxWriter.write(db,
       partial.unionByName(mass, allowMissingColumns = true),
-      props = sinkProps, streamCursor = cursor)
+      props = sinkProps, streamCursor = cursor, fuse = fuse)
   }
 
   /** The merged summary of every batch ever registered: per-item sums
@@ -798,14 +803,15 @@ object SketchStore {
                    elem: Column, batchId: Long, tag: String = "t",
                    c: Int = Sketches.MG_C,
                    cursor: Option[(String, Long)] = None,
-                   sinkProps: Map[String, String] = Map.empty): Long = {
+                   sinkProps: Map[String, String] = Map.empty,
+                   fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // materialized once — partial + per-group mass are two subtrees
     val toks = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .localCheckpoint(true)
     graft.store.TxWriter.write(db, mgByRows(tag, toks, batchId, c),
-      props = sinkProps, streamCursor = cursor)
+      props = sinkProps, streamCursor = cursor, fuse = fuse)
   }
 
   /** ONE copy of the grouped-MG row shapes (per-group deterministic
@@ -1030,7 +1036,8 @@ object SketchStore {
                    w: Long = Sketches.HIST_W,
                    origin: Long = 0L,
                    cursor: Option[(String, Long)] = None,
-                   sinkProps: Map[String, String] = Map.empty): Long = {
+                   sinkProps: Map[String, String] = Map.empty,
+                   fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // the grid IS the store's geometry: bins from a different (w,
     // origin) are not mergeable with what's stored, and a reader
@@ -1055,7 +1062,7 @@ object SketchStore {
     graft.store.TxWriter.write(db, rows, props = sinkProps,
       propsClaim = Map(histWProp(tag) -> w.toString,
         histOriginProp(tag) -> origin.toString),
-      streamCursor = cursor)
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** The store's grid geometry, read back from the manifest properties
@@ -1132,14 +1139,15 @@ object SketchStore {
                      w: Long = Sketches.HIST_W,
                      origin: Long = 0L,
                      cursor: Option[(String, Long)] = None,
-                     sinkProps: Map[String, String] = Map.empty): Long = {
+                     sinkProps: Map[String, String] = Map.empty,
+                     fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireHistByGrid(db, tag, w, origin)
     val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
     graft.store.TxWriter.write(db, histByRowsOf(tag, hist, batchId),
       props = sinkProps,
       propsClaim = histByGridClaim(tag, w, origin),
-      streamCursor = cursor)
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** ONE copy of the grouped-hist row shape (over a prebuilt

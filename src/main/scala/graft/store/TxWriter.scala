@@ -3,6 +3,7 @@ package graft.store
 import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
+import scala.jdk.CollectionConverters._
 
 /** Transaction writer — the Spark-native `CreateTx` + `Writer`
   * (sonnerie `src/create_tx.rs:29-264`, `src/write.rs:81-345`).
@@ -105,6 +106,32 @@ object TxWriter {
     *        has NO replay window at all (and one fewer manifest commit
     *        than a separate cursor update).
     */
+  /** @param fuse attempt the FUSED commit protocol: write the data
+    *        directory under the CURRENT `nextTxid` without claiming it,
+    *        then claim-and-publish in ONE manifest CAS (`nextTxid`
+    *        unchanged ⟹ the number is still ours; moved ⟹ rename the
+    *        directory to the new `nextTxid` and retry). Halves the
+    *        measured per-micro-batch commit cost for the streaming
+    *        sketch sinks, whose cost driver is the manifest commit, not
+    *        the sketch math. Correctness is unconditional — the publish
+    *        is a CAS and a crash leaves only an invisible orphan for
+    *        vacuum — but the protocol is designed for the SINGLE-WRITER
+    *        sink deployment (one store family per warehouse, the
+    *        engine-wide layout rule): a claim-first writer, fold or
+    *        compactor racing the fused window is always safe (their
+    *        publishes move `nextTxid`/the published sets, which the CAS
+    *        detects — concurrent folds re-fold, compactors abort-retry),
+    *        but a concurrent writer that claims the fused writer's
+    *        TENTATIVE txid mid-write fails loudly on the existing
+    *        directory rather than writing. Falls back to the claim-first
+    *        protocol whenever the fused attempt cannot proceed (a claim
+    *        in flight, the tentative directory occupied by a crashed
+    *        writer's orphan — whose number is burned so the fallback
+    *        cannot collide, or publish contention past the retry budget).
+    *        Never used for a warehouse's FIRST bucket-layout-setting
+    *        write (the sticky-width commit needs the claim-first
+    *        ordering).
+    */
   def write(db: Db, df: DataFrame, strict: Boolean = false,
             rangePartitions: Option[Int] = None,
             timeBucketNanos: Option[Long] = None,
@@ -112,7 +139,8 @@ object TxWriter {
             maxNewBuckets: Int = DefaultMaxNewBuckets,
             props: Map[String, String] = Map.empty,
             propsClaim: Map[String, String] = Map.empty,
-            streamCursor: Option[(String, Long)] = None): Long = {
+            streamCursor: Option[(String, Long)] = None,
+            fuse: Boolean = false): Long = {
     val schema = df.schema
     require(schema.fieldNames.contains("key") &&
       schema("key").dataType == StringType, "data needs key: String")
@@ -137,6 +165,13 @@ object TxWriter {
       if (fresh) timeBucketNanos.getOrElse(0L) else pre.timeBucket
     val major: Boolean =
       if (fresh) bucketMajor && width > 0 else pre.bucketMajor
+
+    if (fuse && !(fresh && width > 0))
+      writeFused(db, df, width, major, rangePartitions, maxNewBuckets,
+          props, propsClaim, streamCursor) match {
+        case Some(tx) => return tx
+        case None     => () // fall through to the claim-first protocol
+      }
 
     val txid = claimTxid(db)
     try {
@@ -194,6 +229,125 @@ object TxWriter {
       case e: Throwable => abandonClaim(db, txid); throw e
     }
   }
+
+  /** The fused commit protocol (see [[write]]'s `fuse` doc). None =
+    * could not proceed or lost too many races — the caller falls back
+    * to claim-first; the fallback can never collide with a leftover
+    * tentative directory because the occupied number is burned first.
+    */
+  private def writeFused(db: Db, df: DataFrame, width: Long, major: Boolean,
+                         rangePartitions: Option[Int], maxNewBuckets: Int,
+                         props: Map[String, String],
+                         propsClaim: Map[String, String],
+                         streamCursor: Option[(String, Long)])
+      : Option[Long] = {
+    val start = Manifest.current(db.warehouse)
+    // a claim in flight means a claim-first writer (or fold/compactor)
+    // is active — don't interleave protocols on one warehouse
+    if (start.pending.nonEmpty) return None
+    var txid = start.nextTxid
+    def dirOf(t: Long) = java.nio.file.Paths.get(db.dataDir, s"txid=$t")
+    if (java.nio.file.Files.exists(dirOf(txid))) {
+      // a crashed fused writer's orphan (or a racing fused writer)
+      // occupies the tentative number: burn it so NO later claim can
+      // collide with the directory (the orphan stays for vacuum)
+      burnTxid(db, txid)
+      return None
+    }
+    val written =
+      try writeDataDir(db, df, txid, width, major, rangePartitions)
+      catch {
+        case e: Throwable =>
+          // unlike claim-first (where a failed write's directory is an
+          // invisible orphan under a CLAIMED number), a partial dir at
+          // the UNCLAIMED nextTxid would block the next writer — remove
+          // it before rethrowing
+          deleteRecursivelyIfExists(dirOf(txid))
+          throw e
+      }
+    // bucket-explosion guard, same as the claim-first path (fused never
+    // sets the width, so there is no first-write layout to revert)
+    if (width > 0) {
+      val path = new org.apache.hadoop.fs.Path(s"${db.dataDir}/txid=$txid")
+      val fs = path.getFileSystem(db.spark.sessionState.newHadoopConf())
+      val minted = fs.listStatus(path).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("tbucket="))
+      if (minted > maxNewBuckets) {
+        deleteRecursivelyIfExists(dirOf(txid))
+        throw new BucketExplosion(
+          s"transaction $txid minted $minted tbucket= dirs (cap " +
+            s"$maxNewBuckets) — see TxWriter.write's guard; the " +
+            "transaction was NOT published.")
+      }
+    }
+    val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
+    var attempts = 0
+    while (attempts < 100) {
+      val cur = Manifest.current(db.warehouse)
+      if (cur.nextTxid != txid) {
+        // someone claimed or published past our tentative number — move
+        // the (immutable, invisible) directory to the new nextTxid and
+        // retry. A cheap rename on a posix/HDFS store; on an object
+        // store the uncontended single-writer case never reaches here.
+        val to = cur.nextTxid
+        if (java.nio.file.Files.exists(dirOf(to))) {
+          deleteRecursivelyIfExists(dirOf(txid))
+          return None // another fused writer owns the new number
+        }
+        try java.nio.file.Files.move(dirOf(txid), dirOf(to))
+        catch {
+          case _: java.io.IOException =>
+            deleteRecursivelyIfExists(dirOf(txid)); return None
+        }
+        txid = to
+      } else {
+        // claim-and-publish in ONE CAS: nextTxid still ours ⟹ nothing
+        // claimed it; the commit both consumes the number and makes the
+        // transaction visible (cursor/props riders included), so there
+        // is no window in which the txid is claimed but unpublished
+        propsClaim.foreach { case (k, v) =>
+          cur.props.get(k).filter(_ != v).foreach { existing =>
+            throw new PropertyConflict(
+              s"table property '$k' already set to '$existing' (this " +
+                s"write claimed '$v'); transaction $txid NOT published")
+          }
+        }
+        val pub = cur.copy(
+          version = cur.version + 1,
+          nextTxid = txid + 1,
+          dataTxids = cur.dataTxids :+ txid,
+          schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
+          txStats = stats.fold(cur.txStats)(s => cur.txStats + (txid -> s)),
+          props = cur.props ++ props ++ propsClaim)
+        val next = streamCursor.fold(pub) { case (sink, batch) =>
+          pub.withStreamBatch(sink, batch)
+        }
+        if (Manifest.commit(db.warehouse, cur, Manifest.withCreated(cur, next)))
+          return Some(txid)
+      }
+      attempts += 1
+    }
+    deleteRecursivelyIfExists(dirOf(txid))
+    None // pathological contention — the claim-first fallback handles it
+  }
+
+  /** Conditionally skip a txid number whose directory is occupied by an
+    * orphan, so the claim-first fallback can never claim it.
+    */
+  private def burnTxid(db: Db, txid: Long): Unit =
+    if (Manifest.current(db.warehouse).nextTxid == txid) {
+      Manifest.update(db.warehouse)(m =>
+        if (m.nextTxid == txid) m.copy(nextTxid = txid + 1) else m)
+      ()
+    }
+
+  private def deleteRecursivelyIfExists(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
 
   /** The physical transaction write shared by [[write]] and
     * [[supersedeIf]]: range-shuffle-sort on the warehouse's layout,

@@ -245,7 +245,8 @@ object StreamIngest {
           graft.ops.SketchStore.registerSketches(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery)) nonFatalFold(db) {
             graft.ops.SketchStore.foldSketches(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS)
@@ -282,7 +283,8 @@ object StreamIngest {
           graft.ops.SketchStore.registerHist(db, batch,
             org.apache.spark.sql.functions.col(valueCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldHist(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
@@ -315,7 +317,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(valueCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldHistBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
@@ -347,7 +350,8 @@ object StreamIngest {
           graft.ops.SketchStore.registerMg(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldMg(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
@@ -381,7 +385,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldKmvBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
@@ -422,7 +427,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             valueCol = valueCol.map(org.apache.spark.sql.functions.col),
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldSketchesBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))
@@ -456,7 +462,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery))
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldMgBy(db, tag,
               waitMillis = AUTO_FOLD_WAIT_MILLIS))

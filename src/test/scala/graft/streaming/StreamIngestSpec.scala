@@ -264,12 +264,13 @@ class StreamIngestSpec extends SparkSpec {
     mem.addData((50 to 150).map(i => s"w$i"): _*) // overlaps batch 0
     val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
     // the trio is ONE transaction per micro-batch (union write), and the
-    // cursor rides the publishing commit: exactly TWO manifest commits
-    // per micro-batch (claim + publish), not 3 tx × 2 + a cursor commit
+    // FUSED protocol claims-and-publishes (cursor included) in a single
+    // manifest CAS: exactly ONE commit per micro-batch — not 3 tx × 2 +
+    // a cursor commit, and not even claim + publish
     assert(Manifest.current(db.warehouse).dataTxids.size == 2,
       "one transaction per micro-batch")
-    assert(Manifest.currentVersion(db.warehouse) - vBefore == 2L,
-      "claim + publish — no separate cursor commit")
+    assert(Manifest.currentVersion(db.warehouse) - vBefore == 1L,
+      "ONE fused claim-and-publish commit — no separate claim or cursor")
 
     // the stored KMV equals one sketch of everything that ever streamed
     val streamed = ((1 to 100) ++ (50 to 150)).map(i => s"w$i").toDF("t")
@@ -502,12 +503,13 @@ class StreamIngestSpec extends SparkSpec {
     mem.addData(b1: _*)
     val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
     // one union transaction per micro-batch even WITH the hist rider,
-    // cursor in the publish — batch 1 additionally folded (foldEvery=2):
-    // 2 write commits + the fold's 2 (supersedeIf = claim + conditional
-    // publish); a separate histByWriter would have paid its own 2 per
-    // batch, a per-store fold trio 2 + 3×2
-    assert(Manifest.currentVersion(db.warehouse) - vBefore == 4L,
-      "write claim + publish + ONE fold supersede (claim + publish)")
+    // through the FUSED protocol (claim-and-publish = 1 commit) — batch
+    // 1 additionally folded (foldEvery=2): 1 write commit + the fold's 2
+    // (supersedeIf = claim + conditional publish); a separate
+    // histByWriter would have paid its own commits per batch, a
+    // per-store fold trio 3×2 more
+    assert(Manifest.currentVersion(db.warehouse) - vBefore == 3L,
+      "ONE fused write commit + ONE fold supersede (claim + publish)")
     // all three grouped reports equal their standalone-store twins
     val twin = Db(spark, tmpDir("graft-sketchbytwin"))
     SketchStore.registerKmvBy(twin, b0.toDF("g", "t", "v"), col("g"), col("t"))
