@@ -472,6 +472,42 @@ object StreamIngest {
         ()
       }
 
+  /** Streaming PER-GROUP frequency-grid maintenance: each micro-batch's
+    * (`grpCol`, `elemCol`) rows fold into the warehouse-backed GROUPED
+    * count-min store ([[graft.ops.SketchStore.registerCountMinBy]]) —
+    * running per-source point-frequency probes for ANY item, the
+    * quadrant MG's heavy-item watchlists can't answer. Registration
+    * keys its ≤ d·w·groups cells on the micro-batch id
+    * (replay-idempotent like the ungrouped grid), cursor rides the
+    * publishing commit, same `foldEvery`/`compactEvery` policies.
+    */
+  def cmByWriter(db: Db, stream: DataFrame, grpCol: String,
+                 elemCol: String, tag: String = "t",
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 sinkId: String = "cmby", foldEvery: Int = 0,
+                 compactEvery: Int = 0,
+                 keepVersions: Int = KEEP_VERSIONS)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mft = Manifest.current(db.warehouse)
+        if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
+          graft.ops.SketchStore.registerCountMinBy(db, batch,
+            org.apache.spark.sql.functions.col(grpCol),
+            org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            fuse = true) // single-writer sink: ONE manifest commit per batch
+          if (shouldFold(batchId, foldEvery))
+            nonFatalFold(db)(graft.ops.SketchStore.foldCountMinBy(db, tag,
+              waitMillis = AUTO_FOLD_WAIT_MILLIS))
+          autoCompact(db, batchId, compactEvery, keepVersions)
+        }
+        ()
+      }
+
   /** The auto-fold / auto-compact cadences as table properties, ridden
     * into the registration's OWN publishing commit (one version, no
     * second crash window) so an operator can read the cadences off the

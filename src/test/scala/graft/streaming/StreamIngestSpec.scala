@@ -692,6 +692,49 @@ class StreamIngestSpec extends SparkSpec {
     assert(Manifest.current(db.warehouse).streamBatchFor("histby") == 1L)
   }
 
+  test("grouped count-min sink: streamed per-group probes == registered " +
+      "twin; re-delivery and folds never double-count") {
+    import graft.ops.SketchStore
+    implicit val sc = spark.sqlContext
+    val db = Db(spark, tmpDir("graft-cmbysink"))
+    val mem = MemoryStream[(String, String)]
+    val writer = StreamIngest
+      .cmByWriter(db, mem.toDF().toDF("g", "t"), "g", "t", foldEvery = 1)
+      .option("checkpointLocation", tmpDir("graft-cmbycp"))
+    def batch(b: Int) = (1 to 120).map { i =>
+      val g = s"s${i % 2}"
+      (g, if (i % 6 < 3) s"hot_$g" else s"w${b * 40 + i % 50}")
+    }
+    val (b0, b1) = (batch(0), batch(1))
+    mem.addData(b0: _*)
+    val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(b1: _*)
+    val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+    val twin = Db(spark, tmpDir("graft-cmbytwin"))
+    SketchStore.registerCountMinBy(twin, b0.toDF("g", "t"), col("g"),
+      col("t"), batchId = 0L)
+    SketchStore.registerCountMinBy(twin, b1.toDF("g", "t"), col("g"),
+      col("t"), batchId = 1L)
+    val items = Seq(("s0", "hot_s0"), ("s1", "hot_s1"), ("s0", "hot_s1"))
+      .toDF("g", "t")
+    def probe(d: Db) = SketchStore.probeStoredCountMinBy(d, items, "g", "t")
+      .orderBy("g", "t").as[(String, String, Long)].collect().toSeq
+    assert(probe(db) == probe(twin),
+      "streamed grouped grid drifted from the registered twin")
+    // s0 saw its hot item 40×/batch (i%6 ∈ {0,2} are even), s1 20× —
+    // estimates are over-approximations of the TRUE per-group counts,
+    // and only in the group's OWN grid
+    val got = probe(db).map { case (g, t, e) => (g, t) -> e }.toMap
+    assert(got(("s0", "hot_s0")) >= 80 && got(("s1", "hot_s1")) >= 40,
+      s"per-group counts: $got")
+    assert(got(("s0", "hot_s1")) <= 10, s"per-group isolation: $got")
+    // foldEvery=1 folded after every batch: one generation remains
+    val gens = db.read("cg/t/%").select("ts").distinct()
+      .as[Long].collect().toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded history: $gens")
+    assert(Manifest.current(db.warehouse).streamBatchFor("cmby") == 1L)
+  }
+
   test("maintenance-failure streak: counted per warehouse, escalates at " +
       "MAINT_ESCALATE, resets on the first success") {
     val db = Db(spark, tmpDir("graft-maintfail"))
