@@ -185,9 +185,9 @@ object Cli {
         val tag = flags.getOrElse("--tag", "t")
         val store = flags.getOrElse("--store", "all")
         if (!Set("all", "kmv", "cm", "mg", "hist", "histby", "kmvby",
-            "mgby")(store))
+            "mgby", "cmby")(store))
           sys.error(s"unknown --store: $store " +
-            "(want kmv|cm|mg|hist|histby|kmvby|mgby|all)")
+            "(want kmv|cm|mg|hist|histby|kmvby|mgby|cmby|all)")
         def fold1(name: String)(f: => Long): Unit =
           if (store == "all" || store == name) {
             val tx = f
@@ -200,6 +200,7 @@ object Cli {
         fold1("histby")(graft.ops.SketchStore.foldHistBy(db, tag))
         fold1("kmvby")(graft.ops.SketchStore.foldKmvBy(db, tag))
         fold1("mgby")(graft.ops.SketchStore.foldMgBy(db, tag))
+        fold1("cmby")(graft.ops.SketchStore.foldCountMinBy(db, tag))
 
       // histogram grid evolution in place (exact for multiples):
       // graft.Cli -d DIR migrate-grid --width W [--tag T]
@@ -252,8 +253,31 @@ object Cli {
                 stdout(s"heavy\t${TextProto.escape(grp)}\t" +
                   s"${TextProto.escape(item)}\t$est\t" +
                   (if (certain == 1L) "certain" else "candidate")) }
+          case "cm" =>
+            // point-frequency probes against the grouped count-min
+            // grids — the grid has no enumerable report, so --items is
+            // required; --grp narrows to one source
+            val items = flags.get("--items")
+              .map(_.split(',').toSeq.filter(_.nonEmpty))
+              .getOrElse(sys.error("--kind cm needs --items tok1,tok2"))
+            val snap = db.snapshot()
+            val grid = graft.ops.SketchStore.storedCountMinByAt(db, snap, tag)
+            val gsel: Seq[String] = flags.get("--grp") match {
+              case Some(g) => Seq(g)
+              case None => grid.select("grp").distinct().orderBy("grp")
+                .as[String].collect().toSeq
+            }
+            val est = if (gsel.isEmpty) Map.empty[(String, String), Long]
+              else graft.ops.Sketches.countMinProbeBy(
+                  gsel.flatMap(g => items.map(i => (g, i)))
+                    .toDF("grp", "item"), grid, "grp", "item")
+                .as[(String, String, Long)].collect()
+                .map { case (g, i, e) => (g, i) -> e }.toMap
+            gsel.foreach(g => items.foreach(i =>
+              stdout(s"freq\t${TextProto.escape(g)}\t" +
+                s"${TextProto.escape(i)}\t${est.getOrElse((g, i), 0L)}")))
           case other =>
-            sys.error(s"unknown --kind: $other (want hist|kmv|mg)")
+            sys.error(s"unknown --kind: $other (want hist|kmv|mg|cm)")
         }
 
       case "stats" :: Nil =>
@@ -285,7 +309,7 @@ object Cli {
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
     "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version",
-    "--store", "--width", "--stale-ms", "--kind")
+    "--store", "--width", "--stale-ms", "--kind", "--items", "--grp")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format", "--by")
 

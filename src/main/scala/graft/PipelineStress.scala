@@ -527,6 +527,24 @@ object PipelineStress {
       timed(s"grouped mg fold (${nGroups} grps)")(
         SketchStore.foldMgBy(mdb))
 
+      // grouped count-min at the same shape: the grid write is bounded
+      // by d × min(w, group-vocabulary) cells per group from ONE
+      // aggregation (~4M slim rows at 100k ten-token groups, never the
+      // element stream), the probe a (grp, cell)-keyed join — one hot
+      // probe per group, nGroups results
+      val cdb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-gcm").toString)
+      timed(s"grouped cm register (${nGroups} grps)")(
+        SketchStore.registerCountMinBy(cdb, mvals, col("g"), col("t"),
+          batchId = 0L))
+      timed(s"grouped cm probe (${nGroups} probes)") {
+        val items = mvals.filter(col("t").startsWith("hot"))
+          .select(col("g"), col("t")).distinct()
+        SketchStore.probeStoredCountMinBy(cdb, items, "g", "t").count()
+      }
+      timed(s"grouped cm fold (${nGroups} grps)")(
+        SketchStore.foldCountMinBy(cdb))
+
       // ── trio commit cost: the measured driver of sketch maintenance
       // is the manifest commit, so the streaming trio's 3-transactions-
       // per-batch vs the single-tx union registration is the number
@@ -615,10 +633,11 @@ object PipelineStress {
         }
         graft.store.Manifest.current(gt.warehouse).dataTxids.size.toLong
       }
-      println(f"PSTRESS   gtrio end state: " +
-        f"${graft.store.Manifest.current(gt.warehouse).dataTxids.size} data txids, " +
-        f"${graft.store.Manifest.current(gt.warehouse).deleteTxids.size} markers, " +
-        f"${graft.store.Manifest.versions(gt.warehouse).size} manifest files")
+      if (graft.store.Manifest.current(gt.warehouse).dataTxids.nonEmpty)
+        println(f"PSTRESS   gtrio end state: " +
+          f"${graft.store.Manifest.current(gt.warehouse).dataTxids.size} data txids, " +
+          f"${graft.store.Manifest.current(gt.warehouse).deleteTxids.size} markers, " +
+          f"${graft.store.Manifest.versions(gt.warehouse).size} manifest files")
       timed(s"gtrio: MG report (${nGroups}g)")(
         SketchStore.storedHeavyHittersBy(gt).count())
       timed(s"gtrio: hist report (${nGroups}g)")(

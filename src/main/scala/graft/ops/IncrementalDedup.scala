@@ -44,8 +44,12 @@ object IncrementalDedup {
     * keeps the store one-row-per-content). Returns the txid.
     */
   def registerBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
-                    textCol: String): Long =
-    graft.store.TxWriter.write(db, fingerprints(batch, idCol, textCol))
+                    textCol: String,
+                    cursor: Option[(String, Long)] = None,
+                    sinkProps: Map[String, String] = Map.empty,
+                    fuse: Boolean = false): Long =
+    graft.store.TxWriter.write(db, fingerprints(batch, idCol, textCol),
+      props = sinkProps, streamCursor = cursor, fuse = fuse)
 
   /** The arriving batch minus documents whose content is already
     * registered in `db`. Within-batch duplicates are NOT collapsed here
@@ -84,13 +88,22 @@ object IncrementalDedup {
     * delivered. Returns the fresh rows. One store scan + one tx per
     * batch.
     */
+  /** `cursor`/`sinkProps`/`fuse` ride the REGISTER transaction (the
+    * streaming-sink riders) — note an all-duplicates batch registers
+    * nothing, so its cursor does NOT advance here; the sink falls back
+    * to a bare cursor commit for that case.
+    */
   def ingestBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
                   textCol: String,
-                  onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+                  onFresh: DataFrame => Unit = _ => (),
+                  cursor: Option[(String, Long)] = None,
+                  sinkProps: Map[String, String] = Map.empty,
+                  fuse: Boolean = false): DataFrame = {
     val fresh = dropSeenBefore(db, batch, idCol, textCol)
       .localCheckpoint(true) // the register tx must not re-plan the probe
     onFresh(fresh)
-    if (!fresh.isEmpty) registerBatch(db, fresh, idCol, textCol)
+    if (!fresh.isEmpty)
+      registerBatch(db, fresh, idCol, textCol, cursor, sinkProps, fuse)
     fresh
   }
 
@@ -139,11 +152,15 @@ object IncrementalDedup {
     * transaction (BANDS rows per document). Returns the txid.
     */
   def registerNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
-                        textCol: String, n: Int = 3): Long =
+                        textCol: String, n: Int = 3,
+                        cursor: Option[(String, Long)] = None,
+                        sinkProps: Map[String, String] = Map.empty,
+                        fuse: Boolean = false): Long =
     graft.store.TxWriter.write(db,
       bandRows(batch, idCol, textCol, n)
         .select(format_string("m/%019d", col("bh")).as("key"),
-          col("doc_id").as("ts"), col("bh"), col("sig")))
+          col("doc_id").as("ts"), col("bh"), col("sig")),
+      props = sinkProps, streamCursor = cursor, fuse = fuse)
 
   /** The arriving batch minus documents NEAR-duplicate to registered
     * content: a document drops when it shares an LSH band bucket with a
@@ -194,11 +211,16 @@ object IncrementalDedup {
     */
   def ingestNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
                       textCol: String, minAgree: Int = SIG_K / 2,
-                      onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+                      onFresh: DataFrame => Unit = _ => (),
+                      cursor: Option[(String, Long)] = None,
+                      sinkProps: Map[String, String] = Map.empty,
+                      fuse: Boolean = false): DataFrame = {
     val fresh = dropNearSeenBefore(db, batch, idCol, textCol, minAgree)
       .localCheckpoint(true) // the register tx must not re-plan the probe
     onFresh(fresh)
-    if (!fresh.isEmpty) registerNearBatch(db, fresh, idCol, textCol)
+    if (!fresh.isEmpty)
+      registerNearBatch(db, fresh, idCol, textCol, cursor = cursor,
+        sinkProps = sinkProps, fuse = fuse)
     fresh
   }
 }

@@ -131,7 +131,10 @@ object Retrieval {
   val LayoutProp = "bm25.layout"
 
   private def writeBatch(db: graft.store.Db, docs: DataFrame, idCol: String,
-                         textCol: String, v2: Boolean): Long = {
+                         textCol: String, v2: Boolean,
+                         cursor: Option[(String, Long)] = None,
+                         sinkProps: Map[String, String] = Map.empty,
+                         fuse: Boolean = false): Long = {
     val toks = graft.core.Graft.rebalance(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -170,7 +173,9 @@ object Retrieval {
     // the rows becoming visible, so no reader can ever observe the flag
     // without the layout (or crash-strand a stale flag)
     graft.store.TxWriter.write(db, all,
-      props = if (v2) Map(LayoutProp -> "2") else Map.empty)
+      props = (if (v2) Map(LayoutProp -> "2")
+               else Map.empty[String, String]) ++ sinkProps,
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** Materializes the full index. A REBUILD (non-empty warehouse) first
@@ -199,14 +204,24 @@ object Retrieval {
     * append would leave the old text's rows for terms the new text no
     * longer contains.
     */
+  /** `cursor`/`sinkProps`/`fuse` are the streaming-sink riders (the
+    * sketch-store registration contract): the replay cursor and the
+    * sink's cadence props ride the append's OWN publishing commit, and
+    * `fuse` makes that commit the only one — a bm25 micro-batch then
+    * costs ONE manifest commit instead of append-claim + append-publish
+    * + a separate cursor commit.
+    */
   def appendBm25Batch(db: graft.store.Db, batch: DataFrame, idCol: String,
-                      textCol: String): Long = {
+                      textCol: String,
+                      cursor: Option[(String, Long)] = None,
+                      sinkProps: Map[String, String] = Map.empty,
+                      fuse: Boolean = false): Long = {
     // match the STORE's layout: a pre-upgrade (v1) store keeps receiving
     // v1 rows — mixing layouts would leave null dl on some postings. A
     // fresh/empty store starts at v2.
     val m = graft.store.Manifest.current(db.warehouse)
     val v2 = m.props.get(LayoutProp).contains("2") || m.dataTxids.isEmpty
-    writeBatch(db, batch, idCol, textCol, v2)
+    writeBatch(db, batch, idCol, textCol, v2, cursor, sinkProps, fuse)
   }
 
   /** Fixture writer for upgrade coverage: materializes the

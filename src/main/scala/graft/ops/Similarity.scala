@@ -2042,7 +2042,10 @@ object Similarity {
     * PersistedIndexSpec covers that hazard.
     */
   def appendToIndex(db: graft.store.Db, vectors: DataFrame, idCol: String,
-                    embCol: String, m: Int = PQ_M, dim: Int = 64): Long = {
+                    embCol: String, m: Int = PQ_M, dim: Int = 64,
+                    cursor: Option[(String, Long)] = None,
+                    sinkProps: Map[String, String] = Map.empty,
+                    fuse: Boolean = false): Long = {
     val subDim = dim / m
     val (cents, cb, byResidual) = readIndexMeta(db, db.snapshot(), m)
     requireStoredDim(db, cents, dim)
@@ -2059,8 +2062,11 @@ object Similarity {
         col("cell").as("ts"),
         col("nn_id"), lit(-1L).as("sub"),
         pqCodesLit(encV, cb, subDim).as("codes"))
+    // cursor/props/fuse: the streaming-sink riders — an index append
+    // then costs ONE manifest commit with no replay window
     graft.store.TxWriter.write(db, codes, timeBucketNanos = Some(1L),
-      bucketMajor = true)
+      bucketMajor = true, props = sinkProps, streamCursor = cursor,
+      fuse = fuse)
   }
 
   /** ADC probe over a [[buildIndex]] warehouse: the train artifacts are

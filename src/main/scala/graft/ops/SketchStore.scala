@@ -525,9 +525,9 @@ object SketchStore {
   def storedCountMinBy(db: graft.store.Db, tag: String = "t"): DataFrame =
     storedCountMinByAt(db, db.snapshot(), tag)
 
-  private def storedCountMinByAt(db: graft.store.Db,
-                                 snap: graft.store.Db#Snapshot,
-                                 tag: String): DataFrame = {
+  private[graft] def storedCountMinByAt(db: graft.store.Db,
+                                        snap: graft.store.Db#Snapshot,
+                                        tag: String): DataFrame = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").cast("int").as("sk_row"), col("id").as("bucket"),

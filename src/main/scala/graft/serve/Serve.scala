@@ -729,7 +729,47 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
               s""","groups":$groups,${freshnessJson(snap.manifest, tag)}}""" +
               "\n")
-        case other => (400, s"kind=$other not one of hist|kmv|mg\n")
+        case "cm" =>
+          // point-frequency probes against the grouped count-min grids
+          // ("how often did THIS token appear in THIS source", for ANY
+          // token — the quadrant MG's top-k watchlists can't answer).
+          // The grid has no enumerable report, so the verb REQUIRES
+          // items= (comma-separated, ≤ 100); grp= narrows to one
+          // source, else the first `groups=` groups holding a grid.
+          // ONE snapshot for the group listing and the probe.
+          val items = p.get("items")
+            .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+          if (items.isEmpty)
+            return (400, "kind=cm needs items=tok1,tok2,...\n")
+          if (items.size > 100)
+            return (400, "too many items (cap 100)\n")
+          val snap = db.snapshot()
+          val grid = graft.ops.SketchStore.storedCountMinByAt(db, snap, tag)
+          val sel0: Seq[String] = p.get("grp") match {
+            case Some(g) => Seq(g)
+            case None => grid.select("grp").distinct().orderBy("grp")
+              .limit(maxGroups + 1).as[String].collect().toSeq
+          }
+          val truncated = sel0.size > maxGroups
+          val gsel = sel0.take(maxGroups)
+          val est: Map[(String, String), Long] =
+            if (gsel.isEmpty) Map.empty
+            else graft.ops.Sketches.countMinProbeBy(
+                gsel.flatMap(g => items.map(i => (g, i)))
+                  .toDF("grp", "item"), grid, "grp", "item")
+              .as[(String, String, Long)].collect()
+              .map { case (g, i, e) => (g, i) -> e }.toMap
+          val groups = gsel.map { g =>
+            val iJson = items.map(i =>
+              s"""{"item":${jstr(i)},"est":${est.getOrElse((g, i), 0L)}}""")
+              .mkString("[", ",", "]")
+            s"""{"grp":${jstr(g)},"items":$iJson}"""
+          }.mkString("[", ",", "]")
+          (200,
+            s"""{"tag":${jstr(tag)},"kind":"cm","truncated":$truncated""" +
+              s""","groups":$groups,${freshnessJson(snap.manifest, tag)}}""" +
+              "\n")
+        case other => (400, s"kind=$other not one of hist|kmv|mg|cm\n")
       }
     } else doStatsUngrouped(p, tag, heavyK)
   }

@@ -101,8 +101,14 @@ object StreamIngest {
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestBatch(db, batch, idCol, textCol,
-            onFresh)
-          cursorCommit(db, sinkId, batchId, compactEvery)
+            onFresh, cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            fuse = true) // riders: ONE manifest commit per micro-batch
+          // an all-duplicates batch registered nothing, so no transaction
+          // carried the cursor — advance it with a bare commit (the
+          // replay guard must move even when the store doesn't)
+          if (Manifest.current(db.warehouse).streamBatchFor(sinkId) < batchId)
+            cursorCommit(db, sinkId, batchId, compactEvery)
           autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
@@ -131,8 +137,11 @@ object StreamIngest {
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestNearBatch(db, batch, idCol,
-            textCol, minAgree, onFresh)
-          cursorCommit(db, sinkId, batchId, compactEvery)
+            textCol, minAgree, onFresh, cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            fuse = true)
+          if (Manifest.current(db.warehouse).streamBatchFor(sinkId) < batchId)
+            cursorCommit(db, sinkId, batchId, compactEvery)
           autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
@@ -159,8 +168,10 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
-          graft.ops.Similarity.appendToIndex(db, batch, idCol, embCol, m, dim)
-          cursorCommit(db, sinkId, batchId, compactEvery)
+          graft.ops.Similarity.appendToIndex(db, batch, idCol, embCol,
+            m, dim, cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            fuse = true) // riders: ONE manifest commit per micro-batch
           // the index warehouse is bucket-major (bucket = IVF cell);
           // the compactor's rewrite honors that layout, so the major
           // pass stays one-file-per-cell instead of task×cell
@@ -188,8 +199,10 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mft = Manifest.current(db.warehouse)
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
-          graft.ops.Retrieval.appendBm25Batch(db, batch, idCol, textCol)
-          cursorCommit(db, sinkId, batchId, compactEvery)
+          graft.ops.Retrieval.appendBm25Batch(db, batch, idCol, textCol,
+            cursor = Some((sinkId, batchId)),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            fuse = true) // riders: ONE manifest commit per micro-batch
           // the postings warehouse is index-sized, so the major rewrite
           // is too — same non-blocking skip-and-retry contract as the
           // sketch sinks

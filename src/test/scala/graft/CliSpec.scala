@@ -252,6 +252,18 @@ class CliSpec extends SparkSpec {
     val byMg = cli("-d", wh, "stats", "--by", "--kind", "mg", "--heavy", "1")()
     assert(byMg == Seq("heavy\ts0\thot0\t30\tcertain",
       "heavy\ts1\thot1\t20\tcertain"), byMg.toString)
+    // grouped count-min point probes: any item, per source
+    graft.ops.SketchStore.registerCountMinBy(db,
+      (Seq.fill(7)(("s0", "x")) ++ Seq.fill(3)(("s1", "x")))
+        .toDF("g", "t"),
+      col("g"), col("t"), batchId = 0L)
+    val byCm = cli("-d", wh, "stats", "--by", "--kind", "cm",
+      "--items", "x,zzz")()
+    assert(byCm == Seq("freq\ts0\tx\t7", "freq\ts0\tzzz\t0",
+      "freq\ts1\tx\t3", "freq\ts1\tzzz\t0"), byCm.toString)
+    val byCmOne = cli("-d", wh, "stats", "--by", "--kind", "cm",
+      "--items", "x", "--grp", "s1")()
+    assert(byCmOne == Seq("freq\ts1\tx\t3"), byCmOne.toString)
     // grid migration rewrites the envelopes at the coarser width — the
     // grouped store migrates independently of the ungrouped one
     val mig = cli("-d", wh, "migrate-grid", "--width", "16")()

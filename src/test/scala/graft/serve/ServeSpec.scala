@@ -511,6 +511,27 @@ class ServeSpec extends SparkSpec {
         zbody.contains("\"grp\":\"g0\",\"n\":30") &&
         zbody.contains("\"grp\":\"g2\",\"n\":130") &&
         !zbody.contains("hot0"), zbody)
+      // kind=cm serves point-frequency probes against the grouped grids
+      // — any item, not just heavy ones; items= is required
+      graft.ops.SketchStore.registerCountMinBy(db,
+        (Seq.fill(7)(("g0", "x")) ++ Seq.fill(3)(("g1", "x")) ++
+          Seq.fill(5)(("g1", "y"))).toDF("src", "t"),
+        col("src"), col("t"), batchId = 0L)
+      val (cc, cbody) =
+        http("GET", s"$base/_query/stats?by=src&kind=cm&items=x,y")
+      assert(cc == 200, cbody)
+      assert(cbody.contains("\"kind\":\"cm\"") &&
+        cbody.contains(
+          """{"grp":"g0","items":[{"item":"x","est":7},{"item":"y","est":0}]}""") &&
+        cbody.contains(
+          """{"grp":"g1","items":[{"item":"x","est":3},{"item":"y","est":5}]}"""),
+        cbody)
+      // grp= narrows to one source; a missing items= is a 400
+      val (c1, cone) =
+        http("GET", s"$base/_query/stats?by=src&kind=cm&items=x&grp=g1")
+      assert(c1 == 200 && cone.contains("\"grp\":\"g1\"") &&
+        !cone.contains("\"grp\":\"g0\""), cone)
+      assert(http("GET", s"$base/_query/stats?by=src&kind=cm")._1 == 400)
       // an unknown kind answers 400, not a silent hist fallback
       val (bc, bbody) = http("GET", s"$base/_query/stats?by=src&kind=nope")
       assert(bc == 400, s"$bc $bbody")

@@ -241,8 +241,13 @@ class StreamIngestSpec extends SparkSpec {
       .option("checkpointLocation", tmpDir("graft-bm25cp"))
     mem.addData((2L, "alpha zeta"))
     val q1 = writer.start(); q1.processAllAvailable(); q1.stop()
+    val vBefore = Manifest.currentVersion(db.warehouse)
     mem.addData((3L, "zeta zeta eta"))
     val q2 = writer.start(); q2.processAllAvailable(); q2.stop()
+    // the riders: append rows, cursor and props in ONE fused commit —
+    // not append-claim + append-publish + a separate cursor commit
+    assert(Manifest.currentVersion(db.warehouse) - vBefore == 1L,
+      "ONE manifest commit per bm25 micro-batch")
     val got = Retrieval.bm25ProbeIndex(db,
         Seq((0L, "zeta")).toDF("query_id", "qtext"), 10)
       .select("doc_id").as[Long].collect().toSet
