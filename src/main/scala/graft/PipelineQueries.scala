@@ -739,8 +739,12 @@ object PipelineQueries {
           .otherwise(concat(col("term"), lit("_"), col("doc_id")))
           .as("item"))
       val db = graft.store.Db(s, tempWarehouse())
+      // valueCol rider: token-length histogram bins ride the same
+      // transaction + grid claim (the report below is MG's, unchanged —
+      // hist trio==standalone identity is spec-pinned)
       SketchStore.registerSketches(db,
-        items(docs.filter(col("doc_id") < mid)), col("item"), batchId = 0L)
+        items(docs.filter(col("doc_id") < mid)), col("item"), batchId = 0L,
+        valueCol = Some(length(col("item")).cast("long")))
       SketchStore.foldSketches(db)
       // batch 1 commits through the FUSED claim-and-publish protocol
       // (one manifest commit) — the report must be byte-identical to the
@@ -748,7 +752,7 @@ object PipelineQueries {
       // at the driver gate
       SketchStore.registerSketches(db,
         items(docs.filter(col("doc_id") >= mid)), col("item"), batchId = 1L,
-        fuse = true)
+        valueCol = Some(length(col("item")).cast("long")), fuse = true)
       SketchStore.storedHeavyHitters(db)
     },
     "sk_countmin_incremental" -> { (s, d) =>

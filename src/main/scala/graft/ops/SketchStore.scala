@@ -240,21 +240,32 @@ object SketchStore {
     * publishing commit for streaming sinks
     * ([[graft.store.TxWriter.write]]'s streamCursor rider).
     */
+  /** `valueCol` is the hist rider (the grouped trio's contract): a
+    * batch that also carries a numeric column registers its histogram
+    * bins under the SAME transaction and grid claim — four families,
+    * one commit, instead of paying a second `histWriter` sink's.
+    */
   def registerSketches(db: graft.store.Db, batch: DataFrame, elem: Column,
                        batchId: Long, tag: String = "t",
                        k: Int = Sketches.KMV_K, d: Int = Sketches.CM_D,
                        w: Long = Sketches.CM_W, c: Int = Sketches.MG_C,
+                       valueCol: Option[Column] = None,
+                       b: Int = Sketches.HIST_B,
+                       histW: Long = Sketches.HIST_W, origin: Long = 0L,
                        cursor: Option[(String, Long)] = None,
                        sinkProps: Map[String, String] = Map.empty,
                        fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    // the three families aggregate the SAME element stream; left as
-    // three subtrees over `batch` they would re-run its whole lineage
-    // three times (Spark guarantees no exchange reuse across a union's
-    // branches) — materialize the one projected column once, then every
+    valueCol.foreach(_ => requireHistGrid(db, tag, histW, origin))
+    // the families aggregate the SAME element stream; left as separate
+    // subtrees over `batch` they would re-run its whole lineage once
+    // each (Spark guarantees no exchange reuse across a union's
+    // branches) — materialize the one projection once, then every
     // branch reads batch-sized local blocks instead of re-scanning the
     // source
-    val elems = batch.select(elem.as("item")).localCheckpoint(true)
+    val elems = batch.select(
+        Seq(elem.as("item")) ++ valueCol.map(_.as("v")).toSeq: _*)
+      .localCheckpoint(true)
     val kmv = Sketches.kmvSketch(elems, col("item"), k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
     val cm = Sketches.countMinSketch(elems, col("item"), d, w)
@@ -269,11 +280,18 @@ object SketchStore {
     val mass = toks.agg(count(lit(1)).as("n_items"))
       .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
         col("n_items"))
-    val rows = kmv
+    val base = kmv
       .unionByName(cm, allowMissingColumns = true)
       .unionByName(mg, allowMissingColumns = true)
       .unionByName(mass, allowMissingColumns = true)
+    val rows = valueCol.fold(base)(_ => base.unionByName(
+      histRowsOf(tag, Sketches.histSketch(elems, col("v"), b, histW, origin),
+        batchId),
+      allowMissingColumns = true))
     graft.store.TxWriter.write(db, rows, props = sinkProps,
+      propsClaim =
+        valueCol.fold(Map.empty[String, String])(_ =>
+          histGridClaim(tag, histW, origin)),
       streamCursor = cursor, fuse = fuse)
   }
 
@@ -293,7 +311,7 @@ object SketchStore {
       col("id").as("ts"))
     foldStore(db, s"foldSketches($tag)",
       Seq(kmvKey(tag), cmPrefix(tag) + "%", mgPrefix(tag) + "%",
-        mgMassKey(tag)), waitMillis,
+        mgMassKey(tag), histPrefix(tag) + "%"), waitMillis,
       foldProp = Some(foldLastProp("sketches", tag)))({
         // ONE snapshot for every family's read: all four key families
         // fold from the same store generation (the same-generation
@@ -308,7 +326,15 @@ object SketchStore {
               format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"),
                 col("bucket")).as("key"),
               lit(FOLD_TS).as("ts"), col("sk_row"), col("bucket"), col("c"))
-          val base = kmv.unionByName(cm, allowMissingColumns = true)
+          val base0 = kmv.unionByName(cm, allowMissingColumns = true)
+          // the hist family folds whenever it has rows under the tag
+          // (the valueCol rider, or a sibling registerHist sink) — the
+          // same lossless per-bin sum as foldHist
+          val histRows = storedHistAt(db, snap, tag)
+          val base =
+            if (histRows.isEmpty) base0
+            else base0.unionByName(histRowsOf(tag, histRows, FOLD_TS),
+              allowMissingColumns = true)
           // MG's emptiness signal is its mass row (see foldMg) — a tag
           // that never registered MG contributes nothing, rather than a
           // spurious zero-mass row
@@ -1049,6 +1075,35 @@ object SketchStore {
     // ([[graft.store.TxWriter.PropertyConflict]]), never mixed in. The
     // early require is only the friendly pre-write error message; the
     // claim is the authority.
+    requireHistGrid(db, tag, w, origin)
+    graft.store.TxWriter.write(db,
+      histRowsOf(tag, Sketches.histSketch(batch, value, b, w, origin),
+        batchId),
+      props = sinkProps,
+      propsClaim = histGridClaim(tag, w, origin),
+      streamCursor = cursor, fuse = fuse)
+  }
+
+  /** ONE copy of the ungrouped-hist row shape (over a prebuilt
+    * (bin, cnt) histogram at `ts`), shared by the standalone
+    * registration and the trio's `valueCol` rider.
+    */
+  private def histRowsOf(tag: String, hist: DataFrame, ts: Long): DataFrame =
+    hist.select(
+      format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
+      lit(ts).as("ts"), col("bin"), col("cnt"))
+
+  /** The ungrouped store's first-writer-wins grid claim. */
+  private def histGridClaim(tag: String, w: Long,
+                            origin: Long): Map[String, String] =
+    Map(histWProp(tag) -> w.toString,
+      histOriginProp(tag) -> origin.toString)
+
+  /** Friendly pre-write grid-mismatch error for the ungrouped store —
+    * shared by [[registerHist]] and the trio's `valueCol` rider.
+    */
+  private def requireHistGrid(db: graft.store.Db, tag: String, w: Long,
+                              origin: Long): Unit = {
     val m = graft.store.Manifest.current(db.warehouse)
     val exW = m.props.get(histWProp(tag))
     val exO = m.props.get(histOriginProp(tag))
@@ -1056,13 +1111,6 @@ object SketchStore {
       s"histogram grid mismatch for tag '$tag': stored " +
         s"(w=${exW.getOrElse("-")}, origin=${exO.getOrElse("-")}) " +
         s"vs registration (w=$w, origin=$origin)")
-    val rows = Sketches.histSketch(batch, value, b, w, origin)
-      .select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
-        lit(batchId).as("ts"), col("bin"), col("cnt"))
-    graft.store.TxWriter.write(db, rows, props = sinkProps,
-      propsClaim = Map(histWProp(tag) -> w.toString,
-        histOriginProp(tag) -> origin.toString),
-      streamCursor = cursor, fuse = fuse)
   }
 
   /** The store's grid geometry, read back from the manifest properties

@@ -816,13 +816,27 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // the two masses are DIFFERENT streams (the histogram counts values
     // registered to it, MG counts elements) — never conflate them
     val histN = quants.headOption.map(_._2).getOrElse(0L)
+    // items= adds count-min point probes to the report — frequency of
+    // ANY named item against the running grid (the section MG's
+    // heavy-k list can't answer); ≤ 100 items, one bounded probe job
+    val freqJson = p.get("items")
+      .map(_.split(',').toSeq.filter(_.nonEmpty).take(100)) match {
+      case None | Some(Seq()) => ""
+      case Some(items) =>
+        val est = graft.ops.SketchStore.probeStoredCountMin(db,
+            items.toDF("t"), "t", tag)
+          .as[(String, Long)].collect().toMap
+        items.map(i =>
+          s"""{"item":${jstr(i)},"est":${est.getOrElse(i, 0L)}}""")
+          .mkString(""","freq":[""", ",", "]")
+    }
     val fresh = freshnessJson(
       graft.store.Manifest.current(db.warehouse), tag)
     (200,
       s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
         s""","kmvExactBelowK":${nSketch < graft.ops.Sketches.KMV_K}""" +
         s""","histN":$histN,"quantiles":$qJson""" +
-        s""","mgN":$mgN,"heavy":$hJson,$fresh}""" + "\n")
+        s""","mgN":$mgN,"heavy":$hJson$freqJson,$fresh}""" + "\n")
   }
 
   private val spooled = new java.util.concurrent.atomic.AtomicLong(0L)

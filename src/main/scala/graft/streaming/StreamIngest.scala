@@ -244,6 +244,7 @@ object StreamIngest {
     */
   def sketchWriter(db: Db, stream: DataFrame, elemCol: String,
                    tag: String = "t",
+                   valueCol: Option[String] = None,
                    trigger: Trigger = Trigger.AvailableNow(),
                    sinkId: String = "sketch", foldEvery: Int = 0,
                    compactEvery: Int = 0,
@@ -257,6 +258,7 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.SketchStore.registerSketches(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
+            valueCol = valueCol.map(org.apache.spark.sql.functions.col),
             cursor = Some((sinkId, batchId)),
             sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
             fuse = true) // single-writer sink: ONE manifest commit per batch

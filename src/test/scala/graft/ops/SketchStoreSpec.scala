@@ -49,6 +49,39 @@ class SketchStoreSpec extends SparkSpec {
       s"additive + idempotent: $est")
   }
 
+  test("ungrouped trio valueCol: hist rows ride the trio transaction " +
+      "and foldSketches supersedes all five key families") {
+    val db = tmpDb(); val twin = tmpDb()
+    import spark.implicits._
+    val b0 = (1 to 100).map(i => (s"w${i % 30}", (i % 40 + 1).toLong))
+      .toDF("t", "v")
+    val b1 = (1 to 80).map(i => (s"w${i % 50}", (i % 90 + 1).toLong))
+      .toDF("t", "v")
+    SketchStore.registerSketches(db, b0, col("t"), batchId = 0L,
+      valueCol = Some(col("v")))
+    SketchStore.foldSketches(db)
+    SketchStore.registerSketches(db, b1, col("t"), batchId = 1L,
+      valueCol = Some(col("v")))
+    SketchStore.registerHist(twin, b0, col("v"), batchId = 0L)
+    SketchStore.registerHist(twin, b1, col("v"), batchId = 1L)
+    def quants(d: Db) = SketchStore.storedHistQuantiles(d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(quants(db) == quants(twin),
+      "trio-ridden hist drifted from the standalone store")
+    // the MG report is untouched by the rider
+    val mg = SketchStore.storedHeavyHitters(db)
+      .as[(String, Long, Long, Long)].collect()
+    assert(mg.map(_._3).headOption.contains(180L), mg.mkString(","))
+    // a second fold collapses EVERY family — hist included — to one
+    // folded generation under ONE supersede, with no report change
+    val before = quants(db)
+    SketchStore.foldSketches(db)
+    assert(quants(db) == before, "fold changed the hist report")
+    val gens = db.read("h/t/%").select("ts").distinct()
+      .as[Long].collect().toSet
+    assert(gens == Set(SketchStore.FOLD_TS), s"unfolded hist: $gens")
+  }
+
   test("grouped count-min store: per-group grids == one-shot grouped " +
       "sketch through registration, replay and fold") {
     val db = tmpDb()

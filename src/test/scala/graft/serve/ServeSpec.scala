@@ -346,6 +346,15 @@ class ServeSpec extends SparkSpec {
         col("t"), batchId = 2L, cursor = Some(("mgsink", 2L)))
       val (_, b4) = http("GET", s"$base/_query/stats?heavy=3")
       assert(b4.contains("\"cursors\":{\"mgsink\":2}"), b4)
+      // items= adds count-min point probes for ANY named item — the
+      // section the heavy-k list can't answer; absent items ⟹ no freq
+      // section at all
+      graft.ops.SketchStore.registerCountMin(db, toks, col("t"),
+        batchId = 0L)
+      val (_, b5) = http("GET", s"$base/_query/stats?heavy=1&items=hot,nope")
+      assert(b5.contains(
+        """"freq":[{"item":"hot","est":60},{"item":"nope","est":0}]"""), b5)
+      assert(!b4.contains("\"freq\""), b4)
     } finally srv.stop()
   }
 
