@@ -262,11 +262,18 @@ object Cli {
               .getOrElse(sys.error("--kind cm needs --items tok1,tok2"))
             val snap = db.snapshot()
             val grid = graft.ops.SketchStore.storedCountMinByAt(db, snap, tag)
-            val gsel: Seq[String] = flags.get("--grp") match {
+            // the group set is BOUNDED like the serving twin: without
+            // --grp, the first --groups (default 100) groups probe — a
+            // collect of every group name (and a groups×items driver
+            // cross product) at a 100k-group store would be the
+            // data-sized driver materialization this codebase bans
+            val cap = flags.get("--groups").map(_.toInt).getOrElse(100)
+            val gsel0: Seq[String] = flags.get("--grp") match {
               case Some(g) => Seq(g)
               case None => grid.select("grp").distinct().orderBy("grp")
-                .as[String].collect().toSeq
+                .limit(cap + 1).as[String].collect().toSeq
             }
+            val gsel = gsel0.take(cap)
             val est = if (gsel.isEmpty) Map.empty[(String, String), Long]
               else graft.ops.Sketches.countMinProbeBy(
                   gsel.flatMap(g => items.map(i => (g, i)))
@@ -276,6 +283,8 @@ object Cli {
             gsel.foreach(g => items.foreach(i =>
               stdout(s"freq\t${TextProto.escape(g)}\t" +
                 s"${TextProto.escape(i)}\t${est.getOrElse((g, i), 0L)}")))
+            if (gsel0.size > cap)
+              stdout(s"# truncated at $cap groups (raise --groups)")
           case other =>
             sys.error(s"unknown --kind: $other (want hist|kmv|mg|cm)")
         }
@@ -309,7 +318,8 @@ object Cli {
     "--wildcard", "--gegnum", "--timestamp-format", "--parallel",
     "--since-txid", "--port", "--after-key", "--before-key",
     "--prune-history", "--ann-dir", "--tag", "--heavy", "--at-version",
-    "--store", "--width", "--stale-ms", "--kind", "--items", "--grp")
+    "--store", "--width", "--stale-ms", "--kind", "--items", "--grp",
+    "--groups")
   private val boolFlags = Set("--human", "--with-format", "--major",
     "--timestamp-nanos", "--timestamp-seconds", "--print-format", "--by")
 

@@ -100,7 +100,13 @@ object SketchStore {
     */
   def storedKmvEstimate(db: graft.store.Db, tag: String = "t",
                         k: Int = Sketches.KMV_K): DataFrame =
-    Sketches.kmvEstimate(storedKmvSketch(db, tag, k), k)
+    storedKmvEstimateAt(db, db.snapshot(), tag, k)
+
+  private[graft] def storedKmvEstimateAt(db: graft.store.Db,
+                                         snap: graft.store.Db#Snapshot,
+                                         tag: String = "t",
+                                         k: Int = Sketches.KMV_K): DataFrame =
+    Sketches.kmvEstimate(storedKmvSketchAt(db, snap, tag, k), k)
 
   // ── grouped KMV ────────────────────────────────────────────────────
   //
@@ -184,7 +190,14 @@ object SketchStore {
     */
   def storedKmvEstimateBy(db: graft.store.Db, tag: String = "t",
                           k: Int = Sketches.KMV_K): DataFrame =
-    storedKmvSketchBy(db, tag, k)
+    storedKmvEstimateByAt(db, db.snapshot(), tag, k)
+
+  private[graft] def storedKmvEstimateByAt(db: graft.store.Db,
+                                           snap: graft.store.Db#Snapshot,
+                                           tag: String = "t",
+                                           k: Int = Sketches.KMV_K)
+      : DataFrame =
+    storedKmvSketchByAt(db, snap, tag, k)
       .groupBy("grp")
       .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
       .select(col("grp"), col("n_sketch"), col("kth_hash"),
@@ -508,6 +521,16 @@ object SketchStore {
                           w: Long = Sketches.CM_W): DataFrame =
     Sketches.countMinProbe(items, storedCountMin(db, tag), elemCol, d, w)
 
+  private[graft] def probeStoredCountMinAt(db: graft.store.Db,
+                                           snap: graft.store.Db#Snapshot,
+                                           items: DataFrame, elemCol: String,
+                                           tag: String = "t",
+                                           d: Int = Sketches.CM_D,
+                                           w: Long = Sketches.CM_W)
+      : DataFrame =
+    Sketches.countMinProbe(items, storedCountMinAt(db, snap, tag), elemCol,
+      d, w)
+
   // ── grouped count-min ──────────────────────────────────────────────
   //
   // Per-group frequency probes — the quadrant that closes the grouped
@@ -718,9 +741,9 @@ object SketchStore {
   def storedMgMass(db: graft.store.Db, tag: String = "t"): DataFrame =
     storedMgMassAt(db, db.snapshot(), tag)
 
-  private def storedMgMassAt(db: graft.store.Db,
-                             snap: graft.store.Db#Snapshot,
-                             tag: String): DataFrame = {
+  private[graft] def storedMgMassAt(db: graft.store.Db,
+                                    snap: graft.store.Db#Snapshot,
+                                    tag: String): DataFrame = {
     val spark = db.spark
     val empty = spark.range(1).select(lit(0L).as("n"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -1160,8 +1183,13 @@ object SketchStore {
     */
   def storedHistQuantiles(db: graft.store.Db,
                           qms: Seq[Int] = Sketches.HIST_QMS,
-                          tag: String = "t"): DataFrame = {
-    val snap = db.snapshot()
+                          tag: String = "t"): DataFrame =
+    storedHistQuantilesAt(db, db.snapshot(), qms, tag)
+
+  private[graft] def storedHistQuantilesAt(db: graft.store.Db,
+                                           snap: graft.store.Db#Snapshot,
+                                           qms: Seq[Int] = Sketches.HIST_QMS,
+                                           tag: String = "t"): DataFrame = {
     val (w, origin) = gridOf(snap.manifest, histWProp(tag), histOriginProp(tag))
     Sketches.histQuantiles(storedHistAt(db, snap, tag), qms, w, origin)
   }
@@ -1270,8 +1298,14 @@ object SketchStore {
     */
   def storedHistQuantilesBy(db: graft.store.Db,
                             qms: Seq[Int] = Sketches.HIST_QMS,
-                            tag: String = "t"): DataFrame = {
-    val snap = db.snapshot()
+                            tag: String = "t"): DataFrame =
+    storedHistQuantilesByAt(db, db.snapshot(), qms, tag)
+
+  private[graft] def storedHistQuantilesByAt(db: graft.store.Db,
+                                             snap: graft.store.Db#Snapshot,
+                                             qms: Seq[Int] =
+                                               Sketches.HIST_QMS,
+                                             tag: String = "t"): DataFrame = {
     val (w, origin) =
       gridOf(snap.manifest, histByWProp(tag), histByOriginProp(tag))
     Sketches.histQuantilesFromBy(storedHistByAt(db, snap, tag), qms, w, origin)

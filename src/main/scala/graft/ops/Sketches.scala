@@ -584,11 +584,16 @@ object Sketches {
     */
   def countMinSketch(df: DataFrame, elem: Column, d: Int = CM_D,
                      w: Long = CM_W): DataFrame = {
-    val h = PortableHash.h30(elem)
-    val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
-      struct(lit(i).as("sk_row"), b.as("bucket"))
+    // NULL elements are excluded like every sketch in the family: a
+    // null is "no element" (h30 null-propagates to null buckets, which
+    // no probe can ever match — counting them would only write phantom
+    // null-bucket cells)
+    val hashed = df.select(PortableHash.h30(elem).as("h"))
+      .filter(col("h").isNotNull)
+    val cells = array(cmBuckets(col("h"), d, w).zipWithIndex.map {
+      case (b, i) => struct(lit(i).as("sk_row"), b.as("bucket"))
     }: _*)
-    df.select(explode(cells).as("cell"))
+    hashed.select(explode(cells).as("cell"))
       .groupBy(col("cell.sk_row").as("sk_row"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
   }
@@ -627,12 +632,15 @@ object Sketches {
     */
   def countMinSketchBy(df: DataFrame, grp: Column, elem: Column,
                        d: Int = CM_D, w: Long = CM_W): DataFrame = {
-    val h = PortableHash.h30(elem)
-    val cells = array(cmBuckets(h, d, w).zipWithIndex.map { case (b, i) =>
-      struct(lit(i).as("sk_row"), b.as("bucket"))
+    // null groups AND null elements are excluded (a null group would be
+    // a malformed store key; a null element only phantom null-bucket
+    // cells no probe can match — same contract as [[countMinSketch]])
+    val hashed = df.select(grp.as("grp"), PortableHash.h30(elem).as("h"))
+      .filter(col("grp").isNotNull && col("h").isNotNull)
+    val cells = array(cmBuckets(col("h"), d, w).zipWithIndex.map {
+      case (b, i) => struct(lit(i).as("sk_row"), b.as("bucket"))
     }: _*)
-    df.select(grp.as("grp"), explode(cells).as("cell"))
-      .filter(col("grp").isNotNull)
+    hashed.select(col("grp"), explode(cells).as("cell"))
       .groupBy(col("grp"), col("cell.sk_row").as("sk_row"),
         col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))

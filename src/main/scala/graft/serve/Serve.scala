@@ -634,6 +634,11 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (maxGroups <= 0 || maxGroups > 10000)
         return (400, "groups out of range\n")
       val kind = p.getOrElse("kind", "hist")
+      // ONE snapshot for every read in the body AND its freshness
+      // fields — the version/cursors/folds the response claims must be
+      // the generation the data came from, not whatever committed since
+      val snap = db.snapshot()
+      def fresh = freshnessJson(snap.manifest, tag)
       // grp= narrows to ONE source (the single-dashboard-panel read) —
       // a pushed-down filter over the grouped windows' output
       def pick(all: org.apache.spark.sql.DataFrame) =
@@ -642,7 +647,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
         case "hist" =>
           val nQms = graft.ops.Sketches.HIST_QMS.size
           val rows = pick(
-              graft.ops.SketchStore.storedHistQuantilesBy(db, tag = tag))
+              graft.ops.SketchStore.storedHistQuantilesByAt(db, snap,
+                tag = tag))
             .select(col("grp"), col("qm"), col("n"), col("lo"), col("hi"))
             .orderBy("grp", "qm")
             .limit((maxGroups + 1) * nQms)
@@ -655,15 +661,14 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                 s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
               s"""{"grp":${jstr(g)},"n":${qs.head._3},"quantiles":$qJson}"""
           }.mkString("[", ",", "]")
-          val fresh = freshnessJson(
-            graft.store.Manifest.current(db.warehouse), tag)
           (200,
             s"""{"tag":${jstr(tag)},"kind":"hist","truncated":$truncated""" +
               s""","groups":$groups,$fresh}""" + "\n")
         case "kmv" =>
           // one row per group — the limit is directly the group cap
           val rows = pick(
-              graft.ops.SketchStore.storedKmvEstimateBy(db, tag = tag))
+              graft.ops.SketchStore.storedKmvEstimateByAt(db, snap,
+                tag = tag))
             .select(col("grp"), col("n_sketch"), col("est_distinct"))
             .orderBy("grp")
             .limit(maxGroups + 1)
@@ -673,8 +678,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             s"""{"grp":${jstr(g)},"estDistinct":$est""" +
               s""","exactBelowK":${ns < graft.ops.Sketches.KMV_K}}"""
           }.mkString("[", ",", "]")
-          val fresh = freshnessJson(
-            graft.store.Manifest.current(db.warehouse), tag)
           (200,
             s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
               s""","groups":$groups,$fresh}""" + "\n")
@@ -691,8 +694,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           // otherwise render heavy items certified against a DIFFERENT
           // generation's n for the same group — intra-group
           // inconsistency, sharper than the cross-store mixing single
-          // responses tolerate.
-          val snap = db.snapshot()
+          // responses tolerate (the branch-wide snapshot above).
           val masses = pick(
               graft.ops.SketchStore.storedMgMassByAt(db, snap, tag))
             .orderBy("grp").limit(maxGroups + 1)
@@ -727,8 +729,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           }.mkString("[", ",", "]")
           (200,
             s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
-              s""","groups":$groups,${freshnessJson(snap.manifest, tag)}}""" +
-              "\n")
+              s""","groups":$groups,$fresh}""" + "\n")
         case "cm" =>
           // point-frequency probes against the grouped count-min grids
           // ("how often did THIS token appear in THIS source", for ANY
@@ -743,7 +744,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             return (400, "kind=cm needs items=tok1,tok2,...\n")
           if (items.size > 100)
             return (400, "too many items (cap 100)\n")
-          val snap = db.snapshot()
           val grid = graft.ops.SketchStore.storedCountMinByAt(db, snap, tag)
           val sel0: Seq[String] = p.get("grp") match {
             case Some(g) => Seq(g)
@@ -767,8 +767,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           }.mkString("[", ",", "]")
           (200,
             s"""{"tag":${jstr(tag)},"kind":"cm","truncated":$truncated""" +
-              s""","groups":$groups,${freshnessJson(snap.manifest, tag)}}""" +
-              "\n")
+              s""","groups":$groups,$fresh}""" + "\n")
         case other => (400, s"kind=$other not one of hist|kmv|mg|cm\n")
       }
     } else doStatsUngrouped(p, tag, heavyK)
@@ -780,22 +779,26 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val spark = db.spark
     import spark.implicits._
     // three independent bounded reads — concurrent jobs like the
-    // hybrid verb, then a driver-side render of sketch-sized rows
+    // hybrid verb, then a driver-side render of sketch-sized rows. ALL
+    // reads (and the freshness fields) derive from ONE snapshot, so the
+    // version/cursors/folds the body claims are the generation the data
+    // actually came from.
+    val snap = db.snapshot()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val distinctF = Future {
-      graft.ops.SketchStore.storedKmvEstimate(db, tag)
+      graft.ops.SketchStore.storedKmvEstimateAt(db, snap, tag)
         .select(col("n_sketch"), col("est_distinct"))
         .as[(Long, Long)].collect().headOption.getOrElse((0L, 0L))
     }
     val quantF = Future {
-      graft.ops.SketchStore.storedHistQuantiles(db, tag = tag)
+      graft.ops.SketchStore.storedHistQuantilesAt(db, snap, tag = tag)
         .select(col("qm"), col("n"), col("lo"), col("hi"))
         .as[(Long, Long, Long, Long)].collect().toSeq
     }
     val heavyF = Future {
-      graft.ops.SketchStore.storedHeavyHitters(db, tag)
+      graft.ops.SketchStore.storedHeavyHittersAt(db, snap, tag)
         .limit(heavyK)
         .as[(String, Long, Long, Long)].collect().toSeq
     }
@@ -806,7 +809,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // (heavy=0, or a tie-heavy truncation) needs the dedicated mass
     // read — never report an occupied store as mass 0
     val mgN = heavy.headOption.map(_._3).getOrElse(
-      graft.ops.SketchStore.storedMgMass(db, tag)
+      graft.ops.SketchStore.storedMgMassAt(db, snap, tag)
         .as[Long].collect().headOption.getOrElse(0L))
     val qJson = quants.map { case (qm, _, lo, hi) =>
       s"""{"qm":$qm,"lo":$lo,"hi":$hi}""" }.mkString("[", ",", "]")
@@ -818,20 +821,23 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val histN = quants.headOption.map(_._2).getOrElse(0L)
     // items= adds count-min point probes to the report — frequency of
     // ANY named item against the running grid (the section MG's
-    // heavy-k list can't answer); ≤ 100 items, one bounded probe job
-    val freqJson = p.get("items")
-      .map(_.split(',').toSeq.filter(_.nonEmpty).take(100)) match {
+    // heavy-k list can't answer); > 100 items is a loud 400 (the same
+    // cap as kind=cm — a silent truncation would read as
+    // absent-from-store for the dropped items)
+    val itemsReq = p.get("items").map(_.split(',').toSeq.filter(_.nonEmpty))
+    if (itemsReq.exists(_.size > 100))
+      return (400, "too many items (cap 100)\n")
+    val freqJson = itemsReq match {
       case None | Some(Seq()) => ""
       case Some(items) =>
-        val est = graft.ops.SketchStore.probeStoredCountMin(db,
+        val est = graft.ops.SketchStore.probeStoredCountMinAt(db, snap,
             items.toDF("t"), "t", tag)
           .as[(String, Long)].collect().toMap
         items.map(i =>
           s"""{"item":${jstr(i)},"est":${est.getOrElse(i, 0L)}}""")
           .mkString(""","freq":[""", ",", "]")
     }
-    val fresh = freshnessJson(
-      graft.store.Manifest.current(db.warehouse), tag)
+    val fresh = freshnessJson(snap.manifest, tag)
     (200,
       s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
         s""","kmvExactBelowK":${nSketch < graft.ops.Sketches.KMV_K}""" +

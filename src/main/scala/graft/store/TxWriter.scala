@@ -281,6 +281,12 @@ object TxWriter {
       }
     }
     val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
+    // ANY abnormal exit from the publish loop must remove the tentative
+    // directory: unlike claim-first (whose conflict orphan sits under a
+    // CLAIMED, consumed number), this directory occupies the UNCLAIMED
+    // nextTxid — left behind, the next claim-first writer would claim
+    // that number and fail loudly on the existing path
+    try {
     var attempts = 0
     while (attempts < 100) {
       val cur = Manifest.current(db.warehouse)
@@ -329,6 +335,10 @@ object TxWriter {
     }
     deleteRecursivelyIfExists(dirOf(txid))
     None // pathological contention — the claim-first fallback handles it
+    } catch {
+      case e: Throwable =>
+        deleteRecursivelyIfExists(dirOf(txid)); throw e
+    }
   }
 
   /** Conditionally skip a txid number whose directory is occupied by an

@@ -102,13 +102,13 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestBatch(db, batch, idCol, textCol,
             onFresh, cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery, keepVersions),
             fuse = true) // riders: ONE manifest commit per micro-batch
           // an all-duplicates batch registered nothing, so no transaction
           // carried the cursor — advance it with a bare commit (the
           // replay guard must move even when the store doesn't)
           if (Manifest.current(db.warehouse).streamBatchFor(sinkId) < batchId)
-            cursorCommit(db, sinkId, batchId, compactEvery)
+            cursorCommit(db, sinkId, batchId, compactEvery, keepVersions)
           autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
@@ -138,10 +138,10 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.IncrementalDedup.ingestNearBatch(db, batch, idCol,
             textCol, minAgree, onFresh, cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery, keepVersions),
             fuse = true)
           if (Manifest.current(db.warehouse).streamBatchFor(sinkId) < batchId)
-            cursorCommit(db, sinkId, batchId, compactEvery)
+            cursorCommit(db, sinkId, batchId, compactEvery, keepVersions)
           autoCompact(db, batchId, compactEvery, keepVersions)
         }
         ()
@@ -170,7 +170,7 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.Similarity.appendToIndex(db, batch, idCol, embCol,
             m, dim, cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery, keepVersions),
             fuse = true) // riders: ONE manifest commit per micro-batch
           // the index warehouse is bucket-major (bucket = IVF cell);
           // the compactor's rewrite honors that layout, so the major
@@ -201,7 +201,7 @@ object StreamIngest {
         if (batchId > mft.streamBatchFor(sinkId) && !batch.isEmpty) {
           graft.ops.Retrieval.appendBm25Batch(db, batch, idCol, textCol,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, 0, compactEvery),
+            sinkProps = foldEveryProps(sinkId, 0, compactEvery, keepVersions),
             fuse = true) // riders: ONE manifest commit per micro-batch
           // the postings warehouse is index-sized, so the major rewrite
           // is too — same non-blocking skip-and-retry contract as the
@@ -260,7 +260,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             valueCol = valueCol.map(org.apache.spark.sql.functions.col),
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery)) nonFatalFold(db) {
             graft.ops.SketchStore.foldSketches(db, tag,
@@ -298,7 +299,8 @@ object StreamIngest {
           graft.ops.SketchStore.registerHist(db, batch,
             org.apache.spark.sql.functions.col(valueCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldHist(db, tag,
@@ -332,7 +334,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(valueCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldHistBy(db, tag,
@@ -365,7 +368,8 @@ object StreamIngest {
           graft.ops.SketchStore.registerMg(db, batch,
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldMg(db, tag,
@@ -400,7 +404,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldKmvBy(db, tag,
@@ -442,7 +447,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             valueCol = valueCol.map(org.apache.spark.sql.functions.col),
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldSketchesBy(db, tag,
@@ -477,7 +483,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldMgBy(db, tag,
@@ -513,7 +520,8 @@ object StreamIngest {
             org.apache.spark.sql.functions.col(grpCol),
             org.apache.spark.sql.functions.col(elemCol), batchId, tag,
             cursor = Some((sinkId, batchId)),
-            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery),
+            sinkProps = foldEveryProps(sinkId, foldEvery, compactEvery,
+              keepVersions),
             fuse = true) // single-writer sink: ONE manifest commit per batch
           if (shouldFold(batchId, foldEvery))
             nonFatalFold(db)(graft.ops.SketchStore.foldCountMinBy(db, tag,
@@ -535,7 +543,11 @@ object StreamIngest {
        Map(s"fold.every/$sinkId" -> foldEvery.toString)
      else Map.empty[String, String]) ++
       (if (compactEvery > 0)
-        Map(s"compact.every/$sinkId" -> compactEvery.toString)
+        // the prune window rides next to the compaction cadence so an
+        // operator can read the RETENTION contract (how far back
+        // --at-version reaches) off the manifest, not the job code
+        Map(s"compact.every/$sinkId" -> compactEvery.toString,
+          s"keep.versions/$sinkId" -> keepVersions.toString)
        else Map.empty[String, String])
 
   /** Fold on every `foldEvery`-th committed batch (batch ids are
@@ -551,13 +563,12 @@ object StreamIngest {
     * where the cadence can ride for free).
     */
   private def cursorCommit(db: Db, sinkId: String, batchId: Long,
-                           compactEvery: Int): Unit = {
+                           compactEvery: Int,
+                           keepVersions: Int = KEEP_VERSIONS): Unit = {
     Manifest.update(db.warehouse) { m =>
       val cur = m.withStreamBatch(sinkId, batchId)
-      if (compactEvery > 0)
-        cur.copy(props = cur.props +
-          (s"compact.every/$sinkId" -> compactEvery.toString))
-      else cur
+      val props = foldEveryProps(sinkId, 0, compactEvery, keepVersions)
+      if (props.isEmpty) cur else cur.copy(props = cur.props ++ props)
     }
     ()
   }

@@ -113,12 +113,16 @@ class SketchStoreSpec extends SparkSpec {
         b0.unionByName(b1), col("g"), col("t"))
       .as[(String, Int, Long, Long)].collect().toSet
     assert(stored == oneShot, "stored grouped grid drifted from one-shot")
-    // null groups are excluded, not stored under a malformed key
+    // null groups are excluded, not stored under a malformed key — and
+    // null ELEMENTS never write phantom null-bucket cells
     SketchStore.registerCountMinBy(db,
-      Seq((null.asInstanceOf[String], "x")).toDF("g", "t"),
+      Seq((null.asInstanceOf[String], "x"), ("s0", null.asInstanceOf[String]))
+        .toDF("g", "t"),
       col("g"), col("t"), batchId = 2L)
-    assert(SketchStore.storedCountMinBy(db)
-      .filter(col("grp").isNull).isEmpty)
+    val after = SketchStore.storedCountMinBy(db)
+    assert(after.filter(col("grp").isNull || col("bucket").isNull).isEmpty)
+    assert(after.as[(String, Int, Long, Long)].collect().toSet == oneShot,
+      "null rows changed the stored grid")
   }
 
   test("MG store: guarantees hold over batches; deterministic under " +

@@ -99,6 +99,12 @@ class TxFuseSpec extends SparkSpec {
     }
     assert(w.read().count() == n, "conflicting claim published nothing")
     assert(Manifest.current(w.warehouse).props.get("geo").contains("x"))
+    // the refused fused write must NOT strand its tentative directory at
+    // the unclaimed nextTxid — a claim-first writer takes that number
+    // next and must not crash on an occupied path
+    TxWriter.write(w, rows(("e", 5L, 5L)))
+    assert(w.read().filter(col("key") === "e").count() == 1,
+      "claim-first write after a fused PropertyConflict must succeed")
   }
 
   test("fused registrations race folds safely: the fold's conditional " +
