@@ -619,6 +619,9 @@ class StreamIngestSpec extends SparkSpec {
     val end = Manifest.versions(db.warehouse)
     assert(end.size <= keep, s"history not pruned: $end")
     assert(end.max == Manifest.currentVersion(db.warehouse))
+    // the retention contract is readable off the manifest
+    assert(Manifest.current(db.warehouse).props
+      .get("keep.versions/hist").contains(keep.toString))
     // time travel inside the retained window still works (what the CLI's
     // --at-version resolves through)
     val snapOld = db.snapshotAt(end.min)
