@@ -370,22 +370,20 @@ object SketchStore {
       }, identity)
   }
 
-  /** The GROUPED trio counterpart of [[registerSketches]]: one batch's
-    * per-group KMV minima AND per-group MG partials (+ masses) union
-    * into ONE transaction — the grouped sketch sink's micro-batch shape.
-    * A stream that ALSO carries a numeric column can ride its grouped
-    * histogram rows under the SAME transaction and grid claim via
-    * `valueCol` (one claim + one publish for all three grouped families,
-    * instead of paying a second sink's commits); without it the grouped
-    * hist store stays its own sink, the same split as
-    * [[registerSketches]] vs `registerHist`. Each family's rows come
-    * from the same builders the standalone registrations use
-    * ([[kmvByRows]]/[[mgByRows]]/[[histByRowsOf]]), so every stored
-    * report is unchanged either way.
+  /** The GROUPED counterpart of [[registerSketches]]: one batch's
+    * per-group KMV minima, MG partials (+ masses) AND count-min grids
+    * union into ONE transaction — the grouped sketch sink's micro-batch
+    * shape. A stream that ALSO carries a numeric column rides its
+    * grouped histogram rows under the SAME transaction and grid claim
+    * via `valueCol` (one fused commit for all four grouped families).
+    * Each family's rows come from the same builders the standalone
+    * registrations use ([[kmvByRows]]/[[mgByRows]]/[[cmByRows]]/
+    * [[histByRowsOf]]), so every stored report is unchanged either way.
     */
   def registerSketchesBy(db: graft.store.Db, batch: DataFrame, grp: Column,
                          elem: Column, batchId: Long, tag: String = "t",
                          k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
+                         d: Int = Sketches.CM_D, cmW: Long = Sketches.CM_W,
                          valueCol: Option[Column] = None,
                          b: Int = Sketches.HIST_B,
                          w: Long = Sketches.HIST_W, origin: Long = 0L,
@@ -394,50 +392,44 @@ object SketchStore {
                          fuse: Boolean = false)
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    valueCol match {
-      case None =>
-        // one materialized (grp, item) projection feeds both branches
-        // — same three-subtree re-scan reasoning as [[registerSketches]]
-        val toks = batch.select(grp.as("grp"), elem.as("item"))
-          .filter(col("grp").isNotNull && col("item").isNotNull)
-          .localCheckpoint(true)
-        val kmv = kmvByRows(tag,
-          toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
-        graft.store.TxWriter.write(db,
-          kmv.unionByName(mgByRows(tag, toks, batchId, c),
-            allowMissingColumns = true),
-          props = sinkProps, streamCursor = cursor, fuse = fuse)
-      case Some(v) =>
-        requireHistByGrid(db, tag, w, origin)
-        // one materialized (grp, item, v) projection feeds all THREE
-        // families; KMV/MG take the null-filtered token view, the hist
-        // branch bins exactly what the standalone registerHistBy would
-        // (null groups excluded inside histSketchBy)
-        val base = batch.select(grp.as("grp"), elem.as("item"), v.as("v"))
-          .localCheckpoint(true)
-        val toks = base.select(col("grp"), col("item"))
-          .filter(col("grp").isNotNull && col("item").isNotNull)
-        val kmv = kmvByRows(tag,
-          toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
-        val hist = Sketches.histSketchBy(base, col("grp"), col("v"),
-          b, w, origin)
-        graft.store.TxWriter.write(db,
-          kmv.unionByName(mgByRows(tag, toks, batchId, c),
-              allowMissingColumns = true)
-            .unionByName(histByRowsOf(tag, hist, batchId),
-              allowMissingColumns = true),
-          props = sinkProps,
-          propsClaim = histByGridClaim(tag, w, origin),
-          streamCursor = cursor, fuse = fuse)
-    }
+    valueCol.foreach(_ => requireHistByGrid(db, tag, w, origin))
+    // one materialized projection feeds every family — same re-scan
+    // reasoning as [[registerSketches]]; with valueCol the hist branch
+    // bins exactly what the standalone registerHistBy would (null
+    // groups excluded inside histSketchBy)
+    val base = batch.select(
+        Seq(grp.as("grp"), elem.as("item")) ++
+          valueCol.map(_.as("v")).toSeq: _*)
+      .localCheckpoint(true)
+    val toks = base.select(col("grp"), col("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+    val kmv = kmvByRows(tag,
+      toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
+    val cm = cmByRows(tag,
+      Sketches.countMinSketchBy(toks, col("grp"), col("item"), d, cmW),
+      batchId)
+    val quartetBase = kmv
+      .unionByName(mgByRows(tag, toks, batchId, c),
+        allowMissingColumns = true)
+      .unionByName(cm, allowMissingColumns = true)
+    val rows = valueCol.fold(quartetBase)(_ => quartetBase.unionByName(
+      histByRowsOf(tag,
+        Sketches.histSketchBy(base, col("grp"), col("v"), b, w, origin),
+        batchId),
+      allowMissingColumns = true))
+    graft.store.TxWriter.write(db, rows, props = sinkProps,
+      propsClaim =
+        valueCol.fold(Map.empty[String, String])(_ =>
+          histByGridClaim(tag, w, origin)),
+      streamCursor = cursor, fuse = fuse)
   }
 
-  /** [[foldKmvBy]] + [[foldMgBy]] + [[foldHistBy]] as ONE atomic
-    * supersede over all four grouped key families — the grouped twin of
-    * [[foldSketches]]. The hg/ family folds whenever it has rows under
-    * the tag (whether they came from the trio's `valueCol` rider or a
-    * sibling [[registerHistBy]] sink sharing the tag — the fold is the
-    * same lossless per-(grp, bin) sum either way).
+  /** [[foldKmvBy]] + [[foldMgBy]] + [[foldCountMinBy]] + [[foldHistBy]]
+    * as ONE atomic supersede over all five grouped key families — the
+    * grouped twin of [[foldSketches]]. The cg/ and hg/ families fold
+    * whenever they have rows under the tag (whether from the trio's
+    * riders or sibling standalone sinks sharing the tag — the folds are
+    * the same lossless per-cell/per-bin sums either way).
     */
   def foldSketchesBy(db: graft.store.Db, tag: String = "t",
                      k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
@@ -447,7 +439,8 @@ object SketchStore {
       col("id").as("ts"))
     foldStore(db, s"foldSketchesBy($tag)",
       Seq(kmvByPrefix(tag) + "%", mgByPrefix(tag) + "%",
-        mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%"), waitMillis,
+        mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%",
+        cmByPrefix(tag) + "%"), waitMillis,
       foldProp = Some(foldLastProp("sketchesby", tag)))({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
@@ -455,9 +448,14 @@ object SketchStore {
           val kmv = kmvFoldRowsBy(db, snap, tag, k)
           val withMg = mgByFoldRows(db, snap, tag, c).fold(kmv)(mg =>
             kmv.unionByName(mg, allowMissingColumns = true))
+          val cm = storedCountMinByAt(db, snap, tag)
+          val withCm =
+            if (cm.isEmpty) withMg
+            else withMg.unionByName(cmByRows(tag, cm, FOLD_TS),
+              allowMissingColumns = true)
           val hist = storedHistByAt(db, snap, tag)
-          if (hist.isEmpty) withMg
-          else withMg.unionByName(histByRowsOf(tag, hist, FOLD_TS),
+          if (hist.isEmpty) withCm
+          else withCm.unionByName(histByRowsOf(tag, hist, FOLD_TS),
             allowMissingColumns = true)
         }
       }, identity)
@@ -557,15 +555,22 @@ object SketchStore {
                          sinkProps: Map[String, String] = Map.empty,
                          fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    val rows = Sketches.countMinSketchBy(batch, grp, elem, d, w)
-      .select(
-        concat(lit(cmByPrefix(tag)), escGrp(col("grp")),
-          format_string("/%d/%06d", col("sk_row"), col("bucket"))).as("key"),
-        lit(batchId).as("ts"), col("grp"), col("sk_row"), col("bucket"),
-        col("c"))
-    graft.store.TxWriter.write(db, rows, props = sinkProps,
-      streamCursor = cursor, fuse = fuse)
+    graft.store.TxWriter.write(db,
+      cmByRows(tag, Sketches.countMinSketchBy(batch, grp, elem, d, w),
+        batchId),
+      props = sinkProps, streamCursor = cursor, fuse = fuse)
   }
+
+  /** ONE copy of the grouped-cm row shape (over a prebuilt
+    * (grp, sk_row, bucket, c) grid at `ts`), shared by the standalone
+    * registration, the trio rider and both folds.
+    */
+  private def cmByRows(tag: String, grid: DataFrame, ts: Long): DataFrame =
+    grid.select(
+      concat(lit(cmByPrefix(tag)), escGrp(col("grp")),
+        format_string("/%d/%06d", col("sk_row"), col("bucket"))).as("key"),
+      lit(ts).as("ts"), col("grp"), col("sk_row"), col("bucket"),
+      col("c"))
 
   /** The running per-group grids: per-(grp, cell) sums over a
     * key-pruned read — drop-in for [[Sketches.countMinProbeBy]]'s
@@ -609,11 +614,7 @@ object SketchStore {
     foldStore(db, s"foldCountMinBy($tag)", Seq(cmByPrefix(tag) + "%"),
       waitMillis, foldProp = Some(foldLastProp("cmby", tag)))(
       storedCountMinBy(db, tag),
-      _.select(
-        concat(lit(cmByPrefix(tag)), escGrp(col("grp")),
-          format_string("/%d/%06d", col("sk_row"), col("bucket"))).as("key"),
-        lit(FOLD_TS).as("ts"), col("grp"), col("sk_row"), col("bucket"),
-        col("c")))
+      cmByRows(tag, _, FOLD_TS))
 
   /** DuckDB twin of the grouped count-min store over `documents` tokens
     * by `source`: per-source grids summed over the whole corpus (two

@@ -543,10 +543,22 @@ class StreamIngestSpec extends SparkSpec {
       .orderBy("grp", "qm")
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq,
       "grouped-trio hist drifted from the standalone store")
-    // the batch-1 fold collapsed every family — hist included — to one
-    // generation under ONE supersede
+    // ...and the count-min family (the quartet's fourth member rides the
+    // same transaction): per-group point probes == the standalone twin
+    SketchStore.registerCountMinBy(twin, b0.toDF("g", "t", "v"), col("g"),
+      col("t"), batchId = 0L)
+    SketchStore.registerCountMinBy(twin, b1.toDF("g", "t", "v"), col("g"),
+      col("t"), batchId = 1L)
+    val probes = Seq(("s0", "hot_s0"), ("s1", "hot_s1")).toDF("g", "t")
+    def cmProbe(d: Db) = SketchStore.probeStoredCountMinBy(d, probes, "g", "t")
+      .orderBy("g").as[(String, String, Long)].collect().toSeq
+    assert(cmProbe(db) == cmProbe(twin),
+      "grouped-trio count-min drifted from the standalone store")
+    // the batch-1 fold collapsed every family — cm and hist included —
+    // to one generation under ONE supersede
     val gens = (db.read("mg/t/%").select("ts").distinct().as[Long].collect()
       ++ db.read("mgn/t/%").select("ts").distinct().as[Long].collect()
+      ++ db.read("cg/t/%").select("ts").distinct().as[Long].collect()
       ++ db.read("hg/t/%").select("ts").distinct().as[Long].collect()).toSet
     assert(gens == Set(SketchStore.FOLD_TS), s"unfolded history: $gens")
     assert(Manifest.current(db.warehouse).streamBatchFor("sketchby") == 1L)
