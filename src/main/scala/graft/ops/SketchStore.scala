@@ -58,6 +58,10 @@ object SketchStore {
   private def histByPrefix(tag: String) = s"hg/$tag/"
   private def histByWProp(tag: String) = s"histg.w/$tag"
   private def histByOriginProp(tag: String) = s"histg.origin/$tag"
+  private def cmDProp(tag: String) = s"cm.d/$tag"
+  private def cmWProp(tag: String) = s"cm.w/$tag"
+  private def cmByDProp(tag: String) = s"cmg.d/$tag"
+  private def cmByWProp(tag: String) = s"cmg.w/$tag"
 
   // ── KMV ────────────────────────────────────────────────────────────
 
@@ -269,6 +273,7 @@ object SketchStore {
                        sinkProps: Map[String, String] = Map.empty,
                        fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    requireCmGrid(db, tag, d, w)
     valueCol.foreach(_ => requireHistGrid(db, tag, histW, origin))
     // the families aggregate the SAME element stream; left as separate
     // subtrees over `batch` they would re-run its whole lineage once
@@ -302,7 +307,7 @@ object SketchStore {
         batchId),
       allowMissingColumns = true))
     graft.store.TxWriter.write(db, rows, props = sinkProps,
-      propsClaim =
+      propsClaim = cmGridClaim(tag, d, w) ++
         valueCol.fold(Map.empty[String, String])(_ =>
           histGridClaim(tag, histW, origin)),
       streamCursor = cursor, fuse = fuse)
@@ -392,6 +397,7 @@ object SketchStore {
                          fuse: Boolean = false)
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    requireCmByGrid(db, tag, d, cmW)
     valueCol.foreach(_ => requireHistByGrid(db, tag, w, origin))
     // one materialized projection feeds every family — same re-scan
     // reasoning as [[registerSketches]]; with valueCol the hist branch
@@ -418,7 +424,7 @@ object SketchStore {
         batchId),
       allowMissingColumns = true))
     graft.store.TxWriter.write(db, rows, props = sinkProps,
-      propsClaim =
+      propsClaim = cmByGridClaim(tag, d, cmW) ++
         valueCol.fold(Map.empty[String, String])(_ =>
           histByGridClaim(tag, w, origin)),
       streamCursor = cursor, fuse = fuse)
@@ -477,19 +483,65 @@ object SketchStore {
     * under `batchId`. Idempotent: re-running the same batchId rewrites
     * the same (key, ts) records and last-wins keeps one copy — safe
     * under streaming retries.
+    *
+    * The (d, w) GEOMETRY is the store's identity, claimed
+    * first-writer-wins in the publishing commit exactly like the
+    * histogram grid ([[registerHist]]'s geometry note): cells from a
+    * different geometry summed under the same keys would break
+    * count-min's overestimate guarantee — a probe could return
+    * estimates BELOW the true count with no error at all — so a
+    * mismatched registration refuses loudly instead, and probes read
+    * the geometry back off the manifest rather than trusting a caller.
     */
   def registerCountMin(db: graft.store.Db, batch: DataFrame, elem: Column,
                        batchId: Long, tag: String = "t",
                        d: Int = Sketches.CM_D,
                        w: Long = Sketches.CM_W): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    requireCmGrid(db, tag, d, w)
     val rows = Sketches.countMinSketch(batch, elem, d, w)
       .select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
           .as("key"),
         lit(batchId).as("ts"), col("sk_row"), col("bucket"), col("c"))
-    graft.store.TxWriter.write(db, rows)
+    graft.store.TxWriter.write(db, rows, propsClaim = cmGridClaim(tag, d, w))
   }
+
+  /** The ungrouped grid's first-writer-wins geometry claim (checked
+    * inside the publishing CAS, like [[registerHist]]'s grid claim).
+    */
+  private def cmGridClaim(tag: String, d: Int,
+                          w: Long): Map[String, String] =
+    Map(cmDProp(tag) -> d.toString, cmWProp(tag) -> w.toString)
+
+  /** Friendly pre-write geometry-mismatch error for the ungrouped grid
+    * (the propsClaim inside the CAS is the authority), shared by
+    * [[registerCountMin]] and [[registerSketches]].
+    */
+  private def requireCmGrid(db: graft.store.Db, tag: String, d: Int,
+                            w: Long): Unit = {
+    val m = graft.store.Manifest.current(db.warehouse)
+    val exD = m.props.get(cmDProp(tag))
+    val exW = m.props.get(cmWProp(tag))
+    require(exD.forall(_ == d.toString) && exW.forall(_ == w.toString),
+      s"count-min geometry mismatch for tag '$tag': stored " +
+        s"(d=${exD.getOrElse("-")}, w=${exW.getOrElse("-")}) " +
+        s"vs registration (d=$d, w=$w)")
+  }
+
+  /** The ungrouped grid's geometry, read back from the properties the
+    * first registration claimed (defaults when the store predates
+    * geometry tracking or is empty).
+    */
+  def storedCmGrid(db: graft.store.Db, tag: String = "t"): (Int, Long) =
+    cmGridOf(graft.store.Manifest.current(db.warehouse), cmDProp(tag),
+      cmWProp(tag))
+
+  /** The (d, w) recorded in one manifest state's properties. */
+  private def cmGridOf(m: graft.store.ManifestState, dProp: String,
+                       wProp: String): (Int, Long) =
+    (m.props.get(dProp).map(_.toInt).getOrElse(Sketches.CM_D),
+      m.props.get(wProp).map(_.toLong).getOrElse(Sketches.CM_W))
 
   /** The running grid: per-cell sums over every registered batch (and
     * fold) — a key-pruned read of ≤ d·w·batches slim rows into a d·w
@@ -512,22 +564,27 @@ object SketchStore {
     }
   }
 
-  /** Frequency estimates for `items` against the running grid. */
+  /** Frequency estimates for `items` against the running grid. The
+    * geometry comes from the store's OWN claimed properties, never from
+    * the caller — probing a stored grid at a guessed (d, w) would hash
+    * items into the wrong cells and report garbage (possibly
+    * under-true) counts with no error. Grid and geometry derive from
+    * ONE snapshot (the same one-snapshot reasoning as
+    * [[storedHistQuantiles]]).
+    */
   def probeStoredCountMin(db: graft.store.Db, items: DataFrame,
-                          elemCol: String, tag: String = "t",
-                          d: Int = Sketches.CM_D,
-                          w: Long = Sketches.CM_W): DataFrame =
-    Sketches.countMinProbe(items, storedCountMin(db, tag), elemCol, d, w)
+                          elemCol: String, tag: String = "t"): DataFrame =
+    probeStoredCountMinAt(db, db.snapshot(), items, elemCol, tag)
 
   private[graft] def probeStoredCountMinAt(db: graft.store.Db,
                                            snap: graft.store.Db#Snapshot,
                                            items: DataFrame, elemCol: String,
-                                           tag: String = "t",
-                                           d: Int = Sketches.CM_D,
-                                           w: Long = Sketches.CM_W)
-      : DataFrame =
+                                           tag: String = "t")
+      : DataFrame = {
+    val (d, w) = cmGridOf(snap.manifest, cmDProp(tag), cmWProp(tag))
     Sketches.countMinProbe(items, storedCountMinAt(db, snap, tag), elemCol,
       d, w)
+  }
 
   // ── grouped count-min ──────────────────────────────────────────────
   //
@@ -546,7 +603,12 @@ object SketchStore {
 
   /** Registers one batch's per-group counter grids (≤ d·w·groups cells)
     * as ONE transaction under `batchId` — idempotent under streaming
-    * retries like [[registerCountMin]].
+    * retries like [[registerCountMin]], and under the same
+    * first-writer-wins (d, w) geometry claim (its own `cmg.*`
+    * properties, so the grouped and ungrouped grids under one tag stay
+    * independent): per-group cells from a mismatched geometry summed
+    * under the same `cg/` keys would silently break the per-group
+    * overestimate bound.
     */
   def registerCountMinBy(db: graft.store.Db, batch: DataFrame, grp: Column,
                          elem: Column, batchId: Long, tag: String = "t",
@@ -555,11 +617,37 @@ object SketchStore {
                          sinkProps: Map[String, String] = Map.empty,
                          fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    requireCmByGrid(db, tag, d, w)
     graft.store.TxWriter.write(db,
       cmByRows(tag, Sketches.countMinSketchBy(batch, grp, elem, d, w),
         batchId),
-      props = sinkProps, streamCursor = cursor, fuse = fuse)
+      props = sinkProps, propsClaim = cmByGridClaim(tag, d, w),
+      streamCursor = cursor, fuse = fuse)
   }
+
+  /** The grouped grids' first-writer-wins geometry claim. */
+  private def cmByGridClaim(tag: String, d: Int,
+                            w: Long): Map[String, String] =
+    Map(cmByDProp(tag) -> d.toString, cmByWProp(tag) -> w.toString)
+
+  /** Friendly pre-write geometry-mismatch error for the grouped grids,
+    * shared by [[registerCountMinBy]] and [[registerSketchesBy]].
+    */
+  private def requireCmByGrid(db: graft.store.Db, tag: String, d: Int,
+                              w: Long): Unit = {
+    val m = graft.store.Manifest.current(db.warehouse)
+    val exD = m.props.get(cmByDProp(tag))
+    val exW = m.props.get(cmByWProp(tag))
+    require(exD.forall(_ == d.toString) && exW.forall(_ == w.toString),
+      s"count-min geometry mismatch for grouped tag '$tag': stored " +
+        s"(d=${exD.getOrElse("-")}, w=${exW.getOrElse("-")}) " +
+        s"vs registration (d=$d, w=$w)")
+  }
+
+  /** The grouped grids' geometry, from their own claimed properties. */
+  def storedCmByGrid(db: graft.store.Db, tag: String = "t"): (Int, Long) =
+    cmGridOf(graft.store.Manifest.current(db.warehouse), cmByDProp(tag),
+      cmByWProp(tag))
 
   /** ONE copy of the grouped-cm row shape (over a prebuilt
     * (grp, sk_row, bucket, c) grid at `ts`), shared by the standalone
@@ -596,14 +684,24 @@ object SketchStore {
 
   /** Frequency estimates for (`grpCol`, `elemCol`) items against the
     * running grouped grids — a (grp, cell)-keyed join, never a
-    * broadcast of the data-sized grid relation.
+    * broadcast of the data-sized grid relation. Geometry comes from the
+    * store's own claimed `cmg.*` properties, same contract as
+    * [[probeStoredCountMin]]; grid and geometry from ONE snapshot.
     */
   def probeStoredCountMinBy(db: graft.store.Db, items: DataFrame,
                             grpCol: String, elemCol: String,
-                            tag: String = "t", d: Int = Sketches.CM_D,
-                            w: Long = Sketches.CM_W): DataFrame =
-    Sketches.countMinProbeBy(items, storedCountMinBy(db, tag), grpCol,
-      elemCol, d, w)
+                            tag: String = "t"): DataFrame =
+    probeStoredCountMinByAt(db, db.snapshot(), items, grpCol, elemCol, tag)
+
+  private[graft] def probeStoredCountMinByAt(db: graft.store.Db,
+                                             snap: graft.store.Db#Snapshot,
+                                             items: DataFrame,
+                                             grpCol: String, elemCol: String,
+                                             tag: String = "t"): DataFrame = {
+    val (d, w) = cmGridOf(snap.manifest, cmByDProp(tag), cmByWProp(tag))
+    Sketches.countMinProbeBy(items, storedCountMinByAt(db, snap, tag),
+      grpCol, elemCol, d, w)
+  }
 
   /** [[foldCountMin]] per group: one folded generation of per-(grp,
     * cell) sums — counter addition is exact, so every probe is

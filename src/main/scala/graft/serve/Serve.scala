@@ -234,6 +234,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     if (hit != null) {
       qcHits.incrementAndGet()
       ex.getResponseHeaders.set("ETag", etag)
+      // a cached body is the current generation's answer by key
+      // construction, so its freshness claims are recomputable exactly
+      freshnessHeader(usesData, usesAnn, key._1, key._2)
+        .foreach(h => ex.getResponseHeaders.set("X-Graft-Freshness", h))
       return respond(ex, 200, hit)
     }
     val (status, body) = compute
@@ -255,8 +259,53 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // quietly grow the server heap; oversized answers just recompute
     if (status == 200 && stable && body.length <= 256 * 1024)
       cachePut(key, body)
-    if (status == 200 && stable) ex.getResponseHeaders.set("ETag", etag)
+    if (status == 200 && stable) {
+      ex.getResponseHeaders.set("ETag", etag)
+      freshnessHeader(usesData, usesAnn, key._1, key._2)
+        .foreach(h => ex.getResponseHeaders.set("X-Graft-Freshness", h))
+    }
     respond(ex, status, body)
+  }
+
+  /** Per-response freshness for every `/_query` verb, as a response
+    * header (`X-Graft-Freshness`): the retrieval verbs' bodies are
+    * line-oriented hit lists, so the fields the stats verb carries IN
+    * its JSON body ride a header there, uniform across bm25/ann/
+    * hybrid/stats — the manifest version(s) the answer derives from
+    * plus each streaming sink's replay cursor, so a client can tell
+    * WHICH ingest batch the hits reflect (the reference contrast: its
+    * server's 10 s cache is silently stale, `src/bin/
+    * sonnerie-serve.rs:242-264`). Emitted only when the warehouse's
+    * CURRENT manifest still matches the generation the body was
+    * computed (or cached) at — one stat-cached manifest read, zero
+    * jobs; under `staleMillis` a lagging probe may suppress the header
+    * for up to the window, but it never lies about the body's
+    * generation.
+    */
+  private def freshnessHeader(usesData: Boolean, usesAnn: Boolean,
+                              dv: Long, av: Long): Option[String] = {
+    def part(wh: String, ver: Long, vField: String,
+             cField: String): Option[String] = {
+      val m = Manifest.current(wh)
+      if (m.version != ver) None
+      else Some(s""""$vField":$ver,"$cField":${
+        m.streamBatches.toSeq.sortBy(_._1)
+          .map { case (s, b) => s"${jstr(s)}:$b" }
+          .mkString("{", ",", "}")}""")
+    }
+    val want = Seq(
+      if (usesData)
+        Some(() => part(db.warehouse, dv, "version", "cursors"))
+      else None,
+      if (usesAnn)
+        annDb.map(a => () => part(a.warehouse, av, "annVersion",
+          "annCursors"))
+      else None).flatten
+    val parts = want.flatMap(_.apply())
+    // all-or-nothing: a generation that moved mid-request gets no
+    // header rather than a half-true one
+    if (parts.isEmpty || parts.size != want.size) None
+    else Some(parts.mkString("{", ",", "}"))
   }
 
   /** The (warehouse identity, version) pair IS the answer's identity:
@@ -317,7 +366,19 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           // raised fold fence (pending > 0 persisting = vacuum time)
           s""","staleMillis":$staleMillis""" +
           s""","pendingClaims":${
-            Manifest.current(db.warehouse).pending.size}}""" + "\n")
+            Manifest.current(db.warehouse).pending.size}""" +
+          // the auto-maintenance failure streak per bound warehouse
+          // (StreamIngest counts consecutive failed cadence points and
+          // resets on success): unfolded/uncompacted state grows
+          // unbounded exactly when this stays > 0 — the field a health
+          // check polls instead of scraping the escalation warning off
+          // stderr. In-JVM by nature (the sinks run where the counter
+          // lives); a serving tier in another process reads 0.
+          s""","maintFailStreak":${graft.streaming.StreamIngest
+            .consecutiveMaintenanceFailures(db.warehouse)}""" +
+          s""","annMaintFailStreak":${annDb.fold(0)(a =>
+            graft.streaming.StreamIngest
+              .consecutiveMaintenanceFailures(a.warehouse))}}""" + "\n")
     if (pattern == "_query/bm25") return cachedQuery(ex)(doBm25(params(ex)))
     if (pattern == "_query/ann")
       return cachedQuery(ex, usesData = false, usesAnn = true)(
@@ -578,9 +639,18 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                             tag: String): String = {
     val cursors = m.streamBatches.toSeq.sortBy(_._1)
       .map { case (s, b) => s"${jstr(s)}:$b" }.mkString("{", ",", "}")
+    // keys are fold.last/<family>/<tag> with '/'-free family names but
+    // ARBITRARY tags — split at the FIRST '/' after the prefix, exact-
+    // match the remainder against the tag. A suffix match would let a
+    // slash-carrying sibling tag ("x/y") report its folds under this
+    // tag ("y") with a mangled family name ("mg/x").
     val folds = m.props.toSeq.collect {
-      case (k, v) if k.startsWith("fold.last/") && k.endsWith(s"/$tag") =>
-        k.stripPrefix("fold.last/").stripSuffix(s"/$tag") -> v
+      case (k, v) if k.startsWith("fold.last/") =>
+        val ft = k.stripPrefix("fold.last/")
+        (ft.indexOf('/'), ft, v)
+    }.collect {
+      case (i, ft, v) if i > 0 && ft.substring(i + 1) == tag =>
+        ft.substring(0, i) -> v
     }.sortBy(_._1).map { case (f, tx) => s"${jstr(f)}:$tx" }
       .mkString("{", ",", "}")
     s""""version":${m.version},"cursors":$cursors,"folds":$folds"""
@@ -744,6 +814,16 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             return (400, "kind=cm needs items=tok1,tok2,...\n")
           if (items.size > 100)
             return (400, "too many items (cap 100)\n")
+          // the response body (and the driver-side pair collect behind
+          // it) is groups × items entries — the per-knob caps alone
+          // still admit a 10000×100 = 1M-entry cross product, so the
+          // PRODUCT is bounded by one number an operator can reason
+          // about, refused loudly like every other overflow here
+          val effGroups = if (p.contains("grp")) 1 else maxGroups
+          if (effGroups.toLong * items.size > CM_PRODUCT_CAP)
+            return (400, s"groups*items product too large (cap " +
+              s"$CM_PRODUCT_CAP): $effGroups*${items.size} — lower " +
+              "groups= or items=, or narrow with grp=\n")
           val grid = graft.ops.SketchStore.storedCountMinByAt(db, snap, tag)
           val sel0: Seq[String] = p.get("grp") match {
             case Some(g) => Seq(g)
@@ -752,11 +832,15 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           }
           val truncated = sel0.size > maxGroups
           val gsel = sel0.take(maxGroups)
+          // the probe reads the stored grids' CLAIMED geometry off this
+          // same snapshot (SketchStore.probeStoredCountMinByAt) — a
+          // grid registered at a non-default (d, w) probed at guessed
+          // defaults would hash items into the wrong cells silently
           val est: Map[(String, String), Long] =
             if (gsel.isEmpty) Map.empty
-            else graft.ops.Sketches.countMinProbeBy(
+            else graft.ops.SketchStore.probeStoredCountMinByAt(db, snap,
                 gsel.flatMap(g => items.map(i => (g, i)))
-                  .toDF("grp", "item"), grid, "grp", "item")
+                  .toDF("grp", "item"), "grp", "item", tag)
               .as[(String, String, Long)].collect()
               .map { case (g, i, e) => (g, i) -> e }.toMap
           val groups = gsel.map { g =>
@@ -778,6 +862,17 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                                heavyK: Int): (Int, String) = {
     val spark = db.spark
     import spark.implicits._
+    // items= adds count-min point probes to the report — frequency of
+    // ANY named item against the running grid (the section MG's
+    // heavy-k list can't answer); > 100 items is a loud 400 (the same
+    // cap as kind=cm — a silent truncation would read as
+    // absent-from-store for the dropped items). Validated HERE, before
+    // the three sketch reads launch: an oversized request must be
+    // refused for the price of parsing a parameter, not after paying
+    // the full stats compute.
+    val itemsReq = p.get("items").map(_.split(',').toSeq.filter(_.nonEmpty))
+    if (itemsReq.exists(_.size > 100))
+      return (400, "too many items (cap 100)\n")
     // three independent bounded reads — concurrent jobs like the
     // hybrid verb, then a driver-side render of sketch-sized rows. ALL
     // reads (and the freshness fields) derive from ONE snapshot, so the
@@ -819,14 +914,6 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // the two masses are DIFFERENT streams (the histogram counts values
     // registered to it, MG counts elements) — never conflate them
     val histN = quants.headOption.map(_._2).getOrElse(0L)
-    // items= adds count-min point probes to the report — frequency of
-    // ANY named item against the running grid (the section MG's
-    // heavy-k list can't answer); > 100 items is a loud 400 (the same
-    // cap as kind=cm — a silent truncation would read as
-    // absent-from-store for the dropped items)
-    val itemsReq = p.get("items").map(_.split(',').toSeq.filter(_.nonEmpty))
-    if (itemsReq.exists(_.size > 100))
-      return (400, "too many items (cap 100)\n")
     val freqJson = itemsReq match {
       case None | Some(Seq()) => ""
       case Some(items) =>
@@ -920,4 +1007,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     ex.sendResponseHeaders(status, b.length.toLong)
     ex.getResponseBody.write(b)
   }
+
+  /** Cap on the `kind=cm` verb's groups × items cross product — the
+    * one number bounding both the driver-side pair collect and the
+    * response body's entry count.
+    */
+  private val CM_PRODUCT_CAP = 10000L
 }

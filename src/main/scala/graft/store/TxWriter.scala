@@ -121,9 +121,13 @@ object TxWriter {
     *        compactor racing the fused window is always safe (their
     *        publishes move `nextTxid`/the published sets, which the CAS
     *        detects — concurrent folds re-fold, compactors abort-retry),
-    *        but a concurrent writer that claims the fused writer's
-    *        TENTATIVE txid mid-write fails loudly on the existing
-    *        directory rather than writing. Falls back to the claim-first
+    *        and a concurrent claim-first writer that claims the fused
+    *        writer's TENTATIVE txid mid-write SELF-HEALS: it sees the
+    *        occupied directory, burns the number and claims the next,
+    *        while the fused side renames its directory forward — both
+    *        commit (only a simultaneous-start race inside the
+    *        occupancy check's window still fails loudly on one side,
+    *        with nothing published). Falls back to the claim-first
     *        protocol whenever the fused attempt cannot proceed (a claim
     *        in flight, the tentative directory occupied by a crashed
     *        writer's orphan — whose number is burned so the fallback
@@ -173,7 +177,25 @@ object TxWriter {
         case None     => () // fall through to the claim-first protocol
       }
 
-    val txid = claimTxid(db)
+    // self-heal the mixed-protocol collision: a mid-flight FUSED writer
+    // may occupy this claimed number's directory with its TENTATIVE
+    // (unclaimed, invisible) data — writing into it would fail loudly
+    // on the existing path. Step past instead: drop the dead claim (the
+    // number stays burned — the claim already moved nextTxid beyond it)
+    // and take the next. The fused owner then finds nextTxid moved and
+    // renames its directory forward (writeFused's rename-retry), so
+    // BOTH writers commit; mixed protocols on one warehouse degrade to
+    // burned txid numbers, never to errors. (A fused writer whose
+    // write JOB starts after this check can still race the same
+    // directory — the residual window the single-writer-per-warehouse
+    // deployment rule exists for; one side then fails loudly with
+    // nothing published, exactly as before.)
+    var txid = claimTxid(db)
+    while (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(db.dataDir, s"txid=$txid"))) {
+      abandonClaim(db, txid)
+      txid = claimTxid(db)
+    }
     try {
     // the sticky width/layout commits immediately after the claim —
     // BEFORE the (possibly long) write job — so a concurrent writer
@@ -284,9 +306,10 @@ object TxWriter {
     // ANY abnormal exit from the publish loop must remove the tentative
     // directory: unlike claim-first (whose conflict orphan sits under a
     // CLAIMED, consumed number), this directory occupies the UNCLAIMED
-    // nextTxid — left behind, the next claim-first writer would claim
-    // that number and fail loudly on the existing path
+    // nextTxid — left behind, the next claim-first writer steps past
+    // the occupied number (write's self-heal) and vacuum cleans the dir
     try {
+    fusePauseHook()
     var attempts = 0
     while (attempts < 100) {
       val cur = Manifest.current(db.warehouse)
@@ -340,6 +363,14 @@ object TxWriter {
         deleteRecursivelyIfExists(dirOf(txid)); throw e
     }
   }
+
+  /** Test seam: invoked between a fused write's data-directory job and
+    * its publish loop — the window in which its directory sits at the
+    * UNCLAIMED nextTxid. TxFuseSpec injects a racing claim-first write
+    * here to pin the mixed-protocol self-heal deterministically; a
+    * no-op in production.
+    */
+  private[store] var fusePauseHook: () => Unit = () => ()
 
   /** Conditionally skip a txid number whose directory is occupied by an
     * orphan, so the claim-first fallback can never claim it.

@@ -125,6 +125,59 @@ class SketchStoreSpec extends SparkSpec {
       "null rows changed the stored grid")
   }
 
+  test("count-min geometry is claimed first-writer-wins and read back " +
+      "by probes: mismatched registrations refuse loudly, probes never " +
+      "guess (d, w)") {
+    val db = tmpDb()
+    // first writer fixes a NON-default geometry; the claim is readable
+    SketchStore.registerCountMin(db, toks(Seq.fill(5)("x") :+ "y": _*),
+      col("t"), batchId = 0L, d = 2, w = 64L)
+    assert(SketchStore.storedCmGrid(db) == ((2, 64L)))
+    // the probe takes NO geometry params — it reads (2, 64) off the
+    // manifest; a guessed default (4, 1024) would hash into the wrong
+    // cells and miss every stored counter
+    val est = SketchStore.probeStoredCountMin(db,
+        Seq("x", "y").toDF("t"), "t")
+      .as[(String, Long)].collect().toMap
+    assert(est("x") == 5 && est("y") >= 1, s"probe at claimed grid: $est")
+    // a default-geometry registration under the same tag refuses BEFORE
+    // writing — both the standalone form and the quartet's cm family
+    intercept[IllegalArgumentException] {
+      SketchStore.registerCountMin(db, toks("z"), col("t"), batchId = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SketchStore.registerSketches(db, toks("z"), col("t"), batchId = 1L)
+    }
+    // same-geometry re-registration is fine (the claim is idempotent)
+    SketchStore.registerCountMin(db, toks("x"), col("t"), batchId = 1L,
+      d = 2, w = 64L)
+    assert(SketchStore.probeStoredCountMin(db, toks("x"), "t")
+      .as[(String, Long)].head()._2 == 6)
+    // the GROUPED grids claim their own cmg.* geometry independently
+    val gdb = tmpDb()
+    SketchStore.registerCountMinBy(gdb,
+      Seq(("s0", "x"), ("s0", "x"), ("s1", "y")).toDF("g", "t"),
+      col("g"), col("t"), batchId = 0L, d = 3, w = 32L)
+    assert(SketchStore.storedCmByGrid(gdb) == ((3, 32L)))
+    val gest = SketchStore.probeStoredCountMinBy(gdb,
+        Seq(("s0", "x")).toDF("g", "t"), "g", "t")
+      .as[(String, String, Long)].head()._3
+    assert(gest == 2, s"grouped probe at claimed grid: $gest")
+    intercept[IllegalArgumentException] {
+      SketchStore.registerCountMinBy(gdb, Seq(("s0", "z")).toDF("g", "t"),
+        col("g"), col("t"), batchId = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SketchStore.registerSketchesBy(gdb, Seq(("s0", "z")).toDF("g", "t"),
+        col("g"), col("t"), batchId = 1L)
+    }
+    // ungrouped c/ and grouped cg/ grids under ONE tag are independent:
+    // the gdb claim does not constrain the ungrouped family
+    SketchStore.registerCountMin(gdb, toks("q"), col("t"), batchId = 0L)
+    assert(SketchStore.storedCmGrid(gdb) ==
+      ((Sketches.CM_D, Sketches.CM_W)))
+  }
+
   test("MG store: guarantees hold over batches; deterministic under " +
       "partitioning; idempotent re-register") {
     val db = tmpDb()

@@ -26,6 +26,27 @@ class ServeSpec extends SparkSpec {
     (code, text)
   }
 
+  /** [[http]] plus the response headers (for the ETag / freshness
+    * contract cases).
+    */
+  private def httpH(method: String, url: String)
+      : (Int, String, Map[String, String]) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    import scala.jdk.CollectionConverters._
+    // the JDK server normalizes header-name case — keys are lowercased
+    // here so lookups are case-insensitive like HTTP itself
+    val hs = c.getHeaderFields.asScala.collect {
+      case (k, v) if k != null => k.toLowerCase -> v.asScala.mkString(",")
+    }.toMap
+    c.disconnect()
+    (code, text, hs)
+  }
+
   test("PUT commits one tx (201), GET streams it back (200)") {
     val db = Db(spark, tmpDir("graft-serve"))
     val srv = new Serve(db).start()
@@ -541,12 +562,110 @@ class ServeSpec extends SparkSpec {
       assert(c1 == 200 && cone.contains("\"grp\":\"g1\"") &&
         !cone.contains("\"grp\":\"g0\""), cone)
       assert(http("GET", s"$base/_query/stats?by=src&kind=cm")._1 == 400)
+      // the groups × items CROSS PRODUCT is bounded by one cap (10k):
+      // each knob individually in range can still demand a 1M-entry
+      // body (10000 groups × 100 items) — refused loudly BEFORE any
+      // probe runs, like every other overflow here
+      val (pc, pbody) = http("GET",
+        s"$base/_query/stats?by=src&kind=cm&groups=10000&items=x,y")
+      assert(pc == 400 && pbody.contains("product"), s"$pc $pbody")
+      // grp= narrows the effective group count to 1, so the same items
+      // list passes — the cap bounds the ACTUAL product, not the knobs
+      assert(http("GET",
+        s"$base/_query/stats?by=src&kind=cm&groups=10000&items=x,y&grp=g1")
+        ._1 == 200)
       // an unknown kind answers 400, not a silent hist fallback
       val (bc, bbody) = http("GET", s"$base/_query/stats?by=src&kind=nope")
       assert(bc == 400, s"$bc $bbody")
       // and the ungrouped report still answers on the same warehouse
       val (uc, ubody) = http("GET", s"$base/_query/stats")
       assert(uc == 200 && ubody.contains("\"histN\":0"), ubody)
+    } finally srv.stop()
+  }
+
+  test("X-Graft-Freshness: bm25/ann/hybrid responses carry the " +
+      "generation (version + cursors) they derive from, tracking appends") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(0L -> "alpha beta", 1L -> "beta gamma",
+      2L -> "alpha alpha").toDF("doc_id", "text")
+    val db = Db(spark, tmpDir("graft-serve-fresh"))
+    val annDb = Db(spark, tmpDir("graft-serve-fresh-ann"))
+    graft.ops.Similarity.buildIndex(annDb, emb, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 8)
+    graft.ops.Retrieval.buildBm25Index(db, docs, "doc_id", "text")
+    val srv = new Serve(db, annDb = Some(annDb)).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val q = "0.9,0.1,0,0,0,0,0.1,0.9"
+      // bm25 (data warehouse): the header states the exact manifest
+      // version the hits derive from, plus the streaming cursors (none
+      // registered here — an empty object, not a missing field)
+      val (c0, _, h0) = httpH("GET", s"$base/_query/bm25?q=alpha&k=3")
+      assert(c0 == 200)
+      val f0 = h0("x-graft-freshness")
+      val v0 = Manifest.currentVersion(db.warehouse)
+      assert(f0.contains(s""""version":$v0""") &&
+        f0.contains(""""cursors":{}"""), f0)
+      // an append moves the claimed generation — the very next response
+      // (a recompute: new cache key) claims the NEW version
+      graft.ops.Retrieval.appendBm25Batch(db,
+        Seq(100L -> "alpha alpha alpha").toDF("doc_id", "text"),
+        "doc_id", "text")
+      val (_, _, h1) = httpH("GET", s"$base/_query/bm25?q=alpha&k=3")
+      val v1 = Manifest.currentVersion(db.warehouse)
+      assert(v1 > v0, "append must mint a version")
+      assert(h1("x-graft-freshness").contains(s""""version":$v1"""),
+        h1("x-graft-freshness"))
+      // a cache HIT carries the same header (the key pins the version)
+      val (_, _, h2) = httpH("GET", s"$base/_query/bm25?q=alpha&k=3")
+      assert(h2("x-graft-freshness") == h1("x-graft-freshness"))
+      // ann (index warehouse only): annVersion, no data-warehouse field
+      val (ca, _, ha) = httpH("GET", s"$base/_query/ann?vec=$q&k=2&m=2&dim=8")
+      assert(ca == 200)
+      val fa = ha("x-graft-freshness")
+      val av = Manifest.currentVersion(annDb.warehouse)
+      assert(fa.contains(s""""annVersion":$av""") &&
+        !fa.contains("\"version\""), fa)
+      // hybrid: BOTH generations, each tracked independently
+      val (ch, _, hh) = httpH("GET",
+        s"$base/_query/hybrid?q=alpha&vec=$q&k=2&fetch=3&m=2&dim=8")
+      assert(ch == 200)
+      val fh = hh("x-graft-freshness")
+      assert(fh.contains(s""""version":$v1""") &&
+        fh.contains(s""""annVersion":$av"""), fh)
+      // the stats verb carries the fields in-body AND the header rides
+      // along uniformly
+      val (cs, sbody, hs) = httpH("GET", s"$base/_query/stats")
+      assert(cs == 200 && sbody.contains(s""""version":$v1""") &&
+        hs.contains("x-graft-freshness"), sbody)
+    } finally srv.stop()
+  }
+
+  test("GET /_status surfaces the auto-maintenance failure streak per " +
+      "warehouse: rises across failed cadence points, resets on success") {
+    val db = Db(spark, tmpDir("graft-serve-maint"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      assert(http("GET", s"$base/_status")._2
+        .contains("\"maintFailStreak\":0"))
+      // three forced failed cadence points (the systematic-failure
+      // regime nonFatalFold escalates on) — the field a health check
+      // polls must rise with the streak…
+      (1 to 3).foreach(_ => graft.streaming.MaintTestHook.forceFailure(db))
+      val (_, b1) = http("GET", s"$base/_status")
+      assert(b1.contains("\"maintFailStreak\":3") &&
+        b1.contains("\"annMaintFailStreak\":0"), b1)
+      // …and reset to 0 after one successful cadence point
+      graft.streaming.MaintTestHook.forceSuccess(db)
+      assert(http("GET", s"$base/_status")._2
+        .contains("\"maintFailStreak\":0"))
     } finally srv.stop()
   }
 

@@ -107,6 +107,36 @@ class TxFuseSpec extends SparkSpec {
       "claim-first write after a fused PropertyConflict must succeed")
   }
 
+  test("a claim-first write racing a PAUSED fused write self-heals: " +
+      "BOTH succeed — the racer steps past the occupied number, the " +
+      "fused side renames forward") {
+    val w = db()
+    TxWriter.write(w, rows(("a", 1L, 1L)))
+    val tentative = Manifest.current(w.warehouse).nextTxid
+    @volatile var racerTx = -1L
+    // fire exactly while the fused writer's directory sits at the
+    // UNCLAIMED nextTxid: the claim-first racer claims that number,
+    // finds the directory occupied, burns it and takes the next
+    TxWriter.fusePauseHook = () => {
+      TxWriter.fusePauseHook = () => ()
+      racerTx = TxWriter.write(w, rows(("c", 3L, 3L)))
+    }
+    try {
+      val fusedTx = TxWriter.write(w, rows(("b", 2L, 2L)), fuse = true)
+      assert(racerTx >= 0, "the racing claim-first write committed")
+      assert(racerTx != tentative,
+        "the racer must step past the occupied tentative number")
+      assert(fusedTx != tentative && fusedTx != racerTx,
+        "the fused side renames forward to a fresh number")
+      val m = Manifest.current(w.warehouse)
+      assert(m.dataTxids.contains(racerTx) && m.dataTxids.contains(fusedTx))
+      assert(!m.dataTxids.contains(tentative), "burned number never publishes")
+      assert(m.pending.isEmpty, "no dead claim left behind")
+      assert(w.read().select("key").as[String].collect().toSet ==
+        Set("a", "b", "c"), "both writers' rows visible")
+    } finally TxWriter.fusePauseHook = () => ()
+  }
+
   test("fused registrations race folds safely: the fold's conditional " +
       "publish and the fused CAS serialize; no count is lost") {
     import graft.ops.SketchStore
