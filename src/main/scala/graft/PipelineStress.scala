@@ -646,6 +646,60 @@ object PipelineStress {
         SketchStore.storedKmvEstimateBy(gt).count())
     }
 
+    // ── the BM25 INDEX sink's year — the index-sink economics row the
+    // sketch batteries already have: a seed batch plus 365 daily append
+    // batches through the bm25Writer shape (appendBm25Batch, fused
+    // 1-commit with cursor riders), with the compactEvery maintenance
+    // set (tryMajor + tryVacuum + tryPruneHistory) every 30 batches.
+    // The postings warehouse must end bounded in transaction dirs AND
+    // manifest files, with STEADY probe latency: the v2 probe touches
+    // only term-pruned postings + O(batches) stat partials, so a year
+    // of appends must not grow the per-query cost.
+    {
+      import graft.ops.Retrieval
+      val bmdb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-bmyear").toString)
+      val seedN = math.max(1000L, n / 50)
+      val dayN = 500L
+      def bmDay(b: Int) = docs.filter(
+        col("doc_id") >= seedN + (b - 1) * dayN &&
+          col("doc_id") < seedN + b * dayN)
+      def bmMaint(): Unit = {
+        graft.store.Compactor.tryMajor(bmdb)
+        graft.store.Compactor.tryVacuum(bmdb, graceMs = 0L)
+        graft.store.Compactor.tryPruneHistory(bmdb, keep = 100)
+        ()
+      }
+      def bmProbe(): Long =
+        Retrieval.bm25ProbeLiteral(bmdb, Seq((0L, "w1 w17 w423")), 10)
+          .count()
+      timed(s"bm25year: seed($seedN) + 30 appends") {
+        Retrieval.appendBm25Batch(bmdb, docs.filter(col("doc_id") < seedN),
+          "doc_id", "text", cursor = Some(("bm25", 0L)), fuse = true)
+        (1 to 30).foreach { b =>
+          Retrieval.appendBm25Batch(bmdb, bmDay(b), "doc_id", "text",
+            cursor = Some(("bm25", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) bmMaint()
+        }
+        graft.store.Manifest.currentVersion(bmdb.warehouse)
+      }
+      timed("bm25year: probe @ 30 batches")(bmProbe())
+      timed("bm25year: appends 31..365, maint/30") {
+        (31 to 365).foreach { b =>
+          Retrieval.appendBm25Batch(bmdb, bmDay(b), "doc_id", "text",
+            cursor = Some(("bm25", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) bmMaint()
+        }
+        graft.store.Manifest.currentVersion(bmdb.warehouse)
+      }
+      timed("bm25year: probe @ 365 batches")(bmProbe())
+      val bmM = graft.store.Manifest.current(bmdb.warehouse)
+      println(f"PSTRESS   bm25year end state: ${bmM.dataTxids.size} data " +
+        f"txids, ${bmM.deleteTxids.size} markers, " +
+        f"${graft.store.Manifest.versions(bmdb.warehouse).size} manifest " +
+        f"files, cursor@${bmM.streamBatchFor("bm25")}")
+    }
+
     spark.stop()
   }
 }

@@ -275,27 +275,35 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmGrid(db, tag, d, w)
     valueCol.foreach(_ => requireHistGrid(db, tag, histW, origin))
-    // the families aggregate the SAME element stream; left as separate
-    // subtrees over `batch` they would re-run its whole lineage once
-    // each (Spark guarantees no exchange reuse across a union's
-    // branches) — materialize the one projection once, then every
-    // branch reads batch-sized local blocks instead of re-scanning the
-    // source
-    val elems = batch.select(
-        Seq(elem.as("item")) ++ valueCol.map(_.as("v")).toSeq: _*)
+    // the families aggregate the SAME element stream — and three of
+    // them (KMV, count-min, MG) are pure functions of the batch's
+    // per-item COUNT multiset: KMV of the distinct items (KmvAgg keeps
+    // distinct minima), count-min by counter additivity, MG's batch
+    // summary by definition (exact counts, one truncation). So ONE
+    // exact (item, cnt) aggregation feeds all three, and the stream is
+    // scanned/shuffled once instead of once per family; each branch
+    // then reads vocabulary-sized local blocks. Only the hist rider
+    // bins the raw `v` stream (not count-derivable) — with a valueCol
+    // the projection is materialized so hist and the counts aggregate
+    // don't re-run the batch lineage twice.
+    val elems0 = batch.select(
+      Seq(elem.as("item")) ++ valueCol.map(_.as("v")).toSeq: _*)
+    val elems = valueCol.fold(elems0)(_ => elems0.localCheckpoint(true))
+    val counts = elems.select(col("item")).filter(col("item").isNotNull)
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val kmv = Sketches.kmvSketch(elems, col("item"), k)
+    val kmv = Sketches.kmvSketch(counts, col("item"), k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
-    val cm = Sketches.countMinSketch(elems, col("item"), d, w)
+    val cm = Sketches.countMinSketchCounts(counts, d, w)
       .select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
           .as("key"),
         lit(batchId).as("ts"), col("sk_row"), col("bucket"), col("c"))
-    val toks = elems.filter(col("item").isNotNull)
-    val mg = Sketches.mgSummary(toks, col("item"), c)
+    val mg = Sketches.mgTruncate(
+        counts.select(col("item"), col("cnt").as("f")), c)
       .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
         lit(batchId).as("ts"), col("item"), col("est"))
-    val mass = toks.agg(count(lit(1)).as("n_items"))
+    val mass = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_items"))
       .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
         col("n_items"))
     val base = kmv
@@ -399,23 +407,30 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmByGrid(db, tag, d, cmW)
     valueCol.foreach(_ => requireHistByGrid(db, tag, w, origin))
-    // one materialized projection feeds every family — same re-scan
-    // reasoning as [[registerSketches]]; with valueCol the hist branch
-    // bins exactly what the standalone registerHistBy would (null
-    // groups excluded inside histSketchBy)
-    val base = batch.select(
-        Seq(grp.as("grp"), elem.as("item")) ++
-          valueCol.map(_.as("v")).toSeq: _*)
-      .localCheckpoint(true)
-    val toks = base.select(col("grp"), col("item"))
+    // ONE exact (grp, item, cnt) aggregation feeds KMV, MG AND
+    // count-min — the same count-derivability argument as
+    // [[registerSketches]], per group: KmvAgg keeps distinct minima,
+    // MG's batch summary IS truncate-over-exact-counts, and the grids
+    // add counters. One shuffle of the element stream instead of three;
+    // the branches then aggregate the (grp, item)-sized counts. With
+    // valueCol the hist branch bins the raw `v` stream exactly as the
+    // standalone registerHistBy would (null groups excluded inside
+    // histSketchBy) — the projection is materialized so hist and the
+    // counts aggregate don't re-run the batch lineage twice.
+    val base0 = batch.select(
+      Seq(grp.as("grp"), elem.as("item")) ++
+        valueCol.map(_.as("v")).toSeq: _*)
+    val base = valueCol.fold(base0)(_ => base0.localCheckpoint(true))
+    val counts = base.select(col("grp"), col("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
+      .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val kmv = kmvByRows(tag,
-      toks.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
-    val cm = cmByRows(tag,
-      Sketches.countMinSketchBy(toks, col("grp"), col("item"), d, cmW),
+      counts.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
+    val cm = cmByRows(tag, Sketches.countMinSketchByCounts(counts, d, cmW),
       batchId)
     val quartetBase = kmv
-      .unionByName(mgByRows(tag, toks, batchId, c),
+      .unionByName(mgByRows(tag, counts, batchId, c),
         allowMissingColumns = true)
       .unionByName(cm, allowMissingColumns = true)
     val rows = valueCol.fold(quartetBase)(_ => quartetBase.unionByName(
@@ -792,14 +807,18 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
-    // store key); materialized once — the partial and the mass row are
-    // two subtrees that would otherwise re-run the batch lineage twice
-    val toks = batch.select(elem.as("item")).filter(col("item").isNotNull)
+    // store key). The partial IS truncate-over-exact-counts and the
+    // mass is the counts' sum, so ONE aggregation feeds both — and the
+    // materialized intermediate is the vocabulary-sized counts, not
+    // the raw stream.
+    val counts = batch.select(elem.as("item")).filter(col("item").isNotNull)
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val partial = Sketches.mgSummary(toks, col("item"), c)
+    val partial = Sketches.mgTruncate(
+        counts.select(col("item"), col("cnt").as("f")), c)
       .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
         lit(batchId).as("ts"), col("item"), col("est"))
-    val mass = toks.agg(count(lit(1)).as("n_items"))
+    val mass = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_items"))
       .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
         col("n_items"))
     graft.store.TxWriter.write(db,
@@ -955,25 +974,33 @@ object SketchStore {
                    fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // materialized once — partial + per-group mass are two subtrees
-    val toks = batch.select(grp.as("grp"), elem.as("item"))
+    // the partial and the mass rows both derive from the exact
+    // (grp, item) counts — aggregate once, materialize the
+    // vocabulary-sized result instead of the raw stream
+    val counts = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
+      .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    graft.store.TxWriter.write(db, mgByRows(tag, toks, batchId, c),
+    graft.store.TxWriter.write(db, mgByRows(tag, counts, batchId, c),
       props = sinkProps, streamCursor = cursor, fuse = fuse)
   }
 
   /** ONE copy of the grouped-MG row shapes (per-group deterministic
     * partial + per-group mass row, both at `ts`), shared by the
-    * standalone registration and the trio. `toks` must be the
-    * null-filtered (grp, item) projection, already materialized.
+    * standalone registration and the trio. `counts` must be the
+    * null-filtered exact (grp, item, cnt) aggregation, already
+    * materialized — the partial is [[Sketches.mgSummaryBy]]'s
+    * truncate-over-exact-counts by definition, and the mass is the
+    * counts' per-group sum.
     */
-  private def mgByRows(tag: String, toks: DataFrame, ts: Long,
+  private def mgByRows(tag: String, counts: DataFrame, ts: Long,
                        c: Int): DataFrame = {
-    val partial = Sketches.mgSummaryBy(toks, col("grp"), col("item"), c)
+    val partial = Sketches.mgTruncateBy(
+        counts.select(col("grp"), col("item"), col("cnt").as("f")), c)
       .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")), lit("/"),
           col("item")).as("key"),
         lit(ts).as("ts"), col("grp"), col("item"), col("est"))
-    val mass = toks.groupBy("grp").agg(count(lit(1)).as("n_items"))
+    val mass = counts.groupBy("grp").agg(sum(col("cnt")).as("n_items"))
       .select(concat(lit(mgByMassPrefix(tag)), escGrp(col("grp"))).as("key"),
         lit(ts).as("ts"), col("grp"), col("n_items"))
     partial.unionByName(mass, allowMissingColumns = true)

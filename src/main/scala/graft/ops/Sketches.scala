@@ -598,6 +598,45 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** [[countMinSketch]] from a PRE-AGGREGATED exact (`item`, `cnt`)
+    * relation: each item's count lands on exactly the d cells its raw
+    * occurrences would, so by counter additivity the grid is IDENTICAL
+    * to the raw-stream build. This is the quartet registration's shared
+    * path ([[SketchStore.registerSketches]]): KMV, count-min and MG all
+    * derive from ONE per-item aggregate instead of each re-scanning and
+    * re-shuffling the element stream. Input must already be
+    * null-filtered on `item`.
+    */
+  private[ops] def countMinSketchCounts(counts: DataFrame, d: Int = CM_D,
+                                        w: Long = CM_W): DataFrame = {
+    val hashed = counts.select(PortableHash.h30(col("item")).as("h"),
+      col("cnt"))
+    val cells = array(cmBuckets(col("h"), d, w).zipWithIndex.map {
+      case (b, i) => struct(lit(i).as("sk_row"), b.as("bucket"))
+    }: _*)
+    hashed.select(col("cnt"), explode(cells).as("cell"))
+      .groupBy(col("cell.sk_row").as("sk_row"), col("cell.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** The grouped twin of [[countMinSketchCounts]]: per-group grids from
+    * pre-aggregated exact (`grp`, `item`, `cnt`) counts — identical to
+    * [[countMinSketchBy]] on the raw stream, by the same additivity.
+    * Input must already be null-filtered on both columns.
+    */
+  private[ops] def countMinSketchByCounts(counts: DataFrame, d: Int = CM_D,
+                                          w: Long = CM_W): DataFrame = {
+    val hashed = counts.select(col("grp"),
+      PortableHash.h30(col("item")).as("h"), col("cnt"))
+    val cells = array(cmBuckets(col("h"), d, w).zipWithIndex.map {
+      case (b, i) => struct(lit(i).as("sk_row"), b.as("bucket"))
+    }: _*)
+    hashed.select(col("grp"), col("cnt"), explode(cells).as("cell"))
+      .groupBy(col("grp"), col("cell.sk_row").as("sk_row"),
+        col("cell.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
   /** Point-query the sketch for each row of `items` (an (`elemCol`)
     * DataFrame): estimate = min over the d counters. The sketch side is
     * ≤ d·w rows — broadcast, so probing any number of items is one

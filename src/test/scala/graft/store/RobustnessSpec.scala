@@ -36,6 +36,48 @@ class RobustnessSpec extends SparkSpec {
     assert(db.read().count() == 1)
   }
 
+  test("warehouse-filesystem contract (SURVEY §7.4.9): the control plane " +
+      "relies on exactly three POSIX-rename primitives — stated and pinned") {
+    // The manifest CAS, the fused protocol's directory forwarding and
+    // history pruning all assume a rename-atomic filesystem (local /
+    // NFS / HDFS-mount — the class the reference's own fsync+rename
+    // commit requires). This case asserts the SPECIFIC primitives so
+    // the dependency is a tested contract, not an implicit assumption;
+    // an object-store warehouse root would need a manifest backend
+    // port, by design.
+    val root = Paths.get(tmpDir("graft-fscontract"))
+    // (a) atomic rename within a directory: the moved file is readable
+    // under the new name with its full content, and gone from the old
+    val f = root.resolve("v1.tmp")
+    Files.write(f, "whole-manifest-version".getBytes("UTF-8"))
+    Files.move(f, root.resolve("v1.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(f))
+    assert(new String(Files.readAllBytes(root.resolve("v1.json")), "UTF-8")
+      == "whole-manifest-version")
+    // (b) rename-then-exists visibility for DIRECTORIES: the fused
+    // protocol forwards its tentative txid dir with Files.move and
+    // immediately relies on exists() at the new path
+    val d = root.resolve("txid=5")
+    Files.createDirectory(d)
+    Files.write(d.resolve("part-0"), Array[Byte](1, 2, 3))
+    Files.move(d, root.resolve("txid=7"))
+    assert(Files.exists(root.resolve("txid=7")) && !Files.exists(d))
+    assert(Files.exists(root.resolve("txid=7").resolve("part-0")))
+    // (c) occupied targets fail LOUDLY: both the claim-first stepping
+    // logic and the fused forwarding depend on move/create refusing an
+    // existing path instead of merging into it
+    Files.createDirectory(root.resolve("txid=9"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.createDirectory(root.resolve("txid=9"))
+    }
+    val d2 = root.resolve("txid=10")
+    Files.createDirectory(d2)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.move(d2, root.resolve("txid=9"))
+    }
+  }
+
   test("manifest CAS: losing writer retries and both commits land") {
     val wh = tmpDir("graft-cas")
     val m0 = Manifest.current(wh)
