@@ -774,6 +774,34 @@ object PipelineQueries {
         .select(col("token"), col("n_exact"), col("est_cm"))
         .orderBy(col("n_exact").desc, col("token"))
     },
+    // the geometry CLAIM under the oracle gate: a store registered at a
+    // NON-default (d, w) is probed with no geometry arguments at all —
+    // the probe reads (d=3, w=512) back off the manifest properties the
+    // first registration claimed. A probe guessing the defaults would
+    // hash into the wrong cells and hash-mismatch the (3, 512) oracle,
+    // so this row pins read-back, not just the loud mismatch refusal
+    // (SketchStoreSpec pins that).
+    "sk_cm_geometry" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) =
+        f.select(explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerCountMin(db,
+        toks(docs.filter(col("doc_id") < mid)), col("token"), batchId = 0L,
+        d = 3, w = 512L)
+      SketchStore.foldCountMin(db)
+      SketchStore.registerCountMin(db,
+        toks(docs.filter(col("doc_id") >= mid)), col("token"), batchId = 1L,
+        d = 3, w = 512L)
+      val top = toks(docs).groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      SketchStore.probeStoredCountMin(db, top, "token")
+        .select(col("token"), col("n_exact"), col("est_cm"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
     // warehouse-backed GROUPED count-min: per-source counter grids
     // registered as two half-corpus batches with a fenced per-group fold
     // between them — counter addition is exact, so the stored grids
@@ -2031,6 +2059,10 @@ object PipelineQueries {
     "sk_kmv_incremental" -> Sketches.sqlKmvTokensGlobal(),
     "sk_kmv_grouped_store" -> SketchStore.sqlKmvBySourceStore(),
     "sk_countmin_incremental" -> Sketches.sqlCountMinTokens(20),
+    // the same estimator stated at the row's NON-default claimed
+    // geometry — the oracle twin is parameterized by the exact (d, w)
+    // the store claims and the probe must read back
+    "sk_cm_geometry" -> Sketches.sqlCountMinTokens(20, d = 3, w = 512L),
     // the grouped grid store must equal the one-shot per-group sketch
     // (counter addition is exact through registration AND fold)
     "sk_cm_grouped_store" -> SketchStore.sqlCountMinGroupedTokens(3),

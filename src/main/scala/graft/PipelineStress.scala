@@ -694,10 +694,11 @@ object PipelineStress {
       }
       timed("bm25year: probe @ 365 batches")(bmProbe())
       val bmM = graft.store.Manifest.current(bmdb.warehouse)
-      println(f"PSTRESS   bm25year end state: ${bmM.dataTxids.size} data " +
-        f"txids, ${bmM.deleteTxids.size} markers, " +
-        f"${graft.store.Manifest.versions(bmdb.warehouse).size} manifest " +
-        f"files, cursor@${bmM.streamBatchFor("bm25")}")
+      if (bmM.dataTxids.nonEmpty)
+        println(f"PSTRESS   bm25year end state: ${bmM.dataTxids.size} data " +
+          f"txids, ${bmM.deleteTxids.size} markers, " +
+          f"${graft.store.Manifest.versions(bmdb.warehouse).size} manifest " +
+          f"files, cursor@${bmM.streamBatchFor("bm25")}")
     }
 
     spark.stop()
