@@ -62,33 +62,72 @@ object SketchStore {
   private def cmWProp(tag: String) = s"cm.w/$tag"
   private def cmByDProp(tag: String) = s"cmg.d/$tag"
   private def cmByWProp(tag: String) = s"cmg.w/$tag"
+  private def kmvKProp(tag: String) = s"kmv.k/$tag"
+  private def kmvByKProp(tag: String) = s"kmvg.k/$tag"
+  private def mgCProp(tag: String) = s"mg.c/$tag"
+  private def mgByCProp(tag: String) = s"mgg.c/$tag"
+
+  /** One int-valued geometry property off a manifest state (defaulting
+    * when the store predates geometry tracking or is empty) — shared by
+    * every k/c/d read-back.
+    */
+  private def intProp(m: graft.store.ManifestState, prop: String,
+                      dflt: Int): Int =
+    m.props.get(prop).map(_.toInt).getOrElse(dflt)
+
+  /** Shared friendly pre-write mismatch error for the single-int
+    * geometry claims (k, c) — the propsClaim inside the CAS stays the
+    * authority, exactly like the hist/cm grids.
+    */
+  private def requireIntGeom(db: graft.store.Db, prop: String, v: Int,
+                             what: String): Unit = {
+    val ex = graft.store.Manifest.current(db.warehouse).props.get(prop)
+    require(ex.forall(_ == v.toString),
+      s"$what mismatch: stored ${ex.getOrElse("-")} vs registration $v " +
+        s"(property $prop)")
+  }
 
   // ── KMV ────────────────────────────────────────────────────────────
 
   /** Registers a batch's ≤ k hash minima as ONE transaction. The batch
     * prices one [[Sketches.kmvSketch]] fold (bounded-buffer aggregation)
     * plus a ≤ k-row write — store size and history never enter the cost.
+    *
+    * `k` is the store's IDENTITY, claimed first-writer-wins like the
+    * cm/hist geometries: minima from different k merged under one key
+    * family (or a fold at a smaller k) would permanently lose minima
+    * and — sharper — an estimator reading at k' > k_stored sees
+    * `n_sketch < k'` and certifies the sketch as the EXACT distinct
+    * set, a silently wrong answer. Reads and folds take k from the
+    * claim, never from a caller's guess.
     */
   def registerKmv(db: graft.store.Db, batch: DataFrame, elem: Column,
                   tag: String = "t", k: Int = Sketches.KMV_K): Long = {
+    requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")
     val rows = Sketches.kmvSketch(batch, elem, k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
-    graft.store.TxWriter.write(db, rows)
+    graft.store.TxWriter.write(db, rows,
+      propsClaim = Map(kmvKProp(tag) -> k.toString))
   }
 
+  /** The store's claimed k (default when unclaimed/empty). */
+  def storedKmvK(db: graft.store.Db, tag: String = "t"): Int =
+    intProp(graft.store.Manifest.current(db.warehouse), kmvKProp(tag),
+      Sketches.KMV_K)
+
   /** The merged sketch of every batch ever registered: the k smallest
-    * distinct stored minima — a key-pruned read of ≤ k·batches slim
-    * rows, then a driver-side top-k. Empty (0-row) sketch if nothing is
-    * registered under `tag`.
+    * distinct stored minima (k from the store's own claim) — a
+    * key-pruned read of ≤ k·batches slim rows, then a driver-side
+    * top-k. Empty (0-row) sketch if nothing is registered under `tag`.
     */
-  def storedKmvSketch(db: graft.store.Db, tag: String = "t",
-                      k: Int = Sketches.KMV_K): DataFrame =
-    storedKmvSketchAt(db, db.snapshot(), tag, k)
+  def storedKmvSketch(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedKmvSketchAt(db, db.snapshot(), tag)
 
   private def storedKmvSketchAt(db: graft.store.Db,
                                 snap: graft.store.Db#Snapshot,
-                                tag: String, k: Int): DataFrame = {
+                                tag: String): DataFrame = {
     val spark = db.spark
+    val k = intProp(snap.manifest, kmvKProp(tag), Sketches.KMV_K)
     val empty = spark.range(0).select(col("id").as("h"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
@@ -100,17 +139,19 @@ object SketchStore {
 
   /** One-row estimate from the stored sketch ([[Sketches.kmvEstimate]]
     * on [[storedKmvSketch]]) — by the union law, EXACTLY the estimate a
-    * single full-history sketch would produce.
+    * single full-history sketch would produce. The estimator's k comes
+    * from the SAME snapshot as the rows (the claimed value): an
+    * estimator k above the stored one would read a full sketch as
+    * below-capacity and report it as the exact distinct set.
     */
-  def storedKmvEstimate(db: graft.store.Db, tag: String = "t",
-                        k: Int = Sketches.KMV_K): DataFrame =
-    storedKmvEstimateAt(db, db.snapshot(), tag, k)
+  def storedKmvEstimate(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedKmvEstimateAt(db, db.snapshot(), tag)
 
   private[graft] def storedKmvEstimateAt(db: graft.store.Db,
                                          snap: graft.store.Db#Snapshot,
-                                         tag: String = "t",
-                                         k: Int = Sketches.KMV_K): DataFrame =
-    Sketches.kmvEstimate(storedKmvSketchAt(db, snap, tag, k), k)
+                                         tag: String = "t"): DataFrame =
+    Sketches.kmvEstimate(storedKmvSketchAt(db, snap, tag),
+      intProp(snap.manifest, kmvKProp(tag), Sketches.KMV_K))
 
   // ── grouped KMV ────────────────────────────────────────────────────
   //
@@ -134,10 +175,12 @@ object SketchStore {
                     cursor: Option[(String, Long)] = None,
                     sinkProps: Map[String, String] = Map.empty,
                     fuse: Boolean = false): Long = {
+    requireIntGeom(db, kmvByKProp(tag), k, s"grouped KMV k for tag '$tag'")
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
     graft.store.TxWriter.write(db, kmvByRows(tag, hashed, k),
-      props = sinkProps, streamCursor = cursor, fuse = fuse)
+      props = sinkProps, propsClaim = Map(kmvByKProp(tag) -> k.toString),
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** ONE copy of the grouped-KMV row shape, shared by the standalone
@@ -162,14 +205,14 @@ object SketchStore {
     * spread across the cluster). By the union law, EXACTLY each
     * group's sketch of everything ever registered.
     */
-  def storedKmvSketchBy(db: graft.store.Db, tag: String = "t",
-                        k: Int = Sketches.KMV_K): DataFrame =
-    storedKmvSketchByAt(db, db.snapshot(), tag, k)
+  def storedKmvSketchBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedKmvSketchByAt(db, db.snapshot(), tag)
 
   private def storedKmvSketchByAt(db: graft.store.Db,
                                   snap: graft.store.Db#Snapshot,
-                                  tag: String, k: Int): DataFrame = {
+                                  tag: String): DataFrame = {
     val spark = db.spark
+    val k = intProp(snap.manifest, kmvByKProp(tag), Sketches.KMV_K)
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("h"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -192,32 +235,33 @@ object SketchStore {
     * store, by design, never kept), via THE shared estimator column
     * [[Sketches.kmvEstimateCol]]. Ordered by group.
     */
-  def storedKmvEstimateBy(db: graft.store.Db, tag: String = "t",
-                          k: Int = Sketches.KMV_K): DataFrame =
-    storedKmvEstimateByAt(db, db.snapshot(), tag, k)
+  def storedKmvEstimateBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedKmvEstimateByAt(db, db.snapshot(), tag)
 
   private[graft] def storedKmvEstimateByAt(db: graft.store.Db,
                                            snap: graft.store.Db#Snapshot,
-                                           tag: String = "t",
-                                           k: Int = Sketches.KMV_K)
-      : DataFrame =
-    storedKmvSketchByAt(db, snap, tag, k)
+                                           tag: String = "t")
+      : DataFrame = {
+    val k = intProp(snap.manifest, kmvByKProp(tag), Sketches.KMV_K)
+    storedKmvSketchByAt(db, snap, tag)
       .groupBy("grp")
       .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
       .select(col("grp"), col("n_sketch"), col("kth_hash"),
         Sketches.kmvEstimateCol(col("n_sketch"), col("kth_hash"), k)
           .as("est_distinct"))
       .orderBy("grp")
+  }
 
-  /** [[foldKmv]] per group: keep each group's k smallest minima, drop
-    * what they superseded (lossless by the union law), atomic like
-    * every fold.
+  /** [[foldKmv]] per group: keep each group's k smallest minima (k from
+    * the store's claim — a fold at a guessed smaller k would LOSE
+    * minima permanently), drop what they superseded (lossless by the
+    * union law), atomic like every fold.
     */
   def foldKmvBy(db: graft.store.Db, tag: String = "t",
-                k: Int = Sketches.KMV_K,
                 waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldKmvBy($tag)", Seq(kmvByPrefix(tag) + "%"),
-      waitMillis, foldProp = Some(foldLastProp("kmvby", tag)))(kmvFoldRowsBy(db, db.snapshot(), tag, k), identity)
+      waitMillis, foldProp = Some(foldLastProp("kmvby", tag)))(
+      kmvFoldRowsBy(db, db.snapshot(), tag), identity)
 
   /** DuckDB twin of the grouped store over `documents` tokens by
     * `source` — [[Sketches.sqlKmvTokensBySource]] minus the exact
@@ -274,6 +318,8 @@ object SketchStore {
                        fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmGrid(db, tag, d, w)
+    requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")
+    requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")
     valueCol.foreach(_ => requireHistGrid(db, tag, histW, origin))
     // the families aggregate the SAME element stream — and three of
     // them (KMV, count-min, MG) are pure functions of the batch's
@@ -316,6 +362,7 @@ object SketchStore {
       allowMissingColumns = true))
     graft.store.TxWriter.write(db, rows, props = sinkProps,
       propsClaim = cmGridClaim(tag, d, w) ++
+        Map(kmvKProp(tag) -> k.toString, mgCProp(tag) -> c.toString) ++
         valueCol.fold(Map.empty[String, String])(_ =>
           histGridClaim(tag, histW, origin)),
       streamCursor = cursor, fuse = fuse)
@@ -330,7 +377,6 @@ object SketchStore {
     * every report is preserved by the same laws.
     */
   def foldSketches(db: graft.store.Db, tag: String = "t",
-                   k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
                    waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
@@ -341,11 +387,13 @@ object SketchStore {
       foldProp = Some(foldLastProp("sketches", tag)))({
         // ONE snapshot for every family's read: all four key families
         // fold from the same store generation (the same-generation
-        // argument of [[storedHeavyHittersAt]], applied to the fold)
+        // argument of [[storedHeavyHittersAt]], applied to the fold);
+        // each family's geometry (k, c) reads back off that snapshot's
+        // claims inside the At-readers
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = storedKmvSketchAt(db, snap, tag, k)
+          val kmv = storedKmvSketchAt(db, snap, tag)
             .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
           val cm = storedCountMinAt(db, snap, tag)
             .select(
@@ -368,7 +416,7 @@ object SketchStore {
           if (!massRows.columns.contains("n_items") || massRows.isEmpty)
             base
           else {
-            val cands = storedMgCandidatesAt(db, snap, tag, c)
+            val cands = storedMgCandidatesAt(db, snap, tag)
               .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
                 lit(FOLD_TS).as("ts"), col("item"), col("est"))
             val total = massRows
@@ -406,6 +454,8 @@ object SketchStore {
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmByGrid(db, tag, d, cmW)
+    requireIntGeom(db, kmvByKProp(tag), k, s"grouped KMV k for tag '$tag'")
+    requireIntGeom(db, mgByCProp(tag), c, s"grouped MG c for tag '$tag'")
     valueCol.foreach(_ => requireHistByGrid(db, tag, w, origin))
     // ONE exact (grp, item, cnt) aggregation feeds KMV, MG AND
     // count-min — the same count-derivability argument as
@@ -440,6 +490,7 @@ object SketchStore {
       allowMissingColumns = true))
     graft.store.TxWriter.write(db, rows, props = sinkProps,
       propsClaim = cmByGridClaim(tag, d, cmW) ++
+        Map(kmvByKProp(tag) -> k.toString, mgByCProp(tag) -> c.toString) ++
         valueCol.fold(Map.empty[String, String])(_ =>
           histByGridClaim(tag, w, origin)),
       streamCursor = cursor, fuse = fuse)
@@ -453,7 +504,6 @@ object SketchStore {
     * the same lossless per-cell/per-bin sums either way).
     */
   def foldSketchesBy(db: graft.store.Db, tag: String = "t",
-                     k: Int = Sketches.KMV_K, c: Int = Sketches.MG_C,
                      waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
@@ -466,8 +516,8 @@ object SketchStore {
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = kmvFoldRowsBy(db, snap, tag, k)
-          val withMg = mgByFoldRows(db, snap, tag, c).fold(kmv)(mg =>
+          val kmv = kmvFoldRowsBy(db, snap, tag)
+          val withMg = mgByFoldRows(db, snap, tag).fold(kmv)(mg =>
             kmv.unionByName(mg, allowMissingColumns = true))
           val cm = storedCountMinByAt(db, snap, tag)
           val withCm =
@@ -486,9 +536,9 @@ object SketchStore {
     * re-keyed), shared by [[foldKmvBy]] and [[foldSketchesBy]].
     */
   private def kmvFoldRowsBy(db: graft.store.Db,
-                            snap: graft.store.Db#Snapshot, tag: String,
-                            k: Int): DataFrame =
-    storedKmvSketchByAt(db, snap, tag, k)
+                            snap: graft.store.Db#Snapshot,
+                            tag: String): DataFrame =
+    storedKmvSketchByAt(db, snap, tag)
       .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
         col("h").as("ts"), col("grp"), col("h"))
 
@@ -805,6 +855,12 @@ object SketchStore {
                  sinkProps: Map[String, String] = Map.empty,
                  fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
+    // c is the store's identity like the other geometries: partials
+    // truncated at different capacities merged under one key family
+    // still under-estimate, but the report's n/(c+1) CERTIFICATION
+    // threshold (and a fold's re-truncation) are only sound at one
+    // uniform c — claimed first-writer-wins, read back by reports/folds
+    requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
     // store key). The partial IS truncate-over-exact-counts and the
@@ -823,7 +879,8 @@ object SketchStore {
         col("n_items"))
     graft.store.TxWriter.write(db,
       partial.unionByName(mass, allowMissingColumns = true),
-      props = sinkProps, streamCursor = cursor, fuse = fuse)
+      props = sinkProps, propsClaim = Map(mgCProp(tag) -> c.toString),
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** The merged summary of every batch ever registered: per-item sums
@@ -832,14 +889,14 @@ object SketchStore {
     * A valid MG(c) summary of the CONCATENATED stream — candidates
     * provably contain every item above n/(c+1).
     */
-  def storedMgCandidates(db: graft.store.Db, tag: String = "t",
-                         c: Int = Sketches.MG_C): DataFrame =
-    storedMgCandidatesAt(db, db.snapshot(), tag, c)
+  def storedMgCandidates(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedMgCandidatesAt(db, db.snapshot(), tag)
 
   private def storedMgCandidatesAt(db: graft.store.Db,
                                    snap: graft.store.Db#Snapshot,
-                                   tag: String, c: Int): DataFrame = {
+                                   tag: String): DataFrame = {
     val spark = db.spark
+    val c = intProp(snap.manifest, mgCProp(tag), Sketches.MG_C)
     val empty = spark.range(0)
       .select(col("id").cast("string").as("item"), col("id").as("est"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -881,9 +938,8 @@ object SketchStore {
     * exact pass over the raw stream would be needed — which the store,
     * by design, never kept). Heaviest first; deterministic end to end.
     */
-  def storedHeavyHitters(db: graft.store.Db, tag: String = "t",
-                         c: Int = Sketches.MG_C): DataFrame =
-    storedHeavyHittersAt(db, db.snapshot(), tag, c)
+  def storedHeavyHitters(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedHeavyHittersAt(db, db.snapshot(), tag)
 
   /** [[storedHeavyHitters]] against ONE snapshot: candidates and mass
     * must come from the same store generation — a registration
@@ -893,13 +949,14 @@ object SketchStore {
     */
   private[graft] def storedHeavyHittersAt(db: graft.store.Db,
                                           snap: graft.store.Db#Snapshot,
-                                          tag: String = "t",
-                                          c: Int = Sketches.MG_C): DataFrame =
-    storedMgCandidatesAt(db, snap, tag, c)
+                                          tag: String = "t"): DataFrame = {
+    val c = intProp(snap.manifest, mgCProp(tag), Sketches.MG_C)
+    storedMgCandidatesAt(db, snap, tag)
       .crossJoin(broadcast(storedMgMassAt(db, snap, tag)))
       .select(col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
       .orderBy(col("est").desc, col("item"))
+  }
 
   /** DuckDB twin of the MG store over the head+tail token stream of
     * `documents`, registered as two half-corpus batches split at
@@ -974,6 +1031,7 @@ object SketchStore {
                    fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // materialized once — partial + per-group mass are two subtrees
+    requireIntGeom(db, mgByCProp(tag), c, s"grouped MG c for tag '$tag'")
     // the partial and the mass rows both derive from the exact
     // (grp, item) counts — aggregate once, materialize the
     // vocabulary-sized result instead of the raw stream
@@ -982,7 +1040,8 @@ object SketchStore {
       .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     graft.store.TxWriter.write(db, mgByRows(tag, counts, batchId, c),
-      props = sinkProps, streamCursor = cursor, fuse = fuse)
+      props = sinkProps, propsClaim = Map(mgByCProp(tag) -> c.toString),
+      streamCursor = cursor, fuse = fuse)
   }
 
   /** ONE copy of the grouped-MG row shapes (per-group deterministic
@@ -1012,12 +1071,12 @@ object SketchStore {
     * emptiness signal).
     */
   private def mgByFoldRows(db: graft.store.Db,
-                           snap: graft.store.Db#Snapshot, tag: String,
-                           c: Int): Option[DataFrame] = {
+                           snap: graft.store.Db#Snapshot,
+                           tag: String): Option[DataFrame] = {
     val mass = snap.read(mgByMassPrefix(tag) + "%")
     if (!mass.columns.contains("n_items") || mass.isEmpty) None
     else {
-      val cands = storedMgCandidatesByAt(db, snap, tag, c)
+      val cands = storedMgCandidatesByAt(db, snap, tag)
         .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
             lit("/"), col("item")).as("key"),
           lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
@@ -1035,14 +1094,14 @@ object SketchStore {
     * window — each group's result is a valid MG(c) summary of its
     * concatenated stream.
     */
-  def storedMgCandidatesBy(db: graft.store.Db, tag: String = "t",
-                           c: Int = Sketches.MG_C): DataFrame =
-    storedMgCandidatesByAt(db, db.snapshot(), tag, c)
+  def storedMgCandidatesBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    storedMgCandidatesByAt(db, db.snapshot(), tag)
 
   private def storedMgCandidatesByAt(db: graft.store.Db,
                                      snap: graft.store.Db#Snapshot,
-                                     tag: String, c: Int): DataFrame = {
+                                     tag: String): DataFrame = {
     val spark = db.spark
+    val c = intProp(snap.manifest, mgByCProp(tag), Sketches.MG_C)
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").cast("string").as("item"), col("id").as("est"))
     if (snap.manifest.dataTxids.isEmpty) empty
@@ -1082,9 +1141,8 @@ object SketchStore {
     * corpus-sized, and nothing is forced through one partition.
     * Ordered (grp, heaviest first) for report stability.
     */
-  def storedHeavyHittersBy(db: graft.store.Db, tag: String = "t",
-                           c: Int = Sketches.MG_C): DataFrame =
-    heavyHittersByUnordered(db, tag, c)
+  def storedHeavyHittersBy(db: graft.store.Db, tag: String = "t"): DataFrame =
+    heavyHittersByUnordered(db, tag)
       .orderBy(col("grp"), col("est").desc, col("item"))
 
   /** [[storedHeavyHittersBy]] without the total order — for consumers
@@ -1093,10 +1151,9 @@ object SketchStore {
     * sort the report only to immediately re-shuffle it.
     */
   private[graft] def heavyHittersByUnordered(db: graft.store.Db,
-                                             tag: String = "t",
-                                             c: Int = Sketches.MG_C)
+                                             tag: String = "t")
       : DataFrame =
-    heavyHittersByUnorderedAt(db, db.snapshot(), tag, c)
+    heavyHittersByUnorderedAt(db, db.snapshot(), tag)
 
   /** The grouped report against ONE snapshot — same same-generation
     * argument as [[storedHeavyHittersAt]], sharper here because the
@@ -1107,20 +1164,20 @@ object SketchStore {
     */
   private[graft] def heavyHittersByUnorderedAt(db: graft.store.Db,
                                                snap: graft.store.Db#Snapshot,
-                                               tag: String = "t",
-                                               c: Int = Sketches.MG_C)
-      : DataFrame =
-    storedMgCandidatesByAt(db, snap, tag, c)
+                                               tag: String = "t")
+      : DataFrame = {
+    val c = intProp(snap.manifest, mgByCProp(tag), Sketches.MG_C)
+    storedMgCandidatesByAt(db, snap, tag)
       .join(storedMgMassByAt(db, snap, tag), Seq("grp"))
       .select(col("grp"), col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
+  }
 
   /** [[foldMg]] per group: candidates + per-group mass rewrite as ONE
     * folded generation under one atomic supersede over both key
     * families.
     */
   def foldMgBy(db: graft.store.Db, tag: String = "t",
-               c: Int = Sketches.MG_C,
                waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
@@ -1130,7 +1187,7 @@ object SketchStore {
       foldProp = Some(foldLastProp("mgby", tag)))({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
-        else mgByFoldRows(db, snap, tag, c).getOrElse(empty)
+        else mgByFoldRows(db, snap, tag).getOrElse(empty)
       }, identity)
   }
 
@@ -1469,11 +1526,10 @@ object SketchStore {
     * k + k·(batches since last fold) rows.
     */
   def foldKmv(db: graft.store.Db, tag: String = "t",
-              k: Int = Sketches.KMV_K,
               waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)), waitMillis,
       foldProp = Some(foldLastProp("kmv", tag)))(
-      storedKmvSketch(db, tag, k),
+      storedKmvSketch(db, tag),
       _.select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h")))
 
   /** Collapses the MG store's per-batch partials to ONE merged summary:
@@ -1491,7 +1547,6 @@ object SketchStore {
     * interleaving can observe candidates without their mass.
     */
   def foldMg(db: graft.store.Db, tag: String = "t",
-             c: Int = Sketches.MG_C,
              waitMillis: Long = FOLD_WAIT_MILLIS): Long = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
@@ -1507,7 +1562,7 @@ object SketchStore {
           val mass = snap.read(mgMassKey(tag))
           if (!mass.columns.contains("n_items") || mass.isEmpty) empty
           else {
-            val cands = storedMgCandidatesAt(db, snap, tag, c)
+            val cands = storedMgCandidatesAt(db, snap, tag)
               .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
                 lit(FOLD_TS).as("ts"), col("item"), col("est"))
             val total = mass

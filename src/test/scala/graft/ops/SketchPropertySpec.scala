@@ -73,7 +73,7 @@ class SketchPropertySpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-skprop").toString)
       batches.foreach(b =>
         SketchStore.registerKmv(db, b.toDF("t"), col("t"), k = k))
-      val stored = SketchStore.storedKmvSketch(db, k = k)
+      val stored = SketchStore.storedKmvSketch(db)
         .as[Long].collect().toSeq
       val single = Sketches.kmvSketch(batches.flatten.toDF("t"), col("t"), k)
         .as[Long].collect().toSeq

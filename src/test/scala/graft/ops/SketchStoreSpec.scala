@@ -22,7 +22,7 @@ class SketchStoreSpec extends SparkSpec {
     val b = (200 to 500).map(i => s"a$i") // overlap: shared minima collapse
     SketchStore.registerKmv(db, toks(a: _*), col("t"), k = 32)
     SketchStore.registerKmv(db, toks(b: _*), col("t"), k = 32)
-    val stored = SketchStore.storedKmvSketch(db, k = 32)
+    val stored = SketchStore.storedKmvSketch(db)
       .as[Long].collect().toSeq
     val direct = Sketches.kmvSketch(toks((a ++ b): _*), col("t"), 32)
       .as[Long].collect().toSeq
@@ -178,6 +178,50 @@ class SketchStoreSpec extends SparkSpec {
       ((Sketches.CM_D, Sketches.CM_W)))
   }
 
+  test("KMV k and MG c are claimed first-writer-wins and read back: " +
+      "an estimator at a guessed larger k would falsely certify the " +
+      "sketch as exact") {
+    val db = tmpDb()
+    // 100 distinct items into a k=16 store: the sketch is FULL, so the
+    // estimate must be the estimator formula, never the "exact below
+    // k" claim a default-k (64) reader would make (16 survivors < 64)
+    SketchStore.registerKmv(db, toks((1 to 100).map(i => s"w$i"): _*),
+      col("t"), k = 16)
+    assert(SketchStore.storedKmvK(db) == 16)
+    val (n, est) = SketchStore.storedKmvEstimate(db)
+      .select("n_sketch", "est_distinct").as[(Long, Long)].head()
+    assert(n == 16, s"claimed-k read must cap at 16: $n")
+    assert(est > 16, s"a full k=16 sketch must ESTIMATE, not claim " +
+      s"exactness: $est")
+    // mismatched registrations refuse loudly — the standalone form and
+    // the trio share the key family AND the claim, so a k=16 trio
+    // registration is accepted while default-k forms of either refuse
+    intercept[IllegalArgumentException] {
+      SketchStore.registerKmv(db, toks("x"), col("t"))
+    }
+    SketchStore.registerSketches(db, toks("y"), col("t"), batchId = 0L,
+      k = 16)
+    intercept[IllegalArgumentException] {
+      SketchStore.registerSketches(db, toks("z"), col("t"), batchId = 1L)
+    }
+    // folds read the claim: a fold keeps exactly the claimed k minima
+    SketchStore.foldKmv(db)
+    assert(SketchStore.storedKmvSketch(db).count() == 16)
+    // MG c claims are per-family and grouped twins are independent
+    val mdb = tmpDb()
+    SketchStore.registerMg(mdb, toks("a", "a", "b"), col("t"),
+      batchId = 0L, c = 8)
+    intercept[IllegalArgumentException] {
+      SketchStore.registerMg(mdb, toks("c"), col("t"), batchId = 1L)
+    }
+    SketchStore.registerMgBy(mdb,
+      Seq(("g0", "a")).toDF("g", "t"), col("g"), col("t"), batchId = 0L)
+    intercept[IllegalArgumentException] {
+      SketchStore.registerMgBy(mdb, Seq(("g0", "b")).toDF("g", "t"),
+        col("g"), col("t"), batchId = 1L, c = 8)
+    }
+  }
+
   test("MG store: guarantees hold over batches; deterministic under " +
       "partitioning; idempotent re-register") {
     val db = tmpDb()
@@ -193,7 +237,7 @@ class SketchStoreSpec extends SparkSpec {
     SketchStore.registerMg(db, toks(b0: _*), col("t"), 0L, c = c)
     SketchStore.registerMg(db, toks(b1: _*), col("t"), 1L, c = c)
     SketchStore.registerMg(db, toks(b2: _*), col("t"), 2L, c = c)
-    val got = SketchStore.storedHeavyHitters(db, c = c)
+    val got = SketchStore.storedHeavyHitters(db)
       .as[(String, Long, Long, Long)].collect().toSeq
     val n = all.size.toLong
     val exact = all.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
@@ -217,7 +261,7 @@ class SketchStoreSpec extends SparkSpec {
     // partitioned DataFrame — rewrites identical rows, output unchanged
     SketchStore.registerMg(db, toks(b1: _*).repartition(13), col("t"),
       1L, c = c)
-    val again = SketchStore.storedHeavyHitters(db, c = c)
+    val again = SketchStore.storedHeavyHitters(db)
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(again == got, "re-register must be byte-identical")
   }
@@ -276,7 +320,7 @@ class SketchStoreSpec extends SparkSpec {
     }), 300.seconds)
     // KMV: append-only last-wins rows — any interleaving lands on the
     // same union sketch
-    val stored = SketchStore.storedKmvSketch(db, k = 32)
+    val stored = SketchStore.storedKmvSketch(db)
       .as[Long].collect().toSeq
     val direct = Sketches.kmvSketch(toks(batches.flatten: _*), col("t"), 32)
       .as[Long].collect().toSeq
@@ -337,7 +381,7 @@ class SketchStoreSpec extends SparkSpec {
     SketchStore.registerKmv(db, toks(batches(0): _*), col("t"), k = 32)
     SketchStore.registerKmv(db, toks(batches(1): _*), col("t"), k = 32)
     val rowsBefore = db.snapshot().read("k/t").count()
-    SketchStore.foldKmv(db, k = 32)
+    SketchStore.foldKmv(db)
     graft.store.Compactor.major(db)
     val rowsAfter = db.snapshot().read("k/t").count()
     assert(rowsAfter == 32 && rowsAfter < rowsBefore,
@@ -345,7 +389,7 @@ class SketchStoreSpec extends SparkSpec {
     // registration continues after the fold; the sketch stays the
     // exact union sketch (fold is lossless by the union law)
     SketchStore.registerKmv(db, toks(batches(2): _*), col("t"), k = 32)
-    val stored = SketchStore.storedKmvSketch(db, k = 32)
+    val stored = SketchStore.storedKmvSketch(db)
       .as[Long].collect().toSeq
     val direct = Sketches.kmvSketch(toks(batches.flatten: _*), col("t"), 32)
       .as[Long].collect().toSeq
@@ -353,8 +397,8 @@ class SketchStoreSpec extends SparkSpec {
     // a fold must not cross tags: "k/t" is an exact wildcard, so a
     // sibling tag's minima survive this tag's fold
     SketchStore.registerKmv(db, toks("zzz"), col("t"), tag = "t2", k = 32)
-    SketchStore.foldKmv(db, k = 32)
-    assert(SketchStore.storedKmvSketch(db, tag = "t2", k = 32).count() == 1,
+    SketchStore.foldKmv(db)
+    assert(SketchStore.storedKmvSketch(db, tag = "t2").count() == 1,
       "fold of tag t erased tag t2")
     // racing writers: folds interleaving with registrations never lose
     // a minimum (the fence re-reads and retries)
@@ -365,10 +409,10 @@ class SketchStoreSpec extends SparkSpec {
     val writers = extra.map(xs => Future {
       SketchStore.registerKmv(db, toks(xs: _*), col("t"), k = 32)
     })
-    val folder = Future { for (_ <- 0 until 4) SketchStore.foldKmv(db, k = 32) }
+    val folder = Future { for (_ <- 0 until 4) SketchStore.foldKmv(db) }
     Await.result(Future.sequence(writers :+ folder), 300.seconds)
-    SketchStore.foldKmv(db, k = 32)
-    val storedR = SketchStore.storedKmvSketch(db, k = 32)
+    SketchStore.foldKmv(db)
+    val storedR = SketchStore.storedKmvSketch(db)
       .as[Long].collect().toSeq
     val directR = Sketches.kmvSketch(
       toks((batches.flatten ++ extra.flatten): _*), col("t"), 32)
@@ -685,21 +729,21 @@ class SketchStoreSpec extends SparkSpec {
     def batch(lo: Int, hi: Int) =
       (lo until hi).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "t")
     SketchStore.registerKmvBy(db, batch(0, 300), col("g"), col("t"), k = 16)
-    SketchStore.foldKmvBy(db, k = 16)
+    SketchStore.foldKmvBy(db)
     SketchStore.registerKmvBy(db, batch(150, 450), col("g"), col("t"),
       k = 16)
-    val stored = SketchStore.storedKmvEstimateBy(db, k = 16)
+    val stored = SketchStore.storedKmvEstimateBy(db)
       .as[(String, Long, Long, Long)].collect().toSeq
     val direct = Sketches.kmvDistinctBy(batch(0, 450), "g", col("t"),
         k = 16, exact = false)
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(stored == direct, s"grouped union law violated: $stored")
     // fold + compact bounds the store at groups × k rows
-    SketchStore.foldKmvBy(db, k = 16)
+    SketchStore.foldKmvBy(db)
     graft.store.Compactor.major(db)
     val rows = db.snapshot().read("kg/t/%").count()
     assert(rows <= 3 * 16, s"store not bounded: $rows rows")
-    assert(SketchStore.storedKmvEstimateBy(db, k = 16)
+    assert(SketchStore.storedKmvEstimateBy(db)
       .as[(String, Long, Long, Long)].collect().toSeq == direct,
       "compacted fold changed the estimates")
   }
@@ -724,12 +768,12 @@ class SketchStoreSpec extends SparkSpec {
       }
     }
     val folder = Future {
-      for (_ <- 0 until 4) SketchStore.foldSketches(db, k = 32)
+      for (_ <- 0 until 4) SketchStore.foldSketches(db)
     }
     Await.result(Future.sequence(writers :+ folder), 300.seconds)
-    SketchStore.foldSketches(db, k = 32) // quiesced: one final fold
+    SketchStore.foldSketches(db) // quiesced: one final fold
     val all = batches.flatten
-    val storedKmv = SketchStore.storedKmvSketch(db, k = 32)
+    val storedKmv = SketchStore.storedKmvSketch(db)
       .as[Long].collect().toSeq
     val directKmv = Sketches.kmvSketch(toks(all: _*), col("t"), 32)
       .as[Long].collect().toSeq
@@ -754,10 +798,10 @@ class SketchStoreSpec extends SparkSpec {
     val (b0, b1) = (batch(0), batch(1))
     SketchStore.registerMgBy(db, b0.toDF("g", "t"), col("g"), col("t"),
       batchId = 0L, c = 8)
-    SketchStore.foldMgBy(db, c = 8)
+    SketchStore.foldMgBy(db)
     SketchStore.registerMgBy(db, b1.toDF("g", "t"), col("g"), col("t"),
       batchId = 1L, c = 8)
-    def report(d: Db) = SketchStore.storedHeavyHittersBy(d, c = 8)
+    def report(d: Db) = SketchStore.storedHeavyHittersBy(d)
       .as[(String, String, Long, Long, Long)].collect().toSeq
     val got = report(db)
     // partition equivalence: the grouped algebra restricted to one group
@@ -770,7 +814,7 @@ class SketchStoreSpec extends SparkSpec {
         b.filter(_._1 == g).map(_._2).toDF("t")
       SketchStore.registerMg(twin, sub(b0), col("t"), batchId = 0L, c = 8)
       SketchStore.registerMg(twin, sub(b1), col("t"), batchId = 1L, c = 8)
-      val expect = SketchStore.storedHeavyHitters(twin, c = 8)
+      val expect = SketchStore.storedHeavyHitters(twin)
         .as[(String, Long, Long, Long)].collect().toSeq
         .map { case (item, est, n, cert) => (g, item, est, n, cert) }
       assert(got.filter(_._1 == g) == expect,
@@ -788,7 +832,7 @@ class SketchStoreSpec extends SparkSpec {
     assert(db.snapshot().read("mg/t/%").count() == rowsBefore,
       "replay grew the store")
     // fold + compact bounds the store at (c+1)·groups rows
-    SketchStore.foldMgBy(db, c = 8)
+    SketchStore.foldMgBy(db)
     graft.store.Compactor.major(db)
     assert(report(db) == got, "post-compact fold changed the report")
     val rows = db.snapshot().read("mg/t/%").count() +
@@ -807,7 +851,7 @@ class SketchStoreSpec extends SparkSpec {
     val rows = cells.flatMap { case (g, i) => Seq.fill(4)((g, i)) }
     SketchStore.registerMgBy(db, rows.toDF("g", "t"), col("g"), col("t"),
       batchId = 0L, c = 8)
-    val got = SketchStore.storedHeavyHittersBy(db, c = 8)
+    val got = SketchStore.storedHeavyHittersBy(db)
       .as[(String, String, Long, Long, Long)].collect().toSeq
       .map(r => (r._1, r._2, r._3))
     assert(got.toSet == cells.map { case (g, i) => (g, i, 4L) }.toSet,
