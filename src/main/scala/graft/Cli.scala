@@ -229,13 +229,16 @@ object Cli {
                 stdout(s"quantile\t${TextProto.escape(grp)}\tp$qm\t" +
                   s"[$lo,$hi)\tn=$n") }
           case "kmv" =>
-            graft.ops.SketchStore.storedKmvEstimateBy(db, tag = tag)
+            // rows and the exactness threshold come from ONE snapshot —
+            // the claimed k, not the default capacity
+            val snap = db.snapshot()
+            val kClaim = graft.ops.SketchStore.storedKmvByKAt(snap, tag)
+            graft.ops.SketchStore.storedKmvEstimateByAt(db, snap, tag)
               .select("grp", "n_sketch", "est_distinct")
               .as[(String, Long, Long)].toLocalIterator()
               .forEachRemaining { case (grp, ns, est) =>
                 stdout(s"distinct\t${TextProto.escape(grp)}\t$est\t" +
-                  (if (ns < graft.ops.Sketches.KMV_K) "exact"
-                   else "estimated")) }
+                  (if (ns < kClaim) "exact" else "estimated")) }
           case "mg" =>
             import org.apache.spark.sql.functions.{col, row_number}
             val heavyK = flags.get("--heavy").map(_.toInt).getOrElse(20)
@@ -274,10 +277,13 @@ object Cli {
                 .limit(cap + 1).as[String].collect().toSeq
             }
             val gsel = gsel0.take(cap)
+            // geometry read back from the claim like the serving twin —
+            // a default-(d, w) probe against a non-default grid would
+            // hash into the wrong cells silently
             val est = if (gsel.isEmpty) Map.empty[(String, String), Long]
-              else graft.ops.Sketches.countMinProbeBy(
+              else graft.ops.SketchStore.probeStoredCountMinByAt(db, snap,
                   gsel.flatMap(g => items.map(i => (g, i)))
-                    .toDF("grp", "item"), grid, "grp", "item")
+                    .toDF("grp", "item"), "grp", "item", tag)
                 .as[(String, String, Long)].collect()
                 .map { case (g, i, e) => (g, i) -> e }.toMap
             gsel.foreach(g => items.foreach(i =>
@@ -295,7 +301,8 @@ object Cli {
           .select("n_sketch", "est_distinct")
           .as[(Long, Long)].collect().headOption.getOrElse((0L, 0L))
         stdout(s"distinct\t${kmv._2}\t" +
-          (if (kmv._1 < graft.ops.Sketches.KMV_K) "exact" else "estimated"))
+          (if (kmv._1 < graft.ops.SketchStore.storedKmvK(db, tag)) "exact"
+           else "estimated"))
         graft.ops.SketchStore.storedHistQuantiles(db, tag = tag)
           .select("qm", "n", "lo", "hi")
           .as[(Long, Long, Long, Long)].toLocalIterator()

@@ -115,6 +115,21 @@ object SketchStore {
     intProp(graft.store.Manifest.current(db.warehouse), kmvKProp(tag),
       Sketches.KMV_K)
 
+  /** [[storedKmvK]] off an already-held snapshot — for consumers that
+    * must pair the k with same-generation rows (the serving tier's
+    * "exact below k" claim would otherwise compare a claimed-k sketch
+    * against the default capacity and mislabel a FULL small-k sketch
+    * as exact).
+    */
+  private[graft] def storedKmvKAt(snap: graft.store.Db#Snapshot,
+                                  tag: String = "t"): Int =
+    intProp(snap.manifest, kmvKProp(tag), Sketches.KMV_K)
+
+  /** The grouped store's claimed k, off one snapshot. */
+  private[graft] def storedKmvByKAt(snap: graft.store.Db#Snapshot,
+                                    tag: String = "t"): Int =
+    intProp(snap.manifest, kmvByKProp(tag), Sketches.KMV_K)
+
   /** The merged sketch of every batch ever registered: the k smallest
     * distinct stored minima (k from the store's own claim) — a
     * key-pruned read of ≤ k·batches slim rows, then a driver-side

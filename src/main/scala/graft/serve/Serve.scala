@@ -746,7 +746,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           val truncated = rows.size > maxGroups
           val groups = rows.take(maxGroups).map { case (g, ns, est) =>
             s"""{"grp":${jstr(g)},"estDistinct":$est""" +
-              s""","exactBelowK":${ns < graft.ops.Sketches.KMV_K}}"""
+              s""","exactBelowK":${
+                ns < graft.ops.SketchStore.storedKmvByKAt(snap, tag)}}"""
           }.mkString("[", ",", "]")
           (200,
             s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
@@ -927,7 +928,8 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     val fresh = freshnessJson(snap.manifest, tag)
     (200,
       s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
-        s""","kmvExactBelowK":${nSketch < graft.ops.Sketches.KMV_K}""" +
+        s""","kmvExactBelowK":${
+          nSketch < graft.ops.SketchStore.storedKmvKAt(snap, tag)}""" +
         s""","histN":$histN,"quantiles":$qJson""" +
         s""","mgN":$mgN,"heavy":$hJson$freqJson,$fresh}""" + "\n")
   }
