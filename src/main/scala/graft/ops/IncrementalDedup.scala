@@ -148,19 +148,38 @@ object IncrementalDedup {
       .select(col("doc_id"), col("sig"),
         (col("col") * BANDS + col("pos")).as("bh"))
 
+  /** The store's shingle-size property (first-writer-wins claim): band
+    * hashes and signatures derive from n-shingles, so rows registered
+    * at one n can never match probes at another — a mismatched probe
+    * would silently treat EVERY stored document as unseen (duplicates
+    * slip through with no error at all), the same hazard class as the
+    * sketch-store geometry claims.
+    */
+  private val NEARDUP_N_PROP = "neardup.n"
+
   /** Registers a batch's MinHash band buckets + signatures as ONE
-    * transaction (BANDS rows per document). Returns the txid.
+    * transaction (BANDS rows per document), claiming the shingle size
+    * `n` first-writer-wins ([[NEARDUP_N_PROP]] — checked inside the
+    * publishing CAS; a mismatched registration refuses loudly and
+    * publishes nothing). Returns the txid.
     */
   def registerNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
                         cursor: Option[(String, Long)] = None,
                         sinkProps: Map[String, String] = Map.empty,
-                        fuse: Boolean = false): Long =
+                        fuse: Boolean = false): Long = {
+    val ex = graft.store.Manifest.current(db.warehouse)
+      .props.get(NEARDUP_N_PROP)
+    require(ex.forall(_ == n.toString),
+      s"near-dup shingle size mismatch: stored ${ex.getOrElse("-")} vs " +
+        s"registration $n")
     graft.store.TxWriter.write(db,
       bandRows(batch, idCol, textCol, n)
         .select(format_string("m/%019d", col("bh")).as("key"),
           col("doc_id").as("ts"), col("bh"), col("sig")),
-      props = sinkProps, streamCursor = cursor, fuse = fuse)
+      props = sinkProps, propsClaim = Map(NEARDUP_N_PROP -> n.toString),
+      streamCursor = cursor, fuse = fuse)
+  }
 
   /** The arriving batch minus documents NEAR-duplicate to registered
     * content: a document drops when it shares an LSH band bucket with a
@@ -174,10 +193,15 @@ object IncrementalDedup {
     */
   def dropNearSeenBefore(db: graft.store.Db, batch: DataFrame, idCol: String,
                          textCol: String, minAgree: Int = SIG_K / 2,
-                         n: Int = 3, fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01): DataFrame = {
     require(minAgree >= 1 && minAgree <= SIG_K,
       s"minAgree must be in [1, $SIG_K]")
     val snap = db.snapshot()
+    // the batch's shingles must be built at the STORE's claimed n —
+    // same snapshot as the rows ([[NEARDUP_N_PROP]]; default for
+    // pre-claim stores, which were always registered at 3)
+    val n = snap.manifest.props.get(NEARDUP_N_PROP).map(_.toInt)
+      .getOrElse(3)
     if (snap.manifest.dataTxids.isEmpty) return batch
     val seen0 = snap.read("m/%")
     // mixed warehouse, no near rows yet: the merged schema has no

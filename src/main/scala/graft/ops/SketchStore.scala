@@ -58,6 +58,8 @@ object SketchStore {
   private def histByPrefix(tag: String) = s"hg/$tag/"
   private def histByWProp(tag: String) = s"histg.w/$tag"
   private def histByOriginProp(tag: String) = s"histg.origin/$tag"
+  private def histBProp(tag: String) = s"hist.b/$tag"
+  private def histByBProp(tag: String) = s"histg.b/$tag"
   private def cmDProp(tag: String) = s"cm.d/$tag"
   private def cmWProp(tag: String) = s"cm.w/$tag"
   private def cmByDProp(tag: String) = s"cmg.d/$tag"
@@ -335,7 +337,7 @@ object SketchStore {
     requireCmGrid(db, tag, d, w)
     requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")
     requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")
-    valueCol.foreach(_ => requireHistGrid(db, tag, histW, origin))
+    valueCol.foreach(_ => requireHistGrid(db, tag, b, histW, origin))
     // the families aggregate the SAME element stream — and three of
     // them (KMV, count-min, MG) are pure functions of the batch's
     // per-item COUNT multiset: KMV of the distinct items (KmvAgg keeps
@@ -379,7 +381,7 @@ object SketchStore {
       propsClaim = cmGridClaim(tag, d, w) ++
         Map(kmvKProp(tag) -> k.toString, mgCProp(tag) -> c.toString) ++
         valueCol.fold(Map.empty[String, String])(_ =>
-          histGridClaim(tag, histW, origin)),
+          histGridClaim(tag, b, histW, origin)),
       streamCursor = cursor, fuse = fuse)
   }
 
@@ -471,7 +473,7 @@ object SketchStore {
     requireCmByGrid(db, tag, d, cmW)
     requireIntGeom(db, kmvByKProp(tag), k, s"grouped KMV k for tag '$tag'")
     requireIntGeom(db, mgByCProp(tag), c, s"grouped MG c for tag '$tag'")
-    valueCol.foreach(_ => requireHistByGrid(db, tag, w, origin))
+    valueCol.foreach(_ => requireHistByGrid(db, tag, b, w, origin))
     // ONE exact (grp, item, cnt) aggregation feeds KMV, MG AND
     // count-min — the same count-derivability argument as
     // [[registerSketches]], per group: KmvAgg keeps distinct minima,
@@ -507,7 +509,7 @@ object SketchStore {
       propsClaim = cmByGridClaim(tag, d, cmW) ++
         Map(kmvByKProp(tag) -> k.toString, mgByCProp(tag) -> c.toString) ++
         valueCol.fold(Map.empty[String, String])(_ =>
-          histByGridClaim(tag, w, origin)),
+          histByGridClaim(tag, b, w, origin)),
       streamCursor = cursor, fuse = fuse)
   }
 
@@ -1296,12 +1298,12 @@ object SketchStore {
     // ([[graft.store.TxWriter.PropertyConflict]]), never mixed in. The
     // early require is only the friendly pre-write error message; the
     // claim is the authority.
-    requireHistGrid(db, tag, w, origin)
+    requireHistGrid(db, tag, b, w, origin)
     graft.store.TxWriter.write(db,
       histRowsOf(tag, Sketches.histSketch(batch, value, b, w, origin),
         batchId),
       props = sinkProps,
-      propsClaim = histGridClaim(tag, w, origin),
+      propsClaim = histGridClaim(tag, b, w, origin),
       streamCursor = cursor, fuse = fuse)
   }
 
@@ -1314,24 +1316,34 @@ object SketchStore {
       format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
       lit(ts).as("ts"), col("bin"), col("cnt"))
 
-  /** The ungrouped store's first-writer-wins grid claim. */
-  private def histGridClaim(tag: String, w: Long,
+  /** The ungrouped store's first-writer-wins grid claim. `b` joins the
+    * (w, origin) pair (r16): the top bin CLAMPS at b−1, so batches
+    * binned at different b put their clamped mass at different bins —
+    * the merged histogram's top envelope silently shifts. Same
+    * first-writer-wins rule; readers never need b back (they read the
+    * stored bins), so there is no read-back half.
+    */
+  private def histGridClaim(tag: String, b: Int, w: Long,
                             origin: Long): Map[String, String] =
     Map(histWProp(tag) -> w.toString,
-      histOriginProp(tag) -> origin.toString)
+      histOriginProp(tag) -> origin.toString,
+      histBProp(tag) -> b.toString)
 
   /** Friendly pre-write grid-mismatch error for the ungrouped store —
     * shared by [[registerHist]] and the trio's `valueCol` rider.
     */
-  private def requireHistGrid(db: graft.store.Db, tag: String, w: Long,
-                              origin: Long): Unit = {
+  private def requireHistGrid(db: graft.store.Db, tag: String, b: Int,
+                              w: Long, origin: Long): Unit = {
     val m = graft.store.Manifest.current(db.warehouse)
     val exW = m.props.get(histWProp(tag))
     val exO = m.props.get(histOriginProp(tag))
-    require(exW.forall(_ == w.toString) && exO.forall(_ == origin.toString),
+    val exB = m.props.get(histBProp(tag))
+    require(exW.forall(_ == w.toString) &&
+        exO.forall(_ == origin.toString) && exB.forall(_ == b.toString),
       s"histogram grid mismatch for tag '$tag': stored " +
-        s"(w=${exW.getOrElse("-")}, origin=${exO.getOrElse("-")}) " +
-        s"vs registration (w=$w, origin=$origin)")
+        s"(b=${exB.getOrElse("-")}, w=${exW.getOrElse("-")}, " +
+        s"origin=${exO.getOrElse("-")}) " +
+        s"vs registration (b=$b, w=$w, origin=$origin)")
   }
 
   /** The store's grid geometry, read back from the manifest properties
@@ -1416,11 +1428,11 @@ object SketchStore {
                      sinkProps: Map[String, String] = Map.empty,
                      fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
-    requireHistByGrid(db, tag, w, origin)
+    requireHistByGrid(db, tag, b, w, origin)
     val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
     graft.store.TxWriter.write(db, histByRowsOf(tag, hist, batchId),
       props = sinkProps,
-      propsClaim = histByGridClaim(tag, w, origin),
+      propsClaim = histByGridClaim(tag, b, w, origin),
       streamCursor = cursor, fuse = fuse)
   }
 
@@ -1439,25 +1451,29 @@ object SketchStore {
   /** The grouped store's first-writer-wins grid claim (checked inside
     * the publishing CAS — see [[registerHist]]'s geometry note).
     */
-  private def histByGridClaim(tag: String, w: Long,
+  private def histByGridClaim(tag: String, b: Int, w: Long,
                               origin: Long): Map[String, String] =
     Map(histByWProp(tag) -> w.toString,
-      histByOriginProp(tag) -> origin.toString)
+      histByOriginProp(tag) -> origin.toString,
+      histByBProp(tag) -> b.toString)
 
   /** Friendly pre-write grid-mismatch error for the grouped store (the
     * propsClaim inside the CAS is the authority — this just refuses
     * before pricing the write job), shared by [[registerHistBy]] and
     * the trio's `valueCol` rider.
     */
-  private def requireHistByGrid(db: graft.store.Db, tag: String, w: Long,
-                                origin: Long): Unit = {
+  private def requireHistByGrid(db: graft.store.Db, tag: String, b: Int,
+                                w: Long, origin: Long): Unit = {
     val m = graft.store.Manifest.current(db.warehouse)
     val exW = m.props.get(histByWProp(tag))
     val exO = m.props.get(histByOriginProp(tag))
-    require(exW.forall(_ == w.toString) && exO.forall(_ == origin.toString),
+    val exB = m.props.get(histByBProp(tag))
+    require(exW.forall(_ == w.toString) &&
+        exO.forall(_ == origin.toString) && exB.forall(_ == b.toString),
       s"histogram grid mismatch for grouped tag '$tag': stored " +
-        s"(w=${exW.getOrElse("-")}, origin=${exO.getOrElse("-")}) " +
-        s"vs registration (w=$w, origin=$origin)")
+        s"(b=${exB.getOrElse("-")}, w=${exW.getOrElse("-")}, " +
+        s"origin=${exO.getOrElse("-")}) " +
+        s"vs registration (b=$b, w=$w, origin=$origin)")
   }
 
   /** The grouped store's grid, from its own claimed properties. */
