@@ -222,6 +222,41 @@ class SketchStoreSpec extends SparkSpec {
     }
   }
 
+  test("racing FIRST registrations with different geometries: exactly " +
+      "one wins — the loser refuses loudly, never mixes in") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val db = tmpDb()
+    // both sides pass the friendly pre-write check (empty manifest),
+    // write their transactions, and meet at the publishing CAS — the
+    // claim check INSIDE the CAS is what makes first-writer-wins
+    // airtight (a check-then-act pre-read alone would let both publish
+    // and silently mix k=16 and k=64 minima under one key). Depending
+    // on interleaving the loser surfaces as PropertyConflict (lost the
+    // CAS) or IllegalArgumentException (saw the winner's claim before
+    // writing) — both loud, neither published.
+    val outcomes = Await.result(Future.sequence(Seq(16, 64).map(k =>
+      Future {
+        try {
+          SketchStore.registerKmv(db, toks("a", "b", "c"), col("t"), k = k)
+          None
+        } catch {
+          case e: graft.store.TxWriter.PropertyConflict => Some(e)
+          case e: IllegalArgumentException => Some(e)
+        }
+      })), 300.seconds)
+    assert(outcomes.count(_.isEmpty) == 1,
+      s"exactly one geometry must win: $outcomes")
+    val winnerK = SketchStore.storedKmvK(db)
+    assert(Set(16, 64).contains(winnerK))
+    // the winner's rows are the ONLY rows: 3 distinct items → 3 minima
+    assert(SketchStore.storedKmvSketch(db).count() == 3)
+    val m = graft.store.Manifest.current(db.warehouse)
+    assert(m.dataTxids.size == 1, "the refused registration published " +
+      s"nothing: ${m.dataTxids}")
+  }
+
   test("MG store: guarantees hold over batches; deterministic under " +
       "partitioning; idempotent re-register") {
     val db = tmpDb()
