@@ -132,6 +132,26 @@ object SketchStore {
                                     tag: String = "t"): Int =
     intProp(snap.manifest, kmvByKProp(tag), Sketches.KMV_K)
 
+  /** The MG stores' claimed capacities, off one snapshot — for serving
+    * bodies that report the geometry next to the data it bounds.
+    */
+  private[graft] def storedMgCAt(snap: graft.store.Db#Snapshot,
+                                 tag: String = "t"): Int =
+    intProp(snap.manifest, mgCProp(tag), Sketches.MG_C)
+
+  private[graft] def storedMgByCAt(snap: graft.store.Db#Snapshot,
+                                   tag: String = "t"): Int =
+    intProp(snap.manifest, mgByCProp(tag), Sketches.MG_C)
+
+  /** The count-min stores' claimed geometries, off one snapshot. */
+  private[graft] def storedCmGridAt(snap: graft.store.Db#Snapshot,
+                                    tag: String = "t"): (Int, Long) =
+    cmGridOf(snap.manifest, cmDProp(tag), cmWProp(tag))
+
+  private[graft] def storedCmByGridAt(snap: graft.store.Db#Snapshot,
+                                      tag: String = "t"): (Int, Long) =
+    cmGridOf(snap.manifest, cmByDProp(tag), cmByWProp(tag))
+
   /** The merged sketch of every batch ever registered: the k smallest
     * distinct stored minima (k from the store's own claim) — a
     * key-pruned read of ≤ k·batches slim rows, then a driver-side

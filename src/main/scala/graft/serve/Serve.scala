@@ -750,8 +750,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
                 ns < graft.ops.SketchStore.storedKmvByKAt(snap, tag)}}"""
           }.mkString("[", ",", "]")
           (200,
-            s"""{"tag":${jstr(tag)},"kind":"kmv","truncated":$truncated""" +
-              s""","groups":$groups,$fresh}""" + "\n")
+            s"""{"tag":${jstr(tag)},"kind":"kmv","k":${
+              graft.ops.SketchStore.storedKmvByKAt(snap, tag)}""" +
+              s""","truncated":$truncated,"groups":$groups,$fresh}""" +
+              "\n")
         case "mg" =>
           // the GROUP SET is mass-defined at every heavy= value: a
           // group whose merged candidates truncated to nothing (mass
@@ -799,8 +801,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             s"""{"grp":${jstr(g)},"n":$n,"heavy":$hJson}"""
           }.mkString("[", ",", "]")
           (200,
-            s"""{"tag":${jstr(tag)},"kind":"mg","truncated":$truncated""" +
-              s""","groups":$groups,$fresh}""" + "\n")
+            s"""{"tag":${jstr(tag)},"kind":"mg","c":${
+              graft.ops.SketchStore.storedMgByCAt(snap, tag)}""" +
+              s""","truncated":$truncated,"groups":$groups,$fresh}""" +
+              "\n")
         case "cm" =>
           // point-frequency probes against the grouped count-min grids
           // ("how often did THIS token appear in THIS source", for ANY
@@ -850,9 +854,12 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
               .mkString("[", ",", "]")
             s"""{"grp":${jstr(g)},"items":$iJson}"""
           }.mkString("[", ",", "]")
-          (200,
-            s"""{"tag":${jstr(tag)},"kind":"cm","truncated":$truncated""" +
-              s""","groups":$groups,$fresh}""" + "\n")
+          (200, {
+            val (cd, cw) = graft.ops.SketchStore.storedCmByGridAt(snap, tag)
+            s"""{"tag":${jstr(tag)},"kind":"cm","d":$cd,"w":$cw""" +
+              s""","truncated":$truncated,"groups":$groups,$fresh}""" +
+              "\n"
+          })
         case other => (400, s"kind=$other not one of hist|kmv|mg|cm\n")
       }
     } else doStatsUngrouped(p, tag, heavyK)
@@ -926,11 +933,16 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           .mkString(""","freq":[""", ",", "]")
     }
     val fresh = freshnessJson(snap.manifest, tag)
+    // the claimed geometries ride the body so a dashboard can read
+    // capacity (k, c) next to the numbers it bounds — free manifest
+    // fields off the same snapshot
     (200,
       s"""{"tag":${jstr(tag)},"estDistinct":$estDistinct""" +
+        s""","kmvK":${graft.ops.SketchStore.storedKmvKAt(snap, tag)}""" +
         s""","kmvExactBelowK":${
           nSketch < graft.ops.SketchStore.storedKmvKAt(snap, tag)}""" +
         s""","histN":$histN,"quantiles":$qJson""" +
+        s""","mgC":${graft.ops.SketchStore.storedMgCAt(snap, tag)}""" +
         s""","mgN":$mgN,"heavy":$hJson$freqJson,$fresh}""" + "\n")
   }
 

@@ -504,7 +504,7 @@ class ServeSpec extends SparkSpec {
         col("src"), col("t"))
       val (kc, kbody) = http("GET", s"$base/_query/stats?by=src&kind=kmv")
       assert(kc == 200, kbody)
-      assert(kbody.contains("\"kind\":\"kmv\"") &&
+      assert(kbody.contains("\"kind\":\"kmv\",\"k\":64") &&
         kbody.contains("\"grp\":\"g0\",\"estDistinct\":9") &&
         kbody.contains("\"grp\":\"g1\",\"estDistinct\":9"), kbody)
       val (_, kcap) =
@@ -524,7 +524,7 @@ class ServeSpec extends SparkSpec {
       val (mc, mbody) =
         http("GET", s"$base/_query/stats?by=src&kind=mg&heavy=1")
       assert(mc == 200, mbody)
-      assert(mbody.contains("\"kind\":\"mg\"") &&
+      assert(mbody.contains("\"kind\":\"mg\",\"c\":128") &&
         mbody.contains(
           """{"grp":"g0","n":30,"heavy":[{"item":"hot0","est":30,"certain":1}]}""") &&
         mbody.contains(
@@ -550,7 +550,7 @@ class ServeSpec extends SparkSpec {
       val (cc, cbody) =
         http("GET", s"$base/_query/stats?by=src&kind=cm&items=x,y")
       assert(cc == 200, cbody)
-      assert(cbody.contains("\"kind\":\"cm\"") &&
+      assert(cbody.contains("\"kind\":\"cm\",\"d\":4,\"w\":1024") &&
         cbody.contains(
           """{"grp":"g0","items":[{"item":"x","est":7},{"item":"y","est":0}]}""") &&
         cbody.contains(
