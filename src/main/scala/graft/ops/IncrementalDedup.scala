@@ -163,16 +163,50 @@ object IncrementalDedup {
     * publishing CAS; a mismatched registration refuses loudly and
     * publishes nothing). Returns the txid.
     */
+  /** The loud pre-claim-store refusal shared by the register and probe
+    * paths: rows exist but no shingle size was ever recorded, so any
+    * guessed n could silently wave every duplicate through (probe) or
+    * mix unmatchable signatures (register).
+    */
+  private def unclaimedNearMsg: String =
+    "near-dup store unclaimed but NON-EMPTY: signature rows exist with " +
+      s"no '$NEARDUP_N_PROP' property (written by a pre-claim engine " +
+      "version). Probing or registering at a guessed shingle size would " +
+      "silently miss every stored duplicate — stamp the true size first: " +
+      "IncrementalDedup.stampNearShingleSize(db, n)"
+
+  /** Operator escape hatch for PRE-CLAIM near-dup stores: record the
+    * shingle size the store was actually registered with
+    * (first-writer-wins; a disagreeing stamp refuses).
+    */
+  def stampNearShingleSize(db: graft.store.Db, n: Int): Unit = {
+    graft.store.Manifest.update(db.warehouse) { m =>
+      m.props.get(NEARDUP_N_PROP).filter(_ != n.toString).foreach { ex =>
+        throw new graft.store.TxWriter.PropertyConflict(
+          s"table property '$NEARDUP_N_PROP' already set to '$ex' " +
+            s"(stamp requested '$n')")
+      }
+      m.copy(props = m.props + (NEARDUP_N_PROP -> n.toString))
+    }
+    ()
+  }
+
   def registerNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
                         cursor: Option[(String, Long)] = None,
                         sinkProps: Map[String, String] = Map.empty,
                         fuse: Boolean = false): Long = {
-    val ex = graft.store.Manifest.current(db.warehouse)
-      .props.get(NEARDUP_N_PROP)
+    val snap = db.snapshot()
+    val ex = snap.manifest.props.get(NEARDUP_N_PROP)
     require(ex.forall(_ == n.toString),
       s"near-dup shingle size mismatch: stored ${ex.getOrElse("-")} vs " +
         s"registration $n")
+    // a claim on a PRE-CLAIM store would be trusted over rows whose
+    // true n nobody recorded — refuse until stamped (cheap: the probe
+    // runs only when the claim is absent on a non-fresh warehouse)
+    if (ex.isEmpty && snap.manifest.dataTxids.nonEmpty &&
+        !snap.read("m/%").isEmpty)
+      throw new IllegalStateException(unclaimedNearMsg)
     graft.store.TxWriter.write(db,
       bandRows(batch, idCol, textCol, n)
         .select(format_string("m/%019d", col("bh")).as("key"),
@@ -197,17 +231,22 @@ object IncrementalDedup {
     require(minAgree >= 1 && minAgree <= SIG_K,
       s"minAgree must be in [1, $SIG_K]")
     val snap = db.snapshot()
-    // the batch's shingles must be built at the STORE's claimed n —
-    // same snapshot as the rows ([[NEARDUP_N_PROP]]; default for
-    // pre-claim stores, which were always registered at 3)
-    val n = snap.manifest.props.get(NEARDUP_N_PROP).map(_.toInt)
-      .getOrElse(3)
     if (snap.manifest.dataTxids.isEmpty) return batch
     val seen0 = snap.read("m/%")
     // mixed warehouse, no near rows yet: the merged schema has no
     // bh/sig columns — passthrough instead of an unresolved-column error
     if (!seen0.columns.contains("bh") || !seen0.columns.contains("sig"))
       return batch
+    // the batch's shingles must be built at the STORE's claimed n —
+    // same snapshot as the rows ([[NEARDUP_N_PROP]]). A pre-claim
+    // store WITH rows refuses loudly rather than probing at a guess
+    // (which would match nothing and wave every duplicate through);
+    // an empty family may proceed at the default.
+    val n = snap.manifest.props.get(NEARDUP_N_PROP).map(_.toInt)
+      .getOrElse {
+        if (!seen0.isEmpty) throw new IllegalStateException(unclaimedNearMsg)
+        3
+      }
     val b = bandRows(batch, idCol, textCol, n)
     val probes = b.select(col("bh")).distinct()
     val nProbes = probes.count()
@@ -239,11 +278,18 @@ object IncrementalDedup {
                       cursor: Option[(String, Long)] = None,
                       sinkProps: Map[String, String] = Map.empty,
                       fuse: Boolean = false): DataFrame = {
+    // BOTH halves run at the store's claimed shingle size: the probe
+    // reads it internally, and the registration must match it — a
+    // hard-coded default here would wedge the sink forever on a store
+    // claimed at any other n (every batch forwarded via onFresh, then
+    // refused at registration, cursor never advancing).
+    val n = graft.store.Manifest.current(db.warehouse)
+      .props.get(NEARDUP_N_PROP).map(_.toInt).getOrElse(3)
     val fresh = dropNearSeenBefore(db, batch, idCol, textCol, minAgree)
       .localCheckpoint(true) // the register tx must not re-plan the probe
     onFresh(fresh)
     if (!fresh.isEmpty)
-      registerNearBatch(db, fresh, idCol, textCol, cursor = cursor,
+      registerNearBatch(db, fresh, idCol, textCol, n = n, cursor = cursor,
         sinkProps = sinkProps, fuse = fuse)
     fresh
   }

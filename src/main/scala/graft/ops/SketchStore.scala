@@ -79,14 +79,96 @@ object SketchStore {
 
   /** Shared friendly pre-write mismatch error for the single-int
     * geometry claims (k, c) — the propsClaim inside the CAS stays the
-    * authority, exactly like the hist/cm grids.
+    * authority, exactly like the hist/cm grids. `preexisting` is the
+    * family's rows-already-exist probe, evaluated ONLY when the claim
+    * is absent: a PRE-CLAIM store (rows written by an engine version
+    * before geometry tracking) must not accept a fresh claim at face
+    * value — the claimed value would be trusted over rows whose true
+    * geometry nobody recorded, and a later fold at a wrongly-claimed
+    * smaller k would truncate data permanently. The operator states
+    * the true geometry with [[stampGeometry]] first.
     */
   private def requireIntGeom(db: graft.store.Db, prop: String, v: Int,
-                             what: String): Unit = {
+                             what: String)(preexisting: => Boolean): Unit = {
     val ex = graft.store.Manifest.current(db.warehouse).props.get(prop)
     require(ex.forall(_ == v.toString),
       s"$what mismatch: stored ${ex.getOrElse("-")} vs registration $v " +
         s"(property $prop)")
+    if (ex.isEmpty && preexisting)
+      throw new IllegalStateException(unclaimedMsg(prop, what))
+  }
+
+  /** True iff the warehouse already holds rows under `pattern` — the
+    * claim-absent pre-existence probe. Lazy and cheap: fresh warehouses
+    * short-circuit on the manifest (no job at all); only an unclaimed
+    * NON-fresh warehouse pays one key-pruned emptiness probe.
+    */
+  private def familyNonEmpty(db: graft.store.Db, pattern: String): Boolean = {
+    val snap = db.snapshot()
+    snap.manifest.dataTxids.nonEmpty && !snap.read(pattern).isEmpty
+  }
+
+  /** The loud pre-claim-store error every reader and registration
+    * shares: reading (or claiming over) rows whose geometry nobody
+    * recorded would be the silent-wrong-answer hazard the claims exist
+    * to kill — refuse and point at the operator escape hatch.
+    */
+  private def unclaimedMsg(prop: String, what: String): String =
+    s"$what unclaimed for a NON-EMPTY store: rows exist but property " +
+      s"'$prop' is absent (written by a pre-claim engine version). " +
+      "Proceeding at the defaults could silently corrupt or misreport " +
+      "the store — stamp its true geometry first: " +
+      "SketchStore.stampGeometry(db, tag, ...)"
+
+  /** Reader-side guard for pre-claim stores: a geometry-dependent read
+    * of rows whose claim is absent refuses loudly instead of decoding
+    * at the defaults (which could under-count, mis-certify or report a
+    * full sketch as exact). Costs nothing on claimed stores; the
+    * emptiness probe runs only for unclaimed ones.
+    */
+  private def requireClaimedOrEmpty(snap: graft.store.Db#Snapshot,
+                                    prop: String, rows: DataFrame,
+                                    what: String): Unit =
+    if (!snap.manifest.props.contains(prop) && !rows.isEmpty)
+      throw new IllegalStateException(unclaimedMsg(prop, what))
+
+  /** Operator escape hatch for PRE-CLAIM stores: record the geometry a
+    * legacy store was ACTUALLY written with, so its claim-checked reads
+    * and registrations proceed. First-writer-wins like the claims
+    * themselves — a stamp that disagrees with an existing property
+    * refuses ([[graft.store.TxWriter.PropertyConflict]]); each Option
+    * stamps one family (ungrouped / grouped KMV k, MG c, count-min
+    * (d, w), histogram (b, w, origin)).
+    */
+  def stampGeometry(db: graft.store.Db, tag: String = "t",
+                    kmvK: Option[Int] = None, kmvByK: Option[Int] = None,
+                    mgC: Option[Int] = None, mgByC: Option[Int] = None,
+                    cm: Option[(Int, Long)] = None,
+                    cmBy: Option[(Int, Long)] = None,
+                    hist: Option[(Int, Long, Long)] = None,
+                    histBy: Option[(Int, Long, Long)] = None): Unit = {
+    val claims: Map[String, String] =
+      kmvK.map(v => kmvKProp(tag) -> v.toString).toMap ++
+        kmvByK.map(v => kmvByKProp(tag) -> v.toString) ++
+        mgC.map(v => mgCProp(tag) -> v.toString) ++
+        mgByC.map(v => mgByCProp(tag) -> v.toString) ++
+        cm.toSeq.flatMap { case (d, w) => cmGridClaim(tag, d, w) } ++
+        cmBy.toSeq.flatMap { case (d, w) => cmByGridClaim(tag, d, w) } ++
+        hist.toSeq.flatMap { case (b, w, o) => histGridClaim(tag, b, w, o) } ++
+        histBy.toSeq.flatMap { case (b, w, o) =>
+          histByGridClaim(tag, b, w, o) }
+    require(claims.nonEmpty, "stampGeometry: nothing to stamp")
+    graft.store.Manifest.update(db.warehouse) { m =>
+      claims.foreach { case (p, v) =>
+        m.props.get(p).filter(_ != v).foreach { ex =>
+          throw new graft.store.TxWriter.PropertyConflict(
+            s"table property '$p' already set to '$ex' (stamp requested " +
+              s"'$v')")
+        }
+      }
+      m.copy(props = m.props ++ claims)
+    }
+    ()
   }
 
   // ── KMV ────────────────────────────────────────────────────────────
@@ -105,7 +187,8 @@ object SketchStore {
     */
   def registerKmv(db: graft.store.Db, batch: DataFrame, elem: Column,
                   tag: String = "t", k: Int = Sketches.KMV_K): Long = {
-    requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")
+    requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")(
+      familyNonEmpty(db, kmvKey(tag)))
     val rows = Sketches.kmvSketch(batch, elem, k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
     graft.store.TxWriter.write(db, rows,
@@ -170,7 +253,11 @@ object SketchStore {
     else {
       val rows = snap.read(kmvKey(tag))
       if (!rows.columns.contains("h")) empty
-      else rows.select(col("h")).orderBy("h").limit(k)
+      else {
+        requireClaimedOrEmpty(snap, kmvKProp(tag), rows,
+          s"KMV k for tag '$tag'")
+        rows.select(col("h")).orderBy("h").limit(k)
+      }
     }
   }
 
@@ -212,7 +299,9 @@ object SketchStore {
                     cursor: Option[(String, Long)] = None,
                     sinkProps: Map[String, String] = Map.empty,
                     fuse: Boolean = false): Long = {
-    requireIntGeom(db, kmvByKProp(tag), k, s"grouped KMV k for tag '$tag'")
+    requireIntGeom(db, kmvByKProp(tag), k,
+      s"grouped KMV k for tag '$tag'")(
+      familyNonEmpty(db, kmvByPrefix(tag) + "%"))
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
     graft.store.TxWriter.write(db, kmvByRows(tag, hashed, k),
@@ -258,6 +347,8 @@ object SketchStore {
       if (!rows.columns.contains("grp") || !rows.columns.contains("h"))
         empty
       else {
+        requireClaimedOrEmpty(snap, kmvByKProp(tag), rows,
+          s"grouped KMV k for tag '$tag'")
         import org.apache.spark.sql.expressions.Window
         rows.select(col("grp"), col("h"))
           .withColumn("rk", row_number().over(
@@ -355,8 +446,10 @@ object SketchStore {
                        fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmGrid(db, tag, d, w)
-    requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")
-    requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")
+    requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")(
+      familyNonEmpty(db, kmvKey(tag)))
+    requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")(
+      familyNonEmpty(db, mgPrefix(tag) + "%"))
     valueCol.foreach(_ => requireHistGrid(db, tag, b, histW, origin))
     // the families aggregate the SAME element stream — and three of
     // them (KMV, count-min, MG) are pure functions of the batch's
@@ -491,8 +584,12 @@ object SketchStore {
       : Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmByGrid(db, tag, d, cmW)
-    requireIntGeom(db, kmvByKProp(tag), k, s"grouped KMV k for tag '$tag'")
-    requireIntGeom(db, mgByCProp(tag), c, s"grouped MG c for tag '$tag'")
+    requireIntGeom(db, kmvByKProp(tag), k,
+      s"grouped KMV k for tag '$tag'")(
+      familyNonEmpty(db, kmvByPrefix(tag) + "%"))
+    requireIntGeom(db, mgByCProp(tag), c,
+      s"grouped MG c for tag '$tag'")(
+      familyNonEmpty(db, mgByPrefix(tag) + "%"))
     valueCol.foreach(_ => requireHistByGrid(db, tag, b, w, origin))
     // ONE exact (grp, item, cnt) aggregation feeds KMV, MG AND
     // count-min — the same count-derivability argument as
@@ -629,6 +726,10 @@ object SketchStore {
       s"count-min geometry mismatch for tag '$tag': stored " +
         s"(d=${exD.getOrElse("-")}, w=${exW.getOrElse("-")}) " +
         s"vs registration (d=$d, w=$w)")
+    if (exD.isEmpty && exW.isEmpty &&
+        familyNonEmpty(db, cmPrefix(tag) + "%"))
+      throw new IllegalStateException(
+        unclaimedMsg(cmDProp(tag), s"count-min geometry for tag '$tag'"))
   }
 
   /** The ungrouped grid's geometry, read back from the properties the
@@ -683,9 +784,11 @@ object SketchStore {
                                            items: DataFrame, elemCol: String,
                                            tag: String = "t")
       : DataFrame = {
-    val (d, w) = cmGridOf(snap.manifest, cmDProp(tag), cmWProp(tag))
-    Sketches.countMinProbe(items, storedCountMinAt(db, snap, tag), elemCol,
-      d, w)
+    val grid = storedCountMinAt(db, snap, tag)
+    requireClaimedOrEmpty(snap, cmDProp(tag), grid,
+      s"count-min geometry for tag '$tag'")
+    val (d, w) = storedCmGridAt(snap, tag)
+    Sketches.countMinProbe(items, grid, elemCol, d, w)
   }
 
   // ── grouped count-min ──────────────────────────────────────────────
@@ -744,6 +847,11 @@ object SketchStore {
       s"count-min geometry mismatch for grouped tag '$tag': stored " +
         s"(d=${exD.getOrElse("-")}, w=${exW.getOrElse("-")}) " +
         s"vs registration (d=$d, w=$w)")
+    if (exD.isEmpty && exW.isEmpty &&
+        familyNonEmpty(db, cmByPrefix(tag) + "%"))
+      throw new IllegalStateException(
+        unclaimedMsg(cmByDProp(tag),
+          s"grouped count-min geometry for tag '$tag'"))
   }
 
   /** The grouped grids' geometry, from their own claimed properties. */
@@ -800,9 +908,11 @@ object SketchStore {
                                              items: DataFrame,
                                              grpCol: String, elemCol: String,
                                              tag: String = "t"): DataFrame = {
-    val (d, w) = cmGridOf(snap.manifest, cmByDProp(tag), cmByWProp(tag))
-    Sketches.countMinProbeBy(items, storedCountMinByAt(db, snap, tag),
-      grpCol, elemCol, d, w)
+    val grid = storedCountMinByAt(db, snap, tag)
+    requireClaimedOrEmpty(snap, cmByDProp(tag), grid,
+      s"grouped count-min geometry for tag '$tag'")
+    val (d, w) = storedCmByGridAt(snap, tag)
+    Sketches.countMinProbeBy(items, grid, grpCol, elemCol, d, w)
   }
 
   /** [[foldCountMin]] per group: one folded generation of per-(grp,
@@ -897,7 +1007,8 @@ object SketchStore {
     // still under-estimate, but the report's n/(c+1) CERTIFICATION
     // threshold (and a fold's re-truncation) are only sound at one
     // uniform c — claimed first-writer-wins, read back by reports/folds
-    requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")
+    requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")(
+      familyNonEmpty(db, mgPrefix(tag) + "%"))
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
     // store key). The partial IS truncate-over-exact-counts and the
@@ -940,8 +1051,12 @@ object SketchStore {
     else {
       val rows = snap.read(mgPrefix(tag) + "%")
       if (!rows.columns.contains("est")) empty
-      else Sketches.mgTruncate(
-        rows.groupBy("item").agg(sum(col("est")).as("f")), c)
+      else {
+        requireClaimedOrEmpty(snap, mgCProp(tag), rows,
+          s"MG c for tag '$tag'")
+        Sketches.mgTruncate(
+          rows.groupBy("item").agg(sum(col("est")).as("f")), c)
+      }
     }
   }
 
@@ -1068,7 +1183,9 @@ object SketchStore {
                    fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // materialized once — partial + per-group mass are two subtrees
-    requireIntGeom(db, mgByCProp(tag), c, s"grouped MG c for tag '$tag'")
+    requireIntGeom(db, mgByCProp(tag), c,
+      s"grouped MG c for tag '$tag'")(
+      familyNonEmpty(db, mgByPrefix(tag) + "%"))
     // the partial and the mass rows both derive from the exact
     // (grp, item) counts — aggregate once, materialize the
     // vocabulary-sized result instead of the raw stream
@@ -1145,8 +1262,12 @@ object SketchStore {
     else {
       val rows = snap.read(mgByPrefix(tag) + "%")
       if (!rows.columns.contains("est")) empty
-      else Sketches.mgTruncateBy(
-        rows.groupBy("grp", "item").agg(sum(col("est")).as("f")), c)
+      else {
+        requireClaimedOrEmpty(snap, mgByCProp(tag), rows,
+          s"grouped MG c for tag '$tag'")
+        Sketches.mgTruncateBy(
+          rows.groupBy("grp", "item").agg(sum(col("est")).as("f")), c)
+      }
     }
   }
 
@@ -1364,6 +1485,10 @@ object SketchStore {
         s"(b=${exB.getOrElse("-")}, w=${exW.getOrElse("-")}, " +
         s"origin=${exO.getOrElse("-")}) " +
         s"vs registration (b=$b, w=$w, origin=$origin)")
+    if (exW.isEmpty && exO.isEmpty &&
+        familyNonEmpty(db, histPrefix(tag) + "%"))
+      throw new IllegalStateException(
+        unclaimedMsg(histWProp(tag), s"histogram grid for tag '$tag'"))
   }
 
   /** The store's grid geometry, read back from the manifest properties
@@ -1420,8 +1545,11 @@ object SketchStore {
                                            snap: graft.store.Db#Snapshot,
                                            qms: Seq[Int] = Sketches.HIST_QMS,
                                            tag: String = "t"): DataFrame = {
+    val hist = storedHistAt(db, snap, tag)
+    requireClaimedOrEmpty(snap, histWProp(tag), hist,
+      s"histogram grid for tag '$tag'")
     val (w, origin) = gridOf(snap.manifest, histWProp(tag), histOriginProp(tag))
-    Sketches.histQuantiles(storedHistAt(db, snap, tag), qms, w, origin)
+    Sketches.histQuantiles(hist, qms, w, origin)
   }
 
   // ── grouped histogram store ────────────────────────────────────────
@@ -1494,6 +1622,11 @@ object SketchStore {
         s"(b=${exB.getOrElse("-")}, w=${exW.getOrElse("-")}, " +
         s"origin=${exO.getOrElse("-")}) " +
         s"vs registration (b=$b, w=$w, origin=$origin)")
+    if (exW.isEmpty && exO.isEmpty &&
+        familyNonEmpty(db, histByPrefix(tag) + "%"))
+      throw new IllegalStateException(
+        unclaimedMsg(histByWProp(tag),
+          s"grouped histogram grid for tag '$tag'"))
   }
 
   /** The grouped store's grid, from its own claimed properties. */
@@ -1540,9 +1673,12 @@ object SketchStore {
                                              qms: Seq[Int] =
                                                Sketches.HIST_QMS,
                                              tag: String = "t"): DataFrame = {
+    val hist = storedHistByAt(db, snap, tag)
+    requireClaimedOrEmpty(snap, histByWProp(tag), hist,
+      s"grouped histogram grid for tag '$tag'")
     val (w, origin) =
       gridOf(snap.manifest, histByWProp(tag), histByOriginProp(tag))
-    Sketches.histQuantilesFromBy(storedHistByAt(db, snap, tag), qms, w, origin)
+    Sketches.histQuantilesFromBy(hist, qms, w, origin)
   }
 
   /** [[foldHist]] for the grouped store: one folded generation of

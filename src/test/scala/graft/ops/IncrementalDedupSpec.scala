@@ -12,6 +12,48 @@ class IncrementalDedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("near store: ingest adapts to the claimed shingle size; a " +
+      "PRE-CLAIM store refuses probe and register until stamped") {
+    val db = tmpDb()
+    IncrementalDedup.registerNearBatch(db,
+      docs(1L -> "the quick brown fox jumps over the lazy dog"),
+      "doc_id", "text", n = 4)
+    // ingest on an n=4-claimed store must probe AND register at 4 — a
+    // hard-coded default would refuse the registration on every batch,
+    // forwarding the rows downstream while the cursor never advances
+    val out = IncrementalDedup.ingestNearBatch(db,
+      docs(2L -> "completely different content about database engines"),
+      "doc_id", "text")
+    assert(out.count() == 1, "fresh content must register, not wedge")
+    // the re-arrival drops — proof the ingest registered at the
+    // CLAIMED n (signatures built at a different n would never match)
+    val out2 = IncrementalDedup.ingestNearBatch(db,
+      docs(3L -> "completely different content about database engines"),
+      "doc_id", "text")
+    assert(out2.isEmpty, "re-arrival must drop against the n=4 store")
+    // a PRE-CLAIM store (rows, no property): probe and register refuse
+    // loudly instead of guessing a shingle size that matches nothing
+    graft.store.Manifest.update(db.warehouse)(m =>
+      m.copy(props = m.props - "neardup.n"))
+    intercept[IllegalStateException] {
+      IncrementalDedup.dropNearSeenBefore(db, docs(9L -> "x y z"),
+        "doc_id", "text")
+    }
+    intercept[IllegalStateException] {
+      IncrementalDedup.registerNearBatch(db, docs(9L -> "x y z"),
+        "doc_id", "text", n = 4)
+    }
+    // stamping the true size restores everything; a disagreeing stamp
+    // refuses (first-writer-wins like the claims)
+    IncrementalDedup.stampNearShingleSize(db, 4)
+    assert(IncrementalDedup.dropNearSeenBefore(db,
+      docs(10L -> "completely different content about database engines"),
+      "doc_id", "text").isEmpty)
+    intercept[graft.store.TxWriter.PropertyConflict] {
+      IncrementalDedup.stampNearShingleSize(db, 3)
+    }
+  }
+
   test("seen content drops across batches; new content passes") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,

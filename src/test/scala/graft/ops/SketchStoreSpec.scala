@@ -222,6 +222,49 @@ class SketchStoreSpec extends SparkSpec {
     }
   }
 
+  test("PRE-CLAIM stores (rows, no geometry property) refuse " +
+      "geometry-dependent reads and fresh claims until stamped") {
+    val db = tmpDb()
+    SketchStore.registerKmv(db, toks((1 to 100).map(i => s"w$i"): _*),
+      col("t"), k = 16)
+    // simulate a store written by a pre-claim engine version
+    graft.store.Manifest.update(db.warehouse)(m =>
+      m.copy(props = m.props - "kmv.k/t"))
+    // the estimator must not decode at the default k (it would read the
+    // full 16-minima sketch as below-capacity and certify exactness)
+    intercept[IllegalStateException] { SketchStore.storedKmvEstimate(db) }
+    // nor may a fresh registration claim ANY k over unrecorded rows —
+    // a later fold at a wrongly-claimed smaller k would truncate data
+    intercept[IllegalStateException] {
+      SketchStore.registerKmv(db, toks("x"), col("t"), k = 64)
+    }
+    // the operator states the true geometry; reads resume correctly
+    SketchStore.stampGeometry(db, kmvK = Some(16))
+    val (n, est) = SketchStore.storedKmvEstimate(db)
+      .select("n_sketch", "est_distinct").as[(Long, Long)].head()
+    assert(n == 16 && est > 16, s"stamped store must estimate: ($n, $est)")
+    // a disagreeing stamp refuses, first-writer-wins
+    intercept[graft.store.TxWriter.PropertyConflict] {
+      SketchStore.stampGeometry(db, kmvK = Some(64))
+    }
+    // same contract for the count-min probe: claim stripped → loud
+    // refusal, never a wrong-cell probe at the defaults
+    val cdb = tmpDb()
+    SketchStore.registerCountMin(cdb, toks("a", "a", "b"), col("t"),
+      batchId = 0L, d = 2, w = 64L)
+    graft.store.Manifest.update(cdb.warehouse)(m =>
+      m.copy(props = m.props - "cm.d/t" - "cm.w/t"))
+    intercept[IllegalStateException] {
+      SketchStore.probeStoredCountMin(cdb, toks("a"), "t")
+    }
+    SketchStore.stampGeometry(cdb, cm = Some((2, 64L)))
+    assert(SketchStore.probeStoredCountMin(cdb, toks("a"), "t")
+      .as[(String, Long)].head()._2 == 2)
+    // empty families under an unclaimed tag still read as empty — the
+    // guard fires only when rows actually exist
+    assert(SketchStore.storedHeavyHitters(cdb).isEmpty)
+  }
+
   test("racing FIRST registrations with different geometries: exactly " +
       "one wins — the loser refuses loudly, never mixes in") {
     import scala.concurrent.{Await, Future}
