@@ -179,17 +179,9 @@ object IncrementalDedup {
     * shingle size the store was actually registered with
     * (first-writer-wins; a disagreeing stamp refuses).
     */
-  def stampNearShingleSize(db: graft.store.Db, n: Int): Unit = {
-    graft.store.Manifest.update(db.warehouse) { m =>
-      m.props.get(NEARDUP_N_PROP).filter(_ != n.toString).foreach { ex =>
-        throw new graft.store.TxWriter.PropertyConflict(
-          s"table property '$NEARDUP_N_PROP' already set to '$ex' " +
-            s"(stamp requested '$n')")
-      }
-      m.copy(props = m.props + (NEARDUP_N_PROP -> n.toString))
-    }
-    ()
-  }
+  def stampNearShingleSize(db: graft.store.Db, n: Int): Unit =
+    graft.store.Manifest.stampProps(db.warehouse,
+      Map(NEARDUP_N_PROP -> n.toString))
 
   def registerNearBatch(db: graft.store.Db, batch: DataFrame, idCol: String,
                         textCol: String, n: Int = 3,
@@ -203,9 +195,15 @@ object IncrementalDedup {
         s"registration $n")
     // a claim on a PRE-CLAIM store would be trusted over rows whose
     // true n nobody recorded — refuse until stamped (cheap: the probe
-    // runs only when the claim is absent on a non-fresh warehouse)
-    if (ex.isEmpty && snap.manifest.dataTxids.nonEmpty &&
-        !snap.read("m/%").isEmpty)
+    // runs only when the claim is absent on a non-fresh warehouse).
+    // The emptiness test is on actual NEAR rows (non-null bh), not the
+    // raw "m/%" pattern — the MG sketch store's "m/<tag>/<item>" keys
+    // share the prefix in a mixed warehouse and must not trip it.
+    if (ex.isEmpty && snap.manifest.dataTxids.nonEmpty && {
+        val near0 = snap.read("m/%")
+        near0.columns.contains("bh") &&
+          !near0.filter(col("bh").isNotNull).isEmpty
+      })
       throw new IllegalStateException(unclaimedNearMsg)
     graft.store.TxWriter.write(db,
       bandRows(batch, idCol, textCol, n)
@@ -244,7 +242,10 @@ object IncrementalDedup {
     // an empty family may proceed at the default.
     val n = snap.manifest.props.get(NEARDUP_N_PROP).map(_.toInt)
       .getOrElse {
-        if (!seen0.isEmpty) throw new IllegalStateException(unclaimedNearMsg)
+        // near rows = non-null bh (a mixed warehouse's MG rows share
+        // the "m/" prefix but never the column)
+        if (!seen0.filter(col("bh").isNotNull).isEmpty)
+          throw new IllegalStateException(unclaimedNearMsg)
         3
       }
     val b = bandRows(batch, idCol, textCol, n)
@@ -278,19 +279,21 @@ object IncrementalDedup {
                       cursor: Option[(String, Long)] = None,
                       sinkProps: Map[String, String] = Map.empty,
                       fuse: Boolean = false): DataFrame = {
-    // BOTH halves run at the store's claimed shingle size: the probe
-    // reads it internally, and the registration must match it — a
-    // hard-coded default here would wedge the sink forever on a store
-    // claimed at any other n (every batch forwarded via onFresh, then
-    // refused at registration, cursor never advancing).
-    val n = graft.store.Manifest.current(db.warehouse)
-      .props.get(NEARDUP_N_PROP).map(_.toInt).getOrElse(3)
     val fresh = dropNearSeenBefore(db, batch, idCol, textCol, minAgree)
       .localCheckpoint(true) // the register tx must not re-plan the probe
     onFresh(fresh)
-    if (!fresh.isEmpty)
+    if (!fresh.isEmpty) {
+      // register at the store's CLAIMED shingle size, read as late as
+      // possible (after the probe): a hard-coded default would wedge
+      // the sink forever on a store claimed at any other n (every
+      // batch forwarded via onFresh, then refused at registration,
+      // cursor never advancing), and an early read could race a
+      // concurrent first claim
+      val n = graft.store.Manifest.current(db.warehouse)
+        .props.get(NEARDUP_N_PROP).map(_.toInt).getOrElse(3)
       registerNearBatch(db, fresh, idCol, textCol, n = n, cursor = cursor,
         sinkProps = sinkProps, fuse = fuse)
+    }
     fresh
   }
 }

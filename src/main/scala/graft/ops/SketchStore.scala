@@ -89,24 +89,28 @@ object SketchStore {
     * the true geometry with [[stampGeometry]] first.
     */
   private def requireIntGeom(db: graft.store.Db, prop: String, v: Int,
-                             what: String)(preexisting: => Boolean): Unit = {
-    val ex = graft.store.Manifest.current(db.warehouse).props.get(prop)
+                             what: String)(pattern: String): Unit = {
+    // claim AND row-existence come from ONE snapshot: a second, later
+    // read could see a concurrent first registration's rows without
+    // its claim and spuriously refuse a valid same-geometry writer
+    val snap = db.snapshot()
+    val ex = snap.manifest.props.get(prop)
     require(ex.forall(_ == v.toString),
       s"$what mismatch: stored ${ex.getOrElse("-")} vs registration $v " +
         s"(property $prop)")
-    if (ex.isEmpty && preexisting)
+    if (ex.isEmpty && familyNonEmpty(snap, pattern))
       throw new IllegalStateException(unclaimedMsg(prop, what))
   }
 
-  /** True iff the warehouse already holds rows under `pattern` — the
-    * claim-absent pre-existence probe. Lazy and cheap: fresh warehouses
-    * short-circuit on the manifest (no job at all); only an unclaimed
-    * NON-fresh warehouse pays one key-pruned emptiness probe.
+  /** True iff the snapshot already holds rows under `pattern` — the
+    * claim-absent pre-existence probe, off the SAME snapshot the claim
+    * was read from. Cheap: fresh warehouses short-circuit on the
+    * manifest (no job at all); only an unclaimed NON-fresh warehouse
+    * pays one key-pruned emptiness probe.
     */
-  private def familyNonEmpty(db: graft.store.Db, pattern: String): Boolean = {
-    val snap = db.snapshot()
+  private def familyNonEmpty(snap: graft.store.Db#Snapshot,
+                             pattern: String): Boolean =
     snap.manifest.dataTxids.nonEmpty && !snap.read(pattern).isEmpty
-  }
 
   /** The loud pre-claim-store error every reader and registration
     * shares: reading (or claiming over) rows whose geometry nobody
@@ -158,17 +162,7 @@ object SketchStore {
         histBy.toSeq.flatMap { case (b, w, o) =>
           histByGridClaim(tag, b, w, o) }
     require(claims.nonEmpty, "stampGeometry: nothing to stamp")
-    graft.store.Manifest.update(db.warehouse) { m =>
-      claims.foreach { case (p, v) =>
-        m.props.get(p).filter(_ != v).foreach { ex =>
-          throw new graft.store.TxWriter.PropertyConflict(
-            s"table property '$p' already set to '$ex' (stamp requested " +
-              s"'$v')")
-        }
-      }
-      m.copy(props = m.props ++ claims)
-    }
-    ()
+    graft.store.Manifest.stampProps(db.warehouse, claims)
   }
 
   // ── KMV ────────────────────────────────────────────────────────────
@@ -188,7 +182,7 @@ object SketchStore {
   def registerKmv(db: graft.store.Db, batch: DataFrame, elem: Column,
                   tag: String = "t", k: Int = Sketches.KMV_K): Long = {
     requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")(
-      familyNonEmpty(db, kmvKey(tag)))
+      kmvKey(tag))
     val rows = Sketches.kmvSketch(batch, elem, k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
     graft.store.TxWriter.write(db, rows,
@@ -300,8 +294,7 @@ object SketchStore {
                     sinkProps: Map[String, String] = Map.empty,
                     fuse: Boolean = false): Long = {
     requireIntGeom(db, kmvByKProp(tag), k,
-      s"grouped KMV k for tag '$tag'")(
-      familyNonEmpty(db, kmvByPrefix(tag) + "%"))
+      s"grouped KMV k for tag '$tag'")(kmvByPrefix(tag) + "%")
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
     graft.store.TxWriter.write(db, kmvByRows(tag, hashed, k),
@@ -447,9 +440,9 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmGrid(db, tag, d, w)
     requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")(
-      familyNonEmpty(db, kmvKey(tag)))
+      kmvKey(tag))
     requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")(
-      familyNonEmpty(db, mgPrefix(tag) + "%"))
+      mgPrefix(tag) + "%")
     valueCol.foreach(_ => requireHistGrid(db, tag, b, histW, origin))
     // the families aggregate the SAME element stream — and three of
     // them (KMV, count-min, MG) are pure functions of the batch's
@@ -585,11 +578,9 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmByGrid(db, tag, d, cmW)
     requireIntGeom(db, kmvByKProp(tag), k,
-      s"grouped KMV k for tag '$tag'")(
-      familyNonEmpty(db, kmvByPrefix(tag) + "%"))
+      s"grouped KMV k for tag '$tag'")(kmvByPrefix(tag) + "%")
     requireIntGeom(db, mgByCProp(tag), c,
-      s"grouped MG c for tag '$tag'")(
-      familyNonEmpty(db, mgByPrefix(tag) + "%"))
+      s"grouped MG c for tag '$tag'")(mgByPrefix(tag) + "%")
     valueCol.foreach(_ => requireHistByGrid(db, tag, b, w, origin))
     // ONE exact (grp, item, cnt) aggregation feeds KMV, MG AND
     // count-min — the same count-derivability argument as
@@ -719,7 +710,8 @@ object SketchStore {
     */
   private def requireCmGrid(db: graft.store.Db, tag: String, d: Int,
                             w: Long): Unit = {
-    val m = graft.store.Manifest.current(db.warehouse)
+    val snap = db.snapshot()
+    val m = snap.manifest
     val exD = m.props.get(cmDProp(tag))
     val exW = m.props.get(cmWProp(tag))
     require(exD.forall(_ == d.toString) && exW.forall(_ == w.toString),
@@ -727,7 +719,7 @@ object SketchStore {
         s"(d=${exD.getOrElse("-")}, w=${exW.getOrElse("-")}) " +
         s"vs registration (d=$d, w=$w)")
     if (exD.isEmpty && exW.isEmpty &&
-        familyNonEmpty(db, cmPrefix(tag) + "%"))
+        familyNonEmpty(snap, cmPrefix(tag) + "%"))
       throw new IllegalStateException(
         unclaimedMsg(cmDProp(tag), s"count-min geometry for tag '$tag'"))
   }
@@ -840,7 +832,8 @@ object SketchStore {
     */
   private def requireCmByGrid(db: graft.store.Db, tag: String, d: Int,
                               w: Long): Unit = {
-    val m = graft.store.Manifest.current(db.warehouse)
+    val snap = db.snapshot()
+    val m = snap.manifest
     val exD = m.props.get(cmByDProp(tag))
     val exW = m.props.get(cmByWProp(tag))
     require(exD.forall(_ == d.toString) && exW.forall(_ == w.toString),
@@ -848,7 +841,7 @@ object SketchStore {
         s"(d=${exD.getOrElse("-")}, w=${exW.getOrElse("-")}) " +
         s"vs registration (d=$d, w=$w)")
     if (exD.isEmpty && exW.isEmpty &&
-        familyNonEmpty(db, cmByPrefix(tag) + "%"))
+        familyNonEmpty(snap, cmByPrefix(tag) + "%"))
       throw new IllegalStateException(
         unclaimedMsg(cmByDProp(tag),
           s"grouped count-min geometry for tag '$tag'"))
@@ -1008,7 +1001,7 @@ object SketchStore {
     // threshold (and a fold's re-truncation) are only sound at one
     // uniform c — claimed first-writer-wins, read back by reports/folds
     requireIntGeom(db, mgCProp(tag), c, s"MG c for tag '$tag'")(
-      familyNonEmpty(db, mgPrefix(tag) + "%"))
+      mgPrefix(tag) + "%")
     // nulls are excluded from the summary AND the mass, matching
     // [[Sketches.heavyHitters]] (a null item would also become a null
     // store key). The partial IS truncate-over-exact-counts and the
@@ -1184,8 +1177,7 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // materialized once — partial + per-group mass are two subtrees
     requireIntGeom(db, mgByCProp(tag), c,
-      s"grouped MG c for tag '$tag'")(
-      familyNonEmpty(db, mgByPrefix(tag) + "%"))
+      s"grouped MG c for tag '$tag'")(mgByPrefix(tag) + "%")
     // the partial and the mass rows both derive from the exact
     // (grp, item) counts — aggregate once, materialize the
     // vocabulary-sized result instead of the raw stream
@@ -1475,7 +1467,8 @@ object SketchStore {
     */
   private def requireHistGrid(db: graft.store.Db, tag: String, b: Int,
                               w: Long, origin: Long): Unit = {
-    val m = graft.store.Manifest.current(db.warehouse)
+    val snap = db.snapshot()
+    val m = snap.manifest
     val exW = m.props.get(histWProp(tag))
     val exO = m.props.get(histOriginProp(tag))
     val exB = m.props.get(histBProp(tag))
@@ -1485,10 +1478,15 @@ object SketchStore {
         s"(b=${exB.getOrElse("-")}, w=${exW.getOrElse("-")}, " +
         s"origin=${exO.getOrElse("-")}) " +
         s"vs registration (b=$b, w=$w, origin=$origin)")
-    if (exW.isEmpty && exO.isEmpty &&
-        familyNonEmpty(db, histPrefix(tag) + "%"))
+    // fully unclaimed OR partially claimed (the b cap joined the grid
+    // claim after (w, origin) — a pre-b store's rows clamp at an
+    // unrecorded cap, and claiming any b over them would silently
+    // shift the merged top envelope): refuse with rows until stamped
+    if ((exW.isEmpty || exB.isEmpty) &&
+        familyNonEmpty(snap, histPrefix(tag) + "%"))
       throw new IllegalStateException(
-        unclaimedMsg(histWProp(tag), s"histogram grid for tag '$tag'"))
+        unclaimedMsg(if (exW.isEmpty) histWProp(tag) else histBProp(tag),
+          s"histogram grid for tag '$tag'"))
   }
 
   /** The store's grid geometry, read back from the manifest properties
@@ -1612,7 +1610,8 @@ object SketchStore {
     */
   private def requireHistByGrid(db: graft.store.Db, tag: String, b: Int,
                                 w: Long, origin: Long): Unit = {
-    val m = graft.store.Manifest.current(db.warehouse)
+    val snap = db.snapshot()
+    val m = snap.manifest
     val exW = m.props.get(histByWProp(tag))
     val exO = m.props.get(histByOriginProp(tag))
     val exB = m.props.get(histByBProp(tag))
@@ -1622,10 +1621,11 @@ object SketchStore {
         s"(b=${exB.getOrElse("-")}, w=${exW.getOrElse("-")}, " +
         s"origin=${exO.getOrElse("-")}) " +
         s"vs registration (b=$b, w=$w, origin=$origin)")
-    if (exW.isEmpty && exO.isEmpty &&
-        familyNonEmpty(db, histByPrefix(tag) + "%"))
+    if ((exW.isEmpty || exB.isEmpty) &&
+        familyNonEmpty(snap, histByPrefix(tag) + "%"))
       throw new IllegalStateException(
-        unclaimedMsg(histByWProp(tag),
+        unclaimedMsg(
+          if (exW.isEmpty) histByWProp(tag) else histByBProp(tag),
           s"grouped histogram grid for tag '$tag'"))
   }
 
@@ -1810,7 +1810,17 @@ object SketchStore {
     val deadline = System.nanoTime() + waitMillis * 1000000L
     var attempt = 0
     while (System.nanoTime() < deadline) {
-      val baseline = graft.store.Manifest.current(db.warehouse)
+      val snap0 = db.snapshot()
+      val baseline = snap0.manifest
+      // a migration DECODES the stored bins at the claimed width and
+      // then publishes the NEW width as a confident claim — on a
+      // PRE-CLAIM store it would re-bin at a guessed default and
+      // permanently mislabel the grid (worse than a guarded read: the
+      // wrong geometry becomes claimed). Refuse until stamped.
+      if (!baseline.props.contains(wProp) &&
+          familyNonEmpty(snap0, wildcard))
+        throw new IllegalStateException(
+          unclaimedMsg(wProp, s"$what: stored grid width"))
       val (w, origin) = gridOf(baseline, wProp, oProp)
       require(newW >= w && newW % w == 0,
         s"new width $newW must be a positive multiple of stored width $w")

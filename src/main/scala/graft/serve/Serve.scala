@@ -735,7 +735,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             s"""{"tag":${jstr(tag)},"kind":"hist","truncated":$truncated""" +
               s""","groups":$groups,$fresh}""" + "\n")
         case "kmv" =>
-          // one row per group — the limit is directly the group cap
+          // one row per group — the limit is directly the group cap;
+          // the claimed k binds once off the snapshot and serves both
+          // the per-group exactness labels and the body's "k" field
+          val kClaim = graft.ops.SketchStore.storedKmvByKAt(snap, tag)
           val rows = pick(
               graft.ops.SketchStore.storedKmvEstimateByAt(db, snap,
                 tag = tag))
@@ -746,12 +749,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           val truncated = rows.size > maxGroups
           val groups = rows.take(maxGroups).map { case (g, ns, est) =>
             s"""{"grp":${jstr(g)},"estDistinct":$est""" +
-              s""","exactBelowK":${
-                ns < graft.ops.SketchStore.storedKmvByKAt(snap, tag)}}"""
+              s""","exactBelowK":${ns < kClaim}}"""
           }.mkString("[", ",", "]")
           (200,
-            s"""{"tag":${jstr(tag)},"kind":"kmv","k":${
-              graft.ops.SketchStore.storedKmvByKAt(snap, tag)}""" +
+            s"""{"tag":${jstr(tag)},"kind":"kmv","k":$kClaim""" +
               s""","truncated":$truncated,"groups":$groups,$fresh}""" +
               "\n")
         case "mg" =>

@@ -462,6 +462,29 @@ object Manifest {
       next.copy(created = java.util.UUID.randomUUID().toString)
     else next
 
+  /** First-writer-wins property stamp — the operator escape hatch for
+    * PRE-CLAIM stores ([[graft.ops.SketchStore.stampGeometry]],
+    * [[graft.ops.IncrementalDedup.stampNearShingleSize]]): each key
+    * must be absent or already equal; a disagreeing existing value
+    * refuses with [[TxWriter.PropertyConflict]] and nothing is written.
+    * One copy of the conflict-check-and-merge so the escape hatches
+    * cannot drift.
+    */
+  def stampProps(warehouse: String, claims: Map[String, String]): Unit = {
+    require(claims.nonEmpty, "stampProps: nothing to stamp")
+    update(warehouse) { m =>
+      claims.foreach { case (p, v) =>
+        m.props.get(p).filter(_ != v).foreach { ex =>
+          throw new TxWriter.PropertyConflict(
+            s"table property '$p' already set to '$ex' (stamp requested " +
+              s"'$v')")
+        }
+      }
+      m.copy(props = m.props ++ claims)
+    }
+    ()
+  }
+
   /** Run `mutate` under optimistic concurrency until the commit lands. */
   def update(warehouse: String)(mutate: ManifestState => ManifestState): ManifestState = {
     var attempts = 0

@@ -54,6 +54,26 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("first near registration in a warehouse already holding an MG " +
+      "sketch store (shared m/ key prefix) is not spuriously refused") {
+    val db = tmpDb()
+    graft.ops.SketchStore.registerMg(db,
+      Seq("x", "y", "x").toDF("t"), col("t"), batchId = 0L)
+    // the NEAR store is empty; only the MG rows share the "m/" prefix —
+    // the pre-claim guard must test actual near rows (non-null bh),
+    // not the raw key pattern, or coexistence (a documented layout)
+    // breaks on the first near write
+    IncrementalDedup.registerNearBatch(db,
+      docs(1L -> "the quick brown fox jumps over the lazy dog"),
+      "doc_id", "text")
+    val out = IncrementalDedup.dropNearSeenBefore(db,
+      docs(2L -> "the quick brown fox jumps over the lazy dog"),
+      "doc_id", "text")
+    assert(out.isEmpty, "exact re-arrival must drop in the mixed warehouse")
+    // and the MG report is untouched by the near rows
+    assert(graft.ops.SketchStore.storedHeavyHitters(db).count() == 2)
+  }
+
   test("seen content drops across batches; new content passes") {
     val db = tmpDb()
     IncrementalDedup.registerBatch(db,
