@@ -148,6 +148,21 @@ object IncrementalDedup {
       .select(col("doc_id"), col("sig"),
         (col("col") * BANDS + col("pos")).as("bh"))
 
+  /** True iff the snapshot holds actual NEAR rows (non-null `bh` under
+    * "m/%") — THE one definition of the family's emptiness, shared by
+    * the register and probe guards: the MG sketch store's
+    * "m/<tag>/<item>" keys share the prefix in a mixed warehouse and
+    * must never trip it (its rows carry no bh). Evaluated only on
+    * claim-absent stores, so claimed steady state pays nothing; the
+    * full-family filter scan is sketch-store-sized and runs at most
+    * until the first claim lands.
+    */
+  private def nearFamilyNonEmpty(snap: graft.store.Db#Snapshot): Boolean = {
+    val rows = snap.read("m/%")
+    rows.columns.contains("bh") &&
+      !rows.filter(col("bh").isNotNull).isEmpty
+  }
+
   /** The store's shingle-size property (first-writer-wins claim): band
     * hashes and signatures derive from n-shingles, so rows registered
     * at one n can never match probes at another — a mismatched probe
@@ -195,15 +210,9 @@ object IncrementalDedup {
         s"registration $n")
     // a claim on a PRE-CLAIM store would be trusted over rows whose
     // true n nobody recorded — refuse until stamped (cheap: the probe
-    // runs only when the claim is absent on a non-fresh warehouse).
-    // The emptiness test is on actual NEAR rows (non-null bh), not the
-    // raw "m/%" pattern — the MG sketch store's "m/<tag>/<item>" keys
-    // share the prefix in a mixed warehouse and must not trip it.
-    if (ex.isEmpty && snap.manifest.dataTxids.nonEmpty && {
-        val near0 = snap.read("m/%")
-        near0.columns.contains("bh") &&
-          !near0.filter(col("bh").isNotNull).isEmpty
-      })
+    // runs only when the claim is absent on a non-fresh warehouse)
+    if (ex.isEmpty && snap.manifest.dataTxids.nonEmpty &&
+        nearFamilyNonEmpty(snap))
       throw new IllegalStateException(unclaimedNearMsg)
     graft.store.TxWriter.write(db,
       bandRows(batch, idCol, textCol, n)
@@ -242,9 +251,7 @@ object IncrementalDedup {
     // an empty family may proceed at the default.
     val n = snap.manifest.props.get(NEARDUP_N_PROP).map(_.toInt)
       .getOrElse {
-        // near rows = non-null bh (a mixed warehouse's MG rows share
-        // the "m/" prefix but never the column)
-        if (!seen0.filter(col("bh").isNotNull).isEmpty)
+        if (nearFamilyNonEmpty(snap))
           throw new IllegalStateException(unclaimedNearMsg)
         3
       }
