@@ -701,6 +701,64 @@ object PipelineStress {
           f"files, cursor@${bmM.streamBatchFor("bm25")}")
     }
 
+    // ── the EXACT-dedup sink's year, completing the index-sink battery
+    // family: a seed batch plus 365 daily ingest steps through the
+    // dedupWriter shape (ingestBatch: probe → forward → register, fused
+    // 1-commit with cursor riders), each day mixing fresh documents
+    // with re-arrivals of seed content, maintenance every 30 batches.
+    // The fingerprint store must end bounded with steady probe latency
+    // — the probe is a bloom-gated slim-column scan, so a year of
+    // appends must not grow the per-batch cost.
+    {
+      import graft.ops.IncrementalDedup
+      val ddb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-dedupyear").toString)
+      val seedN = math.max(1000L, n / 50)
+      val dayN = 500L
+      def dDay(b: Int) = docs.filter(
+          col("doc_id") >= seedN + (b - 1) * dayN &&
+            col("doc_id") < seedN + b * dayN)
+        .unionByName(docs.filter(col("doc_id") < 250)) // daily re-arrivals
+      def dMaint(): Unit = {
+        graft.store.Compactor.tryMajor(ddb)
+        graft.store.Compactor.tryVacuum(ddb, graceMs = 0L)
+        graft.store.Compactor.tryPruneHistory(ddb, keep = 100)
+        ()
+      }
+      val dProbe = docs.filter(col("doc_id") < 5000).localCheckpoint(true)
+      timed(s"dedupyear: seed($seedN) + 30 ingests") {
+        IncrementalDedup.registerBatch(ddb,
+          docs.filter(col("doc_id") < seedN), "doc_id", "text",
+          cursor = Some(("dedup", 0L)), fuse = true)
+        (1 to 30).foreach { b =>
+          IncrementalDedup.ingestBatch(ddb, dDay(b), "doc_id", "text",
+            cursor = Some(("dedup", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) dMaint()
+        }
+        graft.store.Manifest.currentVersion(ddb.warehouse)
+      }
+      timed("dedupyear: probe @ 30 batches")(
+        IncrementalDedup.dropSeenBefore(ddb, dProbe, "doc_id", "text")
+          .count())
+      timed("dedupyear: ingests 31..365, maint/30") {
+        (31 to 365).foreach { b =>
+          IncrementalDedup.ingestBatch(ddb, dDay(b), "doc_id", "text",
+            cursor = Some(("dedup", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) dMaint()
+        }
+        graft.store.Manifest.currentVersion(ddb.warehouse)
+      }
+      timed("dedupyear: probe @ 365 batches")(
+        IncrementalDedup.dropSeenBefore(ddb, dProbe, "doc_id", "text")
+          .count())
+      val dM = graft.store.Manifest.current(ddb.warehouse)
+      if (dM.dataTxids.nonEmpty)
+        println(f"PSTRESS   dedupyear end state: ${dM.dataTxids.size} data " +
+          f"txids, ${dM.deleteTxids.size} markers, " +
+          f"${graft.store.Manifest.versions(ddb.warehouse).size} manifest " +
+          f"files, cursor@${dM.streamBatchFor("dedup")}")
+    }
+
     spark.stop()
   }
 }
