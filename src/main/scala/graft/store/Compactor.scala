@@ -230,8 +230,12 @@ object Compactor {
     val merged = SeriesOps.lastWins(purged, Seq("key", "ts"), "txid").drop("txid")
     val out = transform(merged)
 
-    // Write straight into the claimed txid's (new) directory — no live
-    // directory is touched; a crash here leaves an invisible orphan.
+    // Write into a uniquely named tentative directory and atomically
+    // rename into the claimed txid — no live directory is touched, no
+    // parquet job ever targets a txid= path (a fused writer camping on
+    // this number in its microsecond rename window surfaces as an
+    // abort-retry below instead of a job collision); a crash here
+    // leaves an invisible orphan for vacuum.
     // The rewrite honors the warehouse's sticky layout exactly like
     // TxWriter.writeDataDir: a bucket-major warehouse (ANN index —
     // bucket = IVF cell) range-partitions by (tbucket, key, ts) so each
@@ -255,7 +259,14 @@ object Compactor {
       .write.mode(SaveMode.ErrorIfExists)
       .option("compression", "zstd")
     val writer = if (w > 0) writer0.partitionBy("tbucket") else writer0
-    writer.parquet(s"${db.dataDir}/txid=$newTxid")
+    val tentative = TxWriter.tentativePath(db)
+    writer.parquet(tentative.toString)
+    if (!TxWriter.tryRename(tentative, TxWriter.txidPath(db, newTxid))) {
+      // a fused writer took the number in its rename window before our
+      // claim landed — its CAS moves it forward; retry with a fresh claim
+      TxWriter.deleteRecursivelyIfExists(tentative)
+      throw new AbortCompaction
+    }
 
     // Atomic cutover: one manifest commit swaps the compacted inputs for
     // the new transaction (and purges markers on major). Old directories
@@ -302,7 +313,9 @@ object Compactor {
       }
     } catch {
       case _: AbortCompaction =>
-        deleteRecursively(Paths.get(s"${db.dataDir}/txid=$newTxid"))
+        // the rename-race abort fires before the directory exists
+        TxWriter.deleteRecursivelyIfExists(
+          Paths.get(s"${db.dataDir}/txid=$newTxid"))
         if (retries >= 5) throw new IllegalStateException(
           "compaction aborted 5 times by low-ranked concurrent commits")
         compactLocked(db, major, transform, limitTx, retries + 1)

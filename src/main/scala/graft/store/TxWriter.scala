@@ -122,16 +122,20 @@ object TxWriter {
     *        publishes move `nextTxid`/the published sets, which the CAS
     *        detects — concurrent folds re-fold, compactors abort-retry),
     *        and a concurrent claim-first writer that claims the fused
-    *        writer's TENTATIVE txid mid-write SELF-HEALS: it sees the
-    *        occupied directory, burns the number and claims the next,
-    *        while the fused side renames its directory forward — both
-    *        commit (only a simultaneous-start race inside the
-    *        occupancy check's window still fails loudly on one side,
-    *        with nothing published). Falls back to the claim-first
-    *        protocol whenever the fused attempt cannot proceed (a claim
-    *        in flight, the tentative directory occupied by a crashed
-    *        writer's orphan — whose number is burned so the fallback
-    *        cannot collide, or publish contention past the retry budget).
+    *        writer's TENTATIVE txid mid-write SELF-HEALS: its atomic
+    *        rename into the occupied number fails, so it burns the
+    *        number and claims the next, while the fused side renames
+    *        its directory forward — both commit. NO interleaving of
+    *        the two protocols can error: every parquet job targets a
+    *        uniquely named tentative directory and `txid=` directories
+    *        come into existence only via atomic fail-if-exists renames,
+    *        so there is no check-then-write window left (mixed
+    *        protocols degrade to burned txid numbers at worst). Falls
+    *        back to the claim-first protocol whenever the fused attempt
+    *        cannot proceed (a claim in flight, the tentative number
+    *        occupied by a crashed writer's orphan — whose number is
+    *        burned so the fallback cannot collide, or publish
+    *        contention past the retry budget).
     *        Never used for a warehouse's FIRST bucket-layout-setting
     *        write (the sticky-width commit needs the claim-first
     *        ordering).
@@ -177,25 +181,8 @@ object TxWriter {
         case None     => () // fall through to the claim-first protocol
       }
 
-    // self-heal the mixed-protocol collision: a mid-flight FUSED writer
-    // may occupy this claimed number's directory with its TENTATIVE
-    // (unclaimed, invisible) data — writing into it would fail loudly
-    // on the existing path. Step past instead: drop the dead claim (the
-    // number stays burned — the claim already moved nextTxid beyond it)
-    // and take the next. The fused owner then finds nextTxid moved and
-    // renames its directory forward (writeFused's rename-retry), so
-    // BOTH writers commit; mixed protocols on one warehouse degrade to
-    // burned txid numbers, never to errors. (A fused writer whose
-    // write JOB starts after this check can still race the same
-    // directory — the residual window the single-writer-per-warehouse
-    // deployment rule exists for; one side then fails loudly with
-    // nothing published, exactly as before.)
     var txid = claimTxid(db)
-    while (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(db.dataDir, s"txid=$txid"))) {
-      abandonClaim(db, txid)
-      txid = claimTxid(db)
-    }
+    val tmp = tentativePath(db)
     try {
     // the sticky width/layout commits immediately after the claim —
     // BEFORE the (possibly long) write job — so a concurrent writer
@@ -209,15 +196,17 @@ object TxWriter {
         if (m.timeBucket == 0L) m.copy(timeBucket = width, bucketMajor = major)
         else m)
 
-    val written = writeDataDir(db, df, txid, width, major, rangePartitions)
+    // the parquet job targets a uniquely named TENTATIVE directory —
+    // never the txid= path — so no concurrent writer (fused tentative,
+    // crashed orphan, racing claim-first) can ever collide with the
+    // write job itself; the claimed number is taken by an atomic
+    // rename below
+    val written = writeDataDir(db, df, tmp, width, major, rangePartitions)
     // bucket-explosion guard: one readdir of the just-written tx BEFORE
     // publish, so a misconfigured layout fails loudly while the tx is
     // still invisible instead of poisoning the warehouse's layout forever
     if (width > 0) {
-      val path = new org.apache.hadoop.fs.Path(s"${db.dataDir}/txid=$txid")
-      val fs = path.getFileSystem(db.spark.sessionState.newHadoopConf())
-      val minted = fs.listStatus(path).count(st =>
-        st.isDirectory && st.getPath.getName.startsWith("tbucket="))
+      val minted = mintedBuckets(db, tmp)
       if (minted > maxNewBuckets) {
         // un-poison the layout a refused FIRST write just set —
         // conditional: if a concurrent writer already published data
@@ -242,14 +231,83 @@ object TxWriter {
             "transaction was NOT published.")
       }
     }
+    // self-heal the mixed-protocol collision by construction: the
+    // atomic fail-if-exists rename IS the occupancy check. A mid-flight
+    // FUSED writer camping its tentative data on this claimed number
+    // makes the rename fail — drop the dead claim (the number stays
+    // burned, the claim already moved nextTxid beyond it) and take the
+    // next; the fused owner then finds nextTxid moved and renames its
+    // directory forward (writeFused's rename-retry), so BOTH writers
+    // commit. Bounded: a pathological warehouse state (a manifest
+    // restored below existing txid directories) surfaces as a loud
+    // descriptive error after MaxClaimSteps instead of silently
+    // consuming every occupied number.
+    var steps = 0
+    while (!tryRename(tmp, txidPath(db, txid))) {
+      abandonClaim(db, txid)
+      steps += 1
+      if (steps >= MaxClaimSteps)
+        throw new IllegalStateException(
+          s"claimed $MaxClaimSteps consecutive txid numbers whose " +
+            s"directories are already occupied (last: txid=$txid) — the " +
+            "manifest's nextTxid is behind existing data directories " +
+            "(restored/rolled-back manifest?); refusing to burn further " +
+            "numbers. Nothing was published; repair the manifest or " +
+            "vacuum the orphan directories.")
+      txid = claimTxid(db)
+    }
     publishData(db, txid, written, props, propsClaim, streamCursor)
     txid
     } catch {
       // an in-process failure (guard refusal, write-job error, lost
       // props claim) means this txid will never publish — drop its
       // pending entry so the fold fence is not raised by a dead claim
-      case e: Throwable => abandonClaim(db, txid); throw e
+      // (the tentative directory, if the rename never happened, is an
+      // invisible orphan for vacuum; delete it eagerly here)
+      case e: Throwable =>
+        abandonClaim(db, txid); deleteRecursivelyIfExists(tmp); throw e
     }
+  }
+
+  /** Upper bound on claim-and-rename attempts in [[write]] — far above
+    * any legitimate mixed-protocol race (each step means ANOTHER
+    * writer's tentative/orphan directory occupied the freshly claimed
+    * number), low enough to surface a manifest/data-dir mismatch fast.
+    */
+  val MaxClaimSteps = 64
+
+  private[store] def txidPath(db: Db, txid: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(db.dataDir, s"txid=$txid")
+
+  /** A uniquely named tentative directory under `data/` — invisible to
+    * readers (they resolve explicit `txid=` paths off the manifest) and
+    * swept by [[Compactor.vacuum]] if a crash strands it.
+    */
+  private[store] def tentativePath(db: Db): java.nio.file.Path =
+    java.nio.file.Paths.get(db.dataDir,
+      s"tmp-tx-${java.util.UUID.randomUUID().toString}")
+
+  /** Atomic fail-if-exists rename — the ONLY way a `txid=` directory
+    * comes into existence, which is what makes every writer-interleaving
+    * race detectable instead of destructive: the loser of a rename race
+    * gets `false`, never a half-written directory.
+    */
+  private[store] def tryRename(from: java.nio.file.Path,
+                               to: java.nio.file.Path): Boolean =
+    try { java.nio.file.Files.move(from, to); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // the TOCTOU micro-window inside Files.move (target created
+      // between its existence check and the rename syscall) surfaces as
+      // ENOTEMPTY on posix — same meaning: the number is occupied
+      case _: java.nio.file.DirectoryNotEmptyException => false
+    }
+
+  private def mintedBuckets(db: Db, dir: java.nio.file.Path): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = path.getFileSystem(db.spark.sessionState.newHadoopConf())
+    fs.listStatus(path).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("tbucket="))
   }
 
   /** The fused commit protocol (see [[write]]'s `fuse` doc). None =
@@ -267,42 +325,51 @@ object TxWriter {
     // a claim in flight means a claim-first writer (or fold/compactor)
     // is active — don't interleave protocols on one warehouse
     if (start.pending.nonEmpty) return None
-    var txid = start.nextTxid
-    def dirOf(t: Long) = java.nio.file.Paths.get(db.dataDir, s"txid=$t")
-    if (java.nio.file.Files.exists(dirOf(txid))) {
-      // a crashed fused writer's orphan (or a racing fused writer)
-      // occupies the tentative number: burn it so NO later claim can
-      // collide with the directory (the orphan stays for vacuum)
-      burnTxid(db, txid)
+    def dirOf(t: Long) = txidPath(db, t)
+    if (java.nio.file.Files.exists(dirOf(start.nextTxid))) {
+      // a crashed fused writer's orphan occupies the tentative number:
+      // burn it BEFORE the (possibly long) write job, so the work isn't
+      // wasted on a number that can't be taken (the orphan stays for
+      // vacuum; burning also keeps later claims off the directory)
+      burnTxid(db, start.nextTxid)
       return None
     }
+    fuseWriteHook()
+    // the parquet job targets a uniquely named TENTATIVE directory,
+    // exactly like claim-first — no job ever writes into a txid= path,
+    // so a racing claim-first writer, compactor or second fused writer
+    // cannot collide with the write job itself
+    val tmp = tentativePath(db)
     val written =
-      try writeDataDir(db, df, txid, width, major, rangePartitions)
+      try writeDataDir(db, df, tmp, width, major, rangePartitions)
       catch {
-        case e: Throwable =>
-          // unlike claim-first (where a failed write's directory is an
-          // invisible orphan under a CLAIMED number), a partial dir at
-          // the UNCLAIMED nextTxid would block the next writer — remove
-          // it before rethrowing
-          deleteRecursivelyIfExists(dirOf(txid))
-          throw e
+        case e: Throwable => deleteRecursivelyIfExists(tmp); throw e
       }
     // bucket-explosion guard, same as the claim-first path (fused never
     // sets the width, so there is no first-write layout to revert)
     if (width > 0) {
-      val path = new org.apache.hadoop.fs.Path(s"${db.dataDir}/txid=$txid")
-      val fs = path.getFileSystem(db.spark.sessionState.newHadoopConf())
-      val minted = fs.listStatus(path).count(st =>
-        st.isDirectory && st.getPath.getName.startsWith("tbucket="))
+      val minted = mintedBuckets(db, tmp)
       if (minted > maxNewBuckets) {
-        deleteRecursivelyIfExists(dirOf(txid))
+        deleteRecursivelyIfExists(tmp)
         throw new BucketExplosion(
-          s"transaction $txid minted $minted tbucket= dirs (cap " +
+          s"fused transaction minted $minted tbucket= dirs (cap " +
             s"$maxNewBuckets) — see TxWriter.write's guard; the " +
             "transaction was NOT published.")
       }
     }
-    val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
+    val stats = txStatsOf(db, tmp.toString)
+    // take the tentative number by atomic rename — re-read first so a
+    // number claimed mid-write (a compactor's output claim, a
+    // claim-first writer) isn't camped on for the rename-forward dance
+    var txid = Manifest.current(db.warehouse).nextTxid
+    if (!tryRename(tmp, dirOf(txid))) {
+      // the fresh nextTxid's directory is occupied (an orphan, or a
+      // racer in the microseconds since the re-read): burn the number
+      // so no later claim collides, fall back to claim-first
+      burnTxid(db, txid)
+      deleteRecursivelyIfExists(tmp)
+      return None
+    }
     // ANY abnormal exit from the publish loop must remove the tentative
     // directory: unlike claim-first (whose conflict orphan sits under a
     // CLAIMED, consumed number), this directory occupies the UNCLAIMED
@@ -319,14 +386,9 @@ object TxWriter {
         // retry. A cheap rename on a posix/HDFS store; on an object
         // store the uncontended single-writer case never reaches here.
         val to = cur.nextTxid
-        if (java.nio.file.Files.exists(dirOf(to))) {
+        if (!tryRename(dirOf(txid), dirOf(to))) {
           deleteRecursivelyIfExists(dirOf(txid))
-          return None // another fused writer owns the new number
-        }
-        try java.nio.file.Files.move(dirOf(txid), dirOf(to))
-        catch {
-          case _: java.io.IOException =>
-            deleteRecursivelyIfExists(dirOf(txid)); return None
+          return None // another writer owns the new number
         }
         txid = to
       } else {
@@ -372,6 +434,15 @@ object TxWriter {
     */
   private[store] var fusePauseHook: () => Unit = () => ()
 
+  /** Test seam: invoked after a fused write's start checks, BEFORE its
+    * write job — the simultaneous-start window that under the pre-rename
+    * protocol could make two parquet jobs collide on one `txid=` path.
+    * TxFuseSpec runs a full claim-first write here to pin that BOTH
+    * writers now commit (the fused side re-targets the fresh nextTxid at
+    * rename time); a no-op in production.
+    */
+  private[store] var fuseWriteHook: () => Unit = () => ()
+
   /** Conditionally skip a txid number whose directory is occupied by an
     * orphan, so the claim-first fallback can never claim it.
     */
@@ -382,7 +453,7 @@ object TxWriter {
       ()
     }
 
-  private def deleteRecursivelyIfExists(p: java.nio.file.Path): Unit =
+  private[store] def deleteRecursivelyIfExists(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val s = java.nio.file.Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -390,16 +461,19 @@ object TxWriter {
       finally s.close()
     }
 
-  /** The physical transaction write shared by [[write]] and
-    * [[supersedeIf]]: range-shuffle-sort on the warehouse's layout,
-    * zstd parquet into `data/txid=<n>`. Returns the written schema.
+  /** The physical transaction write shared by [[write]], [[writeFused]]
+    * and [[supersedeIf]]: range-shuffle-sort on the warehouse's layout,
+    * zstd parquet into `target` — always a uniquely named TENTATIVE
+    * directory, never a `txid=` path (those are created only by
+    * [[tryRename]]). Returns the written schema.
     *
     * No explicit partition count unless the caller pins one: an
     * AQE-coalescible range exchange sizes output files to the shuffle
     * target (~64 MB) instead of hard-coding shuffle.partitions files —
     * small transactions stay a few files, huge ones fan out.
     */
-  private def writeDataDir(db: Db, df: DataFrame, txid: Long, width: Long,
+  private def writeDataDir(db: Db, df: DataFrame,
+                           target: java.nio.file.Path, width: Long,
                            major: Boolean, rangePartitions: Option[Int])
       : org.apache.spark.sql.types.StructType = {
     val base = df.drop("tbucket")
@@ -420,7 +494,7 @@ object TxWriter {
       // (src/write.rs:83) — better ratio at comparable scan speed
       .option("compression", "zstd")
     val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
-    writer.parquet(s"${db.dataDir}/txid=$txid")
+    writer.parquet(target.toString)
     sorted.schema
   }
 
@@ -468,6 +542,7 @@ object TxWriter {
       case None    => return None
     }
     val dataTx = markerTx + 1
+    val tmp = tentativePath(db)
     try {
       val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
       wildcards.foreach(w => rows.add(Row("", "", t0, t1, w)))
@@ -475,8 +550,16 @@ object TxWriter {
         .coalesce(1)
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${db.deleteDir}/txid=$markerTx")
-      val written = writeDataDir(db, replacement, dataTx,
+      val written = writeDataDir(db, replacement, tmp,
         baseline.timeBucket, baseline.bucketMajor, None)
+      // the fence (claimIf: nothing moved, no pending) guarantees the
+      // claimed number is free — an occupied directory here means a
+      // manifest/data-dir mismatch, surfaced loudly, nothing published
+      if (!tryRename(tmp, txidPath(db, dataTx)))
+        throw new IllegalStateException(
+          s"supersede's claimed txid=$dataTx directory is already " +
+            "occupied despite the claim fence — manifest behind data " +
+            "directories (restored/rolled-back manifest?)")
       val stats = txStatsOf(db, s"${db.dataDir}/txid=$dataTx")
       Manifest.update(db.warehouse) { cur =>
         // the publish itself is CONDITIONAL: a publish that landed in
@@ -508,6 +591,7 @@ object TxWriter {
       case e: Throwable =>
         Manifest.update(db.warehouse)(m =>
           m.copy(pending = m.pending - markerTx - dataTx))
+        deleteRecursivelyIfExists(tmp)
         throw e
     }
   }

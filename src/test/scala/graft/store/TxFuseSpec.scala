@@ -137,6 +137,38 @@ class TxFuseSpec extends SparkSpec {
     } finally TxWriter.fusePauseHook = () => ()
   }
 
+  test("the simultaneous-start window is CLOSED: a claim-first write " +
+      "landing inside a fused write's pre-job window — both succeed, " +
+      "the fused side re-targets the fresh number, no txid burned") {
+    val w = db()
+    TxWriter.write(w, rows(("a", 1L, 1L)))
+    val n = Manifest.current(w.warehouse).nextTxid
+    @volatile var racerTx = -1L
+    // fire after the fused writer's start checks (it has already decided
+    // nextTxid == n is free) but before its write job — under the old
+    // direct-write protocol both parquet jobs would then target txid=n
+    // and one side failed loudly; with tentative-dir + atomic rename the
+    // racer takes n and the fused side renames onto n+1
+    TxWriter.fuseWriteHook = () => {
+      TxWriter.fuseWriteHook = () => ()
+      racerTx = TxWriter.write(w, rows(("c", 3L, 3L)))
+    }
+    try {
+      val vBefore = Manifest.currentVersion(w.warehouse)
+      val fusedTx = TxWriter.write(w, rows(("b", 2L, 2L)), fuse = true)
+      assert(racerTx == n, "the racer takes the contested number itself")
+      assert(fusedTx == n + 1, "the fused side re-targets the fresh number")
+      val m = Manifest.current(w.warehouse)
+      assert(m.dataTxids.contains(racerTx) && m.dataTxids.contains(fusedTx))
+      assert(m.nextTxid == n + 2, "no txid number burned")
+      assert(m.pending.isEmpty, "no dead claim left behind")
+      // the fused side still committed in ONE manifest commit (racer = 2)
+      assert(Manifest.currentVersion(w.warehouse) - vBefore == 3)
+      assert(w.read().select("key").as[String].collect().toSet ==
+        Set("a", "b", "c"), "both writers' rows visible")
+    } finally TxWriter.fuseWriteHook = () => ()
+  }
+
   test("fused registrations race folds safely: the fold's conditional " +
       "publish and the fused CAS serialize; no count is lost") {
     import graft.ops.SketchStore
