@@ -193,20 +193,30 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * more small entries (point lookups are tens of bytes) than a count
     * bound would.
     */
+  /** A cached body plus the freshness header computed WHEN the body
+    * was: a later hit re-emits the stored header unconditionally, so a
+    * hit under a lagging `staleMillis` probe still reports the
+    * generation the body actually reflects instead of suppressing the
+    * header once the manifest moves (the body IS that generation's
+    * answer — the stored header is the only honest one for it).
+    */
+  private final case class CacheEntry(body: String,
+                                      freshness: Option[String])
   private val queryCache =
-    new java.util.LinkedHashMap[(Long, Long, String), String](64, 0.75f, true)
+    new java.util.LinkedHashMap[(Long, Long, String), CacheEntry](
+      64, 0.75f, true)
   private var queryCacheBytes = 0L
-  private def cacheGet(k: (Long, Long, String)): String =
+  private def cacheGet(k: (Long, Long, String)): CacheEntry =
     queryCache.synchronized(queryCache.get(k))
-  private def cachePut(k: (Long, Long, String), v: String): Unit =
+  private def cachePut(k: (Long, Long, String), v: CacheEntry): Unit =
     queryCache.synchronized {
       val prev = queryCache.put(k, v)
-      queryCacheBytes += v.length.toLong -
-        (if (prev == null) 0L else prev.length.toLong)
+      queryCacheBytes += v.body.length.toLong -
+        (if (prev == null) 0L else prev.body.length.toLong)
       val it = queryCache.entrySet().iterator()
       while (queryCacheBytes > queryCacheMaxBytes && it.hasNext) {
         val e = it.next()
-        queryCacheBytes -= e.getValue.length.toLong
+        queryCacheBytes -= e.getValue.body.length.toLong
         it.remove()
       }
     }
@@ -234,11 +244,12 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     if (hit != null) {
       qcHits.incrementAndGet()
       ex.getResponseHeaders.set("ETag", etag)
-      // a cached body is the current generation's answer by key
-      // construction, so its freshness claims are recomputable exactly
-      freshnessHeader(usesData, usesAnn, key._1, key._2)
+      // the header was computed WITH the body and stored beside it, so a
+      // hit always carries the generation the body reflects — even when
+      // the manifest has since moved under a staleMillis-lagged probe
+      hit.freshness
         .foreach(h => ex.getResponseHeaders.set("X-Graft-Freshness", h))
-      return respond(ex, 200, hit)
+      return respond(ex, 200, hit.body)
     }
     val (status, body) = compute
     // a verb's internals take their own snapshots (e.g. doStats runs
@@ -255,14 +266,18 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     // cache the new store's body under the old identity's key
     val stable =
       keyAndTag(usesData, usesAnn, ex.getRequestURI.toString)._1 == key
+    val freshness =
+      if (status == 200 && stable)
+        freshnessHeader(usesData, usesAnn, key._1, key._2)
+      else None
     // entry-size bound: 1024 entries × an unbounded k=10000 body would
     // quietly grow the server heap; oversized answers just recompute
     if (status == 200 && stable && body.length <= 256 * 1024)
-      cachePut(key, body)
+      cachePut(key, CacheEntry(body, freshness))
     if (status == 200 && stable) {
       ex.getResponseHeaders.set("ETag", etag)
-      freshnessHeader(usesData, usesAnn, key._1, key._2)
-        .foreach(h => ex.getResponseHeaders.set("X-Graft-Freshness", h))
+      freshness.foreach(h =>
+        ex.getResponseHeaders.set("X-Graft-Freshness", h))
     }
     respond(ex, status, body)
   }
@@ -275,12 +290,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     * plus each streaming sink's replay cursor, so a client can tell
     * WHICH ingest batch the hits reflect (the reference contrast: its
     * server's 10 s cache is silently stale, `src/bin/
-    * sonnerie-serve.rs:242-264`). Emitted only when the warehouse's
-    * CURRENT manifest still matches the generation the body was
-    * computed (or cached) at — one stat-cached manifest read, zero
-    * jobs; under `staleMillis` a lagging probe may suppress the header
-    * for up to the window, but it never lies about the body's
-    * generation.
+    * sonnerie-serve.rs:242-264`). On a fresh compute it is emitted only
+    * when the warehouse's CURRENT manifest still matches the generation
+    * the body was computed at — one stat-cached manifest read, zero
+    * jobs — and then stored WITH the cache entry, so a later hit
+    * re-emits the body's own generation unconditionally (it never lies:
+    * the body IS that generation's answer, however far the manifest has
+    * since moved under a `staleMillis`-lagged probe).
     */
   private def freshnessHeader(usesData: Boolean, usesAnn: Boolean,
                               dv: Long, av: Long): Option[String] = {
@@ -372,8 +388,10 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           // resets on success): unfolded/uncompacted state grows
           // unbounded exactly when this stays > 0 — the field a health
           // check polls instead of scraping the escalation warning off
-          // stderr. In-JVM by nature (the sinks run where the counter
-          // lives); a serving tier in another process reads 0.
+          // stderr. Persisted as a manifest property by the sink's
+          // failure path, so a serving tier in ANOTHER process reports
+          // the same streak (in-JVM fallback only when the manifest
+          // itself is what's failing).
           s""","maintFailStreak":${graft.streaming.StreamIngest
             .consecutiveMaintenanceFailures(db.warehouse)}""" +
           s""","annMaintFailStreak":${annDb.fold(0)(a =>
@@ -408,7 +426,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (hit != null) {
         qcHits.incrementAndGet()
         ex.getResponseHeaders.set("ETag", etag)
-        return respond(ex, 200, hit)
+        return respond(ex, 200, hit.body)
       }
     }
     val snap = snapshot()
@@ -432,7 +450,7 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       // same rule (and same recreation blind spot) as cachedQuery
       if (keyAndTag(usesData = true, usesAnn = false,
           ex.getRequestURI.toString)._1 == cacheKey) {
-        cachePut(cacheKey, body)
+        cachePut(cacheKey, CacheEntry(body, None))
         ex.getResponseHeaders.set("ETag", etag)
       }
       return respond(ex, 200, body)
@@ -820,17 +838,13 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             return (400, "kind=cm needs items=tok1,tok2,...\n")
           if (items.size > 100)
             return (400, "too many items (cap 100)\n")
-          // the response body (and the driver-side pair collect behind
-          // it) is groups × items entries — the per-knob caps alone
-          // still admit a 10000×100 = 1M-entry cross product, so the
-          // PRODUCT is bounded by one number an operator can reason
-          // about, refused loudly like every other overflow here
-          val effGroups = if (p.contains("grp")) 1 else maxGroups
-          if (effGroups.toLong * items.size > CM_PRODUCT_CAP)
-            return (400, s"groups*items product too large (cap " +
-              s"$CM_PRODUCT_CAP): $effGroups*${items.size} — lower " +
-              "groups= or items=, or narrow with grp=\n")
           val grid = graft.ops.SketchStore.storedCountMinByAt(db, snap, tag)
+          // the group listing is bounded by construction (distinct +
+          // limit, group names only) — safe to run BEFORE the product
+          // check, which then bounds against the ACTUAL selected group
+          // count rather than the requested groups= knob: a
+          // groups=10000&items=2 request on a 3-group store is 6
+          // response entries, not a refusal
           val sel0: Seq[String] = p.get("grp") match {
             case Some(g) => Seq(g)
             case None => grid.select("grp").distinct().orderBy("grp")
@@ -838,6 +852,15 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           }
           val truncated = sel0.size > maxGroups
           val gsel = sel0.take(maxGroups)
+          // the response body (and the driver-side pair collect behind
+          // it) is groups × items entries — the per-knob caps alone
+          // still admit a 10000×100 = 1M-entry cross product, so the
+          // PRODUCT is bounded by one number an operator can reason
+          // about, refused loudly like every other overflow here
+          if (gsel.size.toLong * items.size > CM_PRODUCT_CAP)
+            return (400, s"groups*items product too large (cap " +
+              s"$CM_PRODUCT_CAP): ${gsel.size}*${items.size} — lower " +
+              "groups= or items=, or narrow with grp=\n")
           // the probe reads the stored grids' CLAIMED geometry off this
           // same snapshot (SketchStore.probeStoredCountMinByAt) — a
           // grid registered at a non-default (d, w) probed at guessed

@@ -650,10 +650,30 @@ object StreamIngest {
     * point. [[consecutiveMaintenanceFailures]] exposes the live streak.
     */
   private[streaming] def nonFatalFold(db: Db)(fold: => Unit): Unit =
-    try { fold; maintFailures.remove(db.warehouse); () } catch {
+    try {
+      fold
+      maintFailures.remove(db.warehouse)
+      // clear a PERSISTED streak only when one exists: the steady state
+      // (no failures) costs zero extra manifest commits
+      try {
+        if (Manifest.current(db.warehouse).props.contains(MAINT_STREAK_PROP))
+          Manifest.update(db.warehouse)(m =>
+            m.copy(props = m.props - MAINT_STREAK_PROP))
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
       case scala.util.control.NonFatal(e) =>
         val streak = maintFailures.merge(db.warehouse, 1,
           (a, b) => Integer.valueOf(a + b)).intValue
+        // persist the streak as a manifest property so a serving tier in
+        // ANOTHER process reports it from _status — best-effort: when the
+        // failure is the manifest itself, the in-JVM counter still rises
+        // and the reader falls back to it
+        try {
+          Manifest.update(db.warehouse)(m =>
+            m.copy(props = m.props + (MAINT_STREAK_PROP -> streak.toString)))
+          ()
+        } catch { case scala.util.control.NonFatal(_) => () }
         System.err.println(s"graft: auto-maintenance skipped: ${e.getMessage}")
         if (streak >= MAINT_ESCALATE)
           System.err.println(
@@ -672,10 +692,35 @@ object StreamIngest {
   private val maintFailures =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Test seam: drop the IN-JVM counter only, leaving the persisted
+    * manifest property — how a spec emulates "another process" reading
+    * the streak (a real second process simply has no in-JVM entry).
+    */
+  private[streaming] def clearInJvmStreak(warehouse: String): Unit = {
+    maintFailures.remove(warehouse); ()
+  }
+
+  /** Manifest property carrying the persisted failure streak — written
+    * by [[nonFatalFold]]'s failure path, cleared on the next success,
+    * absent in the zero-failure steady state (so persisting it costs
+    * nothing until something is actually wrong).
+    */
+  val MAINT_STREAK_PROP = "maint.failStreak"
+
   /** The current consecutive auto-maintenance failure streak for a
     * warehouse (0 after any success) — the counter a health check
-    * polls instead of scraping stderr.
+    * polls instead of scraping stderr. Reads the PERSISTED manifest
+    * property first (a stat-cached read, so `_status` in a process
+    * other than the sink's JVM reports the same streak), falling back
+    * to the in-JVM counter only when no property was ever persisted
+    * (e.g. the manifest itself is the thing failing).
     */
-  def consecutiveMaintenanceFailures(warehouse: String): Int =
-    Option(maintFailures.get(warehouse)).fold(0)(_.intValue)
+  def consecutiveMaintenanceFailures(warehouse: String): Int = {
+    val persisted =
+      try Manifest.current(warehouse).props
+        .get(MAINT_STREAK_PROP).flatMap(_.toIntOption)
+      catch { case scala.util.control.NonFatal(_) => None }
+    persisted.getOrElse(
+      Option(maintFailures.get(warehouse)).fold(0)(_.intValue))
+  }
 }

@@ -562,17 +562,26 @@ class ServeSpec extends SparkSpec {
       assert(c1 == 200 && cone.contains("\"grp\":\"g1\"") &&
         !cone.contains("\"grp\":\"g0\""), cone)
       assert(http("GET", s"$base/_query/stats?by=src&kind=cm")._1 == 400)
-      // the groups × items CROSS PRODUCT is bounded by one cap (10k):
-      // each knob individually in range can still demand a 1M-entry
-      // body (10000 groups × 100 items) — refused loudly BEFORE any
-      // probe runs, like every other overflow here
+      // the groups × items CROSS PRODUCT is bounded by one cap (10k)
+      // computed from the ACTUAL selected group count, not the groups=
+      // knob: a huge knob on this 2-group store is a 4-entry body and
+      // passes…
       val (pc, pbody) = http("GET",
         s"$base/_query/stats?by=src&kind=cm&groups=10000&items=x,y")
-      assert(pc == 400 && pbody.contains("product"), s"$pc $pbody")
-      // grp= narrows the effective group count to 1, so the same items
+      assert(pc == 200 && pbody.contains("\"grp\":\"g0\""), s"$pc $pbody")
+      // …while a store really holding >100 groups probed with 100 items
+      // exceeds the cap and is refused loudly BEFORE the probe runs
+      graft.ops.SketchStore.registerCountMinBy(db,
+        (0 until 120).map(g => (f"wide$g%03d", "z")).toDF("src", "t"),
+        col("src"), col("t"), batchId = 1L)
+      val manyItems = (0 until 100).map(i => s"i$i").mkString(",")
+      val (qc, qbody) = http("GET",
+        s"$base/_query/stats?by=src&kind=cm&groups=10000&items=$manyItems")
+      assert(qc == 400 && qbody.contains("product"), s"$qc $qbody")
+      // grp= narrows the actual group count to 1, so the same items
       // list passes — the cap bounds the ACTUAL product, not the knobs
       assert(http("GET",
-        s"$base/_query/stats?by=src&kind=cm&groups=10000&items=x,y&grp=g1")
+        s"$base/_query/stats?by=src&kind=cm&groups=10000&items=$manyItems&grp=g1")
         ._1 == 200)
       // an unknown kind answers 400, not a silent hist fallback
       val (bc, bbody) = http("GET", s"$base/_query/stats?by=src&kind=nope")
@@ -644,6 +653,64 @@ class ServeSpec extends SparkSpec {
       val (cs, sbody, hs) = httpH("GET", s"$base/_query/stats")
       assert(cs == 200 && sbody.contains(s""""version":$v1""") &&
         hs.contains("x-graft-freshness"), sbody)
+    } finally srv.stop()
+  }
+
+  test("a cached hit under a lagging staleness probe still carries the " +
+      "generation its body was computed at: freshness rides the entry") {
+    import spark.implicits._
+    val db = Db(spark, tmpDir("graft-serve-freshcache"))
+    graft.ops.Retrieval.buildBm25Index(db,
+      Seq(0L -> "alpha beta", 1L -> "beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text")
+    // a 60 s staleness window: the generation probe (and so the cache
+    // key) lags commits — the regime where a hit's generation can have
+    // moved underneath it
+    val srv = new Serve(db, staleMillis = 60000L).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val (c0, b0, h0) = httpH("GET", s"$base/_query/bm25?q=alpha&k=3")
+      assert(c0 == 200)
+      val v0 = Manifest.currentVersion(db.warehouse)
+      val f0 = h0("x-graft-freshness")
+      assert(f0.contains(s""""version":$v0"""), f0)
+      // a commit moves the manifest; within the window the next request
+      // is a cache HIT serving the OLD generation's body — the header
+      // must state that old generation (matching the body), not be
+      // suppressed because the manifest moved
+      graft.ops.Retrieval.appendBm25Batch(db,
+        Seq(9L -> "alpha alpha").toDF("doc_id", "text"), "doc_id", "text")
+      assert(Manifest.currentVersion(db.warehouse) > v0)
+      val hitsBefore = srv.queryCacheHits
+      val (c1, b1, h1) = httpH("GET", s"$base/_query/bm25?q=alpha&k=3")
+      assert(c1 == 200 && b1 == b0,
+        "the stale-window answer is the cached old-generation body")
+      assert(srv.queryCacheHits > hitsBefore, "must be served from cache")
+      assert(h1.get("x-graft-freshness").contains(f0),
+        s"hit must carry the OLD generation's header: ${h1.get("x-graft-freshness")}")
+    } finally srv.stop()
+  }
+
+  test("maintFailStreak is persisted: a _status reader with no in-JVM " +
+      "counter (another process) sees the streak rise and reset") {
+    val db = Db(spark, tmpDir("graft-serve-maintxp"))
+    val srv = new Serve(db).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      (1 to 2).foreach(_ => graft.streaming.MaintTestHook.forceFailure(db))
+      // drop the in-JVM counter: what a second PROCESS serving the same
+      // warehouse has — the persisted manifest property must carry it
+      graft.streaming.MaintTestHook.clearInJvm(db)
+      assert(http("GET", s"$base/_status")._2
+        .contains("\"maintFailStreak\":2"))
+      // one successful cadence point clears the persisted streak too
+      graft.streaming.MaintTestHook.forceSuccess(db)
+      graft.streaming.MaintTestHook.clearInJvm(db)
+      assert(http("GET", s"$base/_status")._2
+        .contains("\"maintFailStreak\":0"))
+      assert(!Manifest.current(db.warehouse).props
+        .contains(graft.streaming.StreamIngest.MAINT_STREAK_PROP),
+        "steady state carries no streak property at all")
     } finally srv.stop()
   }
 

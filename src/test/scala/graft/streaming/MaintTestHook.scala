@@ -15,4 +15,10 @@ object MaintTestHook {
   /** One successful cadence point (resets the streak). */
   def forceSuccess(db: Db): Unit =
     StreamIngest.nonFatalFold(db)(())
+
+  /** Drop the in-JVM counter, leaving only the persisted manifest
+    * property — emulates a `_status` reader in ANOTHER process.
+    */
+  def clearInJvm(db: Db): Unit =
+    StreamIngest.clearInJvmStreak(db.warehouse)
 }
