@@ -106,6 +106,48 @@ object Graft {
     else df
   }
 
+  /** Materialize-once-reuse-many pivot for the ingest hot paths (the
+    * quartet pre-aggregate, the incremental-dedup probe, fold and
+    * migration bases): the frame is computed eagerly ONCE and reused by
+    * several downstream branches/actions without re-running its
+    * lineage. The storage mode is the `spark.graft.reuse.mode` session
+    * conf — the preemption-tolerance knob:
+    *
+    *  - `local` (default): `localCheckpoint(eager)` — blocks pinned on
+    *    executors, lineage CUT. The fastest mode and the measured
+    *    default for dedicated clusters; the cost is availability on
+    *    spot/preemptible fleets, where losing an executor mid-batch
+    *    fails the whole micro-batch (correctness survives — the
+    *    exactly-once batch cursor makes the retry idempotent — but the
+    *    batch is re-paid).
+    *  - `cache`: persist(MEMORY_AND_DISK) + eager materialize, lineage
+    *    KEPT — an executor loss recomputes only the lost partitions
+    *    from the (immutable, snapshot-pinned) inputs instead of failing
+    *    the batch: the spot-cluster mode. Blocks are freed by Spark's
+    *    ContextCleaner when the plan is dropped, same lifecycle as
+    *    `local`.
+    *  - `reliable`: `checkpoint(eager)` into
+    *    `sparkContext.checkpointDir` (must be set) — lineage cut AND
+    *    executor-loss-tolerant, at one distributed filesystem write per
+    *    pin: for fleets where recompute is pricier than the write.
+    *
+    * All three modes are eager, so every downstream action sees one
+    * consistent materialization (the register tx can never re-plan the
+    * probe it was derived from).
+    */
+  def pin(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.reuse.mode", "local") match {
+      case "local" => df.localCheckpoint(true)
+      case "cache" =>
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      case "reliable" => df.checkpoint(true)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.reuse.mode must be local|cache|reliable, got '$other'")
+    }
+
   /** Map a timestamp-typed column onto the engine's canonical Long
     * epoch-nanos, leaving an already-Long column untouched. The session
     * timezone is pinned to UTC ([[configure]]), so the NTZ→TZ cast is the

@@ -100,7 +100,7 @@ object IncrementalDedup {
                   sinkProps: Map[String, String] = Map.empty,
                   fuse: Boolean = false): DataFrame = {
     val fresh = dropSeenBefore(db, batch, idCol, textCol)
-      .localCheckpoint(true) // the register tx must not re-plan the probe
+      .transform(graft.core.Graft.pin) // the register tx must not re-plan the probe
     onFresh(fresh)
     if (!fresh.isEmpty)
       registerBatch(db, fresh, idCol, textCol, cursor, sinkProps, fuse)
@@ -154,14 +154,17 @@ object IncrementalDedup {
     * "m/<tag>/<item>" keys share the prefix in a mixed warehouse and
     * must never trip it (its rows carry no bh). Evaluated only on
     * claim-absent stores, so claimed steady state pays nothing; the
-    * full-family filter scan is sketch-store-sized and runs at most
-    * until the first claim lands.
+    * full-family filter scan is sketch-store-sized and memoized per
+    * (warehouse identity, manifest version)
+    * ([[SketchStore.EmptinessMemo]]) — one job per version total
+    * during the stamp transition window, however many probes run.
     */
-  private def nearFamilyNonEmpty(snap: graft.store.Db#Snapshot): Boolean = {
-    val rows = snap.read("m/%")
-    rows.columns.contains("bh") &&
-      !rows.filter(col("bh").isNotNull).isEmpty
-  }
+  private def nearFamilyNonEmpty(snap: graft.store.Db#Snapshot): Boolean =
+    SketchStore.EmptinessMemo.cached(snap.manifest, "neardup:bh") {
+      val rows = snap.read("m/%")
+      rows.columns.contains("bh") &&
+        !rows.filter(col("bh").isNotNull).isEmpty
+    }
 
   /** The store's shingle-size property (first-writer-wins claim): band
     * hashes and signatures derive from n-shingles, so rows registered
@@ -287,7 +290,7 @@ object IncrementalDedup {
                       sinkProps: Map[String, String] = Map.empty,
                       fuse: Boolean = false): DataFrame = {
     val fresh = dropNearSeenBefore(db, batch, idCol, textCol, minAgree)
-      .localCheckpoint(true) // the register tx must not re-plan the probe
+      .transform(graft.core.Graft.pin) // the register tx must not re-plan the probe
     onFresh(fresh)
     if (!fresh.isEmpty) {
       // register at the store's CLAIMED shingle size, read as late as

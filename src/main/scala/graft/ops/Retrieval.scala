@@ -551,9 +551,9 @@ object Retrieval {
     // ranking computation per reference — the lists are slim
     // (query_id, doc_id, rank), bounded by queries × corpus
     val lexFull = lexFull0.select("query_id", "doc_id", "rank")
-      .localCheckpoint(true)
+      .transform(graft.core.Graft.pin)
     val denseFull = denseFull0.select("query_id", "doc_id", "rank")
-      .localCheckpoint(true)
+      .transform(graft.core.Graft.pin)
     val truth = rrfFuse(lexFull, denseFull, k).select("query_id", "doc_id")
     val hyb = rrfFuse(lexFull.filter(col("rank") <= cutK),
         denseFull.filter(col("rank") <= cutK), k)

@@ -102,15 +102,53 @@ object SketchStore {
       throw new IllegalStateException(unclaimedMsg(prop, what))
   }
 
+  /** Per-(warehouse identity, manifest version) memo for the pre-claim
+    * emptiness probes: an UNCLAIMED store's guard costs one Spark job
+    * per manifest version TOTAL, not one per call, so the stamp
+    * transition window (probing a legacy store before its geometry
+    * claim lands) is free after the first probe. Sound because
+    * warehouse contents are immutable per manifest version — any
+    * commit, including the stamp itself, mints a new version and a
+    * fresh probe; the identity component keeps a warehouse deleted and
+    * recreated at the same path from aliasing a stale entry. Claimed
+    * steady state never consults it.
+    */
+  private[ops] object EmptinessMemo {
+    private val memo = new java.util.LinkedHashMap[
+        (String, Long, String), java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String), java.lang.Boolean])
+          : Boolean = size > 1024
+    }
+    private val runs = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** How many probes actually executed (spec observability). */
+    def probeRuns: Long = runs.get()
+    def cached(m: graft.store.ManifestState, key: String)
+              (probe: => Boolean): Boolean = {
+      val k = (m.created, m.version, key)
+      val hit = memo.synchronized(memo.get(k))
+      if (hit != null) hit.booleanValue
+      else {
+        runs.incrementAndGet()
+        val v = probe
+        memo.synchronized { memo.put(k, java.lang.Boolean.valueOf(v)); () }
+        v
+      }
+    }
+  }
+
   /** True iff the snapshot already holds rows under `pattern` — the
     * claim-absent pre-existence probe, off the SAME snapshot the claim
     * was read from. Cheap: fresh warehouses short-circuit on the
-    * manifest (no job at all); only an unclaimed NON-fresh warehouse
-    * pays one key-pruned emptiness probe.
+    * manifest (no job at all); an unclaimed NON-fresh warehouse pays
+    * one key-pruned emptiness probe per manifest version
+    * ([[EmptinessMemo]]).
     */
   private def familyNonEmpty(snap: graft.store.Db#Snapshot,
                              pattern: String): Boolean =
-    snap.manifest.dataTxids.nonEmpty && !snap.read(pattern).isEmpty
+    snap.manifest.dataTxids.nonEmpty &&
+      EmptinessMemo.cached(snap.manifest, s"fam:$pattern")(
+        !snap.read(pattern).isEmpty)
 
   /** The loud pre-claim-store error every reader and registration
     * shares: reading (or claiming over) rows whose geometry nobody
@@ -133,7 +171,8 @@ object SketchStore {
   private def requireClaimedOrEmpty(snap: graft.store.Db#Snapshot,
                                     prop: String, rows: DataFrame,
                                     what: String): Unit =
-    if (!snap.manifest.props.contains(prop) && !rows.isEmpty)
+    if (!snap.manifest.props.contains(prop) &&
+        EmptinessMemo.cached(snap.manifest, s"read:$prop")(!rows.isEmpty))
       throw new IllegalStateException(unclaimedMsg(prop, what))
 
   /** Operator escape hatch for PRE-CLAIM stores: record the geometry a
@@ -457,10 +496,10 @@ object SketchStore {
     // don't re-run the batch lineage twice.
     val elems0 = batch.select(
       Seq(elem.as("item")) ++ valueCol.map(_.as("v")).toSeq: _*)
-    val elems = valueCol.fold(elems0)(_ => elems0.localCheckpoint(true))
+    val elems = valueCol.fold(elems0)(_ => elems0.transform(graft.core.Graft.pin))
     val counts = elems.select(col("item")).filter(col("item").isNotNull)
       .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .transform(graft.core.Graft.pin)
     val kmv = Sketches.kmvSketch(counts, col("item"), k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
     val cm = Sketches.countMinSketchCounts(counts, d, w)
@@ -595,11 +634,11 @@ object SketchStore {
     val base0 = batch.select(
       Seq(grp.as("grp"), elem.as("item")) ++
         valueCol.map(_.as("v")).toSeq: _*)
-    val base = valueCol.fold(base0)(_ => base0.localCheckpoint(true))
+    val base = valueCol.fold(base0)(_ => base0.transform(graft.core.Graft.pin))
     val counts = base.select(col("grp"), col("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .transform(graft.core.Graft.pin)
     val kmv = kmvByRows(tag,
       counts.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
     val cm = cmByRows(tag, Sketches.countMinSketchByCounts(counts, d, cmW),
@@ -1010,7 +1049,7 @@ object SketchStore {
     // the raw stream.
     val counts = batch.select(elem.as("item")).filter(col("item").isNotNull)
       .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .transform(graft.core.Graft.pin)
     val partial = Sketches.mgTruncate(
         counts.select(col("item"), col("cnt").as("f")), c)
       .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
@@ -1184,7 +1223,7 @@ object SketchStore {
     val counts = batch.select(grp.as("grp"), elem.as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .transform(graft.core.Graft.pin)
     graft.store.TxWriter.write(db, mgByRows(tag, counts, batchId, c),
       props = sinkProps, propsClaim = Map(mgByCProp(tag) -> c.toString),
       streamCursor = cursor, fuse = fuse)
@@ -1831,7 +1870,7 @@ object SketchStore {
         val cur = stored
         if (cur.isEmpty) return -1L // nothing stored to migrate
         if (newW == w) return -1L   // already at this grid
-        val rebinned = rebin(cur, newW / w).localCheckpoint(true)
+        val rebinned = rebin(cur, newW / w).transform(graft.core.Graft.pin)
         graft.store.TxWriter.supersedeIf(db, baseline, Seq(wildcard),
             rebinned,
             props = Map(wProp -> newW.toString,
@@ -1923,7 +1962,7 @@ object SketchStore {
         val cur = stored
         if (cur.isEmpty) return -1L // nothing to fold
         val folded = project(cur)
-          .localCheckpoint(true) // materialize the sums BEFORE the delete
+          .transform(graft.core.Graft.pin) // materialize the sums BEFORE the delete
         graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
             folded,
             dynProps = tx => foldProp.map(_ -> tx.toString).toMap) match {

@@ -201,7 +201,7 @@ object Sketches {
     // partials relation is sketch-sized (≤ (c+1)·partitions rows) and
     // localCheckpointed so the two references to it below cannot re-run
     // the fold's corpus scan.
-    val partials = mgPartials(toks, c).localCheckpoint(true)
+    val partials = mgPartials(toks, c).transform(graft.core.Graft.pin)
     val cand = mgCandidates(partials, c)
     val n = partials.agg(sum(col("nrows")).as("n"))
     toks.join(broadcast(cand), Seq("item"), "left_semi")

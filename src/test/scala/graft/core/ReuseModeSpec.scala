@@ -1,0 +1,78 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The `spark.graft.reuse.mode` knob behind [[Graft.pin]] — the
+  * preemption-tolerance lever for the ingest hot paths (quartet
+  * pre-aggregate, incremental-dedup probe, fold bases): `local`
+  * (default, fastest, executor loss fails the batch), `cache` (lineage
+  * kept — lost blocks recompute instead of failing: the spot-cluster
+  * mode), `reliable` (checkpoint-dir backed).
+  */
+class ReuseModeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withMode[A](mode: String)(f: => A): A = {
+    spark.conf.set("spark.graft.reuse.mode", mode)
+    try f finally spark.conf.unset("spark.graft.reuse.mode")
+  }
+
+  test("cache mode survives total storage loss: killing the pinned " +
+      "blocks recomputes from lineage instead of failing") {
+    withMode("cache") {
+      val src = spark.range(0, 1000).toDF("id")
+        .withColumn("v", col("id") * 3)
+      val pinned = Graft.pin(src)
+      assert(pinned.storageLevel.useMemory || pinned.storageLevel.useDisk,
+        "cache mode must persist")
+      assert(pinned.agg(sum("v")).as[Long].head() == 3L * 999 * 1000 / 2)
+      // simulate losing every executor holding the blocks (the spot
+      // preemption): drop ALL cached storage for the frame…
+      pinned.unpersist(blocking = true)
+      // …and the reuse path must recompute, not fail — same answer
+      assert(pinned.agg(sum("v")).as[Long].head() == 3L * 999 * 1000 / 2,
+        "lineage must recompute lost partitions")
+      assert(pinned.count() == 1000)
+    }
+  }
+
+  test("local (default) and cache modes agree end-to-end: the quartet " +
+      "sink's reports are identical under either reuse mode") {
+    import graft.ops.SketchStore
+    import graft.store.Db
+    val toks = (1 to 400).map(i => s"w${i % 37}").toDF("t")
+    def run(): (Map[String, Long], Long) = {
+      val db = Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-reuse").toString)
+      SketchStore.registerSketches(db, toks, col("t"), batchId = 0L)
+      val hh = SketchStore.storedHeavyHitters(db)
+        .select("item", "est").as[(String, Long)].collect().toMap
+      val cm = SketchStore.probeStoredCountMin(db,
+        Seq("w1", "w2").toDF("item"), "item")
+        .agg(sum("est_cm")).as[Long].head()
+      (hh, cm)
+    }
+    val base = run()
+    val cached = withMode("cache")(run())
+    assert(cached == base, s"cache-mode run drifted: $cached vs $base")
+  }
+
+  test("reliable mode checkpoints into the context's checkpoint dir; " +
+      "an unset mode string refuses loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-cp").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    withMode("reliable") {
+      val pinned = Graft.pin(spark.range(0, 100).toDF("id"))
+      assert(pinned.count() == 100)
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .count() > 0, "reliable mode must write the checkpoint dir")
+    }
+    withMode("bogus") {
+      intercept[IllegalArgumentException] {
+        Graft.pin(spark.range(0, 10).toDF("id"))
+      }
+    }
+  }
+}

@@ -12,6 +12,49 @@ class IncrementalDedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("pre-claim emptiness probe is memoized per manifest version: " +
+      "repeated probes on an unclaimed store run ONE job total") {
+    val db = tmpDb()
+    IncrementalDedup.registerNearBatch(db,
+      docs(1L -> "the quick brown fox jumps over the lazy dog"),
+      "doc_id", "text")
+    // make the store PRE-CLAIM (rows, no property): the stamp
+    // transition window where every probe used to pay a full-family
+    // filter scan per call
+    graft.store.Manifest.update(db.warehouse)(m =>
+      m.copy(props = m.props - "neardup.n"))
+    val batch = docs(9L -> "completely unrelated words here")
+    val r0 = SketchStore.EmptinessMemo.probeRuns
+    intercept[IllegalStateException] {
+      IncrementalDedup.dropNearSeenBefore(db, batch, "doc_id", "text")
+    }
+    val afterFirst = SketchStore.EmptinessMemo.probeRuns
+    assert(afterFirst - r0 == 1, "the first unclaimed probe executes")
+    (1 to 3).foreach { _ =>
+      intercept[IllegalStateException] {
+        IncrementalDedup.dropNearSeenBefore(db, batch, "doc_id", "text")
+      }
+    }
+    assert(SketchStore.EmptinessMemo.probeRuns == afterFirst,
+      "repeated probes on one manifest version are memo hits — zero jobs")
+    // a commit mints a new version: the memo must NOT carry the old
+    // answer forward (contents may have changed)
+    graft.store.Manifest.update(db.warehouse)(m => m)
+    intercept[IllegalStateException] {
+      IncrementalDedup.dropNearSeenBefore(db, batch, "doc_id", "text")
+    }
+    assert(SketchStore.EmptinessMemo.probeRuns == afterFirst + 1,
+      "a new manifest version re-probes exactly once")
+    // stamping claims the store — the guard short-circuits on the
+    // manifest and never consults the memo again
+    IncrementalDedup.stampNearShingleSize(db, 3)
+    val claimed = SketchStore.EmptinessMemo.probeRuns
+    assert(IncrementalDedup.dropNearSeenBefore(db, batch, "doc_id", "text")
+      .count() == 1)
+    assert(SketchStore.EmptinessMemo.probeRuns == claimed,
+      "claimed steady state pays no emptiness probe at all")
+  }
+
   test("near store: ingest adapts to the claimed shingle size; a " +
       "PRE-CLAIM store refuses probe and register until stamped") {
     val db = tmpDb()
