@@ -189,8 +189,17 @@ object Bench {
     s""""err_count":${errs.values.sum},"sentinel_sec":${num(sentMin, 4)},""" +
     s""""sentinel_spread":${num(sentSpread, 4)},"passes":$passes,""" +
     s""""attempts":$attempts,"contaminated":$contaminated,"sf":"$sfDir",""" +
-    // duplicated at the TAIL: the r8 recorder kept only the line's last
-    // ~2 KB, losing the head — the headline number must survive that
+    // sentinel-NORMALIZED per-query ratios (query_min / sentinel_min):
+    // machine-speed-relative units, so round-over-round drift from a
+    // loaded box divides out by construction — a regression moves a
+    // query's ratio, uniform contamination moves none of them. Placed
+    // at the TAIL (with the summary scalars) because the r8 recorder
+    // kept only the line's last ~2 KB: these are the fields that must
+    // survive truncation.
+    s""""norm_unit":"query_min/sentinel_min","queries_norm":${
+      jmap(clean.map { case (k, v) =>
+        k -> (if (sentMin > 0) v / sentMin else 0.0) }, 2)},""" +
+    s""""total_norm":${num(if (sentMin > 0) total / sentMin else 0.0, 2)},""" +
     s""""total_sec":${num(total, 3)},"n_queries":${clean.size}}"""
   }
 }

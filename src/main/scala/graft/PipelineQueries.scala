@@ -832,6 +832,35 @@ object PipelineQueries {
         .select(col("grp"), col("token"), col("n_exact"), col("est_cm"))
         .orderBy(col("grp"), col("n_exact").desc, col("token"))
     },
+    // the GROUPED geometry claim under the oracle gate — the grouped
+    // twin of sk_cm_geometry: per-source grids registered at a
+    // NON-default (3, 512) cmg.* claim, then probed with no geometry
+    // arguments at all. The probe reads (d, w) back off the manifest;
+    // a defaults-guessing probe would hash every group's tokens into
+    // the wrong cells and hash-mismatch the (3, 512) oracle.
+    "sk_cmby_geometry" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) = f.select(col("source").as("grp"),
+        explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerCountMinBy(db, toks(docs.filter(col("doc_id") < mid)),
+        col("grp"), col("token"), batchId = 0L, d = 3, w = 512L)
+      SketchStore.foldCountMinBy(db)
+      SketchStore.registerCountMinBy(db,
+        toks(docs.filter(col("doc_id") >= mid)), col("grp"), col("token"),
+        batchId = 1L, d = 3, w = 512L)
+      val top = toks(docs).groupBy("grp", "token")
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rk", row_number().over(Window.partitionBy("grp")
+          .orderBy(col("n_exact").desc, col("token"))))
+        .filter(col("rk") <= 3).drop("rk")
+      SketchStore.probeStoredCountMinBy(db, top, "grp", "token")
+        .select(col("grp"), col("token"), col("n_exact"), col("est_cm"))
+        .orderBy(col("grp"), col("n_exact").desc, col("token"))
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -2066,6 +2095,8 @@ object PipelineQueries {
     // the grouped grid store must equal the one-shot per-group sketch
     // (counter addition is exact through registration AND fold)
     "sk_cm_grouped_store" -> SketchStore.sqlCountMinGroupedTokens(3),
+    "sk_cmby_geometry" ->
+      SketchStore.sqlCountMinGroupedTokens(3, d = 3, w = 512L),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

@@ -759,6 +759,150 @@ object PipelineStress {
           f"files, cursor@${dM.streamBatchFor("dedup")}")
     }
 
+    // ── the ANN INDEX sink's year — the last index-sink class without
+    // an economics row, AND the one where drift is a real question: the
+    // coarse quantizer is trained ONCE by buildIndex, then 365 daily
+    // append batches arrive whose embedding distribution slowly
+    // TRANSLATES along a fixed direction (the production regime: topics
+    // shift, the quantizer goes stale, late vectors crowd edge cells).
+    // Measured: end-state boundedness (txids / markers / manifest
+    // files) like bm25year/dedupyear, probe latency flatness, AND
+    // recall@10 at batch 30 vs 365 — overall and for LATE (drifted)
+    // queries specifically — with a loud recall floor at 365 so
+    // quantizer staleness is a gated number, not a vibe.
+    // block guard: the battery has cross-stage state (recall at 30 vs
+    // 365 gates at the end), so it runs all-or-nothing under a filter
+    if (only.forall(f => "annyear".contains(f))) {
+      import graft.ops.Similarity
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val adb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-annyear").toString)
+      val seedN = math.max(1000L, n / 50)
+      val dayN = 200L
+      // the same clustered generator the ANN stress rig uses, plus a
+      // drift term: one deterministic direction (hash of the dim index)
+      // scaled by the id's DAY — by day 365 the distribution has moved
+      // 0.6 in normalized units from what the quantizer was trained on.
+      // Day derives from the id, so day batches and whole-corpus views
+      // generate identical vectors by construction (no 366-way union).
+      def vecsFor(ids: DataFrame): DataFrame = {
+        val day = when(col("id") < seedN, lit(0L))
+          .otherwise(floor((col("id") - seedN) / dayN) + 1)
+        ids.select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(hash(pmod(col("id"), lit(1024L)), i), lit(2001)) - 1000)
+              .cast("double") / 1000.0 +
+             (pmod(hash(col("id"), i), lit(201)) - 100)
+               .cast("double") / 1000.0 +
+             lit(0.6) * day / 365.0 *
+               (pmod(hash(i), lit(1001)) - 500).cast("double") / 500.0)
+              .cast("float")).as("embedding"))
+      }
+      def aDay(b: Int): DataFrame = vecsFor(
+        spark.range(seedN + (b - 1) * dayN, seedN + b * dayN).toDF("id"))
+      def corpusAt(b: Int): DataFrame =
+        vecsFor(spark.range(seedN + b * dayN).toDF("id"))
+      def aMaint(): Unit = {
+        graft.store.Compactor.tryMajor(adb)
+        graft.store.Compactor.tryVacuum(adb, graceMs = 0L)
+        graft.store.Compactor.tryPruneHistory(adb, keep = 100)
+        ()
+      }
+      // one fixed early query set (seed + first-month ids: comparable at
+      // both measurement points) and one LATE set (days 350..365 ids:
+      // the vectors the stale quantizer encoded worst)
+      def qSet(ids: Seq[Long], b: Int): DataFrame = {
+        import spark.implicits._
+        val idDf = ids.toDF("qid")
+        corpusAt(b).join(idDf, col("vec_id") === col("qid")).drop("qid")
+          .localCheckpoint(true)
+      }
+      val earlyIds = (0L until 24L).map(_ * 37L % seedN) ++
+        (0 until 24).map(i => seedN + (i.toLong * 211L) % (30L * dayN))
+      def recallAt(name: String, q: DataFrame, b: Int): Double = {
+        val exact = Similarity.bruteForceKnn(corpusAt(b), q,
+          "vec_id", "embedding", 10)
+        val approx0 = Similarity.ivfPqProbePersisted(adb, q,
+          "vec_id", "embedding", 11)
+          .filter(col("query_id") =!= col("nn_id"))
+        val approx = approx0.withColumn("rk",
+            row_number().over(Window.partitionBy("query_id")
+              .orderBy(col("rank"))))
+          .filter(col("rk") <= 10)
+        val r = Similarity.recallRow(name, approx, exact, 0.0)
+          .select(col("recall")).head().getDouble(0)
+        println(f"PSTRESS   annyear $name%-22s recall@10 = $r%.4f")
+        r
+      }
+      timed(s"annyear: build($seedN) + 30 appends") {
+        Similarity.buildIndex(adb, corpusAt(0), "vec_id", "embedding",
+          nCells = 64)
+        (1 to 30).foreach { b =>
+          Similarity.appendToIndex(adb, aDay(b), "vec_id", "embedding",
+            cursor = Some(("index", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) aMaint()
+        }
+        graft.store.Manifest.currentVersion(adb.warehouse)
+      }
+      // probe latency measured PURE (the flat-probe row, like
+      // bm25year/dedupyear probes); recall measured separately — its
+      // cost is the brute-force exact harness, not the index
+      val q30 = qSet(earlyIds, 30)
+      timed("annyear: probe @ 30")(
+        Similarity.ivfPqProbePersisted(adb, q30, "vec_id", "embedding", 10)
+          .count())
+      var r30 = 0.0
+      timed("annyear: recall @ 30") {
+        r30 = recallAt("early @ 30", q30, 30)
+        (r30 * 10000).toLong
+      }
+      timed("annyear: appends 31..365, maint/30") {
+        (31 to 365).foreach { b =>
+          Similarity.appendToIndex(adb, aDay(b), "vec_id", "embedding",
+            cursor = Some(("index", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) aMaint()
+        }
+        graft.store.Manifest.currentVersion(adb.warehouse)
+      }
+      val q365 = qSet(earlyIds, 365)
+      timed("annyear: probe @ 365")(
+        Similarity.ivfPqProbePersisted(adb, q365, "vec_id", "embedding", 10)
+          .count())
+      var r365 = 0.0; var rLate = 0.0
+      timed("annyear: recall @ 365") {
+        r365 = recallAt("early @ 365", q365, 365)
+        val lateIds = (0 until 48).map(i =>
+          seedN + 349L * dayN + (i.toLong * 67L) % (16L * dayN))
+        rLate = recallAt("late (drifted) @ 365", qSet(lateIds, 365), 365)
+        (r365 * 10000).toLong
+      }
+      val aM = graft.store.Manifest.current(adb.warehouse)
+      if (aM.dataTxids.nonEmpty)
+        println(f"PSTRESS   annyear end state: ${aM.dataTxids.size} data " +
+          f"txids, ${aM.deleteTxids.size} markers, " +
+          f"${graft.store.Manifest.versions(adb.warehouse).size} manifest " +
+          f"files, cursor@${aM.streamBatchFor("index")}")
+      // the recall gate at batch 365 — loud, so quantizer staleness
+      // past the drift budget (or an append/compaction regression)
+      // fails the battery instead of shipping as a silently degraded
+      // index. RELATIVE on the early queries (r17 measured the year's
+      // decay at 0.435 → 0.377 ≈ 0.87× — the floor allows 0.75×, so a
+      // structural regression trips it while nProbe/cell-count knob
+      // noise does not) plus absolute backstops (r17 measured
+      // early 0.377, late 0.585 at nProbe=1, 64 cells).
+      if (r30 > 0 && r365 > 0) {
+        require(r365 >= 0.75 * r30 && r365 >= 0.25,
+          f"annyear: early-query recall@10 decayed $r30%.4f -> $r365%.4f " +
+            "over the year (floor: 0.75x and 0.25 absolute) — " +
+            "append/compaction regression or cell crowding past budget")
+        require(rLate >= 0.35,
+          f"annyear: late-query recall@10 at batch 365 is $rLate%.4f " +
+            "(floor 0.35) — coarse-quantizer staleness past the drift budget")
+      }
+    }
+
     spark.stop()
   }
 }

@@ -30,6 +30,20 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!j.contains(""""q_broken":0.010"""))
   }
 
+  test("sentinel-normalized per-query ratios ride the line's TAIL so " +
+      "they survive the recorder's truncation; errored queries excluded") {
+    val j = Bench.renderJson(mins, spreads, Map("q_broken" -> 1),
+      0.1, 1.05, 3, 1, contaminated = false, "/tmp/sf")
+    // 1.5 s at a 0.1 s sentinel = 15.00 machine-relative units
+    assert(j.contains(""""queries_norm":{"q_ok":15.00,"q_ok2":20.00}"""))
+    assert(j.contains(""""total_norm":35.00"""))
+    assert(j.contains(""""norm_unit":"query_min/sentinel_min""""))
+    // tail ordering: the normalized map comes after the raw summary and
+    // before the final scalars (what survives a 2 KB tail cut)
+    assert(j.indexOf("queries_norm") > j.indexOf("\"queries\":"))
+    assert(j.indexOf("total_sec") > j.indexOf("queries_norm"))
+  }
+
   test("spread collapses to aggregate stats + the noisiest queries") {
     val j = Bench.renderJson(mins, spreads, Map.empty, 0.1, 1.05, 3, 1,
       contaminated = false, "/tmp/sf")
