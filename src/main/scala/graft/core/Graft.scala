@@ -123,13 +123,21 @@ object Graft {
     *  - `cache`: persist(MEMORY_AND_DISK) + eager materialize, lineage
     *    KEPT — an executor loss recomputes only the lost partitions
     *    from the (immutable, snapshot-pinned) inputs instead of failing
-    *    the batch: the spot-cluster mode. Blocks are freed by Spark's
-    *    ContextCleaner when the plan is dropped, same lifecycle as
-    *    `local`.
+    *    the batch: the spot-cluster mode. `Dataset.persist` registers
+    *    in Spark's CacheManager, which holds entries until an explicit
+    *    unpersist — so pins are tracked in a bounded FIFO and the
+    *    oldest is unpersisted once more than [[MaxLivePins]] are in
+    *    flight (a pin is consumed within its own micro-batch; by the
+    *    time 8 newer pins exist it is long done). Without the bound, a
+    *    long-running streaming ingest would grow cached blocks and
+    *    CacheManager entries linearly with batch count.
     *  - `reliable`: `checkpoint(eager)` into
     *    `sparkContext.checkpointDir` (must be set) — lineage cut AND
     *    executor-loss-tolerant, at one distributed filesystem write per
-    *    pin: for fleets where recompute is pricier than the write.
+    *    pin: for fleets where recompute is pricier than the write. Set
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+    *    ContextCleaner removes checkpoint files of dropped plans;
+    *    otherwise sweep the checkpoint dir on a cadence.
     *
     * All three modes are eager, so every downstream action sees one
     * consistent materialization (the register tx can never re-plan the
@@ -142,11 +150,38 @@ object Graft {
         val p = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count()
+        livePins.synchronized {
+          livePins.addLast(p)
+          while (livePins.size > MaxLivePins)
+            livePins.removeFirst().unpersist(false)
+        }
         p
       case "reliable" => df.checkpoint(true)
       case other => throw new IllegalArgumentException(
         s"spark.graft.reuse.mode must be local|cache|reliable, got '$other'")
     }
+
+  /** Cache-mode pins kept persisted at once — generous for any one
+    * micro-batch (the quartet uses at most two pins per batch), small
+    * enough that a year of batches cannot grow the CacheManager.
+    */
+  val MaxLivePins = 8
+
+  private val livePins = new java.util.ArrayDeque[DataFrame]()
+
+  /** Per-round materialization for ITERATIVE loops (connected
+    * components' pointer-jumping rounds, BPE merge rounds): these must
+    * CUT lineage every round — kept lineage would nest the logical plan
+    * once per iteration, which is exactly what the materialization
+    * exists to prevent — so [[pin]]'s `cache` mode (lineage kept) does
+    * not apply here. Reliable checkpoint when the context has a
+    * checkpoint dir (cluster: rounds survive executor loss),
+    * localCheckpoint otherwise.
+    */
+  def pinLoop(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Map a timestamp-typed column onto the engine's canonical Long
     * epoch-nanos, leaving an already-Long column untouched. The session

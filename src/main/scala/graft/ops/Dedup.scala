@@ -533,14 +533,11 @@ object Dedup {
   }
 
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    // Per-round materialization keeps the plan O(1) deep. When the
-    // session has a reliable checkpoint dir configured (a real cluster:
-    // survives executor loss), use it; otherwise localCheckpoint (fast,
-    // executor-local — fine on local[] and for short jobs).
-    val reliable =
-      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // Per-round materialization keeps the plan O(1) deep — the
+    // loop-shaped pin (lineage MUST cut per round; reliable checkpoint
+    // when the context has a dir, localCheckpoint otherwise).
     def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      graft.core.Graft.pinLoop(df)
     val edges = materialize(
       pairs.select(col("id1").as("a"), col("id2").as("b"))
         .union(pairs.select(col("id2").as("a"), col("id1").as("b")))

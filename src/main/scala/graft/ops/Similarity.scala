@@ -1821,16 +1821,6 @@ object Similarity {
                  byResidual: Boolean = false): Long = {
     val spark = corpus.sparkSession
     val subDim = dim / m
-    // rebuild supersede, scoped to the INDEX keyspace (v/ codes, c/
-    // centroids, b/ codebook, f/ flags): a warehouse can hold other data
-    // alongside the index without a rebuild logically deleting it — an
-    // unbounded range delete here would wipe everything at the next
-    // compaction
-    if (db.snapshot().manifest.dataTxids.nonEmpty)
-      Seq("v/%", "c/%", "b/%", "f/%").foreach { w =>
-        graft.store.TxWriter.delete(db, t0 = Long.MinValue,
-          t1 = Long.MaxValue, wildcard = w)
-      }
     val cents = coarse.getOrElse(
       corpus.orderBy(col(idCol)).limit(nCells)
         .select(veci(col(embCol)).as("cv")).collect()
@@ -1880,10 +1870,44 @@ object Similarity {
     // with the index becoming visible — a rebuild can never strand
     // yesterday's geometry against today's codes). Serving validation
     // then reads the already-cached manifest: zero Spark jobs.
-    graft.store.TxWriter.write(db, codes.unionByName(meta),
-      timeBucketNanos = Some(1L), bucketMajor = true,
-      props = Map(GeomMProp -> m.toString, GeomDimProp -> dim.toString,
-        ResidualProp -> (if (byResidual) "1" else "0")))
+    val replacement = codes.unionByName(meta)
+    val indexProps = Map(GeomMProp -> m.toString,
+      GeomDimProp -> dim.toString,
+      ResidualProp -> (if (byResidual) "1" else "0"))
+    if (db.snapshot().manifest.dataTxids.isEmpty)
+      graft.store.TxWriter.write(db, replacement,
+        timeBucketNanos = Some(1L), bucketMajor = true, props = indexProps)
+    else {
+      // ATOMIC rebuild, scoped to the INDEX keyspace (v/ codes, c/
+      // centroids, b/ codebook, f/ flags — a warehouse can hold other
+      // data alongside the index without the rebuild logically deleting
+      // it): the supersede publishes the markers AND the new index in
+      // ONE manifest commit, so a probe snapshotting mid-rebuild sees
+      // either the old generation whole or the new one — never a
+      // deleted-but-unreplaced window (pre-r17 this was four marker
+      // transactions followed by the write). Fenced: a concurrent
+      // append voids the claim and the rebuild retries over the moved
+      // state; live-serving retrains stay correct under ingest.
+      var attempt = 0
+      var done = -1L
+      while (done < 0) {
+        attempt += 1
+        val baseline = graft.store.Manifest.current(db.warehouse)
+        graft.store.TxWriter.supersedeIf(db, baseline,
+            Seq("v/%", "c/%", "b/%", "f/%"), replacement,
+            t0 = Long.MinValue, t1 = Long.MaxValue,
+            props = indexProps) match {
+          case Some(tx) => done = tx
+          case None =>
+            if (attempt >= 60) throw new IllegalStateException(
+              "index rebuild lost the supersede fence 60 times — a " +
+                "writer is committing continuously; pause ingest or " +
+                "rebuild into a twin warehouse")
+            Thread.sleep(math.min(100L * attempt, 2000L))
+        }
+      }
+      done
+    }
   }
 
   /** Manifest table properties a [[buildIndex]] records for its probes:

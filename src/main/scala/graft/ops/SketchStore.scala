@@ -125,6 +125,12 @@ object SketchStore {
     def probeRuns: Long = runs.get()
     def cached(m: graft.store.ManifestState, key: String)
               (probe: => Boolean): Boolean = {
+      // a manifest that predates the identity UUID (created == "")
+      // cannot be distinguished from another such warehouse at a
+      // coinciding version — never memoize those (they probe every
+      // call, the pre-memo behavior); exactly the legacy stores the
+      // stamp-transition window concerns
+      if (m.created.isEmpty) return probe
       val k = (m.created, m.version, key)
       val hit = memo.synchronized(memo.get(k))
       if (hit != null) hit.booleanValue

@@ -262,10 +262,18 @@ object Compactor {
     val tentative = TxWriter.tentativePath(db)
     writer.parquet(tentative.toString)
     if (!TxWriter.tryRename(tentative, TxWriter.txidPath(db, newTxid))) {
-      // a fused writer took the number in its rename window before our
-      // claim landed — its CAS moves it forward; retry with a fresh claim
+      // a fused writer camped its tentative data on our claimed number
+      // in its read→rename window (or a crashed writer's orphan sits
+      // there). The camper can never publish at this number — our claim
+      // already moved nextTxid, so its CAS fails and it renames itself
+      // forward — and its directory is NOT ours to delete: clean only
+      // our own tentative output and retry under a fresh claim.
       TxWriter.deleteRecursivelyIfExists(tentative)
-      throw new AbortCompaction
+      if (retries >= 5) throw new IllegalStateException(
+        "compaction output rename lost 5 races for its claimed txid — " +
+          "data directories exist above the manifest's nextTxid " +
+          "(restored/rolled-back manifest?)")
+      return compactLocked(db, major, transform, limitTx, retries + 1)
     }
 
     // Atomic cutover: one manifest commit swaps the compacted inputs for
@@ -313,7 +321,8 @@ object Compactor {
       }
     } catch {
       case _: AbortCompaction =>
-        // the rename-race abort fires before the directory exists
+        // dirOf(newTxid) here is OUR renamed output (the rename above
+        // succeeded) — safe to remove before the retry
         TxWriter.deleteRecursivelyIfExists(
           Paths.get(s"${db.dataDir}/txid=$newTxid"))
         if (retries >= 5) throw new IllegalStateException(

@@ -287,10 +287,16 @@ object TxWriter {
     java.nio.file.Paths.get(db.dataDir,
       s"tmp-tx-${java.util.UUID.randomUUID().toString}")
 
-  /** Atomic fail-if-exists rename — the ONLY way a `txid=` directory
-    * comes into existence, which is what makes every writer-interleaving
-    * race detectable instead of destructive: the loser of a rename race
-    * gets `false`, never a half-written directory.
+  /** Atomic fail-if-exists rename — the ONLY way a DATA `txid=`
+    * directory comes into existence, which is what makes every
+    * writer-interleaving race detectable instead of destructive: the
+    * loser of a rename race gets `false`, never a half-written
+    * directory. (Delete MARKERS still parquet-write directly into the
+    * separate `deletes/txid=` tree — safe without the rename discipline
+    * because every marker writer holds a CAS-claimed, therefore unique,
+    * number, and nothing else ever targets that tree; any future second
+    * marker producer must either keep that uniqueness or adopt
+    * tentative-dir + rename.)
     */
   private[store] def tryRename(from: java.nio.file.Path,
                                to: java.nio.file.Path): Boolean =

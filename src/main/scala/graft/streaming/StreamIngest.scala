@@ -720,7 +720,12 @@ object StreamIngest {
       try Manifest.current(warehouse).props
         .get(MAINT_STREAK_PROP).flatMap(_.toIntOption)
       catch { case scala.util.control.NonFatal(_) => None }
-    persisted.getOrElse(
+    // MAX of persisted and in-JVM, not preference: when the manifest
+    // itself is failing, the persist is swallowed and the property goes
+    // stale LOW while the live counter climbs — the health check must
+    // see the climb (erring loud: a cross-process success clears the
+    // property but this JVM's counter only clears on its own success)
+    math.max(persisted.getOrElse(0),
       Option(maintFailures.get(warehouse)).fold(0)(_.intValue))
   }
 }

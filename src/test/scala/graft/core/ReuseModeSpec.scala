@@ -37,6 +37,23 @@ class ReuseModeSpec extends SparkSpec {
     }
   }
 
+  test("cache mode is bounded: a stream of pins unpersists the oldest " +
+      "past MaxLivePins, so CacheManager entries cannot grow per-batch") {
+    withMode("cache") {
+      val pins = (0 until Graft.MaxLivePins + 3).map { i =>
+        Graft.pin(spark.range(i * 100, i * 100 + 50).toDF("id"))
+      }
+      val live = pins.count(p =>
+        p.storageLevel.useMemory || p.storageLevel.useDisk)
+      assert(live <= Graft.MaxLivePins,
+        s"$live pins still persisted (cap ${Graft.MaxLivePins})")
+      assert(!(pins.head.storageLevel.useMemory ||
+        pins.head.storageLevel.useDisk), "oldest pin must be unpersisted")
+      // an evicted pin still answers (lineage kept): recompute, not fail
+      assert(pins.head.count() == 50)
+    }
+  }
+
   test("local (default) and cache modes agree end-to-end: the quartet " +
       "sink's reports are identical under either reuse mode") {
     import graft.ops.SketchStore

@@ -103,4 +103,38 @@ class CompactConcurrencySpec extends SparkSpec {
     assert(db.snapshot().manifest.dataTxids.size == 1,
       s"retry did not fold the latecomer: ${db.snapshot().manifest.dataTxids}")
   }
+
+  test("output rename losing its claimed number (a camped tentative dir) " +
+      "retries under a fresh claim and never deletes the camper's data") {
+    val db = Db(spark, tmpDir("graft-cc5"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    TxWriter.write(db, Seq(("a", 1L, 2L)).toDF("key", "ts", "v"))
+    var campedAt = -1L
+    var injected = false
+    Compactor.major(db, { df =>
+      if (!injected) { injected = true
+        // a fused writer's tentative directory lands on the compactor's
+        // CLAIMED number mid-rewrite (the microsecond read→rename race):
+        // the compactor's output rename must fail-if-exists, leave the
+        // camper's bytes alone, and retry under a fresh claim
+        campedAt = Manifest.current(db.warehouse).nextTxid - 1
+        Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v").coalesce(1)
+          .write.parquet(s"${db.dataDir}/txid=$campedAt")
+      }
+      df
+    })
+    val m = db.snapshot().manifest
+    // the compaction committed (retry) and never published the camper
+    assert(!m.dataTxids.contains(campedAt), "camped number never publishes")
+    assert(m.dataTxids.size == 1, s"retry did not cut over: ${m.dataTxids}")
+    assert(db.read("%").select("v").as[Long].collect().toSeq == Seq(2L))
+    // the camper's directory is intact — the compactor cleaned only its
+    // own tentative output (the camper self-heals by renaming forward;
+    // a crashed camper is vacuum's job, not the compactor's)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(db.dataDir, s"txid=$campedAt")),
+      "the compactor deleted another writer's camped directory")
+    assert(db.read("%").filter(col("key") === "ghost").count() == 0,
+      "camped tentative data must stay invisible")
+  }
 }
