@@ -821,10 +821,19 @@ object PipelineStress {
       }
       val earlyIds = (0L until 24L).map(_ * 37L % seedN) ++
         (0 until 24).map(i => seedN + (i.toLong * 211L) % (30L * dayN))
-      def recallAt(name: String, q: DataFrame, b: Int,
+      // the exact baseline depends only on (query set, batch) — never
+      // on the index generation or nProbe — so compute it once per pair
+      // (it is the battery's most expensive stage: brute kNN over the
+      // full corpus) and reuse across the recall variants
+      val exactCache =
+        scala.collection.mutable.Map.empty[(Long, Int), DataFrame]
+      def exactFor(q: DataFrame, qKey: Long, b: Int): DataFrame =
+        exactCache.getOrElseUpdate((qKey, b),
+          Similarity.bruteForceKnn(corpusAt(b), q,
+            "vec_id", "embedding", 10).localCheckpoint(true))
+      def recallAt(name: String, q: DataFrame, qKey: Long, b: Int,
                    nProbe: Int = 1): Double = {
-        val exact = Similarity.bruteForceKnn(corpusAt(b), q,
-          "vec_id", "embedding", 10)
+        val exact = exactFor(q, qKey, b)
         val approx0 = Similarity.ivfPqProbePersisted(adb, q,
           "vec_id", "embedding", 11, nProbe = nProbe)
           .filter(col("query_id") =!= col("nn_id"))
@@ -856,7 +865,7 @@ object PipelineStress {
           .count())
       var r30 = 0.0
       timed("annyear: recall @ 30") {
-        r30 = recallAt("early @ 30", q30, 30)
+        r30 = recallAt("early @ 30", q30, 1L, 30)
         (r30 * 10000).toLong
       }
       timed("annyear: appends 31..365, maint/30") {
@@ -870,19 +879,20 @@ object PipelineStress {
       val q365 = qSet(earlyIds, 365)
       val lateIds = (0 until 48).map(i =>
         seedN + 349L * dayN + (i.toLong * 67L) % (16L * dayN))
+      val qLate365 = qSet(lateIds, 365)
       timed("annyear: probe @ 365")(
         Similarity.ivfPqProbePersisted(adb, q365, "vec_id", "embedding", 10)
           .count())
       var r365 = 0.0; var rLate = 0.0
       timed("annyear: recall @ 365") {
-        r365 = recallAt("early @ 365", q365, 365)
-        rLate = recallAt("late (drifted) @ 365", qSet(lateIds, 365), 365)
+        r365 = recallAt("early @ 365", q365, 2L, 365)
+        rLate = recallAt("late (drifted) @ 365", qLate365, 3L, 365)
         // the SERVING-side recall lever, measured at the same index:
         // the year's decay is corpus growth against a fixed nProbe
         // budget (more competing neighbors per cell boundary), so the
         // knob that buys recall back at query time is nProbe — this row
         // is the recall-vs-cost curve point an operator trades against
-        recallAt("early @ 365, nProbe=4", q365, 365, nProbe = 4)
+        recallAt("early @ 365, nProbe=4", q365, 2L, 365, nProbe = 4)
         (r365 * 10000).toLong
       }
       // the retrain lever, measured: when the recall gate trips, the
@@ -901,9 +911,9 @@ object PipelineStress {
       }
       var re = 0.0; var rl = 0.0
       timed("annyear: recall after retrain") {
-        re = recallAt("early after retrain", q365, 365)
-        rl = recallAt("late after retrain", qSet(lateIds, 365), 365)
-        recallAt("early retrain, nProbe=4", q365, 365, nProbe = 4)
+        re = recallAt("early after retrain", q365, 2L, 365)
+        rl = recallAt("late after retrain", qLate365, 3L, 365)
+        recallAt("early retrain, nProbe=4", q365, 2L, 365, nProbe = 4)
         (re * 10000).toLong
       }
       // a retrain must never make recall WORSE for either population —

@@ -152,8 +152,15 @@ object Graft {
         p.count()
         livePins.synchronized {
           livePins.addLast(p)
-          while (livePins.size > MaxLivePins)
-            livePins.removeFirst().unpersist(false)
+          while (livePins.size > MaxLivePins) {
+            val old = livePins.removeFirst()
+            // eviction must never fail a LATER pin: a frame owned by a
+            // since-stopped session (embedded apps, test JVMs) throws
+            // from unpersist — drop it silently, its blocks died with
+            // the context
+            try { old.unpersist(false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
         p
       case "reliable" => df.checkpoint(true)
@@ -161,11 +168,16 @@ object Graft {
         s"spark.graft.reuse.mode must be local|cache|reliable, got '$other'")
     }
 
-  /** Cache-mode pins kept persisted at once — generous for any one
-    * micro-batch (the quartet uses at most two pins per batch), small
-    * enough that a year of batches cannot grow the CacheManager.
+  /** Cache-mode pins kept persisted at once. The FIFO is global and
+    * evicts by creation order, so size it for the JVM's CONCURRENT pin
+    * population, not one sink's: a micro-batch holds at most ~2 pins,
+    * so 32 covers a dozen-plus co-resident streaming sinks before an
+    * in-use pin can be evicted early — and early eviction degrades to
+    * a lineage recompute over snapshot-pinned (immutable, so
+    * deterministic) inputs, never to a wrong answer. Small enough that
+    * a year of batches cannot grow the CacheManager.
     */
-  val MaxLivePins = 8
+  val MaxLivePins = 32
 
   private val livePins = new java.util.ArrayDeque[DataFrame]()
 
@@ -176,7 +188,11 @@ object Graft {
     * exists to prevent — so [[pin]]'s `cache` mode (lineage kept) does
     * not apply here. Reliable checkpoint when the context has a
     * checkpoint dir (cluster: rounds survive executor loss),
-    * localCheckpoint otherwise.
+    * localCheckpoint otherwise. Consequence for spot fleets: loop-shaped
+    * operators keep preemption tolerance ONLY via a checkpoint dir —
+    * `reuse.mode=cache` cannot help a loop, so set
+    * `sparkContext.setCheckpointDir` on preemptible clusters that run
+    * CC/BPE at scale.
     */
   def pinLoop(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)

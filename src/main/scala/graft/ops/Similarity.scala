@@ -1899,10 +1899,25 @@ object Similarity {
             props = indexProps) match {
           case Some(tx) => done = tx
           case None =>
-            if (attempt >= 60) throw new IllegalStateException(
-              "index rebuild lost the supersede fence 60 times — a " +
-                "writer is committing continuously; pause ingest or " +
-                "rebuild into a twin warehouse")
+            if (attempt >= 60) {
+              // distinguish the two refusal causes — they have opposite
+              // remedies: a STALE pending claim (crashed writer) needs
+              // Compactor.vacuum to clear, while live contention needs
+              // the ingest paused. The old delete-then-write rebuild
+              // proceeded under a stale claim; the atomic supersede
+              // must not silently prescribe the wrong fix for it.
+              val pend = graft.store.Manifest.current(db.warehouse).pending
+              if (pend.nonEmpty) throw new IllegalStateException(
+                s"index rebuild blocked by pending txid claim(s) " +
+                  s"${pend.keys.toSeq.sorted.mkString(",")} — a crashed " +
+                  "writer's claim raises the supersede fence; run " +
+                  "Compactor.vacuum past the grace window to clear it, " +
+                  "then retry the rebuild")
+              throw new IllegalStateException(
+                "index rebuild lost the supersede fence 60 times — a " +
+                  "writer is committing continuously; pause ingest or " +
+                  "rebuild into a twin warehouse")
+            }
             Thread.sleep(math.min(100L * attempt, 2000L))
         }
       }

@@ -127,9 +127,13 @@ object SketchStore {
               (probe: => Boolean): Boolean = {
       // a manifest that predates the identity UUID (created == "")
       // cannot be distinguished from another such warehouse at a
-      // coinciding version — never memoize those (they probe every
-      // call, the pre-memo behavior); exactly the legacy stores the
-      // stamp-transition window concerns
+      // coinciding version — never memoize those: they pay one probe
+      // per call, the pre-memo behavior, because a cross-warehouse
+      // aliased guard verdict would be the silent-wrong-answer class
+      // this whole family exists to kill. The one-job-per-version
+      // bound therefore applies to identity-bearing manifests (every
+      // warehouse this engine ever created); a truly pre-UUID external
+      // store keeps the conservative per-call cost until stamped.
       if (m.created.isEmpty) return probe
       val k = (m.created, m.version, key)
       val hit = memo.synchronized(memo.get(k))

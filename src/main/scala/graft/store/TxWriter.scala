@@ -558,6 +558,17 @@ object TxWriter {
         .parquet(s"${db.deleteDir}/txid=$markerTx")
       val written = writeDataDir(db, replacement, tmp,
         baseline.timeBucket, baseline.bucketMajor, None)
+      // same bucket-explosion guard as [[write]]: a supersede that mints
+      // an absurd tbucket= count (a rebuild with fat-fingered geometry on
+      // a bucket-major warehouse) must refuse while still invisible
+      if (baseline.timeBucket > 0) {
+        val minted = mintedBuckets(db, tmp)
+        if (minted > DefaultMaxNewBuckets)
+          throw new BucketExplosion(
+            s"supersede replacement minted $minted tbucket= dirs (cap " +
+              s"$DefaultMaxNewBuckets) — see TxWriter.write's guard; " +
+              "nothing was published.")
+      }
       // the fence (claimIf: nothing moved, no pending) guarantees the
       // claimed number is free — an occupied directory here means a
       // manifest/data-dir mismatch, surfaced loudly, nothing published

@@ -708,12 +708,16 @@ object StreamIngest {
   val MAINT_STREAK_PROP = "maint.failStreak"
 
   /** The current consecutive auto-maintenance failure streak for a
-    * warehouse (0 after any success) — the counter a health check
-    * polls instead of scraping stderr. Reads the PERSISTED manifest
-    * property first (a stat-cached read, so `_status` in a process
-    * other than the sink's JVM reports the same streak), falling back
-    * to the in-JVM counter only when no property was ever persisted
-    * (e.g. the manifest itself is the thing failing).
+    * warehouse — the counter a health check polls instead of scraping
+    * stderr. Returns the MAX of the persisted manifest property (a
+    * stat-cached read, so `_status` in a process other than the sink's
+    * JVM reports the streak) and this JVM's live counter: when the
+    * manifest itself is what's failing, the swallowed persist leaves
+    * the property stale-LOW while the live counter climbs — the health
+    * check must see the climb. The deliberate cost: a maintenance
+    * success in ANOTHER process clears the property but not this JVM's
+    * counter, which stays up until this JVM's own next success — the
+    * counter errs loud, never silent.
     */
   def consecutiveMaintenanceFailures(warehouse: String): Int = {
     val persisted =
