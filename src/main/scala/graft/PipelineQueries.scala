@@ -1093,6 +1093,18 @@ object PipelineQueries {
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
+    // index OBSERVABILITY: per-cell occupancy of the persisted codes —
+    // the histogram behind the re-cell/retrain decision (the annyear
+    // battery's finding: recall decay tracks cell occupancy, so skew
+    // must be a readable number, not a guess). One key-pruned slim
+    // scan, a ≤nCells-row aggregate.
+    "ann_index_stats" -> { (s, d) =>
+      import graft.store.Db
+      val db = Db(s, tempWarehouse())
+      Similarity.buildIndex(db, Graft.embeddings(s, d), "vec_id",
+        "embedding")
+      Similarity.indexCellStats(db).orderBy("cell")
+    },
     // the steady-state number the persisted design exists for: the index
     // is built ONCE per session (outside this query's timing, after the
     // first invocation) and every invocation only probes it — partition-
@@ -1957,6 +1969,7 @@ object PipelineQueries {
     // the persisted probe is value-identical to an in-query IVF+PQ over
     // the TRAINED codebook (buildIndex persists pqTrainedCodebook)
     "ann_ivf_pq_persisted" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
+    "ann_index_stats" -> Similarity.sqlIndexCellStats(),
     "ann_ivf_pq_probe_only" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5"),
     "ann_ivf_pq_multiprobe" -> Similarity.sqlIvfPqTrained(10, "vec_id < 5",
       nProbe = 2),

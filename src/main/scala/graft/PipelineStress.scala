@@ -887,12 +887,37 @@ object PipelineStress {
       timed("annyear: recall @ 365") {
         r365 = recallAt("early @ 365", q365, 2L, 365)
         rLate = recallAt("late (drifted) @ 365", qLate365, 3L, 365)
-        // the SERVING-side recall lever, measured at the same index:
-        // the year's decay is corpus growth against a fixed nProbe
-        // budget (more competing neighbors per cell boundary), so the
-        // knob that buys recall back at query time is nProbe — this row
-        // is the recall-vs-cost curve point an operator trades against
+        // the SERVING-side recall levers, measured at the same index.
+        // nProbe alone buys little here (the limiter is PQ/ADC noise,
+        // not cell selection)…
         recallAt("early @ 365, nProbe=4", q365, 2L, 365, nProbe = 4)
+        // …the PRODUCTION lever is the refine stage: ADC shortlist
+        // (top-50, nProbe=4) exactly re-ranked against the raw vectors
+        // — recall@10 rises to the shortlist's recall@50, for |Q|×50
+        // exact distances (broadcast hash join, no shuffle)
+        val rRef = {
+          val cand = Similarity.ivfPqProbePersisted(adb, q365,
+            "vec_id", "embedding", 50, nProbe = 4)
+          val refined0 = Similarity.refineTopK(corpusAt(365), q365, cand,
+            "vec_id", "embedding", 11)
+            .filter(col("query_id") =!= col("nn_id"))
+          val refined = refined0.withColumn("rk",
+              row_number().over(Window.partitionBy("query_id")
+                .orderBy(col("rank"))))
+            .filter(col("rk") <= 10)
+          val r = Similarity.recallRow("refine", refined,
+              exactFor(q365, 2L, 365), 0.0)
+            .select(col("recall")).head().getDouble(0)
+          println(f"PSTRESS   annyear early @ 365, nP4+refine50 " +
+            f"recall@10 = $r%.4f")
+          r
+        }
+        // wide-margin floor: the refine stage exists to lift recall well
+        // above the plain probe — if it ever lands below the probe's own
+        // decayed level, the refine path itself is broken
+        require(rRef >= 0.5,
+          f"annyear: refine-stage recall@10 is $rRef%.4f (floor 0.5) — " +
+            "refine path regression")
         (r365 * 10000).toLong
       }
       // the retrain lever, measured: when the recall gate trips, the

@@ -1925,6 +1925,43 @@ object Similarity {
     }
   }
 
+  /** Per-cell occupancy of the persisted index — the observability the
+    * annyear battery's finding (SCALE.md r17) calls for: the year's
+    * recall decay is driven by cell OCCUPANCY (corpus growth against a
+    * frozen cell count), so the operator's re-cell/retrain decision
+    * needs this histogram, not a guess. One slim key-pruned scan of the
+    * codes family ("v/%", ts = IVF cell), a ≤nCells-row aggregate —
+    * O(1)-size output at any corpus scale.
+    */
+  def indexCellStats(db: graft.store.Db): DataFrame =
+    db.snapshot().read("v/%")
+      .select(col("ts").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_codes"))
+
+  /** DuckDB oracle twin of [[indexCellStats]] over a first-N-coarse
+    * index built from the `embeddings` table (adjacent so the cell
+    * assignment math cannot drift from [[sqlIvfPq]]'s `cells` CTE).
+    */
+  def sqlIndexCellStats(nCells: Int = 16): String = {
+    val cellCos = sqlCosineGuardedParts(sqlDotInt("vn.v", "cc.cv"),
+      "vn.n2", "cc.cn")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, ${sqlVeci("embedding")} AS v FROM embeddings),
+       |vn AS (SELECT vec_id, v, ${sqlDotInt("v", "v")} AS n2 FROM v0),
+       |cc AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cid, v AS cv, ${sqlDotInt("v", "v")} AS cn
+       |  FROM (SELECT vec_id, v FROM v0 ORDER BY vec_id LIMIT $nCells)),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vn.vec_id, cc.cid AS cell,
+       |           row_number() OVER (PARTITION BY vn.vec_id
+       |             ORDER BY round($cellCos, 9) DESC, cc.cid) AS rn
+       |    FROM vn CROSS JOIN cc) WHERE rn = 1)
+       |SELECT cell, count(*) AS n_codes FROM cells
+       |GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** Manifest table properties a [[buildIndex]] records for its probes:
     * PQ geometry and the residual-encoding flag. Absent on pre-props
     * indexes — readers fall back to deriving them from the reserved

@@ -66,6 +66,37 @@ class PersistedIndexSpec extends SparkSpec {
         col("rank").cast("int"))
       .as[(Long, Long, Long, Int)].collect().toSeq.sorted
 
+  test("indexCellStats: occupancy sums to the corpus, tracks appends, " +
+      "and never counts meta rows") {
+    val db = Db(spark, tmpDir("graft-pidx-stats"))
+    build(db, corpusA)
+    val n0 = corpusA.count()
+    def stats() = Similarity.indexCellStats(db)
+      .as[(Long, Long)].collect().toMap
+    val s0 = stats()
+    assert(s0.values.sum == n0, s"occupancy must sum to the corpus: $s0")
+    assert(s0.keySet.subsetOf(Set(0L, 1L)), s"cells are the IVF ids: $s0")
+    // an append of FRESH ids shifts the histogram by exactly the batch
+    // size (re-appending an existing id at the same cell is a last-wins
+    // overwrite, not a duplicate — the store stays one-row-per-vector)
+    val fresh = Seq(
+      (10L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (11L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (12L, vec(0.7, 0.2, 0, 0, 0, 0, 0.2, 0.7))
+    ).toDF("vec_id", "embedding")
+    Similarity.appendToIndex(db, fresh, "vec_id", "embedding",
+      m = 2, dim = dim)
+    val s1 = stats()
+    assert(s1.values.sum == n0 + 3, s"append not counted: $s1")
+    // re-appending an existing id at its unchanged cell must NOT grow
+    // the count (key+ts identical → last-wins overwrite)
+    Similarity.appendToIndex(db,
+      Seq((0L, vec(1, 0, 0, 0, 0, 0, 0, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", m = 2, dim = dim)
+    assert(stats().values.sum == n0 + 3,
+      "re-append of an unchanged vector must overwrite, not duplicate")
+  }
+
   test("probe equals the in-memory IVF+PQ over the same trained codebook") {
     val db = Db(spark, tmpDir("graft-pidx"))
     build(db, corpusA)
