@@ -1934,7 +1934,15 @@ object Similarity {
     * O(1)-size output at any corpus scale.
     */
   def indexCellStats(db: graft.store.Db): DataFrame =
-    db.snapshot().read("v/%")
+    indexCellStatsAt(db.snapshot())
+
+  /** [[indexCellStats]] off a caller-held snapshot — the serving tier's
+    * form (every read in one response body derives from ONE manifest
+    * state).
+    */
+  private[graft] def indexCellStatsAt(snap: graft.store.Db#Snapshot)
+      : DataFrame =
+    snap.read("v/%")
       .select(col("ts").as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n_codes"))
 

@@ -403,7 +403,14 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
         doAnn(params(ex)))
     if (pattern == "_query/hybrid")
       return cachedQuery(ex, usesAnn = true)(doHybrid(params(ex)))
-    if (pattern == "_query/stats") return cachedQuery(ex)(doStats(params(ex)))
+    if (pattern == "_query/stats") {
+      val ps = params(ex)
+      // kind=ann answers from the ANN warehouse — its cache entry and
+      // ETag must key on THAT generation, or an index append would
+      // leave a stale cached occupancy report under the data version
+      val isAnn = ps.get("kind").contains("ann")
+      return cachedQuery(ex, usesData = !isAnn, usesAnn = isAnn)(doStats(ps))
+    }
     val human = Option(ex.getRequestURI.getQuery)
       .exists(_.split('&').contains("human"))
     val w = graft.series.Wildcard(pattern)
@@ -706,6 +713,46 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
     if (heavyK < 0 || heavyK > 10000) return (400, "heavy out of range\n")
     val spark = db.spark
     import spark.implicits._
+    // kind=ann → the INDEX-warehouse occupancy/geometry report, the
+    // re-cell/retrain dashboard (SCALE.md r17: recall decay tracks cell
+    // occupancy, so skew must be a polled number). Answers from the
+    // bound ANN warehouse off ONE snapshot; the histogram is ≤nCells
+    // rows by the bucket-layout cap — collected bounded, refused loudly
+    // past a sanity ceiling like every other serve collect.
+    if (p.get("kind").contains("ann")) {
+      val a = annDb.getOrElse(
+        return (400, "kind=ann needs an ANN warehouse bound (annDb)\n"))
+      val snap = a.snapshot()
+      val ver = snap.manifest.version
+      if (snap.manifest.dataTxids.isEmpty)
+        return (200, s"""{"kind":"ann","nCells":0,"nCodes":0,""" +
+          s""""annVersion":$ver}""" + "\n")
+      val occ = graft.ops.Similarity.indexCellStatsAt(snap)
+        .orderBy("cell").limit(20001)
+        .as[(Long, Long)].collect()
+      if (occ.length > 20000)
+        return (400, "index holds more than 20000 cells — not an IVF " +
+          "layout this report is meant for\n")
+      val counts = occ.map(_._2).sorted
+      def q(f: Double): Long =
+        if (counts.isEmpty) 0L
+        else counts(math.min(counts.length - 1,
+          ((counts.length - 1) * f).round.toInt))
+      // geometry from the manifest props a buildIndex claims — absent
+      // on a pre-props index (fields omitted rather than guessed)
+      val geom = (snap.manifest.props.get("ann.m"),
+          snap.manifest.props.get("ann.dim")) match {
+        case (Some(m), Some(d)) =>
+          s""","m":$m,"dim":$d,"residual":${
+            snap.manifest.props.get("ann.residual").getOrElse("0")}"""
+        case _ => ""
+      }
+      return (200,
+        s"""{"kind":"ann","nCells":${counts.length},""" +
+          s""""nCodes":${counts.sum},"occMin":${q(0.0)},""" +
+          s""""occP50":${q(0.5)},"occP95":${q(0.95)},""" +
+          s""""occMax":${q(1.0)}$geom,"annVersion":$ver}""" + "\n")
+    }
     // ?by → the grouped report: per-group quantile envelopes from the
     // GROUPED hist store (registerHistBy) — the source-mix dashboard
     // read. One bounded key-pruned scan of sketch-sized rows per group.

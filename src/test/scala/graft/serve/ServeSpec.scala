@@ -656,6 +656,47 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /_query/stats?kind=ann reports index occupancy + claimed " +
+      "geometry from the ANN warehouse; cache keys on the ANN generation") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)),
+      (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1)),
+      (4L, vec(0.8, 0, 0.1, 0, 0, 0.1, 0, 0.8))
+    ).toDF("vec_id", "embedding")
+    val db = Db(spark, tmpDir("graft-serve-annstats"))
+    val annDb = Db(spark, tmpDir("graft-serve-annstats-ann"))
+    graft.ops.Similarity.buildIndex(annDb, emb, "vec_id", "embedding",
+      nCells = 2, m = 2, k = 4, dim = 8)
+    val srv = new Serve(db, annDb = Some(annDb)).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val (c0, b0) = http("GET", s"$base/_query/stats?kind=ann")
+      assert(c0 == 200, b0)
+      assert(b0.contains("\"kind\":\"ann\"") &&
+        b0.contains("\"nCells\":2") && b0.contains("\"nCodes\":5") &&
+        b0.contains("\"m\":2") && b0.contains("\"dim\":8") &&
+        b0.contains("\"occMax\":3"), b0)
+      // an index append moves the ANN generation: the report must not
+      // serve the stale cached occupancy (the cache keys on annVersion)
+      graft.ops.Similarity.appendToIndex(annDb,
+        Seq((9L, vec(1, 0, 0, 0, 0, 0, 0, 1)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding",
+        m = 2, dim = 8)
+      val (c1, b1) = http("GET", s"$base/_query/stats?kind=ann")
+      assert(c1 == 200 && b1.contains("\"nCodes\":6"), b1)
+      // no ANN warehouse bound → loud 400, never a guessed answer
+      val bare = new Serve(db).start()
+      try assert(http("GET",
+        s"http://localhost:${bare.boundPort}/_query/stats?kind=ann")
+        ._1 == 400)
+      finally bare.stop()
+    } finally srv.stop()
+  }
+
   test("a cached hit under a lagging staleness probe still carries the " +
       "generation its body was computed at: freshness rides the entry") {
     import spark.implicits._
