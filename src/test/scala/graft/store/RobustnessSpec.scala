@@ -36,6 +36,26 @@ class RobustnessSpec extends SparkSpec {
     assert(db.read().count() == 1)
   }
 
+  test("a crashed writer's stranded TENTATIVE directory (tmp-tx-*) is " +
+      "invisible and vacuumable; a live one survives the grace window") {
+    val db = Db(spark, tmpDir("graft-tentative"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    // simulate a crash MID-WRITE under the r17 rename-only protocol:
+    // the parquet job died before its atomic rename, leaving a
+    // uniquely named tentative dir that no manifest ever references
+    Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v")
+      .write.parquet(s"${db.dataDir}/tmp-tx-dead-beef")
+    assert(db.read().count() == 1, "tentative data invisible to readers")
+    // within the grace window the dir is an in-flight writer's — kept
+    Compactor.vacuum(db, graceMs = 60 * 60 * 1000L)
+    assert(Files.exists(Paths.get(s"${db.dataDir}/tmp-tx-dead-beef")),
+      "grace window must protect a possibly-live tentative write")
+    // past it (grace 0 = known-quiescent) the stranding is swept
+    Compactor.vacuum(db, graceMs = 0L)
+    assert(!Files.exists(Paths.get(s"${db.dataDir}/tmp-tx-dead-beef")))
+    assert(db.read().count() == 1)
+  }
+
   test("warehouse-filesystem contract (SURVEY §7.4.9): the control plane " +
       "relies on exactly three POSIX-rename primitives — stated and pinned") {
     // The manifest CAS, the fused protocol's directory forwarding and
