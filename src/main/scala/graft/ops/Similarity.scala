@@ -1938,13 +1938,32 @@ object Similarity {
 
   /** [[indexCellStats]] off a caller-held snapshot — the serving tier's
     * form (every read in one response body derives from ONE manifest
-    * state).
+    * state). EMPTY cells report a zero row, not absence: a dead cell
+    * (k-means left it unpopulated, or the corpus drifted away from it)
+    * wastes the probe's nProbe budget and is the strongest retrain
+    * signal — dropping it from the histogram would hide exactly the
+    * skew this report exists to expose. The stored centroid family
+    * ("c/%") defines the cell universe; a pre-centroid store (codes
+    * without meta — not a buildIndex product) falls back to
+    * occupied-cells-only.
     */
   private[graft] def indexCellStatsAt(snap: graft.store.Db#Snapshot)
-      : DataFrame =
-    snap.read("v/%")
+      : DataFrame = {
+    val occ = snap.read("v/%")
       .select(col("ts").as("cell"))
-      .groupBy("cell").agg(count(lit(1)).as("n_codes"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val cents = snap.read("c/%")
+    val universe =
+      if (cents.columns.contains("nn_id"))
+        cents.filter(col("ts") === CELL_CENTROIDS)
+          .select(col("nn_id").as("cell")).distinct()
+      else cents.limit(0).select(lit(0L).as("cell"))
+    if (universe.isEmpty)
+      occ.select(col("cell"), col("n").as("n_codes"))
+    else
+      universe.join(occ, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_codes"))
+  }
 
   /** DuckDB oracle twin of [[indexCellStats]] over a first-N-coarse
     * index built from the `embeddings` table (adjacent so the cell
@@ -1966,8 +1985,9 @@ object Similarity {
        |           row_number() OVER (PARTITION BY vn.vec_id
        |             ORDER BY round($cellCos, 9) DESC, cc.cid) AS rn
        |    FROM vn CROSS JOIN cc) WHERE rn = 1)
-       |SELECT cell, count(*) AS n_codes FROM cells
-       |GROUP BY cell ORDER BY cell""".stripMargin
+       |SELECT cc.cid AS cell, count(cells.vec_id) AS n_codes
+       |FROM cc LEFT JOIN cells ON cells.cell = cc.cid
+       |GROUP BY cc.cid ORDER BY cell""".stripMargin
   }
 
   /** Manifest table properties a [[buildIndex]] records for its probes:

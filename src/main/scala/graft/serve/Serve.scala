@@ -740,11 +740,12 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
           ((counts.length - 1) * f).round.toInt))
       // geometry from the manifest props a buildIndex claims — absent
       // on a pre-props index (fields omitted rather than guessed)
-      val geom = (snap.manifest.props.get("ann.m"),
-          snap.manifest.props.get("ann.dim")) match {
+      import graft.ops.Similarity.{GeomMProp, GeomDimProp, ResidualProp}
+      val geom = (snap.manifest.props.get(GeomMProp),
+          snap.manifest.props.get(GeomDimProp)) match {
         case (Some(m), Some(d)) =>
           s""","m":$m,"dim":$d,"residual":${
-            snap.manifest.props.get("ann.residual").getOrElse("0")}"""
+            snap.manifest.props.get(ResidualProp).getOrElse("0")}"""
         case _ => ""
       }
       return (200,
