@@ -125,10 +125,12 @@ object Graft {
     *    from the (immutable, snapshot-pinned) inputs instead of failing
     *    the batch: the spot-cluster mode. `Dataset.persist` registers
     *    in Spark's CacheManager, which holds entries until an explicit
-    *    unpersist — so pins are tracked in a bounded FIFO and the
-    *    oldest is unpersisted once more than [[MaxLivePins]] are in
-    *    flight (a pin is consumed within its own micro-batch; by the
-    *    time 8 newer pins exist it is long done). Without the bound, a
+    *    unpersist — the ingest paths run under [[pinScope]], which
+    *    releases their pins at consumption end; unscoped pins are
+    *    tracked in a bounded FIFO whose oldest entry is unpersisted
+    *    once more than [[MaxLivePins]] are in flight (a pin is consumed
+    *    within its own micro-batch; by the time [[MaxLivePins]] newer
+    *    pins exist it is long done). Without scope or bound, a
     *    long-running streaming ingest would grow cached blocks and
     *    CacheManager entries linearly with batch count.
     *  - `reliable`: `checkpoint(eager)` into
@@ -162,20 +164,80 @@ object Graft {
             catch { case scala.util.control.NonFatal(_) => () }
           }
         }
+        // a pin created under an open [[pinScope]] is released when the
+        // scope closes — the SCOPED release is the mechanism; the FIFO
+        // above is only the backstop for unscoped (query-shaped) pins
+        pinScopes.get.headOption.foreach(_ += p)
         p
       case "reliable" => df.checkpoint(true)
       case other => throw new IllegalArgumentException(
         s"spark.graft.reuse.mode must be local|cache|reliable, got '$other'")
     }
 
-  /** Cache-mode pins kept persisted at once. The FIFO is global and
-    * evicts by creation order, so size it for the JVM's CONCURRENT pin
-    * population, not one sink's: a micro-batch holds at most ~2 pins,
-    * so 32 covers a dozen-plus co-resident streaming sinks before an
-    * in-use pin can be evicted early — and early eviction degrades to
-    * a lineage recompute over snapshot-pinned (immutable, so
-    * deterministic) inputs, never to a wrong answer. Small enough that
-    * a year of batches cannot grow the CacheManager.
+  /** Explicitly release one cache-mode pin: unpersist its blocks and
+    * drop it from the live-pin FIFO. A no-op for frames [[pin]] did not
+    * cache (`local`/`reliable` modes, or already evicted/released) —
+    * local-checkpointed frames must NOT be unpersisted (their blocks ARE
+    * the data once lineage is cut), and the identity check against the
+    * FIFO guarantees only cache-mode pins are ever touched. Releasing in
+    * cache mode is always safe: lineage is kept, so a late consumer of a
+    * released frame deterministically recomputes from snapshot-pinned
+    * inputs rather than failing.
+    */
+  def release(df: DataFrame): Unit = {
+    val owned = livePins.synchronized {
+      val it = livePins.iterator()
+      var found = false
+      while (!found && it.hasNext) if (it.next() eq df) {
+        it.remove(); found = true
+      }
+      found
+    }
+    if (owned)
+      try { df.unpersist(false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Scoped pin lifetime: every cache-mode [[pin]] created on this
+    * thread inside `body` is [[release]]d when `body` returns — the
+    * try/finally-at-consumption-end the ingest paths need, so a
+    * long-running streaming sink's pins are freed the moment their
+    * micro-batch is done instead of waiting for [[MaxLivePins]] FIFO
+    * eviction (which, with > ~MaxLivePins/2 co-resident sinks, could
+    * evict an IN-FLIGHT pin early and silently re-pay its lineage on
+    * the unlucky batch — exactly the fleet `cache` mode targets).
+    * Scopes nest (inner pins release at the inner boundary); pins whose
+    * frame outlives the creating function (query-shaped operators that
+    * RETURN a plan over the pin) must stay unscoped and rely on the
+    * backstop. `local`/`reliable` pins pass through untouched.
+    */
+  def pinScope[A](body: => A): A = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    pinScopes.set(buf :: pinScopes.get)
+    try body
+    finally {
+      pinScopes.set(pinScopes.get.tail)
+      buf.foreach(release)
+    }
+  }
+
+  private val pinScopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+      override def initialValue
+          : List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+    }
+
+  /** BACKSTOP bound on cache-mode pins kept persisted at once — the
+    * mechanism for ingest-path pins is [[pinScope]]'s release at
+    * consumption end; this FIFO only catches unscoped (query-shaped)
+    * pins and scope leaks. It is global and evicts by creation order,
+    * so it is sized for the JVM's CONCURRENT unscoped-pin population: a
+    * micro-batch holds at most ~2 pins, so [[MaxLivePins]] covers a
+    * dozen-plus co-resident sinks even if every one ran unscoped — and
+    * early eviction degrades to a lineage recompute over
+    * snapshot-pinned (immutable, so deterministic) inputs, never to a
+    * wrong answer. Small enough that a year of batches cannot grow the
+    * CacheManager.
     */
   val MaxLivePins = 32
 

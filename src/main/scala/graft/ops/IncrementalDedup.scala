@@ -98,7 +98,13 @@ object IncrementalDedup {
                   onFresh: DataFrame => Unit = _ => (),
                   cursor: Option[(String, Long)] = None,
                   sinkProps: Map[String, String] = Map.empty,
-                  fuse: Boolean = false): DataFrame = {
+                  fuse: Boolean = false): DataFrame =
+    // pinScope: the probe pin is consumed in-call (forward + register)
+    // and released at return. A cache-mode caller that re-reads the
+    // RETURNED frame recomputes it from the snapshot-pinned store —
+    // deterministic (the register tx is already committed and invisible
+    // to the probe's snapshot), just unmaterialized.
+    graft.core.Graft.pinScope {
     val fresh = dropSeenBefore(db, batch, idCol, textCol)
       .transform(graft.core.Graft.pin) // the register tx must not re-plan the probe
     onFresh(fresh)
@@ -288,7 +294,9 @@ object IncrementalDedup {
                       onFresh: DataFrame => Unit = _ => (),
                       cursor: Option[(String, Long)] = None,
                       sinkProps: Map[String, String] = Map.empty,
-                      fuse: Boolean = false): DataFrame = {
+                      fuse: Boolean = false): DataFrame =
+    // pinScope: same consumed-in-call contract as [[ingestBatch]]
+    graft.core.Graft.pinScope {
     val fresh = dropNearSeenBefore(db, batch, idCol, textCol, minAgree)
       .transform(graft.core.Graft.pin) // the register tx must not re-plan the probe
     onFresh(fresh)

@@ -485,7 +485,10 @@ object SketchStore {
                        histW: Long = Sketches.HIST_W, origin: Long = 0L,
                        cursor: Option[(String, Long)] = None,
                        sinkProps: Map[String, String] = Map.empty,
-                       fuse: Boolean = false): Long = {
+                       fuse: Boolean = false): Long = graft.core.Graft.pinScope {
+    // pinScope: both pins below (elems, counts) are fully consumed by
+    // the register tx inside this call — released at return instead of
+    // lingering for FIFO eviction (scoped-release contract, Graft.pin)
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmGrid(db, tag, d, w)
     requireIntGeom(db, kmvKProp(tag), k, s"KMV k for tag '$tag'")(
@@ -623,7 +626,8 @@ object SketchStore {
                          cursor: Option[(String, Long)] = None,
                          sinkProps: Map[String, String] = Map.empty,
                          fuse: Boolean = false)
-      : Long = {
+      : Long = graft.core.Graft.pinScope {
+    // pinScope: the pins below are consumed by the register tx in-call
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmByGrid(db, tag, d, cmW)
     requireIntGeom(db, kmvByKProp(tag), k,
@@ -1042,7 +1046,7 @@ object SketchStore {
                  c: Int = Sketches.MG_C,
                  cursor: Option[(String, Long)] = None,
                  sinkProps: Map[String, String] = Map.empty,
-                 fuse: Boolean = false): Long = {
+                 fuse: Boolean = false): Long = graft.core.Graft.pinScope {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // c is the store's identity like the other geometries: partials
     // truncated at different capacities merged under one key family
@@ -1222,7 +1226,7 @@ object SketchStore {
                    c: Int = Sketches.MG_C,
                    cursor: Option[(String, Long)] = None,
                    sinkProps: Map[String, String] = Map.empty,
-                   fuse: Boolean = false): Long = {
+                   fuse: Boolean = false): Long = graft.core.Graft.pinScope {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     // materialized once — partial + per-group mass are two subtrees
     requireIntGeom(db, mgByCProp(tag), c,
@@ -1880,11 +1884,15 @@ object SketchStore {
         val cur = stored
         if (cur.isEmpty) return -1L // nothing stored to migrate
         if (newW == w) return -1L   // already at this grid
-        val rebinned = rebin(cur, newW / w).transform(graft.core.Graft.pin)
-        graft.store.TxWriter.supersedeIf(db, baseline, Seq(wildcard),
+        // pinScope: the pinned rebin is consumed by the supersede inside
+        // this iteration — released before the retry sleep / return
+        graft.core.Graft.pinScope {
+          val rebinned = rebin(cur, newW / w).transform(graft.core.Graft.pin)
+          graft.store.TxWriter.supersedeIf(db, baseline, Seq(wildcard),
             rebinned,
             props = Map(wProp -> newW.toString,
-              oProp -> origin.toString)) match {
+              oProp -> origin.toString))
+        } match {
           case Some(tx) => return tx
           case None     =>
             attempt += 1
@@ -1971,11 +1979,15 @@ object SketchStore {
       } else {
         val cur = stored
         if (cur.isEmpty) return -1L // nothing to fold
-        val folded = project(cur)
-          .transform(graft.core.Graft.pin) // materialize the sums BEFORE the delete
-        graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
+        // pinScope: the pinned sums are consumed by the supersede inside
+        // this iteration — released before the retry sleep / return
+        graft.core.Graft.pinScope {
+          val folded = project(cur)
+            .transform(graft.core.Graft.pin) // materialize the sums BEFORE the delete
+          graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
             folded,
-            dynProps = tx => foldProp.map(_ -> tx.toString).toMap) match {
+            dynProps = tx => foldProp.map(_ -> tx.toString).toMap)
+        } match {
           case Some(tx) => return tx
           case None     => // a commit raced in (or is in flight) — refold
             attempt += 1

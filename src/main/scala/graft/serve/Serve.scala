@@ -246,9 +246,18 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       ex.getResponseHeaders.set("ETag", etag)
       // the header was computed WITH the body and stored beside it, so a
       // hit always carries the generation the body reflects — even when
-      // the manifest has since moved under a staleMillis-lagged probe
-      hit.freshness
-        .foreach(h => ex.getResponseHeaders.set("X-Graft-Freshness", h))
+      // the manifest has since moved under a staleMillis-lagged probe.
+      // A None stored at compute time is NOT permanent: it only means
+      // the manifest had momentarily moved mid-compute (staleMillis lag)
+      // — the body is still exactly this key's generation (the stable
+      // re-check below gates the put), so retry the header per hit (one
+      // stat-cached manifest read) and backfill the entry once it takes.
+      val fresh = hit.freshness.orElse {
+        val h = freshnessHeader(usesData, usesAnn, key._1, key._2)
+        h.foreach(v => cachePut(key, CacheEntry(hit.body, Some(v))))
+        h
+      }
+      fresh.foreach(h => ex.getResponseHeaders.set("X-Graft-Freshness", h))
       return respond(ex, 200, hit.body)
     }
     val (status, body) = compute

@@ -379,11 +379,38 @@ object Compactor {
       // its dir alive through recent mtimes and is never touched). This
       // is what un-raises the fold fence after a writer died between
       // claim and publish.
-      val stale = m.pending.filter { case (t, ms) =>
-        ms <= cutoff &&
-          !Files.exists(Paths.get(db.dataDir, s"txid=$t")) &&
-          !Files.exists(Paths.get(db.deleteDir, s"txid=$t"))
-      }.keySet
+      //
+      // A LIVE claim-first/supersede writer registers its claim at job
+      // start but creates `txid=<t>` only at rename time — under the
+      // rename-only protocol its sole on-disk trace during a long write
+      // is a recently-touched `tmp-tx-*` directory (the tentative path
+      // is not recorded in the claim, so no tmp dir can be matched to a
+      // specific txid). Clearing such a claim would silently un-raise
+      // the fold/supersede fence mid-write; so while ANY tentative
+      // directory is inside the grace window, clear NOTHING —
+      // conservative (a genuinely crashed claim waits for the first
+      // vacuum after the live write finishes), but a fence held a
+      // cadence too long beats a fence dropped mid-write. The publish
+      // side backstops this: [[TxWriter]] refuses loudly when its
+      // pending entry vanished anyway.
+      def liveTentative(root: String): Boolean = {
+        val d = Paths.get(root)
+        Files.isDirectory(d) && {
+          val ls = Files.list(d)
+          try ls.iterator().asScala.exists(p =>
+            p.getFileName.toString.startsWith("tmp-tx-") &&
+              newestMtime(p) > cutoff)
+          finally ls.close()
+        }
+      }
+      val stale =
+        if (liveTentative(db.dataDir) || liveTentative(db.deleteDir))
+          Set.empty[Long]
+        else m.pending.filter { case (t, ms) =>
+          ms <= cutoff &&
+            !Files.exists(Paths.get(db.dataDir, s"txid=$t")) &&
+            !Files.exists(Paths.get(db.deleteDir, s"txid=$t"))
+        }.keySet
       if (stale.nonEmpty)
         Manifest.update(db.warehouse)(cur =>
           cur.copy(pending = cur.pending -- stale))

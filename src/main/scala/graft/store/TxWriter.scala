@@ -256,6 +256,7 @@ object TxWriter {
             "vacuum the orphan directories.")
       txid = claimTxid(db)
     }
+    publishPauseHook()
     publishData(db, txid, written, props, propsClaim, streamCursor)
     txid
     } catch {
@@ -431,6 +432,15 @@ object TxWriter {
         deleteRecursivelyIfExists(dirOf(txid)); throw e
     }
   }
+
+  /** Test seam: invoked between a claim-first write's rename and its
+    * publishing commit — the window in which an (erroneous) vacuum could
+    * clear the writer's pending claim. RobustnessSpec injects the
+    * cleared-claim state here to pin that publish refuses loudly
+    * ([[ClaimVanished]]) instead of silently committing past a dropped
+    * fence; a no-op in production.
+    */
+  private[store] var publishPauseHook: () => Unit = () => ()
 
   /** Test seam: invoked between a fused write's data-directory job and
     * its publish loop — the window in which its directory sits at the
@@ -731,9 +741,11 @@ object TxWriter {
         .coalesce(1)
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${db.deleteDir}/txid=$txid")
-      Manifest.update(db.warehouse)(m =>
+      Manifest.update(db.warehouse) { m =>
+        requirePending(m, txid)
         m.copy(deleteTxids = m.deleteTxids :+ txid,
-          pending = m.pending - txid))
+          pending = m.pending - txid)
+      }
       txid
     } catch {
       case e: Throwable => abandonClaim(db, txid); throw e
@@ -755,6 +767,34 @@ object TxWriter {
     claimed
   }
 
+  /** Loud failure when a writer reaches its publishing commit and its
+    * own pending claim is GONE from the manifest.
+    */
+  final class ClaimVanished(msg: String) extends IllegalStateException(msg)
+
+  /** The publish-side backstop of the claim fence: a claim registered at
+    * job start must still be pending at publish time. It can vanish only
+    * if [[Compactor.vacuum]] cleared it as crashed (a write that outran
+    * the grace window AND the tentative-dir protection — e.g. a restored
+    * warehouse, or a vacuum run with `graceMs=0` against a live writer)
+    * or the manifest was rolled back. Publishing anyway would be silent
+    * corruption: a fold/supersede that saw the fence down may have
+    * already superseded the history this transaction appends under, so
+    * its records could interleave (mixed grids after a migration).
+    * Refuse instead — the directory stays an invisible orphan for
+    * vacuum and the caller surfaces the error.
+    */
+  private def requirePending(m: ManifestState, txid: Long): Unit =
+    if (!m.pending.contains(txid))
+      throw new ClaimVanished(
+        s"txid=$txid's pending claim vanished before its publishing " +
+          "commit — vacuum cleared it as crashed (did the write outlive " +
+          "the grace window on a restored warehouse, or was vacuum run " +
+          "with graceMs=0 against a live writer?) or the manifest was " +
+          "rolled back. Refusing to publish: a fold/supersede may have " +
+          "run while the fence was down. Nothing was published; the " +
+          "written directory remains invisible for vacuum.")
+
   /** Drop a claim that will never publish (in-process write failure) so
     * the pending fence does not stay raised for a dead txid; crashed
     * JVMs leave their entry for [[Compactor.vacuum]]'s grace window.
@@ -770,9 +810,10 @@ object TxWriter {
       : Unit = {
     val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
     Manifest.update(db.warehouse) { m =>
-      // claim check runs INSIDE the CAS loop, against the state this
+      // both checks run INSIDE the CAS loop, against the state this
       // attempt would succeed over — the throw aborts before any commit,
       // leaving the txid directory an unpublished orphan for vacuum
+      requirePending(m, txid)
       propsClaim.foreach { case (k, v) =>
         m.props.get(k).filter(_ != v).foreach { existing =>
           throw new PropertyConflict(

@@ -33,15 +33,32 @@ class BenchJsonSpec extends AnyFunSuite {
   test("sentinel-normalized per-query ratios ride the line's TAIL so " +
       "they survive the recorder's truncation; errored queries excluded") {
     val j = Bench.renderJson(mins, spreads, Map("q_broken" -> 1),
-      0.1, 1.05, 3, 1, contaminated = false, "/tmp/sf")
-    // 1.5 s at a 0.1 s sentinel = 15.00 machine-relative units
-    assert(j.contains(""""queries_norm":{"q_ok":15.00,"q_ok2":20.00}"""))
-    assert(j.contains(""""total_norm":35.00"""))
+      0.1, 1.05, 3, 1, contaminated = false, "/tmp/sf",
+      sentParMin = 0.5, sentParSpread = 1.08)
+    // 1.5 s at a 0.1 s sentinel = 15.0000 machine-relative units;
+    // 4 decimals so a sub-percent drift (the signal these fields exist
+    // to detect) survives the rounding
+    assert(j.contains(""""queries_norm":{"q_ok":15.0000,"q_ok2":20.0000}"""))
+    assert(j.contains(""""total_norm":35.0000"""))
     assert(j.contains(""""norm_unit":"query_min/sentinel_min""""))
+    // the parallel-sentinel fields ride the tail too: its own min/spread
+    // plus the total renormalized by it (3.5 s / 0.5 s = 7.0)
+    assert(j.contains(""""sentinel_par_sec":0.5000"""))
+    assert(j.contains(""""sentinel_par_spread":1.0800"""))
+    assert(j.contains(""""total_norm_par":7.0000"""))
     // tail ordering: the normalized map comes after the raw summary and
     // before the final scalars (what survives a 2 KB tail cut)
     assert(j.indexOf("queries_norm") > j.indexOf("\"queries\":"))
-    assert(j.indexOf("total_sec") > j.indexOf("queries_norm"))
+    assert(j.indexOf("total_norm_par") > j.indexOf("queries_norm"))
+    assert(j.indexOf("total_sec") > j.indexOf("total_norm_par"))
+  }
+
+  test("a query faster than the sentinel keeps resolution instead of " +
+      "quantizing to 0.0x") {
+    val j = Bench.renderJson(Seq("q_fast" -> 0.0123), Seq("q_fast" -> 1.0),
+      Map.empty, 0.1, 1.05, 3, 1, contaminated = false, "/tmp/sf",
+      sentParMin = 0.5, sentParSpread = 1.0)
+    assert(j.contains(""""queries_norm":{"q_fast":0.1230}"""))
   }
 
   test("spread collapses to aggregate stats + the noisiest queries") {

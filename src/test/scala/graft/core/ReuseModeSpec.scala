@@ -54,6 +54,59 @@ class ReuseModeSpec extends SparkSpec {
     }
   }
 
+  test("pinScope releases its pins at scope end and protects in-flight " +
+      "frames: two interleaved sinks, 34+ pins, zero early unpersists") {
+    withMode("cache") {
+      def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.storageLevel.useMemory || df.storageLevel.useDisk
+      // sink A opens its micro-batch scope and pins its two frames…
+      var inFlightOk = true
+      var aPins: Seq[org.apache.spark.sql.DataFrame] = Nil
+      Graft.pinScope {
+        aPins = Seq(
+          Graft.pin(spark.range(0, 60).toDF("id")),
+          Graft.pin(spark.range(60, 120).toDF("id")))
+        // …while sink B (another thread, its own scopes) runs 17 batches
+        // of 2 pins each — 34 pins, more than MaxLivePins. Under the
+        // pre-scope FIFO this evicted A's in-flight pins; with scoped
+        // release B's population never accumulates.
+        @volatile var bErr: Throwable = null
+        val b = new Thread(() =>
+          try (0 until 17).foreach { i =>
+            Graft.pinScope {
+              val p1 = Graft.pin(spark.range(i * 10, i * 10 + 5).toDF("id"))
+              val p2 = Graft.pin(spark.range(i * 10 + 5, i * 10 + 9).toDF("id"))
+              assert(p1.count() == 5 && p2.count() == 4)
+            }
+          } catch { case t: Throwable => bErr = t })
+        b.start(); b.join()
+        assert(bErr == null, s"sink B failed: $bErr")
+        inFlightOk = aPins.forall(cached)
+        assert(aPins.map(_.count()).sum == 120)
+      }
+      assert(inFlightOk,
+        "sink A's in-flight pins were evicted while its scope was open")
+      // A's scope closed → its pins are released, not leaked to the FIFO
+      assert(aPins.forall(p => !cached(p)),
+        "scope end must release the scope's pins")
+      // released ≠ broken: lineage kept, a late consumer recomputes
+      assert(aPins.head.count() == 60)
+    }
+  }
+
+  test("release is identity-scoped: a no-op on frames pin never cached " +
+      "(local mode) and idempotent on already-released ones") {
+    val local = Graft.pin(spark.range(0, 40).toDF("id"))
+    Graft.release(local) // local-checkpointed: must NOT unpersist
+    assert(local.count() == 40)
+    withMode("cache") {
+      val p = Graft.pin(spark.range(0, 30).toDF("id"))
+      Graft.release(p)
+      Graft.release(p) // second release: no-op, no throw
+      assert(p.count() == 30)
+    }
+  }
+
   test("local (default) and cache modes agree end-to-end: the quartet " +
       "sink's reports are identical under either reuse mode") {
     import graft.ops.SketchStore

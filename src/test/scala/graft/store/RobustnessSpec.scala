@@ -56,6 +56,62 @@ class RobustnessSpec extends SparkSpec {
     assert(db.read().count() == 1)
   }
 
+  test("a pending claim is NEVER cleared while any tentative directory " +
+      "is inside the grace window — the slow-writer fence protection") {
+    val db = Db(spark, tmpDir("graft-slowclaim"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    // a slow claim-first writer: claim registered LONG ago (older than
+    // any grace window), and under the rename-only protocol its only
+    // on-disk trace is a recently-touched tmp-tx-* dir — no txid= dir
+    // exists until the rename at publish time
+    val oldMs = System.currentTimeMillis() - 3 * 60 * 60 * 1000L
+    var claimTx = -1L
+    Manifest.update(db.warehouse) { m =>
+      claimTx = m.nextTxid
+      m.copy(nextTxid = m.nextTxid + 1, pending = m.pending + (m.nextTxid -> oldMs))
+    }
+    Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v")
+      .write.parquet(s"${db.dataDir}/tmp-tx-live-slow-writer")
+    Compactor.vacuum(db, graceMs = 30 * 60 * 1000L)
+    assert(Manifest.current(db.warehouse).pending.contains(claimTx),
+      "a live tentative write must hold the whole claim-clearing back")
+    assert(Files.exists(Paths.get(s"${db.dataDir}/tmp-tx-live-slow-writer")),
+      "the live tentative dir itself is grace-protected")
+    // once the tentative write is gone (published or crashed+aged), the
+    // genuinely dead claim clears at the next vacuum
+    TxWriter.deleteRecursivelyIfExists(
+      Paths.get(s"${db.dataDir}/tmp-tx-live-slow-writer"))
+    Compactor.vacuum(db, graceMs = 30 * 60 * 1000L)
+    assert(!Manifest.current(db.warehouse).pending.contains(claimTx),
+      "a dead claim with no on-disk trace must clear past the grace window")
+  }
+
+  test("publish refuses LOUDLY when its pending claim vanished " +
+      "(ClaimVanished) — never a silent commit past a dropped fence") {
+    val db = Db(spark, tmpDir("graft-claimvanish"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    val before = Manifest.current(db.warehouse)
+    // simulate the hazard the vacuum protection exists for: something
+    // (an erroneous vacuum, a restored manifest) cleared the writer's
+    // claim between its rename and its publishing commit
+    TxWriter.publishPauseHook = () =>
+      Manifest.update(db.warehouse)(m => m.copy(pending = Map.empty))
+    try {
+      intercept[TxWriter.ClaimVanished] {
+        TxWriter.write(db, Seq(("b", 2L, 2L)).toDF("key", "ts", "v"))
+      }
+    } finally TxWriter.publishPauseHook = () => ()
+    val after = Manifest.current(db.warehouse)
+    assert(after.dataTxids == before.dataTxids,
+      "the refused transaction must not be published")
+    assert(db.read().count() == 1)
+    // the stranded directory is invisible and vacuumable, and a later
+    // healthy write proceeds normally
+    Compactor.vacuum(db, graceMs = 0L)
+    TxWriter.write(db, Seq(("c", 3L, 3L)).toDF("key", "ts", "v"))
+    assert(db.read().count() == 2)
+  }
+
   test("warehouse-filesystem contract (SURVEY §7.4.9): the control plane " +
       "relies on exactly three POSIX-rename primitives — stated and pinned") {
     // The manifest CAS, the fused protocol's directory forwarding and
