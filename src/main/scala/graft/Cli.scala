@@ -214,6 +214,36 @@ object Cli {
           else graft.ops.SketchStore.migrateHistGrid(db, w, tag)
         stdout(if (tx < 0) "migrate\tnoop" else s"migrate\ttx=$tx")
 
+      case "stats" :: Nil if flags.get("--kind").contains("ann") =>
+        // CLI twin of GET /_query/stats?kind=ann — the ANN index
+        // occupancy report plus the retrain/refine decision, computed
+        // by the SAME Similarity.cellAdvice as the serving verb so the
+        // rule cannot drift. `-d` points at the INDEX warehouse.
+        val snap = db.snapshot()
+        if (snap.manifest.dataTxids.isEmpty) stdout("cells\t0")
+        else {
+          val occ = graft.ops.Similarity.indexCellStatsAt(snap)
+            .orderBy("cell").limit(20001)
+            .as[(Long, Long)].collect()
+          if (occ.length > 20000)
+            sys.error("index holds more than 20000 cells — not an IVF " +
+              "layout this report is meant for")
+          val counts = occ.map(_._2).sorted
+          def q(f: Double): Long =
+            if (counts.isEmpty) 0L
+            else counts(math.min(counts.length - 1,
+              ((counts.length - 1) * f).round.toInt))
+          val (dead, skew, advice) = graft.ops.Similarity.cellAdvice(counts)
+          stdout(s"cells\t${counts.length}")
+          stdout(s"codes\t${counts.sum}")
+          stdout(s"occ\tmin=${q(0.0)}\tp50=${q(0.5)}\tp95=${q(0.95)}\t" +
+            s"max=${q(1.0)}")
+          stdout(s"dead\t$dead")
+          stdout("skew\t" + skew.fold("n/a")(s =>
+            String.format(java.util.Locale.ROOT, "%.4f", Double.box(s))))
+          stdout(s"advice\t$advice")
+        }
+
       case "stats" :: Nil if flags.contains("--by") =>
         // grouped reports from the grouped sketch stores — the CLI twin
         // of GET /_query/stats?by&kind=: hist (default) quantile

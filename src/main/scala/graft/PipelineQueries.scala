@@ -861,6 +861,54 @@ object PipelineQueries {
         .select(col("grp"), col("token"), col("n_exact"), col("est_cm"))
         .orderBy(col("grp"), col("n_exact").desc, col("token"))
     },
+    // the grouped KMV geometry claim under the oracle gate — the
+    // kmvg.k twin of sk_cmby_geometry: both batches register at a
+    // NON-default k=32 (default 64), the report takes NO k argument and
+    // reads the claim back off the manifest. A defaults-guessing report
+    // would keep 64 minima per group and hash-mismatch the k=32 oracle
+    // (the estimator is k / h_(k), so the kept-minima count IS the
+    // answer's identity).
+    "sk_kmvby_geometry" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def toks(f: DataFrame) = f.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerKmvBy(db, toks(docs.filter(col("doc_id") < mid)),
+        col("source"), col("token"), k = 32)
+      SketchStore.foldKmvBy(db)
+      SketchStore.registerKmvBy(db, toks(docs.filter(col("doc_id") >= mid)),
+        col("source"), col("token"), k = 32)
+      SketchStore.storedKmvEstimateBy(db)
+    },
+    // the grouped MG geometry claim under the oracle gate — the mgg.c
+    // twin: both batches truncate at a NON-default c=64 (default 128),
+    // the report takes NO c argument and reads the claim back for its
+    // per-group re-truncation and n/(c+1) certification threshold. A
+    // defaults-guessing report would certify at the wrong threshold
+    // and keep the wrong candidate tail — hash-mismatching the c=64
+    // oracle.
+    "sk_mgby_geometry" -> { (s, d) =>
+      val docs = Graft.documents(s, d)
+      val mid = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+        .head().getLong(0)
+      def items(f: DataFrame) = f
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0, col("term"))
+            .otherwise(concat(col("term"), lit("_"), col("doc_id")))
+            .as("item"))
+      val db = graft.store.Db(s, tempWarehouse())
+      SketchStore.registerMgBy(db, items(docs.filter(col("doc_id") < mid)),
+        col("source"), col("item"), batchId = 0L, c = 64)
+      SketchStore.foldMgBy(db)
+      SketchStore.registerMgBy(db, items(docs.filter(col("doc_id") >= mid)),
+        col("source"), col("item"), batchId = 1L, c = 64)
+      SketchStore.storedHeavyHittersBy(db)
+    },
     // ── dedup family ──────────────────────────────────────────────────
     "dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Graft.documents(s, d), "doc_id", "text")
@@ -2110,6 +2158,11 @@ object PipelineQueries {
     "sk_cm_grouped_store" -> SketchStore.sqlCountMinGroupedTokens(3),
     "sk_cmby_geometry" ->
       SketchStore.sqlCountMinGroupedTokens(3, d = 3, w = 512L),
+    // the grouped KMV/MG stores at their rows' NON-default claimed
+    // geometry — each oracle twin is parameterized by the exact k/c the
+    // store claims and the report must read back
+    "sk_kmvby_geometry" -> SketchStore.sqlKmvBySourceStore(k = 32),
+    "sk_mgby_geometry" -> SketchStore.sqlMgGroupedTokens(c = 64),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |       count(*) AS n_dups

@@ -920,6 +920,25 @@ object PipelineStress {
             "refine path regression")
         (r365 * 10000).toLong
       }
+      // the regime DISCRIMINATOR, measured at the decayed index (before
+      // the retrain rewrites occupancy): uniform drift keeps the cells
+      // BALANCED — occupancy skew stays in the refine band, matching
+      // the measured lever ordering (refine recovers 0.99+, retrain
+      // ~nothing). The clustered battery (anncluster) measures the
+      // opposite regime; together they validate cellAdvice as the
+      // served retrain/refine rule (kind=ann).
+      timed("annyear: occupancy advice @ 365") {
+        val counts = Similarity.indexCellStats(adb)
+          .select(col("n_codes")).collect().map(_.getLong(0)).toSeq
+        val (dead, skew, advice) = Similarity.cellAdvice(counts)
+        println(f"PSTRESS   annyear occupancy @365: ${counts.size} cells, " +
+          f"dead=$dead, skew=${skew.getOrElse(Double.NaN)}%.2f, " +
+          f"advice=$advice")
+        require(advice == "refine",
+          s"annyear: uniform drift must stay in the refine band, got " +
+            s"advice=$advice (dead=$dead, skew=$skew)")
+        dead
+      }
       // the retrain lever, measured: when the recall gate trips, the
       // operator rebuilds over the accumulated corpus — buildIndex's
       // rebuild is ONE atomic supersede scoped to the index keyspaces,
@@ -972,6 +991,210 @@ object PipelineStress {
       require(rLate >= 0.35,
         f"annyear: late-query recall@10 at batch 365 is $rLate%.4f " +
           "(floor 0.35) — coarse-quantizer staleness past the drift budget")
+    }
+
+    // ── the CLUSTERED-drift ANN year (new-topic regime): the second
+    // drift mode the uniform battery cannot produce. The quantizer
+    // trains once on the spread seed corpus; every append then comes
+    // from ONE compact off-seed cluster that GROWS all year (73 k
+    // near-identical vectors by day 365) — new topics are new dense
+    // regions, not a translation of everything. Expected (and gated)
+    // outcome is the OPPOSITE lever ordering to annyear: the crowded
+    // cells blow the occupancy skew past the cellAdvice threshold
+    // (advice=retrain — validating the served discriminator), plain
+    // probes and the refine stage are limited by a PQ codebook that
+    // never saw the cluster's intra-structure, and a corpus-scaled
+    // RETRAIN (new cells AND new codebooks over the now-dense corpus)
+    // is the lever that recovers. Same three-gate shape as annyear.
+    // block guard: cross-stage state → all-or-nothing under a filter.
+    if (only.forall(f => "anncluster".contains(f))) {
+      import graft.ops.Similarity
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val adb = graft.store.Db(spark,
+        java.nio.file.Files.createTempDirectory("graft-anncluster").toString)
+      val seedN = math.max(1000L, n / 50)
+      val dayN = 200L
+      // seed ids: the annyear generator at day 0 (spread ±1.1/dim).
+      // append ids: a fixed center with per-dim values in
+      // {-0.8, 0, +0.8} plus ±0.05 noise — compact relative to the
+      // seed's spread, so the whole topic lands in FEW coarse cells and
+      // its true-neighbor structure lives entirely below the seed-
+      // trained PQ codebook's resolution.
+      def vecsFor(ids: DataFrame): DataFrame = {
+        val isSeed = col("id") < seedN
+        ids.select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            when(isSeed,
+              (pmod(hash(pmod(col("id"), lit(1024L)), i), lit(2001)) - 1000)
+                .cast("double") / 1000.0 +
+                (pmod(hash(col("id"), i), lit(201)) - 100)
+                  .cast("double") / 1000.0)
+              .otherwise(
+                (pmod(hash(lit(777), i), lit(3)) - 1).cast("double") * 0.8 +
+                  (pmod(hash(col("id"), i, lit(9)), lit(101)) - 50)
+                    .cast("double") / 1000.0)
+              .cast("float")).as("embedding"))
+      }
+      def aDay(b: Int): DataFrame = vecsFor(
+        spark.range(seedN + (b - 1) * dayN, seedN + b * dayN).toDF("id"))
+      def corpusAt(b: Int): DataFrame =
+        vecsFor(spark.range(seedN + b * dayN).toDF("id"))
+      def aMaint(): Unit = {
+        graft.store.Compactor.tryMajor(adb)
+        graft.store.Compactor.tryVacuum(adb, graceMs = 0L)
+        graft.store.Compactor.tryPruneHistory(adb, keep = 100)
+        ()
+      }
+      def qSet(ids: Seq[Long], b: Int): DataFrame = {
+        import spark.implicits._
+        val idDf = ids.toDF("qid")
+        corpusAt(b).join(idDf, col("vec_id") === col("qid")).drop("qid")
+          .localCheckpoint(true)
+      }
+      val seedIds = (0L until 48L).map(_ * 37L % seedN)
+      val exactCache =
+        scala.collection.mutable.Map.empty[(Long, Int), DataFrame]
+      def exactFor(q: DataFrame, qKey: Long, b: Int): DataFrame =
+        exactCache.getOrElseUpdate((qKey, b),
+          Similarity.bruteForceKnn(corpusAt(b), q,
+            "vec_id", "embedding", 10).localCheckpoint(true))
+      def recallAt(name: String, q: DataFrame, qKey: Long, b: Int,
+                   nProbe: Int = 1): Double = {
+        val exact = exactFor(q, qKey, b)
+        val approx0 = Similarity.ivfPqProbePersisted(adb, q,
+          "vec_id", "embedding", 11, nProbe = nProbe)
+          .filter(col("query_id") =!= col("nn_id"))
+        val approx = approx0.withColumn("rk",
+            row_number().over(Window.partitionBy("query_id")
+              .orderBy(col("rank"))))
+          .filter(col("rk") <= 10)
+        val r = Similarity.recallRow(name, approx, exact, 0.0)
+          .select(col("recall")).head().getDouble(0)
+        println(f"PSTRESS   anncluster $name%-26s recall@10 = $r%.4f")
+        r
+      }
+      def occAdvice(tag: String): (Long, Option[Double], String) = {
+        val counts = Similarity.indexCellStats(adb)
+          .select(col("n_codes")).collect().map(_.getLong(0)).toSeq
+        val (dead, skew, advice) = Similarity.cellAdvice(counts)
+        println(f"PSTRESS   anncluster occupancy $tag: ${counts.size} " +
+          f"cells, dead=$dead, skew=${skew.getOrElse(Double.NaN)}%.2f, " +
+          f"advice=$advice")
+        (dead, skew, advice)
+      }
+      timed(s"anncluster: build($seedN) + 30 appends") {
+        Similarity.buildIndex(adb, corpusAt(0), "vec_id", "embedding",
+          nCells = 64)
+        (1 to 30).foreach { b =>
+          Similarity.appendToIndex(adb, aDay(b), "vec_id", "embedding",
+            cursor = Some(("index", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) aMaint()
+        }
+        graft.store.Manifest.currentVersion(adb.warehouse)
+      }
+      val qSeed30 = qSet(seedIds, 30)
+      timed("anncluster: probe @ 30")(
+        Similarity.ivfPqProbePersisted(adb, qSeed30, "vec_id", "embedding",
+          10).count())
+      var rSeed30 = 0.0
+      timed("anncluster: recall @ 30") {
+        rSeed30 = recallAt("seed @ 30", qSeed30, 1L, 30)
+        (rSeed30 * 10000).toLong
+      }
+      timed("anncluster: occupancy @ 30")(occAdvice("@30")._1)
+      timed("anncluster: appends 31..365, maint/30") {
+        (31 to 365).foreach { b =>
+          Similarity.appendToIndex(adb, aDay(b), "vec_id", "embedding",
+            cursor = Some(("index", b.toLong)), fuse = true)
+          if ((b + 1) % 30 == 0) aMaint()
+        }
+        graft.store.Manifest.currentVersion(adb.warehouse)
+      }
+      val qSeed365 = qSet(seedIds, 365)
+      val clusterIds = (0 until 48).map(i =>
+        seedN + 349L * dayN + (i.toLong * 67L) % (16L * dayN))
+      val qClu365 = qSet(clusterIds, 365)
+      timed("anncluster: probe @ 365 (seed queries)")(
+        Similarity.ivfPqProbePersisted(adb, qSeed365, "vec_id", "embedding",
+          10).count())
+      timed("anncluster: probe @ 365 (cluster queries)")(
+        Similarity.ivfPqProbePersisted(adb, qClu365, "vec_id", "embedding",
+          10).count())
+      var rSeed365 = 0.0; var rClu = 0.0; var rCluRef = 0.0
+      timed("anncluster: recall @ 365") {
+        rSeed365 = recallAt("seed @ 365", qSeed365, 2L, 365)
+        rClu = recallAt("cluster @ 365", qClu365, 3L, 365)
+        recallAt("cluster @ 365, nProbe=4", qClu365, 3L, 365, nProbe = 4)
+        // the refine lever on the NEW topic: ADC shortlist (top-50,
+        // nProbe=4) exactly re-ranked — in THIS regime the shortlist
+        // itself is drawn by a codebook blind to the cluster's
+        // intra-structure, so refine is bounded by shortlist recall@50
+        // over ~73 k near-identical candidates
+        rCluRef = {
+          val cand = Similarity.ivfPqProbePersisted(adb, qClu365,
+            "vec_id", "embedding", 50, nProbe = 4)
+          val refined0 = Similarity.refineTopK(corpusAt(365), qClu365, cand,
+            "vec_id", "embedding", 11)
+            .filter(col("query_id") =!= col("nn_id"))
+          val refined = refined0.withColumn("rk",
+              row_number().over(Window.partitionBy("query_id")
+                .orderBy(col("rank"))))
+            .filter(col("rk") <= 10)
+          val r = Similarity.recallRow("refine", refined,
+              exactFor(qClu365, 3L, 365), 0.0)
+            .select(col("recall")).head().getDouble(0)
+          println(f"PSTRESS   anncluster cluster @ 365, nP4+refine50 " +
+            f"recall@10 = $r%.4f")
+          r
+        }
+        (rClu * 10000).toLong
+      }
+      // GATE 1 — the discriminator: a year of new-topic appends must
+      // push occupancy skew past the served retrain threshold (73 k
+      // vectors crowd the few cells nearest the cluster center while
+      // the 64 seed cells hold ~300 each), so kind=ann answers
+      // advice=retrain exactly when retrain is the recovering lever
+      val (_, skew365, advice365) = occAdvice("@365")
+      require(advice365 == "retrain",
+        s"anncluster: clustered drift must trip the retrain advice, got " +
+          s"advice=$advice365 (skew=$skew365) — the served discriminator " +
+          "failed to separate the regimes")
+      // GATE 2 — crowding elsewhere must not damage the OLD topic: the
+      // seed cells' contents and codebook are untouched by the cluster
+      require(rSeed365 >= 0.75 * rSeed30,
+        f"anncluster: seed-query recall decayed $rSeed30%.4f -> " +
+          f"$rSeed365%.4f despite untouched seed cells — " +
+          "append/compaction regression")
+      // the retrain lever: corpus-scaled cells AND fresh PQ codebooks
+      // over the now-dense corpus (the k-means allocates both to the
+      // cluster's mass)
+      timed("anncluster: retrain (atomic rebuild, 256 cells)") {
+        Similarity.buildIndex(adb, corpusAt(365), "vec_id", "embedding",
+          nCells = 256)
+      }
+      var rCluRe = 0.0; var rSeedRe = 0.0
+      timed("anncluster: recall after retrain") {
+        rCluRe = recallAt("cluster after retrain", qClu365, 3L, 365)
+        rSeedRe = recallAt("seed after retrain", qSeed365, 2L, 365)
+        occAdvice("after retrain")
+        (rCluRe * 10000).toLong
+      }
+      // GATE 3 — the lever ordering this regime exists to measure:
+      // retrain must recover the new topic at least as far as the
+      // refine stage could, and must never make either population worse
+      require(rCluRe >= rCluRef && rCluRe >= rClu &&
+          rSeedRe >= 0.9 * rSeed365,
+        f"anncluster: retrain failed to recover the clustered regime " +
+          f"(cluster $rClu%.4f -> $rCluRe%.4f vs refine $rCluRef%.4f; " +
+          f"seed $rSeed365%.4f -> $rSeedRe%.4f)")
+      val aM = graft.store.Manifest.current(adb.warehouse)
+      if (aM.dataTxids.nonEmpty)
+        println(f"PSTRESS   anncluster end state: ${aM.dataTxids.size} " +
+          f"data txids, ${aM.deleteTxids.size} markers, " +
+          f"${graft.store.Manifest.versions(adb.warehouse).size} manifest " +
+          f"files, cursor@${aM.streamBatchFor("index")}")
     }
 
     spark.stop()

@@ -1965,6 +1965,54 @@ object Similarity {
         .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_codes"))
   }
 
+  /** Occupancy-skew threshold above which the retrain lever is advised.
+    * The two annyear regimes ground the rule (SCALE.md): under UNIFORM
+    * drift the cells stay balanced (p95/p50 stays near its build-time
+    * value, ≈1–2 on the battery's 64-cell index) and retrain measurably
+    * recovers nothing — recall is limited by PQ/ADC noise, which the
+    * refine stage removes (0.9958). Under CLUSTERED drift (a new topic
+    * = a growing compact region) appends crowd FEW cells, p95/p50
+    * climbs well past the balanced band, and re-training the coarse
+    * quantizer is the lever that re-partitions the crowded region.
+    * 4.0 sits above every balanced-regime reading with margin and below
+    * the crowded regime's runaway values.
+    */
+  val AdviceSkewRetrain = 4.0
+
+  /** Dead-cell fraction above which retrain is advised regardless of
+    * skew: a dead cell (n_codes = 0) wastes nProbe budget every query
+    * and only a re-cell can reclaim it — when a quarter of the cells
+    * are dead the quantizer no longer tiles the corpus.
+    */
+  val AdviceDeadFracRetrain = 0.25
+
+  /** The retrain-vs-refine decision as a computed answer, shared by the
+    * serving verb (`/_query/stats?kind=ann`) and the CLI twin so the
+    * rule cannot drift between them: (deadCells, occSkew = p95/p50 when
+    * p50 > 0, advice). `advice` is "retrain" when the occupancy shape
+    * says the coarse quantizer is the limiter (skew past
+    * [[AdviceSkewRetrain]], or ≥ [[AdviceDeadFracRetrain]] of cells
+    * dead), otherwise "refine" — the measured default (probe-then-
+    * refine recovers ADC noise; SCALE.md annyear).
+    */
+  def cellAdvice(counts: Seq[Long]): (Long, Option[Double], String) = {
+    val dead = counts.count(_ == 0L).toLong
+    val sorted = counts.sorted
+    def q(f: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.length - 1,
+        ((sorted.length - 1) * f).round.toInt))
+    val p50 = q(0.5)
+    val skew = if (p50 > 0) Some(q(0.95).toDouble / p50) else None
+    val deadFrac =
+      if (counts.nonEmpty) dead.toDouble / counts.size else 0.0
+    val advice =
+      if (skew.exists(_ > AdviceSkewRetrain) ||
+          deadFrac >= AdviceDeadFracRetrain) "retrain"
+      else "refine"
+    (dead, skew, advice)
+  }
+
   /** DuckDB oracle twin of [[indexCellStats]] over a first-N-coarse
     * index built from the `embeddings` table (adjacent so the cell
     * assignment math cannot drift from [[sqlIvfPq]]'s `cells` CTE).

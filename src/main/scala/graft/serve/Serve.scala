@@ -757,11 +757,22 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             snap.manifest.props.get(ResidualProp).getOrElse("0")}"""
         case _ => ""
       }
+      // the retrain/refine DECISION as served numbers (the r17 battery's
+      // rule, computed by the shared Similarity.cellAdvice so the CLI
+      // twin cannot drift): deadCells (n_codes = 0 — wasted nProbe
+      // budget, only a re-cell reclaims them), occSkew = p95/p50 (null
+      // when p50 = 0 — deadCells already tells that story), and the
+      // one-word advice an operator previously had to correlate by hand
+      val (dead, skew, advice) = graft.ops.Similarity.cellAdvice(counts)
+      val skewJson = skew.fold("null")(s =>
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)))
       return (200,
         s"""{"kind":"ann","nCells":${counts.length},""" +
           s""""nCodes":${counts.sum},"occMin":${q(0.0)},""" +
           s""""occP50":${q(0.5)},"occP95":${q(0.95)},""" +
-          s""""occMax":${q(1.0)}$geom,"annVersion":$ver}""" + "\n")
+          s""""occMax":${q(1.0)},"deadCells":$dead,""" +
+          s""""occSkew":$skewJson,"advice":"$advice"""" +
+          s"""$geom,"annVersion":$ver}""" + "\n")
     }
     // ?by → the grouped report: per-group quantile envelopes from the
     // GROUPED hist store (registerHistBy) — the source-mix dashboard

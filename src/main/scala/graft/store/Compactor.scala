@@ -433,10 +433,7 @@ object Compactor {
   private def pruneHistoryLocked(db: Db, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val vs = Manifest.versions(db.warehouse)
-    vs.dropRight(keep).foreach { v =>
-      Files.deleteIfExists(
-        Paths.get(db.warehouse, "_manifest", f"v$v%012d.json"))
-    }
+    vs.dropRight(keep).foreach(Manifest.deleteVersion(db.warehouse, _))
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -175,122 +175,91 @@ final case class TxStats(minKey: String, maxKey: String,
                          minTs: Long, maxTs: Long)
 
 object Manifest {
-  private def dir(warehouse: String): Path = Paths.get(warehouse, "_manifest")
-
-  private def versionOf(p: Path): Long = {
-    val n = p.getFileName.toString
-    n.stripPrefix("v").stripSuffix(".json").toLong
-  }
-
-  /** Manifest file paths in `d`, with the backing directory stream CLOSED
-    * before returning. `Files.list` holds an open DirectoryStream that
-    * full traversal does NOT release — only close() does — and
-    * [[currentVersion]] runs on Serve's per-GET hot path, so leaking one
-    * fd per call kills a long-running server at the ulimit.
+  /** Backend registry: the manifest control plane is storage-agnostic
+    * above [[ManifestBackend]] — a warehouse path whose prefix matches
+    * a registered entry routes its manifest IO there; everything else
+    * uses the posix [[LocalFsManifestBackend]]. Registration is for
+    * embedding apps and tests (RobustnessSpec mounts
+    * [[InMemoryManifestBackend]] to prove the conditional-put port);
+    * longest-prefix wins so a test mount cannot shadow sibling
+    * warehouses.
     */
-  private def manifestFiles(d: Path): Vector[Path] = {
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json")).toVector
-    finally s.close()
-  }
+  @volatile private var backends: List[(String, ManifestBackend)] = Nil
 
-  /** Parsed-manifest cache: a version file is IMMUTABLE once linked, so
-    * its parse can be shared by every snapshot of that version — at 10k
-    * live transactions a parse costs ~7 ms (50k: ~42 ms, measured) and
-    * `current` runs on every snapshot, claim and publish. The key
-    * carries the file's identity (inode when the filesystem exposes one)
-    * and full-precision mtime, NOT just (warehouse, version): a
-    * warehouse deleted and recreated at the same path restarts version
-    * numbering, and a bare version key would serve the dead warehouse's
-    * state. Keep-latest per warehouse bounds growth; a global cap guards
-    * many-warehouse drivers.
+  def registerBackend(prefix: String, b: ManifestBackend): Unit =
+    synchronized {
+      backends = ((prefix, b) :: backends.filterNot(_._1 == prefix))
+        .sortBy(-_._1.length)
+    }
+
+  def unregisterBackend(prefix: String): Unit =
+    synchronized { backends = backends.filterNot(_._1 == prefix) }
+
+  private def backendFor(warehouse: String): ManifestBackend =
+    backends.collectFirst {
+      case (p, b) if warehouse.startsWith(p) => b
+    }.getOrElse(LocalFsManifestBackend)
+
+  /** Parsed-manifest cache: a version file is IMMUTABLE once published,
+    * so its parse can be shared by every snapshot of that version — at
+    * 10k live transactions a parse costs ~7 ms (50k: ~42 ms, measured)
+    * and `current` runs on every snapshot, claim and publish. The key
+    * carries the backend's content identity ([[ManifestBackend
+    * .cacheKey]] — inode + mtime + size locally), NOT just (warehouse,
+    * version): a warehouse deleted and recreated at the same path
+    * restarts version numbering, and a bare version key would serve the
+    * dead warehouse's state. Keep-latest per warehouse bounds growth; a
+    * global cap guards many-warehouse drivers.
     */
   private val parseCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String, java.nio.file.attribute.FileTime, Long),
-    ManifestState]()
+    (String, Long, AnyRef), ManifestState]()
 
   def current(warehouse: String): ManifestState = {
-    val d = dir(warehouse)
-    if (!Files.isDirectory(d))
-      return ManifestState(0L, 0L, Vector.empty, Vector.empty)
+    val b = backendFor(warehouse)
     val v = currentVersion(warehouse)
     if (v == 0L) return ManifestState(0L, 0L, Vector.empty, Vector.empty)
-    val p = d.resolve(f"v$v%012d.json")
-    try {
-      val a = Files.readAttributes(p,
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      if (parseCache.size > 4096) parseCache.clear()
-      // size joins the key so a no-fileKey filesystem (null inode) with
-      // coarse mtimes still tells recreated same-version states apart
-      // unless they also match byte-for-byte in length
-      val key = (warehouse, v,
-        Option(a.fileKey()).fold("")(_.toString), a.lastModifiedTime(),
-        a.size())
-      val out = parseCache.computeIfAbsent(key,
-        _ => parse(Files.readString(p)))
-      parseCache.keySet.removeIf(k => k._1 == warehouse && k._2 < v)
-      out
-    } catch {
-      // lost a race with concurrent history maintenance between the
-      // version probe and the read — the listing is authoritative
-      case _: java.io.IOException =>
-        val files = manifestFiles(d)
-        if (files.isEmpty) ManifestState(0L, 0L, Vector.empty, Vector.empty)
-        else parse(Files.readString(files.maxBy(versionOf)))
+    // read with a race fallback: the version can vanish between the
+    // probe and the read (concurrent history maintenance) — the
+    // listing is authoritative
+    def readAuthoritative(): ManifestState =
+      b.read(warehouse, v).map(parse).getOrElse {
+        val vs = b.listVersions(warehouse)
+        if (vs.isEmpty) ManifestState(0L, 0L, Vector.empty, Vector.empty)
+        else b.read(warehouse, vs.max).map(parse)
+          .getOrElse(ManifestState(0L, 0L, Vector.empty, Vector.empty))
+      }
+    b.cacheKey(warehouse, v) match {
+      case Some(k) =>
+        if (parseCache.size > 4096) parseCache.clear()
+        val out = parseCache.computeIfAbsent((warehouse, v, k),
+          _ => readAuthoritative())
+        parseCache.keySet.removeIf(kk => kk._1 == warehouse && kk._2 < v)
+        out
+      case None => readAuthoritative()
     }
   }
 
-  /** The `latest` version-pointer HINT — O(1) commit discovery for
-    * histories of any depth. Every commit best-effort rewrites it; it is
-    * only ever a lower bound (written AFTER its own version file exists,
-    * and a racing older committer can at worst re-publish an older
-    * number), so readers trust it exactly one direction: start there and
-    * walk FORWARD over whatever it missed. The version files stay
-    * authoritative — a missing/corrupt/ahead-of-disk hint falls back to
-    * the full listing, so correctness never depends on it.
-    */
-  private def hintPath(d: Path): Path = d.resolve("latest")
-
-  private def readHint(d: Path): Long =
-    try {
-      val s = Files.readString(hintPath(d)).trim
-      if (s.matches("\\d+")) s.toLong else 0L
-    } catch { case _: java.io.IOException => 0L }
-
-  private def writeHint(d: Path, version: Long): Unit =
-    try {
-      if (readHint(d) < version) {
-        val tmp = Files.createTempFile(d, ".tmp-latest", "")
-        try {
-          Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, hintPath(d), StandardCopyOption.REPLACE_EXISTING,
-            StandardCopyOption.ATOMIC_MOVE)
-        } finally Files.deleteIfExists(tmp) // no-op after a successful move
-      }
-    } catch { case _: java.io.IOException => () } // a hint may fail silently
-
-  /** Highest manifest version on disk WITHOUT reading any manifest — the
-    * cheap invalidation probe for cached snapshots ([[graft.serve.Serve]]'s
+  /** Highest manifest version WITHOUT reading any manifest — the cheap
+    * invalidation probe for cached snapshots ([[graft.serve.Serve]]'s
     * reader cache): a commit bumps the version, so
     * `currentVersion != cached.version` ⟺ the cache is stale. O(1) in
-    * history depth via the `latest` pointer (one small-file read + an
-    * existence probe per commit the pointer missed — normally zero); a
-    * full directory listing only when the hint is absent or stale-high
-    * (e.g. pre-pointer warehouses), so a 10⁵-commit history no longer
-    * pays a 10⁵-entry readdir per request. 0 when nothing was ever
-    * committed (matching [[current]]'s empty state).
+    * history depth via the `latest` pointer hint (one small read + an
+    * existence probe per commit the pointer missed — normally zero; the
+    * hint is only ever a LOWER bound, so readers walk forward from it);
+    * a full listing only when the hint is absent or stale-high (e.g.
+    * pre-pointer warehouses), so a 10⁵-commit history no longer pays a
+    * 10⁵-entry readdir per request. 0 when nothing was ever committed
+    * (matching [[current]]'s empty state).
     */
   def currentVersion(warehouse: String): Long = {
-    val d = dir(warehouse)
-    if (!Files.isDirectory(d)) return 0L
-    val hinted = readHint(d)
-    if (hinted > 0L && Files.exists(d.resolve(f"v$hinted%012d.json"))) {
+    val b = backendFor(warehouse)
+    val hinted = b.readHint(warehouse)
+    if (hinted > 0L && b.exists(warehouse, hinted)) {
       var v = hinted
-      while (Files.exists(d.resolve(f"v${v + 1}%012d.json"))) v += 1
+      while (b.exists(warehouse, v + 1)) v += 1
       return v
     }
-    manifestFiles(d).map(versionOf).foldLeft(0L)(math.max)
+    b.listVersions(warehouse).foldLeft(0L)(math.max)
   }
 
   /** A warehouse-lifetime identity: the filesystem identity (inode) of
@@ -315,45 +284,31 @@ object Manifest {
     if (minted.nonEmpty) minted else creationId(warehouse)
   }
 
-  def creationId(warehouse: String): String = {
-    val d = dir(warehouse)
-    if (!Files.isDirectory(d)) return ""
-    val files = manifestFiles(d)
-    if (files.isEmpty) return ""
-    try {
-      val attrs = Files.readAttributes(files.minBy(versionOf),
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      // inode + birth time: an inode number can be recycled by a
-      // recreation, but not with the same creation instant
-      val k = attrs.fileKey()
-      val born = attrs.creationTime.toMillis
-      // both parts degenerate = this filesystem can't identify files;
-      // "" tells the caller to fall back to conservative purging
-      if (k == null && born <= 0L) ""
-      else s"${if (k == null) "" else k.toString}@$born"
-    } catch { case _: java.io.IOException => "" }
-  }
+  def creationId(warehouse: String): String =
+    backendFor(warehouse).creationId(warehouse)
 
-  /** All manifest versions present on disk, ascending. Every commit is a
-    * new immutable version file, so this is the warehouse's full history
-    * (until an explicit history prune).
+  /** All manifest versions present, ascending. Every commit is a new
+    * immutable version, so this is the warehouse's full history (until
+    * an explicit history prune).
     */
-  def versions(warehouse: String): Vector[Long] = {
-    val d = dir(warehouse)
-    if (!Files.isDirectory(d)) return Vector.empty
-    manifestFiles(d).map(versionOf).sorted
-  }
+  def versions(warehouse: String): Vector[Long] =
+    backendFor(warehouse).listVersions(warehouse).sorted
+
+  /** Remove one retained version — [[Compactor.pruneHistory]]'s
+    * primitive, routed through the warehouse's backend.
+    */
+  private[store] def deleteVersion(warehouse: String, version: Long): Unit =
+    backendFor(warehouse).deleteVersion(warehouse, version)
 
   /** The manifest exactly as of `version` — time travel. Data/delete dirs
     * referenced by an old version remain on disk until [[Compactor.vacuum]]
     * prunes to the CURRENT live set, so old snapshots stay readable until
     * then (the same contract as table formats' VACUUM).
     */
-  def at(warehouse: String, version: Long): ManifestState = {
-    val p = dir(warehouse).resolve(f"v$version%012d.json")
-    require(Files.exists(p), s"no manifest version $version in $warehouse")
-    parse(Files.readString(p))
-  }
+  def at(warehouse: String, version: Long): ManifestState =
+    backendFor(warehouse).read(warehouse, version).map(parse).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: no manifest version $version in $warehouse"))
 
   /** Tiny hand-rolled parser for our own fixed-shape JSON (no deps). */
   private[store] def parse(s: String): ManifestState = {
@@ -422,31 +377,18 @@ object Manifest {
   }
 
   /** Atomically publish `next` as the successor of `expected`. Returns false
-    * on a lost race (caller re-reads and retries).
+    * on a lost race (caller re-reads and retries). The primitive is the
+    * backend's conditional put ([[ManifestBackend.putIfAbsent]] —
+    * link(2) locally, if-none-match on an object store); the hint write
+    * after it is O(1) discovery for the next reader.
     */
   def commit(warehouse: String, expected: ManifestState, next: ManifestState): Boolean = {
-    val d = dir(warehouse)
-    Files.createDirectories(d)
     require(next.version == expected.version + 1, "manifest versions must be sequential")
-    val target = d.resolve(f"v${next.version}%012d.json")
-    if (Files.exists(target)) return false
-    val tmp = Files.createTempFile(d, ".tmp-manifest", ".json")
-    Files.write(tmp, next.json.getBytes(StandardCharsets.UTF_8))
-    try {
-      // CAS primitive: link(2) fails with EEXIST if the target exists.
-      // (NOT rename: POSIX rename silently REPLACES an existing target,
-      // so racing committers would all "win" and share txids — caught by
-      // the concurrent-PUT serve test.) The content is fully written to
-      // tmp first, so the version appears atomically complete.
-      Files.createLink(target, tmp)
-      Files.deleteIfExists(tmp)
-      writeHint(d, next.version) // O(1) discovery for the next reader
+    val b = backendFor(warehouse)
+    if (b.putIfAbsent(warehouse, next.version, next.json)) {
+      b.writeHint(warehouse, next.version)
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.FileSystemException =>
-        Files.deleteIfExists(tmp); false
-    }
+    } else false
   }
 
   /** Genesis identity: the version-0→1 commit mints the warehouse-lifetime

@@ -276,4 +276,29 @@ class CliSpec extends SparkSpec {
     assert(afterBy.exists(_.startsWith("quantile\ts0\tp500\t[")),
       afterBy.toString)
   }
+
+  test("stats --kind ann: the CLI twin of /_query/stats?kind=ann — " +
+      "occupancy plus the retrain/refine decision") {
+    import spark.implicits._
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 1)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0, 0, 0, 0.1, 0.9)),
+      (3L, vec(0.1, 0.9, 0, 0, 0, 0, 0.9, 0.1)),
+      (4L, vec(0.8, 0, 0.1, 0, 0, 0.1, 0, 0.8))
+    ).toDF("vec_id", "embedding")
+    val wh = tmpDir("graft-cli-annstats")
+    graft.ops.Similarity.buildIndex(graft.store.Db(spark, wh), emb,
+      "vec_id", "embedding", nCells = 2, m = 2, k = 4, dim = 8)
+    val out = cli("-d", wh, "stats", "--kind", "ann")()
+    assert(out == Seq(
+      "cells\t2", "codes\t5", "occ\tmin=2\tp50=3\tp95=3\tmax=3",
+      "dead\t0", "skew\t1.0000", "advice\trefine"), out.toString)
+    // an empty warehouse answers quietly, like the serving verb's
+    // zero-row body
+    val none = cli("-d", tmpDir("graft-cli-annstats-empty"),
+      "stats", "--kind", "ann")()
+    assert(none == Seq("cells\t0"), none.toString)
+  }
 }

@@ -97,6 +97,30 @@ class PersistedIndexSpec extends SparkSpec {
       "re-append of an unchanged vector must overwrite, not duplicate")
   }
 
+  test("cellAdvice: balanced occupancy says refine; crowding (skew) or " +
+      "dead cells past the thresholds say retrain") {
+    // balanced (the uniform-drift regime the annyear battery measured):
+    // p95/p50 ≈ 1, no dead cells → refine, the measured default
+    val balanced = Similarity.cellAdvice(Seq.fill(64)(100L))
+    assert(balanced == ((0L, Some(1.0), "refine")), balanced)
+    // clustered drift: appends crowd few cells — p95/p50 blows past the
+    // threshold → retrain (re-partitioning the crowded region is the
+    // lever refine cannot pull)
+    val crowded = Similarity.cellAdvice(
+      Seq.fill(60)(10L) ++ Seq.fill(4)(1000L))
+    assert(crowded._3 == "retrain" &&
+      crowded._2.exists(_ > Similarity.AdviceSkewRetrain), crowded)
+    // dead cells dominate: even with mild skew, ≥ 25% empty cells waste
+    // the probe budget and only a re-cell reclaims them
+    val dead = Similarity.cellAdvice(Seq.fill(16)(0L) ++ Seq.fill(48)(90L))
+    assert(dead._1 == 16L && dead._3 == "retrain", dead)
+    // p50 = 0 → skew undefined (None), never a division blowup
+    val mostlyDead = Similarity.cellAdvice(Seq.fill(40)(0L) ++ Seq.fill(24)(5L))
+    assert(mostlyDead._2.isEmpty && mostlyDead._3 == "retrain", mostlyDead)
+    // empty index: no cells, no skew, nothing to retrain
+    assert(Similarity.cellAdvice(Nil) == ((0L, None, "refine")))
+  }
+
   test("probe equals the in-memory IVF+PQ over the same trained codebook") {
     val db = Db(spark, tmpDir("graft-pidx"))
     build(db, corpusA)

@@ -680,6 +680,13 @@ class ServeSpec extends SparkSpec {
         b0.contains("\"nCells\":2") && b0.contains("\"nCodes\":5") &&
         b0.contains("\"m\":2") && b0.contains("\"dim\":8") &&
         b0.contains("\"occMax\":3"), b0)
+      // the decision fields ride the same body: deadCells, occSkew
+      // (p95/p50 — both land on the top cell of this 2-cell index) and
+      // the one-word advice — balanced occupancy ⇒ refine (the
+      // measured default)
+      assert(b0.contains("\"deadCells\":0") &&
+        b0.contains("\"occSkew\":1.0000") &&
+        b0.contains("\"advice\":\"refine\""), b0)
       // an index append moves the ANN generation: the report must not
       // serve the stale cached occupancy (the cache keys on annVersion)
       graft.ops.Similarity.appendToIndex(annDb,

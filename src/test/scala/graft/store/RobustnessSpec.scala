@@ -249,6 +249,58 @@ class RobustnessSpec extends SparkSpec {
     assert(Manifest.current(wh).nextTxid == threads.toLong)
   }
 
+  test("the manifest control plane runs unchanged on a conditional-put " +
+      "backend (no rename, no link): the object-store port seam") {
+    // mount the in-memory backend for THIS warehouse only — data
+    // directories stay on the filesystem, the manifest lives in a
+    // key-value store whose sole commit primitive is if-none-match
+    val wh = tmpDir("graft-membackend")
+    Manifest.registerBackend(wh, new InMemoryManifestBackend)
+    try {
+      val db = Db(spark, wh)
+      // the full writer stack: plain writes, a delete marker, last-wins,
+      // compaction, vacuum, history pruning — zero posix manifest files
+      TxWriter.write(db, Seq(("a", 1L, 10L), ("b", 2L, 20L))
+        .toDF("key", "ts", "v"))
+      TxWriter.write(db, Seq(("a", 1L, 11L)).toDF("key", "ts", "v"))
+      TxWriter.delete(db, wildcard = "b%")
+      assert(db.read().orderBy("key").select("key", "v")
+        .as[(String, Long)].collect().toSeq == Seq(("a", 11L)))
+      Compactor.major(db)
+      Compactor.vacuum(db, graceMs = 0L)
+      Compactor.pruneHistory(db, keep = 2)
+      assert(Manifest.versions(wh).size == 2)
+      assert(db.read().select("v").as[Long].head() == 11L)
+      // no _manifest directory was ever created on disk
+      assert(!Files.isDirectory(Paths.get(wh, "_manifest")),
+        "the in-memory backend must own ALL manifest IO")
+      // the CAS race law holds on conditional-put exactly as on link(2):
+      // every claimant gets a unique txid
+      val threads = 8
+      val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      (1 to threads).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            var mine = -1L
+            Manifest.update(wh) { m =>
+              mine = m.nextTxid
+              m.copy(nextTxid = m.nextTxid + 1)
+            }
+            claimed.add(mine)
+          }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(claimed.size == threads,
+        s"txid collision on the conditional-put backend: ${claimed.size}")
+      // time travel reads retained versions through the backend
+      val cur = Manifest.current(wh)
+      assert(Manifest.at(wh, cur.version).dataTxids == cur.dataTxids)
+    } finally Manifest.unregisterBackend(wh)
+  }
+
   test("text protocol roundtrips arbitrary records (property)") {
     val tokenGen = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\\', 'é'))).map(_.mkString)

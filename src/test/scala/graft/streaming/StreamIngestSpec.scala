@@ -829,4 +829,75 @@ class StreamIngestSpec extends SparkSpec {
     assert(stored == direct, s"streamed hist drifted: $stored != $direct")
     assert(Manifest.current(db.warehouse).streamBatchFor("hist") == 1L)
   }
+
+  test("a slow writer spanning several maintenance cadence points: folds " +
+      "skip on the fence (streak counted), vacuum keeps the live claim, " +
+      "the writer commits, the next cadence folds and resets") {
+    import graft.ops.SketchStore
+    import graft.store.{Compactor, TxWriter}
+    val db = Db(spark, tmpDir("graft-slowmaint"))
+    // seed the store so folds have something to supersede
+    SketchStore.registerKmv(db,
+      (1 to 100).map(i => s"w${i % 17}").toDF("t"), col("t"))
+    // a REAL TxWriter.write whose parquet job blocks mid-task — the
+    // genuine mid-write state (claim registered, tmp-tx-* on disk, no
+    // txid= dir yet), not a hand-built imitation of it
+    val slow = udf { (x: Long) =>
+      SlowWriterGate.entered.countDown()
+      SlowWriterGate.release.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    }
+    @volatile var writerErr: Throwable = null
+    val writer = new Thread(() =>
+      try {
+        TxWriter.write(db, Seq(("slow-row", 7L, 7L)).toDF("key", "ts", "v")
+          .withColumn("v", slow(col("v"))))
+        ()
+      } catch { case t: Throwable => writerErr = t })
+    writer.start()
+    assert(SlowWriterGate.entered.await(60,
+      java.util.concurrent.TimeUnit.SECONDS), "slow write never started")
+    try {
+      val claims = Manifest.current(db.warehouse).pending.keySet
+      assert(claims.nonEmpty, "the slow writer must hold a pending claim")
+      // ingest continues: additive registrations need no fence
+      SketchStore.registerKmv(db,
+        (1 to 60).map(i => s"x${i % 11}").toDF("t"), col("t"))
+      // cadence point 1: the auto-fold gives up on the raised fence
+      // (bounded wait), the skip is counted, the sink is NOT killed
+      StreamIngest.nonFatalFold(db)(
+        SketchStore.foldKmv(db, waitMillis = 300L))
+      assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == 1)
+      // the cadence's vacuum must NOT clear the live writer's claim
+      // (its only on-disk trace is the fresh tmp-tx-* directory)
+      assert(Compactor.tryVacuum(db))
+      assert(Manifest.current(db.warehouse).pending.keySet == claims,
+        "vacuum cleared a LIVE writer's claim")
+      // cadence point 2, still mid-write: streak climbs, claim survives
+      StreamIngest.nonFatalFold(db)(
+        SketchStore.foldKmv(db, waitMillis = 300L))
+      assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == 2)
+    } finally SlowWriterGate.release.countDown()
+    writer.join(120000)
+    assert(writerErr == null, s"slow writer failed: $writerErr")
+    // the writer committed despite spanning two cadence points
+    assert(db.read().filter(col("key") === "slow-row").count() == 1)
+    assert(Manifest.current(db.warehouse).pending.isEmpty)
+    // the next cadence point folds normally and resets the streak;
+    // end state bounded: ONE folded kmv generation + the slow tx
+    StreamIngest.nonFatalFold(db)(SketchStore.foldKmv(db))
+    assert(StreamIngest.consecutiveMaintenanceFailures(db.warehouse) == 0)
+    val est = SketchStore.storedKmvEstimate(db)
+      .select("est_distinct").as[Long].head()
+    assert(est == 28L, s"17 + 11 distinct tokens, got $est") // exact: < k
+  }
+}
+
+/** Latches for the slow-writer maintenance case — a top-level object so
+  * the blocking UDF resolves the SAME singleton after closure
+  * deserialization (local mode: one JVM).
+  */
+private[streaming] object SlowWriterGate {
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val release = new java.util.concurrent.CountDownLatch(1)
 }
