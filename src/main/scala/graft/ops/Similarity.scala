@@ -1966,16 +1966,26 @@ object Similarity {
   }
 
   /** Occupancy-skew threshold above which the retrain lever is advised.
-    * The two annyear regimes ground the rule (SCALE.md): under UNIFORM
-    * drift the cells stay balanced (p95/p50 stays near its build-time
-    * value, ≈1–2 on the battery's 64-cell index) and retrain measurably
-    * recovers nothing — recall is limited by PQ/ADC noise, which the
-    * refine stage removes (0.9958). Under CLUSTERED drift (a new topic
-    * = a growing compact region) appends crowd FEW cells, p95/p50
-    * climbs well past the balanced band, and re-training the coarse
-    * quantizer is the lever that re-partitions the crowded region.
-    * 4.0 sits above every balanced-regime reading with margin and below
-    * the crowded regime's runaway values.
+    * The skew measure is **occMax/occP50** — NOT p95/p50: a new topic
+    * concentrates in very FEW cells (often one), and any percentile
+    * below the max is blind to a single crowded cell (measured: the
+    * anncluster battery's 73 k-vector cluster in one cell of 64 left
+    * p95/p50 at 1.39, indistinguishable from balanced, while max/p50
+    * read the crowding at two orders of magnitude). The two battery
+    * regimes ground the rule (SCALE.md): under UNIFORM drift the cells
+    * stay balanced — max/p50 ends the 365-append year at 3.38 on the
+    * 64-cell index — and retrain measurably recovers nothing; recall
+    * is limited by PQ/ADC noise, which the refine stage removes
+    * (0.9958). Under CLUSTERED drift appends crowd the cell(s) nearest
+    * the new topic, max/p50 reads 20.65 within the topic's FIRST MONTH
+    * and 236 by year end, refine recovers NOTHING (0.0000 measured —
+    * the seed-trained codebook cannot shortlist within the cluster)
+    * and a corpus-sampled re-cell is the serving-cost repair. 4.0 sits
+    * between the measured bands: above the uniform year's worst
+    * reading (3.38), far below the crowded regime's first-month one
+    * (20.65). Both batteries gate their side of the threshold, so a
+    * drift in either regime's reading trips a battery before it could
+    * silently invert the advice.
     */
   val AdviceSkewRetrain = 4.0
 
@@ -1988,12 +1998,14 @@ object Similarity {
 
   /** The retrain-vs-refine decision as a computed answer, shared by the
     * serving verb (`/_query/stats?kind=ann`) and the CLI twin so the
-    * rule cannot drift between them: (deadCells, occSkew = p95/p50 when
-    * p50 > 0, advice). `advice` is "retrain" when the occupancy shape
-    * says the coarse quantizer is the limiter (skew past
-    * [[AdviceSkewRetrain]], or ≥ [[AdviceDeadFracRetrain]] of cells
-    * dead), otherwise "refine" — the measured default (probe-then-
-    * refine recovers ADC noise; SCALE.md annyear).
+    * rule cannot drift between them: (deadCells, occSkew = occMax/occP50
+    * when p50 > 0 — max, not a sub-max percentile, so ONE crowded cell
+    * is visible; see [[AdviceSkewRetrain]], advice). `advice` is
+    * "retrain" when the occupancy shape says the coarse quantizer is
+    * the limiter (skew past [[AdviceSkewRetrain]], or ≥
+    * [[AdviceDeadFracRetrain]] of cells dead), otherwise "refine" — the
+    * measured default (probe-then-refine recovers ADC noise; SCALE.md
+    * annyear).
     */
   def cellAdvice(counts: Seq[Long]): (Long, Option[Double], String) = {
     val dead = counts.count(_ == 0L).toLong
@@ -2003,7 +2015,7 @@ object Similarity {
       else sorted(math.min(sorted.length - 1,
         ((sorted.length - 1) * f).round.toInt))
     val p50 = q(0.5)
-    val skew = if (p50 > 0) Some(q(0.95).toDouble / p50) else None
+    val skew = if (p50 > 0) Some(q(1.0).toDouble / p50) else None
     val deadFrac =
       if (counts.nonEmpty) dead.toDouble / counts.size else 0.0
     val advice =

@@ -757,12 +757,14 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             snap.manifest.props.get(ResidualProp).getOrElse("0")}"""
         case _ => ""
       }
-      // the retrain/refine DECISION as served numbers (the r17 battery's
-      // rule, computed by the shared Similarity.cellAdvice so the CLI
-      // twin cannot drift): deadCells (n_codes = 0 — wasted nProbe
-      // budget, only a re-cell reclaims them), occSkew = p95/p50 (null
-      // when p50 = 0 — deadCells already tells that story), and the
-      // one-word advice an operator previously had to correlate by hand
+      // the retrain/refine DECISION as served numbers (the battery-
+      // grounded rule, computed by the shared Similarity.cellAdvice so
+      // the CLI twin cannot drift): deadCells (n_codes = 0 — wasted
+      // nProbe budget, only a re-cell reclaims them), occSkew =
+      // occMax/occP50 (max, not p95 — one crowded new-topic cell must
+      // be visible; null when p50 = 0, deadCells already tells that
+      // story), and the one-word advice an operator previously had to
+      // correlate by hand
       val (dead, skew, advice) = graft.ops.Similarity.cellAdvice(counts)
       val skewJson = skew.fold("null")(s =>
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)))

@@ -103,13 +103,18 @@ class PersistedIndexSpec extends SparkSpec {
     // p95/p50 ≈ 1, no dead cells → refine, the measured default
     val balanced = Similarity.cellAdvice(Seq.fill(64)(100L))
     assert(balanced == ((0L, Some(1.0), "refine")), balanced)
-    // clustered drift: appends crowd few cells — p95/p50 blows past the
+    // clustered drift: appends crowd few cells — max/p50 blows past the
     // threshold → retrain (re-partitioning the crowded region is the
     // lever refine cannot pull)
     val crowded = Similarity.cellAdvice(
       Seq.fill(60)(10L) ++ Seq.fill(4)(1000L))
     assert(crowded._3 == "retrain" &&
       crowded._2.exists(_ > Similarity.AdviceSkewRetrain), crowded)
+    // ONE crowded cell — the measured new-topic shape (anncluster: 73k
+    // vectors in one cell of 64). Any sub-max percentile is blind to it
+    // (p95/p50 here is 1.0); the skew measure must be max/p50
+    val oneHot = Similarity.cellAdvice(Seq.fill(63)(300L) :+ 73000L)
+    assert(oneHot._3 == "retrain" && oneHot._2.exists(_ > 200.0), oneHot)
     // dead cells dominate: even with mild skew, ≥ 25% empty cells waste
     // the probe budget and only a re-cell reclaims them
     val dead = Similarity.cellAdvice(Seq.fill(16)(0L) ++ Seq.fill(48)(90L))
