@@ -215,33 +215,24 @@ object Cli {
         stdout(if (tx < 0) "migrate\tnoop" else s"migrate\ttx=$tx")
 
       case "stats" :: Nil if flags.get("--kind").contains("ann") =>
-        // CLI twin of GET /_query/stats?kind=ann — the ANN index
-        // occupancy report plus the retrain/refine decision, computed
-        // by the SAME Similarity.cellAdvice as the serving verb so the
-        // rule cannot drift. `-d` points at the INDEX warehouse.
+        // CLI twin of GET /_query/stats?kind=ann — the WHOLE report
+        // body (occupancy quantiles, cap, retrain/refine decision)
+        // comes from the shared Similarity.occupancyReport, so the
+        // twins cannot drift. `-d` points at the INDEX warehouse.
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) stdout("cells\t0")
         else {
-          val occ = graft.ops.Similarity.indexCellStatsAt(snap)
-            .orderBy("cell").limit(20001)
-            .as[(Long, Long)].collect()
-          if (occ.length > 20000)
+          val rep = graft.ops.Similarity.occupancyReport(snap).getOrElse(
             sys.error("index holds more than 20000 cells — not an IVF " +
-              "layout this report is meant for")
-          val counts = occ.map(_._2).sorted
-          def q(f: Double): Long =
-            if (counts.isEmpty) 0L
-            else counts(math.min(counts.length - 1,
-              ((counts.length - 1) * f).round.toInt))
-          val (dead, skew, advice) = graft.ops.Similarity.cellAdvice(counts)
-          stdout(s"cells\t${counts.length}")
-          stdout(s"codes\t${counts.sum}")
-          stdout(s"occ\tmin=${q(0.0)}\tp50=${q(0.5)}\tp95=${q(0.95)}\t" +
-            s"max=${q(1.0)}")
-          stdout(s"dead\t$dead")
-          stdout("skew\t" + skew.fold("n/a")(s =>
+              "layout this report is meant for"))
+          stdout(s"cells\t${rep.nCells}")
+          stdout(s"codes\t${rep.nCodes}")
+          stdout(s"occ\tmin=${rep.occMin}\tp50=${rep.occP50}\t" +
+            s"p95=${rep.occP95}\tmax=${rep.occMax}")
+          stdout(s"dead\t${rep.deadCells}")
+          stdout("skew\t" + rep.occSkew.fold("n/a")(s =>
             String.format(java.util.Locale.ROOT, "%.4f", Double.box(s))))
-          stdout(s"advice\t$advice")
+          stdout(s"advice\t${rep.advice}")
         }
 
       case "stats" :: Nil if flags.contains("--by") =>

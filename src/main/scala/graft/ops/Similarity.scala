@@ -1996,6 +1996,39 @@ object Similarity {
     */
   val AdviceDeadFracRetrain = 0.25
 
+  /** The `kind=ann` occupancy report body — ONE copy of the cell
+    * collection, the sanity cap, the quantiles and the decision, shared
+    * by the serving verb and the CLI twin so the report cannot drift
+    * between them (the advice alone being shared left the cap and
+    * quantile math duplicated). The quantile rule is nearest-rank on
+    * the sorted counts, identical to [[cellAdvice]]'s internal one.
+    */
+  final case class OccupancyReport(nCells: Int, nCodes: Long,
+                                   occMin: Long, occP50: Long,
+                                   occP95: Long, occMax: Long,
+                                   deadCells: Long,
+                                   occSkew: Option[Double], advice: String)
+
+  /** None when the index holds more than `maxCells` cells — not an IVF
+    * layout this report is meant for; both twins refuse loudly rather
+    * than collecting an unbounded histogram onto the driver.
+    */
+  def occupancyReport(snap: graft.store.Db#Snapshot,
+                      maxCells: Int = 20000): Option[OccupancyReport] = {
+    val counts = indexCellStatsAt(snap)
+      .orderBy("cell").limit(maxCells + 1)
+      .select(col("n_codes")).collect().map(_.getLong(0))
+    if (counts.length > maxCells) return None
+    val sorted = counts.sorted
+    def q(f: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.length - 1,
+        ((sorted.length - 1) * f).round.toInt))
+    val (dead, skew, advice) = cellAdvice(sorted.toSeq)
+    Some(OccupancyReport(sorted.length, sorted.sum, q(0.0), q(0.5),
+      q(0.95), q(1.0), dead, skew, advice))
+  }
+
   /** The retrain-vs-refine decision as a computed answer, shared by the
     * serving verb (`/_query/stats?kind=ann`) and the CLI twin so the
     * rule cannot drift between them: (deadCells, occSkew = occMax/occP50

@@ -736,17 +736,16 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
       if (snap.manifest.dataTxids.isEmpty)
         return (200, s"""{"kind":"ann","nCells":0,"nCodes":0,""" +
           s""""annVersion":$ver}""" + "\n")
-      val occ = graft.ops.Similarity.indexCellStatsAt(snap)
-        .orderBy("cell").limit(20001)
-        .as[(Long, Long)].collect()
-      if (occ.length > 20000)
+      // the whole report body — occupancy quantiles plus the retrain/
+      // refine DECISION (deadCells: wasted nProbe budget only a re-cell
+      // reclaims; occSkew = occMax/occP50, max not p95 so one crowded
+      // new-topic cell is visible, null when p50 = 0; the one-word
+      // advice an operator previously had to correlate by hand) —
+      // computed by the shared Similarity.occupancyReport so the CLI
+      // twin cannot drift in cap, quantile math, or rule
+      val rep = graft.ops.Similarity.occupancyReport(snap).getOrElse(
         return (400, "index holds more than 20000 cells — not an IVF " +
-          "layout this report is meant for\n")
-      val counts = occ.map(_._2).sorted
-      def q(f: Double): Long =
-        if (counts.isEmpty) 0L
-        else counts(math.min(counts.length - 1,
-          ((counts.length - 1) * f).round.toInt))
+          "layout this report is meant for\n"))
       // geometry from the manifest props a buildIndex claims — absent
       // on a pre-props index (fields omitted rather than guessed)
       import graft.ops.Similarity.{GeomMProp, GeomDimProp, ResidualProp}
@@ -757,23 +756,14 @@ final class Serve(db: Db, port: Int = 0, snapshotTtlMillis: Long = 10000,
             snap.manifest.props.get(ResidualProp).getOrElse("0")}"""
         case _ => ""
       }
-      // the retrain/refine DECISION as served numbers (the battery-
-      // grounded rule, computed by the shared Similarity.cellAdvice so
-      // the CLI twin cannot drift): deadCells (n_codes = 0 — wasted
-      // nProbe budget, only a re-cell reclaims them), occSkew =
-      // occMax/occP50 (max, not p95 — one crowded new-topic cell must
-      // be visible; null when p50 = 0, deadCells already tells that
-      // story), and the one-word advice an operator previously had to
-      // correlate by hand
-      val (dead, skew, advice) = graft.ops.Similarity.cellAdvice(counts)
-      val skewJson = skew.fold("null")(s =>
+      val skewJson = rep.occSkew.fold("null")(s =>
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)))
       return (200,
-        s"""{"kind":"ann","nCells":${counts.length},""" +
-          s""""nCodes":${counts.sum},"occMin":${q(0.0)},""" +
-          s""""occP50":${q(0.5)},"occP95":${q(0.95)},""" +
-          s""""occMax":${q(1.0)},"deadCells":$dead,""" +
-          s""""occSkew":$skewJson,"advice":"$advice"""" +
+        s"""{"kind":"ann","nCells":${rep.nCells},""" +
+          s""""nCodes":${rep.nCodes},"occMin":${rep.occMin},""" +
+          s""""occP50":${rep.occP50},"occP95":${rep.occP95},""" +
+          s""""occMax":${rep.occMax},"deadCells":${rep.deadCells},""" +
+          s""""occSkew":$skewJson,"advice":"${rep.advice}"""" +
           s"""$geom,"annVersion":$ver}""" + "\n")
     }
     // ?by → the grouped report: per-group quantile envelopes from the

@@ -353,13 +353,29 @@ object Compactor {
       // Newest mtime anywhere UNDER the directory: a long-running write
       // keeps touching files below _temporary/ while the top-level dir
       // mtime stays at job start, so the top mtime alone would age out an
-      // in-flight multi-hour ingest.
-      def newestMtime(p: java.nio.file.Path): Long = {
-        val s = Files.walk(p)
-        try s.iterator().asScala.map(Files.getLastModifiedTime(_).toMillis)
-          .foldLeft(0L)(math.max)
-        finally s.close()
-      }
+      // in-flight multi-hour ingest. None = the walk RACED a live
+      // writer (files created/renamed/deleted by concurrent task
+      // commits vanish mid-walk, or the whole dir was just renamed into
+      // its txid= home) — exactly the dirs that must be treated as
+      // LIVE, never as sweepable, and never allowed to abort the whole
+      // vacuum (a direct caller would crash; the streaming cadence
+      // would count a phantom maintenance failure).
+      def newestMtime(p: java.nio.file.Path): Option[Long] =
+        try {
+          val s = Files.walk(p)
+          try Some(s.iterator().asScala
+            .map(Files.getLastModifiedTime(_).toMillis)
+            .foldLeft(0L)(math.max))
+          finally s.close()
+        } catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            None
+        }
+      // ONE listing + walk per entry: the sweep records each tentative
+      // directory's in-grace status as it goes, so the claim-clearing
+      // below never re-walks a (potentially multi-GB, actively written)
+      // tmp tree a second time
+      val tmpInGrace = scala.collection.mutable.Map.empty[String, Boolean]
       def sweep(root: String, live: Set[String]): Unit = {
         val d = Paths.get(root)
         if (!Files.isDirectory(d)) return
@@ -367,8 +383,15 @@ object Compactor {
         val entries = try ls.iterator().asScala.toVector finally ls.close()
         entries.foreach { p =>
           val n = p.getFileName.toString
-          if (!live.contains(n) && newestMtime(p) <= cutoff)
-            deleteRecursively(p)
+          // None (racing walk) counts as recent — conservative both ways
+          val recent = newestMtime(p).forall(_ > cutoff)
+          if (n.startsWith("tmp-tx-"))
+            tmpInGrace(n) = tmpInGrace.getOrElse(n, false) || recent
+          if (!live.contains(n) && !recent)
+            // the delete itself can race a publish rename (the dir
+            // vanishes between walk and delete) — skip, next vacuum
+            try deleteRecursively(p)
+            catch { case _: java.io.IOException => () }
         }
       }
       sweep(db.dataDir, m.dataTxids.map(t => s"txid=$t").toSet)
@@ -383,37 +406,31 @@ object Compactor {
       // A LIVE claim-first/supersede writer registers its claim at job
       // start but creates `txid=<t>` only at rename time — under the
       // rename-only protocol its sole on-disk trace during a long write
-      // is a recently-touched `tmp-tx-*` directory (the tentative path
-      // is not recorded in the claim, so no tmp dir can be matched to a
-      // specific txid). Clearing such a claim would silently un-raise
-      // the fold/supersede fence mid-write; so while ANY tentative
-      // directory is inside the grace window, clear NOTHING —
-      // conservative (a genuinely crashed claim waits for the first
-      // vacuum after the live write finishes), but a fence held a
+      // is a recently-touched `tmp-tx-*` directory. Claims now RECORD
+      // their tentative directory ([[ManifestState.claimDirs]]), so a
+      // stale claim clears as soon as ITS OWN directory is dead (absent
+      // or aged out) — a crashed writer no longer holds the fold fence
+      // hostage just because some OTHER sink's write is in flight.
+      // Claims without a recorded dir (pre-field writers) keep the
+      // conservative global hold: while ANY tentative directory is
+      // inside the grace window, they are not cleared — a fence held a
       // cadence too long beats a fence dropped mid-write. The publish
-      // side backstops this: [[TxWriter]] refuses loudly when its
-      // pending entry vanished anyway.
-      def liveTentative(root: String): Boolean = {
-        val d = Paths.get(root)
-        Files.isDirectory(d) && {
-          val ls = Files.list(d)
-          try ls.iterator().asScala.exists(p =>
-            p.getFileName.toString.startsWith("tmp-tx-") &&
-              newestMtime(p) > cutoff)
-          finally ls.close()
-        }
-      }
-      val stale =
-        if (liveTentative(db.dataDir) || liveTentative(db.deleteDir))
-          Set.empty[Long]
-        else m.pending.filter { case (t, ms) =>
-          ms <= cutoff &&
-            !Files.exists(Paths.get(db.dataDir, s"txid=$t")) &&
-            !Files.exists(Paths.get(db.deleteDir, s"txid=$t"))
-        }.keySet
+      // side backstops both paths: [[TxWriter]] refuses loudly
+      // (ClaimVanished) when its pending entry vanished anyway.
+      val anyTmpInGrace = tmpInGrace.values.exists(identity)
+      val stale = m.pending.filter { case (t, ms) =>
+        ms <= cutoff &&
+          !Files.exists(Paths.get(db.dataDir, s"txid=$t")) &&
+          !Files.exists(Paths.get(db.deleteDir, s"txid=$t")) &&
+          (m.claimDirs.get(t) match {
+            case Some(d) => !tmpInGrace.getOrElse(d, false)
+            case None    => !anyTmpInGrace
+          })
+      }.keySet
       if (stale.nonEmpty)
         Manifest.update(db.warehouse)(cur =>
-          cur.copy(pending = cur.pending -- stale))
+          cur.copy(pending = cur.pending -- stale,
+            claimDirs = cur.claimDirs -- stale))
     }
 
   /** Drop manifest versions older than the newest `keep` (history bound:

@@ -98,7 +98,19 @@ final case class ManifestState(
       * [[graft.store.Compactor.vacuum]] for crashed writers (claim older
       * than the grace window with no live directory).
       */
-    pending: Map[Long, Long] = Map.empty
+    pending: Map[Long, Long] = Map.empty,
+    /** Tentative-directory name (under `data/`) a pending claim's write
+      * job targets, when the writer declared one at claim time. Lets
+      * [[graft.store.Compactor.vacuum]] match a stale claim to ITS OWN
+      * tmp-tx-* directory and clear it as soon as that directory is
+      * dead — instead of the conservative global hold (clear nothing
+      * while ANY tentative dir is live) that a dir-less claim forces,
+      * which on a many-sink warehouse could keep a crashed writer's
+      * fence raised indefinitely. Entries live and die with their
+      * [[pending]] entry; claims from pre-field writers simply have no
+      * entry and get the conservative treatment.
+      */
+    claimDirs: Map[Long, String] = Map.empty
 ) {
   /** The replay cursor for a named sink ("" = the legacy scalar).
     *
@@ -155,7 +167,11 @@ final case class ManifestState(
     val pend = pending.toVector.sortBy(_._1).map { case (t, ms) =>
       s"$t $ms"
     }.mkString("\n")
-    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}","propsB64":"${b64(propLines)}","pendingB64":"${b64(pend)}"}"""
+    // claim tentative dirs: one "txid b64(dirName)" line each
+    val cdirs = claimDirs.toVector.sortBy(_._1).map { case (t, d) =>
+      s"$t ${b64(d)}"
+    }.mkString("\n")
+    s"""{"version":$version,"nextTxid":$nextTxid,"dataTxids":${arr(dataTxids)},"deleteTxids":${arr(deleteTxids)},"streamBatch":$streamBatch,"timeBucket":$timeBucket,"bucketMajor":${if (bucketMajor) 1 else 0},"createdB64":"${b64(created)}","schemaB64":"${b64(schemaDdl)}","txStatsB64":"${b64(stats)}","streamB64":"${b64(sinks)}","propsB64":"${b64(propLines)}","pendingB64":"${b64(pend)}","claimDirsB64":"${b64(cdirs)}"}"""
   }
 }
 
@@ -176,28 +192,35 @@ final case class TxStats(minKey: String, maxKey: String,
 
 object Manifest {
   /** Backend registry: the manifest control plane is storage-agnostic
-    * above [[ManifestBackend]] — a warehouse path whose prefix matches
-    * a registered entry routes its manifest IO there; everything else
+    * above [[ManifestBackend]] — a warehouse at a registered path (or
+    * nested under one) routes its manifest IO there; everything else
     * uses the posix [[LocalFsManifestBackend]]. Registration is for
     * embedding apps and tests (RobustnessSpec mounts
-    * [[InMemoryManifestBackend]] to prove the conditional-put port);
-    * longest-prefix wins so a test mount cannot shadow sibling
-    * warehouses.
+    * [[InMemoryManifestBackend]] to prove the conditional-put port).
+    * Matching is PATH-aware, not raw string-prefix: `/data/wh` must
+    * never capture `/data/wh-archive` (a sibling that merely shares a
+    * string prefix would silently route its manifest to the wrong
+    * backend — invisible data); longest registered path wins among
+    * nested registrations.
     */
   @volatile private var backends: List[(String, ManifestBackend)] = Nil
 
   def registerBackend(prefix: String, b: ManifestBackend): Unit =
     synchronized {
-      backends = ((prefix, b) :: backends.filterNot(_._1 == prefix))
+      val clean = prefix.stripSuffix("/")
+      backends = ((clean, b) :: backends.filterNot(_._1 == clean))
         .sortBy(-_._1.length)
     }
 
   def unregisterBackend(prefix: String): Unit =
-    synchronized { backends = backends.filterNot(_._1 == prefix) }
+    synchronized {
+      val clean = prefix.stripSuffix("/")
+      backends = backends.filterNot(_._1 == clean)
+    }
 
   private def backendFor(warehouse: String): ManifestBackend =
     backends.collectFirst {
-      case (p, b) if warehouse.startsWith(p) => b
+      case (p, b) if warehouse == p || warehouse.startsWith(p + "/") => b
     }.getOrElse(LocalFsManifestBackend)
 
   /** Parsed-manifest cache: a version file is IMMUTABLE once published,
@@ -350,12 +373,17 @@ object Manifest {
         val Array(t, ms) = line.split(' ')
         t.toLong -> ms.toLong
       }.toMap
+    val claimDirs = b64Field("claimDirsB64").split('\n').filter(_.nonEmpty)
+      .map { line =>
+        val Array(t, d) = line.split(' ')
+        t.toLong -> dec64(d)
+      }.toMap
     ManifestState(longField("version"), longField("nextTxid"),
       arrField("dataTxids"), arrField("deleteTxids"),
       if (s.contains("\"streamBatch\"")) longField("streamBatch") else -1L,
       longField("timeBucket"), longField("bucketMajor") == 1L,
       b64Field("schemaB64"), stats, sinks, props, b64Field("createdB64"),
-      pending)
+      pending, claimDirs)
   }
 
   /** Merge a newly committed transaction's data schema into the tracked

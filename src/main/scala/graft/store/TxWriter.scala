@@ -181,8 +181,13 @@ object TxWriter {
         case None     => () // fall through to the claim-first protocol
       }
 
-    var txid = claimTxid(db)
+    // the tentative name is minted BEFORE the claim so the claim can
+    // record it (ManifestState.claimDirs): vacuum then matches a stale
+    // claim to ITS OWN tmp directory instead of holding every clearing
+    // back while any tentative write anywhere is live
     val tmp = tentativePath(db)
+    val tmpName = Some(tmp.getFileName.toString)
+    var txid = claimTxid(db, tmpName)
     try {
     // the sticky width/layout commits immediately after the claim —
     // BEFORE the (possibly long) write job — so a concurrent writer
@@ -254,7 +259,7 @@ object TxWriter {
             "(restored/rolled-back manifest?); refusing to burn further " +
             "numbers. Nothing was published; repair the manifest or " +
             "vacuum the orphan directories.")
-      txid = claimTxid(db)
+      txid = claimTxid(db, tmpName)
     }
     publishPauseHook()
     publishData(db, txid, written, props, propsClaim, streamCursor)
@@ -550,7 +555,12 @@ object TxWriter {
       schema("key").dataType == StringType, "replacement needs key: String")
     require(schema.fieldNames.contains("ts") &&
       schema("ts").dataType == LongType, "replacement needs ts: Long")
-    val markerTx = claimIf(db, 2)(cur =>
+    // tentative name minted before the claim so the claim records it
+    // (same vacuum-matching rider as [[write]]; the marker txid writes
+    // its tiny file directly and needs no entry)
+    val tmp = tentativePath(db)
+    val markerTx = claimIf(db, 2,
+        Map(1 -> tmp.getFileName.toString))(cur =>
       cur.nextTxid == baseline.nextTxid &&
         cur.dataTxids == baseline.dataTxids &&
         cur.deleteTxids == baseline.deleteTxids) match {
@@ -558,7 +568,6 @@ object TxWriter {
       case None    => return None
     }
     val dataTx = markerTx + 1
-    val tmp = tentativePath(db)
     try {
       val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
       wildcards.foreach(w => rows.add(Row("", "", t0, t1, w)))
@@ -607,17 +616,20 @@ object TxWriter {
           schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
           txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
           props = cur.props ++ props ++ dynProps(dataTx),
-          pending = cur.pending - markerTx - dataTx)
+          pending = cur.pending - markerTx - dataTx,
+          claimDirs = cur.claimDirs - markerTx - dataTx)
       }
       Some(dataTx)
     } catch {
       case _: SupersedeAborted =>
         Manifest.update(db.warehouse)(m =>
-          m.copy(pending = m.pending - markerTx - dataTx))
+          m.copy(pending = m.pending - markerTx - dataTx,
+            claimDirs = m.claimDirs - markerTx - dataTx))
         None // orphan dirs vacuumed; caller refolds over the new state
       case e: Throwable =>
         Manifest.update(db.warehouse)(m =>
-          m.copy(pending = m.pending - markerTx - dataTx))
+          m.copy(pending = m.pending - markerTx - dataTx,
+            claimDirs = m.claimDirs - markerTx - dataTx))
         deleteRecursivelyIfExists(tmp)
         throw e
     }
@@ -627,17 +639,24 @@ object TxWriter {
 
   /** Conditionally claim `n` adjacent txids in one commit (registered
     * pending); None when `ok` fails or any other claim is in flight.
+    * `tmpNames` maps a claim OFFSET (0-based) to the tentative
+    * directory that claim's write targets — recorded in
+    * [[ManifestState.claimDirs]] like [[claimTxid]]'s rider.
     */
-  private def claimIf(db: Db, n: Int)(ok: ManifestState => Boolean)
+  private def claimIf(db: Db, n: Int,
+                      tmpNames: Map[Int, String] = Map.empty)
+                     (ok: ManifestState => Boolean)
       : Option[Long] = {
     while (true) {
       val cur = Manifest.current(db.warehouse)
       if (!ok(cur) || cur.pending.nonEmpty) return None
       val now = System.currentTimeMillis()
       val pend = (0 until n).map(i => (cur.nextTxid + i) -> now)
+      val dirs = tmpNames.map { case (i, d) => (cur.nextTxid + i) -> d }
       if (Manifest.commit(db.warehouse, cur, Manifest.withCreated(cur,
           cur.copy(version = cur.version + 1, nextTxid = cur.nextTxid + n,
-            pending = cur.pending ++ pend))))
+            pending = cur.pending ++ pend,
+            claimDirs = cur.claimDirs ++ dirs))))
         return Some(cur.nextTxid)
     }
     None // unreachable
@@ -744,7 +763,8 @@ object TxWriter {
       Manifest.update(db.warehouse) { m =>
         requirePending(m, txid)
         m.copy(deleteTxids = m.deleteTxids :+ txid,
-          pending = m.pending - txid)
+          pending = m.pending - txid,
+        claimDirs = m.claimDirs - txid)
       }
       txid
     } catch {
@@ -757,12 +777,20 @@ object TxWriter {
   def deleteAt(db: Db, wildcard: String, t: Long): Long =
     delete(db, t0 = t, t1 = t + 1, wildcard = wildcard)
 
-  private def claimTxid(db: Db): Long = {
+  /** Claim the next txid. `tmpName` — when the writer targets a
+    * tentative directory — rides the claim ([[ManifestState.claimDirs]])
+    * so [[Compactor.vacuum]] can match the claim to its OWN directory
+    * instead of conservatively holding all clearing back while any
+    * tentative write anywhere is live.
+    */
+  private def claimTxid(db: Db, tmpName: Option[String] = None): Long = {
     var claimed = -1L
     Manifest.update(db.warehouse) { m =>
       claimed = m.nextTxid
       m.copy(nextTxid = m.nextTxid + 1,
-        pending = m.pending + (m.nextTxid -> System.currentTimeMillis()))
+        pending = m.pending + (m.nextTxid -> System.currentTimeMillis()),
+        claimDirs = tmpName.fold(m.claimDirs)(d =>
+          m.claimDirs + (m.nextTxid -> d)))
     }
     claimed
   }
@@ -800,7 +828,8 @@ object TxWriter {
     * JVMs leave their entry for [[Compactor.vacuum]]'s grace window.
     */
   private def abandonClaim(db: Db, txid: Long): Unit =
-    Manifest.update(db.warehouse)(m => m.copy(pending = m.pending - txid))
+    Manifest.update(db.warehouse)(m =>
+      m.copy(pending = m.pending - txid, claimDirs = m.claimDirs - txid))
 
   private def publishData(db: Db, txid: Long,
                           schema: org.apache.spark.sql.types.StructType,
@@ -826,7 +855,8 @@ object TxWriter {
         schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
         txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s)),
         props = m.props ++ props ++ propsClaim,
-        pending = m.pending - txid)
+        pending = m.pending - txid,
+        claimDirs = m.claimDirs - txid)
       streamCursor.fold(pub) { case (sink, batch) =>
         pub.withStreamBatch(sink, batch)
       }

@@ -681,7 +681,7 @@ class ServeSpec extends SparkSpec {
         b0.contains("\"m\":2") && b0.contains("\"dim\":8") &&
         b0.contains("\"occMax\":3"), b0)
       // the decision fields ride the same body: deadCells, occSkew
-      // (p95/p50 — both land on the top cell of this 2-cell index) and
+      // (occMax/occP50 — both land on the top cell of this 2-cell index) and
       // the one-word advice — balanced occupancy ⇒ refine (the
       // measured default)
       assert(b0.contains("\"deadCells\":0") &&

@@ -86,6 +86,65 @@ class RobustnessSpec extends SparkSpec {
       "a dead claim with no on-disk trace must clear past the grace window")
   }
 
+  test("a claim that RECORDS its tentative dir clears as soon as that " +
+      "dir is dead — another sink's live write no longer holds it hostage") {
+    val db = Db(spark, tmpDir("graft-claimdir"))
+    TxWriter.write(db, Seq(("a", 1L, 1L)).toDF("key", "ts", "v"))
+    val oldMs = System.currentTimeMillis() - 3 * 60 * 60 * 1000L
+    // crashed writer: old claim + its recorded tmp dir GONE (the crash
+    // happened before the parquet job created it, or it was swept)
+    var deadTx = -1L
+    Manifest.update(db.warehouse) { m =>
+      deadTx = m.nextTxid
+      m.copy(nextTxid = m.nextTxid + 1,
+        pending = m.pending + (m.nextTxid -> oldMs),
+        claimDirs = m.claimDirs + (m.nextTxid -> "tmp-tx-crashed-gone"))
+    }
+    // an UNRELATED live writer's tentative dir is in the grace window
+    Seq(("ghost", 9L, 9L)).toDF("key", "ts", "v")
+      .write.parquet(s"${db.dataDir}/tmp-tx-live-other-sink")
+    Compactor.vacuum(db, graceMs = 30 * 60 * 1000L)
+    val after = Manifest.current(db.warehouse)
+    assert(!after.pending.contains(deadTx),
+      "a dir-recording claim whose OWN dir is dead must clear despite " +
+        "another sink's live tentative write")
+    assert(!after.claimDirs.contains(deadTx), "claimDirs entry cleared too")
+    assert(Files.exists(Paths.get(s"${db.dataDir}/tmp-tx-live-other-sink")),
+      "the live dir itself stays grace-protected")
+    // …while a crashed claim whose recorded dir is STILL in-grace (the
+    // write may be live) is kept
+    var liveTx = -1L
+    Manifest.update(db.warehouse) { m =>
+      liveTx = m.nextTxid
+      m.copy(nextTxid = m.nextTxid + 1,
+        pending = m.pending + (m.nextTxid -> oldMs),
+        claimDirs = m.claimDirs + (m.nextTxid -> "tmp-tx-live-other-sink"))
+    }
+    Compactor.vacuum(db, graceMs = 30 * 60 * 1000L)
+    assert(Manifest.current(db.warehouse).pending.contains(liveTx),
+      "a claim whose recorded dir is inside the grace window must survive")
+  }
+
+  test("backend registry is path-aware: /x/wh never captures /x/wh-archive") {
+    val wh = tmpDir("graft-pathmatch")
+    val sibling = wh + "-archive"
+    java.nio.file.Files.createDirectories(Paths.get(sibling))
+    Manifest.registerBackend(wh, new InMemoryManifestBackend)
+    try {
+      val db = Db(spark, wh)
+      val sib = Db(spark, sibling)
+      TxWriter.write(db, Seq(("m", 1L, 1L)).toDF("key", "ts", "v"))
+      TxWriter.write(sib, Seq(("s", 1L, 2L)).toDF("key", "ts", "v"))
+      // the sibling's manifest must be on DISK (local backend), not in
+      // the registered in-memory store
+      assert(Files.isDirectory(Paths.get(sibling, "_manifest")),
+        "sibling warehouse must use the local backend")
+      assert(!Files.isDirectory(Paths.get(wh, "_manifest")),
+        "registered warehouse must use the in-memory backend")
+      assert(sib.read().count() == 1 && db.read().count() == 1)
+    } finally Manifest.unregisterBackend(wh)
+  }
+
   test("publish refuses LOUDLY when its pending claim vanished " +
       "(ClaimVanished) — never a silent commit past a dropped fence") {
     val db = Db(spark, tmpDir("graft-claimvanish"))
