@@ -59,4 +59,21 @@ class StreamCursorSpec extends AnyFunSuite {
     assert(rt.streamBatch == m.streamBatch)
     assert(rt.streamBatchFor("a") == 3L && rt.streamBatchFor("b") == 0L)
   }
+
+  test("pending claims + their tentative dirs survive the JSON round " +
+      "trip; a pre-field manifest parses with empty claimDirs") {
+    val m = base.copy(
+      pending = Map(7L -> 123456789L, 9L -> 987654321L),
+      claimDirs = Map(7L -> "tmp-tx-0a1b/with spaces+units"))
+    val rt = Manifest.parse(m.json)
+    assert(rt.pending == m.pending)
+    assert(rt.claimDirs == m.claimDirs,
+      "tentative dir names (arbitrary UTF-8) must round-trip exactly")
+    // a manifest written before the field existed has no claimDirsB64
+    // line — it must parse to an EMPTY map (the conservative global-hold
+    // vacuum path), not fail
+    val legacy = Manifest.parse(
+      m.copy(claimDirs = Map.empty).json.replace(",\"claimDirsB64\":\"\"", ""))
+    assert(legacy.pending == m.pending && legacy.claimDirs.isEmpty)
+  }
 }
