@@ -1315,8 +1315,11 @@ object PipelineQueries {
       val lshPairs = Similarity
         .nearDupPairsAuto(emb, "vec_id", "embedding", 0.35)
         .select(col("id1").as("query_id"), col("id2").as("nn_id"))
+      // parallel exact sweep (same rows as the lit(1)-bucket form, which
+      // ran the whole quadratic pair space in one task — see
+      // Similarity.nearDupPairsExact)
       val exactPairs = Similarity
-        .nearDupPairs(emb, "vec_id", "embedding", lit(1), 0.35)
+        .nearDupPairsExact(emb, "vec_id", "embedding", 0.35)
         .select(col("id1").as("query_id"), col("id2").as("nn_id"))
       val pairRow = Similarity.recallRow("embedding_lsh", lshPairs,
         exactPairs, EMB_LSH_RECALL_FLOOR)

@@ -546,12 +546,13 @@ object Dedup {
       edges.select(col("a").as("id")).distinct()
         .withColumn("comp", col("id")))
     // labels are node ids and only ever decrease, so the label sum is a
-    // strictly decreasing potential function: cheap convergence detection
-    // (one aggregate on the checkpointed relation, no comparison join)
+    // strictly decreasing potential function: cheap convergence detection.
+    // The sum is OBSERVED during each round's materialization job
+    // (guide §1.4 one-pass device — the standalone aggregate was one
+    // extra Spark job per round), decimal so an id-sum cannot overflow
+    // at any corpus size; sum over zero rows is NULL — treated as 0 so
+    // an empty edge set converges instead of NPEing.
     def potential(df: DataFrame): java.math.BigDecimal = {
-      // decimal: id-sum cannot overflow at any corpus size; sum over zero
-      // rows is NULL — treat as 0 so an empty edge set converges instead
-      // of NPEing (clean corpus, no candidate pairs)
       val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
@@ -569,13 +570,19 @@ object Dedup {
           least(col("c.comp"), coalesce(col("n.ncomp"), col("c.comp")))
             .as("comp"))
       // (b) pointer jumping: adopt the label's own current label
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc-pot-${java.util.UUID.randomUUID()}")
       val next = materialize(relaxed.alias("m")
         .join(relaxed.select(col("id").as("lid"), col("comp").as("lcomp"))
           .alias("p"), col("m.comp") === col("p.lid"), "left")
         .select(col("id"),
           least(col("m.comp"), coalesce(col("p.lcomp"), col("m.comp")))
-            .as("comp")))
-      val nextPot = potential(next)
+            .as("comp"))
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("pot")))
+      val nextPot = {
+        val s = obs.get("pot").asInstanceOf[java.math.BigDecimal]
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
       comp = next
       converged = nextPot.compareTo(pot) == 0
       pot = nextPot

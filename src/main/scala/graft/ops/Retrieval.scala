@@ -134,7 +134,8 @@ object Retrieval {
                          textCol: String, v2: Boolean,
                          cursor: Option[(String, Long)] = None,
                          sinkProps: Map[String, String] = Map.empty,
-                         fuse: Boolean = false): Long = {
+                         fuse: Boolean = false): Long =
+      graft.core.Graft.pinScope {
     val toks = graft.core.Graft.rebalance(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -169,10 +170,18 @@ object Retrieval {
             col("sum_dl"))
         body.unionByName(stats, allowMissingColumns = true)
       }
+    // materialize the batch rows ONCE (Graft.pin, scope-released after
+    // the commit): the write's range exchange SAMPLES its input before
+    // the write job runs it — unpinned, the whole tokenize → aggregate →
+    // join pipeline executed twice per transaction (guide §5: cache when
+    // an intermediate is consumed twice and recomputing costs more than
+    // holding it — here the pinned frame is exactly the batch's
+    // index-rows, bytes the write materializes anyway)
+    val pinned = graft.core.Graft.pin(all)
     // the layout property rides IN the publishing commit — atomic with
     // the rows becoming visible, so no reader can ever observe the flag
     // without the layout (or crash-strand a stale flag)
-    graft.store.TxWriter.write(db, all,
+    graft.store.TxWriter.write(db, pinned,
       props = (if (v2) Map(LayoutProp -> "2")
                else Map.empty[String, String]) ++ sinkProps,
       streamCursor = cursor, fuse = fuse)
@@ -188,10 +197,12 @@ object Retrieval {
   def buildBm25Index(db: graft.store.Db, docs: DataFrame, idCol: String,
                      textCol: String): Long = {
     if (db.snapshot().manifest.dataTxids.nonEmpty)
-      Seq("p/%", "pd/%", "ps/%").foreach { w =>
-        graft.store.TxWriter.delete(db, t0 = Long.MinValue,
-          t1 = Long.MaxValue, wildcard = w)
-      }
+      // ONE marker transaction covering all three index prefixes (was
+      // three separate delete txs: 3 claims + 3 marker writes + 3
+      // publishes for one logical drop, plus two windows in which the
+      // keyspace was only partially deleted)
+      graft.store.TxWriter.deleteMany(db, Seq("p/%", "pd/%", "ps/%"),
+        t0 = Long.MinValue, t1 = Long.MaxValue)
     writeBatch(db, docs, idCol, textCol, v2 = true)
   }
 
@@ -276,8 +287,12 @@ object Retrieval {
         .select(lit("ps/").as("key"), col("ts"), col("n_docs"),
           col("sum_dl"))
       val all = postings.unionByName(stats, allowMissingColumns = true)
-      Some(graft.store.TxWriter.write(db, all,
-        props = Map(LayoutProp -> "2")))
+      // pin: same consumed-twice argument as writeBatch (range sampling
+      // + write job), applied to the index-sized migration rewrite
+      graft.core.Graft.pinScope {
+        Some(graft.store.TxWriter.write(db, graft.core.Graft.pin(all),
+          props = Map(LayoutProp -> "2")))
+      }
     }
   }
 

@@ -711,6 +711,31 @@ object Similarity {
         .withColumn("n2", dotInt(col("v"), col("v"))),
       threshold)
 
+  /** The EXACT all-pairs sweep as a parallel plan — the oracle-gate twin
+    * of `nearDupPairs(df, …, lit(1), thr)`, which hash-partitions on the
+    * constant bucket and runs the whole quadratic pair space in ONE task
+    * (measured: the two ~2.3 s single-task jobs that dominated
+    * `ann_recall`). Broadcasting the right side keeps the left side in
+    * its natural partitions, so the identical pair rows are generated on
+    * every core (guide §3.1: broadcast the side that fits). Gate-only by
+    * contract, like the lit(1) bucket it replaces: the broadcast is the
+    * gate corpus itself, never a 100 TB side.
+    */
+  def nearDupPairsExact(df: DataFrame, idCol: String, embCol: String,
+                        threshold: Double): DataFrame = {
+    val pre = graft.core.Graft.rebalance(df)
+      .select(col(idCol).as("id"), veci(col(embCol)).as("v"))
+      .withColumn("n2", dotInt(col("v"), col("v")))
+    val l = pre.alias("l")
+    val r = broadcast(pre.alias("r"))
+    l.join(r, col("l.id") < col("r.id"))
+      .withColumn("dot", dotInt(col("l.v"), col("r.v")))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(cosineFromParts(col("dot"), col("l.n2"), col("r.n2")), 9)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   private def nearDupFromPre(pre0: DataFrame, threshold: Double): DataFrame = {
     val pre = pre0.repartition(col("bucket")) // ReusedExchange on the self-join
     val l = pre.alias("l")

@@ -234,7 +234,12 @@ object SketchStore {
       kmvKey(tag))
     val rows = Sketches.kmvSketch(batch, elem, k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
-    graft.store.TxWriter.write(db, rows,
+    // rangePartitions=Some(1): the transaction is bounded by the store
+    // GEOMETRY (≤ k rows), so the single-partition write path applies —
+    // it skips the range exchange and the RangePartitioner sampling job
+    // that would re-run the sketch aggregation once more (guide §2.4;
+    // measured: 3 fixed jobs per register → 1)
+    graft.store.TxWriter.write(db, rows, rangePartitions = Some(1),
       propsClaim = Map(kmvKProp(tag) -> k.toString))
   }
 
@@ -535,7 +540,10 @@ object SketchStore {
       histRowsOf(tag, Sketches.histSketch(elems, col("v"), b, histW, origin),
         batchId),
       allowMissingColumns = true))
-    graft.store.TxWriter.write(db, rows, props = sinkProps,
+    // bounded by the four geometries (≤ k + d·w + c+1 + b rows):
+    // single-partition write path — one job computes every branch once
+    graft.store.TxWriter.write(db, rows, rangePartitions = Some(1),
+      props = sinkProps,
       propsClaim = cmGridClaim(tag, d, w) ++
         Map(kmvKProp(tag) -> k.toString, mgCProp(tag) -> c.toString) ++
         valueCol.fold(Map.empty[String, String])(_ =>
@@ -559,7 +567,8 @@ object SketchStore {
     foldStore(db, s"foldSketches($tag)",
       Seq(kmvKey(tag), cmPrefix(tag) + "%", mgPrefix(tag) + "%",
         mgMassKey(tag), histPrefix(tag) + "%"), waitMillis,
-      foldProp = Some(foldLastProp("sketches", tag)))({
+      foldProp = Some(foldLastProp("sketches", tag)),
+      singlePartition = true)({
         // ONE snapshot for every family's read: all four key families
         // fold from the same store generation (the same-generation
         // argument of [[storedHeavyHittersAt]], applied to the fold);
@@ -747,7 +756,9 @@ object SketchStore {
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))
           .as("key"),
         lit(batchId).as("ts"), col("sk_row"), col("bucket"), col("c"))
-    graft.store.TxWriter.write(db, rows, propsClaim = cmGridClaim(tag, d, w))
+    // bounded by the grid (≤ d·w rows): single-partition write path
+    graft.store.TxWriter.write(db, rows, rangePartitions = Some(1),
+      propsClaim = cmGridClaim(tag, d, w))
   }
 
   /** The ungrouped grid's first-writer-wins geometry claim (checked
@@ -1071,8 +1082,10 @@ object SketchStore {
     val mass = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_items"))
       .select(lit(mgMassKey(tag)).as("key"), lit(batchId).as("ts"),
         col("n_items"))
+    // bounded by the capacity (≤ c+1 rows): single-partition write path
     graft.store.TxWriter.write(db,
       partial.unionByName(mass, allowMissingColumns = true),
+      rangePartitions = Some(1),
       props = sinkProps, propsClaim = Map(mgCProp(tag) -> c.toString),
       streamCursor = cursor, fuse = fuse)
   }
@@ -1485,9 +1498,11 @@ object SketchStore {
     // early require is only the friendly pre-write error message; the
     // claim is the authority.
     requireHistGrid(db, tag, b, w, origin)
+    // bounded by the grid (≤ b bin rows): single-partition write path
     graft.store.TxWriter.write(db,
       histRowsOf(tag, Sketches.histSketch(batch, value, b, w, origin),
         batchId),
+      rangePartitions = Some(1),
       props = sinkProps,
       propsClaim = histGridClaim(tag, b, w, origin),
       streamCursor = cursor, fuse = fuse)
@@ -1754,7 +1769,7 @@ object SketchStore {
   def foldHist(db: graft.store.Db, tag: String = "t",
                waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldHist($tag)", Seq(histPrefix(tag) + "%"), waitMillis,
-      foldProp = Some(foldLastProp("hist", tag)))(
+      foldProp = Some(foldLastProp("hist", tag)), singlePartition = true)(
       storedHist(db, tag),
       _.select(format_string(histPrefix(tag) + "%06d", col("bin")).as("key"),
         lit(FOLD_TS).as("ts"), col("bin"), col("cnt")))
@@ -1768,7 +1783,7 @@ object SketchStore {
   def foldKmv(db: graft.store.Db, tag: String = "t",
               waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldKmv($tag)", Seq(kmvKey(tag)), waitMillis,
-      foldProp = Some(foldLastProp("kmv", tag)))(
+      foldProp = Some(foldLastProp("kmv", tag)), singlePartition = true)(
       storedKmvSketch(db, tag),
       _.select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h")))
 
@@ -1793,7 +1808,7 @@ object SketchStore {
       col("id").as("ts"))
     foldStore(db, s"foldMg($tag)",
       Seq(mgPrefix(tag) + "%", mgMassKey(tag)), waitMillis,
-      foldProp = Some(foldLastProp("mg", tag)))({
+      foldProp = Some(foldLastProp("mg", tag)), singlePartition = true)({
         // emptiness signal: registerMg writes one mass row per batch,
         // so this tag has mass rows iff anything was ever registered
         val snap = db.snapshot()
@@ -1836,7 +1851,8 @@ object SketchStore {
                       tag: String = "t",
                       waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     migrateGrid(db, s"migrateHistGrid($tag)", newW, histPrefix(tag) + "%",
-      histWProp(tag), histOriginProp(tag), waitMillis)(
+      histWProp(tag), histOriginProp(tag), waitMillis,
+      singlePartition = true)(
       storedHist(db, tag),
       (cur, k) => cur
         .select(expr(s"bin DIV $k").as("bin"), col("cnt"))
@@ -1857,7 +1873,7 @@ object SketchStore {
     */
   private def migrateGrid(db: graft.store.Db, what: String, newW: Long,
                           wildcard: String, wProp: String, oProp: String,
-                          waitMillis: Long)
+                          waitMillis: Long, singlePartition: Boolean = false)
                          (stored: => DataFrame,
                           rebin: (DataFrame, Long) => DataFrame): Long = {
     val deadline = System.nanoTime() + waitMillis * 1000000L
@@ -1887,11 +1903,14 @@ object SketchStore {
         // pinScope: the pinned rebin is consumed by the supersede inside
         // this iteration — released before the retry sleep / return
         graft.core.Graft.pinScope {
-          val rebinned = rebin(cur, newW / w).transform(graft.core.Graft.pin)
+          val rebinned =
+            if (singlePartition) rebin(cur, newW / w) // ≤ b rows: one pass
+            else rebin(cur, newW / w).transform(graft.core.Graft.pin)
           graft.store.TxWriter.supersedeIf(db, baseline, Seq(wildcard),
             rebinned,
             props = Map(wProp -> newW.toString,
-              oProp -> origin.toString))
+              oProp -> origin.toString),
+            rangePartitions = if (singlePartition) Some(1) else None)
         } match {
           case Some(tx) => return tx
           case None     =>
@@ -1960,10 +1979,18 @@ object SketchStore {
   private[graft] def foldLastProp(family: String, tag: String): String =
     s"fold.last/$family/$tag"
 
+  /** `singlePartition`: the folded replacement is bounded by the store
+    * GEOMETRY (ungrouped families — ≤ k/(c+1)/d·w/b rows), so the
+    * supersede takes the single-partition write path (no range-sampling
+    * job) and the pre-write pin is dropped — the replacement is computed
+    * exactly once, inside the write job itself. Grouped folds
+    * (group-count-sized replacements) keep the adaptive exchange + pin.
+    */
   private def foldStore(db: graft.store.Db, what: String,
                         wildcards: Seq[String],
                         waitMillis: Long = FOLD_WAIT_MILLIS,
-                        foldProp: Option[String] = None)
+                        foldProp: Option[String] = None,
+                        singlePartition: Boolean = false)
                        (stored: => DataFrame,
                         project: DataFrame => DataFrame): Long = {
     val deadline = System.nanoTime() + waitMillis * 1000000L
@@ -1982,11 +2009,14 @@ object SketchStore {
         // pinScope: the pinned sums are consumed by the supersede inside
         // this iteration — released before the retry sleep / return
         graft.core.Graft.pinScope {
-          val folded = project(cur)
-            .transform(graft.core.Graft.pin) // materialize the sums BEFORE the delete
+          val folded =
+            if (singlePartition) project(cur) // one compute, in the write job
+            else project(cur)
+              .transform(graft.core.Graft.pin) // materialize the sums once
           graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
             folded,
-            dynProps = tx => foldProp.map(_ -> tx.toString).toMap)
+            dynProps = tx => foldProp.map(_ -> tx.toString).toMap,
+            rangePartitions = if (singlePartition) Some(1) else None)
         } match {
           case Some(tx) => return tx
           case None     => // a commit raced in (or is in flight) — refold
@@ -2013,7 +2043,8 @@ object SketchStore {
   def foldCountMin(db: graft.store.Db, tag: String = "t",
                    waitMillis: Long = FOLD_WAIT_MILLIS): Long =
     foldStore(db, s"foldCountMin($tag)", Seq(cmPrefix(tag) + "%"),
-      waitMillis, foldProp = Some(foldLastProp("cm", tag)))(
+      waitMillis, foldProp = Some(foldLastProp("cm", tag)),
+      singlePartition = true)(
       storedCountMin(db, tag),
       _.select(
         format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"), col("bucket"))

@@ -242,25 +242,46 @@ object Compactor {
     // task writes into FEW bucket dirs; compacting it key-major would
     // re-create the task×cell small-file explosion the layout exists to
     // avoid, exactly once per compaction.
-    val parts = db.spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val w = m.timeBucket
     val rangeCols =
       if (m.bucketMajor && w > 0)
         Seq(col("ts") - col("ts") % w, col("key"), col("ts"))
       else Seq(col("key"), col("ts"))
+    // no explicit partition count (was: pinned to shuffle.partitions —
+    // a constant tuned for neither a tiny store nor a 100 TB one): the
+    // AQE-coalescible range exchange sizes the rewrite's files to the
+    // shuffle advisory target exactly like TxWriter.writeDataDir, so a
+    // small store compacts to a few files and a huge one fans out
     val sorted = out.drop("tbucket")
-      .repartitionByRange(parts, rangeCols: _*)
+      .repartitionByRange(rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
+    // (key, ts) bounds observed during the rewrite job (unbucketed
+    // layouts): drops the separate footer-stats job per compaction —
+    // same device as TxWriter.writeDataDir
+    val obs =
+      if (w > 0) None
+      else Some(new org.apache.spark.sql.Observation(
+        s"compact-stats-${java.util.UUID.randomUUID()}"))
+    val observed = obs.fold(sorted)(o => sorted.observe(o,
+      min(col("key")).as("minKey"), max(col("key")).as("maxKey"),
+      min(col("ts")).as("minTs"), max(col("ts")).as("maxTs")))
     // preserve the warehouse's time bucketing, recomputed from ts so a
     // gegnum/transform that rewrote timestamps stays consistent
     val writer0 = (if (w > 0)
-      sorted.withColumn("tbucket", col("ts") - col("ts") % w)
-    else sorted)
+      observed.withColumn("tbucket", col("ts") - col("ts") % w)
+    else observed)
       .write.mode(SaveMode.ErrorIfExists)
       .option("compression", "zstd")
     val writer = if (w > 0) writer0.partitionBy("tbucket") else writer0
     val tentative = TxWriter.tentativePath(db)
     writer.parquet(tentative.toString)
+    val observedStats: Option[Option[TxStats]] = obs.map { o =>
+      val mm = o.get
+      if (mm("minKey") == null) None
+      else Some(TxStats(mm("minKey").asInstanceOf[String],
+        mm("maxKey").asInstanceOf[String],
+        mm("minTs").asInstanceOf[Long], mm("maxTs").asInstanceOf[Long]))
+    }
     if (!TxWriter.tryRename(tentative, TxWriter.txidPath(db, newTxid))) {
       // a fused writer camped its tentative data on our claimed number
       // in its read→rename window (or a crashed writer's orphan sits
@@ -279,7 +300,8 @@ object Compactor {
     // Atomic cutover: one manifest commit swaps the compacted inputs for
     // the new transaction (and purges markers on major). Old directories
     // remain on disk for readers of older snapshots until vacuum().
-    val newStats = TxWriter.txStatsOf(db, s"${db.dataDir}/txid=$newTxid")
+    val newStats = observedStats.getOrElse(
+      TxWriter.txStatsOf(db, s"${db.dataDir}/txid=$newTxid"))
     // Only the markers APPLIED by this compaction AND ranked below our
     // claim may be dropped on major: a marker above newTxid (even one
     // already visible in the snapshot) must keep suppressing writers that

@@ -369,7 +369,7 @@ object TxWriter {
             "transaction was NOT published.")
       }
     }
-    val stats = txStatsOf(db, tmp.toString)
+    val stats = written.observedStats.getOrElse(txStatsOf(db, tmp.toString))
     // take the tentative number by atomic rename — re-read first so a
     // number claimed mid-write (a compactor's output claim, a
     // claim-first writer) isn't camped on for the rename-forward dance
@@ -419,7 +419,7 @@ object TxWriter {
           version = cur.version + 1,
           nextTxid = txid + 1,
           dataTxids = cur.dataTxids :+ txid,
-          schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
+          schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written.schema),
           txStats = stats.fold(cur.txStats)(s => cur.txStats + (txid -> s)),
           props = cur.props ++ props ++ propsClaim)
         val next = streamCursor.fold(pub) { case (sink, batch) =>
@@ -496,28 +496,68 @@ object TxWriter {
   private def writeDataDir(db: Db, df: DataFrame,
                            target: java.nio.file.Path, width: Long,
                            major: Boolean, rangePartitions: Option[Int])
-      : org.apache.spark.sql.types.StructType = {
+      : WrittenDir = {
     val base = df.drop("tbucket")
     val rangeCols =
       if (major && width > 0)
         Seq(col("ts") - col("ts") % width, col("key"), col("ts"))
       else Seq(col("key"), col("ts"))
     val ranged = rangePartitions match {
+      // single-partition transactions (bounded-by-contract writers: the
+      // ungrouped sketch registers/folds, whose row count is the store
+      // GEOMETRY, not the data) skip the range exchange entirely —
+      // coalesce(1) + sort yields the identical one-sorted-file layout
+      // without the RangePartitioner SAMPLING JOB, which re-executes the
+      // whole upstream plan once before the write job runs it again
+      // (guide §2.4: remove shuffles outright; §1 measured — the
+      // sampling pass was one of 3 fixed jobs per register transaction)
+      case Some(1) => base.coalesce(1)
       case Some(n) => base.repartitionByRange(n, rangeCols: _*)
       case None    => base.repartitionByRange(rangeCols: _*)
     }
     val sorted = ranged.sortWithinPartitions(rangeCols: _*)
+    // (key, ts) bounds observed DURING the write job (guide §1.4/§2.4:
+    // one pass, not two): replaces the separate post-write stats job —
+    // one fewer Spark job + one fewer parquet footer read per
+    // transaction. Bucketed writes keep the footer-stats path: their
+    // physical plan goes through the dynamic-partition writer, which is
+    // left untouched by design (its V1Writes sort interplay is pinned by
+    // the ANN index layout specs).
+    val obs =
+      if (width > 0) None
+      else Some(new org.apache.spark.sql.Observation(
+        s"txstats-${java.util.UUID.randomUUID()}"))
+    val observed = obs.fold(sorted)(o => sorted.observe(o,
+      min(col("key")).as("minKey"), max(col("key")).as("maxKey"),
+      min(col("ts")).as("minTs"), max(col("ts")).as("maxTs")))
     val writer0 = (if (width > 0)
-      sorted.withColumn("tbucket", col("ts") - col("ts") % width)
-    else sorted)
+      observed.withColumn("tbucket", col("ts") - col("ts") % width)
+    else observed)
       .write.mode(SaveMode.ErrorIfExists)
       // zstd: the modern analog of the reference's LZ4-level-9 segments
       // (src/write.rs:83) — better ratio at comparable scan speed
       .option("compression", "zstd")
     val writer = if (width > 0) writer0.partitionBy("tbucket") else writer0
     writer.parquet(target.toString)
-    sorted.schema
+    val stats = obs.map { o =>
+      val m = o.get
+      if (m("minKey") == null) None // observed EMPTY tx: known, no stats
+      else Some(TxStats(m("minKey").asInstanceOf[String],
+        m("maxKey").asInstanceOf[String],
+        m("minTs").asInstanceOf[Long], m("maxTs").asInstanceOf[Long]))
+    }
+    WrittenDir(sorted.schema, stats)
   }
+
+  /** A written tentative directory: its schema, plus the (key, ts)
+    * bounds observed during the write job — `observedStats = None` means
+    * the write path could not observe (bucketed writes), so the
+    * publisher falls back to the footer-stats job; `Some(None)` means
+    * observed-and-empty (no stats row, no fallback needed).
+    */
+  private[store] final case class WrittenDir(
+      schema: org.apache.spark.sql.types.StructType,
+      observedStats: Option[Option[TxStats]])
 
   /** ATOMIC read-supersede: publish a delete marker over `wildcards`
     * AND the replacement rows in ONE manifest commit — the fold
@@ -543,11 +583,17 @@ object TxWriter {
     *   reflects, for free: the txid isn't known until the claim, and a
     *   follow-up commit would break the one-commit supersede).
     */
+  /** @param rangePartitions pins the replacement's write partitioning —
+    *   `Some(1)` for bounded-by-geometry replacements (the ungrouped
+    *   sketch folds) skips the range exchange and its sampling job
+    *   exactly like [[write]]'s single-partition path.
+    */
   def supersedeIf(db: Db, baseline: ManifestState, wildcards: Seq[String],
                   replacement: DataFrame, t0: Long = Long.MinValue,
                   t1: Long = Long.MaxValue,
                   props: Map[String, String] = Map.empty,
-                  dynProps: Long => Map[String, String] = _ => Map.empty)
+                  dynProps: Long => Map[String, String] = _ => Map.empty,
+                  rangePartitions: Option[Int] = None)
       : Option[Long] = {
     require(wildcards.nonEmpty, "need at least one wildcard")
     val schema = replacement.schema
@@ -576,7 +622,7 @@ object TxWriter {
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${db.deleteDir}/txid=$markerTx")
       val written = writeDataDir(db, replacement, tmp,
-        baseline.timeBucket, baseline.bucketMajor, None)
+        baseline.timeBucket, baseline.bucketMajor, rangePartitions)
       // same bucket-explosion guard as [[write]]: a supersede that mints
       // an absurd tbucket= count (a rebuild with fat-fingered geometry on
       // a bucket-major warehouse) must refuse while still invisible
@@ -596,7 +642,8 @@ object TxWriter {
           s"supersede's claimed txid=$dataTx directory is already " +
             "occupied despite the claim fence — manifest behind data " +
             "directories (restored/rolled-back manifest?)")
-      val stats = txStatsOf(db, s"${db.dataDir}/txid=$dataTx")
+      val stats = written.observedStats
+        .getOrElse(txStatsOf(db, s"${db.dataDir}/txid=$dataTx"))
       Manifest.update(db.warehouse) { cur =>
         // the publish itself is CONDITIONAL: a publish that landed in
         // our claim→publish window invalidates the supersede. Writers
@@ -613,7 +660,7 @@ object TxWriter {
         cur.copy(
           dataTxids = cur.dataTxids :+ dataTx,
           deleteTxids = cur.deleteTxids :+ markerTx,
-          schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written),
+          schemaDdl = Manifest.mergeDdl(cur.schemaDdl, written.schema),
           txStats = stats.fold(cur.txStats)(s => cur.txStats + (dataTx -> s)),
           props = cur.props ++ props ++ dynProps(dataTx),
           pending = cur.pending - markerTx - dataTx,
@@ -686,6 +733,22 @@ object TxWriter {
              wildcard: String = "%"): Long =
     writeDeleteMarker(db, claimTxid(db), firstKey, lastKey, t0, t1,
       Seq(wildcard))
+
+  /** [[delete]] for SEVERAL wildcards as ONE unconditional marker
+    * transaction (one claim, one txid, one marker file with a row per
+    * wildcard) — the unfenced twin of [[deleteManyIf]], for rebuild
+    * paths that drop a multi-prefix keyspace: N separate [[delete]]
+    * calls cost N claims + N marker writes + N publishes for the same
+    * logical drop, and leave N−1 windows in which the keyspace is only
+    * partially deleted.
+    */
+  def deleteMany(db: Db, wildcards: Seq[String], firstKey: String = "",
+                 lastKey: String = "", t0: Long = 0L,
+                 t1: Long = Long.MaxValue): Long = {
+    require(wildcards.nonEmpty, "need at least one wildcard")
+    writeDeleteMarker(db, claimTxid(db), firstKey, lastKey, t0, t1,
+      wildcards)
+  }
 
   /** [[delete]], but the txid claim is CONDITIONAL on `expectedNextTxid`
     * still being the warehouse's next txid — the fence read-supersede
@@ -832,12 +895,15 @@ object TxWriter {
       m.copy(pending = m.pending - txid, claimDirs = m.claimDirs - txid))
 
   private def publishData(db: Db, txid: Long,
-                          schema: org.apache.spark.sql.types.StructType,
+                          written: WrittenDir,
                           props: Map[String, String] = Map.empty,
                           propsClaim: Map[String, String] = Map.empty,
                           streamCursor: Option[(String, Long)] = None)
       : Unit = {
-    val stats = txStatsOf(db, s"${db.dataDir}/txid=$txid")
+    // bounds observed during the write job when available; only bucketed
+    // writes still pay the footer-stats job
+    val stats = written.observedStats
+      .getOrElse(txStatsOf(db, s"${db.dataDir}/txid=$txid"))
     Manifest.update(db.warehouse) { m =>
       // both checks run INSIDE the CAS loop, against the state this
       // attempt would succeed over — the throw aborts before any commit,
@@ -852,7 +918,7 @@ object TxWriter {
       }
       val pub = m.copy(
         dataTxids = m.dataTxids :+ txid,
-        schemaDdl = Manifest.mergeDdl(m.schemaDdl, schema),
+        schemaDdl = Manifest.mergeDdl(m.schemaDdl, written.schema),
         txStats = stats.fold(m.txStats)(s => m.txStats + (txid -> s)),
         props = m.props ++ props ++ propsClaim,
         pending = m.pending - txid,
