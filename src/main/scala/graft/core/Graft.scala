@@ -24,6 +24,13 @@ object Graft {
     // stats-only aggs (tx bounds at publish) answer from parquet footers
     // where the type supports exact footer min/max
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // key-set probes (BM25 terms, sketch tags, ANN cell ts-sets) routinely
+    // carry a few dozen values; the default threshold (10) silently
+    // downgrades their parquet row-group pruning to a min/max range. Was
+    // set only in localSession (tests) — the driver's Bench/Verify
+    // sessions go through configure(), so the probes ran unpruned there
+    // (guide §6: make sure predicate pushdown actually reaches the scan).
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "64")
     // FileOutputCommitter v2: task commits rename directly into the
     // destination instead of queueing a sequential driver-side merge at
     // job commit. On local FS this is a wash (A/B at 1M vecs × 4096

@@ -41,7 +41,13 @@ object Retrieval {
       .filter(length(col("term")) > 0)
     val postings = toks.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("f"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length = Σ f over the doc's postings — the same number as
+    // counting the token stream, but derived FROM the postings aggregate
+    // so every branch of the plan (scoring, termDf, dl, corpus stats)
+    // hangs off ONE (doc_id, term) exchange that Spark's exchange reuse
+    // dedups at runtime; counting toks directly gave the plan four
+    // independent corpus scans + explodes (guide §2.4: share exchanges)
+    val dl = postings.groupBy("doc_id").agg(sum(col("f")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = queries
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))

@@ -1895,10 +1895,16 @@ object Similarity {
     // with the index becoming visible — a rebuild can never strand
     // yesterday's geometry against today's codes). Serving validation
     // then reads the already-cached manifest: zero Spark jobs.
-    val replacement = codes.unionByName(meta)
+    // pinned (scope-released after the commit): the bucket-major range
+    // exchange SAMPLES its input before the write job — unpinned, the
+    // whole corpus PQ-encode ran twice per build/rebuild (guide §5; the
+    // pinned frame is the ~20×-compressed codes, bytes the write
+    // materializes anyway)
+    val replacement = graft.core.Graft.pin(codes.unionByName(meta))
     val indexProps = Map(GeomMProp -> m.toString,
       GeomDimProp -> dim.toString,
       ResidualProp -> (if (byResidual) "1" else "0"))
+    graft.core.Graft.pinScope {
     if (db.snapshot().manifest.dataTxids.isEmpty)
       graft.store.TxWriter.write(db, replacement,
         timeBucketNanos = Some(1L), bucketMajor = true, props = indexProps)
@@ -1947,6 +1953,7 @@ object Similarity {
         }
       }
       done
+    }
     }
   }
 
@@ -2285,10 +2292,15 @@ object Similarity {
         col("nn_id"), lit(-1L).as("sub"),
         pqCodesLit(encV, cb, subDim).as("codes"))
     // cursor/props/fuse: the streaming-sink riders — an index append
-    // then costs ONE manifest commit with no replay window
-    graft.store.TxWriter.write(db, codes, timeBucketNanos = Some(1L),
-      bucketMajor = true, props = sinkProps, streamCursor = cursor,
-      fuse = fuse)
+    // then costs ONE manifest commit with no replay window. The batch's
+    // codes are pinned (scope-released) so the range exchange's sampling
+    // pass doesn't re-encode the batch before the write job does.
+    graft.core.Graft.pinScope {
+      graft.store.TxWriter.write(db, graft.core.Graft.pin(codes),
+        timeBucketNanos = Some(1L),
+        bucketMajor = true, props = sinkProps, streamCursor = cursor,
+        fuse = fuse)
+    }
   }
 
   /** ADC probe over a [[buildIndex]] warehouse: the train artifacts are

@@ -351,9 +351,17 @@ object SketchStore {
       s"grouped KMV k for tag '$tag'")(kmvByPrefix(tag) + "%")
     val hashed = batch
       .select(grp.as("grp"), PortableHash.h60(elem).as("h"))
-    graft.store.TxWriter.write(db, kmvByRows(tag, hashed, k),
-      props = sinkProps, propsClaim = Map(kmvByKProp(tag) -> k.toString),
-      streamCursor = cursor, fuse = fuse)
+    // the written rows are pinned (scope-released at return): the
+    // write's range exchange SAMPLES its input before the write job —
+    // unpinned, every branch aggregation executed twice per register
+    // transaction (guide §5: the pinned frame is the batch's own
+    // group-bounded output, bytes the write materializes anyway)
+    graft.core.Graft.pinScope {
+      graft.store.TxWriter.write(db,
+        graft.core.Graft.pin(kmvByRows(tag, hashed, k)),
+        props = sinkProps, propsClaim = Map(kmvByKProp(tag) -> k.toString),
+        streamCursor = cursor, fuse = fuse)
+    }
   }
 
   /** ONE copy of the grouped-KMV row shape, shared by the standalone
@@ -675,7 +683,13 @@ object SketchStore {
         Sketches.histSketchBy(base, col("grp"), col("v"), b, w, origin),
         batchId),
       allowMissingColumns = true))
-    graft.store.TxWriter.write(db, rows, props = sinkProps,
+    // the written rows are pinned (scope-released at return): the
+    // write's range exchange SAMPLES its input before the write job —
+    // unpinned, every branch aggregation executed twice per register
+    // transaction (guide §5: the pinned frame is the batch's own
+    // group-bounded output, bytes the write materializes anyway)
+    graft.store.TxWriter.write(db, graft.core.Graft.pin(rows),
+      props = sinkProps,
       propsClaim = cmByGridClaim(tag, d, cmW) ++
         Map(kmvByKProp(tag) -> k.toString, mgByCProp(tag) -> c.toString) ++
         valueCol.fold(Map.empty[String, String])(_ =>
@@ -879,11 +893,19 @@ object SketchStore {
                          fuse: Boolean = false): Long = {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireCmByGrid(db, tag, d, w)
-    graft.store.TxWriter.write(db,
-      cmByRows(tag, Sketches.countMinSketchBy(batch, grp, elem, d, w),
-        batchId),
-      props = sinkProps, propsClaim = cmByGridClaim(tag, d, w),
-      streamCursor = cursor, fuse = fuse)
+    // the written rows are pinned (scope-released at return): the
+    // write's range exchange SAMPLES its input before the write job —
+    // unpinned, every branch aggregation executed twice per register
+    // transaction (guide §5: the pinned frame is the batch's own
+    // group-bounded output, bytes the write materializes anyway)
+    graft.core.Graft.pinScope {
+      graft.store.TxWriter.write(db,
+        graft.core.Graft.pin(
+          cmByRows(tag, Sketches.countMinSketchBy(batch, grp, elem, d, w),
+            batchId)),
+        props = sinkProps, propsClaim = cmByGridClaim(tag, d, w),
+        streamCursor = cursor, fuse = fuse)
+    }
   }
 
   /** The grouped grids' first-writer-wins geometry claim. */
@@ -1251,7 +1273,13 @@ object SketchStore {
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
       .transform(graft.core.Graft.pin)
-    graft.store.TxWriter.write(db, mgByRows(tag, counts, batchId, c),
+    // the written rows are pinned (scope-released at return): the
+    // write's range exchange SAMPLES its input before the write job —
+    // unpinned, every branch aggregation executed twice per register
+    // transaction (guide §5: the pinned frame is the batch's own
+    // group-bounded output, bytes the write materializes anyway)
+    graft.store.TxWriter.write(db,
+      graft.core.Graft.pin(mgByRows(tag, counts, batchId, c)),
       props = sinkProps, propsClaim = Map(mgByCProp(tag) -> c.toString),
       streamCursor = cursor, fuse = fuse)
   }
@@ -1644,10 +1672,18 @@ object SketchStore {
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
     requireHistByGrid(db, tag, b, w, origin)
     val hist = Sketches.histSketchBy(batch, grp, value, b, w, origin)
-    graft.store.TxWriter.write(db, histByRowsOf(tag, hist, batchId),
-      props = sinkProps,
-      propsClaim = histByGridClaim(tag, b, w, origin),
-      streamCursor = cursor, fuse = fuse)
+    // the written rows are pinned (scope-released at return): the
+    // write's range exchange SAMPLES its input before the write job —
+    // unpinned, every branch aggregation executed twice per register
+    // transaction (guide §5: the pinned frame is the batch's own
+    // group-bounded output, bytes the write materializes anyway)
+    graft.core.Graft.pinScope {
+      graft.store.TxWriter.write(db,
+        graft.core.Graft.pin(histByRowsOf(tag, hist, batchId)),
+        props = sinkProps,
+        propsClaim = histByGridClaim(tag, b, w, origin),
+        streamCursor = cursor, fuse = fuse)
+    }
   }
 
   /** ONE copy of the grouped-hist row shape (over a prebuilt
