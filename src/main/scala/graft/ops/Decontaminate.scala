@@ -71,9 +71,12 @@ object Decontaminate {
                     fpp: Double = 0.01,
                     expectedItems: Option[Long] = None,
                     hintBroadcast: Boolean = true): DataFrame = {
-    val b = bench
+    // pinned: the shingled bench side feeds three consumers (count job,
+    // bloom build, the overlap join) — unpinned it re-shingled per
+    // consumer (guide §5). Query-shaped pin, backstop-released.
+    val b = graft.core.Graft.pin(bench
       .select(col(benchIdCol).as("bench_id"),
-        explode(Dedup.shingleHashes(col(benchTextCol), n)).as("g"))
+        explode(Dedup.shingleHashes(col(benchTextCol), n)).as("g")))
     val nItems = expectedItems.getOrElse(b.count())
     val bloom = b.stat.bloomFilter("g", math.max(nItems, 64L), fpp)
     val c = graft.core.Graft.rebalance(corpus)

@@ -58,9 +58,15 @@ object IncrementalDedup {
     */
   def dropSeenBefore(db: graft.store.Db, batch: DataFrame, idCol: String,
                      textCol: String, fpp: Double = 0.01): DataFrame = {
-    val b = hashed(batch, idCol, textCol)
     val snap = db.snapshot()
-    if (snap.manifest.dataTxids.isEmpty) return b.drop("_h")
+    if (snap.manifest.dataTxids.isEmpty)
+      return hashed(batch, idCol, textCol).drop("_h")
+    // pinned: the hashed batch feeds THREE consumers (the distinct-count
+    // job, the bloom build, the anti-join) — unpinned, the batch was
+    // hashed and re-scanned once per consumer (guide §5). Query-shaped
+    // (the returned plan reads the pin), so the pin stays unscoped and
+    // relies on the MaxLivePins backstop, like the other probe pins.
+    val b = graft.core.Graft.pin(hashed(batch, idCol, textCol))
     val seen = snap.read("h/%")
     // a warehouse can hold the near store (or other data) without one
     // exact fingerprint ever registered — the merged schema then lacks
@@ -264,7 +270,10 @@ object IncrementalDedup {
           throw new IllegalStateException(unclaimedNearMsg)
         3
       }
-    val b = bandRows(batch, idCol, textCol, n)
+    // pinned for the same three-consumer reason as [[dropSeenBefore]] —
+    // and the near batch's frame is genuinely expensive to recompute
+    // (shingle + MinHash signature per document)
+    val b = graft.core.Graft.pin(bandRows(batch, idCol, textCol, n))
     val probes = b.select(col("bh")).distinct()
     val nProbes = probes.count()
     if (nProbes == 0) return batch
