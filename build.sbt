@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bare stdout for forked runs: sbt's default LoggedOutput prefixes every
+// stdout line with "[info] ", which breaks any consumer that parses the
+// bench's one-line JSON artifact (a line starting with `{` is required —
+// r01's complete recorded line was still unparseable because of the
+// prefix). StdoutOutput passes the forked JVM's stdout through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -173,8 +173,13 @@ object Bench {
     }
     val Attempt(mins, spreads, errs, sentMin, sentSpread,
       sentParMin, sentParSpread) = best
-    println(renderJson(mins, spreads, errs, sentMin, sentSpread, PASSES,
-      attempt, best.contaminated, sfDir, sentParMin, sentParSpread))
+    val line = renderJson(mins, spreads, errs, sentMin, sentSpread, PASSES,
+      attempt, best.contaminated, sfDir, sentParMin, sentParSpread)
+    println(line)
+    // fallback record: the recorder keeps only the TAIL of stdout, so the
+    // complete line also streams to stderr (full per-pass detail is
+    // already there) — one more place the whole artifact survives
+    System.err.println("BENCH_JSON " + line)
     spark.stop()
   }
 
@@ -183,12 +188,17 @@ object Bench {
     * `errors` with its failure count — a broken query poisons the artifact
     * visibly instead of quietly shrinking the total. BenchJsonSpec.
     *
-    * Kept COMPACT on purpose: the r8 driver recorded only the tail of the
-    * line (~2 KB survived), so the per-query SPREAD map (87 more entries)
-    * is collapsed to aggregate stats plus the 3 noisiest queries —
-    * everything the artifact reader used, at half the bytes, so the whole
-    * line survives recording. Full per-pass detail still streams to
-    * stderr (`BENCH attempt= pass=` rows).
+    * FIELD ORDER is the recording contract (r19): every driver recording
+    * to date (r01–r18) kept only the final ~2000 chars of stdout, and at
+    * 141 queries no ordering fits BOTH per-query maps in that window — so
+    * the line leads with the sacrificial normalized map and ends with the
+    * RAW `queries` seconds followed by every summary scalar (sentinels,
+    * totals, sf, n_queries). A tail cut then preserves the contract map's
+    * last ~80 entries plus all scalars — norm is recomputable for the
+    * visible queries as raw/sentinel_sec — instead of half of a
+    * machine-relative map with no raw seconds at all. Same fields as
+    * r18 (reorder only); timing methodology untouched. The complete line
+    * also streams to stderr (`BENCH_JSON `) with the per-pass rows.
     */
   def renderJson(mins: Seq[(String, Double)], spreads: Seq[(String, Double)],
                  errs: Map[String, Int], sentMin: Double, sentSpread: Double,
@@ -212,25 +222,28 @@ object Bench {
     val sP95 =
       if (sv.nonEmpty) sv(((sv.size - 1) * 0.95).toInt) else 1.0
     val noisiest = spreads.sortBy(-_._2).take(3)
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${jmap(clean, 3)},""" +
-    s""""spread_max":${num(sMax, 2)},"spread_p95":${num(sP95, 2)},""" +
-    s""""spread_top":${jmap(noisiest, 2)},"errors":$errJson,""" +
-    s""""err_count":${errs.values.sum},"sentinel_sec":${num(sentMin, 4)},""" +
-    s""""sentinel_spread":${num(sentSpread, 4)},"passes":$passes,""" +
-    s""""attempts":$attempts,"contaminated":$contaminated,"sf":"$sfDir",""" +
     // sentinel-NORMALIZED per-query ratios (query_min / sentinel_min):
     // machine-speed-relative units, so round-over-round drift from a
     // loaded box divides out by construction — a regression moves a
     // query's ratio, uniform contamination moves none of them. Placed
-    // at the TAIL (with the summary scalars) because the r8 recorder
-    // kept only the line's last ~2 KB: these are the fields that must
-    // survive truncation. 4 decimals: at ratio≈1 a 2-decimal rounding
-    // is ~1% resolution — the same magnitude as the drift these fields
-    // exist to detect, and sub-sentinel queries quantized to 0.00.
+    // FIRST (the sacrificial position under a tail cut): the raw
+    // `queries` map + scalars own the tail, and norm is recomputable
+    // from them (raw / sentinel_sec). 4 decimals: at ratio≈1 a
+    // 2-decimal rounding is ~1% resolution — the same magnitude as the
+    // drift these fields exist to detect.
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
     s""""norm_unit":"query_min/sentinel_min","queries_norm":${
       jmap(clean.map { case (k, v) =>
         k -> (if (sentMin > 0) v / sentMin else 0.0) }, 4)},""" +
-    s""""total_norm":${num(if (sentMin > 0) total / sentMin else 0.0, 4)},""" +
+    s""""spread_max":${num(sMax, 2)},"spread_p95":${num(sP95, 2)},""" +
+    s""""spread_top":${jmap(noisiest, 2)},"errors":$errJson,""" +
+    s""""err_count":${errs.values.sum},"passes":$passes,""" +
+    s""""attempts":$attempts,"contaminated":$contaminated,""" +
+    // the TAIL (what a ~2 KB recording window keeps): the contract map
+    // of raw per-query seconds, then every summary scalar
+    s""""queries":${jmap(clean, 3)},""" +
+    s""""sentinel_sec":${num(sentMin, 4)},""" +
+    s""""sentinel_spread":${num(sentSpread, 4)},""" +
     // the PARALLEL sentinel (32-partition shuffle probe): its min + its
     // renormalized total make loaded-box runs comparable — contention
     // slows parallel queries and this probe together, which the
@@ -238,8 +251,9 @@ object Bench {
     // driver-box total_norm 593 vs builder ~455 on identical code)
     s""""sentinel_par_sec":${num(sentParMin, 4)},""" +
     s""""sentinel_par_spread":${num(sentParSpread, 4)},""" +
+    s""""total_norm":${num(if (sentMin > 0) total / sentMin else 0.0, 4)},""" +
     s""""total_norm_par":${num(
       if (sentParMin > 0) total / sentParMin else 0.0, 4)},""" +
-    s""""total_sec":${num(total, 3)},"n_queries":${clean.size}}"""
+    s""""sf":"$sfDir","total_sec":${num(total, 3)},"n_queries":${clean.size}}"""
   }
 }

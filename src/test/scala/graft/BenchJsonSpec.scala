@@ -30,8 +30,8 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!j.contains(""""q_broken":0.010"""))
   }
 
-  test("sentinel-normalized per-query ratios ride the line's TAIL so " +
-      "they survive the recorder's truncation; errored queries excluded") {
+  test("raw queries + scalars ride the line's TAIL so they survive the " +
+      "recorder's truncation; errored queries excluded from norm map") {
     val j = Bench.renderJson(mins, spreads, Map("q_broken" -> 1),
       0.1, 1.05, 3, 1, contaminated = false, "/tmp/sf",
       sentParMin = 0.5, sentParSpread = 1.08)
@@ -46,11 +46,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(j.contains(""""sentinel_par_sec":0.5000"""))
     assert(j.contains(""""sentinel_par_spread":1.0800"""))
     assert(j.contains(""""total_norm_par":7.0000"""))
-    // tail ordering: the normalized map comes after the raw summary and
-    // before the final scalars (what survives a 2 KB tail cut)
-    assert(j.indexOf("queries_norm") > j.indexOf("\"queries\":"))
-    assert(j.indexOf("total_norm_par") > j.indexOf("queries_norm"))
+    // tail ordering (r19 recording contract): the sacrificial normalized
+    // map leads; the RAW contract map and every summary scalar own the
+    // tail, so a ~2 KB tail cut keeps raw seconds + sentinels (norm is
+    // recomputable as raw / sentinel_sec)
+    assert(j.indexOf("\"queries\":") > j.indexOf("queries_norm"))
+    assert(j.indexOf("\"sentinel_sec\":") > j.indexOf("\"queries\":"))
+    assert(j.indexOf("total_norm_par") > j.indexOf("\"sentinel_sec\":"))
     assert(j.indexOf("total_sec") > j.indexOf("total_norm_par"))
+    assert(j.indexOf("\"sf\":") > j.indexOf("total_norm_par"))
   }
 
   test("a query faster than the sentinel keeps resolution instead of " +
