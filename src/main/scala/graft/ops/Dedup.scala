@@ -556,6 +556,17 @@ object Dedup {
       val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
+    // Observation metrics are ACCUMULATOR-based: sound when the round's
+    // materialization executes the lineage exactly once (localCheckpoint
+    // — the default), but a RELIABLE checkpoint (dir set; pinLoop's
+    // cluster mode) re-executes the lineage in the checkpoint write job
+    // and double-counts the sum, while task retries could skew it
+    // arbitrarily — against the exactly-computed initial pot that could
+    // declare convergence early (2·S1 == S0) or late. In reliable mode
+    // the convergence sum is therefore computed with one exact aggregate
+    // per round (noise next to the per-round DFS write that mode pays).
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     var pot = potential(comp)
     var converged = false
     while (!converged) {
@@ -570,19 +581,24 @@ object Dedup {
           least(col("c.comp"), coalesce(col("n.ncomp"), col("c.comp")))
             .as("comp"))
       // (b) pointer jumping: adopt the label's own current label
-      val obs = new org.apache.spark.sql.Observation(
-        s"cc-pot-${java.util.UUID.randomUUID()}")
-      val next = materialize(relaxed.alias("m")
+      val jumped = relaxed.alias("m")
         .join(relaxed.select(col("id").as("lid"), col("comp").as("lcomp"))
           .alias("p"), col("m.comp") === col("p.lid"), "left")
         .select(col("id"),
           least(col("m.comp"), coalesce(col("p.lcomp"), col("m.comp")))
             .as("comp"))
-        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("pot")))
-      val nextPot = {
-        val s = obs.get("pot").asInstanceOf[java.math.BigDecimal]
-        if (s == null) java.math.BigDecimal.ZERO else s
-      }
+      val (next, nextPot) =
+        if (reliable) {
+          val n = materialize(jumped)
+          (n, potential(n))
+        } else {
+          val obs = new org.apache.spark.sql.Observation(
+            s"cc-pot-${java.util.UUID.randomUUID()}")
+          val n = materialize(jumped
+            .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("pot")))
+          val s = obs.get("pot").asInstanceOf[java.math.BigDecimal]
+          (n, if (s == null) java.math.BigDecimal.ZERO else s)
+        }
       comp = next
       converged = nextPot.compareTo(pot) == 0
       pot = nextPot

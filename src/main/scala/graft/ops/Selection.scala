@@ -99,9 +99,18 @@ object Selection {
     val cf = graft.core.Graft.rebalance(corpus)
       .select(col(idCol).as("doc_id"),
         explode(featureBuckets(col(textCol), buckets)).as("b"))
+    // ONE (doc_id, b) feature-count exchange feeds BOTH the raw-corpus
+    // bucket model (rc = Σ cnt per bucket) and the per-document scoring
+    // side (guide §2.4: share exchanges) — featurizing the corpus once
+    // instead of once per consumer; without it the plan re-scanned and
+    // re-exploded the corpus for the model side. Exact: rc sums the
+    // same multiplicities, n_feats = Σ cnt, and the per-doc weight
+    // Σ lri·cnt is the same integer sum as one lri per feature
+    // occurrence.
+    val cfb = cf.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
     val tf = target
       .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
-    val rc = cf.groupBy("b").agg(count(lit(1)).as("rc"))
+    val rc = cfb.groupBy("b").agg(sum(col("cnt")).as("rc"))
     val tc = tf.groupBy("b").agg(count(lit(1)).as("tc"))
     val tot = rc.agg(sum("rc").as("rtot"))
       .crossJoin(tc.agg(sum("tc").as("ttot"))) // 1 row × 1 row
@@ -112,9 +121,10 @@ object Selection {
           ((coalesce(col("tc"), lit(0L)) + 1.0) * (col("rtot") + buckets.toDouble)) /
           ((col("rc") + 1.0) * (coalesce(col("ttot"), lit(0L)) + buckets.toDouble)))
           * MICRO.toDouble, 0).cast("long").as("lri"))
-    cf.join(broadcast(lr), "b")
+    cfb.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_feats"), sum("lri").as("_s"))
+      .agg(sum(col("cnt")).cast("long").as("n_feats"),
+        sum(col("lri") * col("cnt")).as("_s"))
   }
 
   /** DuckDB twin of [[importanceWeights]] (adjacent so they cannot

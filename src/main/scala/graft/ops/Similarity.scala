@@ -1895,16 +1895,17 @@ object Similarity {
     // with the index becoming visible — a rebuild can never strand
     // yesterday's geometry against today's codes). Serving validation
     // then reads the already-cached manifest: zero Spark jobs.
-    // pinned (scope-released after the commit): the bucket-major range
-    // exchange SAMPLES its input before the write job — unpinned, the
-    // whole corpus PQ-encode ran twice per build/rebuild (guide §5; the
-    // pinned frame is the ~20×-compressed codes, bytes the write
-    // materializes anyway)
-    val replacement = graft.core.Graft.pin(codes.unionByName(meta))
     val indexProps = Map(GeomMProp -> m.toString,
       GeomDimProp -> dim.toString,
       ResidualProp -> (if (byResidual) "1" else "0"))
     graft.core.Graft.pinScope {
+    // pinned (scope-released after the commit — created INSIDE the
+    // pinScope, like appendToIndex, so cache mode actually registers it
+    // to the scope): the bucket-major range exchange SAMPLES its input
+    // before the write job — unpinned, the whole corpus PQ-encode ran
+    // twice per build/rebuild (guide §5; the pinned frame is the
+    // ~20×-compressed codes, bytes the write materializes anyway)
+    val replacement = graft.core.Graft.pin(codes.unionByName(meta))
     if (db.snapshot().manifest.dataTxids.isEmpty)
       graft.store.TxWriter.write(db, replacement,
         timeBucketNanos = Some(1L), bucketMajor = true, props = indexProps)

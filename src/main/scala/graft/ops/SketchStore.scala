@@ -185,6 +185,20 @@ object SketchStore {
         EmptinessMemo.cached(snap.manifest, s"read:$prop")(!rows.isEmpty))
       throw new IllegalStateException(unclaimedMsg(prop, what))
 
+  /** One key family's visible rows: a local prefix filter over a fused
+    * pre-read when the caller already scanned the union of families
+    * ([[graft.store.Db.Snapshot.readMany]] — guide §2.4: one store scan
+    * instead of one per family), else a direct key-pruned read. The
+    * filter is THE SAME predicate a direct read applies
+    * ([[graft.series.SeriesOps.keyFilter]]), and last-wins/deletes act
+    * per key, so the two paths are row-identical for the disjoint
+    * sketch key families.
+    */
+  private def famRows(snap: graft.store.Db#Snapshot, pattern: String,
+                      pre: Option[DataFrame]): DataFrame =
+    pre.fold(snap.read(pattern))(
+      graft.series.SeriesOps.keyFilter(_, pattern))
+
   /** Operator escape hatch for PRE-CLAIM stores: record the geometry a
     * legacy store was ACTUALLY written with, so its claim-checked reads
     * and registrations proceed. First-writer-wins like the claims
@@ -293,13 +307,14 @@ object SketchStore {
 
   private def storedKmvSketchAt(db: graft.store.Db,
                                 snap: graft.store.Db#Snapshot,
-                                tag: String): DataFrame = {
+                                tag: String,
+                                pre: Option[DataFrame] = None): DataFrame = {
     val spark = db.spark
     val k = intProp(snap.manifest, kmvKProp(tag), Sketches.KMV_K)
     val empty = spark.range(0).select(col("id").as("h"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(kmvKey(tag))
+      val rows = famRows(snap, kmvKey(tag), pre)
       if (!rows.columns.contains("h")) empty
       else {
         requireClaimedOrEmpty(snap, kmvKProp(tag), rows,
@@ -391,14 +406,16 @@ object SketchStore {
 
   private def storedKmvSketchByAt(db: graft.store.Db,
                                   snap: graft.store.Db#Snapshot,
-                                  tag: String): DataFrame = {
+                                  tag: String,
+                                  pre: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = db.spark
     val k = intProp(snap.manifest, kmvByKProp(tag), Sketches.KMV_K)
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("h"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(kmvByPrefix(tag) + "%")
+      val rows = famRows(snap, kmvByPrefix(tag) + "%", pre)
       if (!rows.columns.contains("grp") || !rows.columns.contains("h"))
         empty
       else {
@@ -499,7 +516,7 @@ object SketchStore {
                        cursor: Option[(String, Long)] = None,
                        sinkProps: Map[String, String] = Map.empty,
                        fuse: Boolean = false): Long = graft.core.Graft.pinScope {
-    // pinScope: both pins below (elems, counts) are fully consumed by
+    // pinScope: the elems pin below (valueCol mode) is fully consumed by
     // the register tx inside this call — released at return instead of
     // lingering for FIFO eviction (scoped-release contract, Graft.pin)
     require(batchId >= 0, s"batchId must be >= 0 ($FOLD_TS is reserved)")
@@ -523,9 +540,13 @@ object SketchStore {
     val elems0 = batch.select(
       Seq(elem.as("item")) ++ valueCol.map(_.as("v")).toSeq: _*)
     val elems = valueCol.fold(elems0)(_ => elems0.transform(graft.core.Graft.pin))
+    // the counts aggregate is NOT pinned: its exchange subtree is
+    // byte-identical in every branch below, so the single write-job
+    // plan computes it once via exchange reuse (guide §2.4 — verified
+    // in the plan: one ReusedExchange per extra branch); a pin here was
+    // one whole extra action per register transaction
     val counts = elems.select(col("item")).filter(col("item").isNotNull)
       .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .transform(graft.core.Graft.pin)
     val kmv = Sketches.kmvSketch(counts, col("item"), k)
       .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
     val cm = Sketches.countMinSketchCounts(counts, d, w)
@@ -572,9 +593,9 @@ object SketchStore {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
       col("id").as("ts"))
-    foldStore(db, s"foldSketches($tag)",
-      Seq(kmvKey(tag), cmPrefix(tag) + "%", mgPrefix(tag) + "%",
-        mgMassKey(tag), histPrefix(tag) + "%"), waitMillis,
+    val prefixes = Seq(kmvKey(tag), cmPrefix(tag) + "%",
+      mgPrefix(tag) + "%", mgMassKey(tag), histPrefix(tag) + "%")
+    foldStore(db, s"foldSketches($tag)", prefixes, waitMillis,
       foldProp = Some(foldLastProp("sketches", tag)),
       singlePartition = true)({
         // ONE snapshot for every family's read: all four key families
@@ -585,9 +606,18 @@ object SketchStore {
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = storedKmvSketchAt(db, snap, tag)
+          // ONE key-pruned scan of all the tag's families, materialized
+          // once (guide §2.4) — the family readers each re-scanned the
+          // store, and the replacement plan executed the scans again in
+          // the write job; branches are local prefix filters over the
+          // pinned pass (released at fold-iteration end). The old
+          // hist/mass `isEmpty` probes (a Spark job each, per fold) are
+          // gone: branch aggregations below are per-key-group, so an
+          // absent family contributes zero rows by itself.
+          val all = Some(graft.core.Graft.pin(snap.readMany(prefixes)))
+          val kmv = storedKmvSketchAt(db, snap, tag, all)
             .select(lit(kmvKey(tag)).as("key"), col("h").as("ts"), col("h"))
-          val cm = storedCountMinAt(db, snap, tag)
+          val cm = storedCountMinAt(db, snap, tag, all)
             .select(
               format_string(cmPrefix(tag) + "%d/%06d", col("sk_row"),
                 col("bucket")).as("key"),
@@ -596,22 +626,22 @@ object SketchStore {
           // the hist family folds whenever it has rows under the tag
           // (the valueCol rider, or a sibling registerHist sink) — the
           // same lossless per-bin sum as foldHist
-          val histRows = storedHistAt(db, snap, tag)
-          val base =
-            if (histRows.isEmpty) base0
-            else base0.unionByName(histRowsOf(tag, histRows, FOLD_TS),
-              allowMissingColumns = true)
-          // MG's emptiness signal is its mass row (see foldMg) — a tag
-          // that never registered MG contributes nothing, rather than a
-          // spurious zero-mass row
-          val massRows = snap.read(mgMassKey(tag))
-          if (!massRows.columns.contains("n_items") || massRows.isEmpty)
-            base
+          val base = base0.unionByName(
+            histRowsOf(tag, storedHistAt(db, snap, tag, all), FOLD_TS),
+            allowMissingColumns = true)
+          // MG's emptiness signal is its mass rows (see foldMg) — a tag
+          // that never registered MG contributes nothing rather than a
+          // spurious zero-mass row: the total is aggregated per
+          // synthetic group, which yields ZERO rows on an empty mass
+          // family (a global aggregate would mint one)
+          val massRows = famRows(snap, mgMassKey(tag), all)
+          if (!massRows.columns.contains("n_items")) base
           else {
-            val cands = storedMgCandidatesAt(db, snap, tag)
+            val cands = storedMgCandidatesAt(db, snap, tag, all)
               .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
                 lit(FOLD_TS).as("ts"), col("item"), col("est"))
             val total = massRows
+              .groupBy(lit(1).as("_g"))
               .agg(coalesce(sum(col("n_items")), lit(0L)).as("n_items"))
               .select(lit(mgMassKey(tag)).as("key"), lit(FOLD_TS).as("ts"),
                 col("n_items"))
@@ -666,10 +696,14 @@ object SketchStore {
       Seq(grp.as("grp"), elem.as("item")) ++
         valueCol.map(_.as("v")).toSeq: _*)
     val base = valueCol.fold(base0)(_ => base0.transform(graft.core.Graft.pin))
+    // counts is NOT pinned (same exchange-reuse argument as
+    // [[registerSketches]]): the pinned `rows` union materializes every
+    // branch in ONE job, and the branches' identical counts exchange
+    // dedups inside that plan — the pin was an extra action per
+    // register transaction
     val counts = base.select(col("grp"), col("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
       .groupBy("grp", "item").agg(count(lit(1)).as("cnt"))
-      .transform(graft.core.Graft.pin)
     val kmv = kmvByRows(tag,
       counts.select(col("grp"), PortableHash.h60(col("item")).as("h")), k)
     val cm = cmByRows(tag, Sketches.countMinSketchByCounts(counts, d, cmW),
@@ -709,25 +743,31 @@ object SketchStore {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
       col("id").as("ts"))
-    foldStore(db, s"foldSketchesBy($tag)",
-      Seq(kmvByPrefix(tag) + "%", mgByPrefix(tag) + "%",
-        mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%",
-        cmByPrefix(tag) + "%"), waitMillis,
+    val prefixes = Seq(kmvByPrefix(tag) + "%", mgByPrefix(tag) + "%",
+      mgByMassPrefix(tag) + "%", histByPrefix(tag) + "%",
+      cmByPrefix(tag) + "%")
+    foldStore(db, s"foldSketchesBy($tag)", prefixes, waitMillis,
       foldProp = Some(foldLastProp("sketchesby", tag)))({
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val kmv = kmvFoldRowsBy(db, snap, tag)
-          val withMg = mgByFoldRows(db, snap, tag).fold(kmv)(mg =>
+          // ONE key-pruned scan of all five grouped families,
+          // materialized once (guide §2.4): the per-family readers each
+          // re-scanned the store and re-paid last-wins + the delete
+          // anti-join; branches are now local prefix filters over the
+          // pinned pass (released at fold-iteration end — foldStore's
+          // pinScope covers this block). The per-family `isEmpty`
+          // probes are gone: every branch aggregates per group, so an
+          // absent family contributes zero rows by itself.
+          val all = Some(graft.core.Graft.pin(snap.readMany(prefixes)))
+          val kmv = kmvFoldRowsBy(db, snap, tag, all)
+          val withMg = mgByFoldRows(db, snap, tag, all).fold(kmv)(mg =>
             kmv.unionByName(mg, allowMissingColumns = true))
-          val cm = storedCountMinByAt(db, snap, tag)
-          val withCm =
-            if (cm.isEmpty) withMg
-            else withMg.unionByName(cmByRows(tag, cm, FOLD_TS),
-              allowMissingColumns = true)
-          val hist = storedHistByAt(db, snap, tag)
-          if (hist.isEmpty) withCm
-          else withCm.unionByName(histByRowsOf(tag, hist, FOLD_TS),
+          val withCm = withMg.unionByName(
+            cmByRows(tag, storedCountMinByAt(db, snap, tag, all), FOLD_TS),
+            allowMissingColumns = true)
+          withCm.unionByName(
+            histByRowsOf(tag, storedHistByAt(db, snap, tag, all), FOLD_TS),
             allowMissingColumns = true)
         }
       }, identity)
@@ -738,8 +778,9 @@ object SketchStore {
     */
   private def kmvFoldRowsBy(db: graft.store.Db,
                             snap: graft.store.Db#Snapshot,
-                            tag: String): DataFrame =
-    storedKmvSketchByAt(db, snap, tag)
+                            tag: String,
+                            pre: Option[DataFrame] = None): DataFrame =
+    storedKmvSketchByAt(db, snap, tag, pre)
       .select(concat(lit(kmvByPrefix(tag)), col("grp")).as("key"),
         col("h").as("ts"), col("grp"), col("h"))
 
@@ -825,13 +866,14 @@ object SketchStore {
 
   private def storedCountMinAt(db: graft.store.Db,
                                snap: graft.store.Db#Snapshot,
-                               tag: String): DataFrame = {
+                               tag: String,
+                               pre: Option[DataFrame] = None): DataFrame = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("int").as("sk_row"),
       col("id").as("bucket"), col("id").as("c"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(cmPrefix(tag) + "%")
+      val rows = famRows(snap, cmPrefix(tag) + "%", pre)
       if (!rows.columns.contains("c")) empty
       else rows.groupBy("sk_row", "bucket").agg(sum(col("c")).as("c"))
     }
@@ -958,14 +1000,16 @@ object SketchStore {
 
   private[graft] def storedCountMinByAt(db: graft.store.Db,
                                         snap: graft.store.Db#Snapshot,
-                                        tag: String): DataFrame = {
+                                        tag: String,
+                                        pre: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").cast("int").as("sk_row"), col("id").as("bucket"),
       col("id").as("c"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(cmByPrefix(tag) + "%")
+      val rows = famRows(snap, cmByPrefix(tag) + "%", pre)
       if (!rows.columns.contains("grp") || !rows.columns.contains("c")) empty
       else rows.groupBy("grp", "sk_row", "bucket").agg(sum(col("c")).as("c"))
     }
@@ -1123,14 +1167,16 @@ object SketchStore {
 
   private def storedMgCandidatesAt(db: graft.store.Db,
                                    snap: graft.store.Db#Snapshot,
-                                   tag: String): DataFrame = {
+                                   tag: String,
+                                   pre: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = db.spark
     val c = intProp(snap.manifest, mgCProp(tag), Sketches.MG_C)
     val empty = spark.range(0)
       .select(col("id").cast("string").as("item"), col("id").as("est"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(mgPrefix(tag) + "%")
+      val rows = famRows(snap, mgPrefix(tag) + "%", pre)
       if (!rows.columns.contains("est")) empty
       else {
         requireClaimedOrEmpty(snap, mgCProp(tag), rows,
@@ -1151,12 +1197,14 @@ object SketchStore {
 
   private[graft] def storedMgMassAt(db: graft.store.Db,
                                     snap: graft.store.Db#Snapshot,
-                                    tag: String): DataFrame = {
+                                    tag: String,
+                                    pre: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = db.spark
     val empty = spark.range(1).select(lit(0L).as("n"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(mgMassKey(tag))
+      val rows = famRows(snap, mgMassKey(tag), pre)
       if (!rows.columns.contains("n_items")) empty
       else rows.agg(coalesce(sum(col("n_items")), lit(0L)).as("n"))
     }
@@ -1184,8 +1232,17 @@ object SketchStore {
                                           snap: graft.store.Db#Snapshot,
                                           tag: String = "t"): DataFrame = {
     val c = intProp(snap.manifest, mgCProp(tag), Sketches.MG_C)
-    storedMgCandidatesAt(db, snap, tag)
-      .crossJoin(broadcast(storedMgMassAt(db, snap, tag)))
+    // ONE scan of both key families, materialized once (guide §2.4):
+    // candidates and mass each re-scanned the store (two parquet scans
+    // + two last-wins passes in one report plan); the branches are now
+    // local prefix filters. Unscoped pin: the report frame outlives
+    // this call (cache mode relies on the MaxLivePins backstop).
+    val pre =
+      if (snap.manifest.dataTxids.isEmpty) None
+      else Some(graft.core.Graft.pin(snap.readMany(
+        Seq(mgPrefix(tag) + "%", mgMassKey(tag)))))
+    storedMgCandidatesAt(db, snap, tag, pre)
+      .crossJoin(broadcast(storedMgMassAt(db, snap, tag, pre)))
       .select(col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
       .orderBy(col("est").desc, col("item"))
@@ -1312,11 +1369,17 @@ object SketchStore {
     */
   private def mgByFoldRows(db: graft.store.Db,
                            snap: graft.store.Db#Snapshot,
-                           tag: String): Option[DataFrame] = {
-    val mass = snap.read(mgByMassPrefix(tag) + "%")
-    if (!mass.columns.contains("n_items") || mass.isEmpty) None
+                           tag: String,
+                           pre: Option[DataFrame] = None)
+      : Option[DataFrame] = {
+    val mass = famRows(snap, mgByMassPrefix(tag) + "%", pre)
+    // schema-level absence check only (driver-side, free): every
+    // aggregation below is per-group, so a present-but-row-empty family
+    // contributes zero rows on its own — the old `mass.isEmpty` probe
+    // was a full Spark job per fold that decided nothing (guide §1.4)
+    if (!mass.columns.contains("n_items")) None
     else {
-      val cands = storedMgCandidatesByAt(db, snap, tag)
+      val cands = storedMgCandidatesByAt(db, snap, tag, pre)
         .select(concat(lit(mgByPrefix(tag)), escGrp(col("grp")),
             lit("/"), col("item")).as("key"),
           lit(FOLD_TS).as("ts"), col("grp"), col("item"), col("est"))
@@ -1339,14 +1402,16 @@ object SketchStore {
 
   private def storedMgCandidatesByAt(db: graft.store.Db,
                                      snap: graft.store.Db#Snapshot,
-                                     tag: String): DataFrame = {
+                                     tag: String,
+                                     pre: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = db.spark
     val c = intProp(snap.manifest, mgByCProp(tag), Sketches.MG_C)
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").cast("string").as("item"), col("id").as("est"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(mgByPrefix(tag) + "%")
+      val rows = famRows(snap, mgByPrefix(tag) + "%", pre)
       if (!rows.columns.contains("est")) empty
       else {
         requireClaimedOrEmpty(snap, mgByCProp(tag), rows,
@@ -1365,13 +1430,15 @@ object SketchStore {
 
   private[graft] def storedMgMassByAt(db: graft.store.Db,
                                       snap: graft.store.Db#Snapshot,
-                                      tag: String): DataFrame = {
+                                      tag: String,
+                                      pre: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("n"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(mgByMassPrefix(tag) + "%")
+      val rows = famRows(snap, mgByMassPrefix(tag) + "%", pre)
       if (!rows.columns.contains("n_items")) empty
       else rows.groupBy("grp").agg(sum(col("n_items")).as("n"))
     }
@@ -1411,8 +1478,15 @@ object SketchStore {
                                                tag: String = "t")
       : DataFrame = {
     val c = intProp(snap.manifest, mgByCProp(tag), Sketches.MG_C)
-    storedMgCandidatesByAt(db, snap, tag)
-      .join(storedMgMassByAt(db, snap, tag), Seq("grp"))
+    // ONE scan of both grouped families, materialized once (guide
+    // §2.4) — same device as [[storedHeavyHittersAt]]; unscoped pin,
+    // MaxLivePins backstop in cache mode.
+    val pre =
+      if (snap.manifest.dataTxids.isEmpty) None
+      else Some(graft.core.Graft.pin(snap.readMany(
+        Seq(mgByPrefix(tag) + "%", mgByMassPrefix(tag) + "%"))))
+    storedMgCandidatesByAt(db, snap, tag, pre)
+      .join(storedMgMassByAt(db, snap, tag, pre), Seq("grp"))
       .select(col("grp"), col("item"), col("est"), col("n"),
         (col("est") * (c + 1) > col("n")).cast("long").as("certain"))
   }
@@ -1602,12 +1676,13 @@ object SketchStore {
     storedHistAt(db, db.snapshot(), tag)
 
   private def storedHistAt(db: graft.store.Db, snap: graft.store.Db#Snapshot,
-                           tag: String): DataFrame = {
+                           tag: String,
+                           pre: Option[DataFrame] = None): DataFrame = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").as("bin"), col("id").as("cnt"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(histPrefix(tag) + "%")
+      val rows = famRows(snap, histPrefix(tag) + "%", pre)
       if (!rows.columns.contains("cnt")) empty
       else rows.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
     }
@@ -1746,13 +1821,14 @@ object SketchStore {
 
   private def storedHistByAt(db: graft.store.Db,
                              snap: graft.store.Db#Snapshot,
-                             tag: String): DataFrame = {
+                             tag: String,
+                             pre: Option[DataFrame] = None): DataFrame = {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("grp"),
       col("id").as("bin"), col("id").as("cnt"))
     if (snap.manifest.dataTxids.isEmpty) empty
     else {
-      val rows = snap.read(histByPrefix(tag) + "%")
+      val rows = famRows(snap, histByPrefix(tag) + "%", pre)
       if (!rows.columns.contains("grp") || !rows.columns.contains("cnt"))
         empty
       else rows.filter(col("grp").isNotNull)
@@ -1842,21 +1918,28 @@ object SketchStore {
     val spark = db.spark
     val empty = spark.range(0).select(col("id").cast("string").as("key"),
       col("id").as("ts"))
-    foldStore(db, s"foldMg($tag)",
-      Seq(mgPrefix(tag) + "%", mgMassKey(tag)), waitMillis,
+    val prefixes = Seq(mgPrefix(tag) + "%", mgMassKey(tag))
+    foldStore(db, s"foldMg($tag)", prefixes, waitMillis,
       foldProp = Some(foldLastProp("mg", tag)), singlePartition = true)({
         // emptiness signal: registerMg writes one mass row per batch,
-        // so this tag has mass rows iff anything was ever registered
+        // so this tag has mass rows iff anything was ever registered —
+        // checked at the SCHEMA level (free) plus a per-synthetic-group
+        // mass aggregate that yields zero rows on an empty family,
+        // replacing the old per-fold `mass.isEmpty` Spark job
         val snap = db.snapshot()
         if (snap.manifest.dataTxids.isEmpty) empty
         else {
-          val mass = snap.read(mgMassKey(tag))
-          if (!mass.columns.contains("n_items") || mass.isEmpty) empty
+          // one scan of both families, materialized once (guide §2.4);
+          // released at fold-iteration end by foldStore's pinScope
+          val all = Some(graft.core.Graft.pin(snap.readMany(prefixes)))
+          val mass = famRows(snap, mgMassKey(tag), all)
+          if (!mass.columns.contains("n_items")) empty
           else {
-            val cands = storedMgCandidatesAt(db, snap, tag)
+            val cands = storedMgCandidatesAt(db, snap, tag, all)
               .select(concat(lit(mgPrefix(tag)), col("item")).as("key"),
                 lit(FOLD_TS).as("ts"), col("item"), col("est"))
             val total = mass
+              .groupBy(lit(1).as("_g"))
               .agg(coalesce(sum(col("n_items")), lit(0L)).as("n_items"))
               .select(lit(mgMassKey(tag)).as("key"), lit(FOLD_TS).as("ts"),
                 col("n_items"))
@@ -1929,26 +2012,37 @@ object SketchStore {
       val (w, origin) = gridOf(baseline, wProp, oProp)
       require(newW >= w && newW % w == 0,
         s"new width $newW must be a positive multiple of stored width $w")
+      if (newW == w) return -1L // already at this grid (driver-side, free)
       if (baseline.pending.nonEmpty) {
         attempt += 1
         Thread.sleep(math.min(100L * attempt, 2000L))
       } else {
-        val cur = stored
-        if (cur.isEmpty) return -1L // nothing stored to migrate
-        if (newW == w) return -1L   // already at this grid
-        // pinScope: the pinned rebin is consumed by the supersede inside
-        // this iteration — released before the retry sleep / return
-        graft.core.Graft.pinScope {
-          val rebinned =
-            if (singlePartition) rebin(cur, newW / w) // ≤ b rows: one pass
-            else rebin(cur, newW / w).transform(graft.core.Graft.pin)
-          graft.store.TxWriter.supersedeIf(db, baseline, Seq(wildcard),
-            rebinned,
-            props = Map(wProp -> newW.toString,
-              oProp -> origin.toString),
-            rangePartitions = if (singlePartition) Some(1) else None)
-        } match {
-          case Some(tx) => return tx
+        // pinScope covers the `stored` evaluation (pins created by a
+        // fused read release at iteration end); Some(-1) = nothing
+        // stored to migrate, None = fence refused
+        val res: Option[Long] = graft.core.Graft.pinScope {
+          val cur = stored
+          if (singlePartition) {
+            if (cur.isEmpty) Some(-1L)
+            else graft.store.TxWriter.supersedeIf(db, baseline,
+              Seq(wildcard), rebin(cur, newW / w), // ≤ b rows: one pass
+              props = Map(wProp -> newW.toString,
+                oProp -> origin.toString),
+              rangePartitions = Some(1))
+          } else {
+            // pin BEFORE the emptiness probe — same one-compute
+            // argument as foldStore (re-binning preserves emptiness)
+            val rebinned =
+              rebin(cur, newW / w).transform(graft.core.Graft.pin)
+            if (rebinned.isEmpty) Some(-1L)
+            else graft.store.TxWriter.supersedeIf(db, baseline,
+              Seq(wildcard), rebinned,
+              props = Map(wProp -> newW.toString,
+                oProp -> origin.toString))
+          }
+        }
+        res match {
+          case Some(tx) => return tx // -1 = nothing stored to migrate
           case None     =>
             attempt += 1
             Thread.sleep(math.min(100L * attempt, 2000L))
@@ -2040,21 +2134,33 @@ object SketchStore {
         attempt += 1
         Thread.sleep(math.min(100L * attempt, 2000L))
       } else {
-        val cur = stored
-        if (cur.isEmpty) return -1L // nothing to fold
-        // pinScope: the pinned sums are consumed by the supersede inside
-        // this iteration — released before the retry sleep / return
-        graft.core.Graft.pinScope {
-          val folded =
-            if (singlePartition) project(cur) // one compute, in the write job
-            else project(cur)
-              .transform(graft.core.Graft.pin) // materialize the sums once
-          graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
-            folded,
-            dynProps = tx => foldProp.map(_ -> tx.toString).toMap,
-            rangePartitions = if (singlePartition) Some(1) else None)
-        } match {
-          case Some(tx) => return tx
+        // pinScope covers the `stored` evaluation too: fold bases that
+        // pin their single fused store scan release it at iteration
+        // end. Some(-1) = nothing to fold, None = fence refused.
+        val res: Option[Long] = graft.core.Graft.pinScope {
+          val cur = stored
+          if (singlePartition) {
+            // bounded-by-geometry replacement: one compute, inside the
+            // write job (no pin, no range-sampling job)
+            if (cur.isEmpty) Some(-1L)
+            else graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
+              project(cur),
+              dynProps = tx => foldProp.map(_ -> tx.toString).toMap,
+              rangePartitions = Some(1))
+          } else {
+            // pin BEFORE the emptiness probe (guide §1.4): the probe
+            // executes the whole replacement plan anyway (aggregations
+            // consume all their input), so materialize once and probe
+            // the materialized blocks — one full compute instead of two
+            val folded = project(cur).transform(graft.core.Graft.pin)
+            if (folded.isEmpty) Some(-1L)
+            else graft.store.TxWriter.supersedeIf(db, baseline, wildcards,
+              folded,
+              dynProps = tx => foldProp.map(_ -> tx.toString).toMap)
+          }
+        }
+        res match {
+          case Some(tx) => return tx // -1 = nothing to fold
           case None     => // a commit raced in (or is in flight) — refold
             attempt += 1
             Thread.sleep(math.min(100L * attempt, 2000L))

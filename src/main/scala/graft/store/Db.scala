@@ -59,11 +59,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
     }
 
     def deletes: DataFrame =
-      if (manifest.deleteTxids.isEmpty) Db.emptyDeletes(spark)
-      else {
-        val dirs = manifest.deleteTxids.map(t => s"$deleteDir/txid=$t")
-        spark.read.option("basePath", deleteDir).parquet(dirs: _*)
-      }
+      Db.deletesFrame(spark, warehouse, deleteDir, manifest.created,
+        manifest.deleteTxids)
 
     /** Data txids whose manifest stats can overlap the request — the
       * reference's segment binary search at transaction granularity
@@ -130,6 +127,32 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       if (txids.isEmpty) emptyResult()
       else pipeline(
         SeriesOps.keyFilter(readData(txids), pattern), after, before)
+    }
+
+    /** ONE read-pipeline pass over the UNION of several key patterns —
+      * for consumers that maintain disjoint key families in one
+      * warehouse (the sketch stores) and would otherwise scan the store
+      * once per family. Row-identical to unioning the per-pattern
+      * [[read]]s: the key predicate is the OR of the per-pattern
+      * predicates, txid pruning keeps any transaction that can overlap
+      * ANY pattern, and last-wins/deletes act per key so disjoint
+      * families cannot interfere. UNORDERED by design — every caller
+      * aggregates (or re-sorts in the transaction writer); a global
+      * (key, ts) sort here would add a range exchange + sampling job
+      * that aggregation consumers pay for nothing.
+      */
+    def readMany(patterns: Seq[String], after: Option[Long] = None,
+                 before: Option[Long] = None): DataFrame = {
+      require(patterns.nonEmpty, "readMany needs at least one pattern")
+      val txids = patterns.flatMap(p => prunedDataTxids(p, after, before))
+        .distinct.sorted
+      if (txids.isEmpty) emptyResult()
+      else {
+        val pred = patterns
+          .map(p => SeriesOps.keyPredicate(col("key"), p)).reduce(_ || _)
+        pipeline(readData(txids).filter(pred), after, before,
+          ordered = false)
+      }
     }
 
     /** Read exactly the given `ts` instants (one [[read]] pipeline pass
@@ -288,12 +311,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
       val newData = manifest.dataTxids.filter(_ > sinceTxid)
       if (newData.isEmpty) return emptyResult()
       val recs = readData(newData)
-      val newDeletes = {
-        val ts = manifest.deleteTxids.filter(_ > sinceTxid)
-        if (ts.isEmpty) Db.emptyDeletes(spark)
-        else spark.read.option("basePath", deleteDir)
-          .parquet(ts.map(t => s"$deleteDir/txid=$t"): _*)
-      }
+      val newDeletes = Db.deletesFrame(spark, warehouse, deleteDir,
+        manifest.created, manifest.deleteTxids.filter(_ > sinceTxid))
       val filtered = SeriesOps.timeRange(
         SeriesOps.keyFilter(recs, pattern), after, before)
       val merged = SeriesOps.lastWins(filtered, Seq("key", "ts"), "txid")
@@ -303,7 +322,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
 
     private def pipeline(filtered0: DataFrame, after: Option[Long],
                          before: Option[Long],
-                         pointLookup: Boolean = false): DataFrame = {
+                         pointLookup: Boolean = false,
+                         ordered: Boolean = true): DataFrame = {
       // time-bucketed warehouse: derive the partition-column predicate so
       // time ranges prune whole tbucket= directories before any IO
       val w = manifest.timeBucket
@@ -320,7 +340,8 @@ final class Db(val spark: SparkSession, val warehouse: String) {
         .drop("txid").drop("tbucket")
       if (pointLookup)
         visible.coalesce(1).sortWithinPartitions(col("key"), col("ts"))
-      else SeriesOps.ordered(visible)
+      else if (ordered) SeriesOps.ordered(visible)
+      else visible
     }
   }
 
@@ -434,6 +455,78 @@ object Db {
     StructField("t1", LongType, nullable = false),        // exclusive
     StructField("wildcard", StringType, nullable = false)
   ))
+
+  private val deleteSchemaWithTxid: StructType =
+    deleteSchema.add(StructField("txid", LongType, nullable = false))
+
+  /** Delete markers as a driver-LOCAL relation, collected once per
+    * (warehouse identity, txid set) and cached. Rationale (guide §2.4,
+    * §5): the read pipeline BROADCASTS the marker table into every scan
+    * ([[graft.series.SeriesOps.applyDeletes]]) — with a parquet child
+    * that broadcast build is one extra Spark job (scan + collect) on
+    * EVERY execution of every read of a store that has ever folded or
+    * deleted, for a table that is one row per delete *operation* and
+    * already ends up on the driver per execution. A LocalRelation child
+    * makes the broadcast build job-free and reads the marker files once
+    * per txid set instead of once per executed plan. Sound for the same
+    * reason [[txBuckets]] is: published delete directories are
+    * immutable, and the key carries the manifest-minted warehouse
+    * identity so a deleted-and-recreated warehouse cannot alias a stale
+    * entry (identity-less legacy manifests skip the cache). Bounded: a
+    * txid-set key holds one Row per marker; oversized marker sets (ops
+    * count, not data) fall back to the parquet scan and are never
+    * cached.
+    */
+  private val deletesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Seq[Long]), Array[org.apache.spark.sql.Row]]()
+
+  /** Marker sets handed out once already — the second request of the
+    * same set is the collect-and-cache trigger, so a set read exactly
+    * once (the common one-shot query) never pays a collect job it will
+    * not amortize: first use is lazy (one broadcast-build job at
+    * execution, exactly the pre-cache cost), the second use's collect
+    * REPLACES that set's broadcast job, and every later use is job-free.
+    */
+  private val deletesSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[
+      (String, String, Seq[Long])]()
+
+  /** Marker-row count past which a delete set stays on the parquet path
+    * (a store with this many UNCOMPACTED delete operations needs vacuum,
+    * not a bigger driver).
+    */
+  private val DeletesCacheMaxRows = 65536
+
+  private[store] def deletesFrame(spark: SparkSession, warehouse: String,
+                                  deleteDir: String, created: String,
+                                  txids: Seq[Long]): DataFrame = {
+    if (txids.isEmpty) return emptyDeletes(spark)
+    // explicit schema: markers have ONE fixed shape (writeDeleteMarker),
+    // so the reader must not pay a footer schema-inference job per
+    // constructed plan
+    def parquetFrame: DataFrame =
+      spark.read.schema(deleteSchema).option("basePath", deleteDir)
+        .parquet(txids.map(t => s"$deleteDir/txid=$t"): _*)
+        // partition-column discovery may type txid as INT; the local
+        // path pins LongType, so both paths expose one schema
+        .select(deleteSchemaWithTxid.fieldNames.map(f =>
+          col(f).cast(deleteSchemaWithTxid(f).dataType)): _*)
+    if (created.isEmpty) return parquetFrame // identity-less: no caching
+    if (deletesCache.size > 16384) { deletesCache.clear(); deletesSeen.clear() }
+    val key = (warehouse, created, txids)
+    val hit = deletesCache.get(key)
+    val rows =
+      if (hit != null) hit
+      else if (deletesSeen.add(key)) null // first use: stay lazy
+      else {
+        val collected = parquetFrame.collect()
+        if (collected.length > DeletesCacheMaxRows) null
+        else { deletesCache.put(key, collected); collected }
+      }
+    if (rows == null) parquetFrame
+    else spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), deleteSchemaWithTxid)
+  }
 
   def emptyDeletes(spark: SparkSession): DataFrame =
     spark.createDataFrame(
