@@ -96,21 +96,25 @@ object Selection {
   private def microWeights(corpus: DataFrame, target: DataFrame,
                            idCol: String, textCol: String,
                            buckets: Long): DataFrame = {
+    // The corpus IS featurized twice here (once under the bucket model's
+    // rc aggregate, once as the per-document scoring side) — MEASURED
+    // (r19) and deliberately kept: routing both consumers through one
+    // shared (doc_id, b) feature-count exchange (the §2.4 device that
+    // wins for BM25's postings) LOSES for DSIR — the per-(doc, feature)
+    // multiplicities are ~1, so the shared exchange ships the nearly
+    // uncollapsed exploded feature stream (bigger than the zstd'd text it
+    // derives from) where the two-scan shape shuffles only the collapsed
+    // b-model and doc-level aggregates. QueryJobs at sf0.1:
+    // sel_dsir_weights 13 jobs / 17.7 s taskTime (this shape) vs
+    // 14 jobs / 21.4 s (shared exchange); the same asymmetry holds at
+    // scale, where a columnar re-scan is cheaper than exchanging the
+    // exploded stream once.
     val cf = graft.core.Graft.rebalance(corpus)
       .select(col(idCol).as("doc_id"),
         explode(featureBuckets(col(textCol), buckets)).as("b"))
-    // ONE (doc_id, b) feature-count exchange feeds BOTH the raw-corpus
-    // bucket model (rc = Σ cnt per bucket) and the per-document scoring
-    // side (guide §2.4: share exchanges) — featurizing the corpus once
-    // instead of once per consumer; without it the plan re-scanned and
-    // re-exploded the corpus for the model side. Exact: rc sums the
-    // same multiplicities, n_feats = Σ cnt, and the per-doc weight
-    // Σ lri·cnt is the same integer sum as one lri per feature
-    // occurrence.
-    val cfb = cf.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
     val tf = target
       .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
-    val rc = cfb.groupBy("b").agg(sum(col("cnt")).as("rc"))
+    val rc = cf.groupBy("b").agg(count(lit(1)).as("rc"))
     val tc = tf.groupBy("b").agg(count(lit(1)).as("tc"))
     val tot = rc.agg(sum("rc").as("rtot"))
       .crossJoin(tc.agg(sum("tc").as("ttot"))) // 1 row × 1 row
@@ -121,10 +125,9 @@ object Selection {
           ((coalesce(col("tc"), lit(0L)) + 1.0) * (col("rtot") + buckets.toDouble)) /
           ((col("rc") + 1.0) * (coalesce(col("ttot"), lit(0L)) + buckets.toDouble)))
           * MICRO.toDouble, 0).cast("long").as("lri"))
-    cfb.join(broadcast(lr), "b")
+    cf.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(sum(col("cnt")).cast("long").as("n_feats"),
-        sum(col("lri") * col("cnt")).as("_s"))
+      .agg(count(lit(1)).cast("long").as("n_feats"), sum("lri").as("_s"))
   }
 
   /** DuckDB twin of [[importanceWeights]] (adjacent so they cannot
